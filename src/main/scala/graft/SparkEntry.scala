@@ -1,13 +1,223 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.{Analytics, Fact, Pricing}
+import graft.merge.Upsert
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent ANSI SQL oracle for each.
+  *
+  * Determinism rules shared by every query/oracle pair (see
+  * graft.functions.Functions scaladoc): exact integer money math, one-shot
+  * double divisions, second-truncated timestamps, total orderings, and
+  * aliases identical on both sides (the driver compare sorts columns by
+  * name before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.statsByNationRegionDecade(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p2_p8_clean_events" -> (Fact.cleanEventsQuery _),
+    "p3_epoch_roundtrip" -> (Fact.epochRoundtrip _),
+    "p14_p18_fact_derive" -> (Fact.factDerive _),
+    "d1_dedup_min" -> (Fact.dedupMin _),
+    "u1_union_all" -> (Fact.unionAll _),
+    "w1_window_dedup" -> (Analytics.windowDedup _),
+    "a1_watermark_incremental" -> (Analytics.watermarkIncremental _),
+    "a2_stats_nation_region_decade" -> (Analytics.statsByNationRegionDecade _),
+    "a3_yearly_stats" -> (Analytics.yearlyStats _),
+    "a4_decade_stats" -> (Analytics.decadeStats _),
+    "a5_max_by_nation" -> (Analytics.maxByNation _),
+    "a6_severity_by_nation" -> (Analytics.severityByNation _),
+    "a7_type_stats" -> (Analytics.typeStats _),
+    "a8_conditional_ratio" -> (Analytics.conditionalRatio _),
+    "o1_custom_sort" -> (Analytics.customKeySort _),
+    "o3_top_sort_desc" -> (Analytics.topSortDesc _),
+    "j3_customer_geo" -> (Analytics.customerGeo _),
+    "j4_merge_upsert" -> (Upsert.mergeOrders _),
+    "q1_pricing_summary" -> (Pricing.pricingSummary _),
+  )
+
+  // DuckDB dialect oracle per query. Table names match the parquet stems.
+  def oracleSql: Map[String, String] = Map(
+    "p2_p8_clean_events" ->
+      """WITH ev AS (
+        |  SELECT event_id, date_trunc('second', ts) AS ts_sec, event_type, value,
+        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+        |  FROM events)
+        |SELECT event_id, CAST(ts_sec AS VARCHAR) AS ts_s, event_type, value,
+        |       coalesce(CASE WHEN k < 20 THEN NULL ELSE k END, 0) AS depth
+        |FROM ev
+        |WHERE value IS NOT NULL AND value >= 0.5 AND value <= 450.0
+        |  AND ts_sec >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts_sec <= TIMESTAMP '2024-12-31 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "p3_epoch_roundtrip" ->
+      """SELECT event_id,
+        |       epoch_ms(date_trunc('second', ts)) AS epoch_ms,
+        |       CAST(make_timestamp(epoch_ms(date_trunc('second', ts)) * 1000) AS VARCHAR) AS ts_restored
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p14_p18_fact_derive" ->
+      """SELECT md5(concat_ws('-', coalesce(CAST(o_orderstatus AS VARCHAR), ''),
+        |                          coalesce(CAST(o_orderkey AS VARCHAR), ''))) AS event_id,
+        |       o_orderkey, o_orderstatus AS status,
+        |       year(o_orderdate) AS event_year,
+        |       CAST(floor(year(o_orderdate) / 10) * 10 AS BIGINT) AS event_decade,
+        |       CASE WHEN o_totalprice >= 400000 THEN 'Great'
+        |            WHEN o_totalprice >= 300000 THEN 'Major'
+        |            WHEN o_totalprice >= 200000 THEN 'Strong'
+        |            WHEN o_totalprice >= 100000 THEN 'Moderate'
+        |            WHEN o_totalprice >= 50000  THEN 'Light'
+        |            ELSE 'Minor' END AS severity,
+        |       o_totalprice AS totalprice
+        |FROM orders""".stripMargin,
+
+    "d1_dedup_min" ->
+      """SELECT user_id, event_type, min(event_id) AS survivor_id,
+        |       count(*) AS n_dupes
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "u1_union_all" ->
+      """SELECT event_id, event_type, value FROM events WHERE value > 400
+        |UNION ALL
+        |SELECT event_id, event_type, value FROM events WHERE event_type = 'signup'
+        |ORDER BY event_id, value""".stripMargin,
+
+    "w1_window_dedup" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "a1_watermark_incremental" ->
+      """WITH ev AS (SELECT event_id, event_type, date_trunc('second', ts) AS ts_sec FROM events),
+        |wm AS (SELECT max(ts_sec) AS wm FROM ev WHERE event_type = 'signup')
+        |SELECT event_id, event_type, CAST(ts_sec AS VARCHAR) AS ts_s
+        |FROM ev, wm WHERE ts_sec > wm ORDER BY event_id""".stripMargin,
+
+    "a2_stats_nation_region_decade" ->
+      """SELECT n.n_name AS nation, r.r_name AS region_name,
+        |       CAST(floor(year(o.o_orderdate) / 10) * 10 AS BIGINT) AS decade,
+        |       count(*) AS frequency,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / count(*) / 100.0 AS avg_price
+        |FROM orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY nation, region_name, decade
+        |ORDER BY frequency DESC, nation, region_name, decade""".stripMargin,
+
+    "a3_yearly_stats" ->
+      """SELECT year(o_orderdate) AS event_year, count(*) AS event_frequency,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / count(*) / 100.0 AS avg_price
+        |FROM orders GROUP BY event_year ORDER BY event_year""".stripMargin,
+
+    "a4_decade_stats" ->
+      """SELECT CAST(floor(year(o_orderdate) / 10) * 10 AS BIGINT) AS event_decade,
+        |       count(*) AS event_frequency,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / count(*) / 100.0 AS avg_price
+        |FROM orders GROUP BY event_decade ORDER BY event_decade""".stripMargin,
+
+    "a5_max_by_nation" ->
+      """SELECT n.n_name AS nation, max(c.c_acctbal) AS max_acctbal,
+        |       count(*) AS n_customers
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY nation ORDER BY max_acctbal DESC, nation""".stripMargin,
+
+    "a6_severity_by_nation" ->
+      """SELECT n.n_name AS nation,
+        |       CASE WHEN o.o_totalprice >= 400000 THEN 'Great'
+        |            WHEN o.o_totalprice >= 300000 THEN 'Major'
+        |            WHEN o.o_totalprice >= 200000 THEN 'Strong'
+        |            WHEN o.o_totalprice >= 100000 THEN 'Moderate'
+        |            WHEN o.o_totalprice >= 50000  THEN 'Light'
+        |            ELSE 'Minor' END AS severity,
+        |       count(*) AS frequency
+        |FROM orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY nation, severity
+        |ORDER BY nation,
+        |  CASE severity WHEN 'Great' THEN 1 WHEN 'Major' THEN 2 WHEN 'Strong' THEN 3
+        |                WHEN 'Moderate' THEN 4 WHEN 'Light' THEN 5 ELSE 6 END""".stripMargin,
+
+    "a7_type_stats" ->
+      """SELECT event_type, count(*) AS frequency,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / count(*) / 100.0 AS avg_value
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY frequency DESC, event_type""".stripMargin,
+
+    "a8_conditional_ratio" ->
+      """SELECT l_linestatus AS linestatus,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        |       count(*) AS n_total,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) / count(*) * 100 AS pct_returned
+        |FROM lineitem GROUP BY linestatus
+        |ORDER BY pct_returned DESC, linestatus""".stripMargin,
+
+    "o1_custom_sort" ->
+      """SELECT o_orderkey, o_orderpriority AS priority,
+        |       CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+        |            WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+        |            ELSE 5 END AS priority_rank,
+        |       o_totalprice AS totalprice
+        |FROM orders WHERE o_totalprice > 450000
+        |ORDER BY priority_rank, totalprice DESC, o_orderkey""".stripMargin,
+
+    "o3_top_sort_desc" ->
+      """SELECT event_id, event_type, value, user_id FROM events
+        |WHERE value > 50 ORDER BY value DESC, event_id""".stripMargin,
+
+    "j3_customer_geo" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region_name
+        |FROM customer c
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j4_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, 'existing' AS src FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'),
+        |incoming AS (
+        |  SELECT o_orderkey, 'inserted' AS src FROM orders
+        |  WHERE o_totalprice > 300000)
+        |SELECT * FROM target
+        |UNION ALL
+        |SELECT i.* FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = i.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS dd,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS t
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00')
+        |SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(q) AS BIGINT) AS sum_qty_cents,
+        |       CAST(sum(p) AS BIGINT) AS sum_base_cents,
+        |       CAST(sum(p * (100 - dd)) AS BIGINT) AS sum_disc_e4,
+        |       CAST(sum(p * (100 - dd) * (100 + t)) AS BIGINT) AS sum_charge_e6,
+        |       count(*) AS count_order,
+        |       CAST(sum(q) AS BIGINT) / count(*) / 100.0 AS avg_qty,
+        |       CAST(sum(p) AS BIGINT) / count(*) / 100.0 AS avg_price
+        |FROM li GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  )
 }

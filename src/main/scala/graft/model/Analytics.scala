@@ -1,0 +1,201 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Functions._
+
+/** The reference's nine dbt analytics models (SURVEY.md §2.4-§2.7),
+  * re-expressed over the driver test tables. Each is a single-pass hash
+  * aggregation (map-side partial + final), a broadcast-dim join, or a
+  * window — the shapes Catalyst compiles into whole-stage-codegen'd
+  * HashAggregate / BroadcastHashJoin plans that hold up at cluster scale:
+  * the only shuffles are on the (low-cardinality) grouping keys, and all
+  * dimension joins are explicit `broadcast()`.
+  */
+object Analytics {
+
+  /** Fact-like frame: orders enriched with nation/region via broadcast
+    * joins (the earthquake fact's country/region lookup, J3). Join order:
+    * orders ⋈ customer shuffles once on custkey is avoided — customer is
+    * small relative to orders at every SF, so it is broadcast too. */
+  def ordersWithGeo(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(s, d).select("r_regionkey", "r_name")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+  }
+
+  /** J3 — equi left join against broadcast dims (the region lookup,
+    * reference add_region.py:56). */
+  def customerGeo(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(s, d).select("r_regionkey", "r_name")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"),
+        col("n_name").as("nation"), col("r_name").as("region_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** A2 — count + averages by (country, region, decade)
+    * (reference country_earthquake_stats_per_decade.sql:8-17). */
+  def statsByNationRegionDecade(s: SparkSession, d: String): DataFrame =
+    ordersWithGeo(s, d)
+      .groupBy(
+        col("n_name").as("nation"),
+        col("r_name").as("region_name"),
+        getDecade(col("o_orderdate")).as("decade"))
+      .agg(
+        count(lit(1)).as("frequency"),
+        sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+      .withColumn(
+        "avg_price",
+        col("sum_price_cents") / col("frequency") / 100.0)
+      .orderBy(desc("frequency"), col("nation"), col("region_name"), col("decade"))
+
+  /** A3 — yearly stats (reference yearly_earthquake_stats.sql:8-16). */
+  def yearlyStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("event_year"))
+      .agg(
+        count(lit(1)).as("event_frequency"),
+        sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+      .withColumn(
+        "avg_price",
+        col("sum_price_cents") / col("event_frequency") / 100.0)
+      .orderBy("event_year")
+
+  /** A4 — per-decade frequency + average ("deadliest decade",
+    * reference deadliest_decade.sql:8-15). */
+  def decadeStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(getDecade(col("o_orderdate")).as("event_decade"))
+      .agg(
+        count(lit(1)).as("event_frequency"),
+        sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+      .withColumn(
+        "avg_price",
+        col("sum_price_cents") / col("event_frequency") / 100.0)
+      .orderBy("event_decade")
+
+  /** A5 — max per country (reference
+    * top_countries_strongest_earthquake.sql:8-14). max() of a double is
+    * order-independent, hence oracle-exact without integerization. */
+  def maxByNation(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        max(col("c_acctbal")).as("max_acctbal"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(desc("max_acctbal"), col("nation"))
+  }
+
+  /** A6 — count by (country, severity bucket)
+    * (reference country_severe_earthquake_stats.sql:8-25), including the
+    * O2 custom CASE sort key. */
+  def severityByNation(s: SparkSession, d: String): DataFrame = {
+    val sev = severity(
+      col("o_totalprice"),
+      Seq(400000.0 -> "Great", 300000.0 -> "Major", 200000.0 -> "Strong",
+        100000.0 -> "Moderate", 50000.0 -> "Light"))
+    val sevRank = when(col("severity") === "Great", 1)
+      .when(col("severity") === "Major", 2)
+      .when(col("severity") === "Strong", 3)
+      .when(col("severity") === "Moderate", 4)
+      .when(col("severity") === "Light", 5)
+      .otherwise(6)
+    ordersWithGeo(s, d)
+      .withColumn("severity", sev)
+      .groupBy(col("n_name").as("nation"), col("severity"))
+      .agg(count(lit(1)).as("frequency"))
+      .orderBy(col("nation"), sevRank)
+  }
+
+  /** A7 — count + avg by type (reference event_type_stats.sql:8-15). */
+  def typeStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("frequency"),
+        sum(cents(col("value"))).as("sum_value_cents"))
+      .withColumn("avg_value", col("sum_value_cents") / col("frequency") / 100.0)
+      .orderBy(desc("frequency"), col("event_type"))
+
+  /** A8 — conditional aggregate + percentage ratio
+    * (reference tsunami_flags.sql:9-18): int/int division is double in
+    * both engines, computed over identical integers → oracle-exact. */
+  def conditionalRatio(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus").as("linestatus"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"),
+        count(lit(1)).as("n_total"))
+      .withColumn(
+        "pct_returned",
+        col("n_returned") / col("n_total") * 100)
+      .orderBy(desc("pct_returned"), col("linestatus"))
+
+  /** O1 — custom CASE sort key + mixed-direction multi-key sort
+    * (reference alert_level_frequency_stats.sql:16-25). The tail key
+    * o_orderkey makes the order total, so the oracle compare is stable. */
+  def customKeySort(s: SparkSession, d: String): DataFrame = {
+    val prioRank = when(col("o_orderpriority") === "1-URGENT", 1)
+      .when(col("o_orderpriority") === "2-HIGH", 2)
+      .when(col("o_orderpriority") === "3-MEDIUM", 3)
+      .when(col("o_orderpriority") === "4-NOT SPECIFIED", 4)
+      .otherwise(5)
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 450000)
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority").as("priority"),
+        prioRank.as("priority_rank"),
+        col("o_totalprice").as("totalprice"))
+      .orderBy(col("priority_rank"), desc("totalprice"), col("o_orderkey"))
+  }
+
+  /** O3 — "top" filter + sort desc, faithfully LIMIT-less
+    * (reference top_100_earthquake.sql:6-21). */
+  def topSortDesc(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value") > 50)
+      .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+      .orderBy(desc("value"), col("event_id"))
+
+  /** W1 — dedup via row_number window (reference stg_earthquake.sql:25-29).
+    * Tiebreak on the unique event_id makes the survivor deterministic for
+    * the oracle; the reference's ORDER BY-a-partition-key arbitrariness is
+    * covered in the unit spec instead. */
+  def windowDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "value")
+  }
+
+  /** A1/T2 — high-watermark incremental filter
+    * (reference stg_earthquake.sql:9-16): keep rows newer than the max
+    * timestamp of the already-loaded subset. Second-truncated on both
+    * sides for ns/µs parity with the oracle. */
+  def watermarkIncremental(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+    val wm = ev.filter(col("event_type") === "signup")
+      .agg(max(col("ts_sec")).as("wm"))
+    ev.join(broadcast(wm), ev("ts_sec") > wm("wm"), "inner")
+      .select(col("event_id"), col("event_type"), col("ts_sec").cast("string").as("ts_s"))
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Functions._
+
+/** The reference's staging + fact models (SURVEY.md §2.2 P14-P18,
+  * dbt_files/models/core/): type standardization, surrogate key, severity
+  * classification, year/decade derivation. Pure narrow transforms — no
+  * shuffle at all, so the stage scales linearly with input splits.
+  */
+object Fact {
+
+  /** P14+P15+P16+P18 over orders: the fact_earthquake_data derivation
+    * (reference fact_earthquake_data.sql:7-22, stg_earthquake.sql:31). */
+  def factDerive(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      surrogateKey(col("o_orderstatus"), col("o_orderkey")).as("event_id"),
+      col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      year(col("o_orderdate")).as("event_year"),
+      getDecade(col("o_orderdate")).as("event_decade"),
+      severity(
+        col("o_totalprice"),
+        Seq(400000.0 -> "Great", 300000.0 -> "Major", 200000.0 -> "Strong",
+          100000.0 -> "Moderate", 50000.0 -> "Light")).as("severity"),
+      col("o_totalprice").as("totalprice"))
+
+  /** P3 — epoch-ms → timestamp round trip on events
+    * (reference clean_historical.py:27-28). Output stringified for exact
+    * oracle compare; the milliseconds column is the bigint ground truth. */
+  def epochRoundtrip(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("epoch_sec"))
+      .withColumn("epoch_ms", col("epoch_sec") * 1000)
+      .withColumn("ts_restored",
+        epochMsToTs(col("epoch_ms")).cast("string"))
+      .drop("epoch_sec")
+      .orderBy("event_id")
+
+  /** P2-P8 clean spine on events: project, synthesize a nullable
+    * depth-like column, range-filter magnitude analog + timestamp window,
+    * null-fill (reference clean_historical.py:27-50). The nullable column
+    * is derived deterministically (props' "k" under 20 → null) so the
+    * na.fill(0) path (P8) is observable in the oracle. */
+  def cleanEventsQuery(s: SparkSession, d: String): DataFrame = {
+    import graft.clean.Clean._
+    val ev = Tables.events(s, d)
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      .withColumn("depth", when(col("k") < 20, null).otherwise(col("k")))
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+    ev.filter(rangeFilter(col("value"), 0.5, 450.0))
+      .filter(tsBetween(col("ts_sec"), "2024-01-01 00:00:00", "2024-12-31 00:00:00"))
+      .na.fill(0, Seq("depth"))
+      .select(
+        col("event_id"),
+        col("ts_sec").cast("string").as("ts_s"),
+        col("event_type"),
+        col("value"),
+        col("depth"))
+      .orderBy("event_id")
+  }
+
+  /** D1 — deterministic dedup-by-key via aggregation (min survivor), the
+    * oracle-checkable analog of `dropDuplicates(subset)`
+    * (reference clean_historical.py:48). */
+  def dedupMin(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(
+        min(col("event_id")).as("survivor_id"),
+        count(lit(1)).as("n_dupes"))
+      .orderBy("user_id", "event_type")
+
+  /** U1 — UNION ALL of two homogeneous slices
+    * (reference stg_earthquake.sql:19-22). unionByName, not positional. */
+  def unionAll(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select("event_id", "event_type", "value")
+    ev.filter(col("value") > 400)
+      .unionByName(ev.filter(col("event_type") === "signup"))
+      .orderBy("event_id", "value")
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Functions._
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("cents integerizes 2-decimal doubles exactly") {
+    val got = Seq(1013.7, 0.01, 104997.88, 0.0, 499978.59).toDF("v")
+      .select(cents($"v").as("c")).as[Long].collect()
+    assert(got.toSeq == Seq(101370L, 1L, 10499788L, 0L, 49997859L))
+  }
+
+  test("severity buckets are total over the domain (reference fact_earthquake_data.sql:9-16)") {
+    val got = Seq(8.5, 8.0, 7.3, 6.0, 5.5, 4.0, 3.99, -1.0).toDF("m")
+      .select(severity($"m").as("s")).as[String].collect()
+    assert(got.toSeq == Seq("Great", "Great", "Major", "Strong", "Moderate",
+      "Light", "Minor", "Minor"))
+  }
+
+  test("getDecade matches the dbt macro (reference macros/get_decade.sql:7)") {
+    val got = Seq("1999-12-31", "2000-01-01", "2009-06-15", "2010-01-01", "1500-01-01")
+      .toDF("d").select(getDecade(to_timestamp($"d").as("ts")).as("dec"))
+      .as[Long].collect()
+    assert(got.toSeq == Seq(1990L, 2000L, 2000L, 2010L, 1500L))
+  }
+
+  test("surrogateKey md5 formula incl. null-coalesce (reference stg_earthquake.sql:31)") {
+    val got = Seq(("a", "b"), (null, "b")).toDF("x", "y")
+      .select(surrogateKey($"x", $"y").as("k")).as[String].collect()
+    // md5("a-b") / md5("-b") computed independently
+    assert(got(0) == java.security.MessageDigest.getInstance("MD5")
+      .digest("a-b".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(got(1) == java.security.MessageDigest.getInstance("MD5")
+      .digest("-b".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("epochMsToTs is exact and UTC-pinned (reference clean_historical.py:27-28)") {
+    val got = Seq(0L, 1704067207000L).toDF("ms")
+      .select(epochMsToTs($"ms").cast("string").as("ts")).as[String].collect()
+    assert(got.toSeq == Seq("1970-01-01 00:00:00", "2024-01-01 00:00:07"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.clean.Clean
+import graft.merge.Upsert
+
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+  val sf = GraftSpark.sf
+
+  test("clean pipeline filters, dedups (arbitrary survivor) and fills (clean_historical.py:16-57)") {
+    val raw = Seq(
+      ("p1", "2020-01-01 00:00:00", 5.0, Some(10.0)),  // keeper
+      ("p1", "2020-01-01 00:00:00", 5.0, Some(10.0)),  // dup of keeper
+      ("p2", "2020-01-01 00:00:00", 11.0, Some(1.0)),  // mag out of range
+      ("p3", "2020-01-01 00:00:00", -2.0, Some(1.0)),  // mag out of range
+      ("p4", "1499-12-31 00:00:00", 5.0, Some(1.0)),   // ts out of range
+      ("p5", "2020-01-01 00:00:00", 5.0, None)         // null depth → filled 0
+    ).toDF("place", "ts_s", "magnitude", "depth")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+    val out = Clean.cleanEvents(raw, "magnitude", "ts",
+      "1500-01-01 00:00:00", "2025-07-31 00:00:00", -1.0, 10.0,
+      dedupKeys = Seq("place", "ts"), fillZero = Seq("depth"))
+
+    val rows = out.select("place", "depth").as[(String, Double)].collect().toMap
+    assert(rows.keySet == Set("p1", "p5"))
+    assert(rows("p5") == 0.0)
+  }
+
+  test("dropDuplicates keeps exactly one row per key regardless of partitioning (D1)") {
+    val df = Tables.events(spark, sf)
+    val n1 = df.dropDuplicates(Seq("user_id", "event_type")).count()
+    val n2 = df.repartition(7).dropDuplicates(Seq("user_id", "event_type")).count()
+    val distinct = df.select("user_id", "event_type").distinct().count()
+    assert(n1 == distinct && n2 == distinct)
+  }
+
+  test("antiJoinUpsert is idempotent on replay (MERGE semantics, dag:176-192)") {
+    val target = Seq((1L, "t"), (2L, "t")).toDF("k", "src")
+    val incoming = Seq((2L, "i"), (3L, "i")).toDF("k", "src")
+    val once = Upsert.antiJoinUpsert(target, incoming, Seq("k"))
+    assert(once.count() == 3)
+    assert(once.filter($"k" === 2L && $"src" === "i").count() == 0)
+    val twice = Upsert.antiJoinUpsert(once, incoming, Seq("k"))
+    assert(twice.count() == 3)
+  }
+
+  test("watermark incremental drops late data but merge path catches it (T2 vs T3)") {
+    val existing = Seq((1L, 10L), (2L, 20L)).toDF("k", "ts")
+    val incoming = Seq((3L, 15L), (4L, 25L)).toDF("k", "ts") // 15 < max(20) = late
+    val wm = existing.agg(max($"ts")).as[Long].head()
+    val incremental = incoming.filter($"ts" > wm)
+    assert(incremental.select("k").as[Long].collect().toSet == Set(4L))
+    val merged = Upsert.antiJoinUpsert(existing, incoming, Seq("k"))
+    assert(merged.count() == 4) // merge-by-key keeps the late row
+  }
+}
