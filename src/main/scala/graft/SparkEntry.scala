@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.geo.GeoQueries
 import graft.model.{Analytics, Fact, Pricing}
 import graft.merge.Upsert
 
@@ -37,6 +38,8 @@ object SparkEntry {
     "a8_conditional_ratio" -> (Analytics.conditionalRatio _),
     "o1_custom_sort" -> (Analytics.customKeySort _),
     "o3_top_sort_desc" -> (Analytics.topSortDesc _),
+    "j1_spatial_join" -> (GeoQueries.spatialJoinQuery _),
+    "j2_place_lookup" -> (GeoQueries.placeLookupQuery _),
     "j3_customer_geo" -> (Analytics.customerGeo _),
     "j4_merge_upsert" -> (Upsert.mergeOrders _),
     "q1_pricing_summary" -> (Pricing.pricingSummary _),
@@ -179,6 +182,10 @@ object SparkEntry {
     "o3_top_sort_desc" ->
       """SELECT event_id, event_type, value, user_id FROM events
         |WHERE value > 50 ORDER BY value DESC, event_id""".stripMargin,
+
+    "j1_spatial_join" -> GeoQueries.spatialJoinOracle,
+
+    "j2_place_lookup" -> GeoQueries.placeLookupOracle,
 
     "j3_customer_geo" ->
       """SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region_name

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.Geo
+import graft.enrich.Enrich
+
+class GeoSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  val square: Seq[Seq[Seq[Double]]] =
+    Seq(Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(10.0, 10.0), Seq(0.0, 10.0),
+      Seq(0.0, 0.0)))
+
+  test("ray-cast: simple polygon membership") {
+    assert(Geo.pointInRings(5, 5, square))
+    assert(!Geo.pointInRings(15, 5, square))
+    assert(!Geo.pointInRings(-1, -1, square))
+  }
+
+  test("ray-cast: hole via even-odd parity") {
+    val withHole = square ++ Seq(Seq(
+      Seq(4.0, 4.0), Seq(6.0, 4.0), Seq(6.0, 6.0), Seq(4.0, 6.0),
+      Seq(4.0, 4.0)))
+    assert(Geo.pointInRings(2, 2, withHole))   // in outer, not in hole
+    assert(!Geo.pointInRings(5, 5, withHole))  // inside the hole
+  }
+
+  test("ray-cast: multipolygon = multiple outer rings") {
+    val multi = square ++ Seq(Seq(
+      Seq(20.0, 20.0), Seq(30.0, 20.0), Seq(30.0, 30.0), Seq(20.0, 30.0),
+      Seq(20.0, 20.0)))
+    assert(Geo.pointInRings(25, 25, multi))
+    assert(Geo.pointInRings(5, 5, multi))
+    assert(!Geo.pointInRings(15, 15, multi))
+  }
+
+  test("ray-cast: concave polygon") {
+    // U-shape: the notch (5,6) is outside
+    val u = Seq(Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(10.0, 10.0),
+      Seq(7.0, 10.0), Seq(7.0, 3.0), Seq(3.0, 3.0), Seq(3.0, 10.0),
+      Seq(0.0, 10.0), Seq(0.0, 0.0)))
+    assert(!Geo.pointInRings(5, 6, u))
+    assert(Geo.pointInRings(1.5, 5, u))
+    assert(Geo.pointInRings(8.5, 5, u))
+  }
+
+  test("spatial join: left semantics, bbox prefilter, border dedup") {
+    val world = Geo.worldDim(spark, Seq(
+      ("Alpha", "R1", square),
+      // overlapping polygon sharing territory with Alpha around (9..12)
+      ("Beta", "R2", Seq(Seq(Seq(9.0, 0.0), Seq(20.0, 0.0), Seq(20.0, 10.0),
+        Seq(9.0, 10.0), Seq(9.0, 0.0))))))
+    val pts = Seq(
+      (1L, 5.0, 5.0),    // Alpha only
+      (2L, 9.5, 5.0),    // overlap → dedup keeps alphabetically-first Alpha
+      (3L, 15.0, 5.0),   // Beta only
+      (4L, 50.0, 50.0)   // no match → nulls kept (left join)
+    ).toDF("id", "lon", "lat")
+    val got = Geo.spatialJoin(pts, world, "lon", "lat", Seq("id"))
+      .select("id", "country").as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("Alpha"))
+    assert(got(2L).contains("Alpha"))
+    assert(got(3L).contains("Beta"))
+    assert(got(4L).isEmpty)
+  }
+
+  test("firstMatchLookup: order wins, word boundaries hold (Niger/Nigeria trap)") {
+    val list = Seq("niger" -> "Africa", "nigeria" -> "Africa2", "new zealand" -> "Oceania")
+    val (nm, _) = Geo.firstMatchLookup(col("place"), list)
+    val got = Seq(
+      "10 km SW of Lagos, Nigeria",  // must match nigeria, NOT niger (\b)
+      "Niamey, Niger region",
+      "off coast of New Zealand",
+      "somewhere else")
+      .toDF("place").select(nm.as("m")).as[Option[String]].collect()
+    assert(got.toSeq == Seq(Some("nigeria"), Some("niger"), Some("new zealand"), None))
+  }
+
+  test("enrich composite: spatial first, regex fallback fills the rest (add_region.py:50-61)") {
+    val world = Geo.worldDim(spark, Seq(("Alpha", "R1", square)))
+    val ev = Seq(
+      (1L, 5.0, 5.0, "no names here"),       // spatial hit
+      (2L, 50.0, 50.0, "near alpha ridge"),  // fallback hit via place text
+      (3L, 50.0, 50.0, "nothing")            // stays null
+    ).toDF("id", "lon", "lat", "place")
+    val got = Enrich.addCountryRegion(ev, world,
+        Seq("alpha" -> "R1"), "lon", "lat", "place", Seq("id"))
+      .select("id", "country").as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("Alpha"))
+    assert(got(2L).contains("alpha"))
+    assert(got(3L).isEmpty)
+  }
+}
