@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.geo.GeoQueries
 import graft.model.{Analytics, Fact, Pricing}
 import graft.merge.Upsert
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB-equivalent ANSI SQL oracle for each.
@@ -43,6 +44,19 @@ object SparkEntry {
     "j3_customer_geo" -> (Analytics.customerGeo _),
     "j4_merge_upsert" -> (Upsert.mergeOrders _),
     "q1_pricing_summary" -> (Pricing.pricingSummary _),
+    // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
+    "dd1_exact_dedup" -> (Dedup.exactDedup _),
+    "dd2_minhash_lsh" -> (Dedup.minhashLshQuery _),
+    "dd3_simhash" -> (Dedup.simhashQuery _),
+    "dd4_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "dd5_embedding_neardup" -> (Dedup.embeddingNearDup _),
+    "sim1_brute_topk" -> (Similarity.bruteTopK _),
+    "sim2_lsh_topk" -> (Similarity.lshTopK _),
+    "tx1_lang_id" -> (TextStats.langIdQuery _),
+    "tx2_quality_score" -> (TextStats.qualityScore _),
+    "tx3_token_counts" -> (TextStats.tokenCounts _),
+    "tx4_fingerprint" -> (TextStats.fingerprintQuery _),
+    "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -226,5 +240,18 @@ object SparkEntry {
         |       CAST(sum(p) AS BIGINT) / count(*) / 100.0 AS avg_price
         |FROM li GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "dd1_exact_dedup" -> Dedup.exactDedupOracle,
+    "dd2_minhash_lsh" -> Dedup.minhashLshOracle,
+    "dd3_simhash" -> Dedup.simhashOracle,
+    "dd4_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "dd5_embedding_neardup" -> Dedup.embeddingNearDupOracle,
+    "sim1_brute_topk" -> Similarity.bruteTopKOracle,
+    "sim2_lsh_topk" -> Similarity.lshTopKOracle,
+    "tx1_lang_id" -> TextStats.langIdOracle,
+    "tx2_quality_score" -> TextStats.qualityOracle,
+    "tx3_token_counts" -> TextStats.tokenCountsOracle,
+    "tx4_fingerprint" -> TextStats.fingerprintOracle,
+    "mm1_binary_meta" -> Multimodal.binaryMetaOracle,
   )
 }

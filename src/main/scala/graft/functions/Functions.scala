@@ -81,4 +81,14 @@ object Functions {
   def md5Hash60(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(seed.toString), lit(":"), c)), 1, 15), 16, 10)
       .cast("long")
+
+  /** Two independent 56-bit hashes from ONE md5 evaluation (hex chars
+    * 1-14 and 15-28). A k-perm MinHash family derives its k functions as
+    * `h1 + i*h2` — one digest instead of k per element, with every value
+    * < 2^59 so the bigint arithmetic is overflow-safe in both engines. */
+  def md5Hash56Pair(c: Column): (Column, Column) = {
+    val h = md5(c)
+    (conv(substring(h, 1, 14), 16, 10).cast("long"),
+      conv(substring(h, 15, 14), 16, 10).cast("long"))
+  }
 }

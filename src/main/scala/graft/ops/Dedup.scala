@@ -1,0 +1,271 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Functions.{md5Hash56Pair, md5Hash60}
+import graft.ops.TextStats.{shingles, words}
+
+/** Deduplication family for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. All hash math uses the md5-derived 60-bit
+  * primitive so the DuckDB oracle replays signatures exactly.
+  *
+  * Scale posture: exact + fingerprint dedup are one shuffle on the hash.
+  * MinHash/LSH is the 100 TB path for near-dup: per-doc signatures are a
+  * narrow map, candidate generation shuffles on (band, signature) —
+  * cardinality ≈ corpus size × bands, with no quadratic blowup; only
+  * verified candidates pay the exact-Jaccard cost. The brute-force
+  * Jaccard operator is deliberately lang-blocked (a standard dedup
+  * blocking key) so its self-join is bucket-local, but it remains the
+  * O(n²)-per-block baseline the LSH path is measured against.
+  */
+object Dedup {
+
+  val NumHashes = 8
+  val BandRows = 2 // 4 bands × 2 rows
+
+  /** Exact text dedup: group by content hash, keep min doc id. */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_md5")
+
+  /** Per-doc MinHash signature columns mh0..mh7 over distinct 3-gram
+    * shingles: one md5 per shingle, k functions via the h1+i*h2 family.
+    * One explode + one grouped aggregation; signature width is constant
+    * so this is linear in corpus size. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = explode(shingles(col(textCol), 3)).as("sh")
+    // hash-bound, not IO-bound: spread the (possibly single-split) input
+    // across all cores before the per-shingle hashing
+    val exploded = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), sh)
+    val (h1, h2) = md5Hash56Pair(col("sh"))
+    val hashed = exploded.select(col(idCol), h1.as("h1"), h2.as("h2"))
+    val aggs = (0 until NumHashes).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh$i"))
+    hashed.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: candidate pairs share at least one band
+    * signature; candidates are then verified with exact Jaccard ≥
+    * `threshold` on the same shingle sets. Returns
+    * (doc_a, doc_b, i_size, u_size, jaccard). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol)
+    // single-pass unpivot to (id, band, sig) — one struct array exploded,
+    // instead of NumBands unioned re-aggregations; cached because the
+    // LSH self-join reads it from both sides (at warehouse scale the
+    // signature table would be materialized to storage instead)
+    val bandStructs = array((0 until NumHashes / BandRows).map { b =>
+      val sigCols = (0 until BandRows).map(r => col(s"mh${b * BandRows + r}"))
+      struct(lit(b).as("band"), concat_ws(",", sigCols: _*).as("sig"))
+    }: _*)
+    // materialize the (small) signature table once before the self-join —
+    // otherwise both join sides recompute the signature aggregation
+    val bands = sigs
+      .select(col(idCol), explode(bandStructs).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .cache()
+    bands.count() // populate before the self-join reads it twice
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    // verify with flat (doc, shingle-hash) joins — every step primitive
+    // and codegen'd: pair ⋈ hashes-of-a ⋈ hashes-of-b on (doc, hash)
+    // counts the intersection without materializing per-doc arrays
+    // (array-lambda hashing is interpreted and dominates otherwise)
+    val flat = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(shingles(col(textCol), 3)).as("g"))
+    val (fh1, _) = md5Hash56Pair(col("g"))
+    val hashed = flat.select(col(idCol), fh1.as("h")).localCheckpoint(true)
+    val sizes = hashed.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val iSize = cand
+      .join(hashed.toDF("doc_a", "h"), "doc_a")
+      .join(hashed.toDF("doc_b", "h"), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i_size"))
+    iSize
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("u_size", col("n_a") + col("n_b") - col("i_size"))
+      .withColumn("jaccard", col("i_size") / col("u_size"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "i_size", "u_size", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-doc sorted distinct hashed-shingle arrays: the pre-sorted input
+    * the merge-intersect expression needs. Hashing shingles to 60-bit
+    * longs preserves intersection sizes (md5-derived, collision-free at
+    * these cardinalities, identical in the oracle's string-side
+    * computation). */
+  private def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+      extra: Seq[String]): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        (col(idCol) +: extra.map(col)) :+
+          array_sort(transform(shingles(col(textCol), 3),
+            s => md5Hash60(s, 0))).as("hs"): _*)
+
+  def minhashLshQuery(s: SparkSession, d: String): DataFrame =
+    minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 0.1)
+
+  /** Exact n-gram Jaccard within a blocking key (lang) — the exact
+    * O(n²)-per-block baseline the LSH path approximates. The per-pair
+    * cost is a codegen'd sorted-merge intersection over hashed shingles,
+    * so the block self-join dominates, not the set math. */
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // materialize the hashed-shingle arrays once (the array-lambda md5
+    // hashing is interpreted — paying it per join side doubles the cost)
+    val hs = hashedShingles(Tables.documents(s, d), "doc_id", "text", Seq("lang"))
+      .localCheckpoint(true)
+    // the O(n²) pair join is compute-bound: spread the streamed side
+    // across all cores and broadcast the other (the blocking key has only
+    // a handful of distinct values — a shuffle join would collapse to one
+    // task per block)
+    val a = hs.repartition(s.sparkContext.defaultParallelism).as("a")
+    val b = hs.as("b")
+    a.join(broadcast(b), col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("i_size",
+        graft.expressions.SortedIntersectSize.intersectSize(col("a.hs"), col("b.hs")))
+      .withColumn("u_size", size(col("a.hs")) + size(col("b.hs")) - col("i_size"))
+      .withColumn("jaccard", col("i_size") / col("u_size"))
+      .filter(col("jaccard") >= 0.1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("i_size"), col("u_size"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val SimHashBits = 32
+
+  /** SimHash: per-token 60-bit hashes vote ±1 per bit position; the
+    * signature packs the sign bits. Near-dup = small Hamming distance
+    * (bit_count(xor)) — probed in the spec; the query emits signatures. */
+  def simhashQuery(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("w"))
+      .withColumn("h", md5Hash60(col("w"), 99))
+    val votes = (0 until SimHashBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$j"))
+    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until SimHashBits).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+  }
+
+  /** Embedding near-dup: all pairs with cosine ≥ threshold. Dot products
+    * fold left-to-right over double-cast vectors, matching DuckDB's
+    * list_dot_product evaluation. */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", Similarity.dot(col("v"), col("v")))
+    val a = e.repartition(s.sparkContext.defaultParallelism).as("a")
+    val b = e.as("b")
+    a.join(broadcast(b), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        Similarity.dot(col("a.v"), col("b.v")) /
+          (sqrt(col("a.norm")) * sqrt(col("b.norm"))))
+      .filter(col("cos") >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // ---- oracles ----
+
+  val exactDedupOracle: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY text_md5 ORDER BY text_md5""".stripMargin
+
+  /** Shared SQL fragment: distinct 3-gram shingle list per doc. */
+  private val shingleCte: String =
+    """w AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |  CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+      |    generate_series(1, len(ws) - 2),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |  ELSE [] END AS sh FROM w)""".stripMargin
+
+  val minhashLshOracle: String = {
+    val minExprs = (0 until NumHashes).map(i =>
+      s"min(('0x' || substr(md5(u), 1, 14))::BIGINT + $i * ('0x' || substr(md5(u), 15, 14))::BIGINT) AS mh$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until NumHashes / BandRows).map { bnd =>
+      val cols = (0 until BandRows).map(r => s"mh${bnd * BandRows + r}::VARCHAR")
+      s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || ',' || ")} AS sig FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCte,
+       |u AS (SELECT doc_id, unnest(sh) AS u FROM s),
+       |sigs AS (SELECT doc_id,
+       |    $minExprs
+       |  FROM u GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(sa.sh, sb.sh)) AS i_size,
+       |    len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS u_size
+       |  FROM cand c
+       |  JOIN s sa ON sa.doc_id = c.doc_a
+       |  JOIN s sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, i_size, u_size, i_size / u_size AS jaccard
+       |FROM verified WHERE i_size / u_size >= 0.1
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val ngramJaccardOracle: String =
+    s"""WITH $shingleCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  len(list_intersect(a.sh, b.sh)) AS i_size,
+       |  len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u_size,
+       |  len(list_intersect(a.sh, b.sh)) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.sh, b.sh)) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val simhashOracle: String = {
+    val votes = (0 until SimHashBits).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n    ")
+    val sig = (0 until SimHashBits).map(j =>
+      s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id,
+       |    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5('99' || ':' || tok), 1, 15))::BIGINT AS h FROM w),
+       |v AS (SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  val embeddingNearDupOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS norm FROM e)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_dot_product(a.v, b.v) / (sqrt(a.norm) * sqrt(b.norm)) AS cos
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (sqrt(a.norm) * sqrt(b.norm)) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with
+  * typed metadata, plus a decode/feature-extract stage.
+  *
+  * The Spark-side structure is real — binary columns, per-partition
+  * batch decode via mapPartitions over a typed Dataset, deterministic
+  * frame sampling — while the actual codec is STUBBED with a
+  * deterministic fake (this container has no image/audio libraries).
+  * Swapping [[decodeStub]] for a real decoder changes no plan shape:
+  * the stage stays a narrow per-partition map, which is the property
+  * that matters at 100 TB (decode parallelism == input splits, no
+  * shuffle, memory bounded by batch size not partition size).
+  */
+object Multimodal {
+
+  case class Media(doc_id: Long, payload: Array[Byte], n_bytes: Int)
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, n_frames: Int,
+      checksum: Long, features: Array[Float])
+
+  /** STUB decoder — deterministic fake standing in for image/audio
+    * decode: "frames" are 64-byte windows; features are per-frame byte
+    * sums. Real implementation would call the codec here, one batch at
+    * a time, inside the same iterator shape. */
+  def decodeStub(m: Media): MediaFeatures = {
+    val frames = m.payload.grouped(64).toArray
+    val feats = frames.map(f => f.map(_.toInt & 0xff).sum.toFloat)
+    val checksum = m.payload.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+    MediaFeatures(m.doc_id, m.n_bytes, frames.length, checksum, feats)
+  }
+
+  /** Decode stage: per-partition batch map over the typed Dataset. */
+  def decodeAll(media: Dataset[Media]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Documents rendered as a media table: payload = utf-8 bytes (the
+    * stand-in for real image/audio blobs), typed metadata columns. */
+  def mediaTable(s: SparkSession, d: String): Dataset[Media] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("int"))
+      .as[Media]
+  }
+
+  /** Oracle-checkable metadata query: byte length, frame count at
+    * 64-byte frames, content digest, first-frame digest — the SQL-visible
+    * face of the decode plumbing (digests on the string side so both
+    * engines hash identical bytes). */
+  def binaryMetaQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      floor((length(encode(col("text"), "UTF-8")) + 63) / 64).cast("long").as("n_frames"),
+      sha2(col("text"), 256).as("payload_sha"),
+      sha2(substring(col("text"), 1, 64), 256).as("frame0_sha"))
+      .orderBy("doc_id")
+
+  val binaryMetaOracle: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(floor((octet_length(encode(text)) + 63) / 64) AS BIGINT) AS n_frames,
+      |  sha256(text) AS payload_sha,
+      |  sha256(substr(text, 1, 64)) AS frame0_sha
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

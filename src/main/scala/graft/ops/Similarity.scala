@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Functions.md5Hash60
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *   - [[bruteTopK]] — exact cosine top-k: one broadcast of the query
+  *     vector, a codegen'd fold per row, a single top-k. Linear scan;
+  *     the correctness baseline.
+  *   - [[lshTopK]] — sign-random-projection LSH: vectors hash to a
+  *     small bucket id by the signs of dot products against fixed
+  *     pseudo-random ±1 hyperplanes (md5-seeded, so both engines build
+  *     identical planes). Probing only the query's bucket scans ~1/2^P
+  *     of the corpus — the 100 TB path, trading recall for a bounded
+  *     candidate set. Bucketing is a narrow map; at cluster scale the
+  *     table would be written bucketed-by(bucket) so probes touch one
+  *     partition.
+  */
+object Similarity {
+
+  /** Left-to-right dot product over double arrays — a codegen'd custom
+    * Catalyst expression (graft.expressions.DotProduct); same strict
+    * fold order as DuckDB's list_dot_product for oracle parity. */
+  def dot(a: Column, b: Column): Column =
+    graft.expressions.DotProduct.dot(a, b)
+
+  val Dim = 64
+  val Planes = 4
+
+  /** Deterministic ±1 hyperplane components from the shared md5 hash
+    * primitive: sign = parity of md5("p:i" style key). Pure Scala, and
+    * embedded as literal arrays into both the Spark plan and the SQL
+    * oracle. */
+  def planeSigns(p: Int): Seq[Int] = (0 until Dim).map { i =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$p:$i".getBytes("UTF-8"))
+    if ((hex.last & 1) == 1) 1 else -1
+  }
+
+  /** LSH bucket id: P sign bits of plane dot products. */
+  def bucketCol(v: Column): Column =
+    (0 until Planes).map { p =>
+      val signs = array(planeSigns(p).map(x => lit(x.toDouble)): _*)
+      when(dot(v, signs) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def embDouble(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", dot(col("v"), col("v")))
+
+  val QueryVecId = 0L
+  val K = 10
+
+  /** Exact brute-force cosine top-k against the query vector. */
+  def bruteTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embDouble(s, d)
+    val q = e.filter(col("vec_id") === QueryVecId)
+      .select(col("v").as("qv"), col("norm").as("qnorm"))
+    e.filter(col("vec_id") =!= QueryVecId)
+      .join(broadcast(q))
+      .withColumn("cos",
+        dot(col("v"), col("qv")) / (sqrt(col("norm")) * sqrt(col("qnorm"))))
+      .select(col("vec_id"), col("cos"))
+      .orderBy(desc("cos"), col("vec_id"))
+      .limit(K)
+  }
+
+  /** LSH-bucketed top-k: probe only vectors sharing the query's bucket.
+    * Same output shape as bruteTopK over the reduced candidate set. */
+  def lshTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embDouble(s, d).withColumn("bucket", bucketCol(col("v")))
+    val q = e.filter(col("vec_id") === QueryVecId)
+      .select(col("v").as("qv"), col("norm").as("qnorm"),
+        col("bucket").as("qbucket"))
+    e.filter(col("vec_id") =!= QueryVecId)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .withColumn("cos",
+        dot(col("v"), col("qv")) / (sqrt(col("norm")) * sqrt(col("qnorm"))))
+      .select(col("vec_id"), col("cos"))
+      .orderBy(desc("cos"), col("vec_id"))
+      .limit(K)
+  }
+
+  // ---- oracles ----
+
+  private def signsLiteral(p: Int): String =
+    planeSigns(p).map(x => s"$x.0").mkString("[", ",", "]")
+
+  val bruteTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv, norm AS qnorm FROM e WHERE vec_id = $QueryVecId)
+       |SELECT e.vec_id,
+       |  list_dot_product(e.v, q.qv) / (sqrt(e.norm) * sqrt(q.qnorm)) AS cos
+       |FROM e, q WHERE e.vec_id <> $QueryVecId
+       |ORDER BY cos DESC, e.vec_id LIMIT $K""".stripMargin
+
+  val lshTopKOracle: String = {
+    val bucketExpr = (0 until Planes).map { p =>
+      s"CASE WHEN list_dot_product(v, ${signsLiteral(p)}) > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, norm, $bucketExpr AS bucket FROM e),
+       |q AS (SELECT v AS qv, norm AS qnorm, bucket AS qbucket FROM b WHERE vec_id = $QueryVecId)
+       |SELECT b.vec_id,
+       |  list_dot_product(b.v, q.qv) / (sqrt(b.norm) * sqrt(q.qnorm)) AS cos
+       |FROM b, q WHERE b.vec_id <> $QueryVecId AND b.bucket = q.qbucket
+       |ORDER BY cos DESC, b.vec_id LIMIT $K""".stripMargin
+  }
+}

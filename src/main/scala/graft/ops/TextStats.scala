@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (whole-stage codegen, no UDFs, no shuffle except
+  * the final fingerprint grouping) — at 100 TB these run at scan speed.
+  */
+object TextStats {
+
+  /** Whitespace tokenization, trim-guarded. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word n-gram shingles (1-indexed element_at; empty for
+    * docs shorter than n words — mirrored in the oracle). */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)), gram)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Language-marker word sets for the n-gram-heuristic language ID.
+    * Ordered: ties resolve to the earliest entry (deterministic). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "sqlish" -> Seq("table", "query", "join", "scan", "filter"),
+    "mlish" -> Seq("vector", "embedding", "model", "spark"),
+    "opsish" -> Seq("batch", "stream", "window", "merge"))
+
+  private def markerCount(text: Column, markers: Seq[String]): Column =
+    size(regexp_extract_all(text, lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0)))
+
+  /** Language ID — argmax of marker-hit counts with first-wins ties
+    * (the classic stopword-profile heuristic, expressed as codegen'd
+    * regexp counts + a CASE chain). */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => (l, markerCount(text, m)) }
+    // lang k wins if its score >= all earlier and > all later
+    scores.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, ((lang, sc), i)) =>
+        val beatsEarlier = scores.take(i).map(sc >= _._2)
+        val beatsLater = scores.drop(i + 1).map(sc > _._2)
+        val wins = (beatsEarlier ++ beatsLater :+ (sc > 0))
+          .reduce(_ && _)
+        Some(acc.fold(when(wins, lit(lang)))(_.when(wins, lit(lang))))
+    }.map(_.otherwise(lit("und"))).getOrElse(lit("und"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars). */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(words(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"),
+      col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, token stats, stopword ratio, bucket.
+    * All derived from integers (int/int divisions are identical doubles
+    * in both engines). */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("a", "the", "of")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("n_chars"),
+      size(words(col("text"))).as("n_tokens"),
+      markerCount(col("text"), stop).as("n_stop"))
+      .withColumn("avg_token_len", col("n_chars") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+      .withColumn("quality",
+        when(col("n_tokens") < 10, "too_short")
+          .when(col("stop_ratio") > 0.2, "boilerplate")
+          .when(col("n_chars") > 400, "long")
+          .otherwise("ok"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID query over documents. */
+  def langIdQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 over the sorted distinct word set —
+    * canonicalizes word order, so bag-of-words duplicates collide.
+    * Grouping by it is content-defined dedup at scan+1-shuffle cost. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(words(text))), " "))
+
+  def fingerprintQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+      .orderBy("fp")
+
+  // ---- oracles ----
+
+  val tokenCountsOracle: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val qualityOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |    len(regexp_extract_all(text, '\b(a|the|of)\b')) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n_chars, n_tokens, n_stop,
+      |  n_chars / n_tokens AS avg_token_len,
+      |  n_stop / n_tokens AS stop_ratio,
+      |  CASE WHEN n_tokens < 10 THEN 'too_short'
+      |       WHEN n_stop / n_tokens > 0.2 THEN 'boilerplate'
+      |       WHEN n_chars > 400 THEN 'long'
+      |       ELSE 'ok' END AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  val langIdOracle: String = {
+    val score = langMarkers.map { case (l, m) =>
+      l -> s"len(regexp_extract_all(text, '\\b(${m.mkString("|")})\\b'))"
+    }
+    val cases = score.zipWithIndex.map { case ((lang, sc), i) =>
+      val conds = score.take(i).map(e => s"$sc >= ${e._2}") ++
+        score.drop(i + 1).map(e => s"$sc > ${e._2}") :+ s"$sc > 0"
+      s"WHEN ${conds.mkString(" AND ")} THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_pred
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val fingerprintOracle: String =
+    """SELECT md5(array_to_string(list_sort(list_distinct(
+      |         string_split_regex(trim(text), '\s+'))), ' ')) AS fp,
+      |       min(doc_id) AS canonical_id, count(*) AS n_docs
+      |FROM documents GROUP BY fp ORDER BY fp""".stripMargin
+}

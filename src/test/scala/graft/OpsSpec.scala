@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+  val sf = GraftSpark.sf
+
+  test("minhash LSH finds the near-dup pairs brute-force finds (recall on real data)") {
+    val docs = Tables.documents(spark, sf)
+    val sh = docs.select(col("doc_id"), TextStats.shingles(col("text"), 3).as("sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val brute = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .withColumn("i", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("u", size(col("a.sh")) + size(col("b.sh")) - col("i"))
+      .filter(col("i") / col("u") >= 0.5) // high-sim pairs: LSH must catch these
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain high-sim pairs")
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${brute.size} true pairs")
+  }
+
+  test("simhash: near-identical texts land at small hamming distance, unrelated far") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different words about spark shuffle partitions and codegen")
+    ).toDF("doc_id", "text").createOrReplaceTempView("documents_tmp")
+    val sigs = Dedup.simhashQuery(spark, sf) // signatures over real table: sanity
+    assert(sigs.count() > 0)
+    // direct pairwise check on the tiny fixture through the same vote logic
+    val tok = spark.table("documents_tmp")
+      .select(col("doc_id"), explode(array_distinct(TextStats.words(col("text")))).as("w"))
+      .withColumn("h", graft.functions.Functions.md5Hash60(col("w"), 99))
+    val votes = (0 until Dedup.SimHashBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
+    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until Dedup.SimHashBits).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val m = agg.select(col("doc_id"), sig.as("s")).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)),
+      s"near-dup hamming ${ham(m(1L), m(2L))} should beat unrelated ${ham(m(1L), m(3L))}")
+  }
+
+  test("LSH top-k: candidates come only from the query bucket; hits agree with brute force") {
+    val brute = Similarity.bruteTopK(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.lshTopK(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert(lsh.nonEmpty)
+    // every LSH hit must be a real vector; overlap with brute force is the
+    // recall the bucket trade-off buys (not asserted to a level — random
+    // fixture — but must be a subset of the corpus and deterministic)
+    val lsh2 = Similarity.lshTopK(spark, sf).select("vec_id").as[Long].collect().toSet
+    assert(lsh == lsh2, "LSH probe must be deterministic")
+    assert((brute & lsh).nonEmpty || brute.isEmpty)
+  }
+
+  test("multimodal decode: per-partition stub decode preserves rows, frames sized by payload") {
+    val media = Multimodal.mediaTable(spark, sf).repartition(5)
+    val feats = Multimodal.decodeAll(media).collect()
+    assert(feats.length == Tables.documents(spark, sf).count())
+    feats.foreach { f =>
+      assert(f.n_frames == (f.n_bytes + 63) / 64)
+      assert(f.features.length == f.n_frames)
+    }
+    // determinism across partitionings
+    val feats2 = Multimodal.decodeAll(media.repartition(2)).collect()
+      .map(f => f.doc_id -> f.checksum).toMap
+    feats.foreach(f => assert(feats2(f.doc_id) == f.checksum))
+  }
+
+  test("fingerprint dedup collapses bag-of-words duplicates") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma  beta alpha"),  // same word set, different order/spacing
+      (3L, "alpha beta delta")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("langId: marker argmax with first-wins ties, 'und' when no markers") {
+    val got = Seq(
+      "the table query join runs",   // sqlish
+      "vector embedding model shine", // mlish
+      "xyz qqq zzz")                  // und
+      .toDF("text").select(TextStats.langId(col("text")).as("l"))
+      .as[String].collect()
+    assert(got.toSeq == Seq("sqlish", "mlish", "und"))
+  }
+}
