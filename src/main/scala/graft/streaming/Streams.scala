@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming facade for the reference's incremental/temporal
+  * semantics (SURVEY.md §2.9). The reference is batch-only (@monthly
+  * Airflow, T1); these map its capabilities onto real streams, clearly
+  * marked beyond-reference:
+  *
+  *   - T2 high-watermark incremental  → `withWatermark` + append mode
+  *     (late rows below the watermark dropped, exactly the reference's
+  *     completeness-watermark behavior in stg_earthquake.sql:9-16)
+  *   - T4 month-window assignment     → tumbling event-time windows
+  *   - T3 idempotent MERGE            → foreachBatch + left-anti upsert
+  *     (graft.merge.Upsert.antiJoinUpsert per micro-batch)
+  *   - stateful extension             → mapGroupsWithState running
+  *     per-key aggregates
+  *
+  * All operators hold at scale: state is keyed and bounded by the
+  * watermark; no per-batch collect; sinks are idempotent by key.
+  */
+object Streams {
+
+  /** T2+T4 — windowed counts/averages with a watermark: tumbling
+    * event-time windows (the monthly batch window, generalized), append
+    * mode semantics, late data dropped past the watermark. */
+  def windowedStats(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      valueCol: String,
+      watermark: String = "1 hour",
+      window_ : String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        window(col(tsCol), window_).as("win"),
+        col(typeCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("sum_value"))
+
+  /** T3 — streaming upsert sink: each micro-batch MERGEs into the target
+    * via the same left-anti composition as the batch path, making replays
+    * idempotent. Returns the writer configuration function to pass to
+    * `foreachBatch`. */
+  def mergeEachBatch(
+      readTarget: () => DataFrame,
+      writeTarget: DataFrame => Unit,
+      keys: Seq[String]): (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, _) => {
+      val merged = graft.merge.Upsert.antiJoinUpsert(readTarget(), batch.toDF(), keys)
+      writeTarget(merged)
+    }
+
+  case class TypeState(n: Long, sum: Double)
+  case class TypeUpdate(event_type: String, n: Long, sum: Double)
+
+  /** Stateful extension — running per-type totals via mapGroupsWithState
+    * (the custom-state path the reference never needed; bounded state:
+    * one row per event type). */
+  def runningTypeTotals(
+      events: Dataset[(String, Double)]): Dataset[TypeUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[TypeState, TypeUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[TypeState]) =>
+          val prev = state.getOption.getOrElse(TypeState(0L, 0.0))
+          var n = prev.n; var s = prev.sum
+          rows.foreach { r => n += 1; s += r._2 }
+          val next = TypeState(n, s)
+          state.update(next)
+          TypeUpdate(key, next.n, next.sum)
+      }
+  }
+
+  /** File-source stream over a directory of parquet (the batch tables
+    * replayed as a stream for tests/demos). */
+  def parquetStream(s: SparkSession, dir: String, schema: StructType): DataFrame =
+    s.readStream.schema(schema).parquet(dir)
+}

