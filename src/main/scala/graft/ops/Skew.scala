@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter grouping keys: two-stage salted
+  * aggregation. The reference's country rollups (A2/A5/A6) would skew
+  * badly at 100 TB — a handful of countries hold most events, so a
+  * single hash-partitioned aggregation sends whole heavy keys to single
+  * reducers. Salting splits each key into `buckets` sub-keys, partially
+  * aggregates, then merges — bounding any one task at 1/buckets of the
+  * heaviest key. (AQE skew handling covers joins; aggregation skew still
+  * needs this.)
+  *
+  * The aggregate must be algebraically mergeable: expressed here as
+  * (partial, merge, finish) column triples over a value column.
+  */
+object Skew {
+
+  /** Salted count + sum: groupBy(keys + salt) partial, then groupBy(keys)
+    * merge. Output: keys, cnt, total. */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], value: Column,
+      buckets: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__cnt"), sum(value).as("__sum"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__cnt")).as("cnt"), sum(col("__sum")).as("total"))
+  }
+}

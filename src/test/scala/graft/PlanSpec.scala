@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality gates: the properties that make these plans survive a
+  * 100× scale-up, asserted on the optimized physical plans so a
+  * regression (lost pushdown, surprise cartesian, dropped broadcast)
+  * fails CI rather than surfacing as a slow cluster job.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  val sf = GraftSpark.sf
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("clean-stage filters push into the parquet scan (P4-P7)") {
+    val p = plan("p2_p8_clean_events")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(value,0.5)") ||
+      p.contains("GreaterThanOrEqual(value"), "value range filter not pushed")
+  }
+
+  test("q1 scan prunes columns and pushes the shipdate predicate") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      p.take(2000))
+    // projection pruning: the 6 used columns only, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unused column read: $readSchema")
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("dimension joins broadcast (a2 geo rollup)") {
+    val p = plan("a2_stats_nation_region_decade")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, // customer, nation, region
+      "expected 3 broadcast dim joins")
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("aggregations are partial+final hash aggregates (map-side combine)") {
+    val p = plan("a7_type_stats")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+  }
+
+  test("spatial join is broadcast with the bbox prefilter in the join condition") {
+    val p = plan("j1_spatial_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("min_lon") && p.contains("max_lon"),
+      "bbox prefilter missing from join condition")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("whole-stage codegen covers the custom expressions (DotProduct path)") {
+    val df = graft.ops.Similarity.bruteTopK(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    val dpLines = p.linesIterator.filter(_.toLowerCase.contains("dotproduct")).toList
+    assert(dpLines.nonEmpty, "DotProduct not in plan")
+    // '*(n)' prefix marks a whole-stage-codegen region in the final plan
+    assert(dpLines.exists(_.contains("*(")),
+      s"DotProduct outside codegen:\n${dpLines.mkString("\n")}\nplan:\n${p.take(1500)}")
+  }
+
+  test("window dedup shuffles once on the partition keys (w1)") {
+    val p = plan("w1_window_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "more than one shuffle for a single window")
+  }
+}
