@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL face of the library: extension-registered functions and the
+  * dbt-style model views. */
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  // the suite JVM shares one session; use the runtime registration path
+  // (the builder-time GraftExtensions install is equivalent)
+  lazy val spark: SparkSession = {
+    val s = GraftSpark.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("dot_product and sorted_intersect_size callable from SQL") {
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |       sorted_intersect_size(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS isz""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 2)
+  }
+
+  test("model views answer SQL like the reference's dbt models") {
+    val names = graft.model.Models.registerViews(spark, GraftSpark.sf)
+    assert(names.contains("yearly_stats"))
+    val years = spark.sql(
+      "SELECT event_year, event_frequency FROM yearly_stats ORDER BY event_year")
+      .collect()
+    assert(years.nonEmpty)
+    // cross-model join through pure SQL
+    val top = spark.sql(
+      """SELECT s.nation, s.frequency
+        |FROM severity_by_nation s
+        |JOIN max_by_nation m ON s.nation = m.nation
+        |WHERE s.severity = 'Great'
+        |ORDER BY s.frequency DESC, s.nation LIMIT 3""".stripMargin).collect()
+    assert(top.length <= 3)
+    // ad-hoc SQL over the registered base tables
+    val n = spark.sql("SELECT count(*) FROM lineitem").collect()(0).getLong(0)
+    assert(n > 0)
+  }
+}
