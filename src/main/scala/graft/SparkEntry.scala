@@ -43,7 +43,10 @@ object SparkEntry {
     "j2_place_lookup" -> (GeoQueries.placeLookupQuery _),
     "j3_customer_geo" -> (Analytics.customerGeo _),
     "j4_merge_upsert" -> (Upsert.mergeOrders _),
+    "j5_merge_update" -> (Upsert.mergeUpdateOrders _),
     "q1_pricing_summary" -> (Pricing.pricingSummary _),
+    "q3_shipping_priority" -> (Pricing.shippingPriority _),
+    "q5_revenue_by_nation" -> (Pricing.revenueByNation _),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
     "dd1_exact_dedup" -> (Dedup.exactDedup _),
     "dd2_minhash_lsh" -> (Dedup.minhashLshQuery _),
@@ -240,6 +243,47 @@ object SparkEntry {
         |       CAST(sum(p) AS BIGINT) / count(*) / 100.0 AS avg_price
         |FROM li GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "j5_merge_update" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, 'existing' AS src FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'),
+        |incoming AS (
+        |  SELECT o_orderkey, 'updated' AS src FROM orders
+        |  WHERE o_totalprice > 300000)
+        |SELECT t.* FROM target t
+        |WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.o_orderkey = t.o_orderkey)
+        |UNION ALL
+        |SELECT * FROM incoming
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT o.o_orderkey,
+        |       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o.o_orderkey, orderdate
+        |ORDER BY revenue_e4 DESC, o.o_orderkey""".stripMargin,
+
+    "q5_revenue_by_nation" ->
+      """SELECT n.n_name AS nation, r.r_name AS region_name,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |       count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY nation, region_name
+        |ORDER BY revenue_e4 DESC, nation""".stripMargin,
 
     "dd1_exact_dedup" -> Dedup.exactDedupOracle,
     "dd2_minhash_lsh" -> Dedup.minhashLshOracle,

@@ -31,6 +31,37 @@ object Upsert {
     target.unionByName(inserts)
   }
 
+  /** Beyond-reference extension: upsert WITH an update branch
+    * (last-writer-wins) — matched target rows are replaced by the
+    * incoming version, unmatched target rows survive, new rows insert.
+    * `target ∖ incoming ∪ incoming` by key: one left-anti join + union,
+    * same shuffle profile as the insert-only path. */
+  def upsertWithUpdate(
+      target: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val kept = target.join(
+      incoming.select(keys.map(col): _*).dropDuplicates(keys),
+      keys,
+      "left_anti")
+    kept.unionByName(incoming)
+  }
+
+  /** Oracle-checkable update-merge on orders: target = pre-2000 orders
+    * tagged 'existing'; incoming = high-value orders tagged 'updated' —
+    * overlapping keys must carry the incoming tag afterward. */
+  def mergeUpdateOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val target = o
+      .filter(col("o_orderdate") < to_timestamp(lit("2000-01-01 00:00:00")))
+      .select(col("o_orderkey"), lit("existing").as("src"))
+    val incoming = o
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey"), lit("updated").as("src"))
+    upsertWithUpdate(target, incoming, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   /** Oracle-checkable merge scenario on orders: target = pre-2000 orders,
     * incoming = high-value orders (overlapping both eras); result tagged
     * by provenance. Replay-idempotence is asserted in the spec. */

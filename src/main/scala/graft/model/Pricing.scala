@@ -17,6 +17,54 @@ import graft.functions.Functions._
   * units), so results are bit-identical across partitionings and engines.
   */
 object Pricing {
+
+  /** TPC-H Q3 shape — shipping priority: 3-way join (customer segment
+    * filter ⋈ orders ⋈ lineitem) with revenue rollup per order. The big
+    * side (lineitem) streams; customer is broadcast; orders⋈lineitem is
+    * the one real shuffle, on the join key both sides already need. */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .as("rev_e4"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("orderdate"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"))
+      .orderBy(desc("revenue_e4"), col("o_orderkey"))
+  }
+
+  /** TPC-H Q5 shape — revenue by nation: lineitem ⋈ orders ⋈ customer ⋈
+    * nation ⋈ region with all dims broadcast; one shuffle on the
+    * orderkey, one on the final (tiny) group key. */
+  def revenueByNation(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+      (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+        .as("rev_e4"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(s, d).select("r_regionkey", "r_name")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name").as("nation"), col("r_name").as("region_name"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue_e4"), col("nation"))
+  }
+
   def pricingSummary(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= to_timestamp(lit("2001-06-01 00:00:00")))
