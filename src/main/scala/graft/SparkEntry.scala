@@ -55,6 +55,7 @@ object SparkEntry {
     "dd5_embedding_neardup" -> (Dedup.embeddingNearDup _),
     "sim1_brute_topk" -> (Similarity.bruteTopK _),
     "sim2_lsh_topk" -> (Similarity.lshTopK _),
+    "sim3_ivf_topk" -> (Similarity.ivfTopK _),
     "tx1_lang_id" -> (TextStats.langIdQuery _),
     "tx2_quality_score" -> (TextStats.qualityScore _),
     "tx3_token_counts" -> (TextStats.tokenCounts _),
@@ -292,6 +293,7 @@ object SparkEntry {
     "dd5_embedding_neardup" -> Dedup.embeddingNearDupOracle,
     "sim1_brute_topk" -> Similarity.bruteTopKOracle,
     "sim2_lsh_topk" -> Similarity.lshTopKOracle,
+    "sim3_ivf_topk" -> Similarity.ivfTopKOracle,
     "tx1_lang_id" -> TextStats.langIdOracle,
     "tx2_quality_score" -> TextStats.qualityOracle,
     "tx3_token_counts" -> TextStats.tokenCountsOracle,

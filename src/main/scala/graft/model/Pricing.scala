@@ -6,7 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Functions._
 
-/** Headline scan+aggregate benchmark query (TPC-H Q1 shape) — the
+/** Overflow envelope: the e-4/e-6 integer money units keep per-row
+  * values ≤ ~1e11, so bigint sums are exact up to ~8e7 rows per GROUP
+  * (verified ANSI-clean through sf0.1). At full warehouse scale
+  * (~1e12 rows), switch the sums to `cast(... as decimal(38,0))` —
+  * still exact, still order-independent; the bigint form is kept here
+  * because the DuckDB oracle compares int64 columns.
+  *
+  * Headline scan+aggregate benchmark query (TPC-H Q1 shape) — the
   * volume-bearing aggregation pattern the engine must sustain at 100 TB:
   * one parquet scan with a pushed timestamp predicate, map-side partial
   * aggregation into 6 groups, no join, one tiny shuffle.

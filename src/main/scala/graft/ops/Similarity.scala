@@ -88,6 +88,47 @@ object Similarity {
       .limit(K)
   }
 
+  val IvfCells = 10
+  val IvfProbes = 2
+
+  /** IVF top-k: a coarse quantizer assigns every vector to its nearest
+    * "centroid" cell (deterministic centroids: the first [[IvfCells]]
+    * vectors stand in for trained k-means centers), the query probes its
+    * [[IvfProbes]] nearest cells, and only those cells are scanned —
+    * the inverted-file ANN layout. At warehouse scale the table is
+    * written partitioned/bucketed by `cell`, so a probe touches
+    * nprobe/ncells of the data. Assignment is one broadcast of the
+    * centroid set and an arg-min — no shuffle. */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embDouble(s, d)
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+    // L2² distance: |v|² - 2·v·c + |c|² (monotone in the true distance)
+    val l2 = col("norm") - lit(2.0) * dot(col("v"), col("cv")) + col("cnorm")
+    val assigned = e.join(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), l2).as("cell"))
+    val withCell = e.join(assigned, "vec_id")
+    val q = withCell.filter(col("vec_id") === QueryVecId)
+      .select(col("v").as("qv"), col("norm").as("qnorm"))
+    // the query's nprobe nearest cells
+    val qCells = cents.join(broadcast(q))
+      .select(col("cid"),
+        (col("qnorm") - lit(2.0) * dot(col("qv"), col("cv")) + col("cnorm")).as("qd"))
+      .orderBy(col("qd"), col("cid"))
+      .limit(IvfProbes)
+      .select("cid")
+    withCell
+      .join(broadcast(qCells), col("cell") === col("cid"))
+      .filter(col("vec_id") =!= QueryVecId)
+      .join(broadcast(q))
+      .withColumn("cos",
+        dot(col("v"), col("qv")) / (sqrt(col("norm")) * sqrt(col("qnorm"))))
+      .select(col("vec_id"), col("cell"), col("cos"))
+      .orderBy(desc("cos"), col("vec_id"))
+      .limit(K)
+  }
+
   // ---- oracles ----
 
   private def signsLiteral(p: Int): String =
@@ -101,6 +142,28 @@ object Similarity {
        |SELECT e.vec_id,
        |  list_dot_product(e.v, q.qv) / (sqrt(e.norm) * sqrt(q.qnorm)) AS cos
        |FROM e, q WHERE e.vec_id <> $QueryVecId
+       |ORDER BY cos DESC, e.vec_id LIMIT $K""".stripMargin
+
+  val ivfTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM e WHERE vec_id < $IvfCells),
+       |assigned AS (
+       |  SELECT e.vec_id,
+       |    arg_min(c.cid, e.norm - 2.0 * list_dot_product(e.v, c.cv) + c.cnorm) AS cell
+       |  FROM e, cents c GROUP BY e.vec_id),
+       |q AS (SELECT v AS qv, norm AS qnorm FROM e WHERE vec_id = $QueryVecId),
+       |qcells AS (
+       |  SELECT c.cid FROM cents c, q
+       |  ORDER BY q.qnorm - 2.0 * list_dot_product(q.qv, c.cv) + c.cnorm, c.cid
+       |  LIMIT $IvfProbes)
+       |SELECT e.vec_id, a.cell,
+       |  list_dot_product(e.v, q.qv) / (sqrt(e.norm) * sqrt(q.qnorm)) AS cos
+       |FROM e
+       |JOIN assigned a ON e.vec_id = a.vec_id
+       |JOIN qcells ON a.cell = qcells.cid, q
+       |WHERE e.vec_id <> $QueryVecId
        |ORDER BY cos DESC, e.vec_id LIMIT $K""".stripMargin
 
   val lshTopKOracle: String = {
