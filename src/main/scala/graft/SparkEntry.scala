@@ -32,6 +32,7 @@ object SparkEntry {
     "a1_watermark_incremental" -> (Analytics.watermarkIncremental _),
     "a2_stats_nation_region_decade" -> (Analytics.statsByNationRegionDecade _),
     "a3_yearly_stats" -> (Analytics.yearlyStats _),
+    "a3b_yearly_delta" -> (Analytics.yearlyStatsWithDelta _),
     "a4_decade_stats" -> (Analytics.decadeStats _),
     "a5_max_by_nation" -> (Analytics.maxByNation _),
     "a6_severity_by_nation" -> (Analytics.severityByNation _),
@@ -142,6 +143,17 @@ object SparkEntry {
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / count(*) / 100.0 AS avg_price
         |FROM orders GROUP BY event_year ORDER BY event_year""".stripMargin,
+
+    "a3b_yearly_delta" ->
+      """WITH y AS (
+        |  SELECT year(o_orderdate) AS event_year, count(*) AS event_frequency,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / count(*) / 100.0 AS avg_price
+        |  FROM orders GROUP BY event_year)
+        |SELECT event_year, event_frequency, sum_price_cents, avg_price,
+        |       lag(event_frequency, 1) OVER (ORDER BY event_year) AS prev_frequency,
+        |       event_frequency - coalesce(lag(event_frequency, 1) OVER (ORDER BY event_year), 0) AS frequency_delta
+        |FROM y ORDER BY event_year""".stripMargin,
 
     "a4_decade_stats" ->
       """SELECT CAST(floor(year(o_orderdate) / 10) * 10 AS BIGINT) AS event_decade,

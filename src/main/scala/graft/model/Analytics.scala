@@ -73,6 +73,19 @@ object Analytics {
         col("sum_price_cents") / col("event_frequency") / 100.0)
       .orderBy("event_year")
 
+  /** Beyond-reference extension (SURVEY §2.5): the year-over-year delta
+    * the reference's yearly model *comments about* but leaves to the BI
+    * layer — lag() over the yearly aggregate. One extra window over an
+    * already-tiny aggregate: free at any scale. */
+  def yearlyStatsWithDelta(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("event_year")
+    yearlyStats(s, d)
+      .withColumn("prev_frequency", lag(col("event_frequency"), 1).over(w))
+      .withColumn("frequency_delta",
+        col("event_frequency") - coalesce(col("prev_frequency"), lit(0L)))
+      .orderBy("event_year")
+  }
+
   /** A4 — per-decade frequency + average ("deadliest decade",
     * reference deadliest_decade.sql:8-15). */
   def decadeStats(s: SparkSession, d: String): DataFrame =

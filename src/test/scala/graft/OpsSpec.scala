@@ -77,6 +77,17 @@ class OpsSpec extends AnyFunSuite {
     feats.foreach(f => assert(feats2(f.doc_id) == f.checksum))
   }
 
+  test("approx_count_distinct tracks exact distinct within tolerance (HLL for 100TB cardinalities)") {
+    val docs = Tables.documents(spark, sf)
+    val toks = docs.select(explode(TextStats.words(col("text"))).as("w"))
+    val (exact, approx) = toks
+      .agg(countDistinct(col("w")).as("exact"),
+        approx_count_distinct(col("w"), 0.02).as("approx"))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("fingerprint dedup collapses bag-of-words duplicates") {
     val df = Seq(
       (1L, "alpha beta gamma"),
