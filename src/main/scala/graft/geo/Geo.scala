@@ -53,25 +53,57 @@ object Geo {
     inside
   }
 
+  /** Dateline handling (SURVEY §7.5 risk 1): a polygon whose ring jumps
+    * more than 180° in longitude between consecutive points crosses the
+    * antimeridian (Fiji, Chukotka when not pre-split). Normalize such
+    * rings to a continuous [0, 360) frame and shift the query point into
+    * the same frame before the ray-cast. Polygons already split at ±180
+    * (as Natural Earth ships them) are untouched. */
+  def crossesDateline(rings: Seq[Seq[Seq[Double]]]): Boolean =
+    rings.exists(ring => ring.indices.exists { i =>
+      val j = (i + 1) % ring.length
+      math.abs(ring(i)(0) - ring(j)(0)) > 180.0
+    })
+
+  private def shiftLon(lon: Double): Double = if (lon < 0) lon + 360.0 else lon
+
+  /** Ray-cast with dateline awareness. */
+  def pointInRingsGeo(lon: Double, lat: Double,
+      rings: Seq[Seq[Seq[Double]]]): Boolean =
+    if (!crossesDateline(rings)) pointInRings(lon, lat, rings)
+    else {
+      val shifted = rings.map(_.map(p => Seq(shiftLon(p(0)), p(1))))
+      pointInRings(shiftLon(lon), lat, shifted)
+    }
+
   /** The ray-cast as a Spark UDF (broadcast-nested-loop join condition).
-    * Upgrade path: a codegen'd Catalyst Expression — not needed while the
-    * bbox prefilter keeps UDF invocations to bbox hits only. */
+    * Dateline normalization happens once per polygon at dim-build time
+    * ([[worldDim]]), NOT here — a per-row crossesDateline scan tripled
+    * the join cost. Upgrade path: a codegen'd Catalyst Expression — not
+    * needed while the bbox prefilter keeps UDF invocations to bbox hits
+    * only. */
   val pointInRingsUdf = udf(
     (lon: Double, lat: Double, rings: Seq[Seq[Seq[Double]]]) =>
       pointInRings(lon, lat, rings))
 
   /** Country dim schema: (country, region, min_lon, min_lat, max_lon,
     * max_lat, rings). Build one from (country, region, rings) triples,
-    * deriving the bbox. */
+    * deriving the bbox. A dateline-crossing polygon gets a near-global
+    * lon bbox (prefilter degrades to pass-through for that one dim row —
+    * correct, just unfiltered; the ray-cast decides). */
   def worldDim(s: SparkSession,
       entries: Seq[(String, String, Seq[Seq[Seq[Double]]])]): DataFrame = {
     import s.implicits._
-    entries.map { case (c, r, rings) =>
+    entries.map { case (c, r, rawRings) =>
+      val crosses = crossesDateline(rawRings)
+      val rings =
+        if (crosses) rawRings.map(_.map(p => Seq(shiftLon(p(0)), p(1))))
+        else rawRings
       val pts = rings.flatten
       (c, r, pts.map(_(0)).min, pts.map(_(1)).min,
-        pts.map(_(0)).max, pts.map(_(1)).max, rings)
+        pts.map(_(0)).max, pts.map(_(1)).max, rings, crosses)
     }.toDF("country", "region", "min_lon", "min_lat", "max_lon", "max_lat",
-      "rings")
+      "rings", "crosses")
   }
 
   /** Spatial left join: attach (country, region) where the point falls
@@ -81,7 +113,12 @@ object Geo {
   def spatialJoin(points: DataFrame, world: DataFrame,
       lonCol: String, latCol: String,
       pointKeys: Seq[String]): DataFrame = {
-    val lon = col(lonCol); val lat = col(latCol)
+    val lat = col(latCol)
+    // shift the probe longitude into the polygon's frame: [0,360) for
+    // dateline-crossing dims, [-180,180] otherwise — codegen'd, no UDF
+    val rawLon = col(lonCol)
+    val lon = when(col("crosses") && rawLon < 0, rawLon + 360.0)
+      .otherwise(rawLon)
     val bboxHit = lon >= col("min_lon") && lon <= col("max_lon") &&
       lat >= col("min_lat") && lat <= col("max_lat")
     val joined = points.join(
@@ -95,7 +132,8 @@ object Geo {
     joined
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "min_lon", "min_lat", "max_lon", "max_lat", "rings")
+      .drop("__rn", "min_lon", "min_lat", "max_lon", "max_lat", "rings",
+        "crosses")
   }
 
   /** J2 — first-match country-from-place lookup

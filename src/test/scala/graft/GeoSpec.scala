@@ -47,6 +47,37 @@ class GeoSpec extends AnyFunSuite {
     assert(Geo.pointInRings(8.5, 5, u))
   }
 
+  test("ray-cast: dateline-crossing polygon (Fiji-like) matched on both sides of ±180") {
+    val fiji = Seq(Seq(
+      Seq(179.0, -10.0), Seq(-179.0, -10.0), Seq(-179.0, 10.0),
+      Seq(179.0, 10.0), Seq(179.0, -10.0)))
+    assert(Geo.crossesDateline(fiji))
+    assert(Geo.pointInRingsGeo(179.5, 0.0, fiji))   // west of the line
+    assert(Geo.pointInRingsGeo(-179.5, 0.0, fiji))  // east of the line
+    assert(!Geo.pointInRingsGeo(178.0, 0.0, fiji))
+    assert(!Geo.pointInRingsGeo(0.0, 0.0, fiji))
+    // a normal polygon is untouched by the dateline path
+    assert(!Geo.crossesDateline(square))
+    assert(Geo.pointInRingsGeo(5.0, 5.0, square))
+  }
+
+  test("spatial join resolves dateline-crossing dims via the normalized frame") {
+    val world = Geo.worldDim(spark, Seq(
+      ("Fiji", "Oceania", Seq(Seq(
+        Seq(179.0, -10.0), Seq(-179.0, -10.0), Seq(-179.0, 10.0),
+        Seq(179.0, 10.0), Seq(179.0, -10.0)))),
+      ("Alpha", "R1", square)))
+    val pts = Seq(
+      (1L, 179.5, 0.0), (2L, -179.5, 0.0), (3L, 178.0, 0.0), (4L, 5.0, 5.0)
+    ).toDF("id", "lon", "lat")
+    val got = Geo.spatialJoin(pts, world, "lon", "lat", Seq("id"))
+      .select("id", "country").as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("Fiji"))
+    assert(got(2L).contains("Fiji"))
+    assert(got(3L).isEmpty)
+    assert(got(4L).contains("Alpha"))
+  }
+
   test("spatial join: left semantics, bbox prefilter, border dedup") {
     val world = Geo.worldDim(spark, Seq(
       ("Alpha", "R1", square),
