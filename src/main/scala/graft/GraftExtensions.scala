@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    e.injectOptimizerRule(_ => graft.expressions.SimplifySelfSetOps)
   }
 }
 
@@ -30,11 +31,19 @@ object GraftExtensions {
     "dot_product" -> (args => DotProduct(args(0), args(1))),
     "sorted_intersect_size" -> (args => SortedIntersectSize(args(0), args(1))))
 
-  /** Register into an already-built session (temp functions) — the
-    * runtime-path twin of the builder-time extensions install. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register into an already-built session (temp functions + runtime
+    * optimizer rules) — the runtime-path twin of the builder-time
+    * extensions install. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.expressions.SimplifySelfSetOps)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.expressions.SimplifySelfSetOps
+    }
+  }
 }

@@ -18,9 +18,14 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Pins the session timezone defensively — the driver owns this session
+    * and year()/decade derivations shift for midnight-UTC timestamps
+    * under a non-UTC zone. */
+  def entry(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     Analytics.statsByNationRegionDecade(spark, "/root/testdata/sf0.001")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_p8_clean_events" -> (Fact.cleanEventsQuery _),

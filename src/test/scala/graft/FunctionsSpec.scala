@@ -39,6 +39,17 @@ class FunctionsSpec extends AnyFunSuite {
       .digest("-b".getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
+  test("md5Hash56Pair halves match the reference digest and stay under 2^56") {
+    val (h1, h2) = md5Hash56Pair($"s")
+    val got = Seq("the spark table").toDF("s")
+      .select(h1.as("a"), h2.as("b")).as[(Long, Long)].head()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("the spark table".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got._1 == java.lang.Long.parseLong(hex.substring(0, 14), 16))
+    assert(got._2 == java.lang.Long.parseLong(hex.substring(14, 28), 16))
+    assert(got._1 < (1L << 56) && got._2 < (1L << 56))
+  }
+
   test("epochMsToTs is exact and UTC-pinned (reference clean_historical.py:27-28)") {
     val got = Seq(0L, 1704067207000L).toDF("ms")
       .select(epochMsToTs($"ms").cast("string").as("ts")).as[String].collect()

@@ -63,6 +63,20 @@ class PlanSpec extends AnyFunSuite {
       s"DotProduct outside codegen:\n${dpLines.mkString("\n")}\nplan:\n${p.take(1500)}")
   }
 
+  test("q5 five-way join: all three dims broadcast, no cartesian") {
+    val p = plan("q5_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dd4 pair join broadcasts the dim side and repartitions the probe side") {
+    val p = plan("dd4_ngram_jaccard")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(p.contains("Exchange RoundRobinPartitioning"),
+      "probe side not spread across cores")
+  }
+
   test("window dedup shuffles once on the partition keys (w1)") {
     val p = plan("w1_window_dedup")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,

@@ -24,6 +24,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getInt(1) == 2)
   }
 
+  test("optimizer rule rewrites self-intersection to size()") {
+    // non-foldable input so ConstantFolding can't pre-empt the rule
+    val df = spark.sql(
+      """SELECT sorted_intersect_size(a, a) AS n
+        |FROM (SELECT array(id, id + 1) AS a FROM range(5))""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("sortedintersectsize"),
+      s"self-intersection not rewritten:\n$optimized")
+    assert(optimized.contains("size("), optimized)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq.fill(5)(2))
+  }
+
   test("model views answer SQL like the reference's dbt models") {
     val names = graft.model.Models.registerViews(spark, GraftSpark.sf)
     assert(names.contains("yearly_stats"))
