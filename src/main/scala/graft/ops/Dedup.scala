@@ -36,18 +36,27 @@ object Dedup {
     * shingles: one md5 per shingle, k functions via the h1+i*h2 family.
     * One explode + one grouped aggregation; signature width is constant
     * so this is linear in corpus size. */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The flat (doc, h1, h2) hashed-shingle table every MinHash stage
+    * reads — the single expensive computation (explode + md5 + hex
+    * parse), spread across all cores and materialized once. At warehouse
+    * scale this is the table you'd persist to storage; locally an eager
+    * localCheckpoint plays that role. */
+  def hashedShingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sh = explode(shingles(col(textCol), 3)).as("sh")
-    // hash-bound, not IO-bound: spread the (possibly single-split) input
-    // across all cores before the per-shingle hashing
     val exploded = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), sh)
     val (h1, h2) = md5Hash56Pair(col("sh"))
-    val hashed = exploded.select(col(idCol), h1.as("h1"), h2.as("h2"))
+    exploded.select(col(idCol), h1.as("h1"), h2.as("h2"))
+  }
+
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    signaturesFromFlat(hashedShingleTable(docs, idCol, textCol), idCol)
+
+  private def signaturesFromFlat(flat: DataFrame, idCol: String): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh$i"))
-    hashed.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    flat.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banding: candidate pairs share at least one band
@@ -56,22 +65,24 @@ object Dedup {
     * (doc_a, doc_b, i_size, u_size, jaccard). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol)
+    // ONE eager materialization of all per-shingle hashing; signatures,
+    // bands, sizes, and verification all derive from it with cheap
+    // re-aggregations instead of re-hashing
+    val flat = hashedShingleTable(docs, idCol, textCol).localCheckpoint(true)
+    val sigs = signaturesFromFlat(flat, idCol)
     // single-pass unpivot to (id, band, sig) — one struct array exploded,
-    // instead of NumBands unioned re-aggregations; cached because the
-    // LSH self-join reads it from both sides (at warehouse scale the
-    // signature table would be materialized to storage instead)
+    // instead of NumBands unioned re-aggregations
     val bandStructs = array((0 until NumHashes / BandRows).map { b =>
       val sigCols = (0 until BandRows).map(r => col(s"mh${b * BandRows + r}"))
       struct(lit(b).as("band"), concat_ws(",", sigCols: _*).as("sig"))
     }: _*)
-    // materialize the (small) signature table once before the self-join —
-    // otherwise both join sides recompute the signature aggregation
+    // cache + count: the self-join reads bands twice, and re-deriving the
+    // signature aggregation per side costs two extra shuffle stages
     val bands = sigs
       .select(col(idCol), explode(bandStructs).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .cache()
-    bands.count() // populate before the self-join reads it twice
+    bands.count()
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -82,11 +93,7 @@ object Dedup {
     // and codegen'd: pair ⋈ hashes-of-a ⋈ hashes-of-b on (doc, hash)
     // counts the intersection without materializing per-doc arrays
     // (array-lambda hashing is interpreted and dominates otherwise)
-    val flat = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), explode(shingles(col(textCol), 3)).as("g"))
-    val (fh1, _) = md5Hash56Pair(col("g"))
-    val hashed = flat.select(col(idCol), fh1.as("h")).localCheckpoint(true)
+    val hashed = flat.select(col(idCol), col("h1").as("h"))
     val sizes = hashed.groupBy(idCol).agg(count(lit(1)).as("n"))
     val iSize = cand
       .join(hashed.toDF("doc_a", "h"), "doc_a")
