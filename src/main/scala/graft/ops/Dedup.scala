@@ -32,15 +32,11 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy("text_md5")
 
-  /** Per-doc MinHash signature columns mh0..mh7 over distinct 3-gram
-    * shingles: one md5 per shingle, k functions via the h1+i*h2 family.
-    * One explode + one grouped aggregation; signature width is constant
-    * so this is linear in corpus size. */
   /** The flat (doc, h1, h2) hashed-shingle table every MinHash stage
-    * reads — the single expensive computation (explode + md5 + hex
-    * parse), spread across all cores and materialized once. At warehouse
-    * scale this is the table you'd persist to storage; locally an eager
-    * localCheckpoint plays that role. */
+    * reads — the single expensive computation (explode over distinct
+    * 3-gram shingles + one md5 + hex parse per shingle), spread across
+    * all cores. Lazy here; [[minhashLshPairs]] materializes it. At
+    * warehouse scale this is the table you'd persist to storage. */
   def hashedShingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sh = explode(shingles(col(textCol), 3)).as("sh")
     val exploded = docs
@@ -50,6 +46,9 @@ object Dedup {
     exploded.select(col(idCol), h1.as("h1"), h2.as("h2"))
   }
 
+  /** Per-doc MinHash signature columns mh0..mh7: k functions via the
+    * h1+i*h2 family, one grouped aggregation over the flat table —
+    * signature width is constant, so linear in corpus size. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     signaturesFromFlat(hashedShingleTable(docs, idCol, textCol), idCol)
 
@@ -62,7 +61,14 @@ object Dedup {
   /** MinHash + LSH banding: candidate pairs share at least one band
     * signature; candidates are then verified with exact Jaccard ≥
     * `threshold` on the same shingle sets. Returns
-    * (doc_a, doc_b, i_size, u_size, jaccard). */
+    * (doc_a, doc_b, i_size, u_size, jaccard).
+    *
+    * Lifecycle note: this call eagerly materializes the hashed-shingle
+    * checkpoint and the cached band table (two Spark jobs up front) and
+    * leaves both resident — correct for the run-once driver
+    * Verify/Bench shape; a long-lived service should persist the
+    * signature table to storage and manage its lifetime explicitly
+    * instead of calling this per request. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     // ONE eager materialization of all per-shingle hashing; signatures,

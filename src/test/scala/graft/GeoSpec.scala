@@ -110,6 +110,36 @@ class GeoSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(Some("nigeria"), Some("niger"), Some("new zealand"), None))
   }
 
+  test("firstMatchLookup scales to the full Natural-Earth-sized country list (258 entries)") {
+    // deep when-chains can exceed codegen method limits; Spark must
+    // split or fall back without error, and semantics must hold
+    val entries = (0 until 257).map(i => (s"country$i", s"region${i % 5}")) :+
+      ("alaska" -> "Americas")
+    val (nm, _) = Geo.firstMatchLookup(col("place"), entries)
+    val got = Seq("near country42 ridge", "off alaska coast", "nowhere")
+      .toDF("place").select(nm.as("m")).as[Option[String]].collect()
+    assert(got.toSeq == Seq(Some("country42"), Some("alaska"), None))
+  }
+
+  test("spatial join honors holes and multipolygons through the dim path") {
+    val holed = square ++ Seq(Seq(
+      Seq(4.0, 4.0), Seq(6.0, 4.0), Seq(6.0, 6.0), Seq(4.0, 6.0),
+      Seq(4.0, 4.0))) ++ Seq(Seq( // second outer ring (multipolygon part)
+      Seq(20.0, 20.0), Seq(30.0, 20.0), Seq(30.0, 30.0), Seq(20.0, 30.0),
+      Seq(20.0, 20.0)))
+    val world = Geo.worldDim(spark, Seq(("Holey", "R", holed)))
+    val pts = Seq(
+      (1L, 2.0, 2.0),   // outer ring, not hole → match
+      (2L, 5.0, 5.0),   // inside the hole → no match
+      (3L, 25.0, 25.0)  // second polygon part → match
+    ).toDF("id", "lon", "lat")
+    val got = Geo.spatialJoin(pts, world, "lon", "lat", Seq("id"))
+      .select("id", "country").as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("Holey"))
+    assert(got(2L).isEmpty)
+    assert(got(3L).contains("Holey"))
+  }
+
   test("enrich composite: spatial first, regex fallback fills the rest (add_region.py:50-61)") {
     val world = Geo.worldDim(spark, Seq(("Alpha", "R1", square)))
     val ev = Seq(
