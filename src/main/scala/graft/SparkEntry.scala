@@ -40,6 +40,8 @@ object SparkEntry {
     "a3b_yearly_delta" -> (Analytics.yearlyStatsWithDelta _),
     "a4_decade_stats" -> (Analytics.decadeStats _),
     "a5_max_by_nation" -> (Analytics.maxByNation _),
+    "a10_rollup_stats" -> (Analytics.rollupStats _),
+    "a11_percentiles" -> (Analytics.percentileStats _),
     "a6_severity_by_nation" -> (Analytics.severityByNation _),
     "a7_type_stats" -> (Analytics.typeStats _),
     "a8_conditional_ratio" -> (Analytics.conditionalRatio _),
@@ -172,6 +174,21 @@ object SparkEntry {
         |       count(*) AS n_customers
         |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY nation ORDER BY max_acctbal DESC, nation""".stripMargin,
+
+    "a10_rollup_stats" ->
+      """SELECT o_orderpriority AS priority, year(o_orderdate) AS event_year,
+        |       count(*) AS frequency,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM orders
+        |GROUP BY ROLLUP(priority, event_year)
+        |ORDER BY priority NULLS FIRST, event_year NULLS FIRST""".stripMargin,
+
+    "a11_percentiles" ->
+      """SELECT o_orderpriority AS priority,
+        |       quantile_cont(o_totalprice, 0.5) AS p50_price,
+        |       quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |       count(*) AS frequency
+        |FROM orders GROUP BY priority ORDER BY priority""".stripMargin,
 
     "a6_severity_by_nation" ->
       """SELECT n.n_name AS nation,

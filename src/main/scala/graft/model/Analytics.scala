@@ -159,6 +159,34 @@ object Analytics {
         col("n_returned") / col("n_total") * 100)
       .orderBy(desc("pct_returned"), col("linestatus"))
 
+  /** Beyond-reference: ROLLUP over (priority, year) — subtotal and
+    * grand-total rows in one pass (the reference computes each rollup
+    * level as a separate dbt model; grouping sets collapse that into a
+    * single shuffle). */
+  def rollupStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).as("event_year"))
+      .agg(
+        count(lit(1)).as("frequency"),
+        sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+      .orderBy(col("priority").asc_nulls_first,
+        col("event_year").asc_nulls_first)
+
+  /** Beyond-reference: exact interpolated percentiles (Spark
+    * `percentile` ≡ DuckDB `quantile_cont` — same linear interpolation
+    * over the sorted values, so identical doubles). For 100 TB use
+    * `percentile_approx`; the exact form is the oracle-checkable
+    * baseline. */
+  def percentileStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("frequency"))
+      .orderBy("priority")
+
   /** O1 — custom CASE sort key + mixed-direction multi-key sort
     * (reference alert_level_frequency_stats.sql:16-25). The tail key
     * o_orderkey makes the order total, so the oracle compare is stable. */
