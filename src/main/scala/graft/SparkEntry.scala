@@ -34,6 +34,7 @@ object SparkEntry {
     "d1_dedup_min" -> (Fact.dedupMin _),
     "u1_union_all" -> (Fact.unionAll _),
     "w1_window_dedup" -> (Analytics.windowDedup _),
+    "w2_sessionize" -> (Analytics.sessionize _),
     "a1_watermark_incremental" -> (Analytics.watermarkIncremental _),
     "a2_stats_nation_region_decade" -> (Analytics.statsByNationRegionDecade _),
     "a3_yearly_stats" -> (Analytics.yearlyStats _),
@@ -125,6 +126,28 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "w2_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value, date_trunc('second', ts) AS ts_sec
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, value, ts_sec,
+        |    CASE WHEN lag(ts_sec, 1) OVER w IS NULL
+        |           OR epoch(ts_sec) - epoch(lag(ts_sec, 1) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        |numbered AS (
+        |  SELECT user_id, event_id, value, ts_sec,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |       CAST(min(ts_sec) AS VARCHAR) AS session_start,
+        |       CAST(max(ts_sec) AS VARCHAR) AS session_end,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
 
     "a1_watermark_incremental" ->
       """WITH ev AS (SELECT event_id, event_type, date_trunc('second', ts) AS ts_sec FROM events),

@@ -226,6 +226,32 @@ object Analytics {
       .select("user_id", "event_type", "event_id", "value")
   }
 
+  /** Beyond-reference: gap-based sessionization — the canonical event-
+    * pipeline windowing the reference never needed. Two layered windows
+    * over one shuffle on user_id: lag() flags gaps > 30 min, a running
+    * sum of flags numbers the sessions, then a per-session rollup.
+    * Batch analogue of Structured Streaming's session windows. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val ev = Tables.events(s, d)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .withColumn("prev_ts", lag(col("ts_sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts_sec").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_no",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_sec")).cast("string").as("session_start"),
+        max(col("ts_sec")).cast("string").as("session_end"),
+        sum(cents(col("value"))).as("sum_value_cents"))
+      .orderBy("user_id", "session_no")
+  }
+
   /** A1/T2 — high-watermark incremental filter
     * (reference stg_earthquake.sql:9-16): keep rows newer than the max
     * timestamp of the already-loaded subset. Second-truncated on both
