@@ -69,6 +69,8 @@ object SparkEntry {
     "tx2_quality_score" -> (TextStats.qualityScore _),
     "tx3_token_counts" -> (TextStats.tokenCounts _),
     "tx4_fingerprint" -> (TextStats.fingerprintQuery _),
+    "tx5_train_test_split" -> (TextStats.trainTestSplit _),
+    "tx6_vocabulary" -> (TextStats.vocabulary _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
   )
 
@@ -355,6 +357,8 @@ object SparkEntry {
     "tx2_quality_score" -> TextStats.qualityOracle,
     "tx3_token_counts" -> TextStats.tokenCountsOracle,
     "tx4_fingerprint" -> TextStats.fingerprintOracle,
+    "tx5_train_test_split" -> TextStats.trainTestSplitOracle,
+    "tx6_vocabulary" -> TextStats.vocabularyOracle,
     "mm1_binary_meta" -> Multimodal.binaryMetaOracle,
   )
 }

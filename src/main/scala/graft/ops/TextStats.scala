@@ -101,6 +101,33 @@ object TextStats {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
       .orderBy("fp")
 
+  /** Deterministic train/test split — hash-bucket the STABLE doc id (not
+    * random()): reproducible across runs, engines, and re-partitioning,
+    * which is the property a training pipeline actually needs. 90/10 by
+    * md5-derived bucket; lang retained so stratification is auditable. */
+  def trainTestSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(
+      graft.functions.Functions.md5Hash60(col("doc_id").cast("string"), 7),
+      lit(100L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        bucket.as("bucket"),
+        when(bucket < 90, "train").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary building: term frequencies + document frequencies over
+    * the corpus — explode + one aggregation, the shape that feeds
+    * tokenizer training at 100 TB. */
+  def vocabulary(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), col("term"))
+
   // ---- oracles ----
 
   val tokenCountsOracle: String =
@@ -137,6 +164,21 @@ object TextStats {
     s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_pred
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  val trainTestSplitOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5('7' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, bucket,
+      |       CASE WHEN bucket < 90 THEN 'train' ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  val vocabularyOracle: String =
+    """SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |      FROM documents)
+      |GROUP BY term ORDER BY tf DESC, term""".stripMargin
 
   val fingerprintOracle: String =
     """SELECT md5(array_to_string(list_sort(list_distinct(
