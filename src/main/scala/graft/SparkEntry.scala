@@ -72,6 +72,7 @@ object SparkEntry {
     "tx5_train_test_split" -> (TextStats.trainTestSplit _),
     "tx6_vocabulary" -> (TextStats.vocabulary _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
+    "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -360,5 +361,6 @@ object SparkEntry {
     "tx5_train_test_split" -> TextStats.trainTestSplitOracle,
     "tx6_vocabulary" -> TextStats.vocabularyOracle,
     "mm1_binary_meta" -> Multimodal.binaryMetaOracle,
+    "mm2_frame_sample" -> Multimodal.frameSampleOracle,
   )
 }

@@ -1,0 +1,70 @@
+package graft.expressions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of a text column in ONE imperative pass:
+  * whitespace-tokenize the trimmed text, join each n consecutive words
+  * with single spaces, keep first-occurrence-distinct.
+  *
+  * Drop-in equivalent of the composable form
+  * `array_distinct(transform(sequence(...), i -> concat_ws(" ",
+  * element_at(w,i)...)))` — which evaluates an interpreted expression
+  * tree per element (higher-order lambdas don't codegen) at ~1 ms per
+  * document. This expression is a single JVM method call per row
+  * (CodegenFallback for the call itself; the loop inside is plain Java),
+  * ~100× cheaper, which matters when the shingle table feeds O(corpus)
+  * dedup hashing.
+  *
+  * Matches the DuckDB oracle fragment exactly:
+  * `list_distinct(list_transform(generate_series(1, len(ws)-2),
+  * i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))` over
+  * `string_split_regex(trim(text), '\s+')`, including the empty result
+  * for texts shorter than n words.
+  */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val words = text.trim.split("\\s+")
+    if (words.length < n || (words.length == 1 && words(0).isEmpty)) {
+      new GenericArrayData(Array.empty[Any])
+    } else {
+      val seen = mutable.LinkedHashSet.empty[String]
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(words(i + k))
+          k += 1
+        }
+        seen += sb.toString
+        i += 1
+      }
+      new GenericArrayData(
+        seen.iterator.map(s => UTF8String.fromString(s)).toArray[Any])
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+object WordNGrams {
+  def ngrams(text: Column, n: Int): Column =
+    Bridge.column(WordNGrams(Bridge.expression(text), n))
+}

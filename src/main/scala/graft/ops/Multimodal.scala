@@ -64,6 +64,36 @@ object Multimodal {
       sha2(substring(col("text"), 1, 64), 256).as("frame0_sha"))
       .orderBy("doc_id")
 
+  /** Frame sampling: every `stride`-th 64-byte frame of each payload,
+    * exploded to (doc_id, frame_idx, frame digest) rows — the
+    * decode-then-sample shape of video/audio pipelines, here over the
+    * stand-in payloads. One narrow explode; output rows ≈ n/stride. */
+  def frameSampleQuery(s: SparkSession, d: String): DataFrame = {
+    val nFrames = floor((length(encode(col("text"), "UTF-8")) + 63) / 64)
+      .cast("int")
+    Tables.documents(s, d)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), nFrames - 1, lit(FrameStride))))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        sha2(col("text").substr(col("frame_idx") * 64 + 1, lit(64)), 256)
+          .as("frame_sha"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val FrameStride = 4
+
+  val frameSampleOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    CAST(floor((octet_length(encode(text)) + 63) / 64) AS INT) AS n_frames
+       |  FROM documents)
+       |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       |       sha256(substr(text, i * 64 + 1, 64)) AS frame_sha
+       |FROM f, unnest(generate_series(0, n_frames - 1, $FrameStride)) AS t(i)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val binaryMetaOracle: String =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -15,16 +15,12 @@ object TextStats {
   /** Whitespace tokenization, trim-guarded. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word n-gram shingles (1-indexed element_at; empty for
-    * docs shorter than n words — mirrored in the oracle). */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    val gram = (i: Column) =>
-      concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)), gram)))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word n-gram shingles via the imperative
+    * [[graft.expressions.WordNGrams]] expression (the composable
+    * higher-order form is interpreted per element and ~100× slower);
+    * empty for docs shorter than n words — mirrored in the oracle. */
+  def shingles(text: Column, n: Int): Column =
+    graft.expressions.WordNGrams.ngrams(text, n)
 
   /** Language-marker word sets for the n-gram-heuristic language ID.
     * Ordered: ties resolve to the earliest entry (deterministic). */

@@ -10,6 +10,22 @@ class OpsSpec extends AnyFunSuite {
   import spark.implicits._
   val sf = GraftSpark.sf
 
+  test("WordNGrams: distinct first-occurrence shingles, whitespace runs, short-text empty") {
+    val got = Seq(
+      "a b c d",          // 2 distinct trigrams
+      "x y x y x y",      // duplicates collapse, first-occurrence order
+      "one  two\tthree",  // whitespace runs / tabs
+      "just two",         // shorter than n → empty
+      "  padded text here  ")
+      .toDF("t").select(TextStats.shingles(col("t"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("x y x", "y x y"))
+    assert(got(2) == Seq("one two three"))
+    assert(got(3) == Seq.empty)
+    assert(got(4) == Seq("padded text here"))
+  }
+
   test("minhash LSH finds the near-dup pairs brute-force finds (recall on real data)") {
     val docs = Tables.documents(spark, sf)
     val sh = docs.select(col("doc_id"), TextStats.shingles(col("text"), 3).as("sh"))
@@ -86,6 +102,18 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long)].head()
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx $approx vs exact $exact")
+  }
+
+  test("train/test split is stable across partitionings and ~90/10") {
+    val a = TextStats.trainTestSplit(spark, sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Tables.documents(spark, sf).repartition(7)
+      .createOrReplaceTempView("ignored") // no-op; determinism comes from the hash
+    val again = TextStats.trainTestSplit(spark, sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == again)
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"split fraction $trainFrac")
   }
 
   test("fingerprint dedup collapses bag-of-words duplicates") {
