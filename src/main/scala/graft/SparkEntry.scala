@@ -62,6 +62,7 @@ object SparkEntry {
     "dd3_simhash" -> (Dedup.simhashQuery _),
     "dd4_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
     "dd5_embedding_neardup" -> (Dedup.embeddingNearDup _),
+    "dd6_neardup_filter" -> (Dedup.nearDupFilter _),
     "sim1_brute_topk" -> (Similarity.bruteTopK _),
     "sim2_lsh_topk" -> (Similarity.lshTopK _),
     "sim3_ivf_topk" -> (Similarity.ivfTopK _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "tx4_fingerprint" -> (TextStats.fingerprintQuery _),
     "tx5_train_test_split" -> (TextStats.trainTestSplit _),
     "tx6_vocabulary" -> (TextStats.vocabulary _),
+    "tx7_corpus_filter" -> (TextStats.corpusFilter _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
   )
@@ -351,6 +353,7 @@ object SparkEntry {
     "dd3_simhash" -> Dedup.simhashOracle,
     "dd4_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dd5_embedding_neardup" -> Dedup.embeddingNearDupOracle,
+    "dd6_neardup_filter" -> Dedup.nearDupFilterOracle,
     "sim1_brute_topk" -> Similarity.bruteTopKOracle,
     "sim2_lsh_topk" -> Similarity.lshTopKOracle,
     "sim3_ivf_topk" -> Similarity.ivfTopKOracle,
@@ -360,6 +363,7 @@ object SparkEntry {
     "tx4_fingerprint" -> TextStats.fingerprintOracle,
     "tx5_train_test_split" -> TextStats.trainTestSplitOracle,
     "tx6_vocabulary" -> TextStats.vocabularyOracle,
+    "tx7_corpus_filter" -> TextStats.corpusFilterOracle,
     "mm1_binary_meta" -> Multimodal.binaryMetaOracle,
     "mm2_frame_sample" -> Multimodal.frameSampleOracle,
   )

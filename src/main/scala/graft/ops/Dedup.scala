@@ -133,6 +133,19 @@ object Dedup {
   def minhashLshQuery(s: SparkSession, d: String): DataFrame =
     minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 0.1)
 
+  /** Near-dup REMOVAL (detect → apply): a document is dropped when a
+    * lower-id near-duplicate exists (it appears as doc_b of some
+    * verified pair) — the greedy min-id-survivor policy. One left-anti
+    * join against the pair set; full connected-component clustering is
+    * the iterative refinement (round-2 candidate). */
+  def nearDupFilter(s: SparkSession, d: String): DataFrame = {
+    val dropIds = minhashLshQuery(s, d).select(col("doc_b").as("doc_id"))
+    Tables.documents(s, d)
+      .join(dropIds.distinct(), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard within a blocking key (lang) — the exact
     * O(n²)-per-block baseline the LSH path approximates. The per-pair
     * cost is a codegen'd sorted-merge intersection over hashed shingles,
@@ -256,6 +269,13 @@ object Dedup {
        |WHERE len(list_intersect(a.sh, b.sh)) /
        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  val nearDupFilterOracle: String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_b FROM (
+       |$minhashLshOracle
+       |) p)
+       |ORDER BY doc_id""".stripMargin
 
   val simhashOracle: String = {
     val votes = (0 until SimHashBits).map(j =>

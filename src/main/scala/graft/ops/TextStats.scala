@@ -97,6 +97,47 @@ object TextStats {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
       .orderBy("fp")
 
+  /** C4-style corpus filter: per-document heuristic quality gates with
+    * machine-readable rejection reasons (comma-joined for oracle
+    * comparability) and the keep flag. One narrow pass; at 100 TB the
+    * keep-filter pushes straight into the scan of the next stage. */
+  def corpusFilter(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    val nTokens = size(w)
+    val nDistinct = size(array_distinct(w))
+    val base = Tables.documents(s, d)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("diversity", nDistinct / nTokens)
+    val reasons = concat_ws(",",
+      when(col("n_tokens") < 20, lit("too_short")),
+      when(col("n_chars") > 520, lit("too_long")),
+      when(col("diversity") < 0.3, lit("low_diversity")))
+    base.select(
+      col("doc_id"),
+      col("n_tokens"),
+      col("diversity"),
+      reasons.as("reject_reasons"),
+      (reasons === "").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val corpusFilterOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |    len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_tokens, n_distinct / n_tokens AS diversity,
+      |    concat_ws(',',
+      |      CASE WHEN n_tokens < 20 THEN 'too_short' END,
+      |      CASE WHEN n_chars > 520 THEN 'too_long' END,
+      |      CASE WHEN n_distinct / n_tokens < 0.3 THEN 'low_diversity' END) AS reject_reasons
+      |  FROM t)
+      |SELECT doc_id, n_tokens, diversity, reject_reasons,
+      |       reject_reasons = '' AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** Deterministic train/test split — hash-bucket the STABLE doc id (not
     * random()): reproducible across runs, engines, and re-partitioning,
     * which is the property a training pipeline actually needs. 90/10 by
