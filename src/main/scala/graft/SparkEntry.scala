@@ -35,6 +35,7 @@ object SparkEntry {
     "u1_union_all" -> (Fact.unionAll _),
     "w1_window_dedup" -> (Analytics.windowDedup _),
     "w2_sessionize" -> (Analytics.sessionize _),
+    "t4_tumbling_windows" -> (Analytics.tumblingWindows _),
     "a1_watermark_incremental" -> (Analytics.watermarkIncremental _),
     "a2_stats_nation_region_decade" -> (Analytics.statsByNationRegionDecade _),
     "a3_yearly_stats" -> (Analytics.yearlyStats _),
@@ -153,6 +154,14 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM numbered GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+
+    "t4_tumbling_windows" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS VARCHAR) AS win_start,
+        |       CAST(time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS VARCHAR) AS win_end,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY win_start, win_end, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
 
     "a1_watermark_incremental" ->
       """WITH ev AS (SELECT event_id, event_type, date_trunc('second', ts) AS ts_sec FROM events),

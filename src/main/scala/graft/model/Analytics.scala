@@ -226,6 +226,24 @@ object Analytics {
       .select("user_id", "event_type", "event_id", "value")
   }
 
+  /** T4 — tumbling event-time windows as a batch aggregation (the
+    * reference's month-window assignment, generalized): `window()` buckets
+    * each event into its day, exactly what the streaming facade does with
+    * a watermark. Start/end emitted as strings for oracle parity. */
+  def tumblingWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        window(col("ts"), "1 day").as("win"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("sum_value_cents"))
+      .select(
+        col("win.start").cast("string").as("win_start"),
+        col("win.end").cast("string").as("win_end"),
+        col("event_type"), col("n"), col("sum_value_cents"))
+      .orderBy("win_start", "event_type")
+
   /** Beyond-reference: gap-based sessionization — the canonical event-
     * pipeline windowing the reference never needed. Two layered windows
     * over one shuffle on user_id: lag() flags gaps > 30 min, a running
