@@ -37,7 +37,16 @@ case class WordNGrams(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val words = text.trim.split("\\s+")
+    // match Spark's trim()/split() and the oracle exactly: trim strips
+    // ASCII SPACES ONLY (Java String.trim would also strip \t/\n and
+    // change the token list for control-char-edged text), and split
+    // keeps leading/trailing empty tokens like split(..., -1)
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text.charAt(lo) == ' ') lo += 1
+    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+    val trimmed = text.substring(lo, hi)
+    val words = trimmed.split("\\s+", -1)
     if (words.length < n || (words.length == 1 && words(0).isEmpty)) {
       new GenericArrayData(Array.empty[Any])
     } else {

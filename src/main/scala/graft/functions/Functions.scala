@@ -49,6 +49,13 @@ object Functions {
       .getOrElse(lit(otherwise))
   }
 
+  /** Shared price-severity bucket table (orders' o_totalprice analog of
+    * the magnitude buckets) — single source for every model that
+    * classifies by price band. */
+  val priceSeverityThresholds: Seq[(Double, String)] = Seq(
+    400000.0 -> "Great", 300000.0 -> "Major", 200000.0 -> "Strong",
+    100000.0 -> "Moderate", 50000.0 -> "Light")
+
   /** P15 — `extract(year from ts)`
     * (reference fact_earthquake_data.sql:17). */
   def eventYear(ts: Column): Column = year(ts)

@@ -117,10 +117,7 @@ object Analytics {
     * (reference country_severe_earthquake_stats.sql:8-25), including the
     * O2 custom CASE sort key. */
   def severityByNation(s: SparkSession, d: String): DataFrame = {
-    val sev = severity(
-      col("o_totalprice"),
-      Seq(400000.0 -> "Great", 300000.0 -> "Major", 200000.0 -> "Strong",
-        100000.0 -> "Moderate", 50000.0 -> "Light"))
+    val sev = severity(col("o_totalprice"), priceSeverityThresholds)
     val sevRank = when(col("severity") === "Great", 1)
       .when(col("severity") === "Major", 2)
       .when(col("severity") === "Strong", 3)

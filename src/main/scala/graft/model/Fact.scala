@@ -22,10 +22,7 @@ object Fact {
       col("o_orderstatus").as("status"),
       year(col("o_orderdate")).as("event_year"),
       getDecade(col("o_orderdate")).as("event_decade"),
-      severity(
-        col("o_totalprice"),
-        Seq(400000.0 -> "Great", 300000.0 -> "Major", 200000.0 -> "Strong",
-          100000.0 -> "Moderate", 50000.0 -> "Light")).as("severity"),
+      severity(col("o_totalprice"), priceSeverityThresholds).as("severity"),
       col("o_totalprice").as("totalprice"))
 
   /** P3 — epoch-ms → timestamp round trip on events

@@ -41,7 +41,11 @@ object Staging {
     * dropped — the full-refresh union path catches it instead. */
   def stgIncremental(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val wm = existing.agg(max(col("event_datetime")).as("wm"))
-    incoming.join(broadcast(wm), col("event_datetime") > col("wm"), "inner")
+    // null watermark = empty target: everything is new (a bare `> wm`
+    // comparison would be null for every row and silently drop the
+    // whole first load)
+    incoming.join(broadcast(wm),
+        col("wm").isNull || col("event_datetime") > col("wm"), "inner")
       .drop("wm")
   }
 

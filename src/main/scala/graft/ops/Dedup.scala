@@ -139,9 +139,10 @@ object Dedup {
     * join against the pair set; full connected-component clustering is
     * the iterative refinement (round-2 candidate). */
   def nearDupFilter(s: SparkSession, d: String): DataFrame = {
+    // no distinct: anti joins are insensitive to duplicate right-side keys
     val dropIds = minhashLshQuery(s, d).select(col("doc_b").as("doc_id"))
     Tables.documents(s, d)
-      .join(dropIds.distinct(), Seq("doc_id"), "left_anti")
+      .join(dropIds, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }

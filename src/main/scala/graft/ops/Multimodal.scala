@@ -67,13 +67,24 @@ object Multimodal {
   /** Frame sampling: every `stride`-th 64-byte frame of each payload,
     * exploded to (doc_id, frame_idx, frame digest) rows — the
     * decode-then-sample shape of video/audio pipelines, here over the
-    * stand-in payloads. One narrow explode; output rows ≈ n/stride. */
+    * stand-in payloads. One narrow explode; output rows ≈ n/stride.
+    *
+    * Stand-in caveat: frame COUNT is computed over utf-8 bytes while the
+    * frame CONTENT is sliced in characters (substr) so the DuckDB oracle
+    * can replay it — consistent only for ASCII payloads, which the
+    * fixtures are. A real binary payload column slices bytes on both
+    * sides and the discrepancy disappears. */
   def frameSampleQuery(s: SparkSession, d: String): DataFrame = {
     val nFrames = floor((length(encode(col("text"), "UTF-8")) + 63) / 64)
       .cast("int")
+    // empty payload → zero frames: guard the sequence (sequence(0,-1,4)
+    // throws in Spark, while the oracle's generate_series is empty);
+    // exploding the empty array drops the row, matching the oracle
+    val idxs = when(nFrames > 0,
+      sequence(lit(0), nFrames - 1, lit(FrameStride)))
+      .otherwise(array().cast("array<int>"))
     Tables.documents(s, d)
-      .withColumn("frame_idx",
-        explode(sequence(lit(0), nFrames - 1, lit(FrameStride))))
+      .withColumn("frame_idx", explode(idxs))
       .select(
         col("doc_id"),
         col("frame_idx").cast("long").as("frame_idx"),

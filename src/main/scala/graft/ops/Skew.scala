@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Salted count + sum: groupBy(keys + salt) partial, then groupBy(keys)
-    * merge. Output: keys, cnt, total. */
+    * merge. Output: keys, cnt, total.
+    *
+    * `saltOn` must be a DETERMINISTIC row-level expression (a stable id
+    * or high-cardinality attribute hash) — deriving the salt from
+    * partition ids or monotonically_increasing_id would change under
+    * stage retries, double-counting or losing rows exactly in the
+    * large-cluster-with-retries regime salting targets. */
   def saltedCountSum(df: DataFrame, keys: Seq[String], value: Column,
-      buckets: Int): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      buckets: Int, saltOn: Column): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(saltOn), lit(buckets)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__cnt"), sum(value).as("__sum"))

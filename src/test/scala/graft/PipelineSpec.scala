@@ -100,5 +100,9 @@ class PipelineSpec extends AnyFunSuite {
       .withColumn("event_datetime", to_timestamp(col("dt"))).drop("dt")
     val inc = Staging.stgIncremental(existing, incoming)
     assert(inc.select("place").as[String].collect().toSeq == Seq("new"))
+    // empty target (first load): null watermark must mean "everything is
+    // new", not "drop everything"
+    val first = Staging.stgIncremental(existing.limit(0), incoming)
+    assert(first.select("place").as[String].collect().toSet == Set("late", "new"))
   }
 }

@@ -77,6 +77,12 @@ class PlanSpec extends AnyFunSuite {
       "probe side not spread across cores")
   }
 
+  test("sessionize: both windows and the rollup share one hash exchange (w2)") {
+    val p = plan("w2_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "layered windows + aggregation should reuse the user_id partitioning")
+  }
+
   test("window dedup shuffles once on the partition keys (w1)") {
     val p = plan("w1_window_dedup")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,

@@ -20,12 +20,12 @@ class SkewSpec extends AnyFunSuite {
     val direct = df.groupBy("k")
       .agg(count(lit(1)).as("cnt"), sum(cents($"v")).as("total"))
       .as[(String, Long, Long)].collect().map { case (k, c, t) => k -> ((c, t)) }.toMap
-    val salted = Skew.saltedCountSum(df, Seq("k"), cents($"v"), buckets = 16)
+    val salted = Skew.saltedCountSum(df, Seq("k"), cents($"v"), buckets = 16,
+        saltOn = $"v")
       .as[(String, Long, Long)].collect().map { case (k, c, t) => k -> ((c, t)) }.toMap
     assert(salted == direct)
     // the partial stage actually split the heavy key
-    val partialGroups = df.withColumn("__salt",
-        pmod(spark_partition_id() + monotonically_increasing_id(), lit(16)))
+    val partialGroups = df.withColumn("__salt", pmod(hash($"v"), lit(16)))
       .groupBy("k", "__salt").count()
       .filter($"k" === "HEAVY").count()
     assert(partialGroups > 1, "salt failed to split the heavy key")
