@@ -64,6 +64,7 @@ object SparkEntry {
     "dd4_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
     "dd5_embedding_neardup" -> (Dedup.embeddingNearDup _),
     "dd6_neardup_filter" -> (Dedup.nearDupFilter _),
+    "dd7_dedup_clusters" -> (Dedup.dedupClusters _),
     "sim1_brute_topk" -> (Similarity.bruteTopK _),
     "sim2_lsh_topk" -> (Similarity.lshTopK _),
     "sim3_ivf_topk" -> (Similarity.ivfTopK _),
@@ -363,6 +364,7 @@ object SparkEntry {
     "dd4_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dd5_embedding_neardup" -> Dedup.embeddingNearDupOracle,
     "dd6_neardup_filter" -> Dedup.nearDupFilterOracle,
+    "dd7_dedup_clusters" -> Dedup.dedupClustersOracle,
     "sim1_brute_topk" -> Similarity.bruteTopKOracle,
     "sim2_lsh_topk" -> Similarity.lshTopKOracle,
     "sim3_ivf_topk" -> Similarity.ivfTopKOracle,

@@ -174,6 +174,89 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected-component clustering of near-dup pairs: transitive
+    * closure turns pairwise matches into dedup clusters (a≈b, b≈c ⇒
+    * {a,b,c} share one canonical id). Iterative min-label propagation —
+    * each round every node adopts the smallest label among itself and
+    * its neighbors; converges in O(component diameter) rounds (capped;
+    * near-dup components are shallow in practice). The driver-side loop
+    * is control flow only — per round one join + one aggregation, all
+    * data distributed; this is the general Spark shape for iterative
+    * graph algorithms without GraphX. */
+  def labelPropagation(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val sym = edges.select(c("u"), c("v"))
+      .unionByName(edges.select(c("v").as("u"), c("u").as("v")))
+      .localCheckpoint(true)
+    var labels = sym.select(c("u").as("id")).distinct()
+      .withColumn("lbl", c("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("lbl", "vlbl"), "v")
+        .groupBy(c("u").as("id"))
+        .agg(min(c("vlbl")).as("nlbl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(c("id"),
+          least(c("lbl"), coalesce(c("nlbl"), c("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(c("lbl") =!= c("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Dedup clusters over the corpus: every document labeled with the
+    * min doc id of its near-dup component (its own id when it has no
+    * near-dups), plus the component size. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashLshQuery(s, d)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val labels = labelPropagation(pairs)
+    val docs = Tables.documents(s, d).select("doc_id")
+    val clustered = docs
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+      .drop("lbl")
+    val sizes = clustered.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    clustered.join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  }
+
+  // lazy: interpolates minhashLshOracle, which is defined later in this
+  // object — a strict val would capture null at initialization
+  lazy val dedupClustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |SELECT doc_a, doc_b FROM (
+       |$minhashLshOracle
+       |) p),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |lbl AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |  FROM reach GROUP BY u),
+       |clustered AS (
+       |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+       |sizes AS (
+       |  SELECT cluster_id, count(*) AS cluster_size
+       |  FROM clustered GROUP BY cluster_id)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size
+       |FROM clustered c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY c.doc_id""".stripMargin
+
   val SimHashBits = 32
 
   /** SimHash: per-token 60-bit hashes vote ±1 per bit position; the

@@ -79,6 +79,19 @@ class OpsSpec extends AnyFunSuite {
     assert((brute & lsh).nonEmpty || brute.isEmpty)
   }
 
+  test("label propagation: chains collapse into one component, singletons untouched") {
+    // a-b, b-c, and isolated pair d-e: components {a,b,c} and {d,e}
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v")
+    val labels = Dedup.labelPropagation(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    // long chain needs multiple propagation rounds
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("u", "v")
+    val chainLabels = Dedup.labelPropagation(chain).as[(Long, Long)].collect()
+    assert(chainLabels.forall(_._2 == 1L), chainLabels.mkString(","))
+  }
+
   test("multimodal decode: per-partition stub decode preserves rows, frames sized by payload") {
     val media = Multimodal.mediaTable(spark, sf).repartition(5)
     val feats = Multimodal.decodeAll(media).collect()
