@@ -68,6 +68,7 @@ object SparkEntry {
     "sim1_brute_topk" -> (Similarity.bruteTopK _),
     "sim2_lsh_topk" -> (Similarity.lshTopK _),
     "sim3_ivf_topk" -> (Similarity.ivfTopK _),
+    "sim4_knn_graph" -> (Similarity.knnGraph _),
     "tx1_lang_id" -> (TextStats.langIdQuery _),
     "tx2_quality_score" -> (TextStats.qualityScore _),
     "tx3_token_counts" -> (TextStats.tokenCounts _),
@@ -368,6 +369,7 @@ object SparkEntry {
     "sim1_brute_topk" -> Similarity.bruteTopKOracle,
     "sim2_lsh_topk" -> Similarity.lshTopKOracle,
     "sim3_ivf_topk" -> Similarity.ivfTopKOracle,
+    "sim4_knn_graph" -> Similarity.knnGraphOracle,
     "tx1_lang_id" -> TextStats.langIdOracle,
     "tx2_quality_score" -> TextStats.qualityOracle,
     "tx3_token_counts" -> TextStats.tokenCountsOracle,

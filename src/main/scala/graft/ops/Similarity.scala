@@ -88,6 +88,34 @@ object Similarity {
       .limit(K)
   }
 
+  val KnnK = 3
+
+  /** KNN-graph construction: top-k nearest neighbors for EVERY vector,
+    * blocked by the sign-LSH bucket (each vector only compares within
+    * its bucket — the quadratic term shrinks by ~2^P and the pair join
+    * shuffles on the bucket key, so the graph build scales as
+    * sum-of-squared-bucket-sizes, not corpus²). Rank via one window
+    * over the pair stream; deterministic tiebreaks. This is the
+    * candidate graph semantic-dedup/clustering pipelines consume. */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embDouble(s, d).withColumn("bucket", bucketCol(col("v")))
+    val a = e.select(col("vec_id").as("src"), col("v").as("av"),
+      col("norm").as("anorm"), col("bucket"))
+      .repartition(s.sparkContext.defaultParallelism, col("bucket"))
+    val b = e.select(col("vec_id").as("dst"), col("v").as("bv"),
+      col("norm").as("bnorm"), col("bucket"))
+    val w = Window.partitionBy("src").orderBy(desc("cos"), col("dst"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos",
+        dot(col("av"), col("bv")) / (sqrt(col("anorm")) * sqrt(col("bnorm"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("src"), col("rank"), col("dst"), col("cos"))
+      .orderBy("src", "rank")
+  }
+
   val IvfCells = 10
   val IvfProbes = 2
 
@@ -143,6 +171,26 @@ object Similarity {
        |  list_dot_product(e.v, q.qv) / (sqrt(e.norm) * sqrt(q.qnorm)) AS cos
        |FROM e, q WHERE e.vec_id <> $QueryVecId
        |ORDER BY cos DESC, e.vec_id LIMIT $K""".stripMargin
+
+  lazy val knnGraphOracle: String = {
+    val bucketExpr = (0 until Planes).map { p =>
+      s"CASE WHEN list_dot_product(v, ${signsLiteral(p)}) > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, norm, $bucketExpr AS bucket FROM e),
+       |pairs AS (
+       |  SELECT a.vec_id AS src, x.vec_id AS dst,
+       |    list_dot_product(a.v, x.v) / (sqrt(a.norm) * sqrt(x.norm)) AS cos
+       |  FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id),
+       |ranked AS (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+       |  FROM pairs)
+       |SELECT src, rank, dst, cos FROM ranked WHERE rank <= $KnnK
+       |ORDER BY src, rank""".stripMargin
+  }
 
   val ivfTopKOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
