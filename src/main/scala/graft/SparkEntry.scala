@@ -44,6 +44,7 @@ object SparkEntry {
     "a5_max_by_nation" -> (Analytics.maxByNation _),
     "a10_rollup_stats" -> (Analytics.rollupStats _),
     "a11_percentiles" -> (Analytics.percentileStats _),
+    "a12_pivot_counts" -> (Analytics.pivotCounts _),
     "a6_severity_by_nation" -> (Analytics.severityByNation _),
     "a7_type_stats" -> (Analytics.typeStats _),
     "a8_conditional_ratio" -> (Analytics.conditionalRatio _),
@@ -228,6 +229,15 @@ object SparkEntry {
         |       quantile_cont(o_totalprice, 0.9) AS p90_price,
         |       count(*) AS frequency
         |FROM orders GROUP BY priority ORDER BY priority""".stripMargin,
+
+    "a12_pivot_counts" ->
+      """SELECT CAST(user_id % 10 AS INT) AS user_decile,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_decile ORDER BY user_decile""".stripMargin,
 
     "a6_severity_by_nation" ->
       """SELECT n.n_name AS nation,

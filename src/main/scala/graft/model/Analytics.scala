@@ -223,6 +223,19 @@ object Analytics {
       .select("user_id", "event_type", "event_id", "value")
   }
 
+  /** Beyond-reference: PIVOT/crosstab — user-decile × event-type count
+    * matrix. Explicit pivot values keep the plan single-pass (no extra
+    * distinct-values job) and the output schema static, which is what a
+    * production pivot at scale needs anyway. */
+  def pivotCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("user_decile", (col("user_id") % 10).cast("int"))
+      .groupBy("user_decile")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_decile")
+
   /** T4 — tumbling event-time windows as a batch aggregation (the
     * reference's month-window assignment, generalized): `window()` buckets
     * each event into its day, exactly what the streaming facade does with
