@@ -148,8 +148,8 @@ object SparkEntry {
         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
         |numbered AS (
         |  SELECT user_id, event_id, value, ts_sec,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         |  FROM flagged)
         |SELECT user_id, session_no, count(*) AS n_events,
         |       CAST(min(ts_sec) AS VARCHAR) AS session_start,

@@ -18,7 +18,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object SimplifySelfSetOps extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // legacySizeOfNull=false regardless of session conf: the original
+      // expression is NULL on NULL input, and legacy Size would emit -1
       case SortedIntersectSize(a, b) if a.semanticEquals(b) &&
-          a.deterministic => Size(a)
+          a.deterministic => Size(a, legacySizeOfNull = false)
     }
 }
