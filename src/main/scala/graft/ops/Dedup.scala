@@ -25,6 +25,11 @@ object Dedup {
   val NumHashes = 8
   val BandRows = 2 // 4 bands × 2 rows
 
+  /** Salt fan-out for blocked self-joins whose blocking key has few
+    * distinct values (dd4's lang): restores shuffle parallelism without
+    * broadcasting a full table. */
+  val SaltBuckets = 16
+
   /** Exact text dedup: group by content hash, keep min doc id. */
   def exactDedup(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -156,14 +161,23 @@ object Dedup {
     // hashing is interpreted — paying it per join side doubles the cost)
     val hs = hashedShingles(Tables.documents(s, d), "doc_id", "text", Seq("lang"))
       .localCheckpoint(true)
-    // the O(n²) pair join is compute-bound: spread the streamed side
-    // across all cores and broadcast the other (the blocking key has only
-    // a handful of distinct values — a shuffle join would collapse to one
-    // task per block)
-    val a = hs.repartition(s.sparkContext.defaultParallelism).as("a")
-    val b = hs.as("b")
-    a.join(broadcast(b), col("a.lang") === col("b.lang") &&
-        col("a.doc_id") < col("b.doc_id"))
+    // the O(n²)-per-block compute is inherent to the exact baseline; the
+    // data movement must not be: a broadcast of the full shingle table
+    // caps the operator at executor memory long before the n² compute
+    // hurts, so join on the lang blocking key via SHUFFLE_HASH instead.
+    // lang has few distinct values (one shuffle task per block), so side
+    // a is salted SaltBuckets ways and side b replicated once per salt —
+    // identical pair set, SaltBuckets× the parallelism, and each task
+    // holds one lang's worth of b rows, not the corpus
+    val a = hs
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(SaltBuckets)))
+      .as("a")
+    val b = hs
+      .withColumn("salt", explode(array((0 until SaltBuckets).map(lit): _*)))
+      .as("b")
+    a.join(b.hint("SHUFFLE_HASH"),
+        col("a.lang") === col("b.lang") && col("a.salt") === col("b.salt") &&
+          col("a.doc_id") < col("b.doc_id"))
       .withColumn("i_size",
         graft.expressions.SortedIntersectSize.intersectSize(col("a.hs"), col("b.hs")))
       .withColumn("u_size", size(col("a.hs")) + size(col("b.hs")) - col("i_size"))
@@ -277,22 +291,46 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
   }
 
-  /** Embedding near-dup: all pairs with cosine ≥ threshold. Dot products
-    * fold left-to-right over double-cast vectors, matching DuckDB's
-    * list_dot_product evaluation. */
+  /** Banded sign-LSH family for embedding blocking: EmbBands short
+    * tables of EmbBandPlanes planes each. A near pair is a candidate
+    * when it collides in ANY table (MinHash-banding shape), so recall
+    * rises with EmbBands while each table's buckets stay selective. */
+  val EmbBands = 4
+  val EmbBandPlanes = 4
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold among banded-LSH
+    * candidates. Candidate generation shuffles on the (table, bucket)
+    * key — sum-of-squared-bucket-sizes work, never all-pairs, never a
+    * full-corpus broadcast; verification joins candidates back to
+    * vectors on vec_id. Recall < 1 by construction (a pair that
+    * collides in no band table is missed); the oracle mirrors the same
+    * blocking, and dot products fold left-to-right over double-cast
+    * vectors, matching DuckDB's list_dot_product evaluation. */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", Similarity.dot(col("v"), col("v")))
-    val a = e.repartition(s.sparkContext.defaultParallelism).as("a")
-    val b = e.as("b")
-    a.join(broadcast(b), col("a.vec_id") < col("b.vec_id"))
+      .localCheckpoint(true)
+    val bandStructs = array((0 until EmbBands).map { t =>
+      struct(lit(t).as("t"),
+        Similarity.bandBucketCol(col("v"), t, EmbBandPlanes).as("bkt"))
+    }: _*)
+    val banded = e.select(col("vec_id"), explode(bandStructs).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.t") === col("y.t") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val n = e.select(col("vec_id"), col("v"), col("norm"))
+    cand
+      .join(n.toDF("vec_a", "av", "anorm"), "vec_a")
+      .join(n.toDF("vec_b", "bv", "bnorm"), "vec_b")
       .withColumn("cos",
-        Similarity.dot(col("a.v"), col("b.v")) /
-          (sqrt(col("a.norm")) * sqrt(col("b.norm"))))
+        Similarity.dot(col("av"), col("bv")) /
+          (sqrt(col("anorm")) * sqrt(col("bnorm"))))
       .filter(col("cos") >= 0.4)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("cos"))
+      .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
   }
 
@@ -377,12 +415,23 @@ object Dedup {
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
   }
 
-  val embeddingNearDupOracle: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS norm FROM e)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  list_dot_product(a.v, b.v) / (sqrt(a.norm) * sqrt(b.norm)) AS cos
-      |FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |WHERE list_dot_product(a.v, b.v) / (sqrt(a.norm) * sqrt(b.norm)) >= 0.4
-      |ORDER BY vec_a, vec_b""".stripMargin
+  lazy val embeddingNearDupOracle: String = {
+    val bandSelects = (0 until EmbBands).map { t =>
+      s"SELECT vec_id, $t AS t, ${Similarity.bandBucketSql(t, EmbBandPlanes)} AS bkt FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, list_dot_product(v, v) AS norm FROM e),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM banded x JOIN banded y
+       |    ON x.t = y.t AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
+       |SELECT c.vec_a, c.vec_b,
+       |  list_dot_product(a.v, b.v) / (sqrt(a.norm) * sqrt(b.norm)) AS cos
+       |FROM cand c
+       |JOIN n a ON a.vec_id = c.vec_a
+       |JOIN n b ON b.vec_id = c.vec_b
+       |WHERE list_dot_product(a.v, b.v) / (sqrt(a.norm) * sqrt(b.norm)) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 }

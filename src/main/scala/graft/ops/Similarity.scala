@@ -49,6 +49,27 @@ object Similarity {
       when(dot(v, signs) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Bucket id for band table `t` of a banded (multi-table) sign-LSH
+    * family: `planesPerBand` sign bits over planes
+    * t*planesPerBand .. t*planesPerBand+planesPerBand-1. Multiple short
+    * tables trade bucket selectivity for recall the way MinHash bands
+    * do — a near pair only needs to collide in ONE table. */
+  def bandBucketCol(v: Column, t: Int, planesPerBand: Int): Column =
+    (0 until planesPerBand).map { j =>
+      val signs = array(
+        planeSigns(t * planesPerBand + j).map(x => lit(x.toDouble)): _*)
+      when(dot(v, signs) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** SQL rendering of [[bandBucketCol]] over a DOUBLE[] column `v` for
+    * the DuckDB oracle. */
+  def bandBucketSql(t: Int, planesPerBand: Int): String =
+    (0 until planesPerBand).map { j =>
+      val lits = planeSigns(t * planesPerBand + j)
+        .map(x => s"$x.0").mkString("[", ",", "]")
+      s"CASE WHEN list_dot_product(v, $lits) > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+
   private def embDouble(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),

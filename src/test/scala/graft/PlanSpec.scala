@@ -69,12 +69,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("dd4 pair join broadcasts the dim side and repartitions the probe side") {
+  test("dd4 pair join is a salted shuffle-hash on the lang block key, no full-table broadcast") {
     val p = plan("dd4_ngram_jaccard")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      p.take(1200))
-    assert(p.contains("Exchange RoundRobinPartitioning"),
-      "probe side not spread across cores")
+    assert(p.contains("ShuffledHashJoin"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "dd4 degraded to an all-pairs broadcast nested loop")
+    assert(!p.contains("BroadcastHashJoin"),
+      "dd4 broadcasts the full shingle table")
+    assert(p.contains("salt"), "salt fan-out missing from the join key")
+  }
+
+  test("dd5 candidate join is keyed on (band, bucket), no all-pairs broadcast nested loop") {
+    val p = plan("dd5_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "dd5 degraded to an all-pairs broadcast nested loop over the corpus")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("bkt"), "bucket blocking key missing from the plan")
   }
 
   test("sessionize: both windows and the rollup share one hash exchange (w2)") {
