@@ -51,6 +51,7 @@ object SparkEntry {
     "o1_custom_sort" -> (Analytics.customKeySort _),
     "o3_top_sort_desc" -> (Analytics.topSortDesc _),
     "j1_spatial_join" -> (GeoQueries.spatialJoinQuery _),
+    "j1b_spatial_composite" -> (GeoQueries.spatialJoinCompositeQuery _),
     "j2_place_lookup" -> (GeoQueries.placeLookupQuery _),
     "j3_customer_geo" -> (Analytics.customerGeo _),
     "j4_merge_upsert" -> (Upsert.mergeOrders _),
@@ -285,6 +286,8 @@ object SparkEntry {
         |WHERE value > 50 ORDER BY value DESC, event_id""".stripMargin,
 
     "j1_spatial_join" -> GeoQueries.spatialJoinOracle,
+
+    "j1b_spatial_composite" -> GeoQueries.spatialJoinCompositeOracle,
 
     "j2_place_lookup" -> GeoQueries.placeLookupOracle,
 

@@ -26,9 +26,8 @@ object Enrich {
       events: DataFrame,
       world: DataFrame,
       countryList: Seq[(String, String)],
-      lonCol: String, latCol: String, placeCol: String,
-      pointKeys: Seq[String]): DataFrame = {
-    val spatial = Geo.spatialJoin(events, world, lonCol, latCol, pointKeys)
+      lonCol: String, latCol: String, placeCol: String): DataFrame = {
+    val spatial = Geo.spatialJoin(events, world, lonCol, latCol)
     val (inferredCountry, inferredRegion) =
       Geo.firstMatchLookup(col(placeCol), countryList)
     spatial

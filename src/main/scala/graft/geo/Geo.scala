@@ -106,34 +106,65 @@ object Geo {
       "rings", "crosses")
   }
 
-  /** Spatial left join: attach (country, region) where the point falls
-    * inside a country polygon. `dedup`: a border point can match two
-    * polygons (geopandas returns both, reference tolerates); we keep the
-    * alphabetically-first country for determinism. */
+  /** One row of the collected polygon dim, ready for expression
+    * compilation (rings already dateline-normalized by [[worldDim]]). */
+  case class SpatialEntry(country: String, region: String,
+      minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+      rings: Seq[Seq[Seq[Double]]], crosses: Boolean)
+
+  /** Compile a broadcast-sized polygon dim into ONE first-match scalar:
+    * a struct-valued CASE chain ordered alphabetically by country, the
+    * same shape as [[firstMatchLookup]]. The two-polygon border case
+    * resolves inside the expression (first branch wins = alphabetical
+    * survivor), so the enrich stage needs no post-join window — at
+    * 100 TB the probe side streams through with ZERO shuffle. Each
+    * branch is bbox-gated by codegen'd comparisons; the ray-cast UDF
+    * runs only on bbox hits, exactly as in the join formulation. */
+  def spatialFirstMatch(lonC: Column, latC: Column,
+      entries: Seq[SpatialEntry]): Column =
+    entries.sortBy(_.country).foldLeft(Option.empty[Column]) { case (acc, e) =>
+      // probe longitude in the polygon's frame: [0,360) for
+      // dateline-crossing dims, [-180,180] otherwise — codegen'd, no UDF
+      val lon =
+        if (e.crosses) when(lonC < 0, lonC + 360.0).otherwise(lonC) else lonC
+      val cond = lon >= e.minLon && lon <= e.maxLon &&
+        latC >= e.minLat && latC <= e.maxLat &&
+        pointInRingsUdf(lon, latC, typedlit(e.rings))
+      val hit = struct(lit(e.country).as("country"), lit(e.region).as("region"))
+      Some(acc.fold(when(cond, hit))(_.when(cond, hit)))
+    }.map(_.otherwise(lit(null)))
+      .getOrElse(lit(null).cast("struct<country:string,region:string>"))
+
+  /** Spatial left "join": attach (country, region) where the point falls
+    * inside a country polygon; nulls where none claims it. The dim is
+    * broadcast-sized by contract (~258 Natural Earth polygons), so
+    * instead of a broadcast nested-loop join + dedup shuffle it is
+    * collected once at plan time and compiled into the
+    * [[spatialFirstMatch]] scalar — shuffle-free, border-deduped by
+    * branch order (alphabetically-first country, matching geopandas'
+    * tolerated multi-match resolved deterministically). */
   def spatialJoin(points: DataFrame, world: DataFrame,
-      lonCol: String, latCol: String,
-      pointKeys: Seq[String]): DataFrame = {
-    val lat = col(latCol)
-    // shift the probe longitude into the polygon's frame: [0,360) for
-    // dateline-crossing dims, [-180,180] otherwise — codegen'd, no UDF
-    val rawLon = col(lonCol)
-    val lon = when(col("crosses") && rawLon < 0, rawLon + 360.0)
-      .otherwise(rawLon)
-    val bboxHit = lon >= col("min_lon") && lon <= col("max_lon") &&
-      lat >= col("min_lat") && lat <= col("max_lat")
-    val joined = points.join(
-      broadcast(world),
-      bboxHit && pointInRingsUdf(lon, lat, col("rings")),
-      "left")
-    // border dedup: keep first country per point key
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(pointKeys.map(col): _*)
-      .orderBy(col("country").asc_nulls_last)
-    joined
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "min_lon", "min_lat", "max_lon", "max_lat", "rings",
-        "crosses")
+      lonCol: String, latCol: String): DataFrame = {
+    val entries = world
+      .select("country", "region", "min_lon", "min_lat", "max_lon",
+        "max_lat", "rings", "crosses")
+      .collect()
+      .map { r =>
+        // collected nested arrays are mutable ArraySeqs in Scala 2.13 —
+        // normalize to immutable Seq for typedlit/the UDF literal
+        val rings = r
+          .getAs[collection.Seq[collection.Seq[collection.Seq[Double]]]](6)
+          .map(_.map(_.toSeq).toSeq).toSeq
+        SpatialEntry(r.getString(0), r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          rings, r.getBoolean(7))
+      }.toSeq
+    val cr = spatialFirstMatch(col(lonCol), col(latCol), entries)
+    points
+      .withColumn("__cr", cr)
+      .withColumn("country", col("__cr.country"))
+      .withColumn("region", col("__cr.region"))
+      .drop("__cr")
   }
 
   /** J2 — first-match country-from-place lookup

@@ -38,9 +38,86 @@ object GeoQueries {
     val pts = Tables.events(s, d)
       .withColumn("lon", col("value") % 360 - 180)
       .withColumn("lat", (col("user_id") % 180).cast("double") - 90)
-    Geo.spatialJoin(pts, world, "lon", "lat", Seq("event_id"))
+    Geo.spatialJoin(pts, world, "lon", "lat")
       .select(col("event_id"), col("country"), col("region"))
       .orderBy("event_id")
+  }
+
+  /** J1b — the composite world the reference's Natural Earth dim
+    * actually exercises (pipeline/add_region.py:23: multipolygons,
+    * holes, shared borders), still BETWEEN-decomposable for the DuckDB
+    * oracle:
+    *   - Anulus: polygon with a rectangular HOLE (even-odd parity);
+    *   - Enclave: a country entirely inside Anulus' hole (Lesotho
+    *     shape) — claimed by Enclave alone;
+    *   - Bipart: a MULTIPOLYGON of two disjoint parts;
+    *   - Casca/Dorune: an OVERLAPPING pair — points in the overlap
+    *     match both, and the alphabetical-survivor rule (Casca) is
+    *     live in the oracle check, not dead code.
+    * Regions are assigned in the same alphabetical order as countries
+    * so the oracle's min(region) stays aligned with min(country).
+    * Bounds at .505 offsets unreachable by the 2-decimal/integral
+    * point grid, so edge semantics never matter. */
+  // lat band chosen inside [-89, -77]: the event grid's lat is
+  // user_id%180-90 with small user_ids, so this far-south band is the
+  // one populated at EVERY test scale factor (sf0.001's lats stop at
+  // -76) — each zone (hole, enclave, multipart, overlap) gets hits.
+  val compositeWorld: Seq[(String, String,
+      (Double, Double, Double, Double),            // outer ring bbox
+      Option[(Double, Double, Double, Double)],    // hole ring
+      Option[(Double, Double, Double, Double)])] = Seq( // second part
+    ("Anulus", "R1", (-150.505, -89.505, -90.505, -76.505),
+      Some((-130.505, -85.505, -110.505, -80.505)), None),
+    ("Bipart", "R2", (-80.505, -89.505, -60.505, -76.505),
+      None, Some((-40.505, -89.505, -20.505, -76.505))),
+    ("Casca", "R3", (0.505, -89.505, 60.505, -76.505), None, None),
+    ("Dorune", "R4", (30.505, -89.505, 90.505, -76.505), None, None),
+    ("Enclave", "R5", (-125.505, -84.505, -115.505, -82.505), None, None))
+
+  /** J1b — the spatial join through the REAL even-odd ray-cast over the
+    * composite world (hole + enclave + multipolygon + overlap). */
+  def spatialJoinCompositeQuery(s: SparkSession, d: String): DataFrame = {
+    val world = Geo.worldDim(s, compositeWorld.map {
+      case (c, r, outer, hole, part2) =>
+        val rings = Seq(rect(outer._1, outer._2, outer._3, outer._4).head) ++
+          hole.map(h => rect(h._1, h._2, h._3, h._4).head) ++
+          part2.map(p => rect(p._1, p._2, p._3, p._4).head)
+        (c, r, rings)
+    })
+    val pts = Tables.events(s, d)
+      .withColumn("lon", col("value") % 360 - 180)
+      .withColumn("lat", (col("user_id") % 180).cast("double") - 90)
+    Geo.spatialJoin(pts, world, "lon", "lat")
+      .select(col("event_id"), col("country"), col("region"))
+      .orderBy("event_id")
+  }
+
+  val spatialJoinCompositeOracle: String = {
+    def d(o: Option[(Double, Double, Double, Double)], i: Int): String =
+      o.map(t => t.productElement(i).toString).getOrElse("CAST(NULL AS DOUBLE)")
+    val values = compositeWorld.map { case (c, r, (a0, a1, a2, a3), h, b) =>
+      s"('$c','$r',$a0,$a1,$a2,$a3,${d(h, 0)},${d(h, 1)},${d(h, 2)},${d(h, 3)},${d(b, 0)},${d(b, 1)},${d(b, 2)},${d(b, 3)})"
+    }.mkString(",\n  ")
+    s"""WITH pts AS (
+       |  SELECT event_id, value % 360 - 180 AS lon,
+       |         CAST(user_id % 180 AS DOUBLE) - 90 AS lat
+       |  FROM events),
+       |world(country, region, a_min_lon, a_min_lat, a_max_lon, a_max_lat,
+       |      h_min_lon, h_min_lat, h_max_lon, h_max_lat,
+       |      b_min_lon, b_min_lat, b_max_lon, b_max_lat) AS (VALUES
+       |  $values)
+       |SELECT p.event_id, min(w.country) AS country, min(w.region) AS region
+       |FROM pts p LEFT JOIN world w
+       |  ON ((p.lon BETWEEN w.a_min_lon AND w.a_max_lon
+       |       AND p.lat BETWEEN w.a_min_lat AND w.a_max_lat
+       |       AND NOT (w.h_min_lon IS NOT NULL
+       |                AND p.lon BETWEEN w.h_min_lon AND w.h_max_lon
+       |                AND p.lat BETWEEN w.h_min_lat AND w.h_max_lat))
+       |      OR (w.b_min_lon IS NOT NULL
+       |          AND p.lon BETWEEN w.b_min_lon AND w.b_max_lon
+       |          AND p.lat BETWEEN w.b_min_lat AND w.b_max_lat))
+       |GROUP BY p.event_id
+       |ORDER BY p.event_id""".stripMargin
   }
 
   /** Lookup list for J2 — order matters (first match wins), including a

@@ -70,7 +70,7 @@ class GeoSpec extends AnyFunSuite {
     val pts = Seq(
       (1L, 179.5, 0.0), (2L, -179.5, 0.0), (3L, 178.0, 0.0), (4L, 5.0, 5.0)
     ).toDF("id", "lon", "lat")
-    val got = Geo.spatialJoin(pts, world, "lon", "lat", Seq("id"))
+    val got = Geo.spatialJoin(pts, world, "lon", "lat")
       .select("id", "country").as[(Long, Option[String])].collect().toMap
     assert(got(1L).contains("Fiji"))
     assert(got(2L).contains("Fiji"))
@@ -90,7 +90,7 @@ class GeoSpec extends AnyFunSuite {
       (3L, 15.0, 5.0),   // Beta only
       (4L, 50.0, 50.0)   // no match → nulls kept (left join)
     ).toDF("id", "lon", "lat")
-    val got = Geo.spatialJoin(pts, world, "lon", "lat", Seq("id"))
+    val got = Geo.spatialJoin(pts, world, "lon", "lat")
       .select("id", "country").as[(Long, Option[String])].collect().toMap
     assert(got(1L).contains("Alpha"))
     assert(got(2L).contains("Alpha"))
@@ -133,7 +133,7 @@ class GeoSpec extends AnyFunSuite {
       (2L, 5.0, 5.0),   // inside the hole → no match
       (3L, 25.0, 25.0)  // second polygon part → match
     ).toDF("id", "lon", "lat")
-    val got = Geo.spatialJoin(pts, world, "lon", "lat", Seq("id"))
+    val got = Geo.spatialJoin(pts, world, "lon", "lat")
       .select("id", "country").as[(Long, Option[String])].collect().toMap
     assert(got(1L).contains("Holey"))
     assert(got(2L).isEmpty)
@@ -148,7 +148,7 @@ class GeoSpec extends AnyFunSuite {
       (3L, 50.0, 50.0, "nothing")            // stays null
     ).toDF("id", "lon", "lat", "place")
     val got = Enrich.addCountryRegion(ev, world,
-        Seq("alpha" -> "R1"), "lon", "lat", "place", Seq("id"))
+        Seq("alpha" -> "R1"), "lon", "lat", "place")
       .select("id", "country").as[(Long, Option[String])].collect().toMap
     assert(got(1L).contains("Alpha"))
     assert(got(2L).contains("alpha"))

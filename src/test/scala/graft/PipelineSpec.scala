@@ -48,8 +48,7 @@ class PipelineSpec extends AnyFunSuite {
     // 2. enrich (J1+J2+J3+P11): country/region by polygon, fallback by place text
     val enriched = Enrich.addCountryRegion(
       ingested, world, Seq("alpha" -> "Oceania"),
-      "longitude", "latitude", "place",
-      pointKeys = Seq("place", "time"))
+      "longitude", "latitude", "place")
       .withColumn("region",
         coalesce(col("region"), when(col("country").isNotNull, lit("Oceania"))))
 

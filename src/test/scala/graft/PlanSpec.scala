@@ -44,12 +44,13 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
   }
 
-  test("spatial join is broadcast with the bbox prefilter in the join condition") {
+  test("spatial enrich is a shuffle-free compiled scalar — no join, no hash exchange (j1)") {
     val p = plan("j1_spatial_join")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
-    assert(p.contains("min_lon") && p.contains("max_lon"),
-      "bbox prefilter missing from join condition")
-    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Join"), "j1 should be a compiled first-match scalar, not a join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "j1 must not shuffle the probe side (border dedup is in the expression)")
+    // the only allowed exchange is the final ORDER BY's range partitioning
+    assert("Exchange ".r.findAllIn(p).size <= 1, p.take(1500))
   }
 
   test("whole-stage codegen covers the custom expressions (DotProduct path)") {
