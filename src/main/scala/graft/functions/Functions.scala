@@ -82,18 +82,32 @@ object Functions {
   def toSecond(ts: Column): Column = date_trunc("second", ts)
 
   /** A deterministic 60-bit hash both engines can compute identically:
-    * the first 15 hex chars of md5, parsed base-16. Used as the shared
-    * hash primitive for minhash/simhash so the DuckDB oracle can replay
-    * the exact signature computation. */
+    * the first 15 hex chars of md5("seed:" + x), parsed base-16. Used as
+    * the shared hash primitive for minhash/simhash so the DuckDB oracle
+    * can replay the exact signature computation. Backed by the fused
+    * codegen expression (graft.expressions.Md5Hash60) — digest bytes →
+    * long with no hex-string materialization; [[md5Hash60Reference]] is
+    * the builtin formulation it must stay bit-identical to. */
   def md5Hash60(c: Column, seed: Int): Column =
+    graft.expressions.Md5Hashes.hash60(c, seed)
+
+  /** Builtin-composed reference formulation of [[md5Hash60]] (what the
+    * DuckDB oracle computes); kept for the equivalence spec. */
+  def md5Hash60Reference(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(seed.toString), lit(":"), c)), 1, 15), 16, 10)
       .cast("long")
 
   /** Two independent 56-bit hashes from ONE md5 evaluation (hex chars
     * 1-14 and 15-28). A k-perm MinHash family derives its k functions as
     * `h1 + i*h2` — one digest instead of k per element, with every value
-    * < 2^59 so the bigint arithmetic is overflow-safe in both engines. */
-  def md5Hash56Pair(c: Column): (Column, Column) = {
+    * < 2^59 so the bigint arithmetic is overflow-safe in both engines.
+    * Fused codegen expression; [[md5Hash56PairReference]] is the builtin
+    * formulation it must stay bit-identical to. */
+  def md5Hash56Pair(c: Column): (Column, Column) =
+    graft.expressions.Md5Hashes.hash56Pair(c)
+
+  /** Builtin-composed reference formulation of [[md5Hash56Pair]]. */
+  def md5Hash56PairReference(c: Column): (Column, Column) = {
     val h = md5(c)
     (conv(substring(h, 1, 14), 16, 10).cast("long"),
       conv(substring(h, 15, 14), 16, 10).cast("long"))
