@@ -1,11 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Driver bench: times every SparkEntry query at the given SF, prints one
   * JSON line. A short warmup (scan + aggregate) runs first so the first
-  * timed query doesn't absorb JVM/codegen/session initialization. */
+  * timed query doesn't absorb JVM/codegen/session initialization.
+  *
+  * Each query runs [[Runs]] times: `queries` carries the FIRST (cold)
+  * timing — comparable with earlier single-shot rounds — while `p50` /
+  * `p95` carry the median / max over all runs so round-over-round
+  * regressions are attributable against ±20% single-shot machine noise.
+  * A crashing query is NOT silently folded into a timing: it lands in
+  * `errors` (name + exception) and is excluded from every total. */
 object Bench {
+  val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,15 +29,56 @@ object Bench {
     // warmup: exercise scan, shuffle, and codegen paths once
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
     Tables.events(spark, sfDir).limit(10).collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    var errors = List.empty[String]
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val times = Iterator.continually(()).take(Runs).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(200))
+          }
+        }.takeWhile(_.isRight).toVector // stop retrying a failed query
+        if (times.length < Runs || times.isEmpty) {
+          // re-run once to capture the failure message (Left ended the stream)
+          val msg = try { fn(spark, sfDir).count(); "unreproducible failure" }
+          catch { case e: Throwable =>
+            s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(200)
+          }
+          System.err.println(s"[bench] FAILED $name: $msg")
+          errors ::= s"$name: $msg"
+          None
+        } else {
+          val ts = times.map(_.toOption.get)
+          val sorted = ts.sorted
+          Some((name, ts.head, sorted(sorted.length / 2), sorted.last))
+        }
+    }
+
+    def obj(pick: ((String, Double, Double, Double)) => Double): String =
+      timings.map(t => s""""${esc(t._1)}":${pick(t)}""").mkString("{", ",", "}")
+
+    val coldTotal = timings.map(_._2).sum
+    val p50Total = timings.map(_._3).sum
+    val errJson = errors.reverse.map(e => s""""${esc(e)}"""").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec",""" +
+      s""""queries":${obj(_._2)},"p50":${obj(_._3)},"p95":${obj(_._4)},""" +
+      s""""p50_total":$p50Total,"runs":$Runs,"errors":$errJson,"sf":"$sfDir"}""")
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.length} queries FAILED")
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

@@ -190,13 +190,18 @@ object Dedup {
 
   /** Connected-component clustering of near-dup pairs: transitive
     * closure turns pairwise matches into dedup clusters (a≈b, b≈c ⇒
-    * {a,b,c} share one canonical id). Iterative min-label propagation —
-    * each round every node adopts the smallest label among itself and
-    * its neighbors; converges in O(component diameter) rounds (capped;
-    * near-dup components are shallow in practice). The driver-side loop
-    * is control flow only — per round one join + one aggregation, all
-    * data distributed; this is the general Spark shape for iterative
-    * graph algorithms without GraphX. */
+    * {a,b,c} share one canonical id). Min-label propagation WITH
+    * pointer jumping — each round every node adopts the smallest label
+    * among itself and its neighbors, then dereferences that label's own
+    * label, halving the remaining component diameter: O(log diameter)
+    * rounds instead of O(diameter), so deep chain components converge
+    * within the iteration cap. The driver-side loop is control flow
+    * only — per round two keyed joins + one aggregation, all data
+    * distributed (the general Spark shape for iterative graph
+    * algorithms without GraphX). Convergence detection rides the same
+    * materialization: the changed flag is a column of the checkpointed
+    * round output, read back by a scan-only aggregate — no extra join,
+    * no plan re-execution. */
   def labelPropagation(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
     val sym = edges.select(c("u"), c("v"))
@@ -212,15 +217,28 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("lbl", "vlbl"), "v")
         .groupBy(c("u").as("id"))
         .agg(min(c("vlbl")).as("nlbl"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(c("id"),
-          least(c("lbl"), coalesce(c("nlbl"), c("lbl"))).as("lbl"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(c("id"), c("lbl").as("old"),
+          least(c("lbl"), coalesce(c("nlbl"), c("lbl"))).as("lbl1"))
+      // pointer jump: adopt the label OF the adopted label (label
+      // values are node ids of the same component, so the deref stays
+      // within it and can only shrink toward the component min)
+      val ptr = labels.select(c("id").as("lbl1"), c("lbl").as("plbl"))
+      val jumped = least(c("lbl1"), coalesce(c("plbl"), c("lbl1")))
+      val next = stepped.join(ptr, Seq("lbl1"), "left")
+        .select(c("id"), jumped.as("lbl"), (jumped =!= c("old")).as("chg"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(c("lbl") =!= c("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      val changed = next
+        .agg(coalesce(max(c("chg")), lit(false)).as("changed"))
+        .head().getBoolean(0)
+      labels = next.select(c("id"), c("lbl"))
+      converged = !changed
       i += 1
+    }
+    if (!converged) {
+      // a silent cap-out would return non-transitive clusters
+      System.err.println(
+        s"[graft] labelPropagation did NOT converge within $maxIters rounds")
     }
     labels
   }

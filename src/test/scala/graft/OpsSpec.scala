@@ -92,6 +92,17 @@ class OpsSpec extends AnyFunSuite {
     assert(chainLabels.forall(_._2 == 1L), chainLabels.mkString(","))
   }
 
+  test("label propagation: pointer jumping converges a 200-deep chain in O(log d) rounds") {
+    // plain min-label propagation needs ~199 rounds here; pointer
+    // jumping must finish within 10 (2^10 >> 200)
+    val deep = (1L until 200L).map(i => (i, i + 1)).toDF("u", "v")
+    val labels = Dedup.labelPropagation(deep, maxIters = 10)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 200)
+    assert(labels.forall(_._2 == 1L),
+      labels.filter(_._2 != 1L).take(5).mkString(","))
+  }
+
   test("multimodal decode: per-partition stub decode preserves rows, frames sized by payload") {
     val media = Multimodal.mediaTable(spark, sf).repartition(5)
     val feats = Multimodal.decodeAll(media).collect()
