@@ -30,7 +30,7 @@ object Similarity {
     graft.expressions.DotProduct.dot(a, b)
 
   val Dim = 64
-  val Planes = 4
+  val Planes = 8 // 256 buckets; probes widen via Hamming-1 multi-probe
 
   /** Deterministic ±1 hyperplane components from the shared md5 hash
     * primitive: sign = parity of md5("p:i" style key). Pure Scala, and
@@ -93,15 +93,28 @@ object Similarity {
       .limit(K)
   }
 
-  /** LSH-bucketed top-k: probe only vectors sharing the query's bucket.
-    * Same output shape as bruteTopK over the reduced candidate set. */
+  /** LSH-bucketed top-k with Hamming-1 MULTI-PROBE: scan the query's
+    * bucket plus its [[Planes]] single-bit neighbors — with 2^P buckets
+    * a single-bucket probe scans too thin a slice for good recall, and
+    * the nearest misses overwhelmingly land one flipped hyperplane
+    * away. Probe set is (P+1)/2^P of the corpus. The build side is the
+    * single query row, so the Hamming predicate rides the broadcast.
+    *
+    * Recall caveat, measured in OpsSpec: on this fixture's near-random
+    * embeddings the true top-k sit at ~70° where per-plane collision
+    * odds are barely over 1/2, so sign-LSH recall is low at any plane
+    * count — that is the family's information-theoretic limit on
+    * unclustered data, not a plan defect. Real embedding corpora put
+    * near-dups at cos ≥ 0.8 (≤ 37°) where the same family performs;
+    * for this data shape [[ivfTopK]] is the strong ANN path. */
   def lshTopK(s: SparkSession, d: String): DataFrame = {
     val e = embDouble(s, d).withColumn("bucket", bucketCol(col("v")))
     val q = e.filter(col("vec_id") === QueryVecId)
       .select(col("v").as("qv"), col("norm").as("qnorm"),
         col("bucket").as("qbucket"))
     e.filter(col("vec_id") =!= QueryVecId)
-      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .join(broadcast(q),
+        bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
       .withColumn("cos",
         dot(col("v"), col("qv")) / (sqrt(col("norm")) * sqrt(col("qnorm"))))
       .select(col("vec_id"), col("cos"))
@@ -112,17 +125,25 @@ object Similarity {
   val KnnK = 3
 
   /** KNN-graph construction: top-k nearest neighbors for EVERY vector,
-    * blocked by the sign-LSH bucket (each vector only compares within
-    * its bucket — the quadratic term shrinks by ~2^P and the pair join
-    * shuffles on the bucket key, so the graph build scales as
-    * sum-of-squared-bucket-sizes, not corpus²). Rank via one window
-    * over the pair stream; deterministic tiebreaks. This is the
+    * blocked by the sign-LSH bucket with Hamming-1 multi-probe: the src
+    * side explodes to its home bucket plus the [[Planes]] one-bit
+    * neighbors, the dst side stays at its home bucket, and the pair
+    * join remains EQUI-keyed on the probed bucket (an OR-of-XORs
+    * predicate would degrade it to a nested loop). Pair semantics:
+    * hamming(bucket_src, bucket_dst) ≤ 1, each pair found exactly once
+    * (the probe masks are distinct). The quadratic term shrinks to
+    * (P+1)·sum-of-squared-bucket-sizes, never corpus². Rank via one
+    * window over the pair stream; deterministic tiebreaks. This is the
     * candidate graph semantic-dedup/clustering pipelines consume. */
   def knnGraph(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embDouble(s, d).withColumn("bucket", bucketCol(col("v")))
+    val probeMasks = array((lit(0) +: (0 until Planes).map(p => lit(1 << p))): _*)
     val a = e.select(col("vec_id").as("src"), col("v").as("av"),
-      col("norm").as("anorm"), col("bucket"))
+      col("norm").as("anorm"), col("bucket").as("home"))
+      .withColumn("probe", explode(probeMasks))
+      .withColumn("bucket", col("probe").bitwiseXOR(col("home")))
+      .drop("probe", "home")
       .repartition(s.sparkContext.defaultParallelism, col("bucket"))
     val b = e.select(col("vec_id").as("dst"), col("v").as("bv"),
       col("norm").as("bnorm"), col("bucket"))
@@ -204,7 +225,8 @@ object Similarity {
        |pairs AS (
        |  SELECT a.vec_id AS src, x.vec_id AS dst,
        |    list_dot_product(a.v, x.v) / (sqrt(a.norm) * sqrt(x.norm)) AS cos
-       |  FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id),
+       |  FROM b a JOIN b x
+       |    ON bit_count(xor(a.bucket, x.bucket)) <= 1 AND a.vec_id <> x.vec_id),
        |ranked AS (
        |  SELECT src, dst, cos,
        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
@@ -246,7 +268,8 @@ object Similarity {
        |q AS (SELECT v AS qv, norm AS qnorm, bucket AS qbucket FROM b WHERE vec_id = $QueryVecId)
        |SELECT b.vec_id,
        |  list_dot_product(b.v, q.qv) / (sqrt(b.norm) * sqrt(q.qnorm)) AS cos
-       |FROM b, q WHERE b.vec_id <> $QueryVecId AND b.bucket = q.qbucket
+       |FROM b, q
+       |WHERE b.vec_id <> $QueryVecId AND bit_count(xor(b.bucket, q.qbucket)) <= 1
        |ORDER BY cos DESC, b.vec_id LIMIT $K""".stripMargin
   }
 }
