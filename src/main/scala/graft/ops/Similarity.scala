@@ -160,31 +160,98 @@ object Similarity {
 
   val IvfCells = 10
   val IvfProbes = 2
+  val IvfIters = 3
+  /** Training quantization scale (a power of two, so v*Q is EXACT float
+    * math in both engines). Centroid sums stay exact-in-double up to
+    * ~60k vectors per cell at Dim 64 — far past the test SFs; real
+    * deployments train on a sample anyway. */
+  val IvfQuant = 256.0
 
-  /** IVF top-k: a coarse quantizer assigns every vector to its nearest
-    * "centroid" cell (deterministic centroids: the first [[IvfCells]]
-    * vectors stand in for trained k-means centers), the query probes its
-    * [[IvfProbes]] nearest cells, and only those cells are scanned —
-    * the inverted-file ANN layout. At warehouse scale the table is
-    * written partitioned/bucketed by `cell`, so a probe touches
-    * nprobe/ncells of the data. Assignment is one broadcast of the
-    * centroid set and an arg-min — no shuffle. */
+  /** A trained centroid: exact integer component sums plus the member
+    * count — kept as a rational (s, n) instead of a divided-out mean so
+    * every cross-engine arithmetic step is one IEEE op over exactly
+    * representable operands. */
+  case class Centroid(cid: Int, s: Array[Long], n: Long) {
+    /** |s|² as an exact long (bounded well under 2^53 at test SFs). */
+    def s2: Double = { var t = 0L; var i = 0
+      while (i < s.length) { t += s(i) * s(i); i += 1 }; t.toDouble }
+  }
+
+  private def quantizeCol(vd: Column): Column =
+    transform(vd, x => floor(x * lit(IvfQuant)).cast("long"))
+
+  /** L2² distance (up to the constant |v|² offset — monotone) from a
+    * quantized vector to a rational centroid, written as the EXACT
+    * expression shape the oracle uses: a2 - 2.0*B/n + C/(n*n), every
+    * operand an exactly representable integer, every division a single
+    * IEEE op — bit-identical across engines, so argmin ties break the
+    * same way everywhere. */
+  private def distToCentroid(a2: Column, qvd: Column, c: Centroid): Column = {
+    val sd = array(c.s.map(x => lit(x.toDouble)): _*)
+    a2 - lit(2.0) * dot(qvd, sd) / lit(c.n.toDouble) +
+      lit(c.s2) / lit((c.n * c.n).toDouble)
+  }
+
+  /** Cell assignment column: argmin over the centroid set with (dist,
+    * cid) lexicographic tiebreak via least() over structs. */
+  private def cellCol(cents: Seq[Centroid]): Column = {
+    val structs = cents.map(c =>
+      struct(distToCentroid(col("a2"), col("qvd"), c).as("d"),
+        lit(c.cid).as("cid")))
+    (if (structs.size == 1) structs.head else least(structs: _*))
+      .getField("cid")
+  }
+
+  /** One Lloyd's round: assign every vector to its nearest centroid,
+    * re-derive centroids as exact integer component sums + counts. The
+    * only driver-side data is the k×Dim stats table (the standard
+    * distributed k-means shape — broadcast centroids out, aggregate
+    * sums back); all per-vector work is one distributed aggregation. */
+  private def lloydRound(qt: DataFrame, cents: Seq[Centroid]): Seq[Centroid] = {
+    val assigned = qt.withColumn("cell", cellCol(cents))
+    val stats = assigned
+      .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    stats.groupBy(_.getInt(0)).map { case (cell, rows) =>
+      val s = rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
+      Centroid(cell, s, rows.head.getLong(3))
+    }.toSeq.sortBy(_.cid)
+  }
+
+  /** IVF top-k with TRAINED centroids: deterministic Lloyd's k-means
+    * ([[IvfIters]] rounds, seeded from the first [[IvfCells]] vectors)
+    * over vectors quantized to integers, so centroid sums are exact and
+    * the DuckDB oracle replays the whole training loop bit-for-bit as
+    * unrolled CTEs. The query probes its [[IvfProbes]] nearest cells in
+    * centroid-distance order (multi-probe), and only those cells are
+    * scanned — the inverted-file ANN layout. At warehouse scale the
+    * table is written partitioned/bucketed by `cell`, so a probe
+    * touches nprobe/ncells of the data; training is a handful of
+    * broadcast-out/aggregate-back rounds, the MLlib k-means shape. */
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val e = embDouble(s, d)
-    val cents = e.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
-    // L2² distance: |v|² - 2·v·c + |c|² (monotone in the true distance)
-    val l2 = col("norm") - lit(2.0) * dot(col("v"), col("cv")) + col("cnorm")
-    val assigned = e.join(broadcast(cents))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cid"), l2).as("cell"))
-    val withCell = e.join(assigned, "vec_id")
-    val q = withCell.filter(col("vec_id") === QueryVecId)
+    val qt = e.select(col("vec_id"), quantizeCol(col("v")).as("qv"))
+      .withColumn("qvd", col("qv").cast("array<double>"))
+      .withColumn("a2", dot(col("qvd"), col("qvd")))
+      .localCheckpoint(true)
+    var cents: Seq[Centroid] = qt.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => Centroid(r.getLong(0).toInt,
+        r.getAs[collection.Seq[Long]](1).toArray, 1L))
+      .toSeq.sortBy(_.cid)
+    for (_ <- 1 to IvfIters) cents = lloydRound(qt, cents)
+    val withCell = e.join(
+      qt.withColumn("cell", cellCol(cents)).select("vec_id", "cell"), "vec_id")
+    val q = e.filter(col("vec_id") === QueryVecId)
       .select(col("v").as("qv"), col("norm").as("qnorm"))
-    // the query's nprobe nearest cells
-    val qCells = cents.join(broadcast(q))
-      .select(col("cid"),
-        (col("qnorm") - lit(2.0) * dot(col("qv"), col("cv")) + col("cnorm")).as("qd"))
+    // the query's nprobe nearest TRAINED cells, by the same exact dist
+    val qCells = qt.filter(col("vec_id") === QueryVecId)
+      .select(explode(array(cents.map(c =>
+        struct(distToCentroid(col("a2"), col("qvd"), c).as("qd"),
+          lit(c.cid).as("cid"))): _*)).as("dc"))
+      .select(col("dc.qd").as("qd"), col("dc.cid").as("cid"))
       .orderBy(col("qd"), col("cid"))
       .limit(IvfProbes)
       .select("cid")
@@ -235,27 +302,59 @@ object Similarity {
        |ORDER BY src, rank""".stripMargin
   }
 
-  val ivfTopKOracle: String =
+  /** The full training loop unrolled as CTEs: same quantization, same
+    * exact rational-centroid distance expression, same (dist, cid)
+    * tiebreak — DuckDB re-trains the identical centroids, then replays
+    * assignment, probe selection, and scoring. */
+  val ivfTopKOracle: String = {
+    val dist = (v: String, c: String) =>
+      s"$v.a2 - 2.0 * list_dot_product($v.qvd, $c.sd) / $c.n + " +
+        s"list_dot_product($c.sd, $c.sd) / ($c.n * $c.n)"
+    def assign(name: String, centsCte: String) =
+      s"""$name AS (
+         |  SELECT v.vec_id, v.qv, v.qvd, v.a2, c.cid AS cell
+         |  FROM qd v CROSS JOIN $centsCte c
+         |  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+         |    ORDER BY ${dist("v", "c")}, c.cid) = 1)""".stripMargin
+    def recenter(name: String, assignCte: String) =
+      s"""$name AS (
+         |  SELECT p.cell AS cid, list(p.s ORDER BY p.pos)::DOUBLE[] AS sd, cn.n AS n
+         |  FROM (
+         |    SELECT cell, ix.pos, sum(qv[ix.pos]) AS s
+         |    FROM $assignCte, (SELECT unnest(generate_series(1, $Dim)) AS pos) ix
+         |    GROUP BY cell, ix.pos) p
+         |  JOIN (SELECT cell, count(*) AS n FROM $assignCte GROUP BY cell) cn
+         |    USING (cell)
+         |  GROUP BY p.cell, cn.n)""".stripMargin
+    val rounds = (1 to IvfIters).map { i =>
+      assign(s"a$i", s"c${i - 1}") + ",\n" + recenter(s"c$i", s"a$i")
+    }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
        |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm
        |  FROM embeddings),
-       |cents AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM e WHERE vec_id < $IvfCells),
-       |assigned AS (
-       |  SELECT e.vec_id,
-       |    arg_min(c.cid, e.norm - 2.0 * list_dot_product(e.v, c.cv) + c.cnorm) AS cell
-       |  FROM e, cents c GROUP BY e.vec_id),
+       |q0 AS (SELECT vec_id,
+       |    list_transform(v, x -> CAST(floor(x * $IvfQuant) AS BIGINT)) AS qv
+       |  FROM e),
+       |qd AS (SELECT vec_id, qv, qv::DOUBLE[] AS qvd,
+       |    list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS a2 FROM q0),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, qvd AS sd, CAST(1 AS BIGINT) AS n
+       |  FROM qd WHERE vec_id < $IvfCells),
+       |$rounds,
+       |${assign("afin", s"c$IvfIters")},
        |q AS (SELECT v AS qv, norm AS qnorm FROM e WHERE vec_id = $QueryVecId),
+       |qq AS (SELECT qvd, a2 FROM qd WHERE vec_id = $QueryVecId),
        |qcells AS (
-       |  SELECT c.cid FROM cents c, q
-       |  ORDER BY q.qnorm - 2.0 * list_dot_product(q.qv, c.cv) + c.cnorm, c.cid
+       |  SELECT c.cid FROM c$IvfIters c CROSS JOIN qq v
+       |  ORDER BY ${dist("v", "c")}, c.cid
        |  LIMIT $IvfProbes)
        |SELECT e.vec_id, a.cell,
        |  list_dot_product(e.v, q.qv) / (sqrt(e.norm) * sqrt(q.qnorm)) AS cos
        |FROM e
-       |JOIN assigned a ON e.vec_id = a.vec_id
+       |JOIN afin a ON e.vec_id = a.vec_id
        |JOIN qcells ON a.cell = qcells.cid, q
        |WHERE e.vec_id <> $QueryVecId
        |ORDER BY cos DESC, e.vec_id LIMIT $K""".stripMargin
+  }
 
   val lshTopKOracle: String = {
     val bucketExpr = (0 until Planes).map { p =>

@@ -79,6 +79,21 @@ class OpsSpec extends AnyFunSuite {
     assert((brute & lsh).nonEmpty || brute.isEmpty)
   }
 
+  test("trained IVF: recall vs brute force, deterministic training, k results") {
+    val brute = Similarity.bruteTopK(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.size == Similarity.K, s"expected full k, got ${ivf.size}")
+    // Lloyd's is fully deterministic (quantized integer sums, fixed
+    // seed, fixed tiebreaks) — two trainings must agree exactly
+    val ivf2 = Similarity.ivfTopK(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf == ivf2, "IVF training/probe must be deterministic")
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall vs brute top-${brute.size}")
+  }
+
   test("label propagation: chains collapse into one component, singletons untouched") {
     // a-b, b-c, and isolated pair d-e: components {a,b,c} and {d,e}
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v")
