@@ -52,6 +52,7 @@ object SparkEntry {
     "o3_top_sort_desc" -> (Analytics.topSortDesc _),
     "j1_spatial_join" -> (GeoQueries.spatialJoinQuery _),
     "j1b_spatial_composite" -> (GeoQueries.spatialJoinCompositeQuery _),
+    "s3_geojson_flatten" -> (graft.ingest.Ingest.geojsonFlattenQuery _),
     "j2_place_lookup" -> (GeoQueries.placeLookupQuery _),
     "j3_customer_geo" -> (Analytics.customerGeo _),
     "j4_merge_upsert" -> (Upsert.mergeOrders _),
@@ -288,6 +289,8 @@ object SparkEntry {
     "j1_spatial_join" -> GeoQueries.spatialJoinOracle,
 
     "j1b_spatial_composite" -> GeoQueries.spatialJoinCompositeOracle,
+
+    "s3_geojson_flatten" -> graft.ingest.Ingest.geojsonFlattenOracle,
 
     "j2_place_lookup" -> GeoQueries.placeLookupOracle,
 

@@ -80,6 +80,61 @@ object Ingest {
     * (extract_historical.py:90-101). Malformed rows (unparseable JSON)
     * yield nulls, mirroring the reference's per-entry try/except skip —
     * callers drop them with a single isNotNull filter. */
+  /** S3 driver query — the full GeoJSON scan/flatten path against the
+    * oracle: feature strings are synthesized DETERMINISTICALLY from the
+    * events table (integer-only JSON values, so both engines render
+    * identical text; one row in 97 is malformed to exercise the
+    * null-on-unparseable path), then parsed through the real
+    * [[flattenFeatures]] from_json pipeline, including the reference's
+    * (lon,lat,depth) coordinate reorder. NULL event fields null the
+    * whole string in both engines (|| / concat propagation), matching
+    * the reference's per-entry skip. */
+  def geojsonFlattenQuery(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+    val sec = date_trunc("second", col("ts")).cast("long")
+    val json = concat(
+      lit("{\"properties\":{\"place\":\"p-"), col("event_id").cast("string"),
+      lit("\",\"time\":"), (sec * 1000).cast("string"),
+      lit(",\"mag\":"), round(col("value") * 100).cast("long").cast("string"),
+      lit(",\"alert\":\""), col("event_type"),
+      lit("\",\"tsunami\":"), (col("user_id") % 2).cast("string"),
+      lit(",\"tz\":\"+00:00\",\"type\":\"synthetic\"},\"geometry\":{\"coordinates\":["),
+      (col("user_id") % 360).cast("string"), lit(","),
+      (col("event_id") % 180).cast("string"), lit(","),
+      (col("user_id") % 700).cast("string"), lit("]}}"))
+    val raw = ev.select(
+      when(col("event_id") % 97 === 0, lit("{malformed"))
+        .otherwise(json).as("json"))
+    flattenFeatures(raw, "json").orderBy(col("place"))
+  }
+
+  val geojsonFlattenOracle: String =
+    """WITH raw AS (
+      |  SELECT CASE WHEN event_id % 97 = 0 THEN '{malformed'
+      |    ELSE '{"properties":{"place":"p-' || event_id
+      |      || '","time":' || CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000
+      |      || ',"mag":' || CAST(round(value * 100) AS BIGINT)
+      |      || ',"alert":"' || event_type
+      |      || '","tsunami":' || (user_id % 2)
+      |      || ',"tz":"+00:00","type":"synthetic"},"geometry":{"coordinates":['
+      |      || (user_id % 360) || ',' || (event_id % 180) || ',' || (user_id % 700)
+      |      || ']}}'
+      |    END AS j
+      |  FROM events),
+      |p AS (SELECT try_cast(j AS JSON) AS js FROM raw)
+      |SELECT json_extract_string(js, '$.properties.place') AS place,
+      |       CAST(json_extract(js, '$.properties.time') AS BIGINT) AS time,
+      |       CAST(json_extract(js, '$.properties.mag') AS DOUBLE) AS magnitude,
+      |       CAST(json_extract(js, '$.geometry.coordinates[1]') AS DOUBLE) AS latitude,
+      |       CAST(json_extract(js, '$.geometry.coordinates[0]') AS DOUBLE) AS longitude,
+      |       CAST(json_extract(js, '$.geometry.coordinates[2]') AS DOUBLE) AS depth,
+      |       json_extract_string(js, '$.properties.alert') AS alert,
+      |       CAST(json_extract(js, '$.properties.tsunami') AS INT) AS tsunami,
+      |       json_extract_string(js, '$.properties.tz') AS tz,
+      |       json_extract_string(js, '$.properties.type') AS type
+      |FROM p ORDER BY place""".stripMargin
+
   def flattenFeatures(raw: DataFrame, jsonCol: String): DataFrame = {
     val f = from_json(col(jsonCol), featureSchema)
     raw.select(

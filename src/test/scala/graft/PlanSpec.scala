@@ -88,6 +88,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bkt"), "bucket blocking key missing from the plan")
   }
 
+  test("j1b composite spatial enrich is also join-free and shuffle-free") {
+    val p = plan("j1b_spatial_composite")
+    assert(!p.contains("Join"), "composite world should compile to a scalar too")
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("dd2 candidate generation is keyed — no cartesian or nested-loop pair join") {
+    val p = plan("dd2_minhash_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("s3 geojson flatten is a single narrow pass (no shuffle before the output sort)") {
+    val p = plan("s3_geojson_flatten")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "from_json flatten must not shuffle")
+    assert(!p.contains("Join"))
+  }
+
   test("sessionize: both windows and the rollup share one hash exchange (w2)") {
     val p = plan("w2_sessionize")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
