@@ -68,6 +68,7 @@ object SparkEntry {
     "dd5_embedding_neardup" -> (Dedup.embeddingNearDup _),
     "dd6_neardup_filter" -> (Dedup.nearDupFilter _),
     "dd7_dedup_clusters" -> (Dedup.dedupClusters _),
+    "dd8_semantic_clusters" -> (Dedup.semanticClusters _),
     "sim1_brute_topk" -> (Similarity.bruteTopK _),
     "sim2_lsh_topk" -> (Similarity.lshTopK _),
     "sim3_ivf_topk" -> (Similarity.ivfTopK _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "tx5_train_test_split" -> (TextStats.trainTestSplit _),
     "tx6_vocabulary" -> (TextStats.vocabulary _),
     "tx7_corpus_filter" -> (TextStats.corpusFilter _),
+    "tx8_repetition" -> (TextStats.repetitionStats _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
   )
@@ -382,6 +384,7 @@ object SparkEntry {
     "dd5_embedding_neardup" -> Dedup.embeddingNearDupOracle,
     "dd6_neardup_filter" -> Dedup.nearDupFilterOracle,
     "dd7_dedup_clusters" -> Dedup.dedupClustersOracle,
+    "dd8_semantic_clusters" -> Dedup.semanticClustersOracle,
     "sim1_brute_topk" -> Similarity.bruteTopKOracle,
     "sim2_lsh_topk" -> Similarity.lshTopKOracle,
     "sim3_ivf_topk" -> Similarity.ivfTopKOracle,
@@ -393,6 +396,7 @@ object SparkEntry {
     "tx5_train_test_split" -> TextStats.trainTestSplitOracle,
     "tx6_vocabulary" -> TextStats.vocabularyOracle,
     "tx7_corpus_filter" -> TextStats.corpusFilterOracle,
+    "tx8_repetition" -> TextStats.repetitionStatsOracle,
     "mm1_binary_meta" -> Multimodal.binaryMetaOracle,
     "mm2_frame_sample" -> Multimodal.frameSampleOracle,
   )

@@ -352,6 +352,55 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SEMANTIC dedup clusters: connected components over the embedding
+    * near-dup graph — the embedding-space analogue of [[dedupClusters]]
+    * (text shingles → vector cosine). Composes the banded-LSH candidate
+    * generation of [[embeddingNearDup]] with the pointer-jumping
+    * [[labelPropagation]]; every vector gets the min vec_id of its
+    * near-dup component plus the component size. This is the pipeline
+    * shape semantic dedup runs at scale: LSH-blocked pair gen (keyed
+    * shuffles only) → O(log d) clustering rounds. */
+  def semanticClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = embeddingNearDup(s, d)
+      .select(col("vec_a").as("u"), col("vec_b").as("v"))
+    val labels = labelPropagation(pairs)
+    val vecs = Tables.embeddings(s, d).select("vec_id")
+    val clustered = vecs
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("vec_id")))
+      .drop("lbl")
+    val sizes = clustered.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    clustered.join(sizes, "cluster_id")
+      .select("vec_id", "cluster_id", "cluster_size")
+      .orderBy("vec_id")
+  }
+
+  lazy val semanticClustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |SELECT vec_a, vec_b FROM (
+       |$embeddingNearDupOracle
+       |) p),
+       |edges AS (
+       |  SELECT vec_a AS u, vec_b AS v FROM pairs
+       |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |lbl AS (
+       |  SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+       |  FROM reach GROUP BY u),
+       |clustered AS (
+       |  SELECT d.vec_id, coalesce(l.cluster_id, d.vec_id) AS cluster_id
+       |  FROM embeddings d LEFT JOIN lbl l ON d.vec_id = l.vec_id),
+       |sizes AS (
+       |  SELECT cluster_id, count(*) AS cluster_size
+       |  FROM clustered GROUP BY cluster_id)
+       |SELECT c.vec_id, c.cluster_id, s.cluster_size
+       |FROM clustered c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY c.vec_id""".stripMargin
+
   // ---- oracles ----
 
   val exactDedupOracle: String =

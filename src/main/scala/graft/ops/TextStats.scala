@@ -138,6 +138,74 @@ object TextStats {
       |       reject_reasons = '' AS keep
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition filter (Rae et al. 2021 §A1.1 heuristics,
+    * re-expressed as column math): duplicate-word fraction, duplicate
+    * 2-gram fraction (via the distinct-shingle expression — total minus
+    * distinct over total), top-word fraction (most frequent word's
+    * share). The fractions are (int - int)/int single divisions for
+    * oracle parity. One explode+agg for the top-word count (linear,
+    * keyed on doc_id); everything else is scan-speed column math. */
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    val base = Tables.documents(s, d)
+      .withColumn("n_tokens", size(w))
+      .withColumn("n_distinct", size(array_distinct(w)))
+      .withColumn("n_2grams",
+        greatest(col("n_tokens") - 1, lit(0)))
+      .withColumn("n_distinct_2grams", size(shingles(col("text"), 2)))
+    val top = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_word_count"))
+    val dupWord = (col("n_tokens") - col("n_distinct")) / col("n_tokens")
+    val dup2g = when(col("n_2grams") > 0,
+      (col("n_2grams") - col("n_distinct_2grams")) / col("n_2grams"))
+      .otherwise(lit(0.0))
+    val topFrac = col("top_word_count") / col("n_tokens")
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        dupWord.as("dup_word_frac"),
+        dup2g.as("dup_2gram_frac"),
+        col("top_word_count"),
+        topFrac.as("top_word_frac"))
+      .withColumn("keep",
+        col("dup_word_frac") <= 0.7 && col("dup_2gram_frac") <= 0.2 &&
+          col("top_word_frac") <= 0.3)
+      .orderBy("doc_id")
+  }
+
+  val repetitionStatsOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |b AS (
+      |  SELECT doc_id, len(ws) AS n_tokens,
+      |    len(list_distinct(ws)) AS n_distinct,
+      |    greatest(len(ws) - 1, 0) AS n_2grams,
+      |    CASE WHEN len(ws) >= 2 THEN len(list_distinct(list_transform(
+      |      generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])))
+      |    ELSE 0 END AS n_distinct_2grams
+      |  FROM w),
+      |t AS (
+      |  SELECT doc_id, max(c) AS top_word_count FROM (
+      |    SELECT doc_id, term, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+      |    GROUP BY doc_id, term)
+      |  GROUP BY doc_id),
+      |m AS (
+      |  SELECT b.doc_id, b.n_tokens,
+      |    (b.n_tokens - b.n_distinct) / b.n_tokens AS dup_word_frac,
+      |    CASE WHEN b.n_2grams > 0
+      |      THEN (b.n_2grams - b.n_distinct_2grams) / b.n_2grams
+      |      ELSE 0.0 END AS dup_2gram_frac,
+      |    t.top_word_count,
+      |    t.top_word_count / b.n_tokens AS top_word_frac
+      |  FROM b JOIN t ON b.doc_id = t.doc_id)
+      |SELECT doc_id, n_tokens, dup_word_frac, dup_2gram_frac,
+      |       top_word_count, top_word_frac,
+      |       dup_word_frac <= 0.7 AND dup_2gram_frac <= 0.2
+      |         AND top_word_frac <= 0.3 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** Deterministic train/test split — hash-bucket the STABLE doc id (not
     * random()): reproducible across runs, engines, and re-partitioning,
     * which is the property a training pipeline actually needs. 90/10 by

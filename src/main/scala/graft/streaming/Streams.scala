@@ -83,4 +83,64 @@ object Streams {
     * replayed as a stream for tests/demos). */
   def parquetStream(s: SparkSession, dir: String, schema: StructType): DataFrame =
     s.readStream.schema(schema).parquet(dir)
+
+  case class SessionState(start: Long, end: Long, n: Long, sumCents: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value_cents: Long)
+
+  /** Streaming gap-based sessionization — the stateful-stream analogue
+    * of the batch `Analytics.sessionize` (w2): one open session per
+    * active user held in state, closed either by an in-stream gap >
+    * `gapSeconds` (emitted immediately) or by the event-time timeout
+    * once the watermark passes session_end + gap (emitted on the next
+    * trigger). State is bounded: one row per user with an un-timed-out
+    * session — exactly what `flatMapGroupsWithState` +
+    * EventTimeTimeout is for; sessions therefore emit once, append
+    * mode, replay-safe downstream of an idempotent sink.
+    * Input: (user_id, ts, value). */
+  def sessionizeStream(
+      events: Dataset[(Long, java.sql.Timestamp, Double)],
+      gapSeconds: Long = 1800,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    def toOut(uid: Long, s: SessionState): SessionOut =
+      SessionOut(uid, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.n, s.sumCents)
+    events
+      .toDF("user_id", "ts", "value")
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(toOut(uid, closed))
+          } else {
+            var out = List.empty[SessionOut]
+            var open = state.getOption
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              val cents = math.round(v * 100)
+              open match {
+                case Some(s) if t - s.end <= gapSeconds * 1000L =>
+                  open = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.sumCents + cents))
+                case Some(s) =>
+                  out ::= toOut(uid, s)
+                  open = Some(SessionState(t, t, 1L, cents))
+                case None =>
+                  open = Some(SessionState(t, t, 1L, cents))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapSeconds * 1000L)
+            }
+            out.reverse.iterator
+          }
+      }
+  }
 }

@@ -47,6 +47,51 @@ class StreamingSpec extends AnyFunSuite {
       w == "2024-01-01 10:00:00" && t == "click" && sum == 103.0 })
   }
 
+  test("streaming sessionize: gap closes a session in-stream, timeout closes via watermark (w2 analogue)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = Streams.sessionizeStream(input.toDS(),
+      gapSeconds = 1800, watermark = "1 hour")
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_out").start()
+
+    // batch 1: user 1 has two events 10 min apart (one open session),
+    // user 2 one event
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.25),
+      (1L, ts("2024-01-01 10:10:00"), 2.50),
+      (2L, ts("2024-01-01 10:05:00"), 4.00))
+    q.processAllAvailable()
+    // batch 2: user 1 reappears 2h later — the 30-min gap closes the
+    // first session IMMEDIATELY (no watermark needed) and opens a new one
+    input.addData((1L, ts("2024-01-01 12:10:00"), 8.00))
+    q.processAllAvailable()
+    // batch 3+4: push the watermark far past every open session's
+    // timeout so user 2's (and user 1's second) sessions time out
+    input.addData((99L, ts("2024-01-01 20:00:00"), 0.01))
+    q.processAllAvailable()
+    input.addData((99L, ts("2024-01-01 23:00:00"), 0.01))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_out")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"),
+        col("sum_value_cents"))
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    // user 1 session 1: closed by the gap, n=2, 125+250 cents
+    assert(got.contains(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L, 375L)), s"got $got")
+    // user 2: closed by event-time timeout
+    assert(got.contains(
+      (2L, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1L, 400L)), s"got $got")
+    // user 1 session 2: also timed out by the late watermark
+    assert(got.contains(
+      (1L, "2024-01-01 12:10:00", "2024-01-01 12:10:00", 1L, 800L)), s"got $got")
+  }
+
   test("foreachBatch merge sink is idempotent across replayed batches (T3)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
