@@ -42,11 +42,12 @@ for name, sql in sorted(oracle.items()):
             av, bv = a[c], b[c]
             try:
                 import pandas as pd
-                # the driver hashes TYPED values: an int column on one side
-                # and a float on the other (e.g. DuckDB HUGEINT -> float)
-                # mismatches even when values compare equal
-                if {av.dtype.kind, bv.dtype.kind} == {"i", "f"} or \
-                   {av.dtype.kind, bv.dtype.kind} == {"u", "f"}:
+                # the driver hashes TYPED values: numeric columns whose
+                # kinds differ (int vs float vs uint, e.g. DuckDB HUGEINT
+                # -> float, UBIGINT -> uint64) mismatch even when values
+                # compare equal
+                ak, bk = av.dtype.kind, bv.dtype.kind
+                if ak != bk and ak in "iuf" and bk in "iuf":
                     bad = (c, str(av.dtype), str(bv.dtype), "dtype-kind-mismatch"); break
                 if av.dtype.kind == "f" or bv.dtype.kind == "f":
                     av_ = av.astype(float); bv_ = bv.astype(float)

@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query runs [[Runs]] times: `queries` carries the FIRST (cold)
   * timing — comparable with earlier single-shot rounds — while `p50` /
-  * `p95` carry the median / max over all runs so round-over-round
+  * `max` carry the median / worst over all runs (honestly named: with
+  * 3 runs the tail statistic IS the max) so round-over-round
   * regressions are attributable against ±20% single-shot machine noise.
   * A crashing query is NOT silently folded into a timing: it lands in
   * `errors` (name + exception) and is excluded from every total. */
@@ -40,28 +41,26 @@ object Bench {
     var errors = List.empty[String]
     val timings = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val times = Iterator.continually(()).take(Runs).map { _ =>
+        val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var err: Option[String] = None
+        var i = 0
+        while (i < Runs && err.isEmpty) { // don't retry a failed query
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          try { fn(spark, sfDir).count(); ts += (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
-            Left(s"${e.getClass.getSimpleName}: " +
+            err = Some(s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(200))
           }
-        }.takeWhile(_.isRight).toVector // stop retrying a failed query
-        if (times.length < Runs || times.isEmpty) {
-          // re-run once to capture the failure message (Left ended the stream)
-          val msg = try { fn(spark, sfDir).count(); "unreproducible failure" }
-          catch { case e: Throwable =>
-            s"${e.getClass.getSimpleName}: " +
-              Option(e.getMessage).getOrElse("").take(200)
-          }
-          System.err.println(s"[bench] FAILED $name: $msg")
-          errors ::= s"$name: $msg"
-          None
-        } else {
-          val ts = times.map(_.toOption.get)
-          val sorted = ts.sorted
-          Some((name, ts.head, sorted(sorted.length / 2), sorted.last))
+          i += 1
+        }
+        err match {
+          case Some(msg) =>
+            System.err.println(s"[bench] FAILED $name: $msg")
+            errors ::= s"$name: $msg"
+            None
+          case None =>
+            val sorted = ts.toVector.sorted
+            Some((name, ts.head, sorted(sorted.length / 2), sorted.last))
         }
     }
 
@@ -72,7 +71,7 @@ object Bench {
     val p50Total = timings.map(_._3).sum
     val errJson = errors.reverse.map(e => s""""${esc(e)}"""").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$coldTotal,"unit":"sec",""" +
-      s""""queries":${obj(_._2)},"p50":${obj(_._3)},"p95":${obj(_._4)},""" +
+      s""""queries":${obj(_._2)},"p50":${obj(_._3)},"max":${obj(_._4)},""" +
       s""""p50_total":$p50Total,"runs":$Runs,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.length} queries FAILED")

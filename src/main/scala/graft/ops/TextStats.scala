@@ -147,14 +147,15 @@ object TextStats {
     * keyed on doc_id); everything else is scan-speed column math. */
   def repetitionStats(s: SparkSession, d: String): DataFrame = {
     val w = words(col("text"))
-    val base = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
+    val base = docs
       .withColumn("n_tokens", size(w))
       .withColumn("n_distinct", size(array_distinct(w)))
       .withColumn("n_2grams",
         greatest(col("n_tokens") - 1, lit(0)))
       .withColumn("n_distinct_2grams", size(shingles(col("text"), 2)))
-    val top = Tables.documents(s, d)
-      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val top = docs
+      .select(col("doc_id"), explode(w).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("top_word_count"))
     val dupWord = (col("n_tokens") - col("n_distinct")) / col("n_tokens")

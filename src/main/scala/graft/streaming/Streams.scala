@@ -121,13 +121,24 @@ object Streams {
           } else {
             var out = List.empty[SessionOut]
             var open = state.getOption
+            val gapMs = gapSeconds * 1000L
             rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
               val t = ts.getTime
               val cents = math.round(v * 100)
               open match {
-                case Some(s) if t - s.end <= gapSeconds * 1000L =>
-                  open = Some(SessionState(s.start, math.max(s.end, t),
-                    s.n + 1, s.sumCents + cents))
+                // within gap of EITHER session edge: merge, extending
+                // start backward for late (within-watermark) arrivals —
+                // matches the batch sessionize over the same data
+                case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
+                  open = Some(SessionState(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1, s.sumCents + cents))
+                // entirely before the open session: a standalone earlier
+                // session (closed eagerly — the open session's start
+                // already bounds it from the right; later sub-watermark
+                // stragglers between the two would be dropped upstream)
+                case Some(s) if t < s.start - gapMs =>
+                  out ::= toOut(uid, SessionState(t, t, 1L, cents))
+                // past the gap after the session: close it, open a new one
                 case Some(s) =>
                   out ::= toOut(uid, s)
                   open = Some(SessionState(t, t, 1L, cents))

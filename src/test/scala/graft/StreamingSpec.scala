@@ -64,7 +64,11 @@ class StreamingSpec extends AnyFunSuite {
       (1L, ts("2024-01-01 10:10:00"), 2.50),
       (2L, ts("2024-01-01 10:05:00"), 4.00))
     q.processAllAvailable()
-    // batch 2: user 1 reappears 2h later — the 30-min gap closes the
+    // batch 2: a LATE but within-watermark event (09:50 > watermark
+    // 09:10) must merge and extend the open session's START backward
+    input.addData((1L, ts("2024-01-01 09:50:00"), 1.00))
+    q.processAllAvailable()
+    // batch 3: user 1 reappears 2h later — the 30-min gap closes the
     // first session IMMEDIATELY (no watermark needed) and opens a new one
     input.addData((1L, ts("2024-01-01 12:10:00"), 8.00))
     q.processAllAvailable()
@@ -81,9 +85,10 @@ class StreamingSpec extends AnyFunSuite {
         col("session_end").cast("string"), col("n_events"),
         col("sum_value_cents"))
       .as[(Long, String, String, Long, Long)].collect().toSet
-    // user 1 session 1: closed by the gap, n=2, 125+250 cents
+    // user 1 session 1: closed by the gap; the late 09:50 event extended
+    // its start backward (n=3, 100+125+250 cents)
     assert(got.contains(
-      (1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L, 375L)), s"got $got")
+      (1L, "2024-01-01 09:50:00", "2024-01-01 10:10:00", 3L, 475L)), s"got $got")
     // user 2: closed by event-time timeout
     assert(got.contains(
       (2L, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1L, 400L)), s"got $got")
