@@ -57,6 +57,7 @@ object SparkEntry {
     "j3_customer_geo" -> (Analytics.customerGeo _),
     "j4_merge_upsert" -> (Upsert.mergeOrders _),
     "j5_merge_update" -> (Upsert.mergeUpdateOrders _),
+    "j6_asof_join" -> (graft.ops.AsOf.asofQuery _),
     "q1_pricing_summary" -> (Pricing.pricingSummary _),
     "q3_shipping_priority" -> (Pricing.shippingPriority _),
     "q5_revenue_by_nation" -> (Pricing.revenueByNation _),
@@ -376,6 +377,8 @@ object SparkEntry {
         |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY nation, region_name
         |ORDER BY revenue_e4 DESC, nation""".stripMargin,
+
+    "j6_asof_join" -> graft.ops.AsOf.asofOracle,
 
     "dd1_exact_dedup" -> Dedup.exactDedupOracle,
     "dd2_minhash_lsh" -> Dedup.minhashLshOracle,

@@ -49,6 +49,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(twice.count() == 3)
   }
 
+  test("as-of left join: latest build row at or before probe time; nulls before first build") {
+    val probe = Seq(
+      (1L, 5L, 100L),   // after builds at t=1,4 → picks t=4
+      (1L, 4L, 101L),   // equal time → inclusive match t=4
+      (1L, 0L, 102L),   // before any build → null
+      (2L, 9L, 103L)    // key 2 has one build at t=3
+    ).toDF("k", "t", "event_id")
+    val build = Seq((1L, 1L, 11L), (1L, 4L, 44L), (2L, 3L, 33L))
+      .toDF("k", "t", "o_orderkey")
+    val got = graft.ops.AsOf.asofLeft(probe, build, "o_orderkey")
+      .select("event_id", "asof_o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(100L).contains(44L))
+    assert(got(101L).contains(44L))
+    assert(got(102L).isEmpty)
+    assert(got(103L).contains(33L))
+  }
+
   test("watermark incremental drops late data but merge path catches it (T2 vs T3)") {
     val existing = Seq((1L, 10L), (2L, 20L)).toDF("k", "ts")
     val incoming = Seq((3L, 15L), (4L, 25L)).toDF("k", "ts") // 15 < max(20) = late

@@ -107,6 +107,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("as-of join is the one-shuffle union shape — no range/nested-loop join (j6)") {
+    val p = plan("j6_asof_join")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of degraded to a candidate-explosion join")
+    // one exchange for the build-side (k,t) dedup agg, one for the
+    // as-of window on k — and nothing proportional to probe×build
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "union + window should shuffle once per stage, not per candidate")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the union shape has no join operator at all")
+  }
+
   test("sessionize: both windows and the rollup share one hash exchange (w2)") {
     val p = plan("w2_sessionize")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
