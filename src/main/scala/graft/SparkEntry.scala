@@ -58,6 +58,7 @@ object SparkEntry {
     "j4_merge_upsert" -> (Upsert.mergeOrders _),
     "j5_merge_update" -> (Upsert.mergeUpdateOrders _),
     "j6_asof_join" -> (graft.ops.AsOf.asofQuery _),
+    "j7_range_join" -> (graft.ops.RangeJoin.rangeJoinQuery _),
     "q1_pricing_summary" -> (Pricing.pricingSummary _),
     "q3_shipping_priority" -> (Pricing.shippingPriority _),
     "q5_revenue_by_nation" -> (Pricing.revenueByNation _),
@@ -379,6 +380,7 @@ object SparkEntry {
         |ORDER BY revenue_e4 DESC, nation""".stripMargin,
 
     "j6_asof_join" -> graft.ops.AsOf.asofOracle,
+    "j7_range_join" -> graft.ops.RangeJoin.rangeJoinOracle,
 
     "dd1_exact_dedup" -> Dedup.exactDedupOracle,
     "dd2_minhash_lsh" -> Dedup.minhashLshOracle,

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Interval (range) join — the second classic operator Spark's equi-join
+  * planner lacks: match each point row to every interval [start, end)
+  * with the same key that covers it. A naive theta-join degenerates to
+  * a per-key nested loop; the scalable shape is TIME BUCKETIZATION:
+  *
+  *   fixed-width buckets; each interval explodes to the buckets it
+  *   overlaps (≤ ceil(len/width)+1 rows), each point maps to exactly
+  *   ONE bucket, and the join is EQUI on (key, bucket) with the exact
+  *   range predicate as a post-filter. Every (point, interval) pair
+  *   meets at most once (the point's bucket), so no dedup is needed —
+  *   one keyed shuffle, candidate count bounded by bucket co-residency,
+  *   AQE-skew-splittable. This is how warehouse engines execute
+  *   interval joins at scale when the optimizer can pick a band width.
+  */
+object RangeJoin {
+
+  /** Bucket width = the interval length (1 hour), so each interval
+    * spans at most two buckets. */
+  val BucketSeconds: Long = 3600L
+
+  /** Driver query: every 'error' event opens a 1-hour incident window
+    * [ts, ts+1h) for its user; every event of that user is matched to
+    * the windows covering it — per event the count of covering
+    * incidents and the max covering incident id (null when uncovered —
+    * left semantics). The same-table derivation keeps both engines'
+    * interval sets identical by construction. */
+  def rangeJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val B = BucketSeconds
+    val base = Tables.events(s, d).select(
+      col("event_id"), col("user_id").as("k"), col("event_type"),
+      date_trunc("second", col("ts")).cast("long").as("t_ep"))
+    val ev = base.select(col("event_id"), col("k"), col("t_ep"))
+      .withColumn("bucket", floor(col("t_ep") / B).cast("long"))
+    val iv = base.filter(col("event_type") === "error")
+      .select(col("k"), col("t_ep").as("s_ep"),
+        col("event_id").as("incident_id"))
+      .withColumn("e_ep", col("s_ep") + B) // [start, start + 1h)
+      .withColumn("bucket", explode(sequence(
+        floor(col("s_ep") / B).cast("long"),
+        floor((col("e_ep") - 1) / B).cast("long"))))
+    val m = ev.join(iv, Seq("k", "bucket"))
+      .filter(col("t_ep") >= col("s_ep") && col("t_ep") < col("e_ep"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_covering"),
+        max(col("incident_id")).as("max_incident_id"))
+    ev.select("event_id")
+      .join(m, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_covering"), lit(0L)).as("n_covering"),
+        col("max_incident_id"))
+      .orderBy("event_id")
+  }
+
+  val rangeJoinOracle: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id AS k, event_type,
+      |         date_trunc('second', ts) AS t
+      |  FROM events),
+      |iv AS (
+      |  SELECT k, t AS s, t + INTERVAL 1 HOUR AS e, event_id AS incident_id
+      |  FROM base WHERE event_type = 'error'),
+      |m AS (
+      |  SELECT b.event_id, count(*) AS n_covering,
+      |         max(iv.incident_id) AS max_incident_id
+      |  FROM base b JOIN iv ON b.k = iv.k AND b.t >= iv.s AND b.t < iv.e
+      |  GROUP BY b.event_id)
+      |SELECT b.event_id, coalesce(m.n_covering, 0) AS n_covering,
+      |       m.max_incident_id
+      |FROM base b LEFT JOIN m USING (event_id)
+      |ORDER BY b.event_id""".stripMargin
+}

@@ -119,6 +119,13 @@ class PlanSpec extends AnyFunSuite {
       "the union shape has no join operator at all")
   }
 
+  test("range join is bucketized equi — no theta/nested-loop join (j7)") {
+    val p = plan("j7_range_join")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join degraded to a candidate-explosion theta join")
+    assert(p.contains("bucket"), "time-bucket key missing from the plan")
+  }
+
   test("sessionize: both windows and the rollup share one hash exchange (w2)") {
     val p = plan("w2_sessionize")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
