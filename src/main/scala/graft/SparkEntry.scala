@@ -45,6 +45,7 @@ object SparkEntry {
     "a10_rollup_stats" -> (Analytics.rollupStats _),
     "a11_percentiles" -> (Analytics.percentileStats _),
     "a12_pivot_counts" -> (Analytics.pivotCounts _),
+    "a13_topk_per_group" -> (Analytics.topKPerPriority _),
     "a6_severity_by_nation" -> (Analytics.severityByNation _),
     "a7_type_stats" -> (Analytics.typeStats _),
     "a8_conditional_ratio" -> (Analytics.conditionalRatio _),
@@ -244,6 +245,17 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_decile ORDER BY user_decile""".stripMargin,
+
+    "a13_topk_per_group" ->
+      """SELECT priority, rank, o_orderkey, totalprice_cents FROM (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |         o_orderkey,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+        |                    o_orderkey) AS rank
+        |  FROM orders) t
+        |WHERE rank <= 5 ORDER BY priority, rank""".stripMargin,
 
     "a6_severity_by_nation" ->
       """SELECT n.n_name AS nation,

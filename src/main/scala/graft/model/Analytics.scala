@@ -293,4 +293,20 @@ object Analytics {
       .select(col("event_id"), col("event_type"), col("ts_sec").cast("string").as("ts_s"))
       .orderBy("event_id")
   }
+
+  /** Beyond-reference: exact top-k per group via the custom
+    * [[graft.expressions.TopKPairs]] TypedImperativeAggregate — each
+    * partial buffer carries at most k pairs through the shuffle (an
+    * aggregation), where the window formulation (the oracle) sorts the
+    * whole input. Deterministic (cents DESC, orderkey ASC) ranking. */
+  def topKPerPriority(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(graft.expressions.TopKPairs.topK(
+        cents(col("o_totalprice")), col("o_orderkey"), 5).as("top"))
+    agg.select(col("priority"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("priority"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("o_orderkey"), col("t.v").as("totalprice_cents"))
+      .orderBy("priority", "rank")
+  }
 }

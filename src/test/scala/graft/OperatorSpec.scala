@@ -67,6 +67,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(103L).contains(33L))
   }
 
+  test("top-k aggregate: partition-invariant, ties broken by id, k-bounded") {
+    import graft.expressions.TopKPairs
+    val data = Seq(
+      ("a", 10L, 1L), ("a", 30L, 2L), ("a", 30L, 3L), ("a", 20L, 4L),
+      ("a", 5L, 5L), ("b", 7L, 6L)).toDF("g", "v", "id")
+    def run(parts: Int) = data.repartition(parts)
+      .groupBy("g").agg(TopKPairs.topK($"v", $"id", 3).as("top"))
+      .select($"g", $"top")
+      .as[(String, Seq[(Long, Long)])].collect().toMap
+    val expected = Map(
+      "a" -> Seq((30L, 2L), (30L, 3L), (20L, 4L)), // tie 30: lower id first
+      "b" -> Seq((7L, 6L)))
+    (1 to 7 by 3).foreach { parts =>
+      assert(run(parts) == expected, s"parts=$parts")
+    }
+  }
+
   test("watermark incremental drops late data but merge path catches it (T2 vs T3)") {
     val existing = Seq((1L, 10L), (2L, 20L)).toDF("k", "ts")
     val incoming = Seq((3L, 15L), (4L, 25L)).toDF("k", "ts") // 15 < max(20) = late

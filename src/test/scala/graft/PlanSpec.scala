@@ -119,6 +119,13 @@ class PlanSpec extends AnyFunSuite {
       "the union shape has no join operator at all")
   }
 
+  test("top-k aggregate runs as partial+final object hash aggregate (a13)") {
+    val p = plan("a13_topk_per_group")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "TypedImperativeAggregate should combine map-side (partial) before the shuffle")
+    assert(!p.contains("Window"), "a13 must be the aggregation shape, not a window sort")
+  }
+
   test("range join is bucketized equi — no theta/nested-loop join (j7)") {
     val p = plan("j7_range_join")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
