@@ -63,6 +63,7 @@ object SparkEntry {
     "q1_pricing_summary" -> (Pricing.pricingSummary _),
     "q3_shipping_priority" -> (Pricing.shippingPriority _),
     "q5_revenue_by_nation" -> (Pricing.revenueByNation _),
+    "q18_large_volume" -> (Pricing.largeVolumeOrders _),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
     "dd1_exact_dedup" -> (Dedup.exactDedup _),
     "dd2_minhash_lsh" -> (Dedup.minhashLshQuery _),
@@ -393,6 +394,8 @@ object SparkEntry {
 
     "j6_asof_join" -> graft.ops.AsOf.asofOracle,
     "j7_range_join" -> graft.ops.RangeJoin.rangeJoinOracle,
+
+    "q18_large_volume" -> Pricing.largeVolumeOrdersOracle,
 
     "dd1_exact_dedup" -> Dedup.exactDedupOracle,
     "dd2_minhash_lsh" -> Dedup.minhashLshOracle,

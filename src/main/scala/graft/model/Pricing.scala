@@ -91,4 +91,43 @@ object Pricing {
       .withColumn("avg_price", col("sum_base_cents") / col("count_order") / 100.0)
       .orderBy("l_returnflag", "l_linestatus")
   }
+
+  /** TPC-H Q18 shape — large-volume customers: aggregate the big table
+    * FIRST (map-side partials into per-order quantity sums), filter with
+    * HAVING, and only then join the small surviving set to orders and
+    * the broadcast customer dim. The aggregation-before-join ordering is
+    * the point at scale: the lineitem shuffle carries one row per order,
+    * and the post-HAVING join input is tiny. */
+  def largeVolumeOrders(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+      .filter(col("sum_qty_cents") > 300 * 100)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("totalprice_cents"))
+    val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    bigOrders
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("string").as("orderdate"),
+        col("totalprice_cents"), col("sum_qty_cents"))
+      .orderBy(desc("totalprice_cents"), col("o_orderkey"))
+  }
+
+  val largeVolumeOrdersOracle: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum_qty_cents > 30000)
+      |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+      |       CAST(o.o_orderdate AS VARCHAR) AS orderdate,
+      |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+      |       b.sum_qty_cents
+      |FROM big b
+      |JOIN orders o ON b.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY totalprice_cents DESC, o.o_orderkey""".stripMargin
 }

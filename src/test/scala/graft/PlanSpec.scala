@@ -119,6 +119,13 @@ class PlanSpec extends AnyFunSuite {
       "the union shape has no join operator at all")
   }
 
+  test("q18 aggregates lineitem before joining; customer dim broadcasts") {
+    val p = plan("q18_large_volume")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+    assert(p.contains("BroadcastHashJoin"), "customer dim should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("top-k aggregate runs as partial+final object hash aggregate (a13)") {
     val p = plan("a13_topk_per_group")
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
