@@ -87,6 +87,7 @@ object SparkEntry {
     "tx8_repetition" -> (TextStats.repetitionStats _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
+    "mm3_resize" -> (Multimodal.resizeQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -419,5 +420,6 @@ object SparkEntry {
     "tx8_repetition" -> TextStats.repetitionStatsOracle,
     "mm1_binary_meta" -> Multimodal.binaryMetaOracle,
     "mm2_frame_sample" -> Multimodal.frameSampleOracle,
+    "mm3_resize" -> Multimodal.resizeOracle,
   )
 }

@@ -95,6 +95,36 @@ object Multimodal {
 
   val FrameStride = 4
 
+  /** mm3 — "resize"/downsample stage: 4:1 payload decimation (keep
+    * every 4th unit), the stand-in for image resize / audio
+    * downsampling. A real resize replaces the decimation inside the
+    * same narrow scan-speed stage (or the [[decodeStub]] mapPartitions
+    * seam for codec-backed payloads); what this query pins is the
+    * plumbing — metadata recomputation and content digest of the
+    * derived payload, no shuffle. Decimation is a regex both engines
+    * evaluate identically on the ASCII stand-ins (`(.).{0,3}` → keep
+    * first of each 4-char window). */
+  def resizeQuery(s: SparkSession, d: String): DataFrame = {
+    val thumb = regexp_replace(col("text"), "(.).{0,3}", "$1")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      length(encode(thumb, "UTF-8")).cast("long").as("thumb_bytes"),
+      sha2(thumb, 256).as("thumb_sha"))
+      .orderBy("doc_id")
+  }
+
+  val resizeOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         regexp_replace(text, '(.).{0,3}', '\1', 'g') AS thumb
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(octet_length(encode(thumb)) AS BIGINT) AS thumb_bytes,
+      |  sha256(thumb) AS thumb_sha
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val frameSampleOracle: String =
     s"""WITH f AS (
        |  SELECT doc_id, text,
