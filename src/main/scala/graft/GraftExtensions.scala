@@ -2,12 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{DotProduct, SortedIntersectSize}
+import graft.expressions.{DotProduct, Md5Hash56Pair, Md5Hash60, SortedIntersectSize, TopKPairs, WordNGrams}
 
-/** SparkSessionExtensions registration: makes the custom Catalyst
-  * expressions callable from SQL (`dot_product`, `sorted_intersect_size`)
+/** SparkSessionExtensions registration: makes every custom Catalyst
+  * expression callable from SQL (`dot_product`, `sorted_intersect_size`,
+  * `md5_hash56_pair`, `md5_hash60`, `word_ngrams`, `top_k_pairs`)
   * so the library's SQL surface matches its DataFrame surface.
   *
   * Usage:
@@ -27,9 +29,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** SQL-literal int parameter (seed / n / k positions). */
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v, IntegerType) => v.asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal, got $other")
+  }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product" -> (args => DotProduct(args(0), args(1))),
-    "sorted_intersect_size" -> (args => SortedIntersectSize(args(0), args(1))))
+    "sorted_intersect_size" -> (args => SortedIntersectSize(args(0), args(1))),
+    "md5_hash56_pair" -> (args => Md5Hash56Pair(args(0))),
+    "md5_hash60" -> (args => Md5Hash60(args(0), intArg(args(1), "md5_hash60"))),
+    "word_ngrams" -> (args => WordNGrams(args(0), intArg(args(1), "word_ngrams"))),
+    // raw aggregate function — the analyzer wraps it into an
+    // AggregateExpression at resolution
+    "top_k_pairs" -> (args =>
+      TopKPairs(args(0), args(1), intArg(args(2), "top_k_pairs"))))
 
   /** Register into an already-built session (temp functions + runtime
     * optimizer rules) — the runtime-path twin of the builder-time

@@ -24,6 +24,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getInt(1) == 2)
   }
 
+  test("md5_hash56_pair / md5_hash60 / word_ngrams / top_k_pairs callable from SQL") {
+    val r = spark.sql(
+      """SELECT md5_hash56_pair('abc').h1 AS h1,
+        |       md5_hash60('abc', 7) AS h60,
+        |       word_ngrams('a b c d', 3) AS ng""".stripMargin).collect()(0)
+    // h1 = first 14 hex chars of md5('abc') base-16
+    assert(r.getLong(0) ==
+      java.lang.Long.parseLong("900150983cd24f", 16))
+    assert(r.getLong(1) > 0)
+    assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
+    // the custom aggregate resolves and ranks from plain SQL
+    val top = spark.sql(
+      """SELECT g, top_k_pairs(v, id, 2) AS top FROM VALUES
+        |  ('x', 5L, 1L), ('x', 9L, 2L), ('x', 9L, 3L), ('y', 1L, 4L)
+        |  AS t(g, v, id)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(top(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1))) == Seq((9L, 2L), (9L, 3L)))
+    assert(top(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 4L)))
+  }
+
   test("optimizer rule rewrites self-intersection to size()") {
     // non-foldable input so ConstantFolding can't pre-empt the rule
     val df = spark.sql(
