@@ -90,6 +90,7 @@ case class TopKPairs(
   }
 
   override def serialize(buf: mutable.ArrayBuffer[(Long, Long)]): Array[Byte] = {
+    trim(buf) // never ship more than k pairs through the shuffle
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.length)

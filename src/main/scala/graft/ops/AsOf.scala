@@ -25,25 +25,46 @@ import graft.Tables
 object AsOf {
 
   /** Generic as-of left join.
-    * @param probe  (key, t, probe payload columns...)
-    * @param build  (key, t, one payload column) — MUST be unique per
-    *               (key, t); pre-aggregate if not.
-    * @param payload name of the build payload column to carry. */
-  def asofLeft(probe: DataFrame, build: DataFrame, payload: String): DataFrame = {
+    *
+    * SQL-faithful null semantics: a build row whose key or time is NULL
+    * can never match (filtered — an SQL join predicate is never true on
+    * NULL); a probe row with NULL key/time gets a NULL result; a build
+    * row whose PAYLOAD is genuinely NULL still matches and carries its
+    * NULL (the carry-forward marker is a non-null struct wrapper, not
+    * the payload itself, so data-NULL and no-match are distinct).
+    *
+    * @param probe   (keyCol, timeCol, probe payload columns...)
+    * @param build   (keyCol, timeCol, one payload column) — MUST be
+    *                unique per (key, time); pre-aggregate if not.
+    * @param payload name of the build payload column to carry; must not
+    *                collide with a probe column. */
+  def asofLeft(probe: DataFrame, build: DataFrame, payload: String,
+      keyCol: String = "k", timeCol: String = "t"): DataFrame = {
+    require(!probe.columns.contains(payload),
+      s"probe already has a column named '$payload' — rename one side")
+    // non-null marker struct wraps the (possibly null) payload
     val p = probe.withColumn("__side", lit(1))
-      .withColumn(payload, lit(null).cast(build.schema(payload).dataType))
-    // build side gets nulls for the probe-only columns, aligned order
-    val extras = probe.schema.filterNot(f => Set("k", "t").contains(f.name))
-    val b = extras.foldLeft(build.withColumn("__side", lit(0))) {
+      .withColumn("__bp",
+        lit(null).cast(s"struct<v:${build.schema(payload).dataType.sql}>"))
+    val extras = probe.schema
+      .filterNot(f => Set(keyCol, timeCol).contains(f.name))
+    val b = extras.foldLeft(
+      build
+        .filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+        .withColumn("__side", lit(0))
+        .withColumn("__bp", struct(col(payload).as("v")))
+        .drop(payload)) {
       (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(p.columns.map(col): _*)
-    val w = Window.partitionBy("k").orderBy(col("t"), col("__side"))
+    // NULL probe times sort first (asc_nulls_first), before every build
+    // row, so they carry nothing — the SQL no-match result
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     b.unionByName(p, allowMissingColumns = false)
-      .withColumn("__asof", last(col(payload), ignoreNulls = true).over(w))
+      .withColumn("__asof", last(col("__bp"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side", payload)
-      .withColumnRenamed("__asof", s"asof_$payload")
+      .withColumn(s"asof_$payload", col("__asof.v"))
+      .drop("__side", "__bp", "__asof")
   }
 
   /** Driver query: each event joined to the latest order of its key

@@ -84,6 +84,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join null semantics: NULL payload carries, NULL build key/time never matches") {
+    val probe = Seq(
+      (Some(1L), Some(10L), 100L),  // matches t=9 whose payload is NULL
+      (Some(1L), Some(5L), 101L),   // matches t=1 payload 11
+      (Some(2L), Some(9L), 102L),   // its only build has NULL time → no match
+      (None: Option[Long], Some(9L), 103L) // NULL probe key → no match
+    ).toDF("k", "t", "event_id")
+    val build = Seq(
+      (Some(1L), Some(1L), Some(11L)),
+      (Some(1L), Some(9L), None: Option[Long]),   // genuine NULL payload
+      (Some(2L), None: Option[Long], Some(22L)),  // NULL time: never matches
+      (None: Option[Long], Some(1L), Some(33L))   // NULL key: never matches
+    ).toDF("k", "t", "o_orderkey")
+    val got = graft.ops.AsOf.asofLeft(probe, build, "o_orderkey")
+      .select("event_id", "asof_o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(100L).isEmpty, "NULL build payload must carry as NULL (matched)")
+    assert(got(101L).contains(11L))
+    assert(got(102L).isEmpty)
+    assert(got(103L).isEmpty)
+    // and the matched-with-NULL case is distinguishable from no-match
+    // only through SQL semantics — both are NULL, as in an ASOF join
+  }
+
   test("watermark incremental drops late data but merge path catches it (T2 vs T3)") {
     val existing = Seq((1L, 10L), (2L, 20L)).toDF("k", "ts")
     val incoming = Seq((3L, 15L), (4L, 25L)).toDF("k", "ts") // 15 < max(20) = late

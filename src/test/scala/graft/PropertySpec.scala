@@ -85,4 +85,38 @@ class PropertySpec extends AnyFunSuite {
       ws.foreach { case (s, e) => assert(count(s, e) <= 20000) }
     }
   }
+
+  test("top-k aggregate equals the sort-based reference on random data (any partitioning)") {
+    import graft.expressions.TopKPairs
+    val rows = List.fill(300)((
+      s"g${rnd.nextInt(5)}", rnd.nextInt(20).toLong, rnd.nextLong().abs))
+    val k = 4
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sortBy { case (v, id) => (-v, id) }.take(k)
+    }
+    Seq(1, 3, 13).foreach { parts =>
+      val got = rows.toDF("g", "v", "id").repartition(parts)
+        .groupBy("g").agg(TopKPairs.topK($"v", $"id", k).as("top"))
+        .as[(String, Seq[(Long, Long)])].collect().toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("as-of join equals the per-row latest-at-or-before reference on random data") {
+    val probes = List.fill(150)((rnd.nextInt(6).toLong, rnd.nextInt(100).toLong))
+      .zipWithIndex.map { case ((key, t), i) => (key, t, i.toLong) }
+    val builds = List.fill(60)((rnd.nextInt(6).toLong, rnd.nextInt(100).toLong))
+      .groupBy(identity).map { case ((key, t), _) =>
+        (key, t, rnd.nextLong().abs) }.toList // unique per (k, t)
+    val expected = probes.map { case (key, t, id) =>
+      id -> builds.filter(b => b._1 == key && b._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    val got = graft.ops.AsOf.asofLeft(
+        probes.toDF("k", "t", "event_id"),
+        builds.toDF("k", "t", "o_orderkey"), "o_orderkey")
+      .select("event_id", "asof_o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == expected)
+  }
 }
