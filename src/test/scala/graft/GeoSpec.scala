@@ -140,6 +140,29 @@ class GeoSpec extends AnyFunSuite {
     assert(got(3L).contains("Holey"))
   }
 
+  test("spatialFirstMatch scales to a Natural-Earth-sized dim (258 polygons) without codegen failure") {
+    // 258 branches, each with a bbox gate + ray-cast UDF over a ring
+    // literal: deep CASE chains must split/fall back cleanly
+    val entries = (0 until 258).map { i =>
+      val lon0 = (i % 36) * 10.0 - 180.0
+      val lat0 = (i / 36) * 10.0 - 40.0
+      ("c%03d".format(i), s"r${i % 7}", Seq(Seq(
+        Seq(lon0, lat0), Seq(lon0 + 9.0, lat0), Seq(lon0 + 9.0, lat0 + 9.0),
+        Seq(lon0, lat0 + 9.0), Seq(lon0, lat0))))
+    }
+    val world = Geo.worldDim(spark, entries)
+    val pts = Seq(
+      (1L, -175.5, -35.5),  // cell (0,0) → c000
+      (2L, 144.5, 28.5),    // i = 6*36 + 32 = 248 → c248
+      (3L, -175.5, 45.0)    // above all lat bands → null
+    ).toDF("id", "lon", "lat")
+    val got = Geo.spatialJoin(pts, world, "lon", "lat")
+      .select("id", "country").as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("c000"))
+    assert(got(2L).contains("c248"))
+    assert(got(3L).isEmpty)
+  }
+
   test("enrich composite: spatial first, regex fallback fills the rest (add_region.py:50-61)") {
     val world = Geo.worldDim(spark, Seq(("Alpha", "R1", square)))
     val ev = Seq(
