@@ -85,6 +85,7 @@ object SparkEntry {
     "tx6_vocabulary" -> (TextStats.vocabulary _),
     "tx7_corpus_filter" -> (TextStats.corpusFilter _),
     "tx8_repetition" -> (TextStats.repetitionStats _),
+    "tx9_decontamination" -> (TextStats.decontamination _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
     "mm3_resize" -> (Multimodal.resizeQuery _),
@@ -418,6 +419,7 @@ object SparkEntry {
     "tx6_vocabulary" -> TextStats.vocabularyOracle,
     "tx7_corpus_filter" -> TextStats.corpusFilterOracle,
     "tx8_repetition" -> TextStats.repetitionStatsOracle,
+    "tx9_decontamination" -> TextStats.decontaminationOracle,
     "mm1_binary_meta" -> Multimodal.binaryMetaOracle,
     "mm2_frame_sample" -> Multimodal.frameSampleOracle,
     "mm3_resize" -> Multimodal.resizeOracle,

@@ -222,6 +222,66 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — the dataset-hygiene step every serious
+    * training pipeline runs (n-gram collision between training docs and
+    * a held-out/eval set): a train doc is CONTAMINATED when it shares
+    * ≥1 distinct 3-gram shingle with any test doc. Linear and keyed at
+    * 100 TB: one explode to hashed shingles, a distinct over the (much
+    * smaller) test side, a shuffle join on the shingle hash, one count
+    * per train doc. Splits come from the same stable-id hash bucket as
+    * [[trainTestSplit]], so the check is reproducible. */
+  def decontamination(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Functions.md5Hash60
+    val bucket = pmod(md5Hash60(col("doc_id").cast("string"), 7), lit(100L))
+    val docs = Tables.documents(s, d)
+      .withColumn("split", when(bucket < 90, "train").otherwise("test"))
+    val flat = docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("split"),
+        explode(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), col("split"), md5Hash60(col("sh"), 0).as("h"))
+    val testShingles = flat.filter(col("split") === "test")
+      .select("h").distinct()
+    val shared = flat.filter(col("split") === "train")
+      .join(testShingles, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_shingles"))
+    docs.filter(col("split") === "train").select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
+        (coalesce(col("n_shared_shingles"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminationOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |  CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+      |    generate_series(1, len(ws) - 2),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |  ELSE [] END AS sh FROM w),
+      |sp AS (SELECT doc_id,
+      |  CASE WHEN ('0x' || substr(md5('7' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+      |       THEN 'train' ELSE 'test' END AS split
+      |  FROM documents),
+      |flat AS (
+      |  SELECT doc_id, split,
+      |         ('0x' || substr(md5('0' || ':' || u), 1, 15))::BIGINT AS h
+      |  FROM (SELECT s.doc_id, sp.split, unnest(s.sh) AS u
+      |        FROM s JOIN sp USING (doc_id))),
+      |ts AS (SELECT DISTINCT h FROM flat WHERE split = 'test'),
+      |shared AS (
+      |  SELECT f.doc_id, count(*) AS n_shared_shingles
+      |  FROM flat f JOIN ts ON f.h = ts.h
+      |  WHERE f.split = 'train' GROUP BY f.doc_id)
+      |SELECT sp.doc_id,
+      |       coalesce(sh2.n_shared_shingles, 0) AS n_shared_shingles,
+      |       coalesce(sh2.n_shared_shingles, 0) > 0 AS contaminated
+      |FROM sp LEFT JOIN shared sh2 USING (doc_id)
+      |WHERE sp.split = 'train' ORDER BY sp.doc_id""".stripMargin
+
   /** Vocabulary building: term frequencies + document frequencies over
     * the corpus — explode + one aggregation, the shape that feeds
     * tokenizer training at 100 TB. */
