@@ -5,13 +5,19 @@ import org.apache.spark.sql.SparkSession
   * JSON line. A short warmup (scan + aggregate) runs first so the first
   * timed query doesn't absorb JVM/codegen/session initialization.
   *
-  * Each query runs [[Runs]] times: `queries` carries the FIRST (cold)
-  * timing — comparable with earlier single-shot rounds — while `p50` /
-  * `max` carry the median / worst over all runs (honestly named: with
-  * 3 runs the tail statistic IS the max) so round-over-round
-  * regressions are attributable against ±20% single-shot machine noise.
-  * A crashing query is NOT silently folded into a timing: it lands in
-  * `errors` (name + exception) and is excluded from every total. */
+  * Each query runs [[Runs]] times. The headline `queries` map carries the
+  * MEDIAN (p50) per-query seconds — the round-comparable statistic — and
+  * sits at the END of the line so a tail-truncating capture still keeps
+  * it; `cold` (first run) and `max` (worst run) maps ride earlier in the
+  * same line. A crashing query is NOT silently folded into a timing: it
+  * lands in `errors` (name + exception) and is excluded from every total.
+  *
+  * Isolation: every cached/checkpointed block is released between runs
+  * ([[graft.ops.Materialize.releaseAll]]) — the LSH-family queries
+  * materialize shingle/band tables that would otherwise accumulate
+  * across 60 queries × [[Runs]] runs until storage eviction + GC churn
+  * pollute *neighboring* queries' timings (the round-2 dd2 23.5 s /
+  * tx4 7 s outliers). */
 object Bench {
   val Runs = 3
 
@@ -51,6 +57,9 @@ object Bench {
             err = Some(s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(200))
           }
+          // outside the timed region: drop this run's materialized
+          // blocks so no query's residency leaks into another's timing
+          graft.ops.Materialize.releaseAll(spark)
           i += 1
         }
         err match {
@@ -64,15 +73,21 @@ object Bench {
         }
     }
 
+    def r3(x: Double): String = f"$x%.3f"
     def obj(pick: ((String, Double, Double, Double)) => Double): String =
-      timings.map(t => s""""${esc(t._1)}":${pick(t)}""").mkString("{", ",", "}")
+      timings.map(t => s""""${esc(t._1)}":${r3(pick(t))}""").mkString("{", ",", "}")
 
     val coldTotal = timings.map(_._2).sum
     val p50Total = timings.map(_._3).sum
+    val maxTotal = timings.map(_._4).sum
     val errJson = errors.reverse.map(e => s""""${esc(e)}"""").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec",""" +
-      s""""queries":${obj(_._2)},"p50":${obj(_._3)},"max":${obj(_._4)},""" +
-      s""""p50_total":$p50Total,"runs":$Runs,"errors":$errJson,"sf":"$sfDir"}""")
+    // queries = per-query p50 (the round-comparable statistic), LAST in
+    // the line so tail-truncating capture keeps it; cold/max earlier
+    println(s"""{"metric":"p50_total","value":${r3(p50Total)},"unit":"sec",""" +
+      s""""cold":${obj(_._2)},"max":${obj(_._4)},""" +
+      s""""cold_total":${r3(coldTotal)},"max_total":${r3(maxTotal)},""" +
+      s""""p50_total":${r3(p50Total)},"runs":$Runs,"errors":$errJson,""" +
+      s""""stat":"p50","queries":${obj(_._3)},"sf":"$sfDir"}""")
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.length} queries FAILED")
       spark.stop()

@@ -59,6 +59,7 @@ object SparkEntry {
     "j4_merge_upsert" -> (Upsert.mergeOrders _),
     "j5_merge_update" -> (Upsert.mergeUpdateOrders _),
     "j6_asof_join" -> (graft.ops.AsOf.asofQuery _),
+    "j6b_asof_bucketed" -> (graft.ops.AsOf.asofBucketedQuery _),
     "j7_range_join" -> (graft.ops.RangeJoin.rangeJoinQuery _),
     "q1_pricing_summary" -> (Pricing.pricingSummary _),
     "q3_shipping_priority" -> (Pricing.shippingPriority _),
@@ -66,16 +67,16 @@ object SparkEntry {
     "q18_large_volume" -> (Pricing.largeVolumeOrders _),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
     "dd1_exact_dedup" -> (Dedup.exactDedup _),
-    "dd2_minhash_lsh" -> (Dedup.minhashLshQuery _),
+    "dd2_minhash_lsh" -> ((s, d) => Dedup.minhashLshQuery(s, d)),
     "dd3_simhash" -> (Dedup.simhashQuery _),
-    "dd4_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
-    "dd5_embedding_neardup" -> (Dedup.embeddingNearDup _),
+    "dd4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dd5_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dd6_neardup_filter" -> (Dedup.nearDupFilter _),
     "dd7_dedup_clusters" -> (Dedup.dedupClusters _),
     "dd8_semantic_clusters" -> (Dedup.semanticClusters _),
     "sim1_brute_topk" -> (Similarity.bruteTopK _),
     "sim2_lsh_topk" -> (Similarity.lshTopK _),
-    "sim3_ivf_topk" -> (Similarity.ivfTopK _),
+    "sim3_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim4_knn_graph" -> (Similarity.knnGraph _),
     "tx1_lang_id" -> (TextStats.langIdQuery _),
     "tx2_quality_score" -> (TextStats.qualityScore _),
@@ -395,6 +396,7 @@ object SparkEntry {
         |ORDER BY revenue_e4 DESC, nation""".stripMargin,
 
     "j6_asof_join" -> graft.ops.AsOf.asofOracle,
+    "j6b_asof_bucketed" -> graft.ops.AsOf.asofOracle,
     "j7_range_join" -> graft.ops.RangeJoin.rangeJoinOracle,
 
     "q18_large_volume" -> Pricing.largeVolumeOrdersOracle,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,7 +16,15 @@ import graft.Tables
   *   build payload forward with last(payload, ignoreNulls) over a
   *   (time, side)-ordered running window — probe rows then hold exactly
   *   the as-of match. O(n log n) per key partition, a single exchange
-  *   (PlanSpec-gated), no candidate blowup, AQE-skew-splittable.
+  *   (PlanSpec-gated), no candidate blowup.
+  *
+  * Skew caveat: the carry window partitions by KEY, and AQE's skew
+  * splitting applies to join partitions, not window partitions — a hot
+  * key places ALL of its rows in one task's sort. [[asofLeftBucketed]]
+  * is the skew-safe variant: it sub-partitions the window by a time
+  * bucket (parallelism = keys × buckets) and carries payloads across
+  * bucket boundaries with a second, bucket-granular pass whose per-key
+  * row count is the bucket count, not the data size.
   *
   * Tie rules, identical in the DuckDB oracle (native ASOF LEFT JOIN):
   * build rows are pre-deduped to one per (key, time) by max surrogate;
@@ -67,6 +75,86 @@ object AsOf {
       .drop("__side", "__bp", "__asof")
   }
 
+  /** Skew-safe as-of left join: identical semantics to [[asofLeft]],
+    * bounded task sizes under hot keys.
+    *
+    * Two phases:
+    *   1. WITHIN-bucket carry — the union-window trick with the window
+    *      partitioned by (key, bucket): a hot key's rows spread over
+    *      its time buckets, so the largest sort task holds one bucket
+    *      of one key, not the whole key.
+    *   2. CROSS-bucket carry-in — the last build payload of each
+    *      (key, bucket) is as-of-carried along the BUCKET axis (probe
+    *      buckets deduplicated first), then joined back on
+    *      (key, bucket). The per-key window here sees one row per
+    *      bucket — bounded by time-range/width, independent of row
+    *      count — and a probe bucket takes carry-in only from STRICTLY
+    *      earlier buckets (same-bucket builds later than the probe must
+    *      not leak in; same-bucket builds ≤ probe are phase 1's job).
+    *
+    * Result per probe row: phase-1 match if present, else phase-2
+    * carry-in, else no match — exactly [[asofLeft]]'s semantics,
+    * including the NULL rules (verified row-identical in OpsSpec on
+    * skewed and null-bearing fixtures, and oracle-checked as j6b).
+    *
+    * @param bucketOf maps the time column to a long bucket id;
+    *                 monotone non-decreasing in time (e.g. epoch-day). */
+  def asofLeftBucketed(probe: DataFrame, build: DataFrame, payload: String,
+      keyCol: String = "k", timeCol: String = "t")(
+      bucketOf: Column => Column): DataFrame = {
+    require(!probe.columns.contains(payload),
+      s"probe already has a column named '$payload' — rename one side")
+    val pTyped = s"struct<v:${build.schema(payload).dataType.sql}>"
+    // phase 1: union-window carry within (key, bucket); probe rows sort
+    // after build rows at equal time (inclusive ≤ match)
+    val p = probe.withColumn("__side", lit(1))
+      .withColumn("__bp", lit(null).cast(pTyped))
+      .withColumn("__bkt", bucketOf(col(timeCol)))
+    val extras = probe.schema
+      .filterNot(f => Set(keyCol, timeCol).contains(f.name))
+    val b = extras.foldLeft(
+      build
+        .filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+        .withColumn("__side", lit(0))
+        .withColumn("__bp", struct(col(payload).as("v")))
+        .drop(payload)) {
+      (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.withColumn("__bkt", bucketOf(col(timeCol)))
+      .select(p.columns.map(col): _*)
+    val w1 = Window.partitionBy(keyCol, "__bkt")
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = b.unionByName(p)
+      .withColumn("__within", last(col("__bp"), ignoreNulls = true).over(w1))
+      .filter(col("__side") === 1)
+    // phase 2: one row per (key, bucket) — the bucket's LAST build
+    // payload — carried along the bucket axis to probe buckets. Probe
+    // bucket rows sort BEFORE build rows of the same bucket (side -1)
+    // so carry-in comes only from strictly earlier buckets.
+    val wLast = Window.partitionBy(keyCol, "__bkt")
+      .orderBy(desc(timeCol))
+    val lastInBucket = b
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__bkt"), col("__bp"), lit(0).as("__cside"))
+    val probeBuckets = p.select(col(keyCol), col("__bkt")).distinct()
+      .withColumn("__bp", lit(null).cast(pTyped))
+      .withColumn("__cside", lit(-1))
+    val w2 = Window.partitionBy(keyCol)
+      .orderBy(col("__bkt"), col("__cside"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = lastInBucket.unionByName(probeBuckets)
+      .withColumn("__carry", last(col("__bp"), ignoreNulls = true).over(w2))
+      .filter(col("__cside") === -1)
+      .select(col(keyCol).as("__ck"), col("__bkt").as("__cb"), col("__carry"))
+    within
+      .join(carry,
+        col(keyCol) <=> col("__ck") && col("__bkt") <=> col("__cb"), "left")
+      .withColumn(s"asof_$payload",
+        coalesce(col("__within"), col("__carry")).getField("v"))
+      .drop("__side", "__bp", "__bkt", "__within", "__ck", "__cb", "__carry")
+  }
+
   /** Driver query: each event joined to the latest order of its key
     * (user_id and o_custkey folded into a shared 150-key domain) with
     * order date ≤ event time. */
@@ -80,6 +168,26 @@ object AsOf {
         col("o_orderkey"))
       .groupBy("k", "t").agg(max("o_orderkey").as("o_orderkey"))
     asofLeft(ev, ord, "o_orderkey")
+      .select(col("event_id"), col("k"), col("t").cast("string").as("t_s"),
+        col("asof_o_orderkey"))
+      .orderBy("event_id")
+  }
+
+  /** j6b — the same as-of semantics through the skew-safe bucketed
+    * path (epoch-day buckets), against the same native-ASOF oracle:
+    * the equivalence of the two implementations is an oracle-gated
+    * fact, not a claim. */
+  def asofBucketedQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      (col("user_id") % 150).as("k"),
+      date_trunc("second", col("ts")).as("t"),
+      col("event_id"))
+    val ord = Tables.orders(s, d)
+      .select((col("o_custkey") % 150).as("k"), col("o_orderdate").as("t"),
+        col("o_orderkey"))
+      .groupBy("k", "t").agg(max("o_orderkey").as("o_orderkey"))
+    asofLeftBucketed(ev, ord, "o_orderkey")(
+      t => floor(unix_timestamp(t) / 86400L).cast("long"))
       .select(col("event_id"), col("k"), col("t").cast("string").as("t_s"),
         col("asof_o_orderkey"))
       .orderBy("event_id")

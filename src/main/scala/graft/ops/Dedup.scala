@@ -68,18 +68,21 @@ object Dedup {
     * `threshold` on the same shingle sets. Returns
     * (doc_a, doc_b, i_size, u_size, jaccard).
     *
-    * Lifecycle note: this call eagerly materializes the hashed-shingle
-    * checkpoint and the cached band table (two Spark jobs up front) and
-    * leaves both resident — correct for the run-once driver
-    * Verify/Bench shape; a long-lived service should persist the
-    * signature table to storage and manage its lifetime explicitly
-    * instead of calling this per request. */
+    * Lifecycle: the hashed-shingle table and the band table are
+    * materialized through [[Materialize]] — [[Materialize.Local]]
+    * (default) for the run-once driver Verify/Bench shape, with blocks
+    * released by the harness between queries;
+    * [[Materialize.Storage]] for the fault-tolerant warehouse lifecycle
+    * where the shingle/signature tables persist to storage and survive
+    * executor loss. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
     // ONE eager materialization of all per-shingle hashing; signatures,
     // bands, sizes, and verification all derive from it with cheap
     // re-aggregations instead of re-hashing
-    val flat = hashedShingleTable(docs, idCol, textCol).localCheckpoint(true)
+    val flat = Materialize(
+      hashedShingleTable(docs, idCol, textCol), mode, "minhash_shingles")
     val sigs = signaturesFromFlat(flat, idCol)
     // single-pass unpivot to (id, band, sig) — one struct array exploded,
     // instead of NumBands unioned re-aggregations
@@ -87,13 +90,13 @@ object Dedup {
       val sigCols = (0 until BandRows).map(r => col(s"mh${b * BandRows + r}"))
       struct(lit(b).as("band"), concat_ws(",", sigCols: _*).as("sig"))
     }: _*)
-    // cache + count: the self-join reads bands twice, and re-deriving the
+    // materialized: the self-join reads bands twice, and re-deriving the
     // signature aggregation per side costs two extra shuffle stages
-    val bands = sigs
-      .select(col(idCol), explode(bandStructs).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .cache()
-    bands.count()
+    val bands = Materialize(
+      sigs
+        .select(col(idCol), explode(bandStructs).as("bs"))
+        .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig")),
+      mode, "minhash_bands")
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -135,8 +138,9 @@ object Dedup {
           array_sort(transform(shingles(col(textCol), 3),
             s => md5Hash60(s, 0))).as("hs"): _*)
 
-  def minhashLshQuery(s: SparkSession, d: String): DataFrame =
-    minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 0.1)
+  def minhashLshQuery(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame =
+    minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 0.1, mode)
 
   /** Near-dup REMOVAL (detect → apply): a document is dropped when a
     * lower-id near-duplicate exists (it appears as doc_b of some
@@ -156,11 +160,13 @@ object Dedup {
     * O(n²)-per-block baseline the LSH path approximates. The per-pair
     * cost is a codegen'd sorted-merge intersection over hashed shingles,
     * so the block self-join dominates, not the set math. */
-  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  def ngramJaccardPairs(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
     // materialize the hashed-shingle arrays once (the array-lambda md5
     // hashing is interpreted — paying it per join side doubles the cost)
-    val hs = hashedShingles(Tables.documents(s, d), "doc_id", "text", Seq("lang"))
-      .localCheckpoint(true)
+    val hs = Materialize(
+      hashedShingles(Tables.documents(s, d), "doc_id", "text", Seq("lang")),
+      mode, "jaccard_shingles")
     // the O(n²)-per-block compute is inherent to the exact baseline; the
     // data movement must not be: a broadcast of the full shingle table
     // caps the operator at executor memory long before the n² compute
@@ -202,14 +208,16 @@ object Dedup {
     * materialization: the changed flag is a column of the checkpointed
     * round output, read back by a scan-only aggregate — no extra join,
     * no plan re-execution. */
-  def labelPropagation(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  def labelPropagation(edges: DataFrame, maxIters: Int = 20,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    val sym = edges.select(c("u"), c("v"))
-      .unionByName(edges.select(c("v").as("u"), c("u").as("v")))
-      .localCheckpoint(true)
-    var labels = sym.select(c("u").as("id")).distinct()
-      .withColumn("lbl", c("id"))
-      .localCheckpoint(true)
+    val sym = Materialize(
+      edges.select(c("u"), c("v"))
+        .unionByName(edges.select(c("v").as("u"), c("u").as("v"))),
+      mode, "cc_edges")
+    var labels = Materialize(
+      sym.select(c("u").as("id")).distinct().withColumn("lbl", c("id")),
+      mode, "cc_round_0")
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -225,9 +233,10 @@ object Dedup {
       // within it and can only shrink toward the component min)
       val ptr = labels.select(c("id").as("lbl1"), c("lbl").as("plbl"))
       val jumped = least(c("lbl1"), coalesce(c("plbl"), c("lbl1")))
-      val next = stepped.join(ptr, Seq("lbl1"), "left")
-        .select(c("id"), jumped.as("lbl"), (jumped =!= c("old")).as("chg"))
-        .localCheckpoint(true)
+      val next = Materialize(
+        stepped.join(ptr, Seq("lbl1"), "left")
+          .select(c("id"), jumped.as("lbl"), (jumped =!= c("old")).as("chg")),
+        mode, s"cc_round_${i + 1}")
       val changed = next
         .agg(coalesce(max(c("chg")), lit(false)).as("changed"))
         .head().getBoolean(0)
@@ -324,11 +333,13 @@ object Dedup {
     * collides in no band table is missed); the oracle mirrors the same
     * blocking, and dot products fold left-to-right over double-cast
     * vectors, matching DuckDB's list_dot_product evaluation. */
-  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", Similarity.dot(col("v"), col("v")))
-      .localCheckpoint(true)
+  def embeddingNearDup(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val e = Materialize(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", Similarity.dot(col("v"), col("v"))),
+      mode, "emb_norm")
     val bandStructs = array((0 until EmbBands).map { t =>
       struct(lit(t).as("t"),
         Similarity.bandBucketCol(col("v"), t, EmbBandPlanes).as("bkt"))

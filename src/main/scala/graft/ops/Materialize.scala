@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Materialization seam for iterative/multi-read pipelines (MinHash
+  * shingle tables, LSH band tables, label-propagation rounds, IVF
+  * quantized vectors).
+  *
+  * Two lifecycles, chosen per call site by the [[Mode]] parameter:
+  *
+  *   - [[Local]] — `localCheckpoint(eager)`: executor-memory blocks,
+  *     lineage truncated. Fastest, and correct for a run-once driver
+  *     program (Verify/Bench), but NOT fault-tolerant: losing an
+  *     executor loses blocks that cannot be recomputed. Single-JVM
+  *     local mode has no executor to lose, so tests/bench default here.
+  *   - [[Storage]] — write parquet to a directory, read it back: the
+  *     100-TB lifecycle. The intermediate survives executor loss, is
+  *     shared across jobs/sessions, and its lifetime is managed
+  *     explicitly (the caller owns the directory). This is what a
+  *     production near-dup pipeline does with the hashed-shingle /
+  *     signature tables between stages.
+  *
+  * Both modes yield a frame whose downstream plan reads a scan, not the
+  * original lineage — self-joins against it do NOT recompute the
+  * upstream (the property every caller here needs).
+  */
+object Materialize {
+
+  sealed trait Mode
+
+  /** Executor-local checkpoint; blocks released by [[releaseAll]]. */
+  case object Local extends Mode
+
+  /** Durable parquet persistence under `dir`; each materialization
+    * lands in `dir/<name>`. Caller owns cleanup of the directory. */
+  final case class Storage(dir: String) extends Mode
+
+  def apply(df: DataFrame, mode: Mode, name: String): DataFrame = mode match {
+    case Local =>
+      df.localCheckpoint(true)
+    case Storage(dir) =>
+      val path = s"$dir/$name"
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+  }
+
+  /** Drop every cached/checkpointed block this session holds: the
+    * explicit end-of-query lifecycle for [[Local]] materializations.
+    *
+    * Without this, a harness that runs many LSH-family queries (each
+    * materializing shingle/band tables) accumulates storage blocks
+    * until eviction + GC churn distort *neighboring* queries' timings —
+    * the blocks are only reclaimed when the ContextCleaner notices the
+    * RDDs are unreachable, which needs a driver GC that a large heap
+    * may not run for minutes. Bench/Verify call this between queries.
+    *
+    * Safe only once results are fully consumed: unpersisting a
+    * locally-checkpointed RDD discards data its truncated lineage
+    * cannot recompute. */
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+}

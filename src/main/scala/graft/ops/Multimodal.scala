@@ -10,12 +10,15 @@ import graft.Tables
   *
   * The Spark-side structure is real — binary columns, per-partition
   * batch decode via mapPartitions over a typed Dataset, deterministic
-  * frame sampling — while the actual codec is STUBBED with a
-  * deterministic fake (this container has no image/audio libraries).
-  * Swapping [[decodeStub]] for a real decoder changes no plan shape:
-  * the stage stays a narrow per-partition map, which is the property
-  * that matters at 100 TB (decode parallelism == input splits, no
-  * shuffle, memory bounded by batch size not partition size).
+  * frame sampling. The decoder is pluggable at the seam:
+  * [[decodeImage]] is a REAL pure-JVM image decode (javax.imageio —
+  * PNG/BMP/GIF/JPEG, no native libs) and [[decodeStub]] the
+  * deterministic fallback for payloads that aren't decodable media
+  * (this container ships no audio/video codecs). Swapping decoders
+  * changes no plan shape: the stage stays a narrow per-partition map,
+  * which is the property that matters at 100 TB (decode parallelism ==
+  * input splits, no shuffle, memory bounded by batch size not
+  * partition size).
   */
 object Multimodal {
 
@@ -34,10 +37,48 @@ object Multimodal {
     MediaFeatures(m.doc_id, m.n_bytes, frames.length, checksum, feats)
   }
 
+  /** REAL image decode via javax.imageio (pure JVM, in-container):
+    * returns width, height, and mean intensity per RGB channel as the
+    * feature vector — the canonical image-featurization shape (decode →
+    * per-channel statistics). `n_frames` is 1 for a still image;
+    * checksum is over the *encoded* payload so storage-level identity
+    * survives the decode. Returns None when ImageIO has no codec for
+    * the bytes (caller falls back to [[decodeStub]]). */
+  def decodeImage(m: Media): Option[MediaFeatures] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload)))
+      catch { case _: java.io.IOException => None }
+    img.map { bi =>
+      var r = 0L; var g = 0L; var b = 0L
+      var y = 0
+      while (y < bi.getHeight) {
+        var x = 0
+        while (x < bi.getWidth) {
+          val p = bi.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = bi.getWidth.toLong * bi.getHeight
+      val checksum = m.payload.foldLeft(0L)((acc, byte) => acc * 31 + (byte & 0xff))
+      MediaFeatures(m.doc_id, m.n_bytes, 1, checksum,
+        Array(bi.getWidth.toFloat, bi.getHeight.toFloat,
+          r.toFloat / n, g.toFloat / n, b.toFloat / n))
+    }
+  }
+
+  /** Image decode when the payload is decodable media, stub features
+    * otherwise — total over any byte payload. */
+  def decodeAuto(m: Media): MediaFeatures =
+    decodeImage(m).getOrElse(decodeStub(m))
+
   /** Decode stage: per-partition batch map over the typed Dataset. */
-  def decodeAll(media: Dataset[Media]): Dataset[MediaFeatures] = {
+  def decodeAll(media: Dataset[Media],
+      decoder: Media => MediaFeatures = decodeAuto): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(decoder))
   }
 
   /** Documents rendered as a media table: payload = utf-8 bytes (the

@@ -230,12 +230,14 @@ object Similarity {
     * table is written partitioned/bucketed by `cell`, so a probe
     * touches nprobe/ncells of the data; training is a handful of
     * broadcast-out/aggregate-back rounds, the MLlib k-means shape. */
-  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+  def ivfTopK(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
     val e = embDouble(s, d)
-    val qt = e.select(col("vec_id"), quantizeCol(col("v")).as("qv"))
-      .withColumn("qvd", col("qv").cast("array<double>"))
-      .withColumn("a2", dot(col("qvd"), col("qvd")))
-      .localCheckpoint(true)
+    val qt = Materialize(
+      e.select(col("vec_id"), quantizeCol(col("v")).as("qv"))
+        .withColumn("qvd", col("qv").cast("array<double>"))
+        .withColumn("a2", dot(col("qvd"), col("qvd"))),
+      mode, "ivf_quantized")
     var cents: Seq[Centroid] = qt.filter(col("vec_id") < IvfCells)
       .select(col("vec_id"), col("qv")).collect()
       .map(r => Centroid(r.getLong(0).toInt,

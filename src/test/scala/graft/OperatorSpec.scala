@@ -108,6 +108,31 @@ class OperatorSpec extends AnyFunSuite {
     // only through SQL semantics — both are NULL, as in an ASOF join
   }
 
+  test("bucketed as-of: same NULL semantics and inclusive-≤ rule as the plain variant") {
+    val probe = Seq(
+      (Some(1L), Some(10L), 100L),  // matches t=9 (NULL payload) via cross-bucket carry at width 2
+      (Some(1L), Some(5L), 101L),   // matches t=1 payload 11 from an earlier bucket
+      (Some(2L), Some(9L), 102L),   // its only build has NULL time → no match
+      (None: Option[Long], Some(9L), 103L), // NULL probe key → no match
+      (Some(1L), None: Option[Long], 104L)  // NULL probe time → no match
+    ).toDF("k", "t", "event_id")
+    val build = Seq(
+      (Some(1L), Some(1L), Some(11L)),
+      (Some(1L), Some(9L), None: Option[Long]),
+      (Some(2L), None: Option[Long], Some(22L)),
+      (None: Option[Long], Some(1L), Some(33L))
+    ).toDF("k", "t", "o_orderkey")
+    val got = graft.ops.AsOf.asofLeftBucketed(probe, build, "o_orderkey")(
+        t => floor(t / 2.0).cast("long"))
+      .select("event_id", "asof_o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(100L).isEmpty, "NULL payload must carry as NULL across buckets")
+    assert(got(101L).contains(11L))
+    assert(got(102L).isEmpty)
+    assert(got(103L).isEmpty)
+    assert(got(104L).isEmpty)
+  }
+
   test("watermark incremental drops late data but merge path catches it (T2 vs T3)") {
     val existing = Seq((1L, 10L), (2L, 20L)).toDF("k", "ts")
     val incoming = Seq((3L, 15L), (4L, 25L)).toDF("k", "ts") // 15 < max(20) = late

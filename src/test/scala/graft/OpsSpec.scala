@@ -132,6 +132,83 @@ class OpsSpec extends AnyFunSuite {
     feats.foreach(f => assert(feats2(f.doc_id) == f.checksum))
   }
 
+  test("multimodal REAL decode: javax.imageio PNG/BMP through the same seam, stub fallback for non-media") {
+    import java.awt.image.BufferedImage
+    // synthesize images with known pixel statistics
+    def png(w: Int, h: Int, rgb: Int, format: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, bos), s"no $format codec")
+      bos.toByteArray
+    }
+    val red16 = png(16, 8, 0xff0000, "png")   // 16×8 solid red PNG
+    val gray4 = png(4, 4, 0x808080, "bmp")    // 4×4 mid-gray BMP
+    val text = "not an image at all".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.Media(1L, red16, red16.length),
+      Multimodal.Media(2L, gray4, gray4.length),
+      Multimodal.Media(3L, text, text.length))
+    val ds = spark.createDataset(media)(
+      org.apache.spark.sql.Encoders.product[Multimodal.Media]).repartition(2)
+    val got = Multimodal.decodeAll(ds).collect().map(f => f.doc_id -> f).toMap
+    // PNG: real decode — width/height and exact channel means
+    assert(got(1L).features.toSeq == Seq(16f, 8f, 255f, 0f, 0f))
+    assert(got(1L).n_frames == 1)
+    // BMP: second codec, gray means on all channels
+    assert(got(2L).features.toSeq == Seq(4f, 4f, 128f, 128f, 128f))
+    // non-media payload: falls back to the deterministic stub
+    val stub = Multimodal.decodeStub(media(2))
+    assert(got(3L).features.toSeq == stub.features.toSeq)
+    assert(got(3L).n_frames == stub.n_frames)
+  }
+
+  test("sign-LSH recall ≥ 0.9 on planted near-dup clusters (the regime the family is built for)") {
+    // The sf fixture embeddings are near-random (true neighbors at ~70°),
+    // which is sign-LSH's information-theoretic floor — documented at
+    // Similarity.lshTopK. This fixture PLANTS near-dup pairs at the
+    // cos ≥ 0.95 regime real embedding corpora put duplicates in, and
+    // measures recall of both blocking schemes actually shipped:
+    //   - sim2/sim4's single 8-plane table with Hamming-1 multi-probe
+    //   - dd5/dd8's banded family (4 tables × 4 planes, any-table collide)
+    val rnd = new scala.util.Random(7)
+    val dim = Similarity.Dim
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val planted = (0 until 80).map { i =>
+      val base = unit(Array.fill(dim)(rnd.nextGaussian()))
+      // small perturbation: per-component σ=0.015 → noise norm ≈ 0.12
+      // over 64 dims → cos ≈ 0.993; keep only genuinely near pairs
+      val dup = unit(base.map(_ + 0.015 * rnd.nextGaussian()))
+      val cos = base.zip(dup).map { case (a, b) => a * b }.sum
+      (2L * i, base, 2L * i + 1, dup, cos)
+    }.filter(_._5 >= 0.95)
+    assert(planted.size >= 70, "fixture must retain most planted pairs")
+    val rows = planted.flatMap(p => Seq((p._1, p._2.toSeq), (p._3, p._4.toSeq)))
+    val df = rows.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val bands = (0 until Dedup.EmbBands).map(t =>
+      Similarity.bandBucketCol(col("v"), t, Dedup.EmbBandPlanes).as(s"band$t"))
+    val buckets = df.select(
+        (col("vec_id") +: Similarity.bucketCol(col("v")).as("bucket") +: bands): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1),
+        (0 until Dedup.EmbBands).map(t => r.getInt(2 + t))))
+      .toMap
+    val multiProbeHits = planted.count { p =>
+      Integer.bitCount(buckets(p._1)._1 ^ buckets(p._3)._1) <= 1
+    }
+    val bandedHits = planted.count { p =>
+      buckets(p._1)._2.zip(buckets(p._3)._2).exists { case (a, b) => a == b }
+    }
+    val n = planted.size.toDouble
+    assert(multiProbeHits / n >= 0.9,
+      s"multi-probe recall ${multiProbeHits / n} on ${planted.size} planted pairs")
+    assert(bandedHits / n >= 0.9,
+      s"banded recall ${bandedHits / n} on ${planted.size} planted pairs")
+  }
+
   test("approx_count_distinct tracks exact distinct within tolerance (HLL for 100TB cardinalities)") {
     val docs = Tables.documents(spark, sf)
     val toks = docs.select(explode(TextStats.words(col("text"))).as("w"))

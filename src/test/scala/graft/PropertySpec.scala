@@ -119,4 +119,33 @@ class PropertySpec extends AnyFunSuite {
       .as[(Long, Option[Long])].collect().toMap
     assert(got == expected)
   }
+
+  test("bucketed as-of equals plain as-of under heavy key skew (one key = 50% of rows)") {
+    // half the probes (and a third of the builds) land on key 0 — the
+    // hot-key regime where the plain union-window puts every key-0 row
+    // into one task; the bucketed variant must return identical rows
+    // while sub-partitioning by the time bucket
+    val probes = (0 until 400).map { i =>
+      val key = if (i % 2 == 0) 0L else 1L + rnd.nextInt(5).toLong
+      (key, rnd.nextInt(1000).toLong, i.toLong)
+    }
+    val builds = List.fill(90)((
+        if (rnd.nextInt(3) == 0) 0L else 1L + rnd.nextInt(5).toLong,
+        rnd.nextInt(1000).toLong))
+      .distinct.map { case (key, t) => (key, t, rnd.nextLong().abs) }
+    val probeDf = probes.toDF("k", "t", "event_id")
+    val buildDf = builds.toDF("k", "t", "o_orderkey")
+    val plain = graft.ops.AsOf.asofLeft(probeDf, buildDf, "o_orderkey")
+      .select("event_id", "asof_o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    // width 64 → ~16 buckets: both within-bucket matches and
+    // cross-bucket carry-in paths are exercised at every key
+    Seq(64L, 7L, 5000L).foreach { width =>
+      val bucketed = graft.ops.AsOf.asofLeftBucketed(
+          probeDf, buildDf, "o_orderkey")(t => floor(t / width.toDouble).cast("long"))
+        .select("event_id", "asof_o_orderkey")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(bucketed == plain, s"width=$width")
+    }
+  }
 }
