@@ -220,6 +220,40 @@ object Similarity {
     }.toSeq.sortBy(_.cid)
   }
 
+  /** Cell assignment for a quantized-vector frame (columns qvd, a2)
+    * against a trained centroid set — the probe-side building block. */
+  def assignCells(qt: DataFrame, cents: Seq[Centroid]): DataFrame =
+    qt.withColumn("cell", cellCol(cents))
+
+  /** SAMPLE-trained centroids — the envelope past the exact-in-double
+    * bound. Full-corpus training keeps every centroid component sum an
+    * exact long only up to ~60k vectors/cell at Dim 64 / Q 256 (|s| ≤
+    * 256·n, s² must stay ≤ 2^53); past that, train on a deterministic
+    * sample — which is what production IVF does anyway (k-means on the
+    * corpus is wasteful; cell geometry converges from a sample).
+    *
+    * Sampling is a stable modulus on the id (vec_id % stride == 0), not
+    * random(): reproducible across runs, retries, and partitionings,
+    * and stride is derived from one count() so the sample lands under
+    * `trainCap`. Seeds are the sample's first [[IvfCells]] vectors by
+    * id. Assignment of the FULL corpus against the sampled centroids
+    * stays the same exact expression ([[assignCells]]). */
+  def trainedCentroidsSampled(qt: DataFrame, idCol: String,
+      trainCap: Long): Seq[Centroid] = {
+    val n = qt.count()
+    val stride = math.max(1L, (n + trainCap - 1) / trainCap)
+    val train = qt.filter(pmod(col(idCol), lit(stride)) === 0)
+    var cents: Seq[Centroid] = train
+      .orderBy(col(idCol)).limit(IvfCells)
+      .select(col(idCol), col("qv")).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        Centroid(i, r.getAs[collection.Seq[Long]](1).toArray, 1L) }
+      .toSeq
+    for (_ <- 1 to IvfIters) cents = lloydRound(train, cents)
+    cents
+  }
+
   /** IVF top-k with TRAINED centroids: deterministic Lloyd's k-means
     * ([[IvfIters]] rounds, seeded from the first [[IvfCells]] vectors)
     * over vectors quantized to integers, so centroid sums are exact and

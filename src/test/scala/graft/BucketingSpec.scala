@@ -51,6 +51,40 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN probe over bucket-partitioned embeddings scans ONE bucket's files (bucket pruning)") {
+    // the Similarity scaladoc's "at cluster scale you'd write the table
+    // bucketed-by(bucket) so probes touch one partition" as a gated
+    // fact: write embeddings bucketed by the sign-LSH bucket id, probe
+    // one bucket, and assert the scan's SelectedBucketsCount is 1
+    import graft.ops.Similarity
+    val t = "emb_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+    if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    val Buckets = 16
+    Tables.embeddings(spark, GraftSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.bucketCol(col("v")))
+      .write.mode("overwrite").bucketBy(Buckets, "bucket")
+      .saveAsTable(t)
+    // the planner's auto-bucketed-scan heuristic turns bucketed reads
+    // OFF when no join/aggregate benefits — bucket PRUNING on a filter
+    // is exactly the ANN-probe benefit it can't see, so pin it on
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(k, "true")
+    spark.conf.set(k, "false")
+    try {
+      val probe = spark.table(t).filter(col("bucket") === 37)
+      probe.collect()
+      val scan = probe.queryExecution.executedPlan.toString
+      assert(scan.contains(s"SelectedBucketsCount: 1 out of $Buckets"),
+        s"probe scan did not prune to one bucket:\n${scan.take(2000)}")
+    } finally {
+      spark.conf.set(k, prev)
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
   test("observe() accounts for clean-stage row drops (S17, Spark-native)") {
     import org.apache.spark.sql.Observation
     val obsIn = Observation("in")

@@ -209,6 +209,38 @@ class OpsSpec extends AnyFunSuite {
       s"banded recall ${bandedHits / n} on ${planted.size} planted pairs")
   }
 
+  test("IVF sample training past the exact-in-double envelope: dominant cell > 60k vectors, sums stay bounded") {
+    // full-corpus IVF training keeps centroid sums exact-in-double only
+    // up to ~60k vectors/cell; a clustered corpus puts ~70k vectors in
+    // ONE cell — the regime where sampled training is mandatory. The
+    // deterministic-stride sample bounds every component sum at 256·cap
+    // regardless of corpus size, while the full corpus still assigns
+    // against the sampled centroids with the same exact expression.
+    val n = 700000L
+    // 700k quantized vectors over ≤ IvfCells(10) cells → ≥ 70k
+    // vectors/cell, past the ~60k full-training exactness bound
+    val qt = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until 8).map(j =>
+          pmod(hash(col("id"), lit(j)), lit(256)).cast("long")): _*)
+          .as("qv"))
+      .withColumn("qvd", col("qv").cast("array<double>"))
+      .withColumn("a2", graft.expressions.DotProduct.dot(col("qvd"), col("qvd")))
+    val cap = 8192L
+    val c1 = Similarity.trainedCentroidsSampled(qt, "vec_id", cap)
+    val c2 = Similarity.trainedCentroidsSampled(qt, "vec_id", cap)
+    assert(c1.map(c => (c.cid, c.n, c.s.toSeq)) ==
+      c2.map(c => (c.cid, c.n, c.s.toSeq)), "sampled training must be deterministic")
+    assert(c1.map(_.n).sum <= cap, "training must touch only the sample")
+    // every component sum bounded by 256·cap ≪ 2^26.5 → s² ≪ 2^53: exact
+    c1.foreach(c => c.s.foreach(x => assert(math.abs(x) <= 256L * cap)))
+    // full-corpus assignment against sampled centroids partitions all rows
+    val cells = Similarity.assignCells(qt, c1)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(cells.sum == n)
+    assert(cells.max > 60000L,
+      s"fixture must exceed the 60k/cell envelope, got max ${cells.max}")
+  }
+
   test("approx_count_distinct tracks exact distinct within tolerance (HLL for 100TB cardinalities)") {
     val docs = Tables.documents(spark, sf)
     val toks = docs.select(explode(TextStats.words(col("text"))).as("w"))

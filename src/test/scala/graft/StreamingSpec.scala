@@ -115,6 +115,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(m == Map(1L -> "seed", 2L -> "new", 3L -> "new"))
   }
 
+  test("batch equivalence: streamed windowedStats over the events fixture == one-shot batch aggregation (t4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the full sf0.001 events table, values integerized to cents so the
+    // stream-state sums and the batch-aggregate sums are EXACTLY equal
+    // (raw double sums could drift ulps between accumulation orders)
+    val fixture = Tables.events(spark, GraftSpark.sf)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(date_trunc("second", col("ts")).as("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .sortBy(_._1.getTime) // replay in event-time order: nothing late
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val agg = Streams.windowedStats(
+      input.toDF().toDF("ts", "event_type", "cents"),
+      "ts", "event_type", "cents", watermark = "1 hour", window_ = "1 day")
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("equiv_t4").start()
+    // several micro-batches, then a far-future sentinel that pushes the
+    // watermark past every real window so append mode emits them all
+    fixture.grouped(3000).foreach { chunk =>
+      input.addData(chunk); q.processAllAvailable()
+    }
+    val sentinel = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    input.addData((sentinel, "sentinel", 0L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("equiv_t4")
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("win.start").cast("string").as("w"), col("event_type"),
+        col("n"), col("sum_value"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val batch = fixture.toSeq.toDF("ts", "event_type", "cents")
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_value"))
+      .select(col("win.start").cast("string").as("w"), col("event_type"),
+        col("n"), col("sum_value"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch diverge: onlyStream=${(streamed -- batch).take(5)} " +
+        s"onlyBatch=${(batch -- streamed).take(5)}")
+  }
+
+  test("batch equivalence: chunked foreachBatch merge over the orders fixture == one-shot merge (j4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // j4's exact shape on real data: target = pre-2000 orders, incoming
+    // = big orders, replayed to the sink in several micro-batches
+    val target0 = Tables.orders(spark, GraftSpark.sf)
+      .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+      .select(col("o_orderkey").as("k"), lit("existing").as("src"))
+    val incoming = Tables.orders(spark, GraftSpark.sf)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey").as("k"), lit("inserted").as("src"))
+      .as[(Long, String)].collect()
+    var target = target0
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("k", "src").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(Streams.mergeEachBatch(() => target, b => target = b, Seq("k")))
+      .start()
+    incoming.grouped(500).foreach { chunk =>
+      input.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = target.as[(Long, String)].collect().toSet
+    val batch = graft.merge.Upsert
+      .antiJoinUpsert(target0, incoming.toSeq.toDF("k", "src"), Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch merge diverge: onlyStream=${(streamed -- batch).take(5)} " +
+        s"onlyBatch=${(batch -- streamed).take(5)}")
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
