@@ -35,6 +35,7 @@ object SparkEntry {
     "u1_union_all" -> (Fact.unionAll _),
     "w1_window_dedup" -> (Analytics.windowDedup _),
     "w2_sessionize" -> (Analytics.sessionize _),
+    "w3_retention_cohorts" -> (Analytics.retentionCohorts _),
     "t4_tumbling_windows" -> (Analytics.tumblingWindows _),
     "a1_watermark_incremental" -> (Analytics.watermarkIncremental _),
     "a2_stats_nation_region_decade" -> (Analytics.statsByNationRegionDecade _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "dd6_neardup_filter" -> (Dedup.nearDupFilter _),
     "dd7_dedup_clusters" -> (Dedup.dedupClusters _),
     "dd8_semantic_clusters" -> (Dedup.semanticClusters _),
+    "dd9_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "sim1_brute_topk" -> (Similarity.bruteTopK _),
     "sim2_lsh_topk" -> (Similarity.lshTopK _),
     "sim3_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -397,6 +399,18 @@ object SparkEntry {
 
     "j6_asof_join" -> graft.ops.AsOf.asofOracle,
     "j6b_asof_bucketed" -> graft.ops.AsOf.asofOracle,
+    "w3_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT user_id, min(w) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
+        |       CAST(e.w AS VARCHAR) AS activity_week,
+        |       CAST(datediff('day', c.cohort_week, e.w) / 7 AS BIGINT) AS weeks_since,
+        |       count(DISTINCT e.user_id) AS active_users
+        |FROM ev e JOIN c USING (user_id)
+        |GROUP BY c.cohort_week, e.w
+        |ORDER BY cohort_week, activity_week""".stripMargin,
     "j7_range_join" -> graft.ops.RangeJoin.rangeJoinOracle,
 
     "q18_large_volume" -> Pricing.largeVolumeOrdersOracle,
@@ -409,6 +423,7 @@ object SparkEntry {
     "dd6_neardup_filter" -> Dedup.nearDupFilterOracle,
     "dd7_dedup_clusters" -> Dedup.dedupClustersOracle,
     "dd8_semantic_clusters" -> Dedup.semanticClustersOracle,
+    "dd9_simhash_pairs" -> Dedup.simhashPairsOracle,
     "sim1_brute_topk" -> Similarity.bruteTopKOracle,
     "sim2_lsh_topk" -> Similarity.lshTopKOracle,
     "sim3_ivf_topk" -> Similarity.ivfTopKOracle,

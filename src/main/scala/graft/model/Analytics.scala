@@ -280,6 +280,35 @@ object Analytics {
       .orderBy("user_id", "session_no")
   }
 
+  /** Beyond-reference: retention cohort analysis (w3) — users bucketed
+    * by first-seen week, activity counted per (cohort, week): the
+    * standard product/training-corpus freshness rollup. Scale shape:
+    * one shuffle keyed on user_id derives the per-user cohort, a
+    * user-keyed join attaches it (both sides already hash-partitioned
+    * on user_id — AQE plans the shuffle-hash join), and a second
+    * aggregation on (cohort, week) rolls up; the (cohort × week)
+    * output is tiny regardless of event count. Week starts (Monday,
+    * same in both engines) emit as DATE strings, distinct-user counts
+    * as BIGINT, for oracle parity. */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("w")).as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .groupBy("cohort_week", "w")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .select(
+        col("cohort_week").cast("string").as("cohort_week"),
+        col("w").cast("string").as("activity_week"),
+        // both dates are Monday-aligned: the day diff is an exact
+        // multiple of 7 in both engines
+        (datediff(col("w"), col("cohort_week")) / 7).cast("long")
+          .as("weeks_since"),
+        col("active_users"))
+      .orderBy("cohort_week", "activity_week")
+  }
+
   /** A1/T2 — high-watermark incremental filter
     * (reference stg_earthquake.sql:9-16): keep rows newer than the max
     * timestamp of the already-loaded subset. Second-truncated on both

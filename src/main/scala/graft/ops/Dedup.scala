@@ -318,6 +318,61 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
   }
 
+  /** SimHash banding: 4 bands × 8 bits over the 32-bit signature. By
+    * pigeonhole, a pair within Hamming distance ≤ [[SimHashRadius]] (3)
+    * leaves at least one band untouched, so banded candidate generation
+    * has EXACT recall at that radius — unlike MinHash banding's
+    * probabilistic recall. */
+  val SimHashBands = 4
+  val SimHashRadius = 3
+
+  /** dd9 — SimHash near-dup PAIRS within Hamming ≤ [[SimHashRadius]]:
+    * the signature-level dedup detector (cheap 64-bit-sig screening vs
+    * dd2's shingle-verified Jaccard). Candidates shuffle on the
+    * (band, band-value) key — sum-of-squared-bucket-sizes work, no
+    * all-pairs scan — then one codegen'd bit_count(xor) verifies. The
+    * signature table is materialized once through [[Materialize]]; the
+    * band self-join reads the scan, not the token aggregation twice. */
+  def simhashPairs(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val sigs = Materialize(simhashQuery(s, d), mode, "simhash_sigs")
+    val bandStructs = array((0 until SimHashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(0xFF).as("bv"))
+    }: _*)
+    val banded = sigs
+      .select(col("doc_id"), col("simhash"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.bv").as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= SimHashRadius)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  lazy val simhashPairsOracle: String =
+    s"""WITH sigs AS (
+       |$simhashOracle
+       |),
+       |banded AS (
+       |  SELECT doc_id, simhash, b.b AS band,
+       |         (simhash >> (8 * b.b)) & 255 AS bv
+       |  FROM sigs, (SELECT unnest(generate_series(0, ${SimHashBands - 1})) AS b) b),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.simhash AS sig_a, y.simhash AS sig_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $SimHashRadius
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Banded sign-LSH family for embedding blocking: EmbBands short
     * tables of EmbBandPlanes planes each. A near pair is a candidate
     * when it collides in ANY table (MinHash-banding shape), so recall
