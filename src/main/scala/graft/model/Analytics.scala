@@ -78,6 +78,10 @@ object Analytics {
     * layer — lag() over the yearly aggregate. One extra window over an
     * already-tiny aggregate: free at any scale. */
   def yearlyStatsWithDelta(s: SparkSession, d: String): DataFrame = {
+    // GLOBAL window (no partitionBy) — single-task BY DESIGN: the input
+    // is the years-count-sized aggregate of yearlyStats, never raw
+    // rows. Don't reuse this shape on an unaggregated frame; partition
+    // the window or pre-aggregate first.
     val w = Window.orderBy("event_year")
     yearlyStats(s, d)
       .withColumn("prev_frequency", lag(col("event_frequency"), 1).over(w))

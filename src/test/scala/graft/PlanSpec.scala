@@ -100,6 +100,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dd9 simhash pair join is keyed on (band, value) — no cartesian or nested loop") {
+    val p = plan("dd9_simhash_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "dd9 degraded to an all-pairs join over the signatures")
+  }
+
+  test("w3 retention: keyed joins only, partial+final aggregation") {
+    val p = plan("w3_retention_cohorts")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+  }
+
+  test("bucketed as-of: equi/null-safe joins only — no nested loop despite the <=> keys (j6b)") {
+    val p = plan("j6b_asof_bucketed")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the null-safe carry join must plan as a hash join, not a nested loop")
+  }
+
   test("s3 geojson flatten is a single narrow pass (no shuffle before the output sort)") {
     val p = plan("s3_geojson_flatten")
     assert(!p.contains("Exchange hashpartitioning"),
