@@ -36,6 +36,8 @@ object SparkEntry {
     "w1_window_dedup" -> (Analytics.windowDedup _),
     "w2_sessionize" -> (Analytics.sessionize _),
     "w3_retention_cohorts" -> (Analytics.retentionCohorts _),
+    "w4_moving_avg" -> (Analytics.movingAvg _),
+    "tx10_normalize" -> (TextStats.normalizeQuery _),
     "t4_tumbling_windows" -> (Analytics.tumblingWindows _),
     "a1_watermark_incremental" -> (Analytics.watermarkIncremental _),
     "a2_stats_nation_region_decade" -> (Analytics.statsByNationRegionDecade _),
@@ -437,6 +439,18 @@ object SparkEntry {
     "tx7_corpus_filter" -> TextStats.corpusFilterOracle,
     "tx8_repetition" -> TextStats.repetitionStatsOracle,
     "tx9_decontamination" -> TextStats.decontaminationOracle,
+    "tx10_normalize" -> TextStats.normalizeOracle,
+    "w4_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY day)
+        |SELECT CAST(day AS VARCHAR) AS day, n,
+        |  CAST(sum(n) OVER w AS BIGINT) AS sum_7d,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_days_7d,
+        |  CAST(sum(n) OVER w AS BIGINT) / CAST(count(*) OVER w AS BIGINT) AS avg_7d
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     "mm1_binary_meta" -> Multimodal.binaryMetaOracle,
     "mm2_frame_sample" -> Multimodal.frameSampleOracle,
     "mm3_resize" -> Multimodal.resizeOracle,

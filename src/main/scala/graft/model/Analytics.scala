@@ -313,6 +313,28 @@ object Analytics {
       .orderBy("cohort_week", "activity_week")
   }
 
+  /** Beyond-reference: trailing 7-day moving average of daily event
+    * volume (w4) — the sliding window FRAME class (rowsBetween), which
+    * the other window operators (lag, row_number, running sum) don't
+    * exercise. Sum and count ride the same frame; the average is ONE
+    * double division of exact integers (oracle-parity rule). The
+    * window is global-but-tiny by design: it runs over the
+    * days-count-sized daily aggregate, never raw events. */
+  def movingAvg(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("sum_7d", sum(col("n")).over(w))
+      .withColumn("n_days_7d", count(lit(1)).over(w))
+      .withColumn("avg_7d", col("sum_7d") / col("n_days_7d"))
+      .select(col("day").cast("string").as("day"), col("n"),
+        col("sum_7d"), col("n_days_7d"), col("avg_7d"))
+      .orderBy("day")
+  }
+
   /** A1/T2 — high-watermark incremental filter
     * (reference stg_earthquake.sql:9-16): keep rows newer than the max
     * timestamp of the already-loaded subset. Second-truncated on both

@@ -351,4 +351,30 @@ object TextStats {
       |         string_split_regex(trim(text), '\s+'))), ' ')) AS fp,
       |       min(doc_id) AS canonical_id, count(*) AS n_docs
       |FROM documents GROUP BY fp ORDER BY fp""".stripMargin
+
+  /** tx10 — canonical text-normalization stage (the step every dedup
+    * pipeline runs BEFORE shingling): lowercase → Unicode NFC
+    * composition (custom codegen [[graft.expressions.NfcNormalize]] —
+    * Spark has no builtin) → whitespace collapse → trim. Pure
+    * scan-speed column math; emitted as digest + length so the oracle
+    * verifies the whole chain without shipping full texts. Unicode
+    * behavior (composed == decomposed input) is pinned in
+    * FunctionsSpec; the oracle pins cross-engine chain parity. */
+  def normalizeQuery(s: SparkSession, d: String): DataFrame = {
+    val normalized = trim(regexp_replace(
+      graft.expressions.NfcNormalize.nfc(lower(col("text"))), "\\s+", " "))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      sha2(normalized, 256).as("norm_sha"),
+      length(normalized).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+  }
+
+  val normalizeOracle: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |         trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g')) AS t
+      |  FROM documents)
+      |SELECT doc_id, sha256(t) AS norm_sha, CAST(length(t) AS BIGINT) AS norm_len
+      |FROM n ORDER BY doc_id""".stripMargin
 }

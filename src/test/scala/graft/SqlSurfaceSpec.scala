@@ -24,6 +24,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getInt(1) == 2)
   }
 
+  test("nfc_normalize: SQL-callable; unifies composed and decomposed unicode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val composed = "caf\u00e9"           // e-acute as one codepoint
+    val decomposed = "cafe\u0301"        // e + combining acute
+    assert(composed != decomposed, "fixture must start out different")
+    val r = Seq((composed, decomposed)).toDF("a", "b")
+      .select(expr("nfc_normalize(a)").as("na"),
+        graft.expressions.NfcNormalize.nfc(col("b")).as("nb"))
+      .as[(String, String)].head()
+    assert(r._1 == r._2, "NFC must unify composed and decomposed forms")
+    assert(r._1 == composed && r._1.length == 4)
+  }
+
   test("md5_hash56_pair / md5_hash60 / word_ngrams / top_k_pairs callable from SQL") {
     val r = spark.sql(
       """SELECT md5_hash56_pair('abc').h1 AS h1,
