@@ -74,6 +74,70 @@ object Multimodal {
   def decodeAuto(m: Media): MediaFeatures =
     decodeImage(m).getOrElse(decodeStub(m))
 
+  /** mm4 — perceptual hash (aHash) of a decoded image: average-hash
+    * over an 8×8 luminance downsample — each cell's bit is 1 iff its
+    * mean luminance exceeds the global mean. The standard cheap
+    * image-dedup signature: CODEC-INVARIANT (the same pixels encoded
+    * as PNG and BMP hash identically, unlike a byte digest), stable
+    * under small brightness-preserving noise, and joinable exactly —
+    * downstream image dedup is a plain groupBy on the hash, the dd1
+    * shape over a perceptual key. Returns None for non-media payloads.
+    *
+    * Area-mean downsample (every source pixel counted once per its
+    * cell) rather than point sampling, so the hash is deterministic
+    * under any traversal order and insensitive to dimension rounding. */
+  def aHash(m: Media): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload)))
+      catch { case _: java.io.IOException => None }
+    img.filter(bi => bi.getWidth >= 8 && bi.getHeight >= 8).map { bi =>
+      val sums = Array.ofDim[Long](64)
+      val counts = Array.ofDim[Long](64)
+      var y = 0
+      while (y < bi.getHeight) {
+        val cy = math.min(7, y * 8 / bi.getHeight)
+        var x = 0
+        while (x < bi.getWidth) {
+          val cx = math.min(7, x * 8 / bi.getWidth)
+          val p = bi.getRGB(x, y)
+          // integer ITU-R 601 luma: exact, engine-independent
+          val luma = 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+            114 * (p & 0xff)
+          sums(cy * 8 + cx) += luma
+          counts(cy * 8 + cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      // compare cell means against the global mean in exact cross-
+      // multiplied form (no double division → no ties by ulp); BigInt
+      // because sum×count products overflow Long past ~4k×4k images,
+      // and 64 comparisons per image are free next to the decode
+      var totalSum = 0L; var totalCnt = 0L
+      var i = 0
+      while (i < 64) { totalSum += sums(i); totalCnt += counts(i); i += 1 }
+      var h = 0L
+      i = 0
+      while (i < 64) {
+        if (BigInt(sums(i)) * totalCnt > BigInt(totalSum) * counts(i))
+          h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+  }
+
+  case class MediaHash(doc_id: Long, ahash: Long)
+
+  /** Perceptual-hash stage: narrow per-partition map (decode + aHash),
+    * the input to hash-equality image dedup. Rows without decodable
+    * ≥8×8 media are dropped (no perceptual identity to assert). */
+  def aHashAll(media: Dataset[Media]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(m => aHash(m).map(MediaHash(m.doc_id, _))))
+  }
+
   /** Decode stage: per-partition batch map over the typed Dataset. */
   def decodeAll(media: Dataset[Media],
       decoder: Media => MediaFeatures = decodeAuto): Dataset[MediaFeatures] = {

@@ -163,6 +163,45 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L).n_frames == stub.n_frames)
   }
 
+  test("aHash: codec-invariant perceptual hash — same pixels via PNG and BMP collide, distinct images don't") {
+    import java.awt.image.BufferedImage
+    val rnd = new scala.util.Random(11)
+    def img(seed: Int, w: Int, h: Int): BufferedImage = {
+      val r = new scala.util.Random(seed)
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      // blocky random pattern: structure at aHash's 8×8 granularity
+      val blocks = Array.fill(8, 8)(r.nextInt(0xffffff))
+      for (y <- 0 until h; x <- 0 until w)
+        bi.setRGB(x, y, blocks(math.min(7, y * 8 / h))(math.min(7, x * 8 / w)))
+      bi
+    }
+    def enc(bi: BufferedImage, format: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, format, bos), s"no $format codec")
+      bos.toByteArray
+    }
+    def media(id: Long, b: Array[Byte]) = Multimodal.Media(id, b, b.length)
+    // 20 distinct images; each encoded as PNG and (different bytes!) BMP
+    val images = (0 until 20).map(i => img(seed = 100 + i, 40 + i, 32 + i))
+    val rows = images.zipWithIndex.flatMap { case (bi, i) =>
+      val png = enc(bi, "png"); val bmp = enc(bi, "bmp")
+      assert(!java.util.Arrays.equals(png, bmp))
+      Seq(media(2L * i, png), media(2L * i + 1, bmp))
+    } :+ media(999L, "definitely not an image".getBytes("UTF-8"))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.Media]).repartition(3)
+    val got = Multimodal.aHashAll(ds).collect().map(h => h.doc_id -> h.ahash).toMap
+    assert(!got.contains(999L), "non-media rows must drop out")
+    assert(got.size == 40)
+    // codec invariance: PNG and BMP encodings of the same pixels collide
+    (0 until 20).foreach(i => assert(got(2L * i) == got(2L * i + 1), s"img $i"))
+    // discrimination: the 20 distinct images yield 20 distinct hashes
+    assert((0 until 20).map(i => got(2L * i)).distinct.size == 20)
+    // dedup composition: groupBy(ahash) collapses exactly the codec pairs
+    val dedup = Multimodal.aHashAll(ds).groupBy("ahash").count().collect()
+    assert(dedup.length == 20 && dedup.forall(_.getLong(1) == 2))
+  }
+
   test("sign-LSH recall ≥ 0.9 on planted near-dup clusters (the regime the family is built for)") {
     // The sf fixture embeddings are near-random (true neighbors at ~70°),
     // which is sign-LSH's information-theoretic floor — documented at
