@@ -73,7 +73,10 @@ object Bench {
         }
     }
 
-    def r3(x: Double): String = f"$x%.3f"
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
+    // emit 26,123 and corrupt the machine-parsed JSON line
+    def r3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     def obj(pick: ((String, Double, Double, Double)) => Double): String =
       timings.map(t => s""""${esc(t._1)}":${r3(pick(t))}""").mkString("{", ",", "}")
 

@@ -46,11 +46,17 @@ object AsOf {
     *                unique per (key, time); pre-aggregate if not.
     * @param payload name of the build payload column to carry; must not
     *                collide with a probe column. */
-  def asofLeft(probe: DataFrame, build: DataFrame, payload: String,
-      keyCol: String = "k", timeCol: String = "t"): DataFrame = {
+  /** Shared union-prep for both as-of variants — THE null-semantics
+    * contract lives here once: tag sides (probe 1 / build 0), wrap the
+    * (possibly null) build payload in a non-null marker struct, drop
+    * build rows with NULL key/time (a join predicate is never true on
+    * NULL), null-fill the probe-only columns on the build side, and
+    * realign columns for the union. */
+  private def prepUnionSides(probe: DataFrame, build: DataFrame,
+      payload: String, keyCol: String, timeCol: String)
+      : (DataFrame, DataFrame) = {
     require(!probe.columns.contains(payload),
       s"probe already has a column named '$payload' — rename one side")
-    // non-null marker struct wraps the (possibly null) payload
     val p = probe.withColumn("__side", lit(1))
       .withColumn("__bp",
         lit(null).cast(s"struct<v:${build.schema(payload).dataType.sql}>"))
@@ -64,6 +70,12 @@ object AsOf {
         .drop(payload)) {
       (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(p.columns.map(col): _*)
+    (p, b)
+  }
+
+  def asofLeft(probe: DataFrame, build: DataFrame, payload: String,
+      keyCol: String = "k", timeCol: String = "t"): DataFrame = {
+    val (p, b) = prepUnionSides(probe, build, payload, keyCol, timeCol)
     // NULL probe times sort first (asc_nulls_first), before every build
     // row, so they carry nothing — the SQL no-match result
     val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col("__side"))
@@ -102,25 +114,12 @@ object AsOf {
   def asofLeftBucketed(probe: DataFrame, build: DataFrame, payload: String,
       keyCol: String = "k", timeCol: String = "t")(
       bucketOf: Column => Column): DataFrame = {
-    require(!probe.columns.contains(payload),
-      s"probe already has a column named '$payload' — rename one side")
     val pTyped = s"struct<v:${build.schema(payload).dataType.sql}>"
     // phase 1: union-window carry within (key, bucket); probe rows sort
     // after build rows at equal time (inclusive ≤ match)
-    val p = probe.withColumn("__side", lit(1))
-      .withColumn("__bp", lit(null).cast(pTyped))
-      .withColumn("__bkt", bucketOf(col(timeCol)))
-    val extras = probe.schema
-      .filterNot(f => Set(keyCol, timeCol).contains(f.name))
-    val b = extras.foldLeft(
-      build
-        .filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
-        .withColumn("__side", lit(0))
-        .withColumn("__bp", struct(col(payload).as("v")))
-        .drop(payload)) {
-      (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType))
-    }.withColumn("__bkt", bucketOf(col(timeCol)))
-      .select(p.columns.map(col): _*)
+    val (p0, b0) = prepUnionSides(probe, build, payload, keyCol, timeCol)
+    val p = p0.withColumn("__bkt", bucketOf(col(timeCol)))
+    val b = b0.withColumn("__bkt", bucketOf(col(timeCol)))
     val w1 = Window.partitionBy(keyCol, "__bkt")
       .orderBy(col(timeCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

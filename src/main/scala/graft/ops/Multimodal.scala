@@ -22,9 +22,28 @@ import graft.Tables
   */
 object Multimodal {
 
+  // per-JVM (driver AND each executor touching this object): without
+  // this, ImageIO.read(InputStream) spools every payload through a
+  // temp FILE in java.io.tmpdir — per-row disk I/O in the decode stage
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class Media(doc_id: Long, payload: Array[Byte], n_bytes: Int)
   case class MediaFeatures(doc_id: Long, n_bytes: Int, n_frames: Int,
       checksum: Long, features: Array[Float])
+
+  /** Codec sniff + decode, total over arbitrary bytes: ImageIO plugin
+    * readers throw RuntimeExceptions (not just IOException) on
+    * malformed-but-sniffable payloads — a truncated BMP header must
+    * mean "not decodable media", never a dead task. */
+  private def readImage(m: Media): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(m.payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Storage-level identity digest of the ENCODED payload (shared by
+    * the stub and real decoders so both report the same identity). */
+  private def payloadChecksum(m: Media): Long =
+    m.payload.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
 
   /** STUB decoder — deterministic fake standing in for image/audio
     * decode: "frames" are 64-byte windows; features are per-frame byte
@@ -33,8 +52,7 @@ object Multimodal {
   def decodeStub(m: Media): MediaFeatures = {
     val frames = m.payload.grouped(64).toArray
     val feats = frames.map(f => f.map(_.toInt & 0xff).sum.toFloat)
-    val checksum = m.payload.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
-    MediaFeatures(m.doc_id, m.n_bytes, frames.length, checksum, feats)
+    MediaFeatures(m.doc_id, m.n_bytes, frames.length, payloadChecksum(m), feats)
   }
 
   /** REAL image decode via javax.imageio (pure JVM, in-container):
@@ -44,12 +62,8 @@ object Multimodal {
     * checksum is over the *encoded* payload so storage-level identity
     * survives the decode. Returns None when ImageIO has no codec for
     * the bytes (caller falls back to [[decodeStub]]). */
-  def decodeImage(m: Media): Option[MediaFeatures] = {
-    val img =
-      try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(m.payload)))
-      catch { case _: java.io.IOException => None }
-    img.map { bi =>
+  def decodeImage(m: Media): Option[MediaFeatures] =
+    readImage(m).map { bi =>
       var r = 0L; var g = 0L; var b = 0L
       var y = 0
       while (y < bi.getHeight) {
@@ -62,12 +76,10 @@ object Multimodal {
         y += 1
       }
       val n = bi.getWidth.toLong * bi.getHeight
-      val checksum = m.payload.foldLeft(0L)((acc, byte) => acc * 31 + (byte & 0xff))
-      MediaFeatures(m.doc_id, m.n_bytes, 1, checksum,
+      MediaFeatures(m.doc_id, m.n_bytes, 1, payloadChecksum(m),
         Array(bi.getWidth.toFloat, bi.getHeight.toFloat,
           r.toFloat / n, g.toFloat / n, b.toFloat / n))
     }
-  }
 
   /** Image decode when the payload is decodable media, stub features
     * otherwise — total over any byte payload. */
@@ -87,11 +99,7 @@ object Multimodal {
     * cell) rather than point sampling, so the hash is deterministic
     * under any traversal order and insensitive to dimension rounding. */
   def aHash(m: Media): Option[Long] = {
-    val img =
-      try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(m.payload)))
-      catch { case _: java.io.IOException => None }
-    img.filter(bi => bi.getWidth >= 8 && bi.getHeight >= 8).map { bi =>
+    readImage(m).filter(bi => bi.getWidth >= 8 && bi.getHeight >= 8).map { bi =>
       val sums = Array.ofDim[Long](64)
       val counts = Array.ofDim[Long](64)
       var y = 0

@@ -232,17 +232,25 @@ object Similarity {
     * sample — which is what production IVF does anyway (k-means on the
     * corpus is wasteful; cell geometry converges from a sample).
     *
-    * Sampling is a stable modulus on the id (vec_id % stride == 0), not
+    * Sampling is a stable HASH stride (hash(id) % stride == 0), not
     * random(): reproducible across runs, retries, and partitionings,
-    * and stride is derived from one count() so the sample lands under
-    * `trainCap`. Seeds are the sample's first [[IvfCells]] vectors by
-    * id. Assignment of the FULL corpus against the sampled centroids
-    * stays the same exact expression ([[assignCells]]). */
+    * and — unlike a raw id modulus — uniform for ANY id distribution
+    * (sparse surrogate ids that are all multiples of the stride would
+    * select the whole corpus and silently re-break the exactness
+    * envelope). The hash stride lands the sample size ~trainCap in
+    * expectation; a deterministic orderBy(id).limit(trainCap) over the
+    * already-small sample makes the cap HARD. Seeds are the sample's
+    * first [[IvfCells]] vectors by id. Assignment of the FULL corpus
+    * against the sampled centroids stays the same exact expression
+    * ([[assignCells]]). */
   def trainedCentroidsSampled(qt: DataFrame, idCol: String,
       trainCap: Long): Seq[Centroid] = {
     val n = qt.count()
     val stride = math.max(1L, (n + trainCap - 1) / trainCap)
-    val train = qt.filter(pmod(col(idCol), lit(stride)) === 0)
+    val train = qt
+      .filter(pmod(hash(col(idCol)), lit(stride.toInt)) === 0)
+      .orderBy(col(idCol)).limit(
+        math.min(trainCap, Int.MaxValue.toLong).toInt)
     var cents: Seq[Centroid] = train
       .orderBy(col(idCol)).limit(IvfCells)
       .select(col(idCol), col("qv")).collect()

@@ -358,11 +358,20 @@ object TextStats {
     * Spark has no builtin) → whitespace collapse → trim. Pure
     * scan-speed column math; emitted as digest + length so the oracle
     * verifies the whole chain without shipping full texts. Unicode
-    * behavior (composed == decomposed input) is pinned in
-    * FunctionsSpec; the oracle pins cross-engine chain parity. */
+    * behavior (composed == decomposed input) is pinned in the SQL
+    * surface spec; the oracle pins cross-engine chain parity.
+    *
+    * Cross-engine notes: the whitespace class is EXPLICIT because Java
+    * regex `\s` includes U+000B while DuckDB's RE2 `\s` does not — an
+    * implicit class would make the hash gate data-dependent. Known
+    * residual divergence: locale-special casefolds (e.g. U+0130 'İ' —
+    * Java emits i+combining-dot, utf8proc plain 'i'); acceptable for
+    * corpus normalization, would need an ASCII-only fold for strict
+    * parity on Turkic text. */
   def normalizeQuery(s: SparkSession, d: String): DataFrame = {
     val normalized = trim(regexp_replace(
-      graft.expressions.NfcNormalize.nfc(lower(col("text"))), "\\s+", " "))
+      graft.expressions.NfcNormalize.nfc(lower(col("text"))),
+      "[ \\t\\n\\f\\r]+", " "))
     Tables.documents(s, d).select(
       col("doc_id"),
       sha2(normalized, 256).as("norm_sha"),
@@ -373,7 +382,7 @@ object TextStats {
   val normalizeOracle: String =
     """WITH n AS (
       |  SELECT doc_id,
-      |         trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g')) AS t
+      |         trim(regexp_replace(nfc_normalize(lower(text)), '[ \t\n\f\r]+', ' ', 'g')) AS t
       |  FROM documents)
       |SELECT doc_id, sha256(t) AS norm_sha, CAST(length(t) AS BIGINT) AS norm_len
       |FROM n ORDER BY doc_id""".stripMargin
