@@ -30,4 +30,41 @@ class SkewSpec extends AnyFunSuite {
       .filter($"k" === "HEAVY").count()
     assert(partialGroups > 1, "salt failed to split the heavy key")
   }
+
+  test("bucketed as-of bounds the hot key's sort-partition size (plain window cannot)") {
+    // one key holds 80% of probe rows spread over [0, 6400): the plain
+    // union-window sorts all of them in ONE task's partition; the
+    // bucketed variant's phase-1 window partitions by (key, bucket),
+    // so the largest sort group shrinks to ~rows/buckets
+    val rnd = new scala.util.Random(5)
+    val hot = 0L
+    val probes = (0 until 4000).map { i =>
+      val k = if (i % 5 != 0) hot else 1L + rnd.nextInt(4).toLong
+      (k, rnd.nextInt(6400).toLong, i.toLong)
+    }
+    val builds = List.tabulate(50)(i =>
+      (i % 5 match { case 0 => hot; case x => x.toLong },
+        rnd.nextInt(6400).toLong)).distinct
+      .map { case (k, t) => (k, t, rnd.nextLong().abs) }
+    val probeDf = probes.toDF("k", "t", "event_id")
+    val buildDf = builds.toDF("k", "t", "o_orderkey")
+    val width = 400L // 16 buckets
+    // the structural claim: per-(key,bucket) group sizes are bounded
+    val hotTotal = probes.count(_._1 == hot)
+    val maxGroup = probeDf
+      .withColumn("bkt", floor(col("t") / width.toDouble))
+      .groupBy("k", "bkt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxGroup <= hotTotal / 8,
+      s"bucketing failed to spread the hot key: max group $maxGroup of $hotTotal")
+    // and the result is still exactly the plain as-of's
+    val plain = graft.ops.AsOf.asofLeft(probeDf, buildDf, "o_orderkey")
+      .select("event_id", "asof_o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    val bucketed = graft.ops.AsOf.asofLeftBucketed(probeDf, buildDf, "o_orderkey")(
+        t => floor(t / width.toDouble).cast("long"))
+      .select("event_id", "asof_o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(bucketed == plain)
+  }
 }
