@@ -68,6 +68,7 @@ object SparkEntry {
     "q3_shipping_priority" -> (Pricing.shippingPriority _),
     "q5_revenue_by_nation" -> (Pricing.revenueByNation _),
     "q18_large_volume" -> (Pricing.largeVolumeOrders _),
+    "q17_small_qty_revenue" -> (Pricing.smallQtyRevenue _),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
     "dd1_exact_dedup" -> (Dedup.exactDedup _),
     "dd2_minhash_lsh" -> ((s, d) => Dedup.minhashLshQuery(s, d)),
@@ -416,6 +417,7 @@ object SparkEntry {
     "j7_range_join" -> graft.ops.RangeJoin.rangeJoinOracle,
 
     "q18_large_volume" -> Pricing.largeVolumeOrdersOracle,
+    "q17_small_qty_revenue" -> Pricing.smallQtyRevenueOracle,
 
     "dd1_exact_dedup" -> Dedup.exactDedupOracle,
     "dd2_minhash_lsh" -> Dedup.minhashLshOracle,

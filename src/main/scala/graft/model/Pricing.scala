@@ -130,4 +130,51 @@ object Pricing {
       |JOIN orders o ON b.l_orderkey = o.o_orderkey
       |JOIN customer c ON o.o_custkey = c.c_custkey
       |ORDER BY totalprice_cents DESC, o.o_orderkey""".stripMargin
+
+  /** q17 — small-quantity-order revenue (TPC-H Q17 shape): the
+    * DECORRELATED-SUBQUERY pattern — a per-key aggregate threshold
+    * (0.2 × avg quantity per part) rejoined to the fact it was derived
+    * from. The naive form is a correlated scalar subquery per row;
+    * the scalable shape is aggregate-then-equi-join: one shuffle to
+    * build the per-part threshold (one row per part), one keyed join
+    * back — both sides partitioned on l_partkey, no correlated
+    * re-execution.
+    *
+    * Exactness: `qty < 0.2·avg(qty)` is evaluated as the fully integer
+    * cross-multiplication `qty_cents · 5 · cnt < sum_qty_cents` —
+    * no double division anywhere in the predicate, so both engines
+    * agree on every boundary row; only the final avg_yearly is one
+    * double division of exact integers. */
+  def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_partkey"),
+      cents(col("l_quantity")).as("qty_cents"),
+      cents(col("l_extendedprice")).as("price_cents"))
+    val thresh = li.groupBy("l_partkey")
+      .agg(sum(col("qty_cents")).as("sum_qty_cents"),
+        count(lit(1)).as("cnt"))
+    li.join(thresh, "l_partkey")
+      .filter(col("qty_cents") * 5 * col("cnt") < col("sum_qty_cents"))
+      .agg(
+        sum(col("price_cents")).as("sum_price_cents"),
+        count(lit(1)).as("n_small"),
+        (sum(col("price_cents")) / lit(700.0)).as("avg_yearly"))
+  }
+
+  val smallQtyRevenueOracle: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |         CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+      |  FROM lineitem),
+      |t AS (
+      |  SELECT l_partkey,
+      |         CAST(sum(qty_cents) AS BIGINT) AS sum_qty_cents,
+      |         count(*) AS cnt
+      |  FROM li GROUP BY l_partkey)
+      |SELECT CAST(sum(li.price_cents) AS BIGINT) AS sum_price_cents,
+      |       count(*) AS n_small,
+      |       CAST(sum(li.price_cents) AS BIGINT) / 700.0 AS avg_yearly
+      |FROM li JOIN t USING (l_partkey)
+      |WHERE li.qty_cents * 5 * t.cnt < t.sum_qty_cents""".stripMargin
 }
