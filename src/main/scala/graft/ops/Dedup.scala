@@ -298,7 +298,12 @@ object Dedup {
        |FROM clustered c JOIN sizes s ON c.cluster_id = s.cluster_id
        |ORDER BY c.doc_id""".stripMargin
 
-  val SimHashBits = 32
+  /** 60 signature bits: every position backed by md5Hash60 entropy,
+    * the packed sum stays under 2^60 (ANSI-safe), and the 4 banding
+    * bands get 15 bits each — 32768 distinct values per band, so
+    * banded candidate generation scales as n²/2^15 per band instead of
+    * the n²/256 a 32-bit signature's 8-bit bands would give. */
+  val SimHashBits = 60
 
   /** SimHash: per-token 60-bit hashes vote ±1 per bit position; the
     * signature packs the sign bits. Near-dup = small Hamming distance
@@ -318,12 +323,13 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
   }
 
-  /** SimHash banding: 4 bands × 8 bits over the 32-bit signature. By
+  /** SimHash banding: 4 bands × 15 bits over the 60-bit signature. By
     * pigeonhole, a pair within Hamming distance ≤ [[SimHashRadius]] (3)
     * leaves at least one band untouched, so banded candidate generation
     * has EXACT recall at that radius — unlike MinHash banding's
     * probabilistic recall. */
   val SimHashBands = 4
+  val SimHashBandBits = SimHashBits / SimHashBands
   val SimHashRadius = 3
 
   /** dd9 — SimHash near-dup PAIRS within Hamming ≤ [[SimHashRadius]]:
@@ -336,9 +342,11 @@ object Dedup {
   def simhashPairs(s: SparkSession, d: String,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
     val sigs = Materialize(simhashQuery(s, d), mode, "simhash_sigs")
+    val bandMask = (1L << SimHashBandBits) - 1
     val bandStructs = array((0 until SimHashBands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), 8 * b).bitwiseAND(0xFF).as("bv"))
+        shiftright(col("simhash"), SimHashBandBits * b)
+          .bitwiseAND(bandMask).as("bv"))
     }: _*)
     val banded = sigs
       .select(col("doc_id"), col("simhash"), explode(bandStructs).as("bs"))
@@ -363,7 +371,7 @@ object Dedup {
        |),
        |banded AS (
        |  SELECT doc_id, simhash, b.b AS band,
-       |         (simhash >> (8 * b.b)) & 255 AS bv
+       |         (simhash >> ($SimHashBandBits * b.b)) & ${(1L << SimHashBandBits) - 1} AS bv
        |  FROM sigs, (SELECT unnest(generate_series(0, ${SimHashBands - 1})) AS b) b),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    x.simhash AS sig_a, y.simhash AS sig_b
