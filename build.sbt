@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness's machine-parsed JSON line must be the LAST stdout
+// content: sbt's "[success] Total time ..." trailer would otherwise eat
+// into the driver's fixed-size tail capture.
+Global / showSuccess := false
+// Forward forked-run output verbatim (no "[info] " logger prefix) so the
+// bench JSON line parses as-is from the captured process output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -5,12 +5,13 @@ import org.apache.spark.sql.SparkSession
   * JSON line. A short warmup (scan + aggregate) runs first so the first
   * timed query doesn't absorb JVM/codegen/session initialization.
   *
-  * Each query runs [[Runs]] times. The headline `queries` map carries the
-  * MEDIAN (p50) per-query seconds — the round-comparable statistic — and
-  * sits at the END of the line so a tail-truncating capture still keeps
-  * it; `cold` (first run) and `max` (worst run) maps ride earlier in the
-  * same line. A crashing query is NOT silently folded into a timing: it
-  * lands in `errors` (name + exception) and is excluded from every total.
+  * Each query runs [[Runs]] times. The FINAL stdout line is a minimal
+  * JSON object whose `queries` map carries the MEDIAN (p50) per-query
+  * seconds — the round-comparable statistic — kept small enough to fit
+  * whole inside the driver's fixed-size tail capture; `cold` (first run)
+  * and `max` (worst run) detail maps print on separate earlier lines. A
+  * crashing query is NOT silently folded into a timing: it lands in
+  * `errors` (name + exception) and is excluded from every total.
   *
   * Isolation: every cached/checkpointed block is released between runs
   * ([[graft.ops.Materialize.releaseAll]]) — the LSH-family queries
@@ -75,22 +76,30 @@ object Bench {
 
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
     // emit 26,123 and corrupt the machine-parsed JSON line
-    def r3(x: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
-    def obj(pick: ((String, Double, Double, Double)) => Double): String =
-      timings.map(t => s""""${esc(t._1)}":${r3(pick(t))}""").mkString("{", ",", "}")
+    def fmt(x: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(x))
+    def obj(pick: ((String, Double, Double, Double)) => Double, dec: Int): String =
+      timings.map(t => s""""${esc(t._1)}":${fmt(pick(t), dec)}""").mkString("{", ",", "}")
 
     val coldTotal = timings.map(_._2).sum
     val p50Total = timings.map(_._3).sum
     val maxTotal = timings.map(_._4).sum
     val errJson = errors.reverse.map(e => s""""${esc(e)}"""").mkString("[", ",", "]")
-    // queries = per-query p50 (the round-comparable statistic), LAST in
-    // the line so tail-truncating capture keeps it; cold/max earlier
-    println(s"""{"metric":"p50_total","value":${r3(p50Total)},"unit":"sec",""" +
-      s""""cold":${obj(_._2)},"max":${obj(_._4)},""" +
-      s""""cold_total":${r3(coldTotal)},"max_total":${r3(maxTotal)},""" +
-      s""""p50_total":${r3(p50Total)},"runs":$Runs,"errors":$errJson,""" +
-      s""""stat":"p50","queries":${obj(_._3)},"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of output, so the
+    // detail statistics (cold/max, 3-decimal) go on their own earlier
+    // lines and the FINAL line is a minimal self-contained JSON object —
+    // headline total + per-query p50 at 2 decimals — sized to fit the
+    // tail capture whole (round 3's single fat line was clipped mid-map
+    // and the driver recorded parsed:null).
+    println(s"""{"detail":"cold","total":${fmt(coldTotal, 3)},"queries":${obj(_._2, 3)}}""")
+    println(s"""{"detail":"max","total":${fmt(maxTotal, 3)},"queries":${obj(_._4, 3)}}""")
+    val line = s"""{"metric":"p50_total","value":${fmt(p50Total, 3)},"unit":"sec",""" +
+      s""""runs":$Runs,"errors":$errJson,"stat":"p50","sf":"$sfDir",""" +
+      s""""queries":${obj(_._3, 2)}}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: final line ${line.length} chars " +
+        "may exceed the driver's 2000-char tail capture")
+    println(line)
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.length} queries FAILED")
       spark.stop()
