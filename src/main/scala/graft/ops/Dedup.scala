@@ -209,12 +209,21 @@ object Dedup {
     * round output, read back by a scan-only aggregate — no extra join,
     * no plan re-execution. */
   def labelPropagation(edges: DataFrame, maxIters: Int = 20,
-      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+      mode: Materialize.Mode = Materialize.Local,
+      localThreshold: Long = 4L * 1000 * 1000): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    val sym = Materialize(
-      edges.select(c("u"), c("v"))
-        .unionByName(edges.select(c("v").as("u"), c("u").as("v"))),
-      mode, "cc_edges")
+    val e = Materialize(edges.select(c("u"), c("v")), mode, "cc_edges")
+    // Strategy switch, same shape as Spark's size-based broadcast
+    // decision: the near-dup PAIR graph is orders of magnitude smaller
+    // than the corpus (only docs with a verified near-dup appear), so
+    // when it fits comfortably in the driver an exact union-find beats
+    // paying multi-stage scheduling per propagation round. Past the
+    // threshold — billions of edges at warehouse scale — the
+    // distributed O(log diameter) loop below is the path; Storage mode
+    // always loops (its contract is durable per-round artifacts).
+    if (mode == Materialize.Local && e.count() <= localThreshold)
+      return localComponents(e)
+    val sym = e.unionByName(e.select(c("v").as("u"), c("u").as("v")))
     var labels = Materialize(
       sym.select(c("u").as("id")).distinct().withColumn("lbl", c("id")),
       mode, "cc_round_0")
@@ -250,6 +259,37 @@ object Dedup {
         s"[graft] labelPropagation did NOT converge within $maxIters rounds")
     }
     labels
+  }
+
+  /** Exact min-label connected components on the driver: union-find
+    * with path compression where union always attaches the larger root
+    * under the smaller, so every root IS its component's min id — the
+    * same labeling the distributed loop converges to. Only reached from
+    * [[labelPropagation]] under its driver-size threshold. */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != r) {
+        val nxt = parent(cur); parent(cur) = r; cur = nxt
+      }
+      r
+    }
+    val nodes = scala.collection.mutable.LongMap.empty[Unit]
+    edges.select(col("u").cast("long"), col("v").cast("long"))
+      .collect().foreach { row =>
+        val (u, v) = (row.getLong(0), row.getLong(1))
+        nodes(u) = (); nodes(v) = ()
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) {
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+    nodes.keys.toSeq.map(n => (n, find(n))).toDF("id", "lbl")
   }
 
   /** Dedup clusters over the corpus: every document labeled with the

@@ -101,21 +101,35 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
     assert(labels(10L) == 10L && labels(11L) == 10L)
-    // long chain needs multiple propagation rounds
+    // long chain needs multiple propagation rounds (localThreshold = 0
+    // forces the distributed loop past the driver union-find shortcut)
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("u", "v")
-    val chainLabels = Dedup.labelPropagation(chain).as[(Long, Long)].collect()
+    val chainLabels = Dedup.labelPropagation(chain, localThreshold = 0L)
+      .as[(Long, Long)].collect()
     assert(chainLabels.forall(_._2 == 1L), chainLabels.mkString(","))
   }
 
   test("label propagation: pointer jumping converges a 200-deep chain in O(log d) rounds") {
     // plain min-label propagation needs ~199 rounds here; pointer
-    // jumping must finish within 10 (2^10 >> 200)
+    // jumping must finish within 10 (2^10 >> 200); localThreshold = 0
+    // forces the distributed loop
     val deep = (1L until 200L).map(i => (i, i + 1)).toDF("u", "v")
-    val labels = Dedup.labelPropagation(deep, maxIters = 10)
+    val labels = Dedup.labelPropagation(deep, maxIters = 10, localThreshold = 0L)
       .as[(Long, Long)].collect()
     assert(labels.length == 200)
     assert(labels.forall(_._2 == 1L),
       labels.filter(_._2 != 1L).take(5).mkString(","))
+  }
+
+  test("label propagation: driver union-find path matches the distributed loop") {
+    // random-ish graph with chains, a cycle, self-loop, and singleton pair
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 5L), (8L, 9L)) ++
+      (20L until 40L).map(i => (i, i + 1)) ++ Seq((40L, 20L))).toDF("u", "v")
+    val local = Dedup.labelPropagation(edges)
+      .as[(Long, Long)].collect().toSet
+    val dist = Dedup.labelPropagation(edges, localThreshold = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(local == dist)
   }
 
   test("multimodal decode: per-partition stub decode preserves rows, frames sized by payload") {
