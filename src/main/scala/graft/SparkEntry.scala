@@ -46,6 +46,8 @@ object SparkEntry {
     "a4_decade_stats" -> (Analytics.decadeStats _),
     "a5_max_by_nation" -> (Analytics.maxByNation _),
     "a10_rollup_stats" -> (Analytics.rollupStats _),
+    "a14_cube_stats" -> (Analytics.cubeStats _),
+    "w5_ntile_quartiles" -> (Analytics.ntileQuartiles _),
     "a11_percentiles" -> (Analytics.percentileStats _),
     "a12_pivot_counts" -> (Analytics.pivotCounts _),
     "a13_topk_per_group" -> (Analytics.topKPerPriority _),
@@ -69,6 +71,7 @@ object SparkEntry {
     "q5_revenue_by_nation" -> (Pricing.revenueByNation _),
     "q18_large_volume" -> (Pricing.largeVolumeOrders _),
     "q17_small_qty_revenue" -> (Pricing.smallQtyRevenue _),
+    "q4_priority_semi" -> (Pricing.returnedPriority _),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
     "dd1_exact_dedup" -> (Dedup.exactDedup _),
     "dd2_minhash_lsh" -> ((s, d) => Dedup.minhashLshQuery(s, d)),
@@ -92,6 +95,7 @@ object SparkEntry {
     "tx7_corpus_filter" -> (TextStats.corpusFilter _),
     "tx8_repetition" -> (TextStats.repetitionStats _),
     "tx9_decontamination" -> (TextStats.decontamination _),
+    "tx11_tfidf_topterms" -> ((s, d) => TextStats.tfidfTopTerms(s, d)),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
     "mm3_resize" -> (Multimodal.resizeQuery _),
@@ -238,6 +242,33 @@ object SparkEntry {
         |FROM orders
         |GROUP BY ROLLUP(priority, event_year)
         |ORDER BY priority NULLS FIRST, event_year NULLS FIRST""".stripMargin,
+
+    "a14_cube_stats" ->
+      """SELECT o_orderpriority AS priority, year(o_orderdate) AS event_year,
+        |       count(*) AS frequency,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM orders
+        |GROUP BY CUBE(priority, event_year)
+        |ORDER BY priority NULLS FIRST, event_year NULLS FIRST""".stripMargin,
+
+    "w5_ntile_quartiles" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |         o_orderkey,
+        |         CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+        |                    o_orderkey) AS BIGINT) AS quartile
+        |  FROM orders)
+        |SELECT priority, quartile, count(*) AS n_orders,
+        |       min(totalprice_cents) AS min_cents,
+        |       max(totalprice_cents) AS max_cents
+        |FROM t GROUP BY priority, quartile
+        |ORDER BY priority, quartile""".stripMargin,
+
+    "q4_priority_semi" -> Pricing.returnedPriorityOracle,
+
+    "tx11_tfidf_topterms" -> TextStats.tfidfTopTermsOracle,
 
     "a11_percentiles" ->
       """SELECT o_orderpriority AS priority,

@@ -174,6 +174,43 @@ object Analytics {
       .orderBy(col("priority").asc_nulls_first,
         col("event_year").asc_nulls_first)
 
+  /** Beyond-reference: CUBE over (priority, year) — all four grouping
+    * sets (detail, per-priority, per-year, grand total) in ONE shuffle,
+    * where separate GROUP BYs would scan + shuffle four times. Same
+    * expansion Catalyst uses for rollup; grouping columns are non-null
+    * in the data so the NULL cells are unambiguous subtotal markers. */
+  def cubeStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).as("event_year"))
+      .agg(
+        count(lit(1)).as("frequency"),
+        sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+      .orderBy(col("priority").asc_nulls_first,
+        col("event_year").asc_nulls_first)
+
+  /** Beyond-reference: ntile quartile binning per priority — the
+    * train-data stratification shape (assign each row a quantile bucket
+    * within its stratum, then summarize buckets). The window orders by
+    * (cents, orderkey): a TOTAL order, so bucket assignment is
+    * deterministic and oracle-exact — ntile over ties would not be.
+    * One shuffle on the stratum key; the bucket aggregate reuses it. */
+  def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("priority")
+      .orderBy(col("totalprice_cents"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("priority"),
+        cents(col("o_totalprice")).as("totalprice_cents"),
+        col("o_orderkey"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("priority", "quartile")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("totalprice_cents")).as("min_cents"),
+        max(col("totalprice_cents")).as("max_cents"))
+      .orderBy("priority", "quartile")
+  }
+
   /** Beyond-reference: exact interpolated percentiles (Spark
     * `percentile` ≡ DuckDB `quantile_cont` — same linear interpolation
     * over the sorted values, so identical doubles). For 100 TB use

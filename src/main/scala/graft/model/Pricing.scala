@@ -177,4 +177,28 @@ object Pricing {
       |       CAST(sum(li.price_cents) AS BIGINT) / 700.0 AS avg_yearly
       |FROM li JOIN t USING (l_partkey)
       |WHERE li.qty_cents * 5 * t.cnt < t.sum_qty_cents""".stripMargin
+
+  /** q4 — the EXISTS/semi-join query shape (TPC-H Q4 pattern): count
+    * orders per priority having at least one returned line item. A LEFT
+    * SEMI join materializes no right-side columns and stops probing a
+    * key at first match — the shuffle carries only lineitem's join key
+    * (filter + projection pushed to the scan), and duplicate matches
+    * never multiply rows, so no distinct is needed anywhere. */
+  def returnedPriority(s: SparkSession, d: String): DataFrame = {
+    val returned = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    Tables.orders(s, d)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("priority")
+  }
+
+  val returnedPriorityOracle: String =
+    """SELECT o_orderpriority AS priority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |GROUP BY priority ORDER BY priority""".stripMargin
 }

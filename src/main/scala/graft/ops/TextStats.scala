@@ -282,6 +282,48 @@ object TextStats {
       |FROM sp LEFT JOIN shared sh2 USING (doc_id)
       |WHERE sp.split = 'train' ORDER BY sp.doc_id""".stripMargin
 
+  /** tx11 — per-document top-k terms by a df-normalized integer weight
+    * (the tf-idf ranking shape): score_e6 = tf · 10⁶ floor-div df. The
+    * corpus-size multiplier N of true idf is constant per corpus and
+    * cancels out of per-document ranking, and log-damping would put a
+    * transcendental double in the hash-compared output — the integer
+    * surrogate keeps the ranking exact in both engines. Plan: one
+    * explode + (doc,term) hash aggregation, df as a window count over
+    * term (reuses the aggregate, no second scan of the corpus), then a
+    * per-doc top-k window — shuffles keyed on (doc,term) → term → doc,
+    * all linear in corpus size. */
+  def tfidfTopTerms(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
+    val ranked = withDf
+      .withColumn("score_e6", expr("tf * 1000000 div df"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(desc("score_e6"), col("term"))).cast("long"))
+    ranked.filter(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "df", "score_e6", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val tfidfTopTermsOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+      |d AS (SELECT doc_id, term, tf,
+      |             count(*) OVER (PARTITION BY term) AS df FROM tf),
+      |sc AS (SELECT doc_id, term, tf, df, (tf * 1000000) // df AS score_e6 FROM d),
+      |r AS (SELECT doc_id, term, tf, df, score_e6,
+      |             row_number() OVER (PARTITION BY doc_id
+      |               ORDER BY score_e6 DESC, term) AS rnk FROM sc)
+      |SELECT doc_id, term, tf, df, score_e6, rnk FROM r
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   /** Vocabulary building: term frequencies + document frequencies over
     * the corpus — explode + one aggregation, the shape that feeds
     * tokenizer training at 100 TB. */
