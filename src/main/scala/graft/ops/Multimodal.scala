@@ -146,6 +146,63 @@ object Multimodal {
     media.mapPartitions(_.flatMap(m => aHash(m).map(MediaHash(m.doc_id, _))))
   }
 
+  /** mm5 — difference hash (dHash): bit (y,x) is 1 iff the area-mean
+    * luminance of cell (y,x) is LESS than its right neighbor in a 9×8
+    * downsample — 64 row-gradient signs. Complements [[aHash]]: aHash
+    * captures where a cell sits against the GLOBAL mean (absolute
+    * structure), dHash captures LOCAL left-to-right gradients, so it is
+    * invariant under any monotone per-pixel brightness shift and
+    * distinguishes images whose cells straddle the mean identically but
+    * ramp differently. Same exactness discipline as aHash: integer
+    * luma, area-mean cells, cross-multiplied comparisons — no double
+    * division anywhere, so the bit pattern is engine- and
+    * traversal-independent. */
+  def dHash(m: Media): Option[Long] = {
+    readImage(m).filter(bi => bi.getWidth >= 9 && bi.getHeight >= 8).map { bi =>
+      // 9 columns × 8 rows of (luma sum, pixel count)
+      val sums = Array.ofDim[Long](72)
+      val counts = Array.ofDim[Long](72)
+      var y = 0
+      while (y < bi.getHeight) {
+        val cy = math.min(7, y * 8 / bi.getHeight)
+        var x = 0
+        while (x < bi.getWidth) {
+          val cx = math.min(8, x * 9 / bi.getWidth)
+          val p = bi.getRGB(x, y)
+          val luma = 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+            114 * (p & 0xff)
+          sums(cy * 9 + cx) += luma
+          counts(cy * 9 + cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var h = 0L
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val l = cy * 9 + cx; val r = l + 1
+          // mean(l) < mean(r) in exact cross-multiplied form
+          if (BigInt(sums(l)) * counts(r) < BigInt(sums(r)) * counts(l))
+            h |= (1L << (cy * 8 + cx))
+          cx += 1
+        }
+        cy += 1
+      }
+      h
+    }
+  }
+
+  case class MediaDHash(doc_id: Long, dhash: Long)
+
+  /** dHash stage: narrow per-partition map, same lifecycle as
+    * [[aHashAll]]; rows without decodable ≥9×8 media drop out. */
+  def dHashAll(media: Dataset[Media]): Dataset[MediaDHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(m => dHash(m).map(MediaDHash(m.doc_id, _))))
+  }
+
   /** Decode stage: per-partition batch map over the typed Dataset. */
   def decodeAll(media: Dataset[Media],
       decoder: Media => MediaFeatures = decodeAuto): Dataset[MediaFeatures] = {

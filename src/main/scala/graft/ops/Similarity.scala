@@ -266,21 +266,25 @@ object Similarity {
     * ([[IvfIters]] rounds, seeded from the first [[IvfCells]] vectors)
     * over vectors quantized to integers, so centroid sums are exact and
     * the DuckDB oracle replays the whole training loop bit-for-bit as
-    * unrolled CTEs. The query probes its [[IvfProbes]] nearest cells in
-    * centroid-distance order (multi-probe), and only those cells are
+    * unrolled CTEs. The query probes its `nprobe` nearest of the
+    * `ncells` trained cells in centroid-distance order (multi-probe) —
+    * the recall/cost dial: nprobe = ncells degenerates to exact brute
+    * force (OpsSpec pins that equivalence), smaller nprobe/ncells scans
+    * a smaller corpus fraction. Only probed cells are
     * scanned — the inverted-file ANN layout. At warehouse scale the
     * table is written partitioned/bucketed by `cell`, so a probe
     * touches nprobe/ncells of the data; training is a handful of
     * broadcast-out/aggregate-back rounds, the MLlib k-means shape. */
   def ivfTopK(s: SparkSession, d: String,
-      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+      mode: Materialize.Mode = Materialize.Local,
+      ncells: Int = IvfCells, nprobe: Int = IvfProbes): DataFrame = {
     val e = embDouble(s, d)
     val qt = Materialize(
       e.select(col("vec_id"), quantizeCol(col("v")).as("qv"))
         .withColumn("qvd", col("qv").cast("array<double>"))
         .withColumn("a2", dot(col("qvd"), col("qvd"))),
       mode, "ivf_quantized")
-    var cents: Seq[Centroid] = qt.filter(col("vec_id") < IvfCells)
+    var cents: Seq[Centroid] = qt.filter(col("vec_id") < ncells)
       .select(col("vec_id"), col("qv")).collect()
       .map(r => Centroid(r.getLong(0).toInt,
         r.getAs[collection.Seq[Long]](1).toArray, 1L))
@@ -297,7 +301,7 @@ object Similarity {
           lit(c.cid).as("cid"))): _*)).as("dc"))
       .select(col("dc.qd").as("qd"), col("dc.cid").as("cid"))
       .orderBy(col("qd"), col("cid"))
-      .limit(IvfProbes)
+      .limit(nprobe)
       .select("cid")
     withCell
       .join(broadcast(qCells), col("cell") === col("cid"))

@@ -85,6 +85,36 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe ANN over a cell-partitioned layout reads ONLY the probed partitions") {
+    // the IVF story at warehouse scale: the corpus is written
+    // partitioned by cell, so an nprobe-cell probe reads nprobe dirs'
+    // files and skips the rest — asserted on the scan's numFiles metric
+    // against the actual on-disk layout, not just the plan string
+    import graft.ops.Similarity
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_part").toString
+    Tables.embeddings(spark, GraftSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell", Similarity.bucketCol(col("v")))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    def filesUnder(sub: String): Int =
+      Option(new java.io.File(s"$dir/$sub").listFiles())
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    val probed = Seq(3, 7)
+    val expected = probed.map(c => filesUnder(s"cell=$c")).sum
+    val total = Option(new java.io.File(dir).listFiles()).get
+      .filter(_.getName.startsWith("cell="))
+      .map(f => filesUnder(f.getName)).sum
+    assert(expected > 0 && total > expected, s"fixture: $expected of $total files")
+    val probe = spark.read.parquet(dir)
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.metrics("numFiles").value == expected,
+      s"probe read ${scan.metrics("numFiles").value} files, expected $expected of $total")
+  }
+
   test("observe() accounts for clean-stage row drops (S17, Spark-native)") {
     import org.apache.spark.sql.Observation
     val obsIn = Observation("in")

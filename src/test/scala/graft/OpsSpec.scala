@@ -94,6 +94,21 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall vs brute top-${brute.size}")
   }
 
+  test("IVF tuning dial: nprobe = ncells probes every cell and equals exact brute force") {
+    // the recall/cost parameters are real dials, not constants: probing
+    // all cells makes the candidate set the whole corpus, so the result
+    // must equal the exact scan; fewer probes can only shrink it
+    val brute = Similarity.bruteTopK(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val all = Similarity.ivfTopK(spark, sf, ncells = 5, nprobe = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == brute, s"full-probe IVF must be exact: $all vs $brute")
+    val one = Similarity.ivfTopK(spark, sf, ncells = 5, nprobe = 1)
+      .select("vec_id", "cell").collect()
+    assert(one.map(_.getInt(1)).distinct.length == 1,
+      "nprobe=1 must scan exactly one cell")
+  }
+
   test("label propagation: chains collapse into one component, singletons untouched") {
     // a-b, b-c, and isolated pair d-e: components {a,b,c} and {d,e}
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v")
@@ -214,6 +229,43 @@ class OpsSpec extends AnyFunSuite {
     // dedup composition: groupBy(ahash) collapses exactly the codec pairs
     val dedup = Multimodal.aHashAll(ds).groupBy("ahash").count().collect()
     assert(dedup.length == 20 && dedup.forall(_.getLong(1) == 2))
+  }
+
+  test("dHash: gradient hash — codec-invariant, brightness-shift-invariant, direction-sensitive") {
+    import java.awt.image.BufferedImage
+    def enc(bi: BufferedImage, format: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, format, bos), s"no $format codec")
+      bos.toByteArray
+    }
+    def media(id: Long, b: Array[Byte]) = Multimodal.Media(id, b, b.length)
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    def fill(w: Int, h: Int)(f: (Int, Int) => Int): BufferedImage = {
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, f(x, y))
+      bi
+    }
+    // ramp rising left→right: every gradient bit set; its mirror: none
+    val rising = fill(36, 32)((x, _) => gray(40 + x * 5))
+    val falling = fill(36, 32)((x, _) => gray(40 + (35 - x) * 5))
+    val flat = fill(36, 32)((_, _) => gray(128))
+    val brighter = fill(36, 32)((x, _) => gray(60 + x * 5)) // rising + 20
+    val hashes = Multimodal.dHashAll(spark.createDataset(Seq(
+      media(1, enc(rising, "png")), media(2, enc(rising, "bmp")),
+      media(3, enc(falling, "png")), media(4, enc(flat, "png")),
+      media(5, enc(brighter, "png")),
+      media(9, "not an image".getBytes("UTF-8"))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Media]))
+      .collect().map(h => h.doc_id -> h.dhash).toMap
+    assert(!hashes.contains(9L), "non-media rows must drop out")
+    assert(hashes(1L) == -1L, "rising ramp: all 64 gradient bits set")
+    assert(hashes(3L) == 0L, "falling ramp: no gradient bits set")
+    assert(hashes(4L) == 0L, "flat image: no gradients")
+    assert(hashes(1L) == hashes(2L), "codec invariance (PNG vs BMP)")
+    assert(hashes(1L) == hashes(5L), "uniform brightness shift preserves gradients")
+    // and the aHash CANNOT separate rising from falling-mirror the way
+    // dHash does — the two families are complementary, not redundant
+    assert(hashes(1L) != hashes(3L))
   }
 
   test("sign-LSH recall ≥ 0.9 on planted near-dup clusters (the regime the family is built for)") {
