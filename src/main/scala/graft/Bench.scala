@@ -91,10 +91,11 @@ object Bench {
     // headline total + per-query p50 at 2 decimals — sized to fit the
     // tail capture whole (round 3's single fat line was clipped mid-map
     // and the driver recorded parsed:null).
-    println(s"""{"detail":"cold","total":${fmt(coldTotal, 3)},"queries":${obj(_._2, 3)}}""")
-    println(s"""{"detail":"max","total":${fmt(maxTotal, 3)},"queries":${obj(_._4, 3)}}""")
+    println(s"""{"detail":"cold","runs":$Runs,"total":${fmt(coldTotal, 3)},"queries":${obj(_._2, 3)}}""")
+    println(s"""{"detail":"max","runs":$Runs,"total":${fmt(maxTotal, 3)},"queries":${obj(_._4, 3)}}""")
+    val sfName = new java.io.File(sfDir).getName
     val line = s"""{"metric":"p50_total","value":${fmt(p50Total, 3)},"unit":"sec",""" +
-      s""""runs":$Runs,"errors":$errJson,"stat":"p50","sf":"$sfDir",""" +
+      s""""errors":$errJson,"sf":"$sfName",""" +
       s""""queries":${obj(_._3, 2)}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: final line ${line.length} chars " +

@@ -96,6 +96,8 @@ object SparkEntry {
     "tx8_repetition" -> (TextStats.repetitionStats _),
     "tx9_decontamination" -> (TextStats.decontamination _),
     "tx11_tfidf_topterms" -> ((s, d) => TextStats.tfidfTopTerms(s, d)),
+    "tx12_sequence_packing" -> (TextStats.sequencePacking _),
+    "tx13_source_cap" -> (TextStats.sourceCapSample _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
     "mm3_resize" -> (Multimodal.resizeQuery _),
@@ -269,6 +271,8 @@ object SparkEntry {
     "q4_priority_semi" -> Pricing.returnedPriorityOracle,
 
     "tx11_tfidf_topterms" -> TextStats.tfidfTopTermsOracle,
+    "tx12_sequence_packing" -> TextStats.sequencePackingOracle,
+    "tx13_source_cap" -> TextStats.sourceCapSampleOracle,
 
     "a11_percentiles" ->
       """SELECT o_orderpriority AS priority,

@@ -324,6 +324,79 @@ object TextStats {
       |SELECT doc_id, term, tf, df, score_e6, rnk FROM r
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** Tokens per pretraining sequence for [[sequencePacking]]. */
+  val SeqBudget = 256L
+
+  /** tx12 — sequence packing: concatenate documents in doc_id order and
+    * chunk the token stream at [[SeqBudget]]-token boundaries (the
+    * GPT-style pack-and-chunk layout — documents may span sequence
+    * boundaries). Each doc's global token offset is an ordered prefix
+    * sum; start/end sequence ids are integer divisions of it. The
+    * prefix sum is the scalable two-phase [[PrefixSum.exclusive]] —
+    * range partition, parallel local sums, O(partitions) driver offsets
+    * — NOT a single-task global window, so the layout computation
+    * itself holds at corpus scale. */
+  def sequencePacking(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+    PrefixSum.exclusive(
+        toks, "doc_id", "n_tokens", s.sparkContext.defaultParallelism)
+      .withColumnRenamed("offset", "tok_offset") // OFFSET is reserved in DuckDB
+      .withColumn("start_seq", expr(s"tok_offset div $SeqBudget"))
+      .withColumn("end_seq",
+        expr(s"(tok_offset + n_tokens - 1) div $SeqBudget"))
+      .select("doc_id", "n_tokens", "tok_offset", "start_seq", "end_seq")
+      .orderBy("doc_id")
+  }
+
+  val sequencePackingOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM t)
+       |SELECT doc_id, n_tokens, CAST(off AS BIGINT) AS tok_offset,
+       |       CAST(off // $SeqBudget AS BIGINT) AS start_seq,
+       |       CAST((off + n_tokens - 1) // $SeqBudget AS BIGINT) AS end_seq
+       |FROM o ORDER BY doc_id""".stripMargin
+
+  /** Docs kept per source by [[sourceCapSample]]. */
+  val SourceCap = 10
+
+  /** tx13 — per-source cap (the per-domain cap every web-corpus
+    * pipeline applies so no single site dominates the mixture): keep at
+    * most [[SourceCap]] docs per source, chosen by a stable hash order
+    * — md5 of the doc id, so the "random" sample is reproducible across
+    * runs, retries, and partitionings (same discipline as the tx5
+    * split), with doc_id as the total-order tiebreak. One window
+    * shuffle keyed on source; heavy sources cost one task each at most
+    * — the cap bounds their output, and a pathological mega-source
+    * would take the same salting as any skewed key. */
+  def sourceCapSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("hash_rank", row_number().over(w).cast("long"))
+      .filter(col("hash_rank") <= SourceCap)
+      .orderBy("source", "hash_rank")
+  }
+
+  val sourceCapSampleOracle: String =
+    s"""SELECT doc_id, source, hash_rank FROM (
+       |  SELECT doc_id, source,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS hash_rank
+       |  FROM documents) t
+       |WHERE hash_rank <= $SourceCap
+       |ORDER BY source, hash_rank""".stripMargin
+
   /** Vocabulary building: term frequencies + document frequencies over
     * the corpus — explode + one aggregation, the shape that feeds
     * tokenizer training at 100 TB. */

@@ -231,6 +231,25 @@ class OpsSpec extends AnyFunSuite {
     assert(dedup.length == 20 && dedup.forall(_.getLong(1) == 2))
   }
 
+  test("two-phase prefix sum equals the single-task global window, at any partitioning") {
+    import graft.ops.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("v"))
+    val naive = df.withColumn("offset",
+        coalesce(sum(col("v")).over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("doc_id", "offset")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (p <- Seq(1, 3, 32)) {
+      val scalable = PrefixSum.exclusive(df, "doc_id", "v", p)
+        .select("doc_id", "offset")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(scalable == naive, s"prefix sum diverges at $p partitions")
+    }
+  }
+
   test("dHash: gradient hash — codec-invariant, brightness-shift-invariant, direction-sensitive") {
     import java.awt.image.BufferedImage
     def enc(bi: BufferedImage, format: String): Array[Byte] = {
