@@ -172,4 +172,40 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       "more than one shuffle for a single window")
   }
+
+  test("q4 EXISTS runs as a LEFT SEMI join with the returnflag filter pushed to the scan") {
+    val p = plan("q4_priority_semi")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"))
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "semi-side filter not pushed to the parquet scan")
+    // the probe side carries only the join key, not lineitem's width
+    val semiSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("l_orderkey"))
+    assert(semiSchema.exists(!_.contains("l_quantity")),
+      s"semi side reads more than the key: $semiSchema")
+  }
+
+  test("a14 CUBE computes all four grouping sets in one Expand + one shuffle") {
+    val p = plan("a14_cube_stats")
+    assert(p.contains("Expand"), "cube not expanded — separate scans?")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "cube should shuffle once on the expanded grouping keys")
+  }
+
+  test("tx11 tf-idf: no cartesian, df via window over the aggregate (single corpus scan)") {
+    val p = plan("tx11_tfidf_topterms")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"))
+    // one scan of documents: df comes from a window, not a self-join re-scan
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "tf-idf re-scans the corpus for document frequencies")
+  }
+
+  test("tx12 sequence packing has no single-task global window") {
+    val p = plan("tx12_sequence_packing")
+    // a global-order window compiles to 'Window [...] Sort [...], false'
+    // after an Exchange SinglePartition — the shape PrefixSum avoids
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global window funnel present:\n${p.take(1500)}")
+  }
 }
