@@ -84,6 +84,33 @@ object Streams {
   def parquetStream(s: SparkSession, dir: String, schema: StructType): DataFrame =
     s.readStream.schema(schema).parquet(dir)
 
+  /** Stream-stream INTERVAL join (the attribution shape): each purchase
+    * joins the clicks by the same user that preceded it within
+    * `horizonSeconds`. Both sides are watermarked and the join
+    * condition bounds event time in BOTH directions, which is exactly
+    * what lets Spark expire join state: a buffered click can only match
+    * purchases up to click_ts + horizon, so once the purchase-side
+    * watermark passes that, the click row is dropped from state. State
+    * is therefore O(events in the horizon window), not O(stream) — the
+    * property that makes stream-stream joins viable at all at scale.
+    * Inner join: emits exactly the rows the equivalent batch join
+    * produces (StreamingSpec pins that equality over the fixture). */
+  def attributionJoin(
+      clicks: DataFrame, // user_id, click_id, c_ts
+      purchases: DataFrame, // user_id, purchase_id, p_ts, cents
+      horizonSeconds: Long = 3600,
+      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("c_ts", watermark)
+    val p = purchases.withWatermark("p_ts", watermark)
+      .withColumnRenamed("user_id", "p_user_id")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"interval $horizonSeconds seconds"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("c_ts"), col("p_ts"), col("cents"))
+  }
+
   case class SessionState(start: Long, end: Long, n: Long, sumCents: Long)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value_cents: Long)

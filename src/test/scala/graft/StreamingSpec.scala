@@ -222,6 +222,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.sorted.toSeq == expected, "file-source replay lost or duplicated rows")
   }
 
+  test("stream-stream interval join == batch join over the events fixture (attribution shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // clicks and purchases carved from the same fixture; event-time
+    // order so nothing is late (equivalence needs no dropped rows)
+    val ev = Tables.events(spark, GraftSpark.sf)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().sortBy(_.getTimestamp(3).getTime)
+    val clicksFix = ev.filter(_.getString(2) == "click")
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3)))
+    val purchFix = ev.filter(_.getString(2) == "purchase")
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3), r.getLong(4)))
+    val cIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp, Long)]
+    val joined = Streams.attributionJoin(
+      cIn.toDF().toDF("user_id", "click_id", "c_ts"),
+      pIn.toDF().toDF("user_id", "purchase_id", "p_ts", "cents"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("equiv_ssj").start()
+    // interleave micro-batches from both sides in event-time order
+    val cChunks = clicksFix.grouped(500).toList
+    val pChunks = purchFix.grouped(500).toList
+    (0 until math.max(cChunks.size, pChunks.size)).foreach { i =>
+      if (i < cChunks.size) cIn.addData(cChunks(i))
+      if (i < pChunks.size) pIn.addData(pChunks(i))
+      q.processAllAvailable()
+    }
+    // sentinels push both watermarks past all real data so every
+    // buffered inner-join row flushes
+    val sentinel = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    cIn.addData((-1L, -1L, sentinel)); pIn.addData((-1L, -1L, sentinel, 0L))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("equiv_ssj").filter(col("user_id") >= 0)
+      .select(col("click_id"), col("purchase_id"))
+      .as[(Long, Long)].collect().toSet
+    val batch = clicksFix.toSeq.toDF("user_id", "click_id", "c_ts")
+      .join(purchFix.toSeq.toDF("p_user_id", "purchase_id", "p_ts", "cents"),
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("interval 3600 seconds"))
+      .select(col("click_id"), col("purchase_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch diverge: onlyStream=${(streamed -- batch).take(5)} " +
+        s"onlyBatch=${(batch -- streamed).take(5)}")
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
