@@ -63,6 +63,7 @@ object SparkEntry {
     "j3_customer_geo" -> (Analytics.customerGeo _),
     "j4_merge_upsert" -> (Upsert.mergeOrders _),
     "j5_merge_update" -> (Upsert.mergeUpdateOrders _),
+    "j8_scd2_history" -> (Upsert.scd2History _),
     "j6_asof_join" -> (graft.ops.AsOf.asofQuery _),
     "j6b_asof_bucketed" -> (graft.ops.AsOf.asofBucketedQuery _),
     "j7_range_join" -> (graft.ops.RangeJoin.rangeJoinQuery _),
@@ -435,6 +436,7 @@ object SparkEntry {
         |GROUP BY nation, region_name
         |ORDER BY revenue_e4 DESC, nation""".stripMargin,
 
+    "j8_scd2_history" -> Upsert.scd2HistoryOracle,
     "j6_asof_join" -> graft.ops.AsOf.asofOracle,
     "j6b_asof_bucketed" -> graft.ops.AsOf.asofOracle,
     "w3_retention_cohorts" ->

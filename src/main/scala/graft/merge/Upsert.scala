@@ -62,6 +62,44 @@ object Upsert {
       .orderBy("o_orderkey")
   }
 
+  /** j8 — SCD TYPE 2 history build (the warehouse dimension-versioning
+    * staple the reference's insert-only MERGE cannot express): every
+    * change event becomes a version row with a validity interval
+    * [valid_from, valid_to), closed by the NEXT change of the same key
+    * — one `lead()` window per key — and the open current version is
+    * flagged. One shuffle on the dimension key; per-key work is a local
+    * sort of that key's change history, so the operator scales with the
+    * busiest key's change count, not the corpus. Timestamps surface as
+    * second-truncated strings per the cross-engine determinism rules;
+    * (ts, orderkey) totally orders same-timestamp changes. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("custkey").orderBy("ts", "o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+        col("o_orderdate").as("ts"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("custkey"), col("o_orderkey"), col("price_cents"),
+        col("ts").cast("string").as("valid_from"),
+        col("next_ts").cast("string").as("valid_to"),
+        col("next_ts").isNull.as("is_current"))
+      .orderBy("custkey", "valid_from", "o_orderkey")
+  }
+
+  val scd2HistoryOracle: String =
+    """WITH c AS (
+      |  SELECT o_custkey AS custkey, o_orderkey, o_orderdate AS ts,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |         lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS next_ts
+      |  FROM orders)
+      |SELECT custkey, o_orderkey, price_cents,
+      |       CAST(ts AS VARCHAR) AS valid_from,
+      |       CAST(next_ts AS VARCHAR) AS valid_to,
+      |       next_ts IS NULL AS is_current
+      |FROM c ORDER BY custkey, valid_from, o_orderkey""".stripMargin
+
   /** Oracle-checkable merge scenario on orders: target = pre-2000 orders,
     * incoming = high-value orders (overlapping both eras); result tagged
     * by provenance. Replay-idempotence is asserted in the spec. */

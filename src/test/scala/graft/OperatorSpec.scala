@@ -49,6 +49,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(twice.count() == 3)
   }
 
+  test("SCD2 history: versions chain per key (valid_to = next valid_from), exactly one current") {
+    val hist = Upsert.scd2History(spark, GraftSpark.sf)
+      .collect()
+      .groupBy(_.getLong(0)) // custkey
+    assert(hist.nonEmpty)
+    hist.foreach { case (key, rows) =>
+      val sorted = rows.sortBy(r => (r.getString(3), r.getLong(1)))
+      // exactly one open (current) version per key, and it is the last
+      assert(sorted.count(_.getBoolean(5)) == 1, s"key $key: current count")
+      assert(sorted.last.getBoolean(5), s"key $key: current not last")
+      // each version's valid_to equals the next version's valid_from —
+      // intervals tile the key's history with no gaps or overlaps
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(4) == b.getString(3),
+            s"key $key: interval break ${a.getString(4)} -> ${b.getString(3)}")
+        case _ =>
+      }
+    }
+  }
+
   test("as-of left join: latest build row at or before probe time; nulls before first build") {
     val probe = Seq(
       (1L, 5L, 100L),   // after builds at t=1,4 → picks t=4
