@@ -478,14 +478,16 @@ object TextStats {
     *
     * Cross-engine notes: the whitespace class is EXPLICIT because Java
     * regex `\s` includes U+000B while DuckDB's RE2 `\s` does not — an
-    * implicit class would make the hash gate data-dependent. Known
-    * residual divergence: locale-special casefolds (e.g. U+0130 'İ' —
-    * Java emits i+combining-dot, utf8proc plain 'i'); acceptable for
-    * corpus normalization, would need an ASCII-only fold for strict
-    * parity on Turkic text. */
+    * implicit class would make the hash gate data-dependent. The fold
+    * step is the custom `simple_casefold` expression (per-codepoint 1:1
+    * mapping), NOT `lower()`: the JVM's full case mapping expands
+    * U+0130 'İ' to i+combining-dot while utf8proc engines emit plain
+    * 'i', so lower() would silently diverge on Turkic text
+    * (ExpressionSpec pins the parity case). */
   def normalizeQuery(s: SparkSession, d: String): DataFrame = {
     val normalized = trim(regexp_replace(
-      graft.expressions.NfcNormalize.nfc(lower(col("text"))),
+      graft.expressions.NfcNormalize.nfc(
+        graft.expressions.SimpleCaseFold.casefold(col("text"))),
       "[ \\t\\n\\f\\r]+", " "))
     Tables.documents(s, d).select(
       col("doc_id"),

@@ -38,6 +38,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r._1 == composed && r._1.length == 4)
   }
 
+  test("simple_casefold: 1:1 codepoint fold where lower() applies full mappings (U+0130)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, lower}
+    val turkic = "İSTANBUL" // dotted capital I
+    val r = Seq(turkic).toDF("t")
+      .select(expr("simple_casefold(t)").as("sc"),
+        graft.expressions.SimpleCaseFold.casefold(col("t")).as("cc"),
+        lower(col("t")).as("lo"))
+      .as[(String, String, String)].head()
+    assert(r._1 == r._2)
+    // simple mapping: one codepoint out per codepoint in — what
+    // utf8proc-based engines (the DuckDB oracle) produce
+    assert(r._1 == "istanbul", s"got ${r._1.codePoints().toArray.toSeq}")
+    // the JVM full mapping expands U+0130 to i + combining dot — the
+    // cross-engine divergence simple_casefold exists to avoid
+    assert(r._3 != r._1 && r._3.length == turkic.length + 1,
+      s"expected lower() to full-map, got ${r._3.codePoints().toArray.toSeq}")
+    // surrogate-pair safety: Deseret capital long I folds to lowercase
+    val pair = new String(Character.toChars(0x10400))
+    val folded = Seq(pair).toDF("t")
+      .select(expr("simple_casefold(t)")).as[String].head()
+    assert(folded.codePointAt(0) == 0x10428)
+  }
+
   test("md5_hash56_pair / md5_hash60 / word_ngrams / top_k_pairs callable from SQL") {
     val r = spark.sql(
       """SELECT md5_hash56_pair('abc').h1 AS h1,
