@@ -31,6 +31,40 @@ class SkewSpec extends AnyFunSuite {
     assert(partialGroups > 1, "salt failed to split the heavy key")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the runtime half of the skew story (salting is the static half):
+    // a sort-merge join whose one key holds most rows must come out of
+    // AQE with the oversized partition split. Thresholds are sized for
+    // warehouse partitions — pin them down to the fixture's scale.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = (0 until 40000).map { i =>
+        (if (i % 10 != 0) 7L else (i % 97).toLong, s"payload_$i")
+      }.toDF("k", "s").repartition(8)
+      val right = (0L until 97L).map(k => (k, s"dim_$k")).toDF("k", "d")
+      val joined = left.join(right, "k")
+      // execute THIS plan instance — count() would plan separately and
+      // leave joined's adaptive plan unfinalized
+      assert(joined.collect().length == 40000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"fixture must shuffle-join:\n${p.take(1200)}")
+      assert(p.contains("skew=true"),
+        s"AQE did not mark/split the skewed partition:\n${p.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed as-of bounds the hot key's sort-partition size (plain window cannot)") {
     // one key holds 80% of probe rows spread over [0, 6400): the plain
     // union-window sorts all of them in ONE task's partition; the
