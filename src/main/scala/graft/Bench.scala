@@ -94,9 +94,11 @@ object Bench {
     println(s"""{"detail":"cold","runs":$Runs,"total":${fmt(coldTotal, 3)},"queries":${obj(_._2, 3)}}""")
     println(s"""{"detail":"max","runs":$Runs,"total":${fmt(maxTotal, 3)},"queries":${obj(_._4, 3)}}""")
     val sfName = new java.io.File(sfDir).getName
+    // errors ride the final line only when present — the empty list is
+    // implied by rc=0 and costs budget the growing query map needs
+    val errField = if (errors.isEmpty) "" else s""""errors":$errJson,"""
     val line = s"""{"metric":"p50_total","value":${fmt(p50Total, 3)},"unit":"sec",""" +
-      s""""errors":$errJson,"sf":"$sfName",""" +
-      s""""queries":${obj(_._3, 2)}}"""
+      errField + s""""sf":"$sfName","queries":${obj(_._3, 2)}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: final line ${line.length} chars " +
         "may exceed the driver's 2000-char tail capture")

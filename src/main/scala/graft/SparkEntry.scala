@@ -73,6 +73,8 @@ object SparkEntry {
     "q18_large_volume" -> (Pricing.largeVolumeOrders _),
     "q17_small_qty_revenue" -> (Pricing.smallQtyRevenue _),
     "q4_priority_semi" -> (Pricing.returnedPriority _),
+    "q13_custdist" -> (Pricing.custDistribution _),
+    "j9_cdc_latest" -> (Upsert.cdcLatestMerge _),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
     "dd1_exact_dedup" -> (Dedup.exactDedup _),
     "dd2_minhash_lsh" -> ((s, d) => Dedup.minhashLshQuery(s, d)),
@@ -270,6 +272,8 @@ object SparkEntry {
         |ORDER BY priority, quartile""".stripMargin,
 
     "q4_priority_semi" -> Pricing.returnedPriorityOracle,
+    "q13_custdist" -> Pricing.custDistributionOracle,
+    "j9_cdc_latest" -> Upsert.cdcLatestMergeOracle,
 
     "tx11_tfidf_topterms" -> TextStats.tfidfTopTermsOracle,
     "tx12_sequence_packing" -> TextStats.sequencePackingOracle,

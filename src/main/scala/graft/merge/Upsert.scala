@@ -100,6 +100,58 @@ object Upsert {
       |       next_ts IS NULL AS is_current
       |FROM c ORDER BY custkey, valid_from, o_orderkey""".stripMargin
 
+  /** j9 — CDC latest-wins merge: a change batch usually carries SEVERAL
+    * updates per key (a customer ordering twice in the window); merging
+    * it raw would write whichever duplicate the join met last. The
+    * production composition dedups the batch to each key's LATEST
+    * change (row_number over (key, change-time DESC, total-order
+    * tiebreak)) and only then applies the update-merge — one window
+    * shuffle on the merge key that the merge's own anti-join reuses.
+    * Target = each customer's latest pre-2000 order; changes = each
+    * customer's orders from 2000 on. */
+  def cdcLatestMerge(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def latestPerCust(df: DataFrame, src: String): DataFrame = {
+      val w = Window.partitionBy("custkey")
+        .orderBy(desc("ts"), desc("o_orderkey"))
+      df.select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_orderdate").as("ts"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("custkey"), col("o_orderkey"), col("price_cents"),
+          lit(src).as("src"))
+    }
+    val o = Tables.orders(s, d)
+    val cutoff = to_timestamp(lit("2000-01-01 00:00:00"))
+    val target = latestPerCust(o.filter(col("o_orderdate") < cutoff), "existing")
+    val changes = latestPerCust(o.filter(col("o_orderdate") >= cutoff), "cdc")
+    upsertWithUpdate(target, changes, Seq("custkey"))
+      .orderBy("custkey")
+  }
+
+  val cdcLatestMergeOracle: String =
+    """WITH ranked AS (
+      |  SELECT o_custkey AS custkey, o_orderkey,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |         o_orderdate < TIMESTAMP '2000-01-01 00:00:00' AS is_old,
+      |         row_number() OVER (
+      |           PARTITION BY o_custkey,
+      |                        o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders),
+      |target AS (
+      |  SELECT custkey, o_orderkey, price_cents, 'existing' AS src
+      |  FROM ranked WHERE is_old AND rn = 1),
+      |changes AS (
+      |  SELECT custkey, o_orderkey, price_cents, 'cdc' AS src
+      |  FROM ranked WHERE NOT is_old AND rn = 1)
+      |SELECT t.* FROM target t
+      |WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.custkey = t.custkey)
+      |UNION ALL
+      |SELECT * FROM changes
+      |ORDER BY custkey""".stripMargin
+
   /** Oracle-checkable merge scenario on orders: target = pre-2000 orders,
     * incoming = high-value orders (overlapping both eras); result tagged
     * by provenance. Replay-idempotence is asserted in the spec. */

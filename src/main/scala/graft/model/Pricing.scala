@@ -201,4 +201,37 @@ object Pricing {
       |WHERE EXISTS (SELECT 1 FROM lineitem l
       |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
       |GROUP BY priority ORDER BY priority""".stripMargin
+
+  /** q13 — customer order-count distribution (TPC-H Q13 shape): how
+    * many customers placed exactly N orders, INCLUDING the zero-order
+    * customers a plain inner join would drop. Aggregate-below-join:
+    * orders collapse to one (custkey, count) row per customer BEFORE
+    * meeting the customer table, so the join carries one row per
+    * customer instead of one per order — at 100 TB that is the
+    * difference between shuffling the fact and shuffling a key list.
+    * The zero fill is a left join + coalesce(0); the histogram is a
+    * second tiny aggregation. */
+  def custDistribution(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  val custDistributionOracle: String =
+    """WITH per_cust AS (
+      |  SELECT c.c_custkey,
+      |         CAST(coalesce(o.n, 0) AS BIGINT) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN (SELECT o_custkey, count(*) AS n
+      |             FROM orders GROUP BY o_custkey) o
+      |    ON c.c_custkey = o.o_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM per_cust GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
 }

@@ -49,6 +49,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(twice.count() == 3)
   }
 
+  test("cogroup reconciliation: per-key two-sided diff matches the outer-join computation") {
+    import graft.ops.Reconcile
+    // asymmetric sides: keys only-left, only-right, both; dup rows
+    val left = Seq((1L, 10L), (1L, 5L), (2L, 7L), (4L, 1L)).toDS()
+    val right = Seq((1L, 8L), (3L, 9L), (4L, 1L), (4L, 2L)).toDS()
+    val got = Reconcile.keyedDiff(left, right)
+      .collect().map(d => d.key -> d).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == Reconcile.KeyDiff(1L, 2, 1, 15, 8, 7))
+    assert(got(2L) == Reconcile.KeyDiff(2L, 1, 0, 7, 0, 7))
+    assert(got(3L) == Reconcile.KeyDiff(3L, 0, 1, 0, 9, -9))
+    assert(got(4L) == Reconcile.KeyDiff(4L, 1, 2, 1, 3, -2))
+    // against the fixture tables: events cents vs a perturbed copy
+    // must reconcile to zero delta except where perturbed
+    val ev = Tables.events(spark, GraftSpark.sf)
+      .filter($"value".isNotNull)
+      .select($"user_id", round($"value" * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+    val perturbed = ev.map { case (u, c) => (u, if (u == 3L) c + 1 else c) }
+    val diffs = Reconcile.keyedDiff(ev, perturbed).collect()
+    val bad = diffs.filter(_.delta != 0L)
+    assert(bad.forall(_.key == 3L) && bad.nonEmpty,
+      s"unexpected deltas: ${bad.take(3).mkString(",")}")
+  }
+
   test("SCD2 history: versions chain per key (valid_to = next valid_from), exactly one current") {
     val hist = Upsert.scd2History(spark, GraftSpark.sf)
       .collect()
