@@ -97,11 +97,21 @@ object Bench {
     // errors ride the final line only when present — the empty list is
     // implied by rc=0 and costs budget the growing query map needs
     val errField = if (errors.isEmpty) "" else s""""errors":$errJson,"""
-    val line = s"""{"metric":"p50_total","value":${fmt(p50Total, 3)},"unit":"sec",""" +
-      errField + s""""sf":"$sfName","queries":${obj(_._3, 2)}}"""
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: final line ${line.length} chars " +
-        "may exceed the driver's 2000-char tail capture")
+    def finalLine(dec: Int): String =
+      s"""{"metric":"p50_total","value":${fmt(p50Total, 3)},"unit":"sec",""" +
+        errField + s""""sf":"$sfName","queries":${obj(_._3, dec)}}"""
+    // the line MUST fit the driver's 2000-char tail capture whole — a
+    // clipped line records parsed:null (the round-3 failure). Degrade
+    // per-query precision before ever letting that happen; a stderr
+    // note records the downshift.
+    val line = (2 to 0 by -1).map(finalLine)
+      .find(_.length <= 1900).getOrElse {
+        System.err.println("[bench] final line oversized even at 0 decimals")
+        finalLine(0)
+      }
+    if (finalLine(2).length > 1900)
+      System.err.println(s"[bench] final line degraded to fit tail capture " +
+        s"(${finalLine(2).length} chars at 2 decimals)")
     println(line)
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.length} queries FAILED")

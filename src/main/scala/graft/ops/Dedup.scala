@@ -210,17 +210,21 @@ object Dedup {
     * no plan re-execution. */
   def labelPropagation(edges: DataFrame, maxIters: Int = 20,
       mode: Materialize.Mode = Materialize.Local,
-      localThreshold: Long = 4L * 1000 * 1000): DataFrame = {
+      localThreshold: Long = 1000L * 1000): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
     val e = Materialize(edges.select(c("u"), c("v")), mode, "cc_edges")
     // Strategy switch, same shape as Spark's size-based broadcast
     // decision: the near-dup PAIR graph is orders of magnitude smaller
     // than the corpus (only docs with a verified near-dup appear), so
     // when it fits comfortably in the driver an exact union-find beats
-    // paying multi-stage scheduling per propagation round. Past the
-    // threshold — billions of edges at warehouse scale — the
-    // distributed O(log diameter) loop below is the path; Storage mode
-    // always loops (its contract is durable per-round artifacts).
+    // paying multi-stage scheduling per propagation round. The default
+    // threshold (1M edges ≈ tens of MB of collected rows + the
+    // LongMaps) stays well inside a default driver heap — the cost is
+    // O(edges) driver memory, so size the threshold like a broadcast
+    // threshold, not a "fits on disk" bound. Past it — billions of
+    // edges at warehouse scale — the distributed O(log diameter) loop
+    // below is the path; Storage mode always loops (its contract is
+    // durable per-round artifacts).
     if (mode == Materialize.Local && e.count() <= localThreshold)
       return localComponents(e)
     val sym = e.unionByName(e.select(c("v").as("u"), c("u").as("v")))

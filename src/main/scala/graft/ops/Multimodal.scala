@@ -100,24 +100,7 @@ object Multimodal {
     * under any traversal order and insensitive to dimension rounding. */
   def aHash(m: Media): Option[Long] = {
     readImage(m).filter(bi => bi.getWidth >= 8 && bi.getHeight >= 8).map { bi =>
-      val sums = Array.ofDim[Long](64)
-      val counts = Array.ofDim[Long](64)
-      var y = 0
-      while (y < bi.getHeight) {
-        val cy = math.min(7, y * 8 / bi.getHeight)
-        var x = 0
-        while (x < bi.getWidth) {
-          val cx = math.min(7, x * 8 / bi.getWidth)
-          val p = bi.getRGB(x, y)
-          // integer ITU-R 601 luma: exact, engine-independent
-          val luma = 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
-            114 * (p & 0xff)
-          sums(cy * 8 + cx) += luma
-          counts(cy * 8 + cx) += 1
-          x += 1
-        }
-        y += 1
-      }
+      val (sums, counts) = cellLumaMeans(bi, 8, 8)
       // compare cell means against the global mean in exact cross-
       // multiplied form (no double division → no ties by ulp); BigInt
       // because sum×count products overflow Long past ~4k×4k images,
@@ -134,6 +117,34 @@ object Multimodal {
       }
       h
     }
+  }
+
+  /** Shared area-mean luminance downsample for the perceptual hashes:
+    * gridW×gridH cells of (integer ITU-R 601 luma sum, pixel count) —
+    * every source pixel lands in exactly one cell, so both hash
+    * families stay deterministic under any traversal order and any
+    * dimension rounding, and a luma/clamping fix lands in both at
+    * once. */
+  private def cellLumaMeans(bi: java.awt.image.BufferedImage,
+      gridW: Int, gridH: Int): (Array[Long], Array[Long]) = {
+    val sums = Array.ofDim[Long](gridW * gridH)
+    val counts = Array.ofDim[Long](gridW * gridH)
+    var y = 0
+    while (y < bi.getHeight) {
+      val cy = math.min(gridH - 1, y * gridH / bi.getHeight)
+      var x = 0
+      while (x < bi.getWidth) {
+        val cx = math.min(gridW - 1, x * gridW / bi.getWidth)
+        val p = bi.getRGB(x, y)
+        val luma = 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+          114 * (p & 0xff)
+        sums(cy * gridW + cx) += luma
+        counts(cy * gridW + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (sums, counts)
   }
 
   case class MediaHash(doc_id: Long, ahash: Long)
@@ -160,23 +171,7 @@ object Multimodal {
   def dHash(m: Media): Option[Long] = {
     readImage(m).filter(bi => bi.getWidth >= 9 && bi.getHeight >= 8).map { bi =>
       // 9 columns × 8 rows of (luma sum, pixel count)
-      val sums = Array.ofDim[Long](72)
-      val counts = Array.ofDim[Long](72)
-      var y = 0
-      while (y < bi.getHeight) {
-        val cy = math.min(7, y * 8 / bi.getHeight)
-        var x = 0
-        while (x < bi.getWidth) {
-          val cx = math.min(8, x * 9 / bi.getWidth)
-          val p = bi.getRGB(x, y)
-          val luma = 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
-            114 * (p & 0xff)
-          sums(cy * 9 + cx) += luma
-          counts(cy * 9 + cx) += 1
-          x += 1
-        }
-        y += 1
-      }
+      val (sums, counts) = cellLumaMeans(bi, 9, 8)
       var h = 0L
       var cy = 0
       while (cy < 8) {

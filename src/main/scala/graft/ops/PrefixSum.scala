@@ -26,7 +26,9 @@ object PrefixSum {
 
   /** EXCLUSIVE prefix sum of `valCol` in `orderCol` order (the sum of
     * all strictly-preceding rows; 0 for the first). `orderCol` must be
-    * unique — it is the total order. Appends `offset`. */
+    * unique — it is the total order; `valCol` must be integral and
+    * non-null (a null would poison every later offset in its
+    * partition). Values may be negative. Appends `offset`. */
   def exclusive(df: DataFrame, orderCol: String, valCol: String,
       partitions: Int,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
@@ -40,9 +42,11 @@ object PrefixSum {
     val local = Materialize(
       ranged.withColumn("__incl", sum(col(valCol)).over(w)),
       mode, "prefix_local")
-    // partition totals: O(partitions) rows on the driver
+    // partition totals: O(partitions) rows on the driver. sum(), NOT
+    // max(running sum) — the running max diverges from the total the
+    // moment a negative value appears, and this is a general utility
     val totals = local.groupBy("__pid")
-      .agg(max(col("__incl")).as("__tot"))
+      .agg(sum(col(valCol)).cast("long").as("__tot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val starts = totals.scanLeft((0, 0L)) {
       case ((_, acc), (pid, tot)) => (pid, acc + tot)

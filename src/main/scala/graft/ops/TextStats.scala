@@ -12,8 +12,12 @@ import graft.Tables
   */
 object TextStats {
 
-  /** Whitespace tokenization, trim-guarded. */
-  def words(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenization, trim-guarded. The class is EXPLICIT and
+    * matches RE2's `\s` exactly ([\t\n\f\r ]): Java's `\s` also eats
+    * U+000B vertical tab, which RE2-based engines (the DuckDB oracle)
+    * do not — with a bare `\s+` every word-based query's hash gate
+    * would be one vertical-tab away from a cross-engine mismatch. */
+  def words(text: Column): Column = split(trim(text), "[ \\t\\n\\f\\r]+")
 
   /** Distinct word n-gram shingles via the imperative
     * [[graft.expressions.WordNGrams]] expression (the composable

@@ -248,6 +248,17 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(scalable == naive, s"prefix sum diverges at $p partitions")
     }
+    // negative values: partition totals must be true sums, not running
+    // maxima (a ledger-style workload would silently corrupt otherwise)
+    import spark.implicits._
+    val ledger = (1L to 100L).map(i => (i, if (i % 3 == 0) -2L * i else i))
+      .toDF("id", "v")
+    val expect = ledger.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+      .init.map(_._2) // exclusive: offset of row i = sum of rows < i ... shifted
+    val gotNeg = PrefixSum.exclusive(ledger, "id", "v", 7)
+      .orderBy("id").select("offset").as[Long].collect()
+    assert(gotNeg.toSeq == expect.toSeq, "negative-value prefix sums wrong")
   }
 
   test("dHash: gradient hash — codec-invariant, brightness-shift-invariant, direction-sensitive") {
