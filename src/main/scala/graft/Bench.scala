@@ -101,15 +101,17 @@ object Bench {
       s"""{"metric":"p50_total","value":${fmt(p50Total, 3)},"unit":"sec",""" +
         errField + s""""sf":"$sfName","queries":${obj(_._3, dec)}}"""
     // the line MUST fit the driver's 2000-char tail capture whole — a
-    // clipped line records parsed:null (the round-3 failure). Degrade
-    // per-query precision before ever letting that happen; a stderr
-    // note records the downshift.
+    // clipped line records parsed:null (the round-3 failure). Nothing
+    // prints after this line (sbt's [success] trailer is suppressed),
+    // so the budget is 2000 minus the trailing newline; 1980 leaves a
+    // small margin. Degrade per-query precision before ever letting a
+    // clip happen; a stderr note records the downshift.
     val line = (2 to 0 by -1).map(finalLine)
-      .find(_.length <= 1900).getOrElse {
+      .find(_.length <= 1980).getOrElse {
         System.err.println("[bench] final line oversized even at 0 decimals")
         finalLine(0)
       }
-    if (finalLine(2).length > 1900)
+    if (finalLine(2).length > 1980)
       System.err.println(s"[bench] final line degraded to fit tail capture " +
         s"(${finalLine(2).length} chars at 2 decimals)")
     println(line)

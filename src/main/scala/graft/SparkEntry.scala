@@ -47,6 +47,7 @@ object SparkEntry {
     "a5_max_by_nation" -> (Analytics.maxByNation _),
     "a10_rollup_stats" -> (Analytics.rollupStats _),
     "a14_cube_stats" -> (Analytics.cubeStats _),
+    "a15_event_sequences" -> (Analytics.eventSequences _),
     "w5_ntile_quartiles" -> (Analytics.ntileQuartiles _),
     "a11_percentiles" -> (Analytics.percentileStats _),
     "a12_pivot_counts" -> (Analytics.pivotCounts _),
@@ -272,6 +273,7 @@ object SparkEntry {
         |ORDER BY priority, quartile""".stripMargin,
 
     "q4_priority_semi" -> Pricing.returnedPriorityOracle,
+    "a15_event_sequences" -> Analytics.eventSequencesOracle,
     "q13_custdist" -> Pricing.custDistributionOracle,
     "j9_cdc_latest" -> Upsert.cdcLatestMergeOracle,
 

@@ -211,6 +211,38 @@ object Analytics {
       .orderBy("priority", "quartile")
   }
 
+  /** Beyond-reference: per-user ordered event-sequence assembly — the
+    * "build training sequences from an event log" shape: one hash
+    * aggregation gathers each user's events, `sort_array` over
+    * (ts, event_id) structs imposes the total event-time order INSIDE
+    * the aggregation result (collect_list alone is
+    * partition-order-dependent — never hash a bare collect_list), and
+    * the sequence surfaces as an md5 digest + length so the output
+    * stays narrow however long the sequences grow. One shuffle on
+    * user_id; a hot user costs its own sequence length, nothing
+    * quadratic. */
+  def eventSequences(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        date_trunc("second", col("ts")).as("ts_sec"), col("event_id"))
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("ts_sec"), col("event_id"))).as("evs"))
+      .select(
+        col("user_id"),
+        size(col("evs")).cast("long").as("n_events"),
+        md5(array_join(
+          transform(sort_array(col("evs")), e => e.getField("event_id").cast("string")),
+          ",")).as("seq_md5"))
+      .orderBy("user_id")
+
+  val eventSequencesOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       md5(string_agg(CAST(event_id AS VARCHAR), ','
+      |           ORDER BY date_trunc('second', ts), event_id)) AS seq_md5
+      |FROM events WHERE ts IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Beyond-reference: exact interpolated percentiles (Spark
     * `percentile` ≡ DuckDB `quantile_cont` — same linear interpolation
     * over the sorted values, so identical doubles). For 100 TB use
