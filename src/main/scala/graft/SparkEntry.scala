@@ -33,6 +33,7 @@ object SparkEntry {
     "p14_p18_fact_derive" -> (Fact.factDerive _),
     "d1_dedup_min" -> (Fact.dedupMin _),
     "u1_union_all" -> (Fact.unionAll _),
+    "u2_except_intersect" -> (Fact.exceptIntersect _),
     "w1_window_dedup" -> (Analytics.windowDedup _),
     "w2_sessionize" -> (Analytics.sessionize _),
     "w3_retention_cohorts" -> (Analytics.retentionCohorts _),
@@ -275,6 +276,7 @@ object SparkEntry {
     "q4_priority_semi" -> Pricing.returnedPriorityOracle,
     "a15_event_sequences" -> Analytics.eventSequencesOracle,
     "q13_custdist" -> Pricing.custDistributionOracle,
+    "u2_except_intersect" -> Fact.exceptIntersectOracle,
     "j9_cdc_latest" -> Upsert.cdcLatestMergeOracle,
 
     "tx11_tfidf_topterms" -> TextStats.tfidfTopTermsOracle,

@@ -83,4 +83,34 @@ object Fact {
       .unionByName(ev.filter(col("event_type") === "signup"))
       .orderBy("event_id", "value")
   }
+
+  /** U2 — EXCEPT / INTERSECT (distinct set semantics, completing the
+    * §2.8 set-operation surface beside UNION ALL): high-value events
+    * split by whether they are signups, both results tagged in one
+    * frame. Catalyst plans both as aggregated joins (left-anti /
+    * left-semi + distinct) — keyed shuffles, no materialized
+    * distinct-before-join. */
+  def exceptIntersect(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    // value > 50, not u1's 400: the sf0.001 smoke fixture has no
+    // events above 400, and both legs here derive from this filter
+    val high = ev.filter(col("value") > 50).select("event_id")
+    val signup = ev.filter(col("event_type") === "signup").select("event_id")
+    high.except(signup).select(lit("except").as("op"), col("event_id"))
+      .unionByName(
+        high.intersect(signup).select(lit("intersect").as("op"), col("event_id")))
+      .orderBy("op", "event_id")
+  }
+
+  val exceptIntersectOracle: String =
+    """SELECT 'except' AS op, event_id FROM (
+      |  SELECT event_id FROM events WHERE value > 50
+      |  EXCEPT
+      |  SELECT event_id FROM events WHERE event_type = 'signup')
+      |UNION ALL
+      |SELECT 'intersect' AS op, event_id FROM (
+      |  SELECT event_id FROM events WHERE value > 50
+      |  INTERSECT
+      |  SELECT event_id FROM events WHERE event_type = 'signup')
+      |ORDER BY op, event_id""".stripMargin
 }
