@@ -103,6 +103,46 @@ class IoSpec extends AnyFunSuite {
     assert(dropped.select("id", "v").collect().length == 2)
   }
 
+  test("JSONL corpus round-trip: plain and gzip, corrupt records quarantined not fatal") {
+    // the LLM-corpus wire format: newline-delimited JSON, usually
+    // gzipped, always containing some broken lines. The ingest must
+    // read both layouts identically and quarantine garbage into
+    // _corrupt_record instead of killing the job or silently dropping.
+    val docs = Tables.documents(spark, GraftSpark.sf)
+      .select("doc_id", "text", "lang", "source")
+    val dir = tmp()
+    docs.write.json(s"$dir/plain")
+    docs.write.option("compression", "gzip").json(s"$dir/gz")
+    assert(new java.io.File(s"$dir/gz").listFiles()
+      .exists(_.getName.endsWith(".json.gz")), "gzip layout not written")
+    val schema = "doc_id LONG, text STRING, lang STRING, source STRING, _corrupt_record STRING"
+    def readBack(p: String) = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record").json(p)
+    val plain = readBack(s"$dir/plain")
+    val gz = readBack(s"$dir/gz")
+    val want = docs.collect().map(_.getLong(0)).sorted.toSeq
+    assert(plain.collect().map(_.getLong(0)).sorted.toSeq == want)
+    assert(gz.collect().map(_.getLong(0)).sorted.toSeq == want)
+    // poison a copy with broken lines: quarantined, valid rows intact
+    val poisoned = s"$dir/poisoned"
+    new java.io.File(poisoned).mkdirs()
+    val src = new java.io.File(s"$dir/plain").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    src.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$poisoned/part$i.json"))
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$poisoned/bad.json"),
+      "{\"doc_id\": 1, \"text\": \"unterminated\n{not json at all}\n")
+    val withBad = readBack(poisoned)
+    // corrupt-record capture needs the parsed columns materialized
+    val rows = withBad.select("doc_id", "_corrupt_record").collect()
+    assert(rows.count(_.isNullAt(0)) == 2, "2 poison lines quarantined")
+    assert(rows.count(!_.isNullAt(0)) == want.size, "valid rows survive")
+  }
+
   test("S15/S16: repartition(n) and coalesce(n) control output file count") {
     val dir = tmp()
     val df = Tables.customer(spark, GraftSpark.sf)
