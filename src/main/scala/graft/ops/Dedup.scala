@@ -181,9 +181,17 @@ object Dedup {
     val b = hs
       .withColumn("salt", explode(array((0 until SaltBuckets).map(lit): _*)))
       .as("b")
+    // length filter (the PPJoin-family size bound, exact): i ≤ min(|a|,|b|)
+    // and u ≥ max(|a|,|b|), so jaccard ≤ min/max — a pair can only clear
+    // threshold t when min·1 ≥ t·max. Evaluated from the cached array
+    // sizes BEFORE the merge-intersect, it prunes size-mismatched pairs
+    // at comparison cost ~0 without changing a single result row.
+    val sizeBound =
+      least(size(col("a.hs")), size(col("b.hs"))) * lit(10) >=
+        greatest(size(col("a.hs")), size(col("b.hs")))
     a.join(b.hint("SHUFFLE_HASH"),
         col("a.lang") === col("b.lang") && col("a.salt") === col("b.salt") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && sizeBound)
       .withColumn("i_size",
         graft.expressions.SortedIntersectSize.intersectSize(col("a.hs"), col("b.hs")))
       .withColumn("u_size", size(col("a.hs")) + size(col("b.hs")) - col("i_size"))
