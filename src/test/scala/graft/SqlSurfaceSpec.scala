@@ -62,6 +62,33 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(folded.codePointAt(0) == 0x10428)
   }
 
+  test("zorder2: exact interleave, SQL-callable, and measurably better 2-D file pruning") {
+    import graft.expressions.ZOrder2
+    // bit-exact interleave: x on even positions, y on odd
+    assert(ZOrder2.interleave(3, 0) == 5L)   // 0b11 -> 0b0101
+    assert(ZOrder2.interleave(0, 3) == 10L)  // 0b11 -> 0b1010
+    assert(ZOrder2.interleave(1, 1) == 3L)
+    assert(ZOrder2.interleave(-1, 0) == 0x5555555555555555L)
+    val viaSql = spark.sql("SELECT zorder2(3, 0) AS z").collect()(0).getLong(0)
+    assert(viaSql == 5L)
+    // locality: 64x64 grid, 64 "files" of 64 rows each. An aligned 8x8
+    // box is ONE contiguous z-range (<= 2 files); under x-major order
+    // the same box spreads across 8 files, and a y-stripe across all 64
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x, y)
+    def filesTouched(ordered: Seq[(Int, Int)], hit: ((Int, Int)) => Boolean): Int =
+      ordered.grouped(64).zipWithIndex.collect {
+        case (chunk, i) if chunk.exists(hit) => i
+      }.size
+    val byZ = grid.sortBy { case (x, y) => ZOrder2.interleave(x, y) }
+    val byX = grid.sortBy { case (x, y) => x * 64 + y }
+    def inBox(p: (Int, Int)) = p._1 >= 8 && p._1 <= 15 && p._2 >= 8 && p._2 <= 15
+    def inStripe(p: (Int, Int)) = p._2 >= 8 && p._2 <= 15
+    assert(filesTouched(byZ, inBox) <= 2, "aligned box must be ~one z-run")
+    assert(filesTouched(byX, inBox) == 8)
+    assert(filesTouched(byX, inStripe) == 64, "x-major cannot prune a y filter")
+    assert(filesTouched(byZ, inStripe) <= 16, "z-order prunes BOTH dimensions")
+  }
+
   test("md5_hash56_pair / md5_hash60 / word_ngrams / top_k_pairs callable from SQL") {
     val r = spark.sql(
       """SELECT md5_hash56_pair('abc').h1 AS h1,
