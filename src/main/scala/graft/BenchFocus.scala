@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Focused per-query re-measurement: runs the named SparkEntry queries
+  * (default: all) SPARK_GRAFT_RUNS times (default 8) and prints every
+  * run plus min/median/max — the n≥4 variance evidence [[Bench]]'s
+  * 3-run medians can't provide when a single query's round-over-round
+  * delta needs adjudicating (noise vs regression). Run:
+  *   SPARK_GRAFT_SF_DIR=... sbt 'runMain graft.BenchFocus j1_spatial_join'
+  */
+object BenchFocus {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "8").toInt
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
+      val ts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.ops.Materialize.releaseAll(spark)
+        t
+      }
+      val sorted = ts.sorted
+      val med = sorted(sorted.length / 2)
+      println(f"$name%-24s med=$med%6.2f min=${sorted.head}%6.2f " +
+        f"max=${sorted.last}%6.2f runs=[${ts.map(t => f"$t%.2f").mkString(",")}]")
+    }
+    spark.stop()
+  }
+}

@@ -89,8 +89,9 @@ object SparkEntry {
     "dd9_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "sim1_brute_topk" -> (Similarity.bruteTopK _),
     "sim2_lsh_topk" -> (Similarity.lshTopK _),
-    "sim3_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
-    "sim4_knn_graph" -> (Similarity.knnGraph _),
+    "sim3_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(s, d, trainCap = Similarity.IvfTrainCap)),
+    "sim4_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "tx1_lang_id" -> (TextStats.langIdQuery _),
     "tx2_quality_score" -> (TextStats.qualityScore _),
     "tx3_token_counts" -> (TextStats.tokenCounts _),
@@ -475,8 +476,8 @@ object SparkEntry {
     "dd9_simhash_pairs" -> Dedup.simhashPairsOracle,
     "sim1_brute_topk" -> Similarity.bruteTopKOracle,
     "sim2_lsh_topk" -> Similarity.lshTopKOracle,
-    "sim3_ivf_topk" -> Similarity.ivfTopKOracle,
-    "sim4_knn_graph" -> Similarity.knnGraphOracle,
+    "sim3_ivf_topk" -> Similarity.ivfOracle(Similarity.IvfTrainCap),
+    "sim4_knn_graph" -> Similarity.knnGraphOracle(),
     "tx1_lang_id" -> TextStats.langIdOracle,
     "tx2_quality_score" -> TextStats.qualityOracle,
     "tx3_token_counts" -> TextStats.tokenCountsOracle,

@@ -357,22 +357,53 @@ object Dedup {
     * the n²/256 a 32-bit signature's 8-bit bands would give. */
   val SimHashBits = 60
 
+  /** Aggregation-buffer packing for the SimHash vote counts: 3 bit
+    * positions share one 64-bit sum, each in a 20-bit field, so the
+    * per-group aggregation state is 20 longs + a count instead of 60
+    * longs. Field arithmetic is carry-free as long as every per-doc
+    * distinct-token count stays under 2^20 (~1M — guarded with
+    * raise_error; a document with a million DISTINCT whitespace tokens
+    * is corrupt input, not data). */
+  private val SimHashFieldBits = 20
+  private val SimHashFieldsPerSum = 3
+
   /** SimHash: per-token 60-bit hashes vote ±1 per bit position; the
     * signature packs the sign bits. Near-dup = small Hamming distance
-    * (bit_count(xor)) — probed in the spec; the query emits signatures. */
+    * (bit_count(xor)) — probed in the spec; the query emits signatures.
+    *
+    * The ±1 vote sum is re-expressed as a set-bit COUNT: with n distinct
+    * tokens, vote_j = 2·cnt_j − n, so `vote_j > 0 ⟺ 2·cnt_j > n` —
+    * exact integer comparisons, bit-identical to the oracle's ±1 form,
+    * but cnt_j is non-negative and bounded by n, which lets three
+    * counters pack carry-free into one sum ([[SimHashFieldBits]]). */
   def simhashQuery(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(array_distinct(words(col("text")))).as("w"))
       .withColumn("h", md5Hash60(col("w"), 99))
-    val votes = (0 until SimHashBits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"v$j"))
-    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until SimHashBits).map(j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+    val nSums = SimHashBits / SimHashFieldsPerSum
+    val packedSums = (0 until nSums).map { g =>
+      val fields = (0 until SimHashFieldsPerSum).map { i =>
+        shiftright(col("h"), g * SimHashFieldsPerSum + i).bitwiseAND(1) *
+          lit(1L << (SimHashFieldBits * i))
+      }
+      sum(fields.reduce(_ + _)).as(s"p$g")
+    }
+    val agg = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), packedSums: _*)
+    val fieldMask = (1L << SimHashFieldBits) - 1
+    val sig = (0 until SimHashBits).map { j =>
+      val cnt = shiftright(col(s"p${j / SimHashFieldsPerSum}"),
+        SimHashFieldBits * (j % SimHashFieldsPerSum)).bitwiseAND(fieldMask)
+      when(cnt * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"),
+        when(col("n") >= lit(1L << SimHashFieldBits),
+          raise_error(concat(lit("simhash: distinct-token count exceeds "),
+            lit((1L << SimHashFieldBits).toString), lit(" for doc "),
+            col("doc_id"))).cast("long"))
+          .otherwise(sig).as("simhash"))
+      .orderBy("doc_id")
   }
 
   /** SimHash banding: 4 bands × 15 bits over the 60-bit signature. By
@@ -404,16 +435,19 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("simhash"),
         col("bs.band").as("band"), col("bs.bv").as("bv"))
+    // hamming filter BEFORE the dedup distinct: the signatures ride the
+    // join rows anyway, so verifying first costs nothing and shrinks the
+    // distinct's exchange by the (large) non-near candidate fraction —
+    // distinct over (doc_a, doc_b, hamming) is equivalent because
+    // hamming is functionally dependent on the pair
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= SimHashRadius)
-      .select("doc_a", "doc_b", "hamming")
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

@@ -124,24 +124,40 @@ object Similarity {
 
   val KnnK = 3
 
+  /** Driver-query probe radius for [[knnGraph]] — the recall/cost dial,
+    * measured at sf0.1 (see NOTES.md): radius 1 multiplies the src side
+    * (and the whole pair/window stream) by P+1 = 9×. */
+  val KnnProbeRadius = 1
+
   /** KNN-graph construction: top-k nearest neighbors for EVERY vector,
-    * blocked by the sign-LSH bucket with Hamming-1 multi-probe: the src
-    * side explodes to its home bucket plus the [[Planes]] one-bit
-    * neighbors, the dst side stays at its home bucket, and the pair
-    * join remains EQUI-keyed on the probed bucket (an OR-of-XORs
-    * predicate would degrade it to a nested loop). Pair semantics:
-    * hamming(bucket_src, bucket_dst) ≤ 1, each pair found exactly once
-    * (the probe masks are distinct). The quadratic term shrinks to
-    * (P+1)·sum-of-squared-bucket-sizes, never corpus². Rank via one
-    * window over the pair stream; deterministic tiebreaks. This is the
-    * candidate graph semantic-dedup/clustering pipelines consume. */
-  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    * blocked by the sign-LSH bucket, with the probe radius as an
+    * explicit recall/cost dial:
+    *   - `probeRadius = 0` — each vector meets only its home bucket:
+    *     cheapest, sum-of-squared-bucket-sizes pairs, but a bucket
+    *     holding fewer than k+1 vectors cannot fill its rows' top-k.
+    *   - `probeRadius = 1` — Hamming-1 multi-probe: the src side
+    *     explodes to its home bucket plus the [[Planes]] one-bit
+    *     neighbors ((P+1)× the pair stream) and the nearest misses
+    *     overwhelmingly land one flipped hyperplane away.
+    * The join stays EQUI-keyed on the probed bucket either way (an
+    * OR-of-XORs predicate would degrade it to a nested loop); dst stays
+    * at its home bucket, and each pair is found exactly once (the probe
+    * masks are distinct). The quadratic term is (P+1)·sum-of-squared-
+    * bucket-sizes at radius 1, never corpus². Rank via one window over
+    * the pair stream; deterministic tiebreaks. This is the candidate
+    * graph semantic-dedup/clustering pipelines consume. */
+  def knnGraph(s: SparkSession, d: String,
+      probeRadius: Int = KnnProbeRadius): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(probeRadius == 0 || probeRadius == 1,
+      s"probeRadius must be 0 or 1, got $probeRadius")
     val e = embDouble(s, d).withColumn("bucket", bucketCol(col("v")))
-    val probeMasks = array((lit(0) +: (0 until Planes).map(p => lit(1 << p))): _*)
+    val masks =
+      lit(0) +: (if (probeRadius >= 1) (0 until Planes).map(p => lit(1 << p))
+                 else Seq.empty)
     val a = e.select(col("vec_id").as("src"), col("v").as("av"),
       col("norm").as("anorm"), col("bucket").as("home"))
-      .withColumn("probe", explode(probeMasks))
+      .withColumn("probe", explode(array(masks: _*)))
       .withColumn("bucket", col("probe").bitwiseXOR(col("home")))
       .drop("probe", "home")
       .repartition(s.sparkContext.defaultParallelism, col("bucket"))
@@ -161,6 +177,14 @@ object Similarity {
   val IvfCells = 10
   val IvfProbes = 2
   val IvfIters = 3
+  /** Driver-query training-sample cap: k-means cell geometry converges
+    * from a few hundred vectors at k=10, so the driver trains on a
+    * deterministic ~512-vector sample — the production posture — and
+    * only the final assignment pass touches the full corpus. */
+  val IvfTrainCap = 512L
+  /** Seed for the md5-based sample stride — the md5 primitive (not
+    * murmur) so the DuckDB oracle replays the exact sample. */
+  val IvfSampleSeed = 7
   /** Training quantization scale (a power of two, so v*Q is EXACT float
     * math in both engines). Centroid sums stay exact-in-double up to
     * ~60k vectors per cell at Dim 64 — far past the test SFs; real
@@ -232,25 +256,32 @@ object Similarity {
     * sample — which is what production IVF does anyway (k-means on the
     * corpus is wasteful; cell geometry converges from a sample).
     *
-    * Sampling is a stable HASH stride (hash(id) % stride == 0), not
-    * random(): reproducible across runs, retries, and partitionings,
-    * and — unlike a raw id modulus — uniform for ANY id distribution
-    * (sparse surrogate ids that are all multiples of the stride would
-    * select the whole corpus and silently re-break the exactness
-    * envelope). The hash stride lands the sample size ~trainCap in
-    * expectation; a deterministic orderBy(id).limit(trainCap) over the
-    * already-small sample makes the cap HARD. Seeds are the sample's
-    * first [[IvfCells]] vectors by id. Assignment of the FULL corpus
-    * against the sampled centroids stays the same exact expression
+    * Sampling is a stable HASH stride (md5Hash60(id) % stride == 0),
+    * not random(): reproducible across runs, retries, and
+    * partitionings, and — unlike a raw id modulus — uniform for ANY id
+    * distribution (sparse surrogate ids that are all multiples of the
+    * stride would select the whole corpus and silently re-break the
+    * exactness envelope). The hash is the shared md5 primitive so the
+    * DuckDB oracle replays the exact sample ([[IvfSampleSeed]]). The
+    * stride lands the sample size ~trainCap in expectation; a
+    * deterministic orderBy(id).limit(trainCap) over the already-small
+    * sample makes the cap HARD. Seeds are the sample's first
+    * [[IvfCells]] vectors by id, cid in id order. The sample frame is
+    * materialized once — seeds plus [[IvfIters]] training rounds read
+    * it as a scan, not a re-sort. Assignment of the FULL corpus against
+    * the sampled centroids stays the same exact expression
     * ([[assignCells]]). */
   def trainedCentroidsSampled(qt: DataFrame, idCol: String,
-      trainCap: Long): Seq[Centroid] = {
+      trainCap: Long,
+      mode: Materialize.Mode = Materialize.Local): Seq[Centroid] = {
     val n = qt.count()
     val stride = math.max(1L, (n + trainCap - 1) / trainCap)
-    val train = qt
-      .filter(pmod(hash(col(idCol)), lit(stride.toInt)) === 0)
-      .orderBy(col(idCol)).limit(
-        math.min(trainCap, Int.MaxValue.toLong).toInt)
+    val train = Materialize(
+      qt.filter(md5Hash60(col(idCol).cast("string"), IvfSampleSeed)
+          % lit(stride) === 0)
+        .orderBy(col(idCol)).limit(
+          math.min(trainCap, Int.MaxValue.toLong).toInt),
+      mode, "ivf_train")
     var cents: Seq[Centroid] = train
       .orderBy(col(idCol)).limit(IvfCells)
       .select(col(idCol), col("qv")).collect()
@@ -277,19 +308,25 @@ object Similarity {
     * broadcast-out/aggregate-back rounds, the MLlib k-means shape. */
   def ivfTopK(s: SparkSession, d: String,
       mode: Materialize.Mode = Materialize.Local,
-      ncells: Int = IvfCells, nprobe: Int = IvfProbes): DataFrame = {
+      ncells: Int = IvfCells, nprobe: Int = IvfProbes,
+      trainCap: Long = 0L): DataFrame = {
     val e = embDouble(s, d)
     val qt = Materialize(
       e.select(col("vec_id"), quantizeCol(col("v")).as("qv"))
         .withColumn("qvd", col("qv").cast("array<double>"))
         .withColumn("a2", dot(col("qvd"), col("qvd"))),
       mode, "ivf_quantized")
-    var cents: Seq[Centroid] = qt.filter(col("vec_id") < ncells)
-      .select(col("vec_id"), col("qv")).collect()
-      .map(r => Centroid(r.getLong(0).toInt,
-        r.getAs[collection.Seq[Long]](1).toArray, 1L))
-      .toSeq.sortBy(_.cid)
-    for (_ <- 1 to IvfIters) cents = lloydRound(qt, cents)
+    val cents: Seq[Centroid] =
+      if (trainCap > 0) trainedCentroidsSampled(qt, "vec_id", trainCap, mode)
+      else {
+        var cs: Seq[Centroid] = qt.filter(col("vec_id") < ncells)
+          .select(col("vec_id"), col("qv")).collect()
+          .map(r => Centroid(r.getLong(0).toInt,
+            r.getAs[collection.Seq[Long]](1).toArray, 1L))
+          .toSeq.sortBy(_.cid)
+        for (_ <- 1 to IvfIters) cs = lloydRound(qt, cs)
+        cs
+      }
     val withCell = e.join(
       qt.withColumn("cell", cellCol(cents)).select("vec_id", "cell"), "vec_id")
     val q = e.filter(col("vec_id") === QueryVecId)
@@ -329,7 +366,7 @@ object Similarity {
        |FROM e, q WHERE e.vec_id <> $QueryVecId
        |ORDER BY cos DESC, e.vec_id LIMIT $K""".stripMargin
 
-  lazy val knnGraphOracle: String = {
+  def knnGraphOracle(probeRadius: Int = KnnProbeRadius): String = {
     val bucketExpr = (0 until Planes).map { p =>
       s"CASE WHEN list_dot_product(v, ${signsLiteral(p)}) > 0 THEN ${1 << p} ELSE 0 END"
     }.mkString(" + ")
@@ -341,7 +378,7 @@ object Similarity {
        |  SELECT a.vec_id AS src, x.vec_id AS dst,
        |    list_dot_product(a.v, x.v) / (sqrt(a.norm) * sqrt(x.norm)) AS cos
        |  FROM b a JOIN b x
-       |    ON bit_count(xor(a.bucket, x.bucket)) <= 1 AND a.vec_id <> x.vec_id),
+       |    ON bit_count(xor(a.bucket, x.bucket)) <= $probeRadius AND a.vec_id <> x.vec_id),
        |ranked AS (
        |  SELECT src, dst, cos,
        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
@@ -353,15 +390,18 @@ object Similarity {
   /** The full training loop unrolled as CTEs: same quantization, same
     * exact rational-centroid distance expression, same (dist, cid)
     * tiebreak — DuckDB re-trains the identical centroids, then replays
-    * assignment, probe selection, and scoring. */
-  val ivfTopKOracle: String = {
+    * assignment, probe selection, and scoring. With `trainCap > 0` the
+    * training CTEs run over the same md5-stride sample
+    * ([[trainedCentroidsSampled]]); final assignment always covers the
+    * full corpus. */
+  def ivfOracle(trainCap: Long): String = {
     val dist = (v: String, c: String) =>
       s"$v.a2 - 2.0 * list_dot_product($v.qvd, $c.sd) / $c.n + " +
         s"list_dot_product($c.sd, $c.sd) / ($c.n * $c.n)"
-    def assign(name: String, centsCte: String) =
+    def assign(name: String, centsCte: String, src: String) =
       s"""$name AS (
          |  SELECT v.vec_id, v.qv, v.qvd, v.a2, c.cid AS cell
-         |  FROM qd v CROSS JOIN $centsCte c
+         |  FROM $src v CROSS JOIN $centsCte c
          |  QUALIFY row_number() OVER (PARTITION BY v.vec_id
          |    ORDER BY ${dist("v", "c")}, c.cid) = 1)""".stripMargin
     def recenter(name: String, assignCte: String) =
@@ -374,9 +414,24 @@ object Similarity {
          |  JOIN (SELECT cell, count(*) AS n FROM $assignCte GROUP BY cell) cn
          |    USING (cell)
          |  GROUP BY p.cell, cn.n)""".stripMargin
+    val trainSrc = if (trainCap > 0) "tr" else "qd"
     val rounds = (1 to IvfIters).map { i =>
-      assign(s"a$i", s"c${i - 1}") + ",\n" + recenter(s"c$i", s"a$i")
+      assign(s"a$i", s"c${i - 1}", trainSrc) + ",\n" + recenter(s"c$i", s"a$i")
     }.mkString(",\n")
+    val sampleCte = if (trainCap > 0)
+      s"""tr AS (SELECT qd.* FROM qd
+         |  WHERE ('0x' || substr(md5('$IvfSampleSeed' || ':' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+         |    % greatest(1, ((SELECT count(*) FROM qd) + $trainCap - 1) // $trainCap) = 0
+         |  ORDER BY vec_id LIMIT $trainCap),
+         |""".stripMargin
+    else ""
+    val c0 = if (trainCap > 0)
+      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |    qvd AS sd, CAST(1 AS BIGINT) AS n
+         |  FROM (SELECT vec_id, qvd FROM tr ORDER BY vec_id LIMIT $IvfCells))""".stripMargin
+    else
+      s"""c0 AS (SELECT CAST(vec_id AS INT) AS cid, qvd AS sd, CAST(1 AS BIGINT) AS n
+         |  FROM qd WHERE vec_id < $IvfCells)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
        |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm
        |  FROM embeddings),
@@ -385,10 +440,9 @@ object Similarity {
        |  FROM e),
        |qd AS (SELECT vec_id, qv, qv::DOUBLE[] AS qvd,
        |    list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS a2 FROM q0),
-       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, qvd AS sd, CAST(1 AS BIGINT) AS n
-       |  FROM qd WHERE vec_id < $IvfCells),
+       |$sampleCte$c0,
        |$rounds,
-       |${assign("afin", s"c$IvfIters")},
+       |${assign("afin", s"c$IvfIters", "qd")},
        |q AS (SELECT v AS qv, norm AS qnorm FROM e WHERE vec_id = $QueryVecId),
        |qq AS (SELECT qvd, a2 FROM qd WHERE vec_id = $QueryVecId),
        |qcells AS (
