@@ -108,8 +108,15 @@ object Bench {
     // clip happen; a stderr note records the downshift.
     val line = (2 to 0 by -1).map(finalLine)
       .find(_.length <= 1980).getOrElse {
-        System.err.println("[bench] final line oversized even at 0 decimals")
-        finalLine(0)
+        // even 0-decimal per-query entries overflow (~90+ queries): move
+        // the p50 map to its own earlier detail line and keep the final
+        // line a headline-only object — a parseable p50_total always
+        // beats a clipped map (the round-3 parsed:null failure mode)
+        System.err.println("[bench] final line oversized even at 0 " +
+          "decimals; per-query p50 map moved to a detail line")
+        println(s"""{"detail":"p50","runs":$Runs,"queries":${obj(_._3, 3)}}""")
+        s"""{"metric":"p50_total","value":${fmt(p50Total, 3)},"unit":"sec",""" +
+          errField + s""""sf":"$sfName","queries":{}}"""
       }
     if (finalLine(2).length > 1980)
       System.err.println(s"[bench] final line degraded to fit tail capture " +

@@ -6,11 +6,26 @@ import org.apache.spark.sql.functions._
 /** Scale-linearity probe: replicates the documents corpus N× (each
   * copy's text salted with its copy index so LSH candidates never
   * cross copies — the pair structure grows linearly by construction)
-  * and times the three most shuffle-intensive pipelines at each N.
+  * and times the most shuffle-intensive pipelines at each N.
   * Near-linear wall-time growth is the measurable form of the "no
   * quadratic blowup, keyed shuffles only" claims the operator
   * scaladocs make. Run:
   *   SPARK_GRAFT_SF_DIR=... sbt 'runMain graft.ScaleProbe 1 4 10'
+  *
+  * The embeddings corpus replicates by CIRCULAR-SHIFTING each copy's
+  * vector by its copy index (norms and pairwise geometry within a copy
+  * preserved; the fixed LSH hyperplanes are not shift-invariant, so
+  * copies spread across buckets instead of stacking in them). Note the
+  * expected shapes differ by design:
+  *   - dd9 (SimHash bands): 2^15 values per band — buckets stay tiny,
+  *     expect ~linear.
+  *   - sim3 (IVF): sample-capped training + linear assignment + probe
+  *     of nprobe/ncells of the corpus — expect ~linear.
+  *   - sim4 (kNN graph): bucket COUNT is fixed at 2^Planes, so
+  *     per-bucket sizes grow with N and the pair stream grows ~N² —
+  *     the recorded curve documents exactly that; the scale dial is
+  *     Planes ∝ log₂(corpus) to hold per-bucket sizes constant, the
+  *     standard sign-LSH sizing rule.
   */
 object ScaleProbe {
 
@@ -73,10 +88,49 @@ object ScaleProbe {
           .count()
       }
       graft.ops.Materialize.releaseAll(spark)
+      val docs4 = replicated(spark, sfDir, n).localCheckpoint(true)
+      val (tSim, simPairs) = time {
+        graft.ops.Dedup.simhashPairsOf(docs4).count()
+      }
+      graft.ops.Materialize.releaseAll(spark)
+      val emb = replicatedEmb(spark, sfDir, n).localCheckpoint(true)
+      val nVecs = emb.count()
+      val (tIvf, ivfRows) = time {
+        graft.ops.Similarity.ivfTopKOf(emb,
+          trainCap = graft.ops.Similarity.IvfTrainCap).count()
+      }
+      graft.ops.Materialize.releaseAll(spark)
+      val emb2 = replicatedEmb(spark, sfDir, n).localCheckpoint(true)
+      val (tKnn, knnEdges) = time {
+        graft.ops.Similarity.knnGraphOf(emb2).count()
+      }
+      graft.ops.Materialize.releaseAll(spark)
       println(f"""{"factor":$n,"docs":$nDocs,"lsh_sec":$tLsh%.2f,"pairs":$pairs,""" +
         f""""cluster_sec":$tCluster%.2f,"labeled":$clusters,""" +
-        f""""pack_sec":$tPack%.2f,"packed":$packed}""")
+        f""""pack_sec":$tPack%.2f,"packed":$packed,""" +
+        f""""simhash_sec":$tSim%.2f,"sim_pairs":$simPairs,""" +
+        f""""vecs":$nVecs,"ivf_sec":$tIvf%.2f,"ivf_rows":$ivfRows,""" +
+        f""""knn_sec":$tKnn%.2f,"knn_edges":$knnEdges}""")
     }
     spark.stop()
+  }
+
+  /** Embeddings replicated N× with the copy's vectors circular-shifted
+    * by the copy index — norms and within-copy geometry preserved,
+    * copies spread across LSH buckets (see class doc). vec_id 0 (the
+    * ANN query vector) stays unique to copy 0. */
+  def replicatedEmb(s: SparkSession, d: String, n: Int): DataFrame = {
+    val base = Tables.embeddings(s, d)
+    val dim = graft.ops.Similarity.Dim
+    (0 until n).map { i =>
+      val k = i % dim
+      val shifted =
+        if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), 1, k))
+      base.select(
+        (col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+        col("label"), shifted.as("embedding"))
+    }.reduce(_ unionByName _)
   }
 }

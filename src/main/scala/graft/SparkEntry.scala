@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.geo.GeoQueries
 import graft.model.{Analytics, Fact, Pricing}
 import graft.merge.Upsert
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Reconcile, Similarity, TextStats}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB-equivalent ANSI SQL oracle for each.
@@ -77,6 +77,7 @@ object SparkEntry {
     "q4_priority_semi" -> (Pricing.returnedPriority _),
     "q13_custdist" -> (Pricing.custDistribution _),
     "j9_cdc_latest" -> (Upsert.cdcLatestMerge _),
+    "rc1_keyed_diff" -> (Reconcile.keyedDiffQuery _),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
     "dd1_exact_dedup" -> (Dedup.exactDedup _),
     "dd2_minhash_lsh" -> ((s, d) => Dedup.minhashLshQuery(s, d)),
@@ -84,7 +85,7 @@ object SparkEntry {
     "dd4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dd5_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dd6_neardup_filter" -> (Dedup.nearDupFilter _),
-    "dd7_dedup_clusters" -> (Dedup.dedupClusters _),
+    "dd7_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dd8_semantic_clusters" -> (Dedup.semanticClusters _),
     "dd9_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "sim1_brute_topk" -> (Similarity.bruteTopK _),
@@ -279,6 +280,7 @@ object SparkEntry {
     "q13_custdist" -> Pricing.custDistributionOracle,
     "u2_except_intersect" -> Fact.exceptIntersectOracle,
     "j9_cdc_latest" -> Upsert.cdcLatestMergeOracle,
+    "rc1_keyed_diff" -> Reconcile.keyedDiffOracle,
 
     "tx11_tfidf_topterms" -> TextStats.tfidfTopTermsOracle,
     "tx12_sequence_packing" -> TextStats.sequencePackingOracle,

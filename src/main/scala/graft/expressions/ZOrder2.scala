@@ -1,10 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Morton / Z-order interleave of two 32-bit dimensions into one
   * 64-bit sort key. Sorting or range-partitioning a table by
@@ -20,27 +20,34 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * Bit-exact and engine-independent: pure integer bit surgery, no
   * floats anywhere. Inputs are treated as UNSIGNED 32-bit patterns
   * (negative ints interleave by their two's-complement bits — callers
-  * who need ordered negatives should bias to non-negative first). */
+  * who need ordered negatives should bias to non-negative first).
+  *
+  * Accepts INT or BIGINT inputs (narrower integrals coerce to int via
+  * the usual implicit cast). A BIGINT key interleaves by its LOW 32
+  * bits — ids within one 2^32 range cluster exactly as ints do, while
+  * ids that differ only above bit 31 share a z-key (they wrap onto the
+  * same curve position). For typical dense surrogate ids that bias is
+  * nil; callers with >2^32 key ranges should pre-fold the high bits
+  * (e.g. `hash`) or bucket first. */
 case class ZOrder2(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Bridge.intOrLongPair
 
   override def dataType: DataType = LongType
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (IntegerType, IntegerType) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"zorder2 needs (int, int), got $other")
-    }
+
+  // truncation to the low 32 bits for BIGINT inputs — see class doc
+  private def asInt(v: Any): Int = v match {
+    case i: java.lang.Integer => i.intValue
+    case l: java.lang.Long => l.intValue
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any =
-    ZOrder2.interleave(l.asInstanceOf[Int], r.asInstanceOf[Int])
+    ZOrder2.interleave(asInt(l), asInt(r))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) =>
-      s"${ev.value} = graft.expressions.ZOrder2.interleave($l, $r);")
+      s"${ev.value} = graft.expressions.ZOrder2.interleave((int)$l, (int)$r);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ZOrder2 =

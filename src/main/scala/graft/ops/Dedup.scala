@@ -25,10 +25,39 @@ object Dedup {
   val NumHashes = 8
   val BandRows = 2 // 4 bands × 2 rows
 
-  /** Salt fan-out for blocked self-joins whose blocking key has few
+  /** Salt fan-out CAP for blocked self-joins whose blocking key has few
     * distinct values (dd4's lang): restores shuffle parallelism without
-    * broadcasting a full table. */
+    * broadcasting a full table. The actual fan-out is decided per run by
+    * [[saltsFor]] — side b is replicated once per salt, so small corpora
+    * must not pay the full replication for parallelism they can't use. */
   val SaltBuckets = 16
+
+  /** Pair-comparisons-per-task budget behind [[saltsFor]]: one salt's
+    * share of the largest block's self-join. 2^18 sorted-merge
+    * intersections is comfortably one task's worth of work. */
+  val SaltTargetPairs = 1L << 18
+
+  /** AQE-style runtime salt decision: earn each extra replica of side b
+    * with the largest block's pair count instead of replicating
+    * [[SaltBuckets]]× unconditionally. `max(1, ceil(maxRows²/2 /
+    * [[SaltTargetPairs]]))`, capped at [[SaltBuckets]] — the salt only
+    * changes task layout, never the joined pair set, so the result is
+    * bit-identical at any value. */
+  def saltsFor(maxBlockRows: Long): Int = {
+    val pairs = maxBlockRows * maxBlockRows / 2
+    math.min(SaltBuckets.toLong,
+      math.max(1L, (pairs + SaltTargetPairs - 1) / SaltTargetPairs)).toInt
+  }
+
+  /** Shared Jaccard threshold for the near-dup family, as a RATIONAL so
+    * the PPJoin size bound in [[ngramJaccardPairs]] derives from the
+    * same constant with exact integer arithmetic — the prune bound and
+    * the final filter cannot drift apart (lowering one without the
+    * other would silently change results). */
+  val JaccardThresholdNum = 1
+  val JaccardThresholdDen = 10
+  val JaccardThreshold: Double =
+    JaccardThresholdNum.toDouble / JaccardThresholdDen
 
   /** Exact text dedup: group by content hash, keep min doc id. */
   def exactDedup(s: SparkSession, d: String): DataFrame =
@@ -140,7 +169,8 @@ object Dedup {
 
   def minhashLshQuery(s: SparkSession, d: String,
       mode: Materialize.Mode = Materialize.Local): DataFrame =
-    minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 0.1, mode)
+    minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      JaccardThreshold, mode)
 
   /** Near-dup REMOVAL (detect → apply): a document is dropped when a
     * lower-id near-duplicate exists (it appears as doc_b of some
@@ -172,23 +202,31 @@ object Dedup {
     // caps the operator at executor memory long before the n² compute
     // hurts, so join on the lang blocking key via SHUFFLE_HASH instead.
     // lang has few distinct values (one shuffle task per block), so side
-    // a is salted SaltBuckets ways and side b replicated once per salt —
-    // identical pair set, SaltBuckets× the parallelism, and each task
-    // holds one lang's worth of b rows, not the corpus
+    // a is salted `salts` ways and side b replicated once per salt —
+    // identical pair set, salts× the parallelism, and each task holds
+    // one lang's worth of b rows, not the corpus. The fan-out itself is
+    // a runtime decision from the largest block's row count (saltsFor):
+    // the stats aggregate is a cheap scan of the already-materialized
+    // shingle table, the same pattern as AQE's runtime stats.
+    val maxRow = hs.groupBy("lang").count().agg(max("count")).head()
+    val maxBlock = if (maxRow.isNullAt(0)) 1L else maxRow.getLong(0)
+    val salts = saltsFor(maxBlock)
     val a = hs
-      .withColumn("salt", pmod(hash(col("doc_id")), lit(SaltBuckets)))
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(salts)))
       .as("a")
     val b = hs
-      .withColumn("salt", explode(array((0 until SaltBuckets).map(lit): _*)))
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
       .as("b")
     // length filter (the PPJoin-family size bound, exact): i ≤ min(|a|,|b|)
     // and u ≥ max(|a|,|b|), so jaccard ≤ min/max — a pair can only clear
-    // threshold t when min·1 ≥ t·max. Evaluated from the cached array
-    // sizes BEFORE the merge-intersect, it prunes size-mismatched pairs
-    // at comparison cost ~0 without changing a single result row.
+    // threshold t = Num/Den when min·Den ≥ max·Num (exact integer math,
+    // derived from the SAME shared constant as the final filter).
+    // Evaluated from the cached array sizes BEFORE the merge-intersect,
+    // it prunes size-mismatched pairs at comparison cost ~0 without
+    // changing a single result row.
     val sizeBound =
-      least(size(col("a.hs")), size(col("b.hs"))) * lit(10) >=
-        greatest(size(col("a.hs")), size(col("b.hs")))
+      least(size(col("a.hs")), size(col("b.hs"))) * lit(JaccardThresholdDen) >=
+        greatest(size(col("a.hs")), size(col("b.hs"))) * lit(JaccardThresholdNum)
     a.join(b.hint("SHUFFLE_HASH"),
         col("a.lang") === col("b.lang") && col("a.salt") === col("b.salt") &&
           col("a.doc_id") < col("b.doc_id") && sizeBound)
@@ -196,7 +234,7 @@ object Dedup {
         graft.expressions.SortedIntersectSize.intersectSize(col("a.hs"), col("b.hs")))
       .withColumn("u_size", size(col("a.hs")) + size(col("b.hs")) - col("i_size"))
       .withColumn("jaccard", col("i_size") / col("u_size"))
-      .filter(col("jaccard") >= 0.1)
+      .filter(col("jaccard") >= JaccardThreshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("i_size"), col("u_size"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -307,10 +345,11 @@ object Dedup {
   /** Dedup clusters over the corpus: every document labeled with the
     * min doc id of its near-dup component (its own id when it has no
     * near-dups), plus the component size. */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashLshQuery(s, d)
+  def dedupClusters(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val pairs = minhashLshQuery(s, d, mode)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val labels = labelPropagation(pairs)
+    val labels = labelPropagation(pairs, mode = mode)
     val docs = Tables.documents(s, d).select("doc_id")
     val clustered = docs
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -376,8 +415,12 @@ object Dedup {
     * exact integer comparisons, bit-identical to the oracle's ±1 form,
     * but cnt_j is non-negative and bounded by n, which lets three
     * counters pack carry-free into one sum ([[SimHashFieldBits]]). */
-  def simhashQuery(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+  def simhashQuery(s: SparkSession, d: String): DataFrame =
+    simhashSigs(Tables.documents(s, d))
+
+  /** DataFrame-first variant (ScaleProbe feeds replicated corpora). */
+  def simhashSigs(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"),
         explode(array_distinct(words(col("text")))).as("w"))
       .withColumn("h", md5Hash60(col("w"), 99))
@@ -423,8 +466,12 @@ object Dedup {
     * signature table is materialized once through [[Materialize]]; the
     * band self-join reads the scan, not the token aggregation twice. */
   def simhashPairs(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame =
+    simhashPairsOf(Tables.documents(s, d), mode)
+
+  def simhashPairsOf(docs: DataFrame,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
-    val sigs = Materialize(simhashQuery(s, d), mode, "simhash_sigs")
+    val sigs = Materialize(simhashSigs(docs), mode, "simhash_sigs")
     val bandMask = (1L << SimHashBandBits) - 1
     val bandStructs = array((0 until SimHashBands).map { b =>
       struct(lit(b).as("band"),
@@ -603,7 +650,7 @@ object Dedup {
        |  JOIN s sa ON sa.doc_id = c.doc_a
        |  JOIN s sb ON sb.doc_id = c.doc_b)
        |SELECT doc_a, doc_b, i_size, u_size, i_size / u_size AS jaccard
-       |FROM verified WHERE i_size / u_size >= 0.1
+       |FROM verified WHERE i_size / u_size >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -616,7 +663,7 @@ object Dedup {
        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
        |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
        |WHERE len(list_intersect(a.sh, b.sh)) /
-       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   val nearDupFilterOracle: String =

@@ -44,10 +44,33 @@ object PrefixSum {
       mode, "prefix_local")
     // partition totals: O(partitions) rows on the driver. sum(), NOT
     // max(running sum) — the running max diverges from the total the
-    // moment a negative value appears, and this is a general utility
-    val totals = local.groupBy("__pid")
-      .agg(sum(col(valCol)).cast("long").as("__tot"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // moment a negative value appears, and this is a general utility.
+    // The same aggregation pass CHECKS the documented contract instead
+    // of trusting it: a duplicated or null order key silently corrupts
+    // every offset after it (the RANGE window frame sums all peers), and
+    // a null value poisons its partition's total — fail loudly here,
+    // where the cause is nameable, not downstream where it's a wrong
+    // number. Range partitioning co-locates equal keys, so per-partition
+    // distinctness is globally sufficient.
+    val stats = local.groupBy("__pid")
+      .agg(sum(col(valCol)).cast("long").as("__tot"),
+        count(lit(1)).as("__rows"),
+        count(col(orderCol)).as("__keys"),
+        countDistinct(col(orderCol)).as("__dist"),
+        count(col(valCol)).as("__vals"))
+      .collect()
+    stats.foreach { r =>
+      val (rows, keys, dist, vals) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      require(keys == rows && dist == rows,
+        s"PrefixSum.exclusive: order column '$orderCol' must be unique " +
+          s"and non-null (partition ${r.getInt(0)}: $rows rows, " +
+          s"$keys non-null, $dist distinct)")
+      require(vals == rows,
+        s"PrefixSum.exclusive: value column '$valCol' must be non-null " +
+          s"(partition ${r.getInt(0)}: ${rows - vals} nulls)")
+    }
+    val totals = stats.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val starts = totals.scanLeft((0, 0L)) {
       case ((_, acc), (pid, tot)) => (pid, acc + tot)
     }.init.map { case (_, acc) => acc } // exclusive: offset of partition i

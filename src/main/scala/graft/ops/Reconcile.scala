@@ -1,6 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Two-sided per-key reconciliation via typed `cogroup` — the
   * KeyValueGroupedDataset API family (groupByKey / cogroup) that
@@ -35,4 +38,38 @@ object Reconcile {
       Iterator.single(KeyDiff(k, nl, nr, sl, sr, sl - sr))
     }
   }
+
+  /** Driver query (rc1): per-order source-vs-sink accounting — the raw
+    * lineitem feed against the same feed after a quality filter
+    * (quantity < 30), the audit that tells you exactly which orders
+    * lost rows/quantity to the filter and how much. Quantities are
+    * integral-valued in this schema, so the long cast is exact. */
+  def keyedDiffQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def side(df: DataFrame): Dataset[(Long, Long)] = df
+      .select(col("l_orderkey"), col("l_quantity").cast("long"))
+      .toDF("_1", "_2").as[(Long, Long)]
+    val source = side(Tables.lineitem(s, d))
+    val sink = side(Tables.lineitem(s, d).filter(col("l_quantity") < 30))
+    keyedDiff(source, sink).toDF().orderBy("key")
+  }
+
+  /** ANSI rendering of [[keyedDiffQuery]]: two grouped aggregates FULL
+    * OUTER joined on the key — a key present on either side emits one
+    * row, absent sides read as zero. */
+  val keyedDiffOracle: String =
+    """WITH l AS (
+      |  SELECT l_orderkey AS key, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT l_orderkey AS key, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+      |  FROM lineitem WHERE l_quantity < 30 GROUP BY 1)
+      |SELECT COALESCE(l.key, r.key) AS key,
+      |  COALESCE(l.n, 0) AS n_left, COALESCE(r.n, 0) AS n_right,
+      |  COALESCE(l.s, 0) AS sum_left, COALESCE(r.s, 0) AS sum_right,
+      |  COALESCE(l.s, 0) - COALESCE(r.s, 0) AS delta
+      |FROM l FULL OUTER JOIN r ON l.key = r.key
+      |ORDER BY key""".stripMargin
 }

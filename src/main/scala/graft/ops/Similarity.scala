@@ -71,7 +71,11 @@ object Similarity {
     }.mkString(" + ")
 
   private def embDouble(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    embDoubleOf(Tables.embeddings(s, d))
+
+  /** DataFrame-first variant (ScaleProbe feeds replicated corpora). */
+  private[graft] def embDoubleOf(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", dot(col("v"), col("v")))
@@ -147,11 +151,16 @@ object Similarity {
     * the pair stream; deterministic tiebreaks. This is the candidate
     * graph semantic-dedup/clustering pipelines consume. */
   def knnGraph(s: SparkSession, d: String,
+      probeRadius: Int = KnnProbeRadius): DataFrame =
+    knnGraphOf(Tables.embeddings(s, d), probeRadius)
+
+  def knnGraphOf(emb: DataFrame,
       probeRadius: Int = KnnProbeRadius): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val s = emb.sparkSession
     require(probeRadius == 0 || probeRadius == 1,
       s"probeRadius must be 0 or 1, got $probeRadius")
-    val e = embDouble(s, d).withColumn("bucket", bucketCol(col("v")))
+    val e = embDoubleOf(emb).withColumn("bucket", bucketCol(col("v")))
     val masks =
       lit(0) +: (if (probeRadius >= 1) (0 until Planes).map(p => lit(1 << p))
                  else Seq.empty)
@@ -309,8 +318,14 @@ object Similarity {
   def ivfTopK(s: SparkSession, d: String,
       mode: Materialize.Mode = Materialize.Local,
       ncells: Int = IvfCells, nprobe: Int = IvfProbes,
+      trainCap: Long = 0L): DataFrame =
+    ivfTopKOf(Tables.embeddings(s, d), mode, ncells, nprobe, trainCap)
+
+  def ivfTopKOf(emb: DataFrame,
+      mode: Materialize.Mode = Materialize.Local,
+      ncells: Int = IvfCells, nprobe: Int = IvfProbes,
       trainCap: Long = 0L): DataFrame = {
-    val e = embDouble(s, d)
+    val e = embDoubleOf(emb)
     val qt = Materialize(
       e.select(col("vec_id"), quantizeCol(col("v")).as("qv"))
         .withColumn("qvd", col("qv").cast("array<double>"))

@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `TypeCollection`/`AbstractDataType` are private[sql]; a custom
+    * binary expression that accepts INT-or-BIGINT on both sides (e.g.
+    * zorder2) can return this from `inputTypes` (with an inferred
+    * override type, since the element type isn't nameable outside). */
+  def intOrLongPair: Seq[org.apache.spark.sql.types.AbstractDataType] = {
+    val t = org.apache.spark.sql.types.TypeCollection(
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    Seq(t, t)
+  }
 }

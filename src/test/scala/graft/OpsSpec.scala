@@ -259,6 +259,31 @@ class OpsSpec extends AnyFunSuite {
     val gotNeg = PrefixSum.exclusive(ledger, "id", "v", 7)
       .orderBy("id").select("offset").as[Long].collect()
     assert(gotNeg.toSeq == expect.toSeq, "negative-value prefix sums wrong")
+    // contract violations fail loudly instead of corrupting offsets:
+    // a duplicate order key (RANGE frame would sum all peers) ...
+    val dup = (Seq((1L, 1L), (2L, 2L), (2L, 3L), (4L, 4L))).toDF("id", "v")
+    val eDup = intercept[IllegalArgumentException] {
+      PrefixSum.exclusive(dup, "id", "v", 3).collect()
+    }
+    assert(eDup.getMessage.contains("unique"), eDup.getMessage)
+    // ... and a null value (would poison every later offset)
+    val nul = Seq((1L, Some(1L)), (2L, None), (3L, Some(3L)))
+      .toDF("id", "v")
+    val eNul = intercept[IllegalArgumentException] {
+      PrefixSum.exclusive(nul, "id", "v", 3).collect()
+    }
+    assert(eNul.getMessage.contains("non-null"), eNul.getMessage)
+  }
+
+  test("dd4 salt fan-out is earned by block size, capped, and never changes results") {
+    import graft.ops.Dedup
+    assert(Dedup.saltsFor(0) == 1)
+    assert(Dedup.saltsFor(100) == 1, "a 5k-pair block needs no fan-out")
+    assert(Dedup.saltsFor(1000) == 2)
+    assert(Dedup.saltsFor(100000) == Dedup.SaltBuckets, "cap holds")
+    // monotone: more rows never means fewer salts
+    val pts = Seq(0L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
+    assert(pts.map(Dedup.saltsFor) == pts.map(Dedup.saltsFor).sorted)
   }
 
   test("dHash: gradient hash — codec-invariant, brightness-shift-invariant, direction-sensitive") {

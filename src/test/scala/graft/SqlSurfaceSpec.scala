@@ -71,6 +71,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(ZOrder2.interleave(-1, 0) == 0x5555555555555555L)
     val viaSql = spark.sql("SELECT zorder2(3, 0) AS z").collect()(0).getLong(0)
     assert(viaSql == 5L)
+    // BIGINT keys (the common warehouse id type) analyze and interleave
+    // by their low 32 bits — documented truncation, not a type error
+    val viaBigint = spark.sql(
+      "SELECT zorder2(CAST(3 AS BIGINT), CAST(0 AS BIGINT)) AS z")
+      .collect()(0).getLong(0)
+    assert(viaBigint == 5L)
+    val wrapped = spark.sql(
+      s"SELECT zorder2(CAST(${(1L << 32) + 3} AS BIGINT), 0) AS z")
+      .collect()(0).getLong(0)
+    assert(wrapped == 5L, "bigint interleaves by its low 32 bits")
     // locality: 64x64 grid, 64 "files" of 64 rows each. An aligned 8x8
     // box is ONE contiguous z-range (<= 2 files); under x-major order
     // the same box spreads across 8 files, and a y-stripe across all 64
