@@ -76,8 +76,15 @@ object SparkEntry {
     "q17_small_qty_revenue" -> (Pricing.smallQtyRevenue _),
     "q4_priority_semi" -> (Pricing.returnedPriority _),
     "q13_custdist" -> (Pricing.custDistribution _),
+    "q7_nation_volume" -> (Pricing.nationVolume _),
+    "q10_returned_by_customer" -> (Pricing.returnedByCustomer _),
+    "q14_promo_revenue" -> (Pricing.promoRevenue _),
+    "q16a_never_bulk_parts" -> (Pricing.neverBulkParts _),
+    "q19_bracket_revenue" -> (Pricing.bracketRevenue _),
+    "q22_dormant_rich" -> (Pricing.dormantRich _),
     "j9_cdc_latest" -> (Upsert.cdcLatestMerge _),
     "rc1_keyed_diff" -> (Reconcile.keyedDiffQuery _),
+    "hll1_lang_distinct" -> (graft.ops.Sketch.hllLangDistinct _),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
     "dd1_exact_dedup" -> (Dedup.exactDedup _),
     "dd2_minhash_lsh" -> ((s, d) => Dedup.minhashLshQuery(s, d)),
@@ -278,9 +285,16 @@ object SparkEntry {
     "q4_priority_semi" -> Pricing.returnedPriorityOracle,
     "a15_event_sequences" -> Analytics.eventSequencesOracle,
     "q13_custdist" -> Pricing.custDistributionOracle,
+    "q7_nation_volume" -> Pricing.nationVolumeOracle,
+    "q10_returned_by_customer" -> Pricing.returnedByCustomerOracle,
+    "q14_promo_revenue" -> Pricing.promoRevenueOracle,
+    "q16a_never_bulk_parts" -> Pricing.neverBulkPartsOracle,
+    "q19_bracket_revenue" -> Pricing.bracketRevenueOracle,
+    "q22_dormant_rich" -> Pricing.dormantRichOracle,
     "u2_except_intersect" -> Fact.exceptIntersectOracle,
     "j9_cdc_latest" -> Upsert.cdcLatestMergeOracle,
     "rc1_keyed_diff" -> Reconcile.keyedDiffOracle,
+    "hll1_lang_distinct" -> graft.ops.Sketch.hllLangDistinctOracle,
 
     "tx11_tfidf_topterms" -> TextStats.tfidfTopTermsOracle,
     "tx12_sequence_packing" -> TextStats.sequencePackingOracle,

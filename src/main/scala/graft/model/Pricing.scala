@@ -234,4 +234,244 @@ object Pricing {
       |SELECT c_count, count(*) AS custdist
       |FROM per_cust GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q7 — cross-nation trade volume (TPC-H Q7 shape): revenue between
+    * every (supplier nation, customer nation) pair per ship year. The
+    * fact table reaches its nation labels through two different dims:
+    * supplier-side directly on l_suppkey, customer-side via orders.
+    * Plan posture: lineitem ⋈ orders is THE shuffle (both sides keyed
+    * on orderkey); supplier, customer, and both nation hops broadcast —
+    * at warehouse scale none of the dim joins may touch the exchange. */
+  def nationVolume(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .as("rev_e4"))
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "cust_nation")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val nationVolumeOracle: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l.l_shipdate) AS INT) AS l_year,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |                (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+      |            AS BIGINT) AS revenue_e4,
+      |       count(*) AS n_items
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** q10 — returned-item revenue per customer (TPC-H Q10 shape): which
+    * customers returned the most revenue in a half-year window.
+    * Aggregate-below-join again: the returned lineitem ⋈ orders stream
+    * collapses to one row per customer BEFORE the customer/nation dims
+    * attach (both broadcast) — the revenue shuffle carries custkeys,
+    * not line items. */
+  def returnedByCustomer(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .as("rev_e4"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-07-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    val perCust = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"),
+        cents(col("c_acctbal")).as("acctbal_cents"), col("c_nationkey"))
+    val n = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    perCust
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "nation", "acctbal_cents",
+        "revenue_e4", "n_items")
+      .orderBy(desc("revenue_e4"), col("c_custkey"))
+  }
+
+  val returnedByCustomerOracle: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+      |       CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |                (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+      |            AS BIGINT) AS revenue_e4,
+      |       count(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |  AND o.o_orderdate >= '1997-01-01' AND o.o_orderdate < '1997-07-01'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue_e4 DESC, c.c_custkey""".stripMargin
+
+  /** q14 — promo revenue share (TPC-H Q14 shape): fraction of a
+    * quarter's revenue from promo-typed parts. One broadcast dim join +
+    * conditional aggregation; the percentage is the single double
+    * division of two exact integer sums (numerator pre-scaled ×100 in
+    * integer space, so both operands stay exactly representable). */
+  def promoRevenue(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+      .select(col("l_partkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .as("rev_e4"))
+    val p = Tables.part(s, d).select("p_partkey", "p_type")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_e4")).otherwise(0L))
+          .as("promo_e4"),
+        sum(col("rev_e4")).as("total_e4"))
+      .withColumn("promo_pct", (col("promo_e4") * 100) / col("total_e4"))
+  }
+
+  val promoRevenueOracle: String =
+    """WITH j AS (
+      |  SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |         (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4,
+      |         p.p_type
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE l.l_shipdate >= '1997-01-01' AND l.l_shipdate < '1997-04-01')
+      |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT) AS promo_e4,
+      |       CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+      |       (CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT) * 100)
+      |         / CAST(sum(rev_e4) AS BIGINT) AS promo_pct
+      |FROM j""".stripMargin
+
+  /** q16a — never-bulk-ordered parts per brand (TPC-H Q16's NOT-EXISTS
+    * shape, adapted: this corpus orders every part at least once, so
+    * the exclusion subquery filters on bulk quantity instead of
+    * supplier complaints): parts with NO qty ≥ 45 line item, counted by
+    * brand. LEFT ANTI join — the probe side shuffles only partkeys that
+    * survive the pushed quantity filter, and nothing from the right
+    * side is materialized. */
+  def neverBulkParts(s: SparkSession, d: String): DataFrame = {
+    val bulk = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_partkey"))
+    Tables.part(s, d)
+      .join(bulk, col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("p_size")).as("min_size"),
+        max(cents(col("p_retailprice"))).as("max_retail_cents"))
+      .orderBy("p_brand")
+  }
+
+  val neverBulkPartsOracle: String =
+    """SELECT p_brand, count(*) AS n_parts,
+      |       min(p_size) AS min_size,
+      |       CAST(max(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS max_retail_cents
+      |FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** q19 — disjunctive bracket revenue (TPC-H Q19 shape): an OR of
+    * three (brand, quantity-band, size-band) brackets over lineitem ⋈
+    * part. The shape exists to exercise disjunctive predicate handling:
+    * the per-side conjuncts common to all brackets (quantity ≥ 1,
+    * size ≥ 1) are pushable even though the full predicate straddles
+    * the join, and the join itself stays equi on partkey with the OR
+    * evaluated post-join — never a nested-loop theta join. */
+  def bracketRevenue(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"),
+        (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .as("rev_e4"))
+    val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    val bracket = (col("p_brand") === "Brand#12" &&
+        col("l_quantity").between(1, 11) && col("p_size").between(1, 25)) ||
+      (col("p_brand") === "Brand#23" &&
+        col("l_quantity").between(10, 20) && col("p_size").between(1, 30)) ||
+      (col("p_brand") === "Brand#34" &&
+        col("l_quantity").between(20, 30) && col("p_size").between(1, 35))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+  }
+
+  val bracketRevenueOracle: String =
+    """SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |                (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+      |            AS BIGINT) AS revenue_e4,
+      |       count(*) AS n_items
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+      |       AND p.p_size BETWEEN 1 AND 25)
+      |   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+      |       AND p.p_size BETWEEN 1 AND 30)
+      |   OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30
+      |       AND p.p_size BETWEEN 1 AND 35)""".stripMargin
+
+  /** q22 — dormant high-balance customers (TPC-H Q22 shape, adapted:
+    * every customer here has SOME order, so "no orders" becomes "no
+    * orders since 2000"): count + total balance of customers whose
+    * balance beats the positive-balance average and who went inactive.
+    * The global threshold is a one-row aggregate broadcast across the
+    * scan (never a per-row subquery), compared by exact integer
+    * cross-multiplication (bal·n > sum — no division, so boundary rows
+    * agree across engines); the inactivity test is a LEFT ANTI join
+    * against the date-filtered order keys. */
+  def dormantRich(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"))
+    val pos = c.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("pos_sum"), count(lit(1)).as("pos_n"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    c.join(broadcast(pos))
+      .filter(col("bal_cents") * col("pos_n") > col("pos_sum"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("bal_cents")).as("sum_bal_cents"))
+  }
+
+  val dormantRichOracle: String =
+    """WITH c AS (SELECT c_custkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+      |pos AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS pos_sum,
+      |               count(*) AS pos_n
+      |        FROM c WHERE bal_cents > 0)
+      |SELECT count(*) AS n_cust,
+      |       CAST(sum(c.bal_cents) AS BIGINT) AS sum_bal_cents
+      |FROM c, pos
+      |WHERE c.bal_cents * pos.pos_n > pos.pos_sum
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= '2000-01-01')""".stripMargin
 }

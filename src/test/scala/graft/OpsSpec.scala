@@ -275,6 +275,28 @@ class OpsSpec extends AnyFunSuite {
     assert(eNul.getMessage.contains("non-null"), eNul.getMessage)
   }
 
+  test("HLL sketch: estimates inside the stderr envelope and registers merge by max") {
+    import graft.ops.Sketch
+    val rows = Sketch.hllLangDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, exact, est) = (r.getString(0), r.getLong(1), r.getDouble(4))
+      // 512 registers → ~4.6% standard error; 3 sigma ≈ 14%
+      assert(math.abs(est - exact) / exact < 0.15,
+        s"$lang: est $est vs exact $exact drifts past 3-sigma")
+    }
+    // mergeability — the 100-TB property: sketches built on disjoint
+    // halves, merged by register-wise max, equal the whole-corpus sketch
+    val docs = Tables.documents(spark, sf)
+    val whole = Sketch.shingleRegisters(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val halves = Sketch.shingleRegisters(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(Sketch.shingleRegisters(docs.filter(col("doc_id") % 2 === 1)))
+      .groupBy("lang", "reg").agg(max(col("mx")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(halves == whole, "merged half-sketches diverge from the whole")
+  }
+
   test("dd4 salt fan-out is earned by block size, capped, and never changes results") {
     import graft.ops.Dedup
     assert(Dedup.saltsFor(0) == 1)

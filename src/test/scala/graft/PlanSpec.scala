@@ -208,4 +208,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"global window funnel present:\n${p.take(1500)}")
   }
+
+  test("q7 dim joins all broadcast; only the orderkey join shuffles") {
+    val p = plan("q7_nation_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "supplier/nation and customer/nation paths must broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q19 disjunctive brackets stay an equi join — no theta/nested-loop") {
+    val p = plan("q19_bracket_revenue")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"OR predicate degraded the join:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), "no keyed join found")
+    // the conjunct common to every bracket (quantity bounds) pushes to
+    // the lineitem scan even though the full OR straddles the join
+    assert(p.contains("PushedFilters: ["), p.take(1500))
+  }
+
+  test("q16a/q22 exclusion subqueries run as LEFT ANTI joins") {
+    val p16 = plan("q16a_never_bulk_parts")
+    assert(p16.contains("LeftAnti"), p16.take(1200))
+    assert(p16.contains("GreaterThanOrEqual(l_quantity,45.0)") ||
+      p16.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      "bulk-quantity filter not pushed to the probe scan")
+    val p22 = plan("q22_dormant_rich")
+    assert(p22.contains("LeftAnti"), p22.take(1200))
+    assert(!p22.contains("CartesianProduct"),
+      "global threshold must ride a broadcast, not a cartesian")
+  }
+
+  test("q10 aggregates returned revenue below the customer/nation joins") {
+    val p = plan("q10_returned_by_customer")
+    val aggIdx = p.indexOf("HashAggregate")
+    val bcastIdx = p.indexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && bcastIdx >= 0, p.take(1200))
+    // physical plans print top-down: the dim join must appear ABOVE
+    // (before) the per-customer aggregate that feeds it
+    assert(p.lastIndexOf("HashAggregate") > bcastIdx,
+      "per-customer aggregate did not stay below the dim joins")
+  }
 }
