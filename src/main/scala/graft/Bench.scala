@@ -93,6 +93,10 @@ object Bench {
     // and the driver recorded parsed:null).
     println(s"""{"detail":"cold","runs":$Runs,"total":${fmt(coldTotal, 3)},"queries":${obj(_._2, 3)}}""")
     println(s"""{"detail":"max","runs":$Runs,"total":${fmt(maxTotal, 3)},"queries":${obj(_._4, 3)}}""")
+    // full-precision p50 detail ALWAYS rides an earlier line: once the
+    // query count pushes the final line to degraded decimals, this is
+    // where per-query analysis reads from (driver full logs / local runs)
+    println(s"""{"detail":"p50","runs":$Runs,"total":${fmt(p50Total, 3)},"queries":${obj(_._3, 3)}}""")
     val sfName = new java.io.File(sfDir).getName
     // errors ride the final line only when present — the empty list is
     // implied by rc=0 and costs budget the growing query map needs

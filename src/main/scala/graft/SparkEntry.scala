@@ -85,6 +85,7 @@ object SparkEntry {
     "j9_cdc_latest" -> (Upsert.cdcLatestMerge _),
     "rc1_keyed_diff" -> (Reconcile.keyedDiffQuery _),
     "hll1_lang_distinct" -> (graft.ops.Sketch.hllLangDistinct _),
+    "cms1_heavy_hitters" -> ((s, d) => graft.ops.Sketch.cmsHeavyHitters(s, d)),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
     "dd1_exact_dedup" -> (Dedup.exactDedup _),
     "dd2_minhash_lsh" -> ((s, d) => Dedup.minhashLshQuery(s, d)),
@@ -295,6 +296,7 @@ object SparkEntry {
     "j9_cdc_latest" -> Upsert.cdcLatestMergeOracle,
     "rc1_keyed_diff" -> Reconcile.keyedDiffOracle,
     "hll1_lang_distinct" -> graft.ops.Sketch.hllLangDistinctOracle,
+    "cms1_heavy_hitters" -> graft.ops.Sketch.cmsHeavyHittersOracle,
 
     "tx11_tfidf_topterms" -> TextStats.tfidfTopTermsOracle,
     "tx12_sequence_packing" -> TextStats.sequencePackingOracle,

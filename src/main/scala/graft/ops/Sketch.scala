@@ -97,9 +97,91 @@ object Sketch {
       .orderBy("lang")
   }
 
-  /** DuckDB replay: same shingles, same md5-60 hash, same register/rho
-    * integer path, same exact scaled harmonic sum, same single final
-    * division. */
+  // ---- Count-Min sketch ----
+
+  /** Count-Min: d independent hash rows × w counters. Estimates are
+    * pure integers (min over d counters), so cross-engine parity is
+    * trivial; cells are ADDITIVE, so sketches merge by cell-wise sum
+    * across partitions/days (spec-pinned) — the mergeable
+    * heavy-hitter/frequency primitive complementing [[HllP]]'s
+    * distinct-count sketch. w = 512, d = 4: ε ≈ e/w ≈ 0.5% of the
+    * stream length at 2^-4 failure odds, in 2 KB of state per slice. */
+  val CmsD = 4
+  val CmsW = 512
+  val CmsSeedBase = 31
+
+  /** The (row, bucket, cell count) sketch table over the corpus token
+    * stream: one explode + one grouped count — ≤ d·w rows out. */
+  def cmsTable(docs: DataFrame): DataFrame = {
+    val tok = docs.select(explode(TextStats.words(col("text"))).as("w"))
+    val rows = array((0 until CmsD).map { j =>
+      struct(lit(j).as("j"),
+        md5Hash60(col("w"), CmsSeedBase + j)
+          .bitwiseAND(lit((CmsW - 1).toLong)).as("bucket"))
+    }: _*)
+    tok.select(explode(rows).as("rb"))
+      .select(col("rb.j").as("j"), col("rb.bucket").as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cell"))
+  }
+
+  /** cms1 — top heavy-hitter tokens by exact count, each with its CMS
+    * estimate riding along (the validation pairing: CMS never
+    * underestimates, and at this skew the top tokens' estimates are
+    * near-exact). The sketch is tiny (≤ d·w rows), so every estimate
+    * join broadcasts. */
+  def cmsHeavyHitters(s: SparkSession, d: String, topK: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cms = cmsTable(docs)
+    val tok = docs.select(explode(TextStats.words(col("text"))).as("w"))
+    val top = tok.groupBy("w").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), col("w")).limit(topK)
+    val withBuckets = (0 until CmsD).foldLeft(top) { (df, j) =>
+      df.withColumn(s"b$j",
+        md5Hash60(col("w"), CmsSeedBase + j)
+          .bitwiseAND(lit((CmsW - 1).toLong)))
+    }
+    val joined = (0 until CmsD).foldLeft(withBuckets) { (df, j) =>
+      df.join(broadcast(cms.filter(col("j") === j)
+          .select(col("bucket").as(s"b$j"), col("cell").as(s"c$j"))),
+        Seq(s"b$j"))
+    }
+    joined
+      .withColumn("est_cms", least((0 until CmsD).map(j => col(s"c$j")): _*))
+      .select(col("w").as("token"), col("n_exact"), col("est_cms"))
+      .orderBy(desc("n_exact"), col("token"))
+  }
+
+  /** DuckDB replay: same md5-60 bucket hashes, same grouped cell
+    * counts, same min-over-rows integer estimate. */
+  val cmsHeavyHittersOracle: String = {
+    def bucketExpr(j: Int) =
+      s"('0x' || substr(md5('${CmsSeedBase + j}' || ':' || w), 1, 15))::BIGINT & ${CmsW - 1}"
+    val unioned = (0 until CmsD).map(j =>
+      s"SELECT $j AS j, ${bucketExpr(j)} AS bucket FROM tok")
+      .mkString("\n    UNION ALL ")
+    val cellJoins = (0 until CmsD).map(j =>
+      s"JOIN cms c$j ON c$j.j = $j AND c$j.bucket = ${bucketExpr(j)}")
+      .mkString("\n")
+    val leastExpr = (0 until CmsD).map(j => s"c$j.cell").mkString("least(", ", ", ")")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |cms AS (
+       |  SELECT j, bucket, count(*) AS cell FROM (
+       |    $unioned)
+       |  GROUP BY j, bucket),
+       |top AS (
+       |  SELECT w, count(*) AS n_exact FROM tok GROUP BY w
+       |  ORDER BY n_exact DESC, w LIMIT 20)
+       |SELECT top.w AS token, top.n_exact, $leastExpr AS est_cms
+       |FROM top
+       |$cellJoins
+       |ORDER BY top.n_exact DESC, top.w""".stripMargin
+  }
+
+  /** DuckDB replay of hll1: same shingles, same md5-60 hash, same
+    * register/rho integer path, same exact scaled harmonic sum, same
+    * single final division. */
   val hllLangDistinctOracle: String = {
     val w = HllValueBits + 1
     s"""WITH w AS (

@@ -297,6 +297,28 @@ class OpsSpec extends AnyFunSuite {
     assert(halves == whole, "merged half-sketches diverge from the whole")
   }
 
+  test("CMS sketch: never underestimates, near-exact on heavy hitters, cells merge by sum") {
+    import graft.ops.Sketch
+    val rows = Sketch.cmsHeavyHitters(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (tok, exact, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"$tok: CMS underestimated ($est < $exact)")
+      // heavy hitters sit far above the ε·N collision noise floor
+      assert(est - exact <= exact / 2, s"$tok: est $est vs exact $exact")
+    }
+    // cells are additive: sketches of disjoint halves, summed cell-wise,
+    // equal the whole-corpus sketch
+    val docs = Tables.documents(spark, sf)
+    val whole = Sketch.cmsTable(docs)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val halves = Sketch.cmsTable(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(Sketch.cmsTable(docs.filter(col("doc_id") % 2 === 1)))
+      .groupBy("j", "bucket").agg(sum(col("cell")).as("cell"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(halves == whole, "summed half-sketches diverge from the whole")
+  }
+
   test("dd4 salt fan-out is earned by block size, capped, and never changes results") {
     import graft.ops.Dedup
     assert(Dedup.saltsFor(0) == 1)

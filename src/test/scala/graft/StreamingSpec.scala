@@ -47,6 +47,43 @@ class StreamingSpec extends AnyFunSuite {
       w == "2024-01-01 10:00:00" && t == "click" && sum == 103.0 })
   }
 
+  test("streaming dedup with watermark TTL: in-window duplicates drop, state expires (w1/d1 analogue)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    // dropDuplicatesWithinWatermark: the streaming form of the w1/d1
+    // batch dedup whose per-key state EXPIRES once the watermark passes
+    // the event time + delay — bounded state, the only dedup shape that
+    // survives an unbounded 100-TB/day stream (a plain dropDuplicates
+    // would accumulate every key forever)
+    val dedup = input.toDF().toDF("event_id", "ts", "payload")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 10:01:00"), "a-dup"),
+      (2L, ts("2024-01-01 10:02:00"), "b"))
+    q.processAllAvailable()
+    // same-batch + cross-batch duplicate of 1 within the window: dropped
+    input.addData((1L, ts("2024-01-01 10:03:00"), "a-dup2"))
+    q.processAllAvailable()
+    // advance the watermark far past 10:10 so key 1's state expires...
+    input.addData((9L, ts("2024-01-01 12:00:00"), "advance"))
+    q.processAllAvailable()
+    // ...then key 1 reappears and is treated as NEW (state was dropped)
+    input.addData((1L, ts("2024-01-01 12:01:00"), "a-new-epoch"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out")
+      .select(col("event_id"), col("payload"))
+      .as[(Long, String)].collect().toList.sorted
+    assert(got == List((1L, "a"), (1L, "a-new-epoch"), (2L, "b"),
+      (9L, "advance")), s"got $got")
+  }
+
   test("streaming sessionize: gap closes a session in-stream, timeout closes via watermark (w2 analogue)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
