@@ -113,6 +113,7 @@ object SparkEntry {
     "tx11_tfidf_topterms" -> ((s, d) => TextStats.tfidfTopTerms(s, d)),
     "tx12_sequence_packing" -> (TextStats.sequencePacking _),
     "tx13_source_cap" -> (TextStats.sourceCapSample _),
+    "tx14_mixture_resample" -> (TextStats.mixtureResample _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
     "mm3_resize" -> (Multimodal.resizeQuery _),
@@ -301,6 +302,7 @@ object SparkEntry {
     "tx11_tfidf_topterms" -> TextStats.tfidfTopTermsOracle,
     "tx12_sequence_packing" -> TextStats.sequencePackingOracle,
     "tx13_source_cap" -> TextStats.sourceCapSampleOracle,
+    "tx14_mixture_resample" -> TextStats.mixtureResampleOracle,
 
     "a11_percentiles" ->
       """SELECT o_orderpriority AS priority,

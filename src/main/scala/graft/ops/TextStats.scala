@@ -401,6 +401,63 @@ object TextStats {
        |WHERE hash_rank <= $SourceCap
        |ORDER BY source, hash_rank""".stripMargin
 
+  /** Target mixture for [[mixtureResample]] in integer
+    * parts-per-100 (the LLaMA/Pile-style source-weighting table —
+    * here keyed on lang since this corpus's sources are uniform).
+    * Integer weights keep every downstream computation exact. */
+  val MixWeights: Seq[(String, Int)] =
+    Seq("en" -> 40, "de" -> 15, "zh" -> 15, "fr" -> 15, "es" -> 15)
+
+  /** tx14 — mixture resampling (training-data "data mixing"): shrink
+    * the corpus to the LARGEST total that satisfies the target source
+    * proportions exactly, sampling each slice by stable hash order.
+    * T = min_s floor(n_s·100 / w_s) is the binding-slice feasibility
+    * bound; each slice keeps k_s = floor(w_s·T / 100) docs. All
+    * integer arithmetic — both engines agree on every boundary.
+    *
+    * Scale posture: the per-slice counts are an O(slices) stats
+    * collect (the same legitimate driver footprint as AQE stats); the
+    * selection is ONE window shuffle keyed on the slice, identical to
+    * [[sourceCapSample]]'s shape. The slice sort is the exact-sample
+    * path; a 100-TB deployment with huge slices would switch to
+    * hash-threshold selection (keep if hash < k/n scaled) — same
+    * stable-hash discipline, no sort, approximate counts. */
+  def mixtureResample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "source")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val feasibleT = MixWeights.map { case (l, wt) =>
+      counts.getOrElse(l, 0L) * 100 / wt
+    }.min
+    val quota = MixWeights.map { case (l, wt) =>
+      l -> wt * feasibleT / 100
+    }.toMap
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= element_at(typedLit(quota), col("lang")))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val mixtureResampleOracle: String = {
+    val values = MixWeights.map { case (l, wt) => s"('$l', $wt)" }.mkString(", ")
+    s"""WITH wt(lang, w) AS (VALUES $values),
+       |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |t AS (SELECT min(c.n * 100 // wt.w) AS t FROM c JOIN wt USING (lang)),
+       |k AS (SELECT wt.lang, wt.w * t.t // 100 AS k FROM wt, t),
+       |r AS (
+       |  SELECT doc_id, lang, source,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.doc_id, r.lang, r.source
+       |FROM r JOIN k USING (lang) WHERE r.rn <= k.k
+       |ORDER BY r.doc_id""".stripMargin
+  }
+
   /** Vocabulary building: term frequencies + document frequencies over
     * the corpus — explode + one aggregation, the shape that feeds
     * tokenizer training at 100 TB. */

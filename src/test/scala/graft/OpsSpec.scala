@@ -319,6 +319,29 @@ class OpsSpec extends AnyFunSuite {
     assert(halves == whole, "summed half-sketches diverge from the whole")
   }
 
+  test("mixture resample hits the exact per-slice quotas of the binding-slice bound") {
+    import graft.ops.TextStats
+    val docs = Tables.documents(spark, sf)
+    val n = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent re-derivation of the feasibility math
+    val t = TextStats.MixWeights.map { case (l, w) => n(l) * 100 / w }.min
+    val expect = TextStats.MixWeights.map { case (l, w) => l -> w * t / 100 }.toMap
+    val got = TextStats.mixtureResample(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"got $got, want $expect")
+    // every slice sits within the floor-rounding envelope of its exact
+    // target share: its own floor (≤1) plus its weight's share of the
+    // ≤`slices` docs the total loses to the other slices' floors
+    val total = got.values.sum
+    val slices = TextStats.MixWeights.size
+    TextStats.MixWeights.foreach { case (l, w) =>
+      assert(math.abs(got(l) - w * total / 100.0) <= 1.0 + w * 0.01 * slices,
+        s"$l drifted from ${w}% of $total: ${got(l)}")
+    }
+  }
+
   test("dd4 salt fan-out is earned by block size, capped, and never changes results") {
     import graft.ops.Dedup
     assert(Dedup.saltsFor(0) == 1)

@@ -241,6 +241,22 @@ class PlanSpec extends AnyFunSuite {
       "global threshold must ride a broadcast, not a cartesian")
   }
 
+  test("sketch estimates join the tiny cms/top tables by broadcast only") {
+    val p = plan("cms1_heavy_hitters")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "each CMS row estimate must ride a broadcast join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("tx14 mixture selection is one slice-keyed window, no global funnel") {
+    val p = plan("tx14_mixture_resample")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global funnel present:\n${p.take(1500)}")
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(p).size <= 1,
+      "selection must shuffle once on the slice key")
+  }
+
   test("q10 aggregates returned revenue below the customer/nation joins") {
     val p = plan("q10_returned_by_customer")
     val aggIdx = p.indexOf("HashAggregate")
