@@ -107,11 +107,14 @@ object Bench {
     // the line MUST fit the driver's 2000-char tail capture whole — a
     // clipped line records parsed:null (the round-3 failure). Nothing
     // prints after this line (sbt's [success] trailer is suppressed),
-    // so the budget is 2000 minus the trailing newline; 1980 leaves a
-    // small margin. Degrade per-query precision before ever letting a
-    // clip happen; a stderr note records the downshift.
+    // so the true ceiling is 2000 minus the trailing newline = 1999;
+    // budget 1995 keeps a 4-char safety margin (at 88 queries the
+    // 0-decimal map needs ~1984 — a tighter 1980 budget would already
+    // drop the map the driver's trend table reads). Degrade per-query
+    // precision before ever letting a clip happen; a stderr note
+    // records the downshift.
     val line = (2 to 0 by -1).map(finalLine)
-      .find(_.length <= 1980).getOrElse {
+      .find(_.length <= 1995).getOrElse {
         // even 0-decimal per-query entries overflow (~90+ queries): move
         // the p50 map to its own earlier detail line and keep the final
         // line a headline-only object — a parseable p50_total always
@@ -122,7 +125,7 @@ object Bench {
         s"""{"metric":"p50_total","value":${fmt(p50Total, 3)},"unit":"sec",""" +
           errField + s""""sf":"$sfName","queries":{}}"""
       }
-    if (finalLine(2).length > 1980)
+    if (finalLine(2).length > 1995)
       System.err.println(s"[bench] final line degraded to fit tail capture " +
         s"(${finalLine(2).length} chars at 2 decimals)")
     println(line)

@@ -114,6 +114,7 @@ object SparkEntry {
     "tx12_sequence_packing" -> (TextStats.sequencePacking _),
     "tx13_source_cap" -> (TextStats.sourceCapSample _),
     "tx14_mixture_resample" -> (TextStats.mixtureResample _),
+    "tx15_contamination_score" -> (TextStats.contaminationScore _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
     "mm3_resize" -> (Multimodal.resizeQuery _),
@@ -303,6 +304,7 @@ object SparkEntry {
     "tx12_sequence_packing" -> TextStats.sequencePackingOracle,
     "tx13_source_cap" -> TextStats.sourceCapSampleOracle,
     "tx14_mixture_resample" -> TextStats.mixtureResampleOracle,
+    "tx15_contamination_score" -> TextStats.contaminationScoreOracle,
 
     "a11_percentiles" ->
       """SELECT o_orderpriority AS priority,

@@ -458,6 +458,65 @@ object TextStats {
        |ORDER BY r.doc_id""".stripMargin
   }
 
+  /** Eval-set membership stride for [[contaminationScore]] (doc_id %
+    * stride == 0 stands in for "appears in a benchmark suite"). */
+  val ContamStride = 97
+  val ContamSeed = 17
+
+  /** tx15 — n-gram overlap contamination SCORING: the graded variant of
+    * tx9's exact-match decontamination. Benchmarks rarely match whole
+    * documents; the realistic test is what fraction of a document's
+    * distinct shingles appear anywhere in the eval set. Per doc:
+    * distinct-shingle count, matched count, overlap ratio (one double
+    * division of exact integers), and a ≥10% flag via integer
+    * cross-multiplication (no boundary drift). Eval docs score 1.0 by
+    * construction — the built-in sanity row.
+    *
+    * Scale posture: the corpus side is the one heavy stream (explode +
+    * one keyed aggregation); the eval shingle set is benchmark-sized by
+    * nature (MBs against 100 TB) and BROADCASTS — contamination
+    * scoring must never shuffle the corpus against the eval set. */
+  def contaminationScore(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+      .withColumn("h", graft.functions.Functions.md5Hash60(col("sh"), ContamSeed))
+    val evalSet = sh.filter(col("doc_id") % ContamStride === 0)
+      .select("h").distinct().withColumn("m", lit(1L))
+    sh.join(broadcast(evalSet), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("m"), lit(0L))).as("n_matched"))
+      .withColumn("contamination", col("n_matched") / col("n_shingles"))
+      .withColumn("contaminated",
+        col("n_matched") * 10 >= col("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationScoreOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |sdoc AS (
+       |  SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+       |      generate_series(1, len(ws) - 2),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |    ELSE [] END AS sh FROM w),
+       |u AS (SELECT doc_id, unnest(sh) AS sh FROM sdoc),
+       |h AS (SELECT doc_id,
+       |    ('0x' || substr(md5('$ContamSeed' || ':' || sh), 1, 15))::BIGINT AS h
+       |  FROM u),
+       |e AS (SELECT DISTINCT h FROM h WHERE doc_id % $ContamStride = 0)
+       |SELECT h.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_matched,
+       |  CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    / count(*) AS contamination,
+       |  CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10
+       |    >= count(*) AS contaminated
+       |FROM h LEFT JOIN e USING (h)
+       |GROUP BY h.doc_id
+       |ORDER BY h.doc_id""".stripMargin
+
   /** Vocabulary building: term frequencies + document frequencies over
     * the corpus — explode + one aggregation, the shape that feeds
     * tokenizer training at 100 TB. */

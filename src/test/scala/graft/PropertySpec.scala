@@ -148,4 +148,50 @@ class PropertySpec extends AnyFunSuite {
       assert(bucketed == plain, s"width=$width")
     }
   }
+
+  test("CMS on random corpora: estimate >= exact for EVERY token, sketches merge by sum") {
+    import graft.ops.Sketch
+    // random multiset of tokens with a skewed repeat distribution
+    val vocab = Vector.tabulate(300)(i => s"tok$i")
+    for (trial <- 1 to 3) {
+      val toks = List.fill(4000)(vocab(
+        math.min(rnd.nextInt(300), rnd.nextInt(300)))) // skew toward low ids
+      val docs = toks.grouped(40).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toList
+        .toDF("doc_id", "text")
+      val cms = Sketch.cmsTable(docs)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // estimate every token from the collected cells and compare to truth
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // plain-JVM replay of the md5-60 hash (same bytes both engines)
+      def h60(v: String): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }
+      exact.foreach { case (tok, n) =>
+        val est = (0 until Sketch.CmsD).map { j =>
+          val h = h60(s"${Sketch.CmsSeedBase + j}:$tok")
+          cms.getOrElse((j, h & (Sketch.CmsW - 1)), 0L)
+        }.min
+        assert(est >= n, s"trial $trial: $tok underestimated ($est < $n)")
+      }
+    }
+  }
+
+  test("HLL registers on random corpora: duplicates never change the sketch") {
+    import graft.ops.Sketch
+    // HLL is a function of the SET of values: re-appending the same docs
+    // (new ids, same text) must leave every register untouched
+    val base = List.tabulate(60)(i =>
+      (i.toLong, List.fill(12)(s"w${rnd.nextInt(150)}").mkString(" "), "en"))
+    val once = base.toDF("doc_id", "text", "lang")
+    val twice = (base ++ base.map { case (id, t, l) => (id + 1000, t, l) })
+      .toDF("doc_id", "text", "lang")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketch.shingleRegisters(df)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(regs(once) == regs(twice),
+      "duplicate documents changed HLL registers")
+  }
 }
