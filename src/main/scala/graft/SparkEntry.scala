@@ -50,6 +50,8 @@ object SparkEntry {
     "a14_cube_stats" -> (Analytics.cubeStats _),
     "a15_event_sequences" -> (Analytics.eventSequences _),
     "w5_ntile_quartiles" -> (Analytics.ntileQuartiles _),
+    "a16_window_rank" -> (Analytics.windowRankStats _),
+    "a17_grouping_sets" -> (Analytics.groupingSetsStats _),
     "a11_percentiles" -> (Analytics.percentileStats _),
     "a12_pivot_counts" -> (Analytics.pivotCounts _),
     "a13_topk_per_group" -> (Analytics.topKPerPriority _),
@@ -269,6 +271,34 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE(priority, event_year)
         |ORDER BY priority NULLS FIRST, event_year NULLS FIRST""".stripMargin,
+
+    "a16_window_rank" ->
+      """SELECT priority, totalprice_cents, o_orderkey,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       totalprice_cents - coalesce(lag(totalprice_cents, 1) OVER w,
+        |                                   totalprice_cents) AS prev_delta
+        |FROM (SELECT o_orderpriority AS priority,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |             o_orderkey
+        |      FROM orders) t
+        |WINDOW w AS (PARTITION BY priority
+        |             ORDER BY totalprice_cents, o_orderkey)
+        |ORDER BY priority, totalprice_cents, o_orderkey""".stripMargin,
+
+    "a17_grouping_sets" ->
+      """SELECT status, priority, frequency, sum_price_cents,
+        |       CASE WHEN status IS NULL AND priority IS NULL THEN 3
+        |            WHEN priority IS NULL THEN 1 ELSE 0 END AS set_id
+        |FROM (
+        |  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |         count(*) AS frequency,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS sum_price_cents
+        |  FROM orders
+        |  GROUP BY GROUPING SETS ((o_orderstatus),
+        |                          (o_orderstatus, o_orderpriority), ())) t
+        |ORDER BY set_id, status NULLS FIRST, priority NULLS FIRST""".stripMargin,
 
     "w5_ntile_quartiles" ->
       """WITH t AS (

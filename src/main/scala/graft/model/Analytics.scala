@@ -257,6 +257,51 @@ object Analytics {
         count(lit(1)).as("frequency"))
       .orderBy("priority")
 
+  /** a16 — rank-fraction windows (beyond reference): percent_rank +
+    * cume_dist + a lag delta over ONE window with a TOTAL order
+    * (cents, orderkey) — rank positions are deterministic, so the
+    * fractions are single double divisions of identical integers in
+    * both engines. The lag delta coalesces to 0 on each partition's
+    * first row (a null would land in a float column after the
+    * compare's pandas conversion). One shuffle on the stratum key
+    * serves all three window functions. */
+  def windowRankStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("priority")
+      .orderBy(col("totalprice_cents"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("priority"),
+        cents(col("o_totalprice")).as("totalprice_cents"),
+        col("o_orderkey"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("prev_delta",
+        col("totalprice_cents") -
+          coalesce(lag("totalprice_cents", 1).over(w),
+            col("totalprice_cents")))
+      .orderBy("priority", "totalprice_cents", "o_orderkey")
+  }
+
+  /** a17 — explicit GROUPING SETS (the general form behind a10's ROLLUP
+    * and a14's CUBE): per-status, per-(status, priority), and grand
+    * total in ONE Expand + one shuffle. The set id derives from the
+    * rolled-up columns' null-ness (base columns are non-null here),
+    * which sidesteps engine-specific grouping_id() bit orders. */
+  def groupingSetsStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .groupingSets(
+        Seq(Seq(col("status")), Seq(col("status"), col("priority")), Seq()),
+        col("status"), col("priority"))
+      .agg(count(lit(1)).as("frequency"),
+        sum(col("price_cents")).as("sum_price_cents"))
+      .withColumn("set_id",
+        when(col("status").isNull && col("priority").isNull, 3L)
+          .when(col("priority").isNull, 1L).otherwise(0L))
+      .orderBy(col("set_id"), col("status").asc_nulls_first,
+        col("priority").asc_nulls_first)
+
   /** O1 — custom CASE sort key + mixed-direction multi-key sort
     * (reference alert_level_frequency_stats.sql:16-25). The tail key
     * o_orderkey makes the order total, so the oracle compare is stable. */
