@@ -84,6 +84,11 @@ object SparkEntry {
     "q16a_never_bulk_parts" -> (Pricing.neverBulkParts _),
     "q19_bracket_revenue" -> (Pricing.bracketRevenue _),
     "q22_dormant_rich" -> (Pricing.dormantRich _),
+    "q6_forecast_revenue" -> (Pricing.forecastRevenue _),
+    "q8_market_share" -> (Pricing.marketShare _),
+    "q9a_part_profit" -> (Pricing.partNameProfit _),
+    "q15_top_supplier" -> (Pricing.topSupplier _),
+    "p19_json_extract" -> (Fact.jsonExtract _),
     "j9_cdc_latest" -> (Upsert.cdcLatestMerge _),
     "rc1_keyed_diff" -> (Reconcile.keyedDiffQuery _),
     "hll1_lang_distinct" -> (graft.ops.Sketch.hllLangDistinct _),
@@ -117,6 +122,8 @@ object SparkEntry {
     "tx13_source_cap" -> (TextStats.sourceCapSample _),
     "tx14_mixture_resample" -> (TextStats.mixtureResample _),
     "tx15_contamination_score" -> (TextStats.contaminationScore _),
+    "tx16_df_prune" -> (TextStats.dfPrune _),
+    "bf1_bloom_decontam" -> (graft.ops.Sketch.bloomDecontaminate _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
     "mm3_resize" -> (Multimodal.resizeQuery _),
@@ -329,12 +336,19 @@ object SparkEntry {
     "rc1_keyed_diff" -> Reconcile.keyedDiffOracle,
     "hll1_lang_distinct" -> graft.ops.Sketch.hllLangDistinctOracle,
     "cms1_heavy_hitters" -> graft.ops.Sketch.cmsHeavyHittersOracle,
+    "bf1_bloom_decontam" -> graft.ops.Sketch.bloomDecontaminateOracle,
+    "q6_forecast_revenue" -> Pricing.forecastRevenueOracle,
+    "q8_market_share" -> Pricing.marketShareOracle,
+    "q9a_part_profit" -> Pricing.partNameProfitOracle,
+    "q15_top_supplier" -> Pricing.topSupplierOracle,
+    "p19_json_extract" -> Fact.jsonExtractOracle,
 
     "tx11_tfidf_topterms" -> TextStats.tfidfTopTermsOracle,
     "tx12_sequence_packing" -> TextStats.sequencePackingOracle,
     "tx13_source_cap" -> TextStats.sourceCapSampleOracle,
     "tx14_mixture_resample" -> TextStats.mixtureResampleOracle,
     "tx15_contamination_score" -> TextStats.contaminationScoreOracle,
+    "tx16_df_prune" -> TextStats.dfPruneOracle,
 
     "a11_percentiles" ->
       """SELECT o_orderpriority AS priority,

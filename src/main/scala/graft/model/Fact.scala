@@ -113,4 +113,42 @@ object Fact {
       |  INTERSECT
       |  SELECT event_id FROM events WHERE event_type = 'signup')
       |ORDER BY op, event_id""".stripMargin
+
+  /** p19 — typed JSON column extraction (the semi-structured projection
+    * every event pipeline runs on a properties payload): `from_json`
+    * with an EXPLICIT schema — the typed, codegen-friendly parser, not
+    * a per-row regex or a schema-inference pass (inference would be a
+    * second full scan at 100 TB) — then a plain grouped aggregate over
+    * the extracted field. Malformed payloads surface as NULLs (from_json
+    * is PERMISSIVE), so the aggregate is total, never failing the scan.
+    * The event_type null-group is filtered like a7's to keep the
+    * grouped output total-ordered. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"),
+        from_json(col("props"), "k INT", Map.empty[String, String])
+          .getField("k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** The oracle parses the same payload with a regex extract (DuckDB's
+    * JSON functions live in an extension; the regex keeps the oracle
+    * dependency-free) — agreement also pins that the typed parse
+    * extracts exactly the literal the payload carries. */
+  val jsonExtractOracle: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+      |  FROM events WHERE event_type IS NOT NULL)
+      |SELECT event_type, count(*) AS n, count(k) AS n_parsed,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       min(k) AS min_k, max(k) AS max_k
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 }

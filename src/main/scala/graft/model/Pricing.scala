@@ -474,4 +474,178 @@ object Pricing {
       |  AND NOT EXISTS (SELECT 1 FROM orders o
       |                  WHERE o.o_custkey = c.c_custkey
       |                    AND o.o_orderdate >= '2000-01-01')""".stripMargin
+
+  /** q6 — forecast revenue change (TPC-H Q6 shape): the pure
+    * scan-filter-aggregate query — no join, no group key, one row out.
+    * The shape exists to prove the scan layer carries the whole load:
+    * the shipdate range pushes to the parquet reader as a min/max
+    * row-group prune, and everything after it is one map-side partial
+    * sum. The discount band compares in integer cents (not the raw
+    * double) so both engines agree on every boundary row. */
+  def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")) &&
+        col("l_quantity") < 24)
+      .filter(cents(col("l_discount")).between(5, 7))
+      .agg(
+        sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+          .as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+
+  val forecastRevenueOracle: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |                CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_e4,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      |  AND l_quantity < 24
+      |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7""".stripMargin
+
+  /** q8 — national market share (TPC-H Q8 shape): one nation's share of
+    * a region's revenue in a part-type segment, per order year. The
+    * fact row reaches FOUR dimension labels (part type, supplier
+    * nation, customer nation, customer region) and every one of them
+    * broadcasts; the selective part filter applies FIRST so the
+    * orders shuffle carries only the segment's line items. The share is
+    * a conditional-sum / total-sum pair of exact integers with one
+    * final double division. */
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+        .as("rev_e4"))
+    val p = Tables.part(s, d)
+      .filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n2 = Tables.nation(s, d).select(
+      col("n_nationkey").as("cn_nationkey"), col("n_regionkey"))
+    val r = Tables.region(s, d)
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === "NATION_2", col("rev_e4"))
+          .otherwise(0L)).as("nation_e4"),
+        sum(col("rev_e4")).as("total_e4"))
+      .withColumn("mkt_share", col("nation_e4") / col("total_e4"))
+      .orderBy("o_year")
+  }
+
+  val marketShareOracle: String =
+    """WITH j AS (
+      |  SELECT year(o.o_orderdate) AS o_year,
+      |         CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |           (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4,
+      |         ns.n_name AS supp_nation
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      |  JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      |  WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1998-01-01')
+      |SELECT CAST(o_year AS INT) AS o_year,
+      |       CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_e4 ELSE 0 END)
+      |            AS BIGINT) AS nation_e4,
+      |       CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+      |       CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_e4 ELSE 0 END)
+      |            AS BIGINT) / CAST(sum(rev_e4) AS BIGINT) AS mkt_share
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q9a — product-segment profit by supplier nation and year (TPC-H
+    * Q9 shape, adapted: this corpus has no partsupp table, so profit is
+    * the discounted revenue rather than revenue − supplycost): revenue
+    * of parts whose name contains a token, grouped by the SUPPLIER-path
+    * nation — the join topology Q9 exists to exercise (fact → part
+    * filter, fact → supplier → nation, no orders/customer hop). Both
+    * dim paths broadcast; the only shuffle is the final small group. */
+  def partNameProfit(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(
+      col("l_partkey"), col("l_suppkey"),
+      year(col("l_shipdate")).as("l_year"),
+      (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+        .as("rev_e4"))
+    val p = Tables.part(s, d)
+      .filter(col("p_name").contains("gear")).select("p_partkey")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "nation")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("nation", "l_year")
+      .agg(sum(col("rev_e4")).as("profit_e4"), count(lit(1)).as("n_items"))
+      .orderBy("nation", "l_year")
+  }
+
+  val partNameProfitOracle: String =
+    """SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS l_year,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |                (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+      |            AS BIGINT) AS profit_e4,
+      |       count(*) AS n_items
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE p.p_name LIKE '%gear%'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q15 — top supplier by quarterly revenue (TPC-H Q15 shape): the
+    * aggregate-then-global-max pattern. Per-supplier revenue is one
+    * keyed aggregation; the maximum is a ONE-ROW aggregate broadcast
+    * back over it (never a rank-everything sort), and only the
+    * surviving row(s) — ties kept, per the TPC-H definition — meet the
+    * broadcast supplier dim. Exact integer revenue means the
+    * max-equality predicate cannot drift between engines. */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice")) *
+        (lit(100) - cents(col("l_discount")))).as("total_rev_e4"))
+    val mx = rev.agg(max(col("total_rev_e4")).as("max_rev"))
+    rev.join(broadcast(mx))
+      .filter(col("total_rev_e4") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierOracle: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |                  (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |              AS BIGINT) AS total_rev_e4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, rev.total_rev_e4
+      |FROM rev
+      |JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+      |WHERE rev.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+      |ORDER BY s.s_suppkey""".stripMargin
 }

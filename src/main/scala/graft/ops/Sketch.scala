@@ -179,6 +179,132 @@ object Sketch {
        |ORDER BY top.n_exact DESC, top.w""".stripMargin
   }
 
+  // ---- Bloom filter ----
+
+  /** Bloom-filter membership sketch — the third sketch beside HLL
+    * (distinct counts) and CMS (frequencies): constant-size SET
+    * MEMBERSHIP, here in its flagship pipeline role of benchmark
+    * decontamination at scale. tx9/tx15 join the corpus against the
+    * exact eval-shingle table; at 100 TB the bloom replaces that table
+    * with a [[BloomBits]]-bit bitmap (1 KB here) that broadcasts for
+    * free, at the cost of a bounded false-positive rate — errors are
+    * ONE-SIDED (never misses a true member), so a bloom pre-filter
+    * plus an exact recheck of the (tiny) flagged set is lossless.
+    *
+    * Determinism: bit positions come from the shared md5-60 hash, the
+    * bitmap is [[BloomWords]] 32-bit words stored in longs (shift ≤ 31
+    * keeps every mask positive — no sign-bit divergence anywhere), and
+    * words merge by bitwise OR — mergeable across partitions/corpora
+    * like the other two sketches (spec-pinned). */
+  val BloomBits = 8192 // 2^13
+  val BloomWordShift = 5 // 32-bit words
+  val BloomWords: Int = BloomBits >> BloomWordShift // 256
+  val BloomK = 4
+  val BloomSeedBase = 53
+
+  /** The bitmap as a (slot, word) table built from the DISTINCT eval
+    * shingle set: ≤ [[BloomWords]] rows regardless of input size. */
+  def bloomTable(evalShingles: DataFrame): DataFrame = {
+    val bits = array((0 until BloomK).map { j =>
+      md5Hash60(col("sh"), BloomSeedBase + j)
+        .bitwiseAND(lit((BloomBits - 1).toLong))
+    }: _*)
+    evalShingles.select(explode(bits).as("bit"))
+      .select(shiftright(col("bit"), BloomWordShift).as("slot"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit & 31 AS INT))").as("mask"))
+      .groupBy("slot").agg(expr("bit_or(mask)").as("word"))
+  }
+
+  /** bf1 — bloom-filtered decontamination over the tx15 eval split
+    * (doc_id % stride = 0): per doc, distinct-shingle count, bloom-hit
+    * count, and the exact-hit count riding along — the validation
+    * pairing exposing the (one-sided) false positives. The corpus
+    * stream is exploded ONCE; each shingle probes the broadcast bitmap
+    * [[BloomK]] times (4 broadcast joins against a ≤256-row table) and
+    * the exact shingle set once. Production keeps only the bloom side +
+    * an exact recheck of flagged docs. */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.TextStats.ContamStride
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+    val evalSh = sh.filter(col("doc_id") % ContamStride === 0)
+      .select("sh").distinct()
+    val bloom = bloomTable(evalSh)
+    val probed0 = (0 until BloomK).foldLeft(
+      sh.select(col("doc_id"), col("sh"))) { (df, j) =>
+      df.withColumn(s"bit$j",
+        md5Hash60(col("sh"), BloomSeedBase + j)
+          .bitwiseAND(lit((BloomBits - 1).toLong)))
+        .withColumn(s"s$j", shiftright(col(s"bit$j"), BloomWordShift))
+        .withColumn(s"m$j",
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(bit$j & 31 AS INT))"))
+    }
+    val probed = (0 until BloomK).foldLeft(probed0) { (df, j) =>
+      df.join(broadcast(bloom.select(col("slot").as(s"s$j"),
+        col("word").as(s"w$j"))), Seq(s"s$j"), "left")
+    }
+    val hit = (0 until BloomK)
+      .map(j => coalesce(col(s"w$j"), lit(0L))
+        .bitwiseAND(col(s"m$j")) =!= 0L)
+      .reduce(_ && _)
+    probed
+      .join(broadcast(evalSh.withColumn("m", lit(1L))), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(coalesce(col("m"), lit(0L))).as("n_exact_hits"))
+      .withColumn("bloom_contaminated", col("n_bloom_hits") > 0)
+      .withColumn("exact_contaminated", col("n_exact_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of bf1: same distinct shingles, same md5-60 bit
+    * positions, same 32-bit-word bitmap via bit_or, same 4-probe AND. */
+  val bloomDecontaminateOracle: String = {
+    def bitExpr(j: Int, src: String) =
+      s"('0x' || substr(md5('${BloomSeedBase + j}' || ':' || $src), 1, 15))::BIGINT & ${BloomBits - 1}"
+    val bitsUnion = (0 until BloomK).map(j =>
+      s"SELECT ${bitExpr(j, "sh")} AS bit FROM ev")
+      .mkString("\n    UNION ALL ")
+    val probeJoins = (0 until BloomK).map(j =>
+      s"LEFT JOIN bloom b$j ON b$j.slot = (${bitExpr(j, "u.sh")}) >> $BloomWordShift")
+      .mkString("\n")
+    val hitExpr = (0 until BloomK).map(j =>
+      s"(coalesce(b$j.word, 0) & (CAST(1 AS BIGINT) << CAST((${bitExpr(j, "u.sh")}) & 31 AS INT))) <> 0")
+      .mkString("(", " AND ", ")")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |sdoc AS (
+       |  SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+       |      generate_series(1, len(ws) - 2),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |    ELSE [] END AS sh FROM w),
+       |u AS (SELECT doc_id, unnest(sh) AS sh FROM sdoc),
+       |ev AS (SELECT DISTINCT sh FROM u
+       |       WHERE doc_id % ${graft.ops.TextStats.ContamStride} = 0),
+       |bloom AS (
+       |  SELECT bit >> $BloomWordShift AS slot,
+       |         bit_or(CAST(1 AS BIGINT) << CAST(bit & 31 AS INT)) AS word
+       |  FROM ($bitsUnion)
+       |  GROUP BY 1)
+       |SELECT u.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN $hitExpr THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bloom_hits,
+       |  CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact_hits,
+       |  CAST(sum(CASE WHEN $hitExpr THEN 1 ELSE 0 END) AS BIGINT) > 0
+       |    AS bloom_contaminated,
+       |  CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
+       |    AS exact_contaminated
+       |FROM u
+       |$probeJoins
+       |LEFT JOIN ev e ON u.sh = e.sh
+       |GROUP BY u.doc_id
+       |ORDER BY u.doc_id""".stripMargin
+  }
+
   /** DuckDB replay of hll1: same shingles, same md5-60 hash, same
     * register/rho integer path, same exact scaled harmonic sum, same
     * single final division. */

@@ -623,4 +623,78 @@ object TextStats {
       |  FROM documents)
       |SELECT doc_id, sha256(t) AS norm_sha, CAST(length(t) AS BIGINT) AS norm_len
       |FROM n ORDER BY doc_id""".stripMargin
+
+  /** Document-frequency ceiling for [[dfPrune]], in percent of corpus
+    * docs: tokens present in more than this fraction of documents are
+    * treated as boilerplate. */
+  val MaxDfPct = 77
+
+  /** tx16 — corpus-level boilerplate pruning (the CCNet/RefinedWeb
+    * "drop content duplicated across too many documents" stage, at
+    * token granularity for this single-line corpus): a token whose
+    * document frequency exceeds [[MaxDfPct]]% of the corpus is removed
+    * from EVERY document, and each document is reassembled in original
+    * token order. This is the cross-document content-dedup plumbing —
+    * position-exploded stream, one global df aggregation, a broadcast
+    * keep-list rejoin, and an order-restoring per-doc reassembly
+    * (collect → sort by position → join) — that line-level dedup uses
+    * verbatim on multi-line corpora.
+    *
+    * Scale posture: two passes over the exploded token stream (df
+    * aggregation keyed on term, reassembly keyed on doc), both linear;
+    * the keep-list is vocabulary-sized and BROADCASTS — the corpus is
+    * never shuffled against it. The threshold compares by integer
+    * cross-multiplication (df·100 ≤ pct·n_docs), so no boundary drift.
+    * Docs whose every token is pruned survive with empty text via the
+    * left rejoin — the edge OpsSpec pins. */
+  def dfPrune(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"),
+      posexplode(words(col("text"))).as(Seq("pos", "term")))
+    val dfTable = tok.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val keep = dfTable.join(broadcast(total))
+      .filter(col("df") * 100 <= lit(MaxDfPct) * col("n_docs"))
+      .select("term")
+    val rebuilt = tok.join(broadcast(keep), Seq("term"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("term")))),
+            x => x.getField("term")),
+          " ").as("kept_text"))
+    docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_orig"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_orig"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of tx16: zipped unnest for the positioned token
+    * stream, the same integer threshold, string_agg ORDER BY pos for
+    * the reassembly. */
+  val dfPruneOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(ws) AS term,
+       |         unnest(generate_series(1, len(ws))) AS pos
+       |  FROM w),
+       |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+       |tot AS (SELECT count(*) AS n_docs FROM documents),
+       |keep AS (SELECT term FROM dft, tot WHERE df * 100 <= $MaxDfPct * n_docs),
+       |kept AS (SELECT tok.doc_id, tok.pos, tok.term
+       |         FROM tok JOIN keep USING (term))
+       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_orig,
+       |       CAST(count(k.term) AS BIGINT) AS n_kept,
+       |       coalesce(string_agg(k.term, ' ' ORDER BY k.pos), '') AS kept_text
+       |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
+       |GROUP BY w.doc_id, len(w.ws)
+       |ORDER BY w.doc_id""".stripMargin
 }
