@@ -512,4 +512,58 @@ class OpsSpec extends AnyFunSuite {
       .as[String].collect()
     assert(got.toSeq == Seq("sqlish", "mlish", "und"))
   }
+
+  test("Bloom sketch: one-sided membership, eval docs fully flagged, words merge by OR") {
+    import graft.ops.Sketch
+    val rows = Sketch.bloomDecontaminate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nSh, nBloom, nExact) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nBloom >= nExact,
+        s"doc $id: bloom missed a true member ($nBloom < $nExact)")
+      assert(nBloom <= nSh)
+    }
+    // eval docs' every shingle is in the filter by construction
+    rows.filter(_.getLong(0) % TextStats.ContamStride == 0).foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == r.getLong(1),
+        s"eval doc ${r.getLong(0)} not fully flagged")
+    }
+    // mergeability — the 100-TB property: bitmaps built on disjoint
+    // halves, merged by word-wise OR, equal the whole-corpus bitmap
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TextStats.shingles(col("text"), 3)).as("sh"))
+    val whole = Sketch.bloomTable(sh.select("sh").distinct())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val halves = Sketch.bloomTable(
+        sh.filter(col("doc_id") % 2 === 0).select("sh").distinct())
+      .unionByName(Sketch.bloomTable(
+        sh.filter(col("doc_id") % 2 === 1).select("sh").distinct()))
+      .groupBy("slot").agg(expr("bit_or(word)").as("word"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(halves == whole, "OR-merged half-bitmaps diverge from the whole")
+  }
+
+  test("df-prune: independent re-derivation — boilerplate gone everywhere, order kept, every doc survives") {
+    val out = TextStats.dfPrune(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out.length == texts.size, "every document must survive the prune")
+    val tokens = texts.view.mapValues(_.trim.split("\\s+").toSeq).toMap
+    val dfm = tokens.values.flatMap(_.distinct)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val keep = dfm.collect {
+      case (t, df) if df * 100 <= TextStats.MaxDfPct * texts.size => t
+    }.toSet
+    assert(keep.nonEmpty && keep.size < dfm.size,
+      "fixture should split the vocabulary, else the test is vacuous")
+    out.foreach { r =>
+      val (id, nOrig, nKept, text) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val expected = tokens(id).filter(keep)
+      assert(nOrig == tokens(id).size, s"doc $id n_orig")
+      assert(nKept == expected.size, s"doc $id n_kept")
+      assert(text == expected.mkString(" "), s"doc $id reassembly order")
+    }
+  }
 }

@@ -267,4 +267,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.lastIndexOf("HashAggregate") > bcastIdx,
       "per-customer aggregate did not stay below the dim joins")
   }
+
+  test("q6 is a pure pushed-filter scan-aggregate — no join anywhere") {
+    val p = plan("q6_forecast_revenue")
+    assert(!p.contains("Join"), "q6 must be join-free")
+    assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"),
+      s"shipdate range not pushed to the scan:\n${p.take(1500)}")
+    // the printed PushedFilters list elides past ~100 chars, so gate on
+    // the quantity column entering it rather than the full literal
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity)"),
+      "quantity bound not pushed to the scan")
+  }
+
+  test("q8 market share: every dim hop broadcasts, no nested loop") {
+    val p = plan("q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5,
+      "part/supplier+nation/customer/nation/region must all broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q15 global max rides a one-row broadcast — no rank window, no cartesian") {
+    val p = plan("q15_top_supplier")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("Window"),
+      "top supplier must come from a max-equality broadcast, not a rank")
+  }
+
+  test("tx16 keep-list and bf1 bitmap probes ride broadcast joins only") {
+    val p16 = plan("tx16_df_prune")
+    assert(p16.contains("BroadcastHashJoin"),
+      "the corpus must never shuffle against the vocabulary keep-list")
+    assert(!p16.contains("CartesianProduct"), p16.take(1200))
+    val pbf = plan("bf1_bloom_decontam")
+    assert("BroadcastHashJoin".r.findAllIn(pbf).size >= 5, // 4 probes + exact set
+      "bloom probes must broadcast the bitmap")
+    assert(!pbf.contains("CartesianProduct") &&
+      !pbf.contains("BroadcastNestedLoopJoin"), pbf.take(1200))
+  }
 }
