@@ -194,4 +194,33 @@ class PropertySpec extends AnyFunSuite {
     assert(regs(once) == regs(twice),
       "duplicate documents changed HLL registers")
   }
+
+  test("Bloom on random shingle sets: a member NEVER misses (plain-JVM bitmap replay)") {
+    import graft.ops.Sketch
+    // the one-sided guarantee on arbitrary data: every inserted value
+    // probes positive against the built bitmap, whatever collides
+    def h60(v: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    for (trial <- 1 to 3) {
+      val members = List.fill(150)(
+        s"s${rnd.nextInt(3000)} t${rnd.nextInt(3000)} u${rnd.nextInt(3000)}")
+        .distinct
+      val bitmap = Sketch.bloomTable(members.toDF("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def probe(v: String): Boolean = (0 until Sketch.BloomK).forall { j =>
+        val bit = h60(s"${Sketch.BloomSeedBase + j}:$v") & (Sketch.BloomBits - 1)
+        (bitmap.getOrElse(bit >> Sketch.BloomWordShift, 0L) &
+          (1L << (bit & 31))) != 0L
+      }
+      members.foreach(m =>
+        assert(probe(m), s"trial $trial: member '$m' missed — bloom broke one-sidedness"))
+      // and the filter is not degenerate: far more non-members miss than hit
+      val nonMembers = List.tabulate(300)(i => s"absent$trial-$i xyz qqq")
+      val fp = nonMembers.count(probe)
+      assert(fp < 30, s"trial $trial: $fp/300 false positives — bitmap saturated")
+    }
+  }
 }
