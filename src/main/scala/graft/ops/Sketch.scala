@@ -202,6 +202,17 @@ object Sketch {
   val BloomK = 4
   val BloomSeedBase = 53
 
+  /** Plain-JVM replay of [[graft.functions.Functions.md5Hash60]] —
+    * identical bytes (`"seed:value"` UTF-8), identical 15-hex-digit
+    * prefix parse — for state code that runs outside Catalyst (the
+    * streaming bloom dedup's per-shard bitmap). Parity with the column
+    * expression is pinned in StreamingSpec. */
+  def jvmHash60(v: String, seed: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$v".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
   /** The bitmap as a (slot, word) table built from the DISTINCT eval
     * shingle set: ≤ [[BloomWords]] rows regardless of input size. */
   def bloomTable(evalShingles: DataFrame): DataFrame = {

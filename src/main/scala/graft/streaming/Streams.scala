@@ -181,4 +181,53 @@ object Streams {
           }
       }
   }
+
+  /** Streaming APPROXIMATE dedup with CONSTANT state — the streaming
+    * face of the bf1 Bloom sketch. Exact streaming dedup
+    * (dropDuplicates / the TTL variant in StreamingSpec) holds one
+    * state row per key seen inside the watermark — under key churn at
+    * warehouse stream volumes that state is effectively unbounded. The
+    * bloom variant holds ONE FIXED [[graft.ops.Sketch.BloomBits]]-bit
+    * bitmap per key-space shard (numShards × 1 KB total, forever) and
+    * trades it for a bounded, one-sided error: a TRUE duplicate is
+    * NEVER emitted twice; a novel key may rarely be dropped as a false
+    * positive (rate governable by bits per expected keys, exactly the
+    * batch sketch's math).
+    *
+    * Bit positions replay [[graft.ops.Sketch]]'s md5-60 positions via
+    * [[graft.ops.Sketch.jvmHash60]] (parity spec-pinned), so a batch
+    * bloom built with the same seeds can seed or audit the stream's.
+    * Sharding by key hash spreads the bitmap load across executors;
+    * each group's state is a primitive long array — no per-row state
+    * growth, no timeout bookkeeping needed.
+    * Input: (row_id, key); output: first-seen rows, in-shard order. */
+  def bloomDedupStream(
+      rows: Dataset[(Long, String)],
+      numShards: Int = 16): Dataset[(Long, String)] = {
+    import rows.sparkSession.implicits._
+    import graft.ops.Sketch
+    val shift = Sketch.BloomWordShift
+    rows
+      .groupByKey { case (_, key) =>
+        math.floorMod(Sketch.jvmHash60(key, Sketch.BloomSeedBase), numShards.toLong).toInt
+      }
+      .flatMapGroupsWithState[Array[Long], (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Array[Long]]) =>
+          val words = state.getOption
+            .getOrElse(new Array[Long](Sketch.BloomWords))
+          val out = it.filter { case (_, key) =>
+            val bits = (0 until Sketch.BloomK).map(j =>
+              (Sketch.jvmHash60(key, Sketch.BloomSeedBase + j) &
+                (Sketch.BloomBits - 1)).toInt)
+            val seen = bits.forall(b =>
+              (words(b >> shift) & (1L << (b & 31))) != 0L)
+            if (!seen) bits.foreach(b =>
+              words(b >> shift) |= 1L << (b & 31))
+            !seen
+          }.toList
+          state.update(words)
+          out.iterator
+      }
+  }
 }

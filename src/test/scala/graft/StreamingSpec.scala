@@ -84,6 +84,40 @@ class StreamingSpec extends AnyFunSuite {
       (9L, "advance")), s"got $got")
   }
 
+  test("streaming bloom dedup: constant state, true dups never re-emitted, hash parity with the column expression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Sketch
+    // JVM replay == Catalyst expression on arbitrary strings — the
+    // contract that lets a batch-built bloom seed/audit the stream's
+    val sample = Seq("a b c", "tok9", "", "x:y", "ü ñ")
+    val viaCol = sample.toDF("v")
+      .select(graft.functions.Functions.md5Hash60(col("v"), 57).as("h"))
+      .as[Long].collect().toSeq
+    assert(sample.map(Sketch.jvmHash60(_, 57)) == viaCol,
+      "jvmHash60 diverges from the md5Hash60 column expression")
+
+    val input = MemoryStream[(Long, String)]
+    val out = Streams.bloomDedupStream(input.toDS(), numShards = 4)
+    val q = out.toDF().toDF("row_id", "key")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("bloom_dedup_out").start()
+    // batch 1: k1 twice in-batch; batch 2: k1/k2 again cross-batch + novel k4
+    input.addData((1L, "k1"), (2L, "k2"), (3L, "k1"))
+    q.processAllAvailable()
+    input.addData((4L, "k1"), (5L, "k3"), (6L, "k2"), (7L, "k4"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bloom_dedup_out")
+      .as[(Long, String)].collect().toList.sortBy(_._1)
+    // one-sided: every key at most once, first occurrence wins; at 4
+    // keys against an 8192-bit bitmap the FP odds are ~0, so the novel
+    // keys all pass — the emitted set is exactly the first-seen rows
+    assert(got == List((1L, "k1"), (2L, "k2"), (5L, "k3"), (7L, "k4")),
+      s"got $got")
+    assert(got.map(_._2).distinct.size == got.size, "a duplicate key re-emitted")
+  }
+
   test("streaming sessionize: gap closes a session in-stream, timeout closes via watermark (w2 analogue)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
