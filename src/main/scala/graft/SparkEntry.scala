@@ -93,6 +93,7 @@ object SparkEntry {
     "rc1_keyed_diff" -> (Reconcile.keyedDiffQuery _),
     "hll1_lang_distinct" -> (graft.ops.Sketch.hllLangDistinct _),
     "cms1_heavy_hitters" -> ((s, d) => graft.ops.Sketch.cmsHeavyHitters(s, d)),
+    "hq1_histogram_quantiles" -> (graft.ops.Sketch.histQuantiles _),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
     "dd1_exact_dedup" -> (Dedup.exactDedup _),
     "dd2_minhash_lsh" -> ((s, d) => Dedup.minhashLshQuery(s, d)),
@@ -337,6 +338,7 @@ object SparkEntry {
     "hll1_lang_distinct" -> graft.ops.Sketch.hllLangDistinctOracle,
     "cms1_heavy_hitters" -> graft.ops.Sketch.cmsHeavyHittersOracle,
     "bf1_bloom_decontam" -> graft.ops.Sketch.bloomDecontaminateOracle,
+    "hq1_histogram_quantiles" -> graft.ops.Sketch.histQuantilesOracle,
     "q6_forecast_revenue" -> Pricing.forecastRevenueOracle,
     "q8_market_share" -> Pricing.marketShareOracle,
     "q9a_part_profit" -> Pricing.partNameProfitOracle,

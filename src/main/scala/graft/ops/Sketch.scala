@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Functions.md5Hash60
+import graft.functions.Functions.{cents, md5Hash60}
 import graft.ops.TextStats.shingles
 
 /** Deterministic HyperLogLog distinct-count sketch — the mergeable
@@ -315,6 +315,113 @@ object Sketch {
        |GROUP BY u.doc_id
        |ORDER BY u.doc_id""".stripMargin
   }
+
+  // ---- Histogram quantile sketch ----
+
+  /** Power-of-two histogram quantile sketch — the fourth mergeable
+    * sketch beside HLL (distinct), CMS (frequency) and Bloom
+    * (membership): approximate QUANTILES in bounded state. Exact
+    * percentiles (a11) need a full sort per group; the histogram needs
+    * one grouped count over `value >> [[HistShift]]` — state is the
+    * occupied-bucket set (bounded by the value range, not the row
+    * count), cells merge by SUM across partitions/days, and a quantile
+    * estimate is the lower bound of the first bucket whose cumulative
+    * count crosses the target rank. Everything is integer math
+    * (cross-multiplied rank thresholds, shifts for bucket bounds), so
+    * both engines agree on every boundary; the estimate's error is
+    * bounded by one bucket width by construction — the envelope OpsSpec
+    * pins against the exact rank-based percentile that rides along.
+    * Cites the equi-width histogram estimator long standard in public
+    * engines (e.g. Greenwald–Khanna alternatives when order-dependence
+    * must be avoided for replayability). */
+  val HistShift = 16 // 65536-cent (~$655) buckets over order totals
+
+  /** The (priority, bucket, cnt) histogram table — THE sketch:
+    * mergeable by cell-wise sum (spec-pinned). */
+  def histTable(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderpriority").as("priority"),
+        cents(col("o_totalprice")).as("p_cents"))
+      .withColumn("bucket", shiftright(col("p_cents"), HistShift))
+      .groupBy("priority", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** hq1 — per-priority p50/p90 from the histogram, with the exact
+    * rank-based percentile beside it (validation pairing; production
+    * keeps the sketch side). Type-1 quantile: smallest value whose
+    * rank ≥ ⌈q·n⌉, expressed as the integer cross-multiplication
+    * rank·den ≥ n·num — no doubles anywhere. */
+  def histQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    val wCum = Window.partitionBy("priority").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("priority")
+    val cum = histTable(o)
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val est = cum.groupBy("priority").agg(
+      max(col("n")).as("n"),
+      min(when(col("cum") * 2 >= col("n"), col("bucket"))).as("b50"),
+      min(when(col("cum") * 10 >= col("n") * 9, col("bucket"))).as("b90"))
+      .select(col("priority"), col("n"),
+        shiftleft(col("b50"), HistShift).as("est_p50_cents"),
+        shiftleft(col("b90"), HistShift).as("est_p90_cents"))
+    val wRank = Window.partitionBy("priority").orderBy("p_cents")
+    val exact = o
+      .select(col("o_orderpriority").as("priority"),
+        cents(col("o_totalprice")).as("p_cents"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .groupBy("priority").agg(
+        min(when(col("rn") * 2 >= col("nn"), col("p_cents")))
+          .as("exact_p50_cents"),
+        min(when(col("rn") * 10 >= col("nn") * 9, col("p_cents")))
+          .as("exact_p90_cents"))
+    est.join(exact, "priority")
+      .select("priority", "n", "est_p50_cents", "exact_p50_cents",
+        "est_p90_cents", "exact_p90_cents")
+      .orderBy("priority")
+  }
+
+  /** DuckDB replay of hq1: same buckets, same cumulative walk, same
+    * cross-multiplied rank thresholds. */
+  val histQuantilesOracle: String =
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS priority,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) AS p_cents
+       |  FROM orders),
+       |h AS (
+       |  SELECT priority, p_cents >> $HistShift AS bucket, count(*) AS cnt
+       |  FROM o GROUP BY 1, 2),
+       |c AS (
+       |  SELECT priority, bucket,
+       |         sum(cnt) OVER (PARTITION BY priority ORDER BY bucket
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         sum(cnt) OVER (PARTITION BY priority) AS n
+       |  FROM h),
+       |est AS (
+       |  SELECT priority, CAST(max(n) AS BIGINT) AS n,
+       |         CAST(min(CASE WHEN cum * 2 >= n THEN bucket END)
+       |              << $HistShift AS BIGINT) AS est_p50_cents,
+       |         CAST(min(CASE WHEN cum * 10 >= n * 9 THEN bucket END)
+       |              << $HistShift AS BIGINT) AS est_p90_cents
+       |  FROM c GROUP BY 1),
+       |r AS (
+       |  SELECT priority, p_cents,
+       |         row_number() OVER (PARTITION BY priority ORDER BY p_cents) AS rn,
+       |         count(*) OVER (PARTITION BY priority) AS nn
+       |  FROM o),
+       |ex AS (
+       |  SELECT priority,
+       |         CAST(min(CASE WHEN rn * 2 >= nn THEN p_cents END) AS BIGINT)
+       |           AS exact_p50_cents,
+       |         CAST(min(CASE WHEN rn * 10 >= nn * 9 THEN p_cents END) AS BIGINT)
+       |           AS exact_p90_cents
+       |  FROM r GROUP BY 1)
+       |SELECT est.priority, est.n, est.est_p50_cents, ex.exact_p50_cents,
+       |       est.est_p90_cents, ex.exact_p90_cents
+       |FROM est JOIN ex USING (priority)
+       |ORDER BY est.priority""".stripMargin
 
   /** DuckDB replay of hll1: same shingles, same md5-60 hash, same
     * register/rho integer path, same exact scaled harmonic sum, same

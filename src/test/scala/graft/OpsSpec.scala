@@ -513,6 +513,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("sqlish", "mlish", "und"))
   }
 
+  test("histogram quantile sketch: estimate within one bucket of exact, cells merge by sum") {
+    import graft.ops.Sketch
+    val width = 1L << Sketch.HistShift
+    val rows = Sketch.histQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pr, est50, ex50, est90, ex90) =
+        (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // lower bucket bound ≤ exact < bound + width — by construction
+      assert(est50 <= ex50 && ex50 < est50 + width, s"$pr p50: $est50 vs $ex50")
+      assert(est90 <= ex90 && ex90 < est90 + width, s"$pr p90: $est90 vs $ex90")
+    }
+    // cells are additive: histograms of disjoint halves, summed, equal
+    // the whole-corpus histogram
+    val o = Tables.orders(spark, sf)
+    val whole = Sketch.histTable(o)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val halves = Sketch.histTable(o.filter(col("o_orderkey") % 2 === 0))
+      .unionByName(Sketch.histTable(o.filter(col("o_orderkey") % 2 === 1)))
+      .groupBy("priority", "bucket").agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(halves == whole, "summed half-histograms diverge from the whole")
+  }
+
   test("Bloom sketch: one-sided membership, eval docs fully flagged, words merge by OR") {
     import graft.ops.Sketch
     val rows = Sketch.bloomDecontaminate(spark, sf).collect()
