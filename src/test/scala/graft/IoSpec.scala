@@ -143,6 +143,33 @@ class IoSpec extends AnyFunSuite {
     assert(rows.count(!_.isNullAt(0)) == want.size, "valid rows survive")
   }
 
+  test("S17: observe()-instrumented write appends one JSON log line per action; errors log then propagate") {
+    import graft.ingest.LogSink
+    val base = tmp()
+    val log = s"$base/pipeline.log"
+    val ev = Tables.events(spark, GraftSpark.sf).select("event_id", "value")
+    // two successful chunk writes append two ok lines (reference 'a' mode)
+    val n1 = LogSink.writeWithLog(ev.filter(col("event_id") % 2 === 0),
+      "chunk_even", s"$base/even", log)
+    val n2 = LogSink.writeWithLog(ev.filter(col("event_id") % 2 === 1),
+      "chunk_odd", s"$base/odd", log)
+    assert(n1 + n2 == ev.count())
+    assert(spark.read.parquet(s"$base/even").count() == n1)
+    // a failing write appends an error line AND still throws
+    intercept[Exception] {
+      LogSink.writeWithLog(ev.select(expr("raise_error('boom')").as("x")),
+        "chunk_bad", s"$base/bad", log)
+    }
+    val lines = Files.readAllLines(java.nio.file.Paths.get(log))
+    assert(lines.size == 3, s"got $lines")
+    assert(lines.get(0).contains(""""tag":"chunk_even"""") &&
+      lines.get(0).contains(s""""rows":$n1"""))
+    assert(lines.get(1).contains(""""tag":"chunk_odd"""") &&
+      lines.get(1).contains(""""status":"ok""""))
+    assert(lines.get(2).contains(""""status":"error"""") &&
+      lines.get(2).contains("chunk_bad"))
+  }
+
   test("S15/S16: repartition(n) and coalesce(n) control output file count") {
     val dir = tmp()
     val df = Tables.customer(spark, GraftSpark.sf)
