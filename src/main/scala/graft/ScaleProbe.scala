@@ -93,6 +93,28 @@ object ScaleProbe {
         graft.ops.Dedup.simhashPairsOf(docs4).count()
       }
       graft.ops.Materialize.releaseAll(spark)
+      val docs5 = replicated(spark, sfDir, n).localCheckpoint(true)
+      // a bare count() lets column pruning DROP the reassembly (the
+      // collect_list/array_sort kept_text is the expensive half) — the
+      // probe aggregates over kept_text so the full operator runs
+      val (tPrune, pruned) = time {
+        graft.ops.TextStats.dfPruneOf(docs5)
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("kept_text"))).as("chars"))
+          .collect()(0).getLong(0)
+      }
+      graft.ops.Materialize.releaseAll(spark)
+      // the eval set grows with n here (salted copies shingle-disjoint),
+      // so this measures the corpus-side probe stream against a bitmap
+      // whose fill also grows — the conservative direction
+      val docs6 = replicated(spark, sfDir, n).localCheckpoint(true)
+      val (tBloom, bloomRows) = time {
+        graft.ops.Sketch.bloomDecontaminateOf(docs6)
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_bloom_hits")).as("hits"))
+          .collect()(0).getLong(0)
+      }
+      graft.ops.Materialize.releaseAll(spark)
       val emb = replicatedEmb(spark, sfDir, n).localCheckpoint(true)
       val nVecs = emb.count()
       val (tIvf, ivfRows) = time {
@@ -109,6 +131,8 @@ object ScaleProbe {
         f""""cluster_sec":$tCluster%.2f,"labeled":$clusters,""" +
         f""""pack_sec":$tPack%.2f,"packed":$packed,""" +
         f""""simhash_sec":$tSim%.2f,"sim_pairs":$simPairs,""" +
+        f""""dfprune_sec":$tPrune%.2f,"pruned":$pruned,""" +
+        f""""bloom_sec":$tBloom%.2f,"bloom_rows":$bloomRows,""" +
         f""""vecs":$nVecs,"ivf_sec":$tIvf%.2f,"ivf_rows":$ivfRows,""" +
         f""""knn_sec":$tKnn%.2f,"knn_edges":$knnEdges}""")
     }

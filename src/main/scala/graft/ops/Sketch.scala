@@ -234,9 +234,12 @@ object Sketch {
     * [[BloomK]] times (4 broadcast joins against a ≤256-row table) and
     * the exact shingle set once. Production keeps only the bloom side +
     * an exact recheck of flagged docs. */
-  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame =
+    bloomDecontaminateOf(Tables.documents(s, d))
+
+  def bloomDecontaminateOf(docs: DataFrame): DataFrame = {
     import graft.ops.TextStats.ContamStride
-    val sh = Tables.documents(s, d)
+    val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
     val evalSh = sh.filter(col("doc_id") % ContamStride === 0)
       .select("sh").distinct()

@@ -647,8 +647,10 @@ object TextStats {
     * cross-multiplication (df·100 ≤ pct·n_docs), so no boundary drift.
     * Docs whose every token is pruned survive with empty text via the
     * left rejoin — the edge OpsSpec pins. */
-  def dfPrune(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def dfPrune(s: SparkSession, d: String): DataFrame =
+    dfPruneOf(Tables.documents(s, d))
+
+  def dfPruneOf(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       posexplode(words(col("text"))).as(Seq("pos", "term")))
     val dfTable = tok.select("term", "doc_id").distinct()
