@@ -42,12 +42,7 @@ object Bench {
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
     Tables.events(spark, sfDir).limit(10).collect()
 
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    def esc(s: String): String = graft.functions.Functions.jsonEscape(s)
 
     var errors = List.empty[String]
     val timings = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -112,4 +112,14 @@ object Functions {
     (conv(substring(h, 1, 14), 16, 10).cast("long"),
       conv(substring(h, 15, 14), 16, 10).cast("long"))
   }
+
+  /** Minimal JSON string escaping for driver-side machine-parsed lines
+    * (Bench's metric line, LogSink's log lines) — one definition so the
+    * two emitters cannot drift. */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 }

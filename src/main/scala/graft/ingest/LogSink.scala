@@ -26,12 +26,7 @@ object LogSink {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
 
   private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    graft.functions.Functions.jsonEscape(s)
 
   /** Parquet write with a per-action metrics log line. Returns the
     * observed row count. */

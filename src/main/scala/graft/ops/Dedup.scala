@@ -44,9 +44,16 @@ object Dedup {
     * changes task layout, never the joined pair set, so the result is
     * bit-identical at any value. */
   def saltsFor(maxBlockRows: Long): Int = {
-    val pairs = maxBlockRows * maxBlockRows / 2
-    math.min(SaltBuckets.toLong,
-      math.max(1L, (pairs + SaltTargetPairs - 1) / SaltTargetPairs)).toInt
+    // past ~3e9 rows maxRows² overflows a long NEGATIVE, which would
+    // collapse the fan-out to 1 on exactly the blocks that need it
+    // most — any block this large trivially exceeds the budget at the
+    // cap, so answer without squaring
+    if (maxBlockRows >= Int.MaxValue.toLong) SaltBuckets
+    else {
+      val pairs = maxBlockRows * maxBlockRows / 2
+      math.min(SaltBuckets.toLong,
+        math.max(1L, (pairs + SaltTargetPairs - 1) / SaltTargetPairs)).toInt
+    }
   }
 
   /** Shared Jaccard threshold for the near-dup family, as a RATIONAL so

@@ -196,7 +196,8 @@ object Sketch {
     * keeps every mask positive — no sign-bit divergence anywhere), and
     * words merge by bitwise OR — mergeable across partitions/corpora
     * like the other two sketches (spec-pinned). */
-  val BloomBits = 8192 // 2^13
+  val BloomAddrBits = 13
+  val BloomBits: Int = 1 << BloomAddrBits // 8192
   val BloomWordShift = 5 // 32-bit words
   val BloomWords: Int = BloomBits >> BloomWordShift // 256
   val BloomK = 4
@@ -239,8 +240,12 @@ object Sketch {
 
   def bloomDecontaminateOf(docs: DataFrame): DataFrame = {
     import graft.ops.TextStats.ContamStride
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+    // materialized ONCE: three consumers (bitmap build, exact broadcast
+    // set, probe stream) would otherwise each re-run the corpus scan +
+    // shingle explode — the dd-family's shingle-table discipline
+    val sh = Materialize(
+      docs.select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh")),
+      Materialize.Local, "bloom_shingles")
     val evalSh = sh.filter(col("doc_id") % ContamStride === 0)
       .select("sh").distinct()
     val bloom = bloomTable(evalSh)

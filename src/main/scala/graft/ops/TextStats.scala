@@ -446,7 +446,8 @@ object TextStats {
     val values = MixWeights.map { case (l, wt) => s"('$l', $wt)" }.mkString(", ")
     s"""WITH wt(lang, w) AS (VALUES $values),
        |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-       |t AS (SELECT min(c.n * 100 // wt.w) AS t FROM c JOIN wt USING (lang)),
+       |t AS (SELECT min(coalesce(c.n, 0) * 100 // wt.w) AS t
+       |      FROM wt LEFT JOIN c USING (lang)),
        |k AS (SELECT wt.lang, wt.w * t.t // 100 AS k FROM wt, t),
        |r AS (
        |  SELECT doc_id, lang, source,
@@ -477,9 +478,14 @@ object TextStats {
     * nature (MBs against 100 TB) and BROADCASTS — contamination
     * scoring must never shuffle the corpus against the eval set. */
   def contaminationScore(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
-      .withColumn("h", graft.functions.Functions.md5Hash60(col("sh"), ContamSeed))
+    // materialized: the eval-set derivation and the corpus probe both
+    // read this — unmaterialized, the scan + explode + md5 run twice
+    val sh = Materialize(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+        .withColumn("h",
+          graft.functions.Functions.md5Hash60(col("sh"), ContamSeed)),
+      Materialize.Local, "contam_shingles")
     val evalSet = sh.filter(col("doc_id") % ContamStride === 0)
       .select("h").distinct().withColumn("m", lit(1L))
     sh.join(broadcast(evalSet), Seq("h"), "left")

@@ -209,7 +209,14 @@ object Streams {
     val shift = Sketch.BloomWordShift
     rows
       .groupByKey { case (_, key) =>
-        math.floorMod(Sketch.jvmHash60(key, Sketch.BloomSeedBase), numShards.toLong).toInt
+        // shard from the hash bits ABOVE the bitmap's low BloomBits:
+        // sharding on the low bits would alias with probe j=0's bit
+        // position (numShards divides BloomBits), confining that probe
+        // row to 1/numShards of each shard's bitmap and inflating the
+        // FP rate numShards-fold
+        math.floorMod(
+          Sketch.jvmHash60(key, Sketch.BloomSeedBase) >>> Sketch.BloomAddrBits,
+          numShards.toLong).toInt
       }
       .flatMapGroupsWithState[Array[Long], (Long, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -164,14 +164,9 @@ class PropertySpec extends AnyFunSuite {
       // estimate every token from the collected cells and compare to truth
       val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
       // plain-JVM replay of the md5-60 hash (same bytes both engines)
-      def h60(v: String): Long = {
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        java.lang.Long.parseLong(hex.take(15), 16)
-      }
       exact.foreach { case (tok, n) =>
         val est = (0 until Sketch.CmsD).map { j =>
-          val h = h60(s"${Sketch.CmsSeedBase + j}:$tok")
+          val h = Sketch.jvmHash60(tok, Sketch.CmsSeedBase + j)
           cms.getOrElse((j, h & (Sketch.CmsW - 1)), 0L)
         }.min
         assert(est >= n, s"trial $trial: $tok underestimated ($est < $n)")
@@ -199,11 +194,6 @@ class PropertySpec extends AnyFunSuite {
     import graft.ops.Sketch
     // the one-sided guarantee on arbitrary data: every inserted value
     // probes positive against the built bitmap, whatever collides
-    def h60(v: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
-    }
     for (trial <- 1 to 3) {
       val members = List.fill(150)(
         s"s${rnd.nextInt(3000)} t${rnd.nextInt(3000)} u${rnd.nextInt(3000)}")
@@ -211,7 +201,7 @@ class PropertySpec extends AnyFunSuite {
       val bitmap = Sketch.bloomTable(members.toDF("sh"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       def probe(v: String): Boolean = (0 until Sketch.BloomK).forall { j =>
-        val bit = h60(s"${Sketch.BloomSeedBase + j}:$v") & (Sketch.BloomBits - 1)
+        val bit = Sketch.jvmHash60(v, Sketch.BloomSeedBase + j) & (Sketch.BloomBits - 1)
         (bitmap.getOrElse(bit >> Sketch.BloomWordShift, 0L) &
           (1L << (bit & 31))) != 0L
       }
