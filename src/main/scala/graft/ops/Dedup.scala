@@ -15,52 +15,20 @@ import graft.ops.TextStats.{shingles, words}
   * MinHash/LSH is the 100 TB path for near-dup: per-doc signatures are a
   * narrow map, candidate generation shuffles on (band, signature) —
   * cardinality ≈ corpus size × bands, with no quadratic blowup; only
-  * verified candidates pay the exact-Jaccard cost. The brute-force
-  * Jaccard operator is deliberately lang-blocked (a standard dedup
-  * blocking key) so its self-join is bucket-local, but it remains the
-  * O(n²)-per-block baseline the LSH path is measured against.
+  * verified candidates pay the exact-Jaccard cost. The EXACT Jaccard
+  * operator generates candidates from an inverted index on the shingle
+  * hash (lang-blocked) — Σ df² candidate rows, not an all-pairs
+  * self-join — and is what the LSH path's recall is measured against.
   */
 object Dedup {
 
   val NumHashes = 8
   val BandRows = 2 // 4 bands × 2 rows
 
-  /** Salt fan-out CAP for blocked self-joins whose blocking key has few
-    * distinct values (dd4's lang): restores shuffle parallelism without
-    * broadcasting a full table. The actual fan-out is decided per run by
-    * [[saltsFor]] — side b is replicated once per salt, so small corpora
-    * must not pay the full replication for parallelism they can't use. */
-  val SaltBuckets = 16
-
-  /** Pair-comparisons-per-task budget behind [[saltsFor]]: one salt's
-    * share of the largest block's self-join. 2^18 sorted-merge
-    * intersections is comfortably one task's worth of work. */
-  val SaltTargetPairs = 1L << 18
-
-  /** AQE-style runtime salt decision: earn each extra replica of side b
-    * with the largest block's pair count instead of replicating
-    * [[SaltBuckets]]× unconditionally. `max(1, ceil(maxRows²/2 /
-    * [[SaltTargetPairs]]))`, capped at [[SaltBuckets]] — the salt only
-    * changes task layout, never the joined pair set, so the result is
-    * bit-identical at any value. */
-  def saltsFor(maxBlockRows: Long): Int = {
-    // past ~3e9 rows maxRows² overflows a long NEGATIVE, which would
-    // collapse the fan-out to 1 on exactly the blocks that need it
-    // most — any block this large trivially exceeds the budget at the
-    // cap, so answer without squaring
-    if (maxBlockRows >= Int.MaxValue.toLong) SaltBuckets
-    else {
-      val pairs = maxBlockRows * maxBlockRows / 2
-      math.min(SaltBuckets.toLong,
-        math.max(1L, (pairs + SaltTargetPairs - 1) / SaltTargetPairs)).toInt
-    }
-  }
-
-  /** Shared Jaccard threshold for the near-dup family, as a RATIONAL so
-    * the PPJoin size bound in [[ngramJaccardPairs]] derives from the
-    * same constant with exact integer arithmetic — the prune bound and
-    * the final filter cannot drift apart (lowering one without the
-    * other would silently change results). */
+  /** Shared Jaccard threshold for the near-dup family, kept as a
+    * RATIONAL so any integer-arithmetic derivation (oracle SQL
+    * interpolation, future prune bounds) reads the same constant as
+    * the final filter — the two cannot drift apart. */
   val JaccardThresholdNum = 1
   val JaccardThresholdDen = 10
   val JaccardThreshold: Double =
@@ -160,20 +128,6 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Per-doc sorted distinct hashed-shingle arrays: the pre-sorted input
-    * the merge-intersect expression needs. Hashing shingles to 60-bit
-    * longs preserves intersection sizes (md5-derived, collision-free at
-    * these cardinalities, identical in the oracle's string-side
-    * computation). */
-  private def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
-      extra: Seq[String]): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(
-        (col(idCol) +: extra.map(col)) :+
-          array_sort(transform(shingles(col(textCol), 3),
-            s => md5Hash60(s, 0))).as("hs"): _*)
-
   def minhashLshQuery(s: SparkSession, d: String,
       mode: Materialize.Mode = Materialize.Local): DataFrame =
     minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
@@ -193,57 +147,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Exact n-gram Jaccard within a blocking key (lang) — the exact
-    * O(n²)-per-block baseline the LSH path approximates. The per-pair
-    * cost is a codegen'd sorted-merge intersection over hashed shingles,
-    * so the block self-join dominates, not the set math. */
+  /** Exact n-gram Jaccard within a blocking key (lang) — EXACT, not the
+    * LSH approximation, via inverted-index candidate generation (the
+    * index half of the PPJoin family, Xiao et al., WWW 2008): any pair
+    * with J ≥ t > 0 shares at least one shingle, so the equi self-join
+    * on (lang, shingle hash) yields every qualifying pair, the grouped
+    * candidate count IS the intersection size (shingles are distinct
+    * per doc), and per-doc sizes complete the union. Candidate volume
+    * is Σ_shingle df² — for corpora where most pairs share nothing
+    * (any realistic one) that is orders below the n²/2-per-block
+    * all-pairs this replaced (measured 326k candidate rows vs 3.2M
+    * pairs at sf0.1), and every join is keyed on the ~10⁵-distinct
+    * shingle hash, so no salting is needed for parallelism. Degenerate
+    * bound: an all-docs-identical corpus costs ≈ shinglesPerDoc · n²
+    * (worse than all-pairs by the shingle multiplicity) — run dd1
+    * exact dedup first, as every pipeline here does. A boilerplate
+    * shingle with huge df concentrates pairs on one key; AQE skew-join
+    * splitting (gated in SkewSpec) is the mitigation before any lossy
+    * df cap. */
   def ngramJaccardPairs(s: SparkSession, d: String,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
-    // materialize the hashed-shingle arrays once (the array-lambda md5
-    // hashing is interpreted — paying it per join side doubles the cost)
-    val hs = Materialize(
-      hashedShingles(Tables.documents(s, d), "doc_id", "text", Seq("lang")),
+    val docs = Tables.documents(s, d)
+    // materialize the hashed-shingle stream once (md5 per shingle is
+    // the dominant scan cost; three consumers read it)
+    val flat = Materialize(
+      docs.repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          explode(shingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), col("lang"), md5Hash60(col("sh"), 0).as("h")),
       mode, "jaccard_shingles")
-    // the O(n²)-per-block compute is inherent to the exact baseline; the
-    // data movement must not be: a broadcast of the full shingle table
-    // caps the operator at executor memory long before the n² compute
-    // hurts, so join on the lang blocking key via SHUFFLE_HASH instead.
-    // lang has few distinct values (one shuffle task per block), so side
-    // a is salted `salts` ways and side b replicated once per salt —
-    // identical pair set, salts× the parallelism, and each task holds
-    // one lang's worth of b rows, not the corpus. The fan-out itself is
-    // a runtime decision from the largest block's row count (saltsFor):
-    // the stats aggregate is a cheap scan of the already-materialized
-    // shingle table, the same pattern as AQE's runtime stats.
-    val maxRow = hs.groupBy("lang").count().agg(max("count")).head()
-    val maxBlock = if (maxRow.isNullAt(0)) 1L else maxRow.getLong(0)
-    val salts = saltsFor(maxBlock)
-    val a = hs
-      .withColumn("salt", pmod(hash(col("doc_id")), lit(salts)))
-      .as("a")
-    val b = hs
-      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
-      .as("b")
-    // length filter (the PPJoin-family size bound, exact): i ≤ min(|a|,|b|)
-    // and u ≥ max(|a|,|b|), so jaccard ≤ min/max — a pair can only clear
-    // threshold t = Num/Den when min·Den ≥ max·Num (exact integer math,
-    // derived from the SAME shared constant as the final filter).
-    // Evaluated from the cached array sizes BEFORE the merge-intersect,
-    // it prunes size-mismatched pairs at comparison cost ~0 without
-    // changing a single result row.
-    val sizeBound =
-      least(size(col("a.hs")), size(col("b.hs"))) * lit(JaccardThresholdDen) >=
-        greatest(size(col("a.hs")), size(col("b.hs"))) * lit(JaccardThresholdNum)
-    a.join(b.hint("SHUFFLE_HASH"),
-        col("a.lang") === col("b.lang") && col("a.salt") === col("b.salt") &&
-          col("a.doc_id") < col("b.doc_id") && sizeBound)
-      .withColumn("i_size",
-        graft.expressions.SortedIntersectSize.intersectSize(col("a.hs"), col("b.hs")))
-      .withColumn("u_size", size(col("a.hs")) + size(col("b.hs")) - col("i_size"))
+    val sizes = flat.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val iSize = flat.select(col("lang"), col("h"), col("doc_id").as("doc_a"))
+      .join(flat.select(col("lang"), col("h"), col("doc_id").as("doc_b")),
+        Seq("lang", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i_size"))
+    iSize
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("u_size", col("n_a") + col("n_b") - col("i_size"))
       .withColumn("jaccard", col("i_size") / col("u_size"))
       .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("i_size"), col("u_size"), col("jaccard"))
+      .select("doc_a", "doc_b", "i_size", "u_size", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 

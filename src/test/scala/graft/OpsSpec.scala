@@ -342,15 +342,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("dd4 salt fan-out is earned by block size, capped, and never changes results") {
-    import graft.ops.Dedup
-    assert(Dedup.saltsFor(0) == 1)
-    assert(Dedup.saltsFor(100) == 1, "a 5k-pair block needs no fan-out")
-    assert(Dedup.saltsFor(1000) == 2)
-    assert(Dedup.saltsFor(100000) == Dedup.SaltBuckets, "cap holds")
-    // monotone: more rows never means fewer salts
-    val pts = Seq(0L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
-    assert(pts.map(Dedup.saltsFor) == pts.map(Dedup.saltsFor).sorted)
+  test("dd4 inverted-index exact Jaccard equals the all-pairs brute force") {
+    // the candidate-generation rewrite (equi join on shingle hash) must
+    // produce EXACTLY the all-pairs result — J ≥ t > 0 implies a shared
+    // shingle, so no qualifying pair can be missed
+    val docs = Tables.documents(spark, sf)
+    val sh = docs.select(col("doc_id"), col("lang"),
+      TextStats.shingles(col("text"), 3).as("sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val brute = a.join(b,
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("i", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("u", size(col("a.sh")) + size(col("b.sh")) - col("i"))
+      .filter(col("i") / col("u") >= Dedup.JaccardThreshold)
+      .select(col("a.doc_id"), col("b.doc_id"), col("i").cast("long"),
+        col("u").cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val inverted = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b", "i_size", "u_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(inverted == brute,
+      s"missing=${brute -- inverted} extra=${inverted -- brute}")
+    assert(brute.nonEmpty, "fixture should contain qualifying pairs")
   }
 
   test("dHash: gradient hash — codec-invariant, brightness-shift-invariant, direction-sensitive") {

@@ -70,14 +70,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("dd4 pair join is a salted shuffle-hash on the lang block key, no full-table broadcast") {
+  test("dd4 candidate join keys on the shingle hash — never an all-pairs nested loop") {
     val p = plan("dd4_ngram_jaccard")
-    assert(p.contains("ShuffledHashJoin"), p.take(1200))
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      "dd4 degraded to an all-pairs broadcast nested loop")
-    assert(!p.contains("BroadcastHashJoin"),
-      "dd4 broadcasts the full shingle table")
-    assert(p.contains("salt"), "salt fan-out missing from the join key")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "dd4 degraded to an all-pairs join")
+    // the inverted-index self-join must partition on the (lang, h) key —
+    // the ~10^5-distinct shingle hash carries the parallelism
+    assert(p.contains("hashpartitioning(lang") || p.contains("Join [lang"),
+      s"candidate join not keyed on (lang, h):\n${p.take(1500)}")
   }
 
   test("dd5 candidate join is keyed on (band, bucket), no all-pairs broadcast nested loop") {
