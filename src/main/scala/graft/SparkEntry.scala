@@ -122,7 +122,7 @@ object SparkEntry {
     "tx12_sequence_packing" -> (TextStats.sequencePacking _),
     "tx13_source_cap" -> (TextStats.sourceCapSample _),
     "tx14_mixture_resample" -> (TextStats.mixtureResample _),
-    "tx15_contamination_score" -> (TextStats.contaminationScore _),
+    "tx15_contamination_score" -> ((s, d) => TextStats.contaminationScore(s, d)),
     "tx16_df_prune" -> (TextStats.dfPrune _),
     "bf1_bloom_decontam" -> (graft.ops.Sketch.bloomDecontaminate _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),

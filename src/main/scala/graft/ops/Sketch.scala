@@ -238,14 +238,15 @@ object Sketch {
   def bloomDecontaminate(s: SparkSession, d: String): DataFrame =
     bloomDecontaminateOf(Tables.documents(s, d))
 
-  def bloomDecontaminateOf(docs: DataFrame): DataFrame = {
+  def bloomDecontaminateOf(docs: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
     import graft.ops.TextStats.ContamStride
     // materialized ONCE: three consumers (bitmap build, exact broadcast
     // set, probe stream) would otherwise each re-run the corpus scan +
     // shingle explode — the dd-family's shingle-table discipline
     val sh = Materialize(
       docs.select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh")),
-      Materialize.Local, "bloom_shingles")
+      mode, "bloom_shingles")
     val evalSh = sh.filter(col("doc_id") % ContamStride === 0)
       .select("sh").distinct()
     val bloom = bloomTable(evalSh)

@@ -477,7 +477,8 @@ object TextStats {
     * one keyed aggregation); the eval shingle set is benchmark-sized by
     * nature (MBs against 100 TB) and BROADCASTS — contamination
     * scoring must never shuffle the corpus against the eval set. */
-  def contaminationScore(s: SparkSession, d: String): DataFrame = {
+  def contaminationScore(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
     // materialized: the eval-set derivation and the corpus probe both
     // read this — unmaterialized, the scan + explode + md5 run twice
     val sh = Materialize(
@@ -485,7 +486,7 @@ object TextStats {
         .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
         .withColumn("h",
           graft.functions.Functions.md5Hash60(col("sh"), ContamSeed)),
-      Materialize.Local, "contam_shingles")
+      mode, "contam_shingles")
     val evalSet = sh.filter(col("doc_id") % ContamStride === 0)
       .select("h").distinct().withColumn("m", lit(1L))
     sh.join(broadcast(evalSet), Seq("h"), "left")

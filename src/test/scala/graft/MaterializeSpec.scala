@@ -37,6 +37,21 @@ class MaterializeSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/jaccard_shingles").count() > 0)
   }
 
+  test("bloom decontamination and contamination score: storage mode == local mode") {
+    import graft.ops.{Sketch, TextStats}
+    val dir = Files.createTempDirectory("graft_mat").toString
+    val localB = rows(Sketch.bloomDecontaminateOf(Tables.documents(spark, sf)))
+    val storedB = rows(Sketch.bloomDecontaminateOf(
+      Tables.documents(spark, sf), Materialize.Storage(dir)))
+    assert(storedB == localB)
+    assert(spark.read.parquet(s"$dir/bloom_shingles").count() > 0)
+    val localC = rows(TextStats.contaminationScore(spark, sf))
+    val storedC = rows(TextStats.contaminationScore(spark, sf,
+      Materialize.Storage(dir)))
+    assert(storedC == localC)
+    assert(spark.read.parquet(s"$dir/contam_shingles").count() > 0)
+  }
+
   test("label propagation rounds persist and converge identically in storage mode") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("u", "v")
