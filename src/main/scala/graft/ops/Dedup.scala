@@ -94,13 +94,19 @@ object Dedup {
       val sigCols = (0 until BandRows).map(r => col(s"mh${b * BandRows + r}"))
       struct(lit(b).as("band"), concat_ws(",", sigCols: _*).as("sig"))
     }: _*)
-    // materialized: the self-join reads bands twice, and re-deriving the
-    // signature aggregation per side costs two extra shuffle stages
-    val bands = Materialize(
-      sigs
-        .select(col(idCol), explode(bandStructs).as("bs"))
-        .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig")),
-      mode, "minhash_bands")
+    // the self-join reads bands twice, but within one action Spark's
+    // exchange reuse computes the identical signature aggregation ONCE
+    // (both sides read the same shuffle output) — so in Local mode a
+    // checkpoint here is pure write+read overhead (measured ~0.4 s per
+    // query at sf0.1). Storage mode still persists the band table: it
+    // is part of the durable lifecycle (MaterializeSpec reads it back).
+    val bandsRaw = sigs
+      .select(col(idCol), explode(bandStructs).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bands = mode match {
+      case Materialize.Local => bandsRaw
+      case _ => Materialize(bandsRaw, mode, "minhash_bands")
+    }
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
