@@ -182,6 +182,51 @@ object Streams {
       }
   }
 
+  /** Streaming Count-Min frequency tracking in CONSTANT state — the
+    * streaming face of the cms1 sketch, beside [[bloomDedupStream]]'s
+    * membership face. Exact running counts per token hold one state row
+    * per distinct token ever seen; the CMS variant holds one fixed
+    * d×w integer cell array per key-space shard (a few KB, forever)
+    * and answers with the min-over-rows estimate — never below the
+    * true count (cells only add), the property the batch sketch's
+    * OpsSpec pins. Counts are ADDITIVE, so arrival order, batch
+    * boundaries, and retries with the same data cannot change the
+    * final state — stronger replay behavior than any order-dependent
+    * streaming state.
+    *
+    * Bit positions replay [[graft.ops.Sketch]]'s cms cells via
+    * [[graft.ops.Sketch.jvmHash60]], so a batch-built CMS merges with
+    * the stream's by cell-wise sum. Emits one (token, estimate) row
+    * per DISTINCT token per micro-batch, post-update.
+    * Input: token strings; output: (token, est). */
+  def cmsStream(
+      tokens: Dataset[String],
+      numShards: Int = 8): Dataset[(String, Long)] = {
+    import tokens.sparkSession.implicits._
+    import graft.ops.Sketch
+    def cells(tok: String): Array[Int] =
+      Array.tabulate(Sketch.CmsD) { j =>
+        j * Sketch.CmsW +
+          (Sketch.jvmHash60(tok, Sketch.CmsSeedBase + j) & (Sketch.CmsW - 1)).toInt
+      }
+    tokens
+      .groupByKey(tok => math.floorMod(
+        Sketch.jvmHash60(tok, Sketch.CmsSeedBase - 1), numShards.toLong).toInt)
+      .flatMapGroupsWithState[Array[Long], (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Array[Long]]) =>
+          val grid = state.getOption
+            .getOrElse(new Array[Long](Sketch.CmsD * Sketch.CmsW))
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          it.foreach { tok =>
+            cells(tok).foreach(c => grid(c) += 1L)
+            seen += tok
+          }
+          state.update(grid)
+          seen.iterator.map(tok => tok -> cells(tok).map(c => grid(c)).min)
+      }
+  }
+
   /** Streaming APPROXIMATE dedup with CONSTANT state — the streaming
     * face of the bf1 Bloom sketch. Exact streaming dedup
     * (dropDuplicates / the TTL variant in StreamingSpec) holds one

@@ -118,6 +118,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.size == got.size, "a duplicate key re-emitted")
   }
 
+  test("streaming CMS: counts accumulate across batches, never underestimate, batch-sketch cell parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Sketch
+    val input = MemoryStream[String]
+    val out = Streams.cmsStream(input.toDS(), numShards = 4)
+    val q = out.toDF().toDF("token", "est")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("cms_stream_out").start()
+    input.addData("a", "b", "a", "c")
+    q.processAllAvailable()
+    input.addData("a", "b", "d")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cms_stream_out")
+      .as[(String, Long)].collect().toList
+    // per-batch post-update estimates; truth: batch1 a=2 b=1 c=1,
+    // after batch2 a=3 b=2 d=1. CMS never underestimates, and at 5
+    // distinct tokens in d*w = 2048 cells collisions are ~impossible,
+    // so estimates are exact here
+    val byBatch = rows.groupBy(identity).view.mapValues(_.size).toMap
+    assert(rows.toSet == Set(("a", 2L), ("b", 1L), ("c", 1L),
+      ("a", 3L), ("b", 2L), ("d", 1L)), s"got $rows")
+    assert(byBatch.values.forall(_ == 1), "duplicate emissions")
+    // the stream's cells replay the batch sketch's: same seeds, same
+    // buckets — a batch-built cmsTable of the same tokens merges by sum
+    val batchCells = Sketch.cmsTable(
+        Seq((1L, "a b a c a b d")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Seq("a" -> 3L, "b" -> 2L, "c" -> 1L, "d" -> 1L).foreach { case (tok, n) =>
+      val est = (0 until Sketch.CmsD).map { j =>
+        val b = Sketch.jvmHash60(tok, Sketch.CmsSeedBase + j) & (Sketch.CmsW - 1)
+        batchCells.getOrElse((j, b), 0L)
+      }.min
+      assert(est == n, s"batch-sketch parity for '$tok'")
+    }
+  }
+
   test("streaming sessionize: gap closes a session in-stream, timeout closes via watermark (w2 analogue)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
