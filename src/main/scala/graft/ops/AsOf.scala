@@ -69,7 +69,7 @@ object AsOf {
         .withColumn("__bp", struct(col(payload).as("v")))
         .drop(payload)) {
       (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType))
-    }.select(p.columns.map(col): _*)
+    }.select(p.columns.toIndexedSeq.map(col): _*)
     (p, b)
   }
 

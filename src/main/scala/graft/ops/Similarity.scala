@@ -220,7 +220,7 @@ object Similarity {
     * IEEE op — bit-identical across engines, so argmin ties break the
     * same way everywhere. */
   private def distToCentroid(a2: Column, qvd: Column, c: Centroid): Column = {
-    val sd = array(c.s.map(x => lit(x.toDouble)): _*)
+    val sd = array(c.s.toIndexedSeq.map(x => lit(x.toDouble)): _*)
     a2 - lit(2.0) * dot(qvd, sd) / lit(c.n.toDouble) +
       lit(c.s2) / lit((c.n * c.n).toDouble)
   }
