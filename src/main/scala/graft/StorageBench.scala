@@ -23,15 +23,7 @@ object StorageBench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val dir = sys.env.getOrElse("SPARK_GRAFT_STORAGE_DIR",
       "/tmp/graft_storage_bench")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.session(cpus)
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
 
     def wipe(): Unit = {
