@@ -105,7 +105,9 @@ object Sketch {
     * across partitions/days (spec-pinned) — the mergeable
     * heavy-hitter/frequency primitive complementing [[HllP]]'s
     * distinct-count sketch. w = 512, d = 4: ε ≈ e/w ≈ 0.5% of the
-    * stream length at 2^-4 failure odds, in 2 KB of state per slice. */
+    * stream length at 2^-4 failure odds, in 2 KB of state per slice.
+    * Cites Cormode & Muthukrishnan, "An Improved Data Stream Summary:
+    * The Count-Min Sketch and its Applications" (J. Algorithms 2005). */
   val CmsD = 4
   val CmsW = 512
   val CmsSeedBase = 31
@@ -195,7 +197,9 @@ object Sketch {
     * bitmap is [[BloomWords]] 32-bit words stored in longs (shift ≤ 31
     * keeps every mask positive — no sign-bit divergence anywhere), and
     * words merge by bitwise OR — mergeable across partitions/corpora
-    * like the other two sketches (spec-pinned). */
+    * like the other two sketches (spec-pinned). Cites Bloom,
+    * "Space/Time Trade-offs in Hash Coding with Allowable Errors"
+    * (CACM 1970). */
   val BloomAddrBits = 13
   val BloomBits: Int = 1 << BloomAddrBits // 8192
   val BloomWordShift = 5 // 32-bit words

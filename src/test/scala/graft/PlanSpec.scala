@@ -295,6 +295,18 @@ class PlanSpec extends AnyFunSuite {
       "top supplier must come from a max-equality broadcast, not a rank")
   }
 
+  test("hq1/p19 aggregate plans: map-side partials, pushed filters, no cartesian") {
+    val ph = plan("hq1_histogram_quantiles")
+    assert(!ph.contains("CartesianProduct"), ph.take(800))
+    assert("HashAggregate".r.findAllIn(ph).size >= 2,
+      "no map-side partial aggregation in hq1's histogram build")
+    val pp = plan("p19_json_extract")
+    assert("HashAggregate".r.findAllIn(pp).size >= 2,
+      "no map-side partial aggregation in p19")
+    assert(pp.contains("IsNotNull(event_type)"),
+      s"event_type filter not pushed:\n${pp.take(1200)}")
+  }
+
   test("tx16 keep-list and bf1 bitmap probes ride broadcast joins only") {
     val p16 = plan("tx16_df_prune")
     assert(p16.contains("BroadcastHashJoin"),

@@ -25,4 +25,9 @@ class QueriesSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
+
+  test("every oracle names a registered query (no orphaned oracle entries)") {
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without a query: $orphaned")
+  }
 }
