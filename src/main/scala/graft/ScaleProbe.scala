@@ -107,6 +107,14 @@ object ScaleProbe {
           .collect()(0).getLong(0)
       }
       graft.ops.Materialize.releaseAll(spark)
+      // exact Jaccard: salted copies are shingle-disjoint, so the
+      // inverted index's Σ df² candidate volume grows linearly in n —
+      // the curve that evidences the all-pairs → inverted-index rewrite
+      val docs7 = replicated(spark, sfDir, n).localCheckpoint(true)
+      val (tJac, jacPairs) = time {
+        graft.ops.Dedup.ngramJaccardPairsOf(docs7).count()
+      }
+      graft.ops.Materialize.releaseAll(spark)
       val emb = replicatedEmb(spark, sfDir, n).localCheckpoint(true)
       val nVecs = emb.count()
       val (tIvf, ivfRows) = time {
@@ -125,6 +133,7 @@ object ScaleProbe {
         f""""simhash_sec":$tSim%.2f,"sim_pairs":$simPairs,""" +
         f""""dfprune_sec":$tPrune%.2f,"pruned":$pruned,""" +
         f""""bloom_sec":$tBloom%.2f,"bloom_rows":$bloomRows,""" +
+        f""""jaccard_sec":$tJac%.2f,"jac_pairs":$jacPairs,""" +
         f""""vecs":$nVecs,"ivf_sec":$tIvf%.2f,"ivf_rows":$ivfRows,""" +
         f""""knn_sec":$tKnn%.2f,"knn_edges":$knnEdges}""")
     }

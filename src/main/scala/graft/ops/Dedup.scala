@@ -172,8 +172,12 @@ object Dedup {
     * splitting (gated in SkewSpec) is the mitigation before any lossy
     * df cap. */
   def ngramJaccardPairs(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame =
+    ngramJaccardPairsOf(Tables.documents(s, d), mode)
+
+  def ngramJaccardPairsOf(docs: DataFrame,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val s = docs.sparkSession
     // materialize the hashed-shingle stream once (md5 per shingle is
     // the dominant scan cost; three consumers read it)
     val flat = Materialize(
