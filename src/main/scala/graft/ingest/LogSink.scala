@@ -42,9 +42,12 @@ object LogSink {
       rows
     } catch {
       case e: Throwable =>
-        append(logPath,
+        // the log append can itself fail (directory gone, disk full) —
+        // it must never mask the original write failure
+        try append(logPath,
           s"""{"tag":"${esc(tag)}","status":"error","error":"${esc(
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")}"}""")
+        catch { case logErr: Throwable => e.addSuppressed(logErr) }
         throw e
     }
   }

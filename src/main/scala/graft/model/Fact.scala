@@ -127,8 +127,10 @@ object Fact {
     Tables.events(s, d)
       .filter(col("event_type").isNotNull)
       .select(col("event_type"),
-        from_json(col("props"), "k INT", Map.empty[String, String])
-          .getField("k").cast("long").as("k"))
+        // BIGINT, not INT: a payload k past 2^31-1 would null out in
+        // PERMISSIVE mode while the oracle's BIGINT cast parses it
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").as("k"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
@@ -145,7 +147,7 @@ object Fact {
   val jsonExtractOracle: String =
     """WITH e AS (
       |  SELECT event_type,
-      |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+      |         TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
       |  FROM events WHERE event_type IS NOT NULL)
       |SELECT event_type, count(*) AS n, count(k) AS n_parsed,
       |       CAST(sum(k) AS BIGINT) AS sum_k,

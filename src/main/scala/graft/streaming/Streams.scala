@@ -227,6 +227,42 @@ object Streams {
       }
   }
 
+  /** Streaming power-of-two histogram — the streaming face of the hq1
+    * quantile sketch, completing the sketch quartet's streaming twins
+    * beside [[cmsStream]] (frequency) and [[bloomDedupStream]]
+    * (membership); HLL's register state streams the same way but the
+    * batch operator already aggregates incrementally. State per group
+    * key is the occupied-bucket count map — bounded by the VALUE RANGE
+    * (value >> [[graft.ops.Sketch.HistShift]]), not the row count, and
+    * cells are ADDITIVE: arrival order, batch boundaries, and replays
+    * with the same data cannot change the final state, and a stream's
+    * cells merge with a batch [[graft.ops.Sketch.histTable]]'s by
+    * cell-wise sum (parity spec-pinned). A quantile estimate at any
+    * point is the same cumulative walk hq1 runs over the batch table.
+    * Emits one (key, bucket, cnt) row per bucket TOUCHED in the
+    * micro-batch, post-update.
+    * Input: (key, value_cents); output: (key, bucket, cnt). */
+  def histStream(
+      rows: Dataset[(String, Long)]): Dataset[(String, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    import graft.ops.Sketch
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[Map[Long, Long]]) =>
+          var cells = state.getOption.getOrElse(Map.empty[Long, Long])
+          val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+          it.foreach { case (_, cents) =>
+            val b = cents >> Sketch.HistShift
+            cells = cells.updated(b, cells.getOrElse(b, 0L) + 1L)
+            touched += b
+          }
+          state.update(cells)
+          touched.iterator.map(b => (key, b, cells(b)))
+      }
+  }
+
   /** Streaming APPROXIMATE dedup with CONSTANT state — the streaming
     * face of the bf1 Bloom sketch. Exact streaming dedup
     * (dropDuplicates / the TTL variant in StreamingSpec) holds one
@@ -245,41 +281,76 @@ object Streams {
     * Sharding by key hash spreads the bitmap load across executors;
     * each group's state is a primitive long array — no per-row state
     * growth, no timeout bookkeeping needed.
+    *
+    * SIZE THE BITMAP to expected per-shard key cardinality via
+    * `addrBits` (2^addrBits bits per shard; the default 13 → 1 KB holds
+    * ~1k keys at k=4 before the FP rate leaves the per-mille range). A
+    * bitmap only ever FILLS — past saturation, novel keys are silently
+    * and permanently dropped — so the set-bit count rides in the state
+    * and crossing [[BloomFillWarnNum]]/[[BloomFillWarnDen]] of the bits
+    * logs a per-shard saturation warning naming the deployment fix
+    * (raise addrBits or numShards).
     * Input: (row_id, key); output: first-seen rows, in-shard order. */
   def bloomDedupStream(
       rows: Dataset[(Long, String)],
-      numShards: Int = 16): Dataset[(Long, String)] = {
+      numShards: Int = 16,
+      addrBits: Int = graft.ops.Sketch.BloomAddrBits): Dataset[(Long, String)] = {
     import rows.sparkSession.implicits._
     import graft.ops.Sketch
+    require(addrBits >= Sketch.BloomWordShift && addrBits <= 30,
+      s"addrBits must be in [${Sketch.BloomWordShift}, 30], got $addrBits")
     val shift = Sketch.BloomWordShift
+    val bits = 1 << addrBits
+    val nWords = bits >> shift
     rows
       .groupByKey { case (_, key) =>
-        // shard from the hash bits ABOVE the bitmap's low BloomBits:
+        // shard from the hash bits ABOVE the bitmap's low addrBits:
         // sharding on the low bits would alias with probe j=0's bit
-        // position (numShards divides BloomBits), confining that probe
-        // row to 1/numShards of each shard's bitmap and inflating the
-        // FP rate numShards-fold
+        // position (numShards divides the bit count), confining that
+        // probe row to 1/numShards of each shard's bitmap and inflating
+        // the FP rate numShards-fold
         math.floorMod(
-          Sketch.jvmHash60(key, Sketch.BloomSeedBase) >>> Sketch.BloomAddrBits,
+          Sketch.jvmHash60(key, Sketch.BloomSeedBase) >>> addrBits,
           numShards.toLong).toInt
       }
       .flatMapGroupsWithState[Array[Long], (Long, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, it, state: GroupState[Array[Long]]) =>
+        case (shard, it, state: GroupState[Array[Long]]) =>
+          // state layout: nWords bitmap words + one set-bit counter —
+          // the counter makes saturation observable without a popcount
+          // rescan of the bitmap on every batch
           val words = state.getOption
-            .getOrElse(new Array[Long](Sketch.BloomWords))
+            .getOrElse(new Array[Long](nWords + 1))
+          val warnAt = bits.toLong * BloomFillWarnNum / BloomFillWarnDen
           val out = it.filter { case (_, key) =>
-            val bits = (0 until Sketch.BloomK).map(j =>
+            val probes = (0 until Sketch.BloomK).map(j =>
               (Sketch.jvmHash60(key, Sketch.BloomSeedBase + j) &
-                (Sketch.BloomBits - 1)).toInt)
-            val seen = bits.forall(b =>
+                (bits - 1)).toInt)
+            val seen = probes.forall(b =>
               (words(b >> shift) & (1L << (b & 31))) != 0L)
-            if (!seen) bits.foreach(b =>
-              words(b >> shift) |= 1L << (b & 31))
+            if (!seen) probes.foreach { b =>
+              val w = b >> shift; val m = 1L << (b & 31)
+              if ((words(w) & m) == 0L) {
+                words(w) |= m
+                words(nWords) += 1
+                if (words(nWords) == warnAt)
+                  System.err.println(s"[graft] bloomDedupStream shard " +
+                    s"$shard bitmap ${BloomFillWarnNum * 100 / BloomFillWarnDen}% " +
+                    s"full ($warnAt/$bits bits): false-positive drops of " +
+                    s"novel keys are no longer rare — raise addrBits " +
+                    s"(currently $addrBits) or numShards")
+              }
+            }
             !seen
           }.toList
           state.update(words)
           out.iterator
       }
   }
+
+  /** Bloom saturation warning threshold: at half the bits set, the
+    * false-positive rate is 2^-k (~6% at k=4) and climbing — past the
+    * point a dedup stream should be running at. */
+  val BloomFillWarnNum = 1
+  val BloomFillWarnDen = 2
 }

@@ -74,6 +74,23 @@ class OperatorSpec extends AnyFunSuite {
       s"unexpected deltas: ${bad.take(3).mkString(",")}")
   }
 
+  test("keyedDiffFrame (codegen form) == keyedDiff (cogroup form), synthetic and rc1 shape") {
+    import graft.ops.Reconcile
+    val left = Seq((1L, 10L), (1L, 5L), (2L, 7L), (4L, 1L)).toDS()
+    val right = Seq((1L, 8L), (3L, 9L), (4L, 1L), (4L, 2L)).toDS()
+    val viaFrame = Reconcile.keyedDiffFrame(left.toDF(), right.toDF())
+      .orderBy("key").collect().map(_.toString).toSeq
+    val viaCogroup = Reconcile.keyedDiff(left, right).toDF()
+      .orderBy("key").collect().map(_.toString).toSeq
+    assert(viaFrame == viaCogroup)
+    // the rc1 driver query (frame form) == its cogroup twin on real data
+    val frameQ = Reconcile.keyedDiffQuery(spark, GraftSpark.sf)
+      .collect().map(_.toString).toSeq
+    val cogroupQ = Reconcile.keyedDiffQueryCogroup(spark, GraftSpark.sf)
+      .collect().map(_.toString).toSeq
+    assert(frameQ == cogroupQ && frameQ.nonEmpty)
+  }
+
   test("SCD2 history: versions chain per key (valid_to = next valid_from), exactly one current") {
     val hist = Upsert.scd2History(spark, GraftSpark.sf)
       .collect()

@@ -156,6 +156,80 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming histogram: cells accumulate across batches, final state == batch histTable (hq1 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Sketch
+    // the hq1 input shape on real data: (priority, total cents) from
+    // the orders fixture, replayed in several micro-batches
+    val fixture = Tables.orders(spark, GraftSpark.sf)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val input = MemoryStream[(String, Long)]
+    val out = Streams.histStream(input.toDS())
+    val q = out.toDF().toDF("priority", "bucket", "cnt")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("hist_stream_out").start()
+    fixture.grouped(400).foreach { chunk =>
+      input.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val emitted = spark.table("hist_stream_out")
+      .as[(String, Long, Long)].collect()
+    // counts only grow, so each cell's LAST (= max) emission is its
+    // final state — must equal the batch sketch cell-for-cell
+    val streamCells = emitted.groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(_._3).max).toMap
+    val batchCells = Sketch.histTable(Tables.orders(spark, GraftSpark.sf))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamCells == batchCells,
+      s"stream/batch cells diverge: onlyStream=${
+        (streamCells.keySet -- batchCells.keySet).take(3)} onlyBatch=${
+        (batchCells.keySet -- streamCells.keySet).take(3)}")
+    // additive merge law: a batch sketch over half the data + the
+    // stream's cells over the other half sum to the full sketch
+    val (h1, h2) = fixture.splitAt(fixture.size / 2)
+    val part1 = Sketch.histTable(
+        h1.toDF("o_orderpriority", "cents")
+          .select(col("o_orderpriority"),
+            (col("cents").cast("double") / 100).as("o_totalprice")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val part2 = h2.groupBy(t => (t._1, t._2 >> Sketch.HistShift))
+      .view.mapValues(_.size.toLong).toMap
+    val merged = (part1.keySet ++ part2.keySet).map(k =>
+      k -> (part1.getOrElse(k, 0L) + part2.getOrElse(k, 0L))).toMap
+    assert(merged == batchCells, "cell-wise sum merge law broken")
+  }
+
+  test("bloom dedup saturation: a small parameterized bitmap fills and drops novel keys one-sidedly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 2^6 = 64 bits per shard, k=4: ~40 distinct keys into one shard
+    // saturates it far past the warning threshold — novel keys start
+    // dropping as false positives, but NO duplicate is ever re-emitted
+    // (the one-sided contract that holds at any fill level)
+    val keys = (1 to 80).map(i => (i.toLong, s"key$i")) ++
+      (81 to 160).map(i => (i.toLong, s"key${i - 80}")) // exact replays
+    val input = MemoryStream[(Long, String)]
+    val out = Streams.bloomDedupStream(input.toDS(), numShards = 2, addrBits = 6)
+    val q = out.toDF().toDF("row_id", "key")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("bloom_sat_out").start()
+    keys.grouped(40).foreach { chunk =>
+      input.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("bloom_sat_out")
+      .as[(Long, String)].collect().toList.sortBy(_._1)
+    assert(got.map(_._2).distinct.size == got.size,
+      "a duplicate key re-emitted despite saturation")
+    assert(got.forall(_._1 <= 80L), "a replayed row slipped through")
+    // the bitmap saturated: some novel keys were (expectedly) dropped
+    assert(got.size < 80, s"80 keys into 64 bits cannot all pass (got ${got.size})")
+    assert(got.size > 10, s"early keys must pass an empty bitmap (got ${got.size})")
+  }
+
   test("streaming sessionize: gap closes a session in-stream, timeout closes via watermark (w2 analogue)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
