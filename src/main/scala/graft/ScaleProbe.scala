@@ -21,11 +21,11 @@ import org.apache.spark.sql.functions._
   *     expect ~linear.
   *   - sim3 (IVF): sample-capped training + linear assignment + probe
   *     of nprobe/ncells of the corpus — expect ~linear.
-  *   - sim4 (kNN graph): bucket COUNT is fixed at 2^Planes, so
-  *     per-bucket sizes grow with N and the pair stream grows ~N² —
-  *     the recorded curve documents exactly that; the scale dial is
-  *     Planes ∝ log₂(corpus) to hold per-bucket sizes constant, the
-  *     standard sign-LSH sizing rule.
+  *   - sim4 (kNN graph): the plane count SELF-SIZES as
+  *     Planes ∝ log₂(corpus) (Similarity.planesFor), holding expected
+  *     per-bucket population ~constant — the r5 curve's ~N² bend at a
+  *     fixed 2^8 buckets is the shape this sizing removes; the probe
+  *     records the sized curve.
   */
 object ScaleProbe {
 

@@ -433,14 +433,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** SimHash banding: 4 bands × 15 bits over the 60-bit signature. By
+  /** SimHash banding: [[SimHashBands]] disjoint bit ranges over the
+    * 60-bit signature, up to [[SimHashBandBits]] (15) bits each. By
     * pigeonhole, a pair within Hamming distance ≤ [[SimHashRadius]] (3)
-    * leaves at least one band untouched, so banded candidate generation
-    * has EXACT recall at that radius — unlike MinHash banding's
-    * probabilistic recall. */
+    * leaves at least one band untouched — for ANY choice of disjoint
+    * band bit-sets — so banded candidate generation has EXACT recall at
+    * that radius, unlike MinHash banding's probabilistic recall.
+    *
+    * Band WIDTH self-sizes: [[simhashBandBitsFor]] gives each band
+    * ~log₂(corpus) bits (≥ 1-doc expected bucket occupancy) up to the
+    * 15-bit ceiling the 60-bit signature affords at 4 bands. Because
+    * recall is exact at every width and the final Hamming filter +
+    * distinct fix the output, the RESULT is banding-invariant
+    * (OpsSpec pins it) — sizing tunes candidate volume only, which is
+    * why the DuckDB oracle can keep the fixed 4×15 rendering. Past the
+    * 15-bit ceiling (~3M docs at one doc/bucket) candidate volume per
+    * band grows as N²/2^15; widening further requires more signature
+    * bits or a smaller radius — a signature-family limit, not a plan
+    * defect. */
   val SimHashBands = 4
   val SimHashBandBits = SimHashBits / SimHashBands
   val SimHashRadius = 3
+
+  def simhashBandBitsFor(n: Long): Int =
+    math.min(SimHashBandBits, math.max(1, Similarity.ceilLog2(n)))
 
   /** dd9 — SimHash near-dup PAIRS within Hamming ≤ [[SimHashRadius]]:
     * the signature-level dedup detector (cheap 64-bit-sig screening vs
@@ -454,12 +470,15 @@ object Dedup {
     simhashPairsOf(Tables.documents(s, d), mode)
 
   def simhashPairsOf(docs: DataFrame,
-      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+      mode: Materialize.Mode = Materialize.Local,
+      bandBitsOverride: Int = 0): DataFrame = {
+    val bandBits = if (bandBitsOverride > 0) bandBitsOverride
+      else simhashBandBitsFor(docs.count())
     val sigs = Materialize(simhashSigs(docs), mode, "simhash_sigs")
-    val bandMask = (1L << SimHashBandBits) - 1
+    val bandMask = (1L << bandBits) - 1
     val bandStructs = array((0 until SimHashBands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), SimHashBandBits * b)
+        shiftright(col("simhash"), bandBits * b)
           .bitwiseAND(bandMask).as("bv"))
     }: _*)
     val banded = sigs
@@ -499,11 +518,23 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Banded sign-LSH family for embedding blocking: EmbBands short
-    * tables of EmbBandPlanes planes each. A near pair is a candidate
-    * when it collides in ANY table (MinHash-banding shape), so recall
-    * rises with EmbBands while each table's buckets stay selective. */
+    * tables, each of ~log₂(corpus) planes ([[embBandPlanesFor]] —
+    * expected bucket occupancy ≤ [[EmbBandTargetDocs]], clamped to
+    * [[EmbBandPlanes]] as the small-corpus recall floor and
+    * [[Similarity.MaxEmbBandPlanes]] as the unrolled-oracle ceiling).
+    * A near pair is a candidate when it collides in ANY table
+    * (MinHash-banding shape), so recall rises with EmbBands while each
+    * table's buckets stay selective; self-sizing the per-band plane
+    * count is what keeps each table's Σ bucket² pair stream ~linear in
+    * N instead of N²/2^planes. The oracle re-derives the identical
+    * count from count(*) via the same integer ceil-log2. */
   val EmbBands = 4
   val EmbBandPlanes = 4
+  val EmbBandTargetDocs = 32L
+
+  def embBandPlanesFor(n: Long): Int =
+    math.min(Similarity.MaxEmbBandPlanes, math.max(EmbBandPlanes,
+      Similarity.ceilLog2((n + EmbBandTargetDocs - 1) / EmbBandTargetDocs)))
 
   /** Embedding near-dup: pairs with cosine ≥ threshold among banded-LSH
     * candidates. Candidate generation shuffles on the (table, bucket)
@@ -511,18 +542,21 @@ object Dedup {
     * full-corpus broadcast; verification joins candidates back to
     * vectors on vec_id. Recall < 1 by construction (a pair that
     * collides in no band table is missed); the oracle mirrors the same
-    * blocking, and dot products fold left-to-right over double-cast
-    * vectors, matching DuckDB's list_dot_product evaluation. */
+    * blocking — including the corpus-count-derived plane count — and
+    * dot products fold left-to-right over double-cast vectors, matching
+    * DuckDB's list_dot_product evaluation. */
   def embeddingNearDup(s: SparkSession, d: String,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val ppb = embBandPlanesFor(emb.count())
     val e = Materialize(
-      Tables.embeddings(s, d)
+      emb
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("norm", Similarity.dot(col("v"), col("v"))),
       mode, "emb_norm")
     val bandStructs = array((0 until EmbBands).map { t =>
       struct(lit(t).as("t"),
-        Similarity.bandBucketCol(col("v"), t, EmbBandPlanes).as("bkt"))
+        Similarity.bandBucketCol(col("v"), t, ppb).as("bkt"))
     }: _*)
     val banded = e.select(col("vec_id"), explode(bandStructs).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
@@ -675,9 +709,11 @@ object Dedup {
 
   lazy val embeddingNearDupOracle: String = {
     val bandSelects = (0 until EmbBands).map { t =>
-      s"SELECT vec_id, $t AS t, ${Similarity.bandBucketSql(t, EmbBandPlanes)} AS bkt FROM n"
+      s"SELECT vec_id, $t AS t, ${Similarity.bandBucketSql(t, "p.planes")} AS bkt FROM n, p"
     }.mkString("\n  UNION ALL ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS ${Similarity.planesForSql("embeddings", EmbBandTargetDocs,
+              EmbBandPlanes, Similarity.MaxEmbBandPlanes)},
        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS norm FROM e),
        |banded AS (
        |  $bandSelects),

@@ -30,7 +30,34 @@ object Similarity {
     graft.expressions.DotProduct.dot(a, b)
 
   val Dim = 64
-  val Planes = 8 // 256 buckets; probes widen via Hamming-1 multi-probe
+  /** Default plane count for the QUERY-probe path (sim2's lshTopK):
+    * 256 buckets, probes widened via Hamming-1 multi-probe. The
+    * corpus-blocking paths (sim4/dd5/dd8) do NOT use this constant —
+    * they derive their plane counts from the corpus size
+    * ([[planesFor]]), because a fixed bucket count means per-bucket
+    * population ~N/2^P and a pair stream bending toward N² at scale. */
+  val Planes = 8
+
+  /** Integer ceil(log2(m)) — 64 - nlz(m-1), zero for m ≤ 1; the same
+    * `length(bin(m-1))` arithmetic the DuckDB oracles replay, so both
+    * engines derive identical geometry from identical corpus counts
+    * (no floating log2 anywhere). */
+  def ceilLog2(m: Long): Int =
+    if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+
+  /** sim4's self-sizing rule — Planes ∝ log₂(corpus): enough planes
+    * that expected bucket occupancy stays ≤ [[PlanesTargetDocs]], so
+    * the (P+1)·Σ bucket² pair stream grows ~linearly in N instead of
+    * N²/2^P. Clamped to [[MinPlanes]] (recall floor at tiny corpora —
+    * a bucket needs k+1 members to fill a top-k) and [[MaxPlanes]]
+    * (the unrolled oracle/bucket-int width). Callers may override with
+    * an explicit plane count; the driver query derives. */
+  def planesFor(n: Long): Int =
+    math.min(MaxPlanes, math.max(MinPlanes,
+      ceilLog2((n + PlanesTargetDocs - 1) / PlanesTargetDocs)))
+  val PlanesTargetDocs = 2L
+  val MinPlanes = 8
+  val MaxPlanes = 24
 
   /** Deterministic ±1 hyperplane components from the shared md5 hash
     * primitive: sign = parity of md5("p:i" style key). Pure Scala, and
@@ -42,32 +69,48 @@ object Similarity {
     if ((hex.last & 1) == 1) 1 else -1
   }
 
-  /** LSH bucket id: P sign bits of plane dot products. */
-  def bucketCol(v: Column): Column =
-    (0 until Planes).map { p =>
+  /** LSH bucket id: `planes` sign bits of plane dot products. */
+  def bucketCol(v: Column, planes: Int = Planes): Column =
+    (0 until planes).map { p =>
       val signs = array(planeSigns(p).map(x => lit(x.toDouble)): _*)
       when(dot(v, signs) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Plane-index STRIDE for the banded family: band t's planes live at
+    * t*stride .. t*stride+planesPerBand-1 with a FIXED stride of
+    * [[MaxEmbBandPlanes]], independent of the derived planesPerBand —
+    * so each band's sign literals are static and the oracle can gate a
+    * statically-unrolled plane list on a SQL-computed plane count. */
+  val MaxEmbBandPlanes = 16
+
   /** Bucket id for band table `t` of a banded (multi-table) sign-LSH
     * family: `planesPerBand` sign bits over planes
-    * t*planesPerBand .. t*planesPerBand+planesPerBand-1. Multiple short
-    * tables trade bucket selectivity for recall the way MinHash bands
-    * do — a near pair only needs to collide in ONE table. */
-  def bandBucketCol(v: Column, t: Int, planesPerBand: Int): Column =
+    * t*[[MaxEmbBandPlanes]] .. t*[[MaxEmbBandPlanes]]+planesPerBand-1.
+    * Multiple short tables trade bucket selectivity for recall the way
+    * MinHash bands do — a near pair only needs to collide in ONE
+    * table. */
+  def bandBucketCol(v: Column, t: Int, planesPerBand: Int): Column = {
+    require(planesPerBand <= MaxEmbBandPlanes,
+      s"planesPerBand $planesPerBand exceeds the $MaxEmbBandPlanes stride")
     (0 until planesPerBand).map { j =>
       val signs = array(
-        planeSigns(t * planesPerBand + j).map(x => lit(x.toDouble)): _*)
+        planeSigns(t * MaxEmbBandPlanes + j).map(x => lit(x.toDouble)): _*)
       when(dot(v, signs) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   /** SQL rendering of [[bandBucketCol]] over a DOUBLE[] column `v` for
-    * the DuckDB oracle. */
-  def bandBucketSql(t: Int, planesPerBand: Int): String =
-    (0 until planesPerBand).map { j =>
-      val lits = planeSigns(t * planesPerBand + j)
+    * the DuckDB oracle, gated on a dynamic plane count when
+    * `ppbExpr` is a SQL expression (e.g. `p.ppb` from a params CTE):
+    * all [[MaxEmbBandPlanes]] terms unroll statically, each
+    * contributing only while its index is under the computed count —
+    * the oracle derives the same geometry from the same corpus count
+    * the Spark side derives from. */
+  def bandBucketSql(t: Int, ppbExpr: String): String =
+    (0 until MaxEmbBandPlanes).map { j =>
+      val lits = planeSigns(t * MaxEmbBandPlanes + j)
         .map(x => s"$x.0").mkString("[", ",", "]")
-      s"CASE WHEN list_dot_product(v, $lits) > 0 THEN ${1 << j} ELSE 0 END"
+      s"CASE WHEN $j < $ppbExpr AND list_dot_product(v, $lits) > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString(" + ")
 
   private def embDouble(s: SparkSession, d: String): DataFrame =
@@ -140,29 +183,38 @@ object Similarity {
     *     cheapest, sum-of-squared-bucket-sizes pairs, but a bucket
     *     holding fewer than k+1 vectors cannot fill its rows' top-k.
     *   - `probeRadius = 1` — Hamming-1 multi-probe: the src side
-    *     explodes to its home bucket plus the [[Planes]] one-bit
+    *     explodes to its home bucket plus the P one-bit
     *     neighbors ((P+1)× the pair stream) and the nearest misses
     *     overwhelmingly land one flipped hyperplane away.
     * The join stays EQUI-keyed on the probed bucket either way (an
     * OR-of-XORs predicate would degrade it to a nested loop); dst stays
     * at its home bucket, and each pair is found exactly once (the probe
     * masks are distinct). The quadratic term is (P+1)·sum-of-squared-
-    * bucket-sizes at radius 1, never corpus². Rank via one window over
-    * the pair stream; deterministic tiebreaks. This is the candidate
-    * graph semantic-dedup/clustering pipelines consume. */
+    * bucket-sizes at radius 1, never corpus² — and P SELF-SIZES via
+    * [[planesFor]] (Planes ∝ log₂ corpus) so per-bucket population
+    * stays ~[[PlanesTargetDocs]] as the corpus grows; the oracle
+    * derives the identical count from the same integer arithmetic over
+    * count(*). Rank via one window over the pair stream; deterministic
+    * tiebreaks. This is the candidate graph semantic-dedup/clustering
+    * pipelines consume. */
   def knnGraph(s: SparkSession, d: String,
       probeRadius: Int = KnnProbeRadius): DataFrame =
     knnGraphOf(Tables.embeddings(s, d), probeRadius)
 
   def knnGraphOf(emb: DataFrame,
-      probeRadius: Int = KnnProbeRadius): DataFrame = {
+      probeRadius: Int = KnnProbeRadius,
+      planesOverride: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = emb.sparkSession
     require(probeRadius == 0 || probeRadius == 1,
       s"probeRadius must be 0 or 1, got $probeRadius")
-    val e = embDoubleOf(emb).withColumn("bucket", bucketCol(col("v")))
+    // one metadata-cheap count sizes the geometry (the IVF trainer
+    // already pays the same count for its sample stride)
+    val planes =
+      if (planesOverride > 0) planesOverride else planesFor(emb.count())
+    val e = embDoubleOf(emb).withColumn("bucket", bucketCol(col("v"), planes))
     val masks =
-      lit(0) +: (if (probeRadius >= 1) (0 until Planes).map(p => lit(1 << p))
+      lit(0) +: (if (probeRadius >= 1) (0 until planes).map(p => lit(1 << p))
                  else Seq.empty)
     val a = e.select(col("vec_id").as("src"), col("v").as("av"),
       col("norm").as("anorm"), col("bucket").as("home"))
@@ -381,14 +433,28 @@ object Similarity {
        |FROM e, q WHERE e.vec_id <> $QueryVecId
        |ORDER BY cos DESC, e.vec_id LIMIT $K""".stripMargin
 
+  /** SQL CTE computing [[planesFor]] over `count(*) FROM table` — the
+    * identical clamp(ceil-log2) integer path (bin-string bitlen, no
+    * floating log2), so the oracle re-derives the Spark side's
+    * geometry from the same corpus count. */
+  def planesForSql(table: String, target: Long, lo: Int, hi: Int): String =
+    s"""(SELECT greatest($lo, least($hi,
+       |    CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END)) AS planes
+       |  FROM (SELECT (count(*) + ${target - 1}) // $target AS m
+       |        FROM $table) t)""".stripMargin
+
   def knnGraphOracle(probeRadius: Int = KnnProbeRadius): String = {
-    val bucketExpr = (0 until Planes).map { p =>
-      s"CASE WHEN list_dot_product(v, ${signsLiteral(p)}) > 0 THEN ${1 << p} ELSE 0 END"
+    // all MaxPlanes terms unroll statically; each contributes only
+    // while its index is under the params-CTE plane count — the SQL
+    // form of the driver-side planesFor(count) derivation
+    val bucketExpr = (0 until MaxPlanes).map { p =>
+      s"CASE WHEN $p < p.planes AND list_dot_product(v, ${signsLiteral(p)}) > 0 THEN ${1 << p} ELSE 0 END"
     }.mkString(" + ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
        |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm
        |  FROM embeddings),
-       |b AS (SELECT vec_id, v, norm, $bucketExpr AS bucket FROM e),
+       |p AS ${planesForSql("embeddings", PlanesTargetDocs, MinPlanes, MaxPlanes)},
+       |b AS (SELECT vec_id, v, norm, $bucketExpr AS bucket FROM e, p),
        |pairs AS (
        |  SELECT a.vec_id AS src, x.vec_id AS dst,
        |    list_dot_product(a.v, x.v) / (sqrt(a.norm) * sqrt(x.norm)) AS cos

@@ -409,8 +409,10 @@ class OpsSpec extends AnyFunSuite {
     // Similarity.lshTopK. This fixture PLANTS near-dup pairs at the
     // cos ≥ 0.95 regime real embedding corpora put duplicates in, and
     // measures recall of both blocking schemes actually shipped:
-    //   - sim2/sim4's single 8-plane table with Hamming-1 multi-probe
-    //   - dd5/dd8's banded family (4 tables × 4 planes, any-table collide)
+    //   - sim2/sim4's single table with Hamming-1 multi-probe (at this
+    //     fixture's size planesFor derives the 8-plane floor)
+    //   - dd5/dd8's banded family (4 tables × the 4-plane floor,
+    //     any-table collide)
     val rnd = new scala.util.Random(7)
     val dim = Similarity.Dim
     def unit(v: Array[Double]): Array[Double] = {
@@ -579,6 +581,43 @@ class OpsSpec extends AnyFunSuite {
       .groupBy("slot").agg(expr("bit_or(word)").as("word"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(halves == whole, "OR-merged half-bitmaps diverge from the whole")
+  }
+
+  test("sign-LSH geometry self-sizes: integer ceil-log2, floors and ceilings honored") {
+    import graft.ops.Similarity._
+    // the shared integer ceil-log2 (the SQL twin is length(bin(m-1)))
+    assert(ceilLog2(0) == 0 && ceilLog2(1) == 0 && ceilLog2(2) == 1)
+    assert(ceilLog2(3) == 2 && ceilLog2(4) == 2 && ceilLog2(5) == 3)
+    assert(ceilLog2(256) == 8 && ceilLog2(257) == 9)
+    // sim4: floor 8 at tiny corpora, log growth, hard ceiling
+    assert(planesFor(1) == MinPlanes && planesFor(50) == MinPlanes)
+    assert(planesFor(500) == 8 && planesFor(512) == 8)
+    assert(planesFor(5000) == 12 && planesFor(50000) == 15)
+    assert(planesFor(Long.MaxValue / 8) == MaxPlanes)
+    // dd5/dd8: per-band planes, floor 4, stride ceiling 16
+    assert(Dedup.embBandPlanesFor(500) == 4)
+    assert(Dedup.embBandPlanesFor(5000) == 8)
+    assert(Dedup.embBandPlanesFor(1L << 40) == MaxEmbBandPlanes)
+    // dd9: band width capped by the 60-bit signature at 4 bands
+    assert(Dedup.simhashBandBitsFor(500) == 9)
+    assert(Dedup.simhashBandBitsFor(1 << 20) == Dedup.SimHashBandBits)
+  }
+
+  test("dd9 output is banding-invariant: derived, narrow, and full 15-bit band widths emit identical pairs") {
+    // exact pigeonhole recall at every width ≥1 (4 disjoint bands, ≤3
+    // differing bits) + the final hamming filter and distinct ⇒ the
+    // pair set is the full Hamming-≤3 set regardless of geometry —
+    // the invariance that lets the DuckDB oracle keep its fixed 4×15
+    // rendering while the Spark side self-sizes
+    val docs = Tables.documents(spark, sf)
+    def pairs(bandBits: Int): Seq[String] =
+      Dedup.simhashPairsOf(docs, bandBitsOverride = bandBits)
+        .collect().map(_.toString).toSeq
+    val derived = Dedup.simhashPairsOf(docs).collect().map(_.toString).toSeq
+    val full = pairs(Dedup.SimHashBandBits)
+    assert(full.nonEmpty, "fixture must contain near-dup pairs")
+    assert(derived == full, "derived band width changed the pair set")
+    assert(pairs(5) == full, "narrow bands changed the pair set")
   }
 
   test("df-prune: independent re-derivation — boilerplate gone everywhere, order kept, every doc survives") {
