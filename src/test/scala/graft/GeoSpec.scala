@@ -98,6 +98,83 @@ class GeoSpec extends AnyFunSuite {
     assert(got(4L).isEmpty)
   }
 
+  test("property: compiled spatial scalar == pure-Scala reference on adversarial edge/dateline points") {
+    // Generator: points within ±ε of every ring edge, on vertices, and
+    // hugging the dateline — the coordinates where bbox comparisons and
+    // the ray-cast division sit exactly on branch boundaries. The pin
+    // is DETERMINISM of the full compiled path (frame-shift column,
+    // bbox gate, typedlit ring literals, first-match CASE order)
+    // against an independent Scala evaluation of the same semantics:
+    // first alphabetical dim whose bbox AND ray-cast accept the point.
+    val rnd = new scala.util.Random(20260813L)
+    val dims: Seq[(String, String, Seq[Seq[Seq[Double]]])] = Seq(
+      // Fiji-like dateline crosser with a hole straddling ±180
+      ("Fiji", "Oceania", Seq(
+        Seq(Seq(179.0, -10.0), Seq(-179.0, -10.0), Seq(-179.0, 10.0),
+          Seq(179.0, 10.0), Seq(179.0, -10.0)),
+        Seq(Seq(179.8, -2.0), Seq(-179.8, -2.0), Seq(-179.8, 2.0),
+          Seq(179.8, 2.0), Seq(179.8, -2.0)))),
+      // concave polygon (notch) away from the dateline
+      ("Notch", "R1", Seq(Seq(
+        Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(10.0, 10.0), Seq(5.0, 5.0),
+        Seq(0.0, 10.0), Seq(0.0, 0.0)))),
+      // two overlapping squares exercising border first-match dedup
+      ("Alpha", "R2", Seq(Seq(
+        Seq(3.0, -8.0), Seq(12.0, -8.0), Seq(12.0, -1.0),
+        Seq(3.0, -1.0), Seq(3.0, -8.0)))),
+      ("Beta", "R3", Seq(Seq(
+        Seq(9.0, -8.0), Seq(20.0, -8.0), Seq(20.0, -1.0),
+        Seq(9.0, -1.0), Seq(9.0, -8.0)))))
+    val world = Geo.worldDim(spark, dims)
+    // normalized entries, exactly as spatialJoin collects them
+    val entries = dims.map { case (c, r, raw) =>
+      val crosses = Geo.crossesDateline(raw)
+      val rings = if (crosses)
+        raw.map(_.map(p => Seq(if (p(0) < 0) p(0) + 360.0 else p(0), p(1))))
+      else raw
+      (c, r, rings, crosses)
+    }
+    def reference(lon: Double, lat: Double): Option[(String, String)] =
+      entries.sortBy(_._1).find { case (_, _, rings, crosses) =>
+        val lon2 = if (crosses && lon < 0) lon + 360.0 else lon
+        val pts = rings.flatten
+        lon2 >= pts.map(_(0)).min && lon2 <= pts.map(_(0)).max &&
+          lat >= pts.map(_(1)).min && lat <= pts.map(_(1)).max &&
+          Geo.pointInRings(lon2, lat, rings)
+      }.map(e => (e._1, e._2))
+    val eps = Seq(-1e-6, -1e-9, 0.0, 1e-9, 1e-6)
+    val edgePoints = dims.flatMap(_._3).flatMap { ring =>
+      ring.indices.dropRight(1).flatMap { i =>
+        val (x1, y1) = (ring(i)(0), ring(i)(1))
+        val (x2, y2) = (ring(i + 1)(0), ring(i + 1)(1))
+        // a point along the segment ± a perpendicular nudge, plus the
+        // exact vertex (the classic ray-cast corner case)
+        val t = rnd.nextDouble()
+        val (px, py) = (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+        val len = math.max(math.hypot(x2 - x1, y2 - y1), 1e-12)
+        val (nx, ny) = (-(y2 - y1) / len, (x2 - x1) / len)
+        eps.flatMap(e => Seq((px + e * nx, py + e * ny))) :+ ((x1, y1))
+      }
+    }
+    val datelinePoints = Seq(-180.0, 180.0, 179.999999, -179.999999,
+      180.0 - 1e-9, -180.0 + 1e-9).flatMap { lon =>
+      Seq(-12.0, -10.0, 0.0, 1.9999999, 2.0, 10.0, 10.0 + 1e-9).map((lon, _))
+    }
+    val pts = (edgePoints ++ datelinePoints).zipWithIndex
+      .map { case ((lon, lat), i) => (i.toLong, lon, lat) }
+    val got = Geo.spatialJoin(pts.toDF("id", "lon", "lat"), world, "lon", "lat")
+      .select("id", "country", "region")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).map((_, r.getString(2))))
+      .toMap
+    pts.foreach { case (id, lon, lat) =>
+      assert(got(id) == reference(lon, lat),
+        s"point ($lon, $lat): compiled=${got(id)} reference=${reference(lon, lat)}")
+    }
+    assert(pts.size > 150 && got.values.flatten.nonEmpty,
+      "generator must produce matches, not a vacuous all-null sweep")
+  }
+
   test("firstMatchLookup: order wins, word boundaries hold (Niger/Nigeria trap)") {
     val list = Seq("niger" -> "Africa", "nigeria" -> "Africa2", "new zealand" -> "Oceania")
     val (nm, _) = Geo.firstMatchLookup(col("place"), list)

@@ -269,6 +269,28 @@ class PlanSpec extends AnyFunSuite {
       "per-customer aggregate did not stay below the dim joins")
   }
 
+  test("pre-explode spread is gated: a cluster-wide input plans NO round-robin exchange, a narrow one does") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val target = spark.sparkContext.defaultParallelism
+    // warehouse shape: the scan already carries ≥ cluster parallelism —
+    // a full-corpus round-robin shuffle before the explode is pure cost
+    // (the hash repartition below is the fixture's own exchange; the
+    // gated spread is specifically a ROUND-ROBIN one)
+    val wide = graft.ops.Dedup
+      .hashedShingleTable(docs.repartition(target + 8, col("doc_id")),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!wide.contains("RoundRobinPartitioning"),
+      s"many-partition input still round-robins pre-explode:\n${wide.take(1200)}")
+    // small-SF shape: a narrow scan must still spread across cores
+    val narrow = graft.ops.Dedup
+      .hashedShingleTable(docs.coalesce(1), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(narrow.contains("RoundRobinPartitioning"),
+      s"narrow input lost its pre-explode spread:\n${narrow.take(1200)}")
+  }
+
   test("q6 is a pure pushed-filter scan-aggregate — no join anywhere") {
     val p = plan("q6_forecast_revenue")
     assert(!p.contains("Join"), "q6 must be join-free")
