@@ -39,6 +39,14 @@ object StorageBench {
         (m => Dedup.minhashLshQuery(spark, sfDir, m).count()),
       "dd7_dedup_clusters" ->
         (m => Dedup.dedupClusters(spark, sfDir, m).count()),
+      // apples-to-apples LIFECYCLE row: the distributed loop in BOTH
+      // modes (threshold 0 disables the Local union-find switch), so
+      // this row's local/storage delta is the durable-posture premium
+      // alone, while dd7_dedup_clusters' local row keeps the production
+      // Local path (union-find under the broadcast-style threshold) and
+      // its delta is lifecycle + algorithm
+      "dd7_loop_both_modes" ->
+        (m => Dedup.dedupClusters(spark, sfDir, m, localThreshold = 0L).count()),
       "dd9_simhash_pairs" ->
         (m => Dedup.simhashPairs(spark, sfDir, m).count()))
 

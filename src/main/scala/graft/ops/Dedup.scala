@@ -245,18 +245,24 @@ object Dedup {
     if (mode == Materialize.Local && e.count() <= localThreshold)
       return localComponents(e)
     val sym = e.unionByName(e.select(c("v").as("u"), c("u").as("v")))
-    var labels = Materialize(
-      sym.select(c("u").as("id")).distinct().withColumn("lbl", c("id")),
-      mode, "cc_round_0")
+    // identity-label init stays LAZY: it is one distinct over the
+    // (materialized) edge table, trivially re-derivable on recovery, so
+    // writing it out as its own durable round bought nothing but a full
+    // write+read+action cycle — the first durable artifact (cc_round_0)
+    // is already a propagated round. Within that first round's plan the
+    // distinct's exchange is computed once and reused across its two
+    // consumers.
+    var labels = sym.select(c("u").as("id")).distinct()
+      .withColumn("lbl", c("id"))
     // one min-propagation + pointer-jump step over a label frame
-    // (id, lbl) → (id, lbl, chg)
+    // (id, lbl) → (id, lbl)
     def jumpStep(lbls: DataFrame): DataFrame = {
       val neighborMin = sym
         .join(lbls.withColumnRenamed("id", "v").withColumnRenamed("lbl", "vlbl"), "v")
         .groupBy(c("u").as("id"))
         .agg(min(c("vlbl")).as("nlbl"))
       val stepped = lbls.join(neighborMin, Seq("id"), "left")
-        .select(c("id"), c("lbl").as("old"),
+        .select(c("id"),
           least(c("lbl"), coalesce(c("nlbl"), c("lbl"))).as("lbl1"))
       // pointer jump: adopt the label OF the adopted label (label
       // values are node ids of the same component, so the deref stays
@@ -264,7 +270,7 @@ object Dedup {
       val ptr = lbls.select(c("id").as("lbl1"), c("lbl").as("plbl"))
       val jumped = least(c("lbl1"), coalesce(c("plbl"), c("lbl1")))
       stepped.join(ptr, Seq("lbl1"), "left")
-        .select(c("id"), jumped.as("lbl"), (jumped =!= c("old")).as("chg"))
+        .select(c("id"), jumped.as("lbl"))
     }
     var converged = false
     var i = 0
@@ -272,19 +278,22 @@ object Dedup {
       // TWO jump steps per materialization: each step halves the
       // remaining component diameter anyway, and in Storage mode the
       // per-round parquet write+read dominates the round (the measured
-      // +117% lifecycle premium), so checkpoint cadence is the dial —
+      // +117% r5 lifecycle premium), so checkpoint cadence is the dial —
       // the label sequence is identical, only fewer durable snapshots.
-      // Convergence stays sound on the SECOND step's chg alone: label
-      // propagation's fixed point is stable, so a no-change second step
-      // proves the first step's output was already the fixed point.
       val next = Materialize(
-        jumpStep(jumpStep(labels).select(c("id"), c("lbl"))),
-        mode, s"cc_round_${i + 1}")
-      val changed = next
-        .agg(coalesce(max(c("chg")), lit(false)).as("changed"))
-        .head().getBoolean(0)
-      labels = next.select(c("id"), c("lbl"))
-      converged = !changed
+        jumpStep(jumpStep(labels)),
+        mode, s"cc_round_$i")
+      labels = next
+      // convergence = every edge's endpoints agree on the materialized
+      // labels (uniform per component ⟹ neighborMin and the pointer
+      // deref are no-ops, the exact fixed point) — two reads of tables
+      // already on disk and NO write, replacing both the changed-flag
+      // column and the old loop's extra confirming round
+      converged = sym
+        .join(labels.select(c("id").as("u"), c("lbl").as("lu")), "u")
+        .join(labels.select(c("id").as("v"), c("lbl").as("lv")), "v")
+        .filter(c("lu") =!= c("lv"))
+        .isEmpty
       i += 1
     }
     if (!converged) {
@@ -330,10 +339,12 @@ object Dedup {
     * min doc id of its near-dup component (its own id when it has no
     * near-dups), plus the component size. */
   def dedupClusters(s: SparkSession, d: String,
-      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+      mode: Materialize.Mode = Materialize.Local,
+      localThreshold: Long = 1000L * 1000): DataFrame = {
     val pairs = minhashLshQuery(s, d, mode)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val labels = labelPropagation(pairs, mode = mode)
+    val labels = labelPropagation(pairs, mode = mode,
+      localThreshold = localThreshold)
     val docs = Tables.documents(s, d).select("doc_id")
     val clustered = docs
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
