@@ -46,11 +46,15 @@ object Dedup {
     * few cores without a round-robin spread — but at warehouse scale
     * the scan already carries more partitions than cores, and an
     * unconditional full-corpus shuffle BEFORE the explode is pure cost.
-    * Spread only when the scan is narrower than the cluster
-    * (PlanSpec gates that a many-partition input plans no exchange). */
+    * Spread only when the scan carries fewer than TWO waves of tasks
+    * (under ~2× parallelism a stray 1.2-wave layout tails on its last
+    * fraction of tasks, and the spread is cheap relative to the
+    * per-shingle md5 work it balances; a genuinely wide scan plans no
+    * exchange — PlanSpec gates both directions). */
   private def spread(docs: DataFrame): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    if (docs.rdd.getNumPartitions < 2 * target) docs.repartition(target)
+    else docs
   }
 
   /** The flat (doc, h1, h2) hashed-shingle table every MinHash stage

@@ -278,7 +278,7 @@ class PlanSpec extends AnyFunSuite {
     // (the hash repartition below is the fixture's own exchange; the
     // gated spread is specifically a ROUND-ROBIN one)
     val wide = graft.ops.Dedup
-      .hashedShingleTable(docs.repartition(target + 8, col("doc_id")),
+      .hashedShingleTable(docs.repartition(2 * target + 8, col("doc_id")),
         "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!wide.contains("RoundRobinPartitioning"),
