@@ -449,6 +449,31 @@ class OpsSpec extends AnyFunSuite {
       s"multi-probe recall ${multiProbeHits / n} on ${planted.size} planted pairs")
     assert(bandedHits / n >= 0.9,
       s"banded recall ${bandedHits / n} on ${planted.size} planted pairs")
+
+    // …and at the SELF-SIZED geometry a ~5k-vector corpus derives
+    // (12 planes / 8 per band): recall in the real near-dup regime
+    // must degrade gracefully, not collapse — the planes are fixed
+    // md5 hyperplanes and the fixture is seeded, so these are
+    // deterministic measurements with a safety margin, recording the
+    // documented thin-bucket recall price of sizing for volume
+    val buckets12 = df.select(
+        (col("vec_id") +: Similarity.bucketCol(col("v"), 12).as("b12") +:
+          (0 until Dedup.EmbBands).map(t =>
+            Similarity.bandBucketCol(col("v"), t, 8).as(s"w$t"))): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1),
+        (0 until Dedup.EmbBands).map(t => r.getInt(2 + t))))
+      .toMap
+    val mp12 = planted.count { p =>
+      Integer.bitCount(buckets12(p._1)._1 ^ buckets12(p._3)._1) <= 1
+    }
+    val banded8 = planted.count { p =>
+      buckets12(p._1)._2.zip(buckets12(p._3)._2).exists { case (a, b) => a == b }
+    }
+    assert(mp12 / n >= 0.8,
+      s"12-plane multi-probe recall ${mp12 / n} collapsed on planted pairs")
+    assert(banded8 / n >= 0.9,
+      s"4×8-plane banded recall ${banded8 / n} collapsed on planted pairs")
   }
 
   test("IVF sample training past the exact-in-double envelope: dominant cell > 60k vectors, sums stay bounded") {

@@ -291,6 +291,21 @@ class PlanSpec extends AnyFunSuite {
       s"narrow input lost its pre-explode spread:\n${narrow.take(1200)}")
   }
 
+  test("s3 parses JSON exactly once, in a projection above the sort") {
+    // two regressions this pins against: CollapseProject inlining the
+    // parse into every output column (schema pruning then splits it
+    // into ten different-schema parses codegen CSE cannot merge), and
+    // the global sort migrating above the parse (its range-sampling
+    // pass would then execute the parse subtree twice)
+    val p = plan("s3_geojson_flatten")
+    assert("from_json".r.findAllIn(p).size == 1,
+      s"expected exactly one from_json in the plan:\n${p.take(1500)}")
+    val jsonIdx = p.indexOf("from_json")
+    val sortIdx = p.indexOf("Sort ")
+    assert(sortIdx >= 0 && jsonIdx >= 0 && jsonIdx < sortIdx,
+      "the parse projection must sit above (after) the sort")
+  }
+
   test("q6 is a pure pushed-filter scan-aggregate — no join anywhere") {
     val p = plan("q6_forecast_revenue")
     assert(!p.contains("Join"), "q6 must be join-free")
