@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
   * (default: all) SPARK_GRAFT_RUNS times (default 8) and prints every
   * run plus min/median/max — the n≥4 variance evidence [[Bench]]'s
   * 3-run medians can't provide when a single query's round-over-round
-  * delta needs adjudicating (noise vs regression). Run:
+  * delta needs adjudicating (noise vs regression). Uses the same
+  * SPARK_GRAFT_BENCH_ACTION switch as [[Bench]] (noop default — match
+  * it to the artifact being adjudicated: r1–r5 artifacts were
+  * count-timed). Run:
   *   SPARK_GRAFT_SF_DIR=... sbt 'runMain graft.BenchFocus j1_spatial_join'
   */
 object BenchFocus {
@@ -14,6 +17,7 @@ object BenchFocus {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "8").toInt
+    val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "noop")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = Harness.session(cpus)
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
@@ -23,7 +27,9 @@ object BenchFocus {
         sys.error(s"unknown query: $name"))
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        if (action == "noop")
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        else fn(spark, sfDir).count()
         val t = (System.nanoTime() - t0) / 1e9
         graft.ops.Materialize.releaseAll(spark)
         t
