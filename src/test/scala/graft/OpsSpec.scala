@@ -145,6 +145,21 @@ class OpsSpec extends AnyFunSuite {
     val dist = Dedup.labelPropagation(edges, localThreshold = 0L)
       .as[(Long, Long)].collect().toSet
     assert(local == dist)
+    // property form: seeded sparse random graphs (the regime near-dup
+    // pair graphs live in — many small components, occasional chains)
+    // must agree between the two paths at every density tried
+    val rnd = new scala.util.Random(42)
+    Seq(80, 200, 400).foreach { m =>
+      val rEdges = (1 to m).map { _ =>
+        (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong)
+      }.toDF("u", "v")
+      val l = Dedup.labelPropagation(rEdges)
+        .as[(Long, Long)].collect().toSet
+      val d = Dedup.labelPropagation(rEdges, localThreshold = 0L)
+        .as[(Long, Long)].collect().toSet
+      assert(l == d, s"paths diverge at $m random edges: " +
+        s"onlyLocal=${(l -- d).take(3)} onlyDist=${(d -- l).take(3)}")
+    }
   }
 
   test("multimodal decode: per-partition stub decode preserves rows, frames sized by payload") {
