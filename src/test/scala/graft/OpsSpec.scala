@@ -162,6 +162,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup family survives null, empty, and whitespace-only texts") {
+    // real corpora carry degenerate rows; none of the dedup paths may
+    // crash on them, silently multiply them, or let them pair with
+    // real documents (no shared shingles/tokens by construction)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the dog", "en"),
+      (2L, "the quick brown fox jumps over the dog", "en"), // exact dup of 1
+      (3L, null.asInstanceOf[String], "en"),
+      (4L, "", "en"),
+      (5L, "   \t  ", "en"),
+      (6L, "tiny", "en")) // shorter than the 3-gram window
+      .toDF("doc_id", "text", "lang")
+    // exact-dedup shape (dd1's groupBy(md5)): the two real dups
+    // collapse; null text groups apart from empty/whitespace
+    // (md5(NULL) is NULL, its own group)
+    val byHash = docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canon"))
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byHash.size == 5 && byHash(None)._1 == 1L, s"got $byHash")
+    // shingle/minhash path: degenerate docs produce zero shingles, so
+    // they simply drop out of the signature table — no pairs involve them
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sigs == Set(1L, 2L), s"signature docs: $sigs")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"pairs: $pairs")
+    val jac = Dedup.ngramJaccardPairsOf(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(jac == Set((1L, 2L)), s"jaccard pairs: $jac")
+    // simhash: null drops (explode of null token array); empty-ish
+    // texts still get a signature from their (degenerate) token set,
+    // and the exact dup pair collides at Hamming 0
+    val sh = Dedup.simhashSigs(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(!sh.contains(3L) && sh.contains(1L) && sh(1L) == sh(2L), s"sigs: $sh")
+  }
+
   test("multimodal decode: per-partition stub decode preserves rows, frames sized by payload") {
     val media = Multimodal.mediaTable(spark, sf).repartition(5)
     val feats = Multimodal.decodeAll(media).collect()
