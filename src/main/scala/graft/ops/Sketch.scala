@@ -55,8 +55,15 @@ object Sketch {
     * sketch: constant-size per group, mergeable across any partition of
     * the input by register-wise max (spec-pinned). */
   def shingleRegisters(docs: DataFrame): DataFrame =
-    docs
-      .select(col("lang"), explode(shingles(col("text"), 3)).as("sh"))
+    registersOf(
+      docs.select(col("lang"), explode(shingles(col("text"), 3)).as("sh")))
+
+  /** Register state from a (lang, sh) stream. The sketch is
+    * duplicate-insensitive (register max), so callers that already hold
+    * a DISTINCT shingle table feed it directly and pay md5 once per
+    * distinct shingle instead of once per occurrence. */
+  private def registersOf(sh: DataFrame): DataFrame =
+    sh
       .withColumn("h", md5Hash60(col("sh"), HllSeed))
       .withColumn("reg", col("h").bitwiseAND(lit((HllM - 1).toLong)))
       .withColumn("rem", shiftright(col("h"), HllP))
@@ -84,14 +91,20 @@ object Sketch {
   /** hll1 — per-language distinct 3-gram shingle estimate beside the
     * exact count (the validation pairing; production keeps only the
     * sketch side). Register aggregation is one narrow shuffle of at
-    * most m rows per group after map-side partial max. */
+    * most m rows per group after map-side partial max.
+    *
+    * Both sides read ONE distinct (lang, shingle) table: the sketch is
+    * duplicate-insensitive and the exact side is count-over-distinct, so
+    * the corpus is exploded once, the distinct's exchange is computed
+    * once and reused by the two downstream aggregations, and md5 runs
+    * per DISTINCT shingle, not per occurrence. */
   def hllLangDistinct(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val sketch = estimateFromRegisters(shingleRegisters(docs))
-    val exact = docs
+    val sh = docs
       .select(col("lang"), explode(shingles(col("text"), 3)).as("sh"))
-      .groupBy("lang")
-      .agg(countDistinct(col("sh")).as("n_exact"))
+      .distinct()
+    val sketch = estimateFromRegisters(registersOf(sh))
+    val exact = sh.groupBy("lang").agg(count(lit(1)).as("n_exact"))
     exact.join(sketch, "lang")
       .select("lang", "n_exact", "v_empty", "s_scaled", "est_raw")
       .orderBy("lang")
