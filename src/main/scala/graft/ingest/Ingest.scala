@@ -109,12 +109,16 @@ object Ingest {
     // subtree a second time (measured ~1.25 s of the query's 2 s at
     // sf0.1); sorting first samples only the cheap synthesis, and the
     // post-sort flatten is a narrow projection that preserves the
-    // global order. Malformed rows carry a null key = null parsed
-    // place (identical all-null outputs, so tie order is immaterial).
+    // global order. The key must be null EXACTLY when the parsed place
+    // is null — malformed rows, and rows whose JSON concat nulls out
+    // via a null event field (e.g. null event_type): keying those by
+    // event_id would sort their all-null outputs among the named
+    // places instead of with the nulls. `json.isNull` mirrors the
+    // concat's null propagation precisely.
     val raw = ev.select(
       when(col("event_id") % 97 === 0, lit("{malformed"))
         .otherwise(json).as("json"),
-      when(col("event_id") % 97 === 0, lit(null: String))
+      when(col("event_id") % 97 === 0 || json.isNull, lit(null: String))
         .otherwise(concat(lit("p-"), col("event_id").cast("string")))
         .as("__place_key"))
     flattenFeatures(raw.orderBy(col("__place_key")), "json")

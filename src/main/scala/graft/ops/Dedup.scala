@@ -225,10 +225,14 @@ object Dedup {
     * within the iteration cap. The driver-side loop is control flow
     * only — per round two keyed joins + one aggregation, all data
     * distributed (the general Spark shape for iterative graph
-    * algorithms without GraphX). Convergence detection rides the same
-    * materialization: the changed flag is a column of the checkpointed
-    * round output, read back by a scan-only aggregate — no extra join,
-    * no plan re-execution. */
+    * algorithms without GraphX). TWO jump steps run per durable
+    * materialization (checkpoint cadence is the dial, the label
+    * sequence is identical); convergence is detected by an
+    * edge-endpoint-agreement scan — join the symmetric edge table
+    * against the materialized labels on both endpoints and test for
+    * any disagreeing edge. Labels uniform per component is exactly the
+    * fixed point, and the check reads tables already materialized with
+    * NO extra write. */
   def labelPropagation(edges: DataFrame, maxIters: Int = 20,
       mode: Materialize.Mode = Materialize.Local,
       localThreshold: Long = 1000L * 1000): DataFrame = {

@@ -318,9 +318,16 @@ object Streams {
         case (shard, it, state: GroupState[Array[Long]]) =>
           // state layout: nWords bitmap words + one set-bit counter —
           // the counter makes saturation observable without a popcount
-          // rescan of the bitmap on every batch
-          val words = state.getOption
-            .getOrElse(new Array[Long](nWords + 1))
+          // rescan of the bitmap on every batch. A restored checkpoint
+          // written under a DIFFERENT addrBits (or the pre-counter
+          // layout) would silently misread a bitmap word as the counter
+          // or index past the array — fail loudly instead: bloom state
+          // is a re-derivable accelerator, so the fix (new checkpoint
+          // dir, optionally re-seeded from a batch bloom) loses no data
+          val words = state.getOption match {
+            case Some(w) => validateBloomState(w, nWords, addrBits)
+            case None    => new Array[Long](nWords + 1)
+          }
           val warnAt = bits.toLong * BloomFillWarnNum / BloomFillWarnDen
           val out = it.filter { case (_, key) =>
             val probes = (0 until Sketch.BloomK).map(j =>
@@ -346,6 +353,23 @@ object Streams {
           state.update(words)
           out.iterator
       }
+  }
+
+  /** Guard for restored bloom-dedup state: a checkpoint written under
+    * a DIFFERENT addrBits (or the pre-counter layout) has a different
+    * word count, and reading it as the current layout would silently
+    * treat a bitmap word as the set-bit counter or index past the
+    * array. Bloom state is a re-derivable accelerator, so failing
+    * loudly loses no data — the fix is a fresh checkpoint location
+    * (optionally re-seeded from a batch-side bloom). */
+  private[graft] def validateBloomState(w: Array[Long], nWords: Int,
+      addrBits: Int): Array[Long] = {
+    require(w.length == nWords + 1,
+      s"bloomDedupStream state layout mismatch: restored ${w.length} " +
+        s"longs, expected ${nWords + 1} (addrBits=$addrBits) — the " +
+        "checkpoint was written with a different addrBits or an older " +
+        "state layout; restart with a fresh checkpoint location")
+    w
   }
 
   /** Bloom saturation warning threshold: at half the bits set, the

@@ -61,4 +61,26 @@ class IngestSpec extends AnyFunSuite {
     val b = rows(1)
     assert(b.isNullAt(b.fieldIndex("place"))) // malformed → nulls, droppable
   }
+
+  test("geojsonFlattenQuery: pre-parse sort key nulls exactly when the JSON nulls — null event fields sort with the nulls") {
+    import org.apache.spark.sql.functions._
+    // the query sorts RAW rows on a precomputed place key before the
+    // parse (plan-shape optimization); a row whose JSON concat nulls
+    // out via a null event field must carry a NULL key too, or its
+    // all-null parsed output would sort among the named places
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    val ev = Seq(
+      (0L, "2024-01-01 00:00:00", 3L, "click", 1.5, "{}"),   // %97==0 → malformed
+      (5L, "2024-01-02 00:00:00", 4L, null: String, 2.0, "{}"), // null field → null JSON
+      (12L, "2024-01-03 00:00:00", 7L, "view", 3.0, "{}"),
+      (3L, "2024-01-04 00:00:00", 9L, "click", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val places = Ingest.geojsonFlattenQuery(spark, dir)
+      .select("place").collect().map(r => Option(r.getString(0)))
+    // nulls-first ascending: the malformed row AND the null-field row
+    // lead, then named places in order — key order == parsed order
+    assert(places.toSeq == Seq(None, None, Some("p-12"), Some("p-3")))
+  }
 }

@@ -230,6 +230,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size > 10, s"early keys must pass an empty bitmap (got ${got.size})")
   }
 
+  test("bloom dedup state guard: a restored state array of the wrong layout fails loudly, the right one passes through") {
+    // addrBits=6, word shift 5 → 2 bitmap words + 1 counter = 3 longs
+    val nWords = (1 << 6) >> graft.ops.Sketch.BloomWordShift
+    val ok = new Array[Long](nWords + 1)
+    assert(Streams.validateBloomState(ok, nWords, 6) eq ok)
+    // a checkpoint written under addrBits=7 (or the pre-counter layout)
+    // restores a different length — must throw, not misread the bitmap
+    for (badLen <- Seq(nWords, nWords + 2, 2 * nWords + 1)) {
+      val e = intercept[IllegalArgumentException] {
+        Streams.validateBloomState(new Array[Long](badLen), nWords, 6)
+      }
+      assert(e.getMessage.contains("state layout mismatch"))
+    }
+  }
+
   test("streaming sessionize: gap closes a session in-stream, timeout closes via watermark (w2 analogue)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
