@@ -7,9 +7,10 @@ import org.apache.spark.sql.SparkSession
   * run plus min/median/max — the n≥4 variance evidence [[Bench]]'s
   * 3-run medians can't provide when a single query's round-over-round
   * delta needs adjudicating (noise vs regression). Uses the same
-  * SPARK_GRAFT_BENCH_ACTION switch as [[Bench]] (noop default — match
-  * it to the artifact being adjudicated: r1–r5 artifacts were
-  * count-timed). Run:
+  * SPARK_GRAFT_BENCH_ACTION switch as [[Bench]], but times ONE action
+  * per run: "count" for the r1–r5 trend numbers, anything else
+  * (including [[Bench]]'s dual-sweep default "both") measures the
+  * noop headline. Run:
   *   SPARK_GRAFT_SF_DIR=... sbt 'runMain graft.BenchFocus j1_spatial_join'
   */
 object BenchFocus {
@@ -27,9 +28,8 @@ object BenchFocus {
         sys.error(s"unknown query: $name"))
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        if (action == "noop")
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        else fn(spark, sfDir).count()
+        if (action == "count") fn(spark, sfDir).count()
+        else fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val t = (System.nanoTime() - t0) / 1e9
         graft.ops.Materialize.releaseAll(spark)
         t
