@@ -491,8 +491,12 @@ object Dedup {
   def simhashPairsOf(docs: DataFrame,
       mode: Materialize.Mode = Materialize.Local,
       bandBitsOverride: Int = 0): DataFrame = {
+    // corpus count, NOT sig count: simhashSigs drops token-less docs,
+    // and the oracle derives the identical geometry from count(*) of
+    // documents. Cached per Materialize lifetime (one action, shared
+    // with the other self-sizing builders over the same corpus).
     val bandBits = if (bandBitsOverride > 0) bandBitsOverride
-      else simhashBandBitsFor(docs.count())
+      else simhashBandBitsFor(Materialize.cachedCount(docs))
     val sigs = Materialize(simhashSigs(docs), mode, "simhash_sigs")
     val bandMask = (1L << bandBits) - 1
     val bandStructs = array((0 until SimHashBands).map { b =>
@@ -567,7 +571,7 @@ object Dedup {
   def embeddingNearDup(s: SparkSession, d: String,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val ppb = embBandPlanesFor(emb.count())
+    val ppb = embBandPlanesFor(Materialize.cachedCount(emb))
     val e = Materialize(
       emb
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -44,6 +44,36 @@ object Materialize {
       df.sparkSession.read.parquet(path)
   }
 
+  /** Corpus-count cache for the self-sizing operators (LSH band/plane
+    * geometry derives from count(*) — [[graft.ops.Dedup]],
+    * [[graft.ops.Similarity]]): one count action per (session,
+    * canonical plan) per Materialize LIFETIME, instead of an action on
+    * every builder invocation. Keyed by the ANALYZED CANONICALIZED
+    * logical plan — the same structural identity Spark's own cache
+    * manager uses — so dd5/dd9/sim3/sim4 over the same corpus in one
+    * lifecycle pay the count once between them.
+    *
+    * Lifetime contract: [[releaseAll]] drops the session's entries
+    * along with its materialized blocks, so the cache never outlives
+    * the query lifecycle — a pipeline that overwrites its input
+    * between queries (MERGE targets, CDC) never reads a stale count.
+    * Cost honesty: for parquet-backed frames the miss is metadata-only
+    * (count pushes to footer statistics); a non-file-backed frame
+    * (e.g. ScaleProbe's replicated corpora) pays one real scan per
+    * lifecycle — the builders are eager at plan-construction time to
+    * that extent. */
+  private val counts = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
+
+  def cachedCount(df: DataFrame): Long = {
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    counts.getOrElseUpdate(key, df.count())
+  }
+
+  /** Entries currently cached for a session (spec observability). */
+  private[graft] def cachedCountEntries(spark: SparkSession): Int =
+    counts.keys.count(_._1 eq spark)
+
   /** Drop every cached/checkpointed block this session holds: the
     * explicit end-of-query lifecycle for [[Local]] materializations.
     *
@@ -61,5 +91,6 @@ object Materialize {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
+    counts.filterInPlace { case ((s, _), _) => s ne spark }
   }
 }

@@ -208,10 +208,14 @@ object Similarity {
     val s = emb.sparkSession
     require(probeRadius == 0 || probeRadius == 1,
       s"probeRadius must be 0 or 1, got $probeRadius")
-    // one metadata-cheap count sizes the geometry (the IVF trainer
-    // already pays the same count for its sample stride)
+    // one count action sizes the geometry, cached per Materialize
+    // lifetime ([[Materialize.cachedCount]]) and shared with the IVF
+    // trainer's sample-stride count over the same corpus. Metadata-only
+    // for parquet-backed frames; a generated frame pays one real scan
+    // per lifecycle — the builder is eager to that extent.
     val planes =
-      if (planesOverride > 0) planesOverride else planesFor(emb.count())
+      if (planesOverride > 0) planesOverride
+      else planesFor(Materialize.cachedCount(emb))
     val e = embDoubleOf(emb).withColumn("bucket", bucketCol(col("v"), planes))
     val masks =
       lit(0) +: (if (probeRadius >= 1) (0 until planes).map(p => lit(1 << p))
@@ -335,7 +339,7 @@ object Similarity {
   def trainedCentroidsSampled(qt: DataFrame, idCol: String,
       trainCap: Long,
       mode: Materialize.Mode = Materialize.Local): Seq[Centroid] = {
-    val n = qt.count()
+    val n = Materialize.cachedCount(qt)
     val stride = math.max(1L, (n + trainCap - 1) / trainCap)
     val train = Materialize(
       qt.filter(md5Hash60(col(idCol).cast("string"), IvfSampleSeed)

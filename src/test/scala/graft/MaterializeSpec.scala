@@ -78,4 +78,37 @@ class MaterializeSpec extends AnyFunSuite {
     Materialize.releaseAll(spark)
     assert(sc.getPersistentRDDs.isEmpty)
   }
+
+  test("cachedCount: one count action per canonical plan per lifecycle; releaseAll ends the lifecycle") {
+    import org.apache.spark.sql.functions.{col, udf}
+    Materialize.releaseAll(spark) // clean slate
+    // a side-effecting filter makes count actions OBSERVABLE (an
+    // accumulator survives the task-closure serialization a plain
+    // captured counter does not); the same udf instance in two
+    // separately-built frames keeps their canonicalized plans
+    // structurally equal — exactly the dd5/dd9/sim3/sim4 same-corpus
+    // sharing shape
+    val acc = spark.sparkContext.longAccumulator("cachedCountProbe")
+    val probe = udf { _: Long => acc.add(1); true }
+    def frame(n: Int) = spark.range(n).toDF("id").filter(probe(col("id")))
+    val n1 = Materialize.cachedCount(frame(50))
+    assert(n1 == 50L)
+    val afterFirst = acc.value.longValue
+    assert(afterFirst >= 50, "first cachedCount must evaluate the plan")
+    // structurally-identical fresh frame: cache hit, ZERO evaluations
+    assert(Materialize.cachedCount(frame(50)) == 50L)
+    assert(acc.value.longValue == afterFirst,
+      "a repeated cachedCount of the same canonical plan re-ran the scan")
+    // a genuinely different plan is a different key (and a real count)
+    assert(Materialize.cachedCount(frame(60)) == 60L)
+    assert(acc.value.longValue >= afterFirst + 60)
+    // releaseAll ends the lifecycle: entries drop, the next call
+    // re-counts (no stale reads after an input overwrite)
+    assert(Materialize.cachedCountEntries(spark) >= 2)
+    Materialize.releaseAll(spark)
+    assert(Materialize.cachedCountEntries(spark) == 0)
+    val beforeRecount = acc.value.longValue
+    assert(Materialize.cachedCount(frame(50)) == 50L)
+    assert(acc.value.longValue >= beforeRecount + 50, "post-release call must re-count")
+  }
 }
