@@ -128,6 +128,7 @@ object SparkEntry {
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
     "mm3_resize" -> (Multimodal.resizeQuery _),
+    "mm4_perceptual_hash" -> (Multimodal.perceptualHashQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -570,5 +571,6 @@ object SparkEntry {
     "mm1_binary_meta" -> Multimodal.binaryMetaOracle,
     "mm2_frame_sample" -> Multimodal.frameSampleOracle,
     "mm3_resize" -> Multimodal.resizeOracle,
+    "mm4_perceptual_hash" -> Multimodal.perceptualHashOracle,
   )
 }

@@ -198,6 +198,66 @@ object Multimodal {
     media.mapPartitions(_.flatMap(m => dHash(m).map(MediaDHash(m.doc_id, _))))
   }
 
+  /** mm4 fixture: a deterministic set of tiny in-memory images whose
+    * pixels are pure integer formulas of (img_id, x, y) — no RNG, no
+    * timestamps, no codec-dependent values — so the perceptual hashes
+    * computed from them are CONSTANTS any engine can hold as a golden
+    * table (a DuckDB oracle cannot decode images; it can hold the
+    * literals the decode must produce). Mixed sizes exercise the
+    * area-mean downsample (non-multiples of 8, the 9×8 dHash minimum);
+    * alternating BMP/PNG encodings exercise codec invariance (the hash
+    * is a function of pixels, not bytes). Driver-built: 8 images of
+    * ≤ a few KB — a fixture, not a data path; real corpora arrive as
+    * binary columns through [[mediaTable]]. */
+  private[graft] def fixtureImages(): Seq[(Long, Array[Byte])] = {
+    import java.awt.image.BufferedImage
+    def build(w: Int, h: Int)(rgb: (Int, Int) => Int): BufferedImage = {
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { bi.setRGB(x, y, rgb(x, y)); x += 1 }
+        y += 1
+      }
+      bi
+    }
+    def gray(v: Int): Int = { val c = v & 0xff; (c << 16) | (c << 8) | c }
+    val imgs: Seq[BufferedImage] = Seq(
+      build(16, 16)((_, _) => gray(128)),             // constant → both 0
+      build(32, 16)((x, _) => gray(x * 255 / 31)),    // →ramp → dhash all-1
+      build(16, 32)((_, y) => gray(y * 255 / 31)),    // ↓ramp → dhash 0
+      build(24, 24)((x, y) => gray(((x / 3 + y / 3) % 2) * 255)), // checker
+      build(20, 12)((x, _) => gray(if (x < 10) 0 else 255)),      // halves
+      build(9, 8)((x, y) => gray((x * 37 + y * 91) % 256)),       // min size
+      build(40, 28)((x, y) => ((x * 73 + y * 151) * 179 % 256 << 16) |
+        ((x * 31 + y * 17) * 113 % 256 << 8) | ((x + y * 7) * 59 % 256)),
+      build(33, 17)((x, y) => gray((x + y) * 255 / 48)))          // diagonal
+    imgs.zipWithIndex.map { case (bi, i) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val fmt = if (i % 2 == 0) "bmp" else "png"
+      require(javax.imageio.ImageIO.write(bi, fmt, bos), s"no $fmt codec")
+      (i.toLong, bos.toByteArray)
+    }
+  }
+
+  /** mm4 — aHash + dHash over the deterministic fixture, the
+    * oracle-checked face of the perceptual-hash stage ([[aHashAll]] /
+    * [[dHashAll]] are the corpus-scale path: narrow mapPartitions
+    * decode, no shuffle). The DuckDB oracle is the golden-literal
+    * table of the same hashes; the constant/ramp rows are
+    * hand-derivable (all-equal cells → ahash 0; strictly rising
+    * left-to-right means → dhash all 64 bits; vertical ramp → dhash
+    * 0), anchoring the goldens to the definitions rather than to a
+    * recorded run. */
+  def perceptualHashQuery(s: SparkSession, d: String): DataFrame = {
+    val media = s.createDataset(fixtureImages().map {
+      case (id, b) => Media(id, b, b.length) })(
+      org.apache.spark.sql.Encoders.product[Media]).repartition(2)
+    val a = aHashAll(media).toDF("img_id", "ahash")
+    val dh = dHashAll(media).toDF("img_id", "dhash")
+    a.join(dh, "img_id").orderBy("img_id")
+  }
+
   /** Decode stage: per-partition batch map over the typed Dataset. */
   def decodeAll(media: Dataset[Media],
       decoder: Media => MediaFeatures = decodeAuto): Dataset[MediaFeatures] = {
@@ -307,4 +367,28 @@ object Multimodal {
       |  sha256(text) AS payload_sha,
       |  sha256(substr(text, 1, 64)) AS frame0_sha
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Golden-literal oracle for [[perceptualHashQuery]]: DuckDB cannot
+    * decode images, so the oracle holds the hashes the decode MUST
+    * produce from the formula-defined fixture pixels. The anchor rows
+    * are hand-derivable from the hash definitions, not recorded:
+    * img 0 constant → (0, 0); img 1 horizontal ramp → ahash right
+    * half set per row (0xF0F0F0F0F0F0F0F0) and dhash all 64 bits
+    * (-1); img 2 vertical ramp → ahash bottom 32 bits' rows
+    * (0xFFFFFFFF00000000 = -4294967296) and dhash 0; img 7 diagonal →
+    * dhash -1. The remaining rows pin the area-mean downsample over
+    * non-multiple-of-8 and minimum (9×8) dimensions. */
+  val perceptualHashOracle: String =
+    """SELECT CAST(img_id AS BIGINT) AS img_id,
+      |  CAST(ahash AS BIGINT) AS ahash, CAST(dhash AS BIGINT) AS dhash
+      |FROM (VALUES
+      |  (0, 0, 0),
+      |  (1, -1085102592571150096, -1),
+      |  (2, -4294967296, 0),
+      |  (3, 6172840429334713770, 5383291072094227125),
+      |  (4, -1085102592571150096, 1736164148113840152),
+      |  (5, -4099135997669700040, -585470186015035457),
+      |  (6, 2978417142350280378, 3051885091855094669),
+      |  (7, -218150868210360128, -1)) t(img_id, ahash, dhash)
+      |ORDER BY img_id""".stripMargin
 }

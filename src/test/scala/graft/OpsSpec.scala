@@ -419,6 +419,28 @@ class OpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture should contain qualifying pairs")
   }
 
+  test("mm4 perceptual-hash fixture: hand-derivable anchors hold and images discriminate") {
+    val got = Multimodal.perceptualHashQuery(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 8)
+    // anchors derived from the hash DEFINITIONS, not a recorded run:
+    assert(got(0) == ((0L, 0L, 0L)), "constant image must hash to 0/0")
+    assert(got(1) == ((1L, 0xF0F0F0F0F0F0F0F0L, -1L)),
+      "horizontal ramp: right-half cells above mean; every gradient rises")
+    assert(got(2) == ((2L, 0xFFFFFFFF00000000L, 0L)),
+      "vertical ramp: bottom-half rows above mean; no horizontal gradient")
+    assert(got(7)._3 == -1L, "diagonal: every gradient rises")
+    // discrimination: each family collides where its definition says it
+    // must — ahash can't tell the ramp from the step (identical
+    // cell-vs-global-mean signs: img 1 ≡ 4), dhash can't tell the two
+    // all-rising images apart (img 1 ≡ 7 → -1) nor the two with no
+    // horizontal gradient (img 0 ≡ 2 → 0) — but the PAIR separates all
+    // 8, which is why the dedup key is (ahash, dhash) jointly
+    assert(got.map(_._2).distinct.length == 7)
+    assert(got.map(_._3).distinct.length == 6)
+    assert(got.map(t => (t._2, t._3)).distinct.length == 8)
+  }
+
   test("dHash: gradient hash — codec-invariant, brightness-shift-invariant, direction-sensitive") {
     import java.awt.image.BufferedImage
     def enc(bi: BufferedImage, format: String): Array[Byte] = {
