@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * scaladocs make. Run:
   *   SPARK_GRAFT_SF_DIR=... sbt 'runMain graft.ScaleProbe 1 4 10'
   *
-  * The embeddings corpus replicates by CIRCULAR-SHIFTING each copy's
-  * vector by its copy index (norms and pairwise geometry within a copy
-  * preserved; the fixed LSH hyperplanes are not shift-invariant, so
-  * copies spread across buckets instead of stacking in them). Note the
-  * expected shapes differ by design:
+  * The embeddings corpus replicates by a per-copy deterministic ±1
+  * SIGN-FLIP diagonal (see [[replicatedEmb]]: within-copy geometry
+  * exactly preserved, cross-copy cosines decorrelated toward 0, so
+  * the true pair structure is linear in N by construction; the fixed
+  * LSH hyperplanes see per-copy bucket patterns, so copies spread
+  * across buckets instead of stacking in them). Note the expected
+  * shapes differ by design:
   *   - dd9 (SimHash bands): 2^15 values per band — buckets stay tiny,
   *     expect ~linear.
   *   - sim3 (IVF): sample-capped training + linear assignment + probe
@@ -127,6 +129,45 @@ object ScaleProbe {
         graft.ops.Similarity.knnGraphOf(emb2).count()
       }
       graft.ops.Materialize.releaseAll(spark)
+      // dd5: banded sign-LSH near-dup pairs; the derived geometry
+      // (bands × per-band planes) self-sizes from the corpus count —
+      // logged per scale so the curve carries its own explanation
+      // (per-band buckets grow as 2^planes ∝ n, holding Σ bucket²
+      // candidate volume ~linear)
+      val emb3 = replicatedEmb(spark, sfDir, n).localCheckpoint(true)
+      val dd5Planes = graft.ops.Dedup.embBandPlanesFor(emb3.count())
+      val (tNd, ndPairs) = time {
+        graft.ops.Dedup.embeddingNearDupOf(emb3).count()
+      }
+      graft.ops.Materialize.releaseAll(spark)
+      // j4: anti-join MERGE on replicated orders — both sides of the
+      // upsert grow linearly; the join is keyed (no broadcast of the
+      // growing side at scale is the claim under test)
+      val ord = replicatedOrders(spark, sfDir, n).localCheckpoint(true)
+      val (tMerge, mergedRows) = time {
+        graft.merge.Upsert.mergeOrdersOf(ord).count()
+      }
+      graft.ops.Materialize.releaseAll(spark)
+      // j6b: bucketed as-of with the key domain held at 150 (the
+      // driver query's shape), so per-(key, bucket) groups grow
+      // linearly in n — the hot-key direction the bucketed two-phase
+      // carry exists to bound; the aggregate consumes the carried
+      // payload so column pruning can't drop phase 2
+      val ev6 = replicatedEvents(spark, sfDir, n).localCheckpoint(true)
+      val ord6 = replicatedOrders(spark, sfDir, n).localCheckpoint(true)
+      val (tAsof, asofRows) = time {
+        val ev = ev6.select((col("user_id") % 150).as("k"),
+          date_trunc("second", col("ts")).as("t"), col("event_id"))
+        val o = ord6
+          .select((col("o_custkey") % 150).as("k"),
+            col("o_orderdate").as("t"), col("o_orderkey"))
+          .groupBy("k", "t").agg(max("o_orderkey").as("o_orderkey"))
+        graft.ops.AsOf.asofLeftBucketed(ev, o, "o_orderkey")(
+            t => floor(unix_timestamp(t) / 86400L).cast("long"))
+          .agg(count(lit(1)).as("n"), sum(col("asof_o_orderkey")).as("s"))
+          .collect()(0).getLong(0)
+      }
+      graft.ops.Materialize.releaseAll(spark)
       println(f"""{"factor":$n,"docs":$nDocs,"lsh_sec":$tLsh%.2f,"pairs":$pairs,""" +
         f""""cluster_sec":$tCluster%.2f,"labeled":$clusters,""" +
         f""""pack_sec":$tPack%.2f,"packed":$packed,""" +
@@ -135,27 +176,81 @@ object ScaleProbe {
         f""""bloom_sec":$tBloom%.2f,"bloom_rows":$bloomRows,""" +
         f""""jaccard_sec":$tJac%.2f,"jac_pairs":$jacPairs,""" +
         f""""vecs":$nVecs,"ivf_sec":$tIvf%.2f,"ivf_rows":$ivfRows,""" +
-        f""""knn_sec":$tKnn%.2f,"knn_edges":$knnEdges}""")
+        f""""knn_sec":$tKnn%.2f,"knn_edges":$knnEdges,""" +
+        f""""neardup_sec":$tNd%.2f,"nd_pairs":$ndPairs,""" +
+        f""""dd5_bands":${graft.ops.Dedup.EmbBands},"dd5_planes":$dd5Planes,""" +
+        f""""merge_sec":$tMerge%.2f,"merged":$mergedRows,""" +
+        f""""asof_sec":$tAsof%.2f,"asof_rows":$asofRows}""")
     }
     spark.stop()
   }
 
-  /** Embeddings replicated N× with the copy's vectors circular-shifted
-    * by the copy index — norms and within-copy geometry preserved,
-    * copies spread across LSH buckets (see class doc). vec_id 0 (the
-    * ANN query vector) stays unique to copy 0. */
+  /** Events replicated N× (fresh event_ids; user_id kept, so the
+    * as-of key domain stays fixed and per-key density grows with N —
+    * the hot-key direction). */
+  def replicatedEvents(s: SparkSession, d: String, n: Int): DataFrame = {
+    val base = Tables.events(s, d)
+    (0 until n).map { i =>
+      base.withColumn("event_id",
+        col("event_id") + lit(i.toLong * 10_000_000L))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Orders replicated N× (fresh orderkeys; dates/prices/custkeys
+    * kept, so the merge filters and the as-of build side scale
+    * linearly on the same domains). */
+  def replicatedOrders(s: SparkSession, d: String, n: Int): DataFrame = {
+    val base = Tables.orders(s, d)
+    (0 until n).map { i =>
+      base.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i.toLong * 10_000_000L))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Embeddings replicated N× with each copy's vectors multiplied by a
+    * copy-indexed DETERMINISTIC ±1 sign diagonal. Within a copy every
+    * dot product is exactly preserved (the signs square to 1), so each
+    * copy carries the base corpus's true near-dup structure; ACROSS
+    * copies the independent sign patterns decorrelate cosines toward 0
+    * (a ±1-weighted sum of the coordinate products), so cross-copy
+    * pairs at any material threshold vanish and the TRUE pair
+    * structure is linear in N by construction — the property the
+    * earlier circular-shift replication only approximated (shifts
+    * leave enough cross-copy correlation at cosine ≥ 0.4 to make the
+    * pair count superlinear, measuring the data instead of the
+    * engine). Copy 0 is the identity, so the base corpus rides
+    * unchanged; vec_id 0 (the ANN query vector) stays unique to
+    * copy 0. Sign patterns also vary the fixed LSH hyperplane buckets
+    * per copy (h·(Dv) = (Dh)·v), so copies spread instead of
+    * stacking. */
   def replicatedEmb(s: SparkSession, d: String, n: Int): DataFrame = {
     val base = Tables.embeddings(s, d)
     val dim = graft.ops.Similarity.Dim
     (0 until n).map { i =>
-      val k = i % dim
-      val shifted =
-        if (k == 0) col("embedding")
-        else concat(slice(col("embedding"), k + 1, dim - k),
-          slice(col("embedding"), 1, k))
+      val flipped =
+        if (i == 0) col("embedding")
+        else {
+          val signs = (0 until dim).map { j =>
+            // full avalanche mix (splitmix64 finalizer), NOT a linear
+            // walk: a linear (i·a + j·b) pattern makes the RELATIVE
+            // sign vector between two copies a threshold function of
+            // one offset — copies whose offsets land near 0 (mod 2^k)
+            // are near-clones, and the cross-copy pair count explodes
+            // superlinearly (observed 611× at 40× with bit-7 of a
+            // 55-per-step walk). After mixing, relative patterns are
+            // balanced for every copy pair.
+            var h = i.toLong * 0x9E3779B97F4A7C15L +
+              j.toLong * 0xC2B2AE3D27D4EB4FL
+            h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+            if ((h & 1L) == 0L) 1.0f else -1.0f
+          }
+          zip_with(col("embedding"),
+            array(signs.map(lit): _*),
+            (x, sgn) => x * sgn)
+        }
       base.select(
         (col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
-        col("label"), shifted.as("embedding"))
+        col("label"), flipped.as("embedding"))
     }.reduce(_ unionByName _)
   }
 }

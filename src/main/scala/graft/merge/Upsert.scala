@@ -155,8 +155,11 @@ object Upsert {
   /** Oracle-checkable merge scenario on orders: target = pre-2000 orders,
     * incoming = high-value orders (overlapping both eras); result tagged
     * by provenance. Replay-idempotence is asserted in the spec. */
-  def mergeOrders(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
+  def mergeOrders(s: SparkSession, d: String): DataFrame =
+    mergeOrdersOf(Tables.orders(s, d))
+
+  /** DataFrame-first variant (ScaleProbe feeds replicated corpora). */
+  def mergeOrdersOf(o: DataFrame): DataFrame = {
     val target = o
       .filter(col("o_orderdate") < to_timestamp(lit("2000-01-01 00:00:00")))
       .select(col("o_orderkey"), lit("existing").as("src"))

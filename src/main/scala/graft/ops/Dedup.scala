@@ -569,8 +569,12 @@ object Dedup {
     * dot products fold left-to-right over double-cast vectors, matching
     * DuckDB's list_dot_product evaluation. */
   def embeddingNearDup(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame =
+    embeddingNearDupOf(Tables.embeddings(s, d), mode)
+
+  /** DataFrame-first variant (ScaleProbe feeds replicated corpora). */
+  def embeddingNearDupOf(emb: DataFrame,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
-    val emb = Tables.embeddings(s, d)
     val ppb = embBandPlanesFor(Materialize.cachedCount(emb))
     val e = Materialize(
       emb
