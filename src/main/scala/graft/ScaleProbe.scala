@@ -20,7 +20,14 @@ import org.apache.spark.sql.functions._
   * across buckets instead of stacking in them). Note the expected
   * shapes differ by design:
   *   - dd9 (SimHash bands): 2^15 values per band — buckets stay tiny,
-  *     expect ~linear.
+  *     expect ~linear TIME. The verified PAIR count is superlinear in
+  *     this corpus and that is a data property, not candidate blowup:
+  *     classifying the factor-10 pairs by copy shows ZERO cross-copy
+  *     pairs (salted token hashes make cross-copy signatures
+  *     independent; P(Hamming ≤ 3) ≈ 2^-45) — but the templated text
+  *     piles pair Hamming distances right at the radius, so each
+  *     copy's salt re-rolls the boundary mass (measured 185k–922k
+  *     pairs per copy at sf0.1, a 5× per-salt spread).
   *   - sim3 (IVF): sample-capped training + linear assignment + probe
   *     of nprobe/ncells of the corpus — expect ~linear.
   *   - sim4 (kNN graph): the plane count SELF-SIZES as
