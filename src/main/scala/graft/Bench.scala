@@ -86,6 +86,20 @@ object Bench {
   def envelopeFor(cpus: Int): Double =
     CalibEnvelopeSec * math.max(1.0, 32.0 / math.max(1, cpus))
 
+  /** Pure suspect attribution (spec-tested): query qi sits between the
+    * last checkpoint at index <= qi and the first at index > qi; its
+    * median is suspect when EITHER bounding calibration reading
+    * exceeds the envelope — external load near the window means the
+    * reading is not idle. Missing bounds (no checkpoint on a side)
+    * simply don't vote. */
+  def suspectNames(names: Seq[String],
+      series: Seq[(Int, Double)], envelope: Double): Seq[String] =
+    names.zipWithIndex.collect { case (name, qi)
+        if series.filter(_._1 <= qi).lastOption.exists(_._2 > envelope) ||
+          series.find(_._1 > qi).exists(_._2 > envelope) =>
+      name
+    }
+
   private def loadAvg(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split("\\s+")(0).toDouble
@@ -194,22 +208,12 @@ object Bench {
         "artifact was recorded on a loaded machine; do not read its " +
         "totals as a code regression")
 
-    // SUSPECT attribution: query qi sits between the last checkpoint
-    // at index <= qi and the first at index > qi; if either bounding
-    // calibration median exceeds the envelope, external load was
-    // present in the query's window and its median is not an idle
-    // reading. (The pre-sweep endpoint is structurally JIT-inflated —
-    // measured 0.33 pre vs 0.15 post on an idle box — which the 2×
-    // headroom absorbs.)
-    def suspectIdx(qi: Int): Boolean = {
-      val before = calibSeries.filter(_._1 <= qi).map(_._2)
-      val after = calibSeries.filter(_._1 > qi).map(_._2)
-      (before.nonEmpty && before.last > envelope) ||
-        (after.nonEmpty && after.head > envelope)
-    }
-    val nameIdx = sorted.map(_._1).zipWithIndex.toMap
-    val suspects = timings.collect {
-      case t if suspectIdx(nameIdx(t._1)) => t._1 }
+    // SUSPECT attribution via the pure [[suspectNames]] (the pre-sweep
+    // endpoint is structurally JIT-inflated — measured 0.33 pre vs
+    // 0.15 post on an idle box — which the 2× headroom absorbs)
+    val suspectSet = suspectNames(sorted.map(_._1),
+      calibSeries.toSeq.map(c => (c._1, c._2)), envelope).toSet
+    val suspects = timings.map(_._1).filter(suspectSet)
     if (suspects.nonEmpty)
       System.err.println(s"[bench] ${suspects.size} query medians recorded " +
         s"outside the idle envelope: ${suspects.mkString(", ")}")
