@@ -40,12 +40,16 @@ import org.apache.spark.sql.SparkSession
   * j1's compiled region scalar) and EliminateSorts drops final ORDER
   * BYs, so a count-timed plan is not the plan a consumer pays for.
   * The noop sink forces every output column and the full sort, with
-  * zero sink cost. The count action is ALSO timed (fewer runs) in the
-  * same invocation so one artifact carries both: `value`/`queries` =
-  * noop (headline, comparable to r6), `count_total`/detail
-  * `queries_count_p50` = count (trend, comparable to r1–r5). The
-  * count runs double as extra cache/JIT warmup for the noop runs that
-  * follow them per query.
+  * zero sink cost. The count action is ALSO timed (fewer runs, after
+  * the noop sweep so queries_cold keeps its first-ever-run meaning)
+  * in the same invocation so one artifact carries both:
+  * `value`/`queries` = noop (headline, comparable to r6),
+  * `count_total`/detail `queries_count_p50` = count (trend,
+  * comparable to r1–r5; warm-dominated medians, as before). A query
+  * that fails under EITHER action is excluded from BOTH actions'
+  * totals (and named in `errors`, rc=1): totals always cover the
+  * same query set under both actions, so a cross-action comparison
+  * never mixes query sets.
   *
   * Isolation: every cached/checkpointed block is released between runs
   * ([[graft.ops.Materialize.releaseAll]]) — the LSH-family queries
@@ -175,14 +179,18 @@ object Bench {
         }
         ts.toSeq
       }
-      // count first: its runs double as warmup for the noop headline
-      val countTs = if (doCount) sweep(CountRuns, () => {
-        fn(spark, sfDir).count(); () }) else Seq.empty
+      // noop FIRST: queries_cold keeps its r1–r6 meaning (first-ever
+      // run of the query this JVM) and the headline medians see the
+      // same warmup state as r6's noop-only sweeps. The count sweep
+      // runs warmed — count medians were warm-dominated under the old
+      // 5-run count-only sweeps too, so the trend stays comparable.
       // noop write: forces EVERY output column and the final sort
       // (see class doc) — the timed plan is the consumer's plan
-      val noopTs = if (doNoop && err.isEmpty) sweep(Runs, () =>
+      val noopTs = if (doNoop) sweep(Runs, () =>
         fn(spark, sfDir).write.mode("overwrite").format("noop").save())
       else Seq.empty
+      val countTs = if (doCount && err.isEmpty) sweep(CountRuns, () => {
+        fn(spark, sfDir).count(); () }) else Seq.empty
       if ((qi + 1) % CalibEvery == 0 && qi + 1 < sorted.size)
         checkpoint(qi + 1)
       err match {
@@ -198,6 +206,9 @@ object Bench {
           Some((name, cp50, cold, p50, mx, qLoad))
       }
     }
+    // the run count the p50/cold/max statistics actually came from:
+    // the noop sweep's Runs normally, CountRuns under action=count
+    val headlineRuns = if (doNoop) Runs else CountRuns
     val calibPost = calibrate(Runs)
     checkpoint(sorted.size)
     val loadEnd = loadAvg()
@@ -258,7 +269,7 @@ object Bench {
          |"queries_count_p50":${obj(_._2.getOrElse(-1.0), 3)},""".stripMargin)
       .getOrElse("")
     val detailJson =
-      s"""{"runs":$Runs,"sf":"$sfName","action":"$action",$calibJson,
+      s"""{"runs":$headlineRuns,"sf":"$sfName","action":"$action",$calibJson,
          |"errors":$errJson,
          |$countDetail"cold_total":${fmt(coldTotal, 3)},"p50_total":${fmt(p50Total, 3)},"max_total":${fmt(maxTotal, 3)},
          |"queries_cold":${obj(_._3, 3)},
@@ -271,7 +282,7 @@ object Bench {
 
     // full-precision p50 detail ALWAYS rides an earlier stdout line too
     // (belt and braces with the detail file)
-    println(s"""{"detail":"p50","runs":$Runs,"total":${fmt(p50Total, 3)},"queries":${obj(_._4, 3)}}""")
+    println(s"""{"detail":"p50","runs":$headlineRuns,"total":${fmt(p50Total, 3)},"queries":${obj(_._4, 3)}}""")
     // errors ride the final line only when present — the empty list is
     // implied by rc=0 and costs budget the growing query map needs
     val errField = if (errors.isEmpty) "" else s""""errors":$errJson,"""

@@ -140,7 +140,10 @@ object ScaleProbe {
       // (bands × per-band planes) self-sizes from the corpus count —
       // logged per scale so the curve carries its own explanation
       // (per-band buckets grow as 2^planes ∝ n, holding Σ bucket²
-      // candidate volume ~linear)
+      // candidate volume ~linear). Both this count and the builder's
+      // internal one scan the LOCALCHECKPOINTED blocks (emb3), not
+      // the replication transform — cheap, and deliberately uncached
+      // (Materialize.cachedCount skips LogicalRDD-rooted plans)
       val emb3 = replicatedEmb(spark, sfDir, n).localCheckpoint(true)
       val dd5Planes = graft.ops.Dedup.embBandPlanesFor(emb3.count())
       val (tNd, ndPairs) = time {

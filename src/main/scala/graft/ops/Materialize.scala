@@ -41,6 +41,14 @@ object Materialize {
     case Storage(dir) =>
       val path = s"$dir/$name"
       df.write.mode("overwrite").parquet(path)
+      // the overwrite may have replaced a table an earlier cachedCount
+      // read (two Storage-mode pipelines over one dir in a lifecycle):
+      // a count keyed on a path-scan plan would silently describe the
+      // OLD contents. Invalidate the session's entries at the one
+      // point contents can change — conservative (drops unrelated
+      // entries too) but correct; misses re-count from parquet footer
+      // statistics.
+      counts.filterInPlace { case ((s, _), _) => s ne df.sparkSession }
       df.sparkSession.read.parquet(path)
   }
 
@@ -66,8 +74,16 @@ object Materialize {
     .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
 
   def cachedCount(df: DataFrame): Long = {
-    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
-    counts.getOrElseUpdate(key, df.count())
+    val plan = df.queryExecution.analyzed
+    // don't cache plans rooted in an already-materialized RDD scan
+    // (localCheckpoint reads): each checkpoint is a FRESH LogicalRDD,
+    // so its entry could never hit again — it would only pin the
+    // checkpointed RDD in this map until releaseAll, defeating
+    // unreachability-based cleanup — and counting a materialized
+    // block scan is cheap anyway
+    if (plan.exists(_.getClass.getSimpleName == "LogicalRDD")) df.count()
+    else counts.getOrElseUpdate((df.sparkSession, plan.canonicalized),
+      df.count())
   }
 
   /** Entries currently cached for a session (spec observability). */

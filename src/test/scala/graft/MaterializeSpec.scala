@@ -111,4 +111,22 @@ class MaterializeSpec extends AnyFunSuite {
     assert(Materialize.cachedCount(frame(50)) == 50L)
     assert(acc.value.longValue >= beforeRecount + 50, "post-release call must re-count")
   }
+
+  test("cachedCount: Storage writes invalidate the session's counts; checkpointed plans are never cached") {
+    Materialize.releaseAll(spark)
+    assert(Materialize.cachedCount(spark.range(40).toDF("id")) == 40L)
+    assert(Materialize.cachedCountEntries(spark) == 1)
+    // a localCheckpoint scan is a fresh LogicalRDD every time — an
+    // entry could never hit again and would only pin the RDD, so it
+    // must not be cached
+    val ck = spark.range(10).toDF("id").localCheckpoint(true)
+    assert(Materialize.cachedCount(ck) == 10L)
+    assert(Materialize.cachedCountEntries(spark) == 1)
+    // a Storage-mode materialization is the one point table contents
+    // can change under a cached plan (overwrite of a shared dir) — it
+    // must clear the session's entries so no stale count survives
+    val dir = Files.createTempDirectory("graft_mat").toString
+    Materialize(spark.range(5).toDF("id"), Materialize.Storage(dir), "t")
+    assert(Materialize.cachedCountEntries(spark) == 0)
+  }
 }
