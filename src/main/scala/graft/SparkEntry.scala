@@ -104,6 +104,7 @@ object SparkEntry {
     "dd7_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dd8_semantic_clusters" -> (Dedup.semanticClusters _),
     "dd9_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dd10_duplicate_spans" -> (Dedup.duplicateSpans _),
     "sim1_brute_topk" -> (Similarity.bruteTopK _),
     "sim2_lsh_topk" -> (Similarity.lshTopK _),
     "sim3_ivf_topk" -> ((s, d) =>
@@ -543,6 +544,7 @@ object SparkEntry {
     "dd7_dedup_clusters" -> Dedup.dedupClustersOracle,
     "dd8_semantic_clusters" -> Dedup.semanticClustersOracle,
     "dd9_simhash_pairs" -> Dedup.simhashPairsOracle,
+    "dd10_duplicate_spans" -> Dedup.duplicateSpansOracle,
     "sim1_brute_topk" -> Similarity.bruteTopKOracle,
     "sim2_lsh_topk" -> Similarity.lshTopKOracle,
     "sim3_ivf_topk" -> Similarity.ivfOracle(Similarity.IvfTrainCap),

@@ -77,3 +77,60 @@ object WordNGrams {
   def ngrams(text: Column, n: Int): Column =
     Bridge.column(WordNGrams(Bridge.expression(text), n))
 }
+
+/** POSITIONED word n-grams: every n-gram of the text in token order,
+  * duplicates kept, so `posexplode` recovers the 0-based anchor
+  * position of each gram. The positioned variant of [[WordNGrams]]
+  * (same tokenization, same imperative single-pass cost rationale) —
+  * what span-level dedup needs, where WHERE a gram sits is the data,
+  * not just whether it occurs.
+  *
+  * Oracle fragment: `array_to_string(ws[pos:pos+n-1], ' ')` over
+  * `unnest(generate_series(1, len(ws)-n+1))` — 1-based there, so the
+  * Spark consumer adds 1 to the posexplode index. Empty for texts
+  * shorter than n words, including the single-empty-token split of a
+  * blank text.
+  */
+case class AllWordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text.charAt(lo) == ' ') lo += 1
+    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+    val trimmed = text.substring(lo, hi)
+    val words = trimmed.split("\\s+", -1)
+    if (words.length < n || (words.length == 1 && words(0).isEmpty)) {
+      new GenericArrayData(Array.empty[Any])
+    } else {
+      val out = new Array[Any](words.length - n + 1)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(words(i + k))
+          k += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AllWordNGrams =
+    copy(child = newChild)
+}
+
+object AllWordNGrams {
+  def ngrams(text: Column, n: Int): Column =
+    Bridge.column(AllWordNGrams(Bridge.expression(text), n))
+}

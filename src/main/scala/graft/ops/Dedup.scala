@@ -215,6 +215,109 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Anchor width for [[duplicateSpans]], in tokens: every duplicated
+    * span is detected through its length-[[SpanAnchorTokens]] token
+    * windows, so spans shorter than this are invisible by design. */
+  val SpanAnchorTokens = 5
+
+  /** Minimum reported span length in tokens. With 5-token anchors a
+    * 10-token span needs 6 consecutive anchor hits — long enough that
+    * coincidental word-salad collisions don't clear the bar. */
+  val MinSpanTokens = 10
+
+  /** Seed namespace for the span-anchor hash, distinct from the
+    * jaccard (0) and simhash (99) hash families. */
+  val SpanSeed = 17
+
+  /** dd10 — EXACT duplicated-span detection (the "dedup at the span
+    * level, not the document level" stage of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed as joins instead of a suffix array): for every
+    * unordered doc pair, every maximal run of ≥ [[MinSpanTokens]]
+    * consecutive identical tokens, with its 1-based start position in
+    * both docs. Document-level dedup (dd1–dd9) misses these — two
+    * documents can share a 90-token boilerplate block at 0.05 Jaccard.
+    *
+    * Shape: positioned 5-token anchor grams ([[AllWordNGrams]], one
+    * imperative pass per doc); candidates = equi self-join on the
+    * 60-bit anchor hash (inverted index — Σ df² candidate rows like
+    * dd4, never all-pairs); a shared span appears as consecutive
+    * anchor hits on one DIAGONAL (pa − pb constant), so runs are
+    * recovered with the classic gaps-and-islands trick — pa −
+    * row_number() per (pair, diagonal) is constant exactly on a
+    * consecutive run — and each island aggregates to one span row.
+    * A length-T shared span yields T−4 anchor hits and exactly one
+    * island; internal text repetition yields extra diagonals, each a
+    * genuine repeated alignment.
+    *
+    * Scale posture: anchor stream is linear in corpus tokens; the
+    * candidate join is keyed on the anchor hash (df² on boilerplate
+    * anchors — the dd4 skew note applies verbatim); the island window
+    * partitions by (doc_a, doc_b, diag) — millions of small groups,
+    * no global sort. At 100 TB you'd pre-filter anchors by df cap to
+    * drop the df² head; here df stays small and the exact form is the
+    * oracle-checked contract. Positions are data, so ordinary
+    * DISTINCT-based dedup cannot replace the island aggregation. */
+  def duplicateSpans(s: SparkSession, d: String): DataFrame =
+    duplicateSpansOf(Tables.documents(s, d))
+
+  def duplicateSpansOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = spread(docs)
+      .select(col("doc_id"),
+        posexplode(graft.expressions.AllWordNGrams.ngrams(
+          col("text"), SpanAnchorTokens)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        md5Hash60(col("gram"), SpanSeed).as("h"))
+    val cands = anchors.toDF("doc_a", "pa", "h")
+      .join(anchors.toDF("doc_b", "pb", "h"), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val islands = cands.withColumn("isl",
+      col("pa") - row_number().over(
+        Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")))
+    islands.groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(count(lit(1)).as("n_anchors"),
+        min("pa").as("start_a"), min("pb").as("start_b"))
+      .withColumn("span_tokens",
+        col("n_anchors") + lit(SpanAnchorTokens - 1L))
+      .filter(col("span_tokens") >= MinSpanTokens)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_tokens"))
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
+  /** DuckDB replay of dd10 on raw gram strings (the 60-bit anchor
+    * hash stands in for the gram on the Spark side — same
+    * hash-is-identity convention dd4 uses): positioned grams via
+    * list slicing, the same diagonal islands, the same integer
+    * thresholds. */
+  val duplicateSpansOracle: String = {
+    val k = SpanAnchorTokens
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, pos, array_to_string(ws[pos:pos+${k - 1}], ' ') AS gram
+       |  FROM w, unnest(generate_series(1, len(ws)-${k - 1})) AS t(pos)
+       |  WHERE len(ws) >= $k AND NOT (len(ws) = 1 AND ws[1] = '')),
+       |m AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |r AS (
+       |  SELECT da, db, pa - pb AS diag, pa, pb,
+       |         pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS isl
+       |  FROM m),
+       |sp AS (
+       |  SELECT da AS doc_a, db AS doc_b, min(pa) AS start_a, min(pb) AS start_b,
+       |         count(*) + ${k - 1} AS span_tokens
+       |  FROM r GROUP BY da, db, diag, isl)
+       |SELECT doc_a, doc_b, start_a, start_b,
+       |       CAST(span_tokens AS BIGINT) AS span_tokens
+       |FROM sp WHERE span_tokens >= $MinSpanTokens
+       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+  }
+
   /** Connected-component clustering of near-dup pairs: transitive
     * closure turns pairwise matches into dedup clusters (a≈b, b≈c ⇒
     * {a,b,c} share one canonical id). Min-label propagation WITH

@@ -26,6 +26,59 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4) == Seq("padded text here"))
   }
 
+  test("AllWordNGrams: positioned grams keep duplicates in token order; short/blank text empty") {
+    val got = Seq(
+      "a b c d",       // 2 positioned bigram... with n=3: "a b c","b c d"
+      "x y x y x",     // duplicates KEPT: "x y x","y x y","x y x"
+      "just two",      // shorter than n → empty
+      "",              // blank → empty
+      "   ")
+      .toDF("t")
+      .select(graft.expressions.AllWordNGrams.ngrams(col("t"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("x y x", "y x y", "x y x"))
+    assert(got(2) == Seq.empty)
+    assert(got(3) == Seq.empty)
+    assert(got(4) == Seq.empty)
+  }
+
+  test("dd10 duplicated spans: exact extents on a planted fixture") {
+    // doc 1 carries a 12-token block; doc 2 repeats it at offset 3;
+    // doc 3 shares only a 6-token block with doc 1 (below the 10 floor);
+    // doc 4 shares TWO disjoint 10-token blocks with doc 2.
+    val block = (1 to 12).map(i => s"b$i").mkString(" ")
+    val six = (1 to 6).map(i => s"s$i").mkString(" ")
+    val t1 = s"$block tail1 $six"
+    val t2 = s"pre1 pre2 pre3 $block after"
+    val t3 = s"$six u1 u2 u3 u4 u5 u6 u7 u8"
+    val ten1 = (1 to 10).map(i => s"p$i").mkString(" ")
+    val ten2 = (1 to 10).map(i => s"q$i").mkString(" ")
+    val t4 = s"$ten1 gap $ten2"
+    // place the two ten-blocks inside doc 2's text? separate doc pair:
+    val t5 = s"z1 $ten1 z2 z3 $ten2"
+    val docs = Seq((1L, t1), (2L, t2), (3L, t3), (4L, t4), (5L, t5))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpansOf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // doc1×doc2: the 12-block, at 1 in doc1 and 4 in doc2
+    assert(got.contains((1L, 2L, 1L, 4L, 12L)))
+    // doc1×doc3 six-token share is below MinSpanTokens → absent
+    assert(!got.exists(r => r._1 == 1L && r._2 == 3L))
+    // doc4×doc5: two DISJOINT spans → two rows with exact extents
+    assert(got.contains((4L, 5L, 1L, 2L, 10L)))
+    assert(got.contains((4L, 5L, 12L, 14L, 10L)))
+    assert(got.count(r => r._1 == 4L && r._2 == 5L) == 2)
+  }
+
+  test("dd10 island merge: overlapping anchors of one long span yield ONE row, not per-anchor rows") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, s"$long x"), (2L, s"y $long")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpansOf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List((1L, 2L, 1L, 2L, 40L)))
+  }
+
   test("minhash LSH finds the near-dup pairs brute-force finds (recall on real data)") {
     val docs = Tables.documents(spark, sf)
     val sh = docs.select(col("doc_id"), TextStats.shingles(col("text"), 3).as("sh"))

@@ -108,6 +108,22 @@ class PlanSpec extends AnyFunSuite {
       "dd9 degraded to an all-pairs join over the signatures")
   }
 
+  test("dd10 span anchors join keyed on the anchor hash; island window partitions per (pair, diag)") {
+    val p = plan("dd10_duplicate_spans")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "dd10 degraded to an all-pairs join over the anchor stream")
+    // keyed on h either way the planner sizes it: broadcast hash at
+    // small SF, shuffle on h at scale — never an unkeyed pair join
+    assert(p.contains("Join [h#") || p.contains("hashpartitioning(h"),
+      s"anchor join not keyed on the gram hash:\n${p.take(1500)}")
+    // the gaps-and-islands window must be per (doc_a, doc_b, diag) —
+    // a global (unpartitioned) window would funnel all candidates
+    // through one task
+    assert(p.contains("Window") && p.contains("doc_a"),
+      s"island window missing or not pair-partitioned:\n${p.take(1500)}")
+  }
+
   test("w3 retention: keyed joins only, partial+final aggregation") {
     val p = plan("w3_retention_cohorts")
     assert(!p.contains("CartesianProduct"))
