@@ -125,6 +125,8 @@ object SparkEntry {
     "tx14_mixture_resample" -> (TextStats.mixtureResample _),
     "tx15_contamination_score" -> ((s, d) => TextStats.contaminationScore(s, d)),
     "tx16_df_prune" -> (TextStats.dfPrune _),
+    "tx17_pii_redact" -> (TextStats.piiRedact _),
+    "tx18_segment_dedup" -> (TextStats.segmentDedup _),
     "bf1_bloom_decontam" -> (graft.ops.Sketch.bloomDecontaminate _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
@@ -353,6 +355,8 @@ object SparkEntry {
     "tx14_mixture_resample" -> TextStats.mixtureResampleOracle,
     "tx15_contamination_score" -> TextStats.contaminationScoreOracle,
     "tx16_df_prune" -> TextStats.dfPruneOracle,
+    "tx17_pii_redact" -> TextStats.piiRedactOracle,
+    "tx18_segment_dedup" -> TextStats.segmentDedupOracle,
 
     "a11_percentiles" ->
       """SELECT o_orderpriority AS priority,

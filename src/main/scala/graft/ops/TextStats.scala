@@ -684,6 +684,176 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Segment width for [[segmentDedup]], in tokens. On a multi-line
+    * corpus the segmenter would split on blank lines (paragraphs);
+    * this single-line corpus uses fixed-width token chunks so the
+    * operator's survivorship/reassembly plumbing is exercised for
+    * real. */
+  val SegTokens = 8
+
+  /** tx18 — segment-level first-occurrence dedup (the Dolma "drop a
+    * paragraph if it appeared in an earlier document" stage, the
+    * survivorship that tx16's df-threshold prune does NOT implement):
+    * each document is split into [[SegTokens]]-token segments (last
+    * one ragged); a segment occurrence survives iff it is the GLOBAL
+    * first occurrence of that exact segment text, first by doc_id then
+    * by position; each document is reassembled from its surviving
+    * segments in original order.
+    *
+    * Scale posture: the explode is linear in corpus tokens; the
+    * first-occurrence window partitions by segment text — the same
+    * keyed one-shuffle shape as W1 row_number dedup, with the huge key
+    * domain carrying parallelism (a boilerplate segment's partition is
+    * df-sized, the dd4 skew note applies); reassembly is one doc-keyed
+    * aggregation. Nothing global, nothing driver-side. */
+  def segmentDedup(s: SparkSession, d: String): DataFrame =
+    segmentDedupOf(Tables.documents(s, d))
+
+  def segmentDedupOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    // per-doc segment count is tiny (tokens/8), so the interpreted
+    // higher-order transform costs per SEGMENT, not per token — unlike
+    // the shingle path there is no need for an imperative expression
+    val segArr = transform(
+      sequence(lit(0),
+        ceil(size(col("ws")) / lit(SegTokens.toDouble)).cast("int") - 1),
+      i => array_join(slice(col("ws"), i * SegTokens + 1, lit(SegTokens)), " "))
+    val segs = w
+      .select(col("doc_id"), posexplode(segArr).as(Seq("i0", "seg")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("seg_idx"),
+        col("seg"))
+    val kept = segs.withColumn("rn",
+      row_number().over(Window.partitionBy("seg").orderBy("doc_id", "seg_idx")))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          x => x.getField("seg")),
+        " ").as("kept_text"))
+    w.select(col("doc_id"),
+        ceil(size(col("ws")) / lit(SegTokens.toDouble)).cast("long").as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of tx18: list-sliced segments, the same
+    * first-occurrence window, string_agg ORDER BY for reassembly. */
+  val segmentDedupOracle: String = {
+    val k = SegTokens
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, i AS seg_idx,
+       |         array_to_string(ws[(i-1)*$k+1 : (i-1)*$k+$k], ' ') AS seg
+       |  FROM w, unnest(generate_series(1, CAST(ceil(len(ws)/$k.0) AS BIGINT))) AS t(i)),
+       |rk AS (
+       |  SELECT doc_id, seg_idx, seg,
+       |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+       |  FROM seg),
+       |kept AS (SELECT doc_id, seg_idx, seg FROM rk WHERE rn = 1)
+       |SELECT w.doc_id, CAST(ceil(len(w.ws)/$k.0) AS BIGINT) AS n_segs,
+       |       CAST(count(k.seg) AS BIGINT) AS n_kept,
+       |       coalesce(string_agg(k.seg, ' ' ORDER BY k.seg_idx), '') AS kept_text
+       |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
+       |GROUP BY w.doc_id, len(w.ws)
+       |ORDER BY w.doc_id""".stripMargin
+  }
+
+  /** PII patterns for [[piiRedact]] — written in the common subset of
+    * Java regex and RE2 (character classes, bounded repeats, `\b`) so
+    * the Spark scrub and the DuckDB oracle compile the same automaton.
+    * Scrub order is fixed (email → IPv4 → phone) and each stage scans
+    * the PREVIOUS stage's output, so the counts are well-defined even
+    * when patterns could overlap. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRe = "\\+1-555-\\d{4}"
+
+  /** Deterministic PII planting for the synthetic corpus (the driver
+    * tables carry no organic PII): residue classes of doc_id append an
+    * email / IPv4 / phone so ~1/3, 1/4, 1/5 of docs carry each kind.
+    * Mirrored verbatim in the oracle's string concatenation. */
+  private def piiAugment: Column = concat(
+    col("text"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" contact u"), col("doc_id").cast("string"), lit("@ex"),
+        (col("doc_id") % 7).cast("string"), lit(".org"))).otherwise(lit("")),
+    when(col("doc_id") % 4 === 0,
+      concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(lit("")))
+
+  /** tx17 — PII scrubbing (the Dolma/CCNet "redact emails, IPs, phone
+    * numbers before training" stage): per document, the match count of
+    * each PII kind and the text with every match replaced by a typed
+    * placeholder, fingerprinted for the compare. Pure codegen'd regexp
+    * work — at 100 TB this runs at scan speed with zero shuffle
+    * (the orderBy here is driver-compare determinism only). */
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    piiRedactOf(Tables.documents(s, d).select(col("doc_id"),
+      piiAugment.as("t")))
+
+  /** The scrub itself, over any (doc_id, t) frame — what a real corpus
+    * with organic PII would call directly. */
+  def piiRedactOf(aug: DataFrame): DataFrame =
+    aug
+      .withColumn("n_email",
+        size(regexp_extract_all(col("t"), lit(PiiEmailRe), lit(0))).cast("long"))
+      .withColumn("t", regexp_replace(col("t"), PiiEmailRe, "[EMAIL]"))
+      .withColumn("n_ip",
+        size(regexp_extract_all(col("t"), lit(PiiIpRe), lit(0))).cast("long"))
+      .withColumn("t", regexp_replace(col("t"), PiiIpRe, "[IP]"))
+      .withColumn("n_phone",
+        size(regexp_extract_all(col("t"), lit(PiiPhoneRe), lit(0))).cast("long"))
+      .withColumn("t", regexp_replace(col("t"), PiiPhoneRe, "[PHONE]"))
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        sha2(col("t"), 256).as("redacted_sha"),
+        length(col("t")).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+
+  /** DuckDB replay of tx17: identical planting concat, the same three
+    * patterns with the 'g' flag (DuckDB replaces first-only by
+    * default; Spark replaces all), staged in the same order. */
+  val piiRedactOracle: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.org' ELSE '' END ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+       |    AS t
+       |  FROM documents),
+       |r1 AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(t, '$PiiEmailRe')) AS n_email,
+       |    regexp_replace(t, '$PiiEmailRe', '[EMAIL]', 'g') AS t
+       |  FROM aug),
+       |r2 AS (
+       |  SELECT doc_id, n_email,
+       |    len(regexp_extract_all(t, '$PiiIpRe')) AS n_ip,
+       |    regexp_replace(t, '$PiiIpRe', '[IP]', 'g') AS t
+       |  FROM r1),
+       |r3 AS (
+       |  SELECT doc_id, n_email, n_ip,
+       |    len(regexp_extract_all(t, '$PiiPhoneRe')) AS n_phone,
+       |    regexp_replace(t, '$PiiPhoneRe', '[PHONE]', 'g') AS t
+       |  FROM r2)
+       |SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+       |       CAST(n_ip AS BIGINT) AS n_ip, CAST(n_phone AS BIGINT) AS n_phone,
+       |       sha256(t) AS redacted_sha,
+       |       CAST(length(t) AS BIGINT) AS redacted_len
+       |FROM r3 ORDER BY doc_id""".stripMargin
+
   /** DuckDB replay of tx16: zipped unnest for the positioned token
     * stream, the same integer threshold, string_agg ORDER BY pos for
     * the reassembly. */

@@ -773,6 +773,56 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs(5) == full, "narrow bands changed the pair set")
   }
 
+  test("tx17 PII scrub: exact counts and redacted text on organic PII; scrubbing is idempotent") {
+    val fixture = Seq(
+      (1L, "write bob.smith+x@mail.example.co or ADMIN@h.io today"),
+      (2L, "servers 10.0.0.1 and 192.168.255.3 up, version 1.2.3 alone stays"),
+      (3L, "dial +1-555-0199 now, +1-555-12345 redacts its first four digits"),
+      (4L, "no pii here at all"),
+      (5L, "mixed a@b.com at 8.8.8.8 call +1-555-0000"))
+      .toDF("doc_id", "t")
+    val got = TextStats.piiRedactOf(fixture)
+      .select("doc_id", "n_email", "n_ip", "n_phone").as[(Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List((1L, 2L, 0L, 0L), (2L, 0L, 2L, 0L),
+      (3L, 0L, 0L, 2L), (4L, 0L, 0L, 0L), (5L, 1L, 1L, 1L)))
+    // the redacted strings themselves, via the same chain minus the digest
+    val redacted = fixture
+      .withColumn("t", regexp_replace(col("t"), TextStats.PiiEmailRe, "[EMAIL]"))
+      .withColumn("t", regexp_replace(col("t"), TextStats.PiiIpRe, "[IP]"))
+      .withColumn("t", regexp_replace(col("t"), TextStats.PiiPhoneRe, "[PHONE]"))
+      .as[(Long, String)].collect().toMap
+    assert(redacted(1L) == "write [EMAIL] or [EMAIL] today")
+    assert(redacted(2L) == "servers [IP] and [IP] up, version 1.2.3 alone stays")
+    assert(redacted(3L) == "dial [PHONE] now, [PHONE]5 redacts its first four digits")
+    assert(redacted(5L) == "mixed [EMAIL] at [IP] call [PHONE]")
+    // idempotence: placeholders contain no PII shapes, so a second pass
+    // finds zero matches and changes nothing
+    val twice = TextStats.piiRedactOf(
+      redacted.toSeq.toDF("doc_id", "t"))
+      .select("n_email", "n_ip", "n_phone").as[(Long, Long, Long)].collect()
+    assert(twice.forall(_ == ((0L, 0L, 0L))))
+  }
+
+  test("tx18 segment dedup: global first occurrence survives, later and within-doc repeats drop, ragged tail kept") {
+    val A = (1 to 8).map(i => s"a$i").mkString(" ")
+    val B = (1 to 8).map(i => s"b$i").mkString(" ")
+    val C = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$A $B"),          // both first occurrences
+      (2L, s"$A $C"),          // A repeats → dropped; C first
+      (3L, s"$C $C"),          // both occurrences already seen (doc 2 / within)
+      (4L, s"$B tail1 tail2")) // B dropped; ragged 2-token tail is novel
+      .toDF("doc_id", "text")
+    val got = TextStats.segmentDedupOf(docs)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(got == List(
+      (1L, 2L, 2L, s"$A $B"),
+      (2L, 2L, 1L, C),
+      (3L, 2L, 0L, ""),
+      (4L, 2L, 1L, "tail1 tail2")))
+  }
+
   test("df-prune: independent re-derivation — boilerplate gone everywhere, order kept, every doc survives") {
     val out = TextStats.dfPrune(spark, sf).collect()
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
