@@ -230,8 +230,7 @@ object Streams {
   /** Streaming power-of-two histogram — the streaming face of the hq1
     * quantile sketch, completing the sketch quartet's streaming twins
     * beside [[cmsStream]] (frequency) and [[bloomDedupStream]]
-    * (membership); HLL's register state streams the same way but the
-    * batch operator already aggregates incrementally. State per group
+    * (membership) and [[hllStream]] (distinct count). State per group
     * key is the occupied-bucket count map — bounded by the VALUE RANGE
     * (value >> [[graft.ops.Sketch.HistShift]]), not the row count, and
     * cells are ADDITIVE: arrival order, batch boundaries, and replays
@@ -260,6 +259,61 @@ object Streams {
           }
           state.update(cells)
           touched.iterator.map(b => (key, b, cells(b)))
+      }
+  }
+
+  /** Streaming HyperLogLog distinct-count — the streaming face of the
+    * hll1 sketch, completing the quartet's streaming twins. State per
+    * group is ONE fixed [[graft.ops.Sketch.HllM]]-byte register array
+    * (max rho per register) — constant regardless of cardinality, the
+    * whole point of the sketch. Register update is MAX, which is
+    * IDEMPOTENT as well as commutative: arrival order, batch
+    * boundaries, and even replays of the SAME data (where additive
+    * sketches need exactly-once) cannot change the final state.
+    *
+    * Registers replay [[graft.ops.Sketch.registersOf]] exactly —
+    * [[graft.ops.Sketch.jvmHash60]] with [[graft.ops.Sketch.HllSeed]],
+    * the same index/rho split — so the stream's state merges with a
+    * batch sketch's register table by register-wise max, and the
+    * emitted estimate is the batch pipeline's exact scaled harmonic
+    * sum with its one final division (parity spec-pinned). Emits one
+    * (group, v_empty, s_scaled, est_raw) row per group touched in the
+    * micro-batch, post-update.
+    * Input: (group, item); output: (group, v_empty, s_scaled, est). */
+  def hllStream(
+      rows: Dataset[(String, String)]): Dataset[(String, Long, Long, Double)] = {
+    import rows.sparkSession.implicits._
+    import graft.ops.Sketch
+    val w1 = Sketch.HllValueBits + 1
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], (String, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (group, it, state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](Sketch.HllM))
+          it.foreach { case (_, item) =>
+            val h = Sketch.jvmHash60(item, Sketch.HllSeed)
+            val reg = (h & (Sketch.HllM - 1)).toInt
+            val rem = h >> Sketch.HllP
+            // rho = W + 1 - bitlen(rem); rem == 0 → W + 1, mirroring
+            // the column pipeline's bin()-length formulation
+            val rho =
+              if (rem == 0L) w1
+              else w1 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+            if (rho > regs(reg)) regs(reg) = rho.toByte
+          }
+          state.update(regs)
+          // exact integer scaled harmonic sum: rho ≤ 52 so each term
+          // and the 512-term total stay well inside a Long
+          var sPresent = 0L
+          var nRegs = 0L
+          regs.foreach { r =>
+            if (r > 0) { nRegs += 1; sPresent += 1L << (w1 - r) }
+          }
+          val vEmpty = Sketch.HllM - nRegs
+          val sScaled = sPresent + vEmpty * (1L << w1)
+          Iterator.single(
+            (group, vEmpty, sScaled, Sketch.HllNumerator / sScaled))
       }
   }
 

@@ -202,6 +202,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged == batchCells, "cell-wise sum merge law broken")
   }
 
+  test("streaming HLL: estimate equals the batch sketch, and an exact replay batch changes nothing (hll1 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Sketch, TextStats}
+    // stream the exact shingle stream the batch sketch aggregates, so
+    // final state must be register-identical to shingleRegisters
+    val docs = Tables.documents(spark, GraftSpark.sf).limit(60)
+    val items = docs
+      .select(col("lang"), explode(TextStats.shingles(col("text"), 3)).as("sh"))
+      .as[(String, String)].collect().toSeq
+    val expected = Sketch.estimateFromRegisters(Sketch.shingleRegisters(docs))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty)
+    val (b1, b2) = items.splitAt(items.size / 2)
+    val input = MemoryStream[(String, String)]
+    val q = Streams.hllStream(input.toDS()).toDF()
+      .toDF("lang", "v_empty", "s_scaled", "est_raw")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("hll_stream_out").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    def rows() = spark.table("hll_stream_out")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val afterAll = rows()
+    // every group's final emission is the batch pipeline's exact
+    // (v_empty, s_scaled) integers and the identical one-division est
+    assert(expected.subsetOf(afterAll),
+      s"missing ${(expected -- afterAll).take(2)} in $afterAll")
+    // max is idempotent: replaying a whole batch emits the SAME rows —
+    // the distinct row set cannot grow (additive sketches would drift)
+    input.addData(b2); q.processAllAvailable()
+    assert(rows() == afterAll, "replayed batch changed HLL state")
+    q.stop()
+  }
+
   test("bloom dedup saturation: a small parameterized bitmap fills and drops novel keys one-sidedly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
