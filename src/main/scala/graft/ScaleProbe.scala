@@ -178,6 +178,27 @@ object ScaleProbe {
           .collect()(0).getLong(0)
       }
       graft.ops.Materialize.releaseAll(spark)
+      // dd10: salted copies share zero grams, so both the Σ df²
+      // candidate volume on the anchor hash and the true span set grow
+      // linearly in n — superlinear time here would mean the anchor df
+      // head is quadratic, the failure the df-cap mitigation would fix
+      val docs8 = replicated(spark, sfDir, n).localCheckpoint(true)
+      val (tSpan, spanRows) = time {
+        graft.ops.Dedup.duplicateSpansOf(docs8).count()
+      }
+      graft.ops.Materialize.releaseAll(spark)
+      // tx18: the first-occurrence window partitions by segment text;
+      // salted copies make segments copy-disjoint, so partition count
+      // grows ∝ n with bounded partition size — the aggregate consumes
+      // kept_text so pruning can't drop the reassembly half
+      val docs9 = replicated(spark, sfDir, n).localCheckpoint(true)
+      val (tSeg, segKept) = time {
+        graft.ops.TextStats.segmentDedupOf(docs9)
+          .agg(sum(col("n_kept")).as("k"),
+            sum(length(col("kept_text"))).as("chars"))
+          .collect()(0).getLong(0)
+      }
+      graft.ops.Materialize.releaseAll(spark)
       println(f"""{"factor":$n,"docs":$nDocs,"lsh_sec":$tLsh%.2f,"pairs":$pairs,""" +
         f""""cluster_sec":$tCluster%.2f,"labeled":$clusters,""" +
         f""""pack_sec":$tPack%.2f,"packed":$packed,""" +
@@ -190,7 +211,9 @@ object ScaleProbe {
         f""""neardup_sec":$tNd%.2f,"nd_pairs":$ndPairs,""" +
         f""""dd5_bands":${graft.ops.Dedup.EmbBands},"dd5_planes":$dd5Planes,""" +
         f""""merge_sec":$tMerge%.2f,"merged":$mergedRows,""" +
-        f""""asof_sec":$tAsof%.2f,"asof_rows":$asofRows}""")
+        f""""asof_sec":$tAsof%.2f,"asof_rows":$asofRows,""" +
+        f""""span_sec":$tSpan%.2f,"span_rows":$spanRows,""" +
+        f""""segdedup_sec":$tSeg%.2f,"seg_kept":$segKept}""")
     }
     spark.stop()
   }

@@ -127,6 +127,7 @@ object SparkEntry {
     "tx16_df_prune" -> (TextStats.dfPrune _),
     "tx17_pii_redact" -> (TextStats.piiRedact _),
     "tx18_segment_dedup" -> (TextStats.segmentDedup _),
+    "tx19_temperature_mix" -> (TextStats.temperatureMix _),
     "bf1_bloom_decontam" -> (graft.ops.Sketch.bloomDecontaminate _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
@@ -357,6 +358,7 @@ object SparkEntry {
     "tx16_df_prune" -> TextStats.dfPruneOracle,
     "tx17_pii_redact" -> TextStats.piiRedactOracle,
     "tx18_segment_dedup" -> TextStats.segmentDedupOracle,
+    "tx19_temperature_mix" -> TextStats.temperatureMixOracle,
 
     "a11_percentiles" ->
       """SELECT o_orderpriority AS priority,

@@ -459,6 +459,78 @@ object TextStats {
        |ORDER BY r.doc_id""".stripMargin
   }
 
+  /** Target size for [[temperatureMix]] as a percent of the corpus. */
+  val TempTargetPct = 50
+
+  /** tx19 — temperature-flattened source mixing (the multilingual
+    * α-sampling trick — mBERT/XLM-R style — at α = 1/2): allocate a
+    * target row budget across sources proportional to √n_s instead of
+    * n_s, so head sources shrink and tail sources repeat. Per source:
+    * docs, integer weight isqrt(n_s), exact largest-remainder quota
+    * (base = ⌊T·w/Σw⌋; the T − Σbase leftovers go to the largest
+    * remainders, ties by source name), capped selection, and the
+    * repeat factor ·100 (quota·100 div n — >100 means the source runs
+    * more than one epoch). Complements tx14, which enforces EXPLICIT
+    * target weights; temperature mixing DERIVES them from corpus
+    * counts.
+    *
+    * Determinism: isqrt via floor(sqrt(n)) is exact in both engines —
+    * IEEE-754 sqrt is correctly rounded, and the floor can only
+    * misround beyond n ≈ 2^104 — and everything after is integer
+    * arithmetic, so every quota boundary agrees cross-engine.
+    *
+    * Scale posture: all computation is over the per-source stats table
+    * (O(sources) rows — stats-sized, not corpus-sized); the only
+    * corpus-wide work is the one groupBy count. The global rank window
+    * over that tiny table is deliberate; the actual doc selection at
+    * 100 TB is [[mixtureResample]]'s stable-hash window with these
+    * quotas as the per-source k. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureMixOf(Tables.documents(s, d))
+
+  def temperatureMixOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("wt", floor(sqrt(col("n"))).cast("long"))
+    val tot = c.agg(sum("n").as("total"), sum("wt").as("sw"))
+    val q = c.join(broadcast(tot))
+      .withColumn("target", expr(s"total * $TempTargetPct div 100"))
+      .withColumn("base", expr("target * wt div sw"))
+      .withColumn("rem", expr("(target * wt) % sw"))
+    val sb = q.agg(sum("base").as("sb"))
+    q.join(broadcast(sb))
+      .withColumn("rr",
+        row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+      .withColumn("quota",
+        col("base") +
+          when(col("rr") <= col("target") - col("sb"), 1L).otherwise(0L))
+      .select(col("lang"), col("n").as("n_docs"), col("wt").as("weight"),
+        col("quota"), least(col("quota"), col("n")).as("n_selected"),
+        expr("quota * 100 div n").as("epochs_e2"))
+      .orderBy("lang")
+  }
+
+  val temperatureMixOracle: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM c),
+       |tot AS (SELECT sum(n) AS total, sum(wt) AS sw FROM w),
+       |q AS (SELECT lang, n, wt, (total * $TempTargetPct // 100) AS target,
+       |             (total * $TempTargetPct // 100) * wt // sw AS base,
+       |             ((total * $TempTargetPct // 100) * wt) % sw AS rem
+       |      FROM w, tot),
+       |sb AS (SELECT sum(base) AS sb FROM q),
+       |rk AS (SELECT q.*, sb.sb,
+       |              row_number() OVER (ORDER BY rem DESC, lang) AS rr
+       |       FROM q, sb),
+       |fin AS (SELECT lang, n, wt,
+       |               base + CASE WHEN rr <= target - sb THEN 1 ELSE 0 END AS quota
+       |        FROM rk)
+       |SELECT lang, CAST(n AS BIGINT) AS n_docs, wt AS weight,
+       |       CAST(quota AS BIGINT) AS quota,
+       |       CAST(least(quota, n) AS BIGINT) AS n_selected,
+       |       CAST(quota * 100 // n AS BIGINT) AS epochs_e2
+       |FROM fin ORDER BY lang""".stripMargin
+
   /** Eval-set membership stride for [[contaminationScore]] (doc_id %
     * stride == 0 stands in for "appears in a benchmark suite"). */
   val ContamStride = 97

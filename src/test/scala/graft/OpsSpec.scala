@@ -804,6 +804,32 @@ class OpsSpec extends AnyFunSuite {
     assert(twice.forall(_ == ((0L, 0L, 0L))))
   }
 
+  test("tx19 temperature mix: sqrt-flattened quotas, exact largest-remainder split, tail source upsampled past one epoch") {
+    // counts 100 / 16 / 4 → weights 10 / 4 / 2, Σw = 16, total 120,
+    // target 60; bases ⌊60·w/16⌋ = 37 / 15 / 7 (Σ 59), one leftover
+    // goes to the largest remainder (60·10 % 16 = 8 for 'aa' vs 0 / 8;
+    // tie aa/cc broken by name → aa). Quota 38/15/7: 'cc' repeats its
+    // 4 docs ~1.75 epochs (175 e2) — the flattening under test.
+    val rows =
+      (1 to 100).map(i => (i.toLong, "aa")) ++
+      (101 to 116).map(i => (i.toLong, "bb")) ++
+      (117 to 120).map(i => (i.toLong, "cc"))
+    val docs = rows.toDF("doc_id", "lang")
+    val fin = TextStats.temperatureMixOf(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(fin == List(
+      ("aa", 100L, 10L, 38L, 38L, 38L),
+      ("bb", 16L, 4L, 15L, 15L, 93L),
+      ("cc", 4L, 2L, 7L, 4L, 175L)))
+    assert(fin.map(_._4).sum == 60L, "quotas must sum exactly to the target")
+    // and the driver query itself: quotas sum to the target on real data
+    val real = TextStats.temperatureMix(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(real.map(_._4).sum == total * TextStats.TempTargetPct / 100)
+    assert(real.forall(r => r._5 <= r._2), "selection capped by source size")
+  }
+
   test("tx18 segment dedup: global first occurrence survives, later and within-doc repeats drop, ragged tail kept") {
     val A = (1 to 8).map(i => s"a$i").mkString(" ")
     val B = (1 to 8).map(i => s"b$i").mkString(" ")
