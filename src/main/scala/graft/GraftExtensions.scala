@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{DotProduct, Md5Hash56Pair, Md5Hash60, NfcNormalize, SimpleCaseFold, SortedIntersectSize, TopKPairs, WordNGrams, ZOrder2}
+import graft.expressions.{AllWordNGrams, DotProduct, Md5Hash56Pair, Md5Hash60, NfcNormalize, SimpleCaseFold, SortedIntersectSize, TopKPairs, WordNGrams, ZOrder2}
 
 /** SparkSessionExtensions registration: makes every custom Catalyst
   * expression callable from SQL (`dot_product`, `sorted_intersect_size`,
@@ -45,6 +45,8 @@ object GraftExtensions {
     "zorder2" -> (args => ZOrder2(args(0), args(1))),
     "md5_hash60" -> (args => Md5Hash60(args(0), intArg(args(1), "md5_hash60"))),
     "word_ngrams" -> (args => WordNGrams(args(0), intArg(args(1), "word_ngrams"))),
+    "all_word_ngrams" -> (args =>
+      AllWordNGrams(args(0), intArg(args(1), "all_word_ngrams"))),
     // raw aggregate function — the analyzer wraps it into an
     // AggregateExpression at resolution
     "top_k_pairs" -> (args =>

@@ -128,6 +128,8 @@ object SparkEntry {
     "tx17_pii_redact" -> (TextStats.piiRedact _),
     "tx18_segment_dedup" -> (TextStats.segmentDedup _),
     "tx19_temperature_mix" -> (TextStats.temperatureMix _),
+    "tx20_winnowing" -> (TextStats.winnow _),
+    "tx21_token_shards" -> (TextStats.tokenShards _),
     "bf1_bloom_decontam" -> (graft.ops.Sketch.bloomDecontaminate _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
@@ -359,6 +361,8 @@ object SparkEntry {
     "tx17_pii_redact" -> TextStats.piiRedactOracle,
     "tx18_segment_dedup" -> TextStats.segmentDedupOracle,
     "tx19_temperature_mix" -> TextStats.temperatureMixOracle,
+    "tx20_winnowing" -> TextStats.winnowOracle,
+    "tx21_token_shards" -> TextStats.tokenShardsOracle,
 
     "a11_percentiles" ->
       """SELECT o_orderpriority AS priority,

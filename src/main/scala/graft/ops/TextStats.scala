@@ -369,6 +369,53 @@ object TextStats {
        |       CAST((off + n_tokens - 1) // $SeqBudget AS BIGINT) AS end_seq
        |FROM o ORDER BY doc_id""".stripMargin
 
+  /** Token budget per output shard for [[tokenShards]]. */
+  val ShardTokenBudget = 4096
+
+  /** tx21 — shard export assignment: deterministically SHUFFLE the
+    * corpus (stable md5 order — the cross-run/cross-engine reproducible
+    * "random" order every training export needs, same discipline as
+    * tx13/tx5) and assign each document WHOLE to the shard its running
+    * token offset falls in — ~[[ShardTokenBudget]] tokens per shard.
+    * Differs from tx12 on both axes that matter to the export stage:
+    * hash order (mixing), not id order; whole-doc placement (a doc
+    * never splits across shard files), not token-exact splitting.
+    *
+    * Scale posture: the running offset is the two-phase
+    * [[PrefixSum.exclusive]] — per-partition window + O(partitions)
+    * offsets, NO single-task global window — and everything after is a
+    * per-row projection. The shard column is exactly what a 100-TB
+    * export feeds `partitionBy("shard")`. */
+  def tokenShards(s: SparkSession, d: String): DataFrame =
+    tokenShardsOf(Tables.documents(s, d),
+      s.sparkContext.defaultParallelism)
+
+  def tokenShardsOf(docs: DataFrame, partitions: Int,
+      budget: Long = ShardTokenBudget): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      md5(col("doc_id").cast("string")).as("ord"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    PrefixSum.exclusive(toks, "ord", "n_tokens", partitions)
+      .withColumnRenamed("offset", "tok_offset")
+      .withColumn("shard", expr(s"tok_offset div $budget"))
+      .select("doc_id", "n_tokens", "tok_offset", "shard")
+      .orderBy("doc_id")
+  }
+
+  val tokenShardsOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ord,
+       |         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |         coalesce(sum(n_tokens) OVER (ORDER BY ord
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM t)
+       |SELECT doc_id, n_tokens, CAST(off AS BIGINT) AS tok_offset,
+       |       CAST(off // $ShardTokenBudget AS BIGINT) AS shard
+       |FROM o ORDER BY doc_id""".stripMargin
+
   /** Docs kept per source by [[sourceCapSample]]. */
   val SourceCap = 10
 
@@ -457,6 +504,91 @@ object TextStats {
        |SELECT r.doc_id, r.lang, r.source
        |FROM r JOIN k USING (lang) WHERE r.rn <= k.k
        |ORDER BY r.doc_id""".stripMargin
+  }
+
+  /** Winnowing parameters: [[WinnowK]]-token grams, window of
+    * [[WinnowW]] consecutive gram hashes. Guarantee (Schleimer,
+    * Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003): any shared token run of at least
+    * k + w − 1 = 6 tokens between two documents shares at least one
+    * selected fingerprint, with expected density 2/(w+1) of the gram
+    * stream. */
+  val WinnowK = 3
+  val WinnowW = 4
+  val WinnowSeed = 23
+
+  /** tx20 — winnowing fingerprint selection (the MOSS algorithm):
+    * from each document's positioned gram-hash stream, every sliding
+    * window of [[WinnowW]] consecutive hashes selects its minimum —
+    * RIGHTMOST position on equal hashes, the paper's robust variant —
+    * and the document's fingerprint is the distinct selected
+    * (pos, hash) set. The position-aware, guaranteed-recall sketch
+    * complement to dd10's exact span join: winnowed fingerprints are
+    * what you INDEX at 100 TB; dd10's islands are what you run on
+    * candidate pairs.
+    *
+    * Shape: grams explode to their ≤ w covering windows (a fixed w×
+    * linear blowup), one (doc, window) min aggregation, a join-back on
+    * the winning hash for the rightmost-position rule, one distinct —
+    * every stage keyed on (doc, window), nothing global. Documents
+    * with fewer than w grams define no window and contribute no
+    * fingerprint (the paper's domain), mirrored in the oracle. */
+  def winnow(s: SparkSession, d: String): DataFrame =
+    winnowOf(Tables.documents(s, d))
+
+  def winnowOf(docs: DataFrame): DataFrame = {
+    val g = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        (size(words(col("text"))) - (WinnowK - 1)).cast("long").as("m"),
+        posexplode(graft.expressions.AllWordNGrams.ngrams(
+          col("text"), WinnowK)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), col("m"), (col("p0") + 1).cast("long").as("pos"),
+        graft.functions.Functions.md5Hash60(col("gram"), WinnowSeed).as("h"))
+    val wi = g.filter(col("m") >= WinnowW)
+      .select(col("doc_id"), col("pos"), col("h"),
+        explode(sequence(
+          greatest(lit(1L), col("pos") - (WinnowW - 1)),
+          least(col("pos"), col("m") - (WinnowW - 1)))).as("i"))
+    val wm = wi.groupBy("doc_id", "i").agg(min("h").as("wmin"))
+      .withColumnRenamed("doc_id", "wdoc").withColumnRenamed("i", "wi")
+    wi.join(wm,
+        wi("doc_id") === wm("wdoc") && wi("i") === wm("wi") &&
+          wi("h") === wm("wmin"))
+      .groupBy(col("doc_id"), col("i"), col("wmin"))
+      .agg(max(col("pos")).as("pos"))
+      .select(col("doc_id"), col("pos"), col("wmin").as("h"))
+      .distinct()
+      .orderBy("doc_id", "pos")
+  }
+
+  /** DuckDB replay of tx20: the same gram hashes via the md5-60 hex
+    * parse idiom, the same window explode / min / rightmost join. */
+  val winnowOracle: String = {
+    val k = WinnowK
+    val w1 = WinnowW - 1
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, len(ws) - ${k - 1} AS m, pos,
+       |         ('0x' || substr(md5('$WinnowSeed' || ':' ||
+       |            array_to_string(ws[pos:pos+${k - 1}], ' ')), 1, 15))::BIGINT AS h
+       |  FROM t, unnest(generate_series(1, len(ws)-${k - 1})) AS u(pos)
+       |  WHERE len(ws) >= $k AND NOT (len(ws) = 1 AND ws[1] = '')),
+       |wi AS (
+       |  SELECT doc_id, pos, h,
+       |         unnest(generate_series(greatest(1, pos-$w1),
+       |                                least(pos, m-$w1))) AS i
+       |  FROM g WHERE m >= $WinnowW),
+       |wm AS (SELECT doc_id, i, min(h) AS wmin FROM wi GROUP BY doc_id, i),
+       |sel AS (
+       |  SELECT wi.doc_id, wi.i, wm.wmin, max(wi.pos) AS pos
+       |  FROM wi JOIN wm ON wi.doc_id = wm.doc_id AND wi.i = wm.i
+       |                 AND wi.h = wm.wmin
+       |  GROUP BY wi.doc_id, wi.i, wm.wmin)
+       |SELECT DISTINCT doc_id, pos, wmin AS h
+       |FROM sel ORDER BY doc_id, pos""".stripMargin
   }
 
   /** Target size for [[temperatureMix]] as a percent of the corpus. */

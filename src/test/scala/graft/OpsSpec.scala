@@ -804,6 +804,69 @@ class OpsSpec extends AnyFunSuite {
     assert(twice.forall(_ == ((0L, 0L, 0L))))
   }
 
+  test("tx21 token shards: stable-hash order, whole-doc placement, brute-force parity, shard fill bounded") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nTok = (1L to 60L).map(i => i -> (i % 50 + 10)).toMap
+    val docs = (1L to 60L)
+      .map(i => (i, (1L to nTok(i)).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val budget = 128L
+    val got = TextStats.tokenShardsOf(docs, 4, budget)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // brute force: md5-hex order (Spark's md5() is the same lowercase
+    // hex, so lexicographic order agrees), running offset, floor-div
+    var off = 0L
+    val expected = (1L to 60L).sortBy(i => md5hex(i.toString)).map { i =>
+      val o = off; off += nTok(i)
+      (i, nTok(i), o, o / budget)
+    }.sortBy(_._1).toList
+    assert(got == expected)
+    assert(got.map(_._4).distinct.size > 5, "fixture must span shards")
+    // fill bound: a shard closes only when an offset crosses its
+    // boundary, so no shard exceeds budget + (max doc − 1) tokens
+    val fills = got.groupBy(_._4).view.mapValues(_.map(_._2).sum)
+    val maxDoc = nTok.values.max
+    assert(fills.values.forall(_ <= budget + maxDoc - 1),
+      s"overfilled shard: $fills")
+  }
+
+  test("tx20 winnowing: equals brute force incl. rightmost ties; a shared k+w-1 run shares a fingerprint; short docs empty") {
+    import graft.ops.Sketch.jvmHash60
+    def brute(text: String): Set[(Long, Long)] = {
+      val ws = text.trim.split("\\s+", -1).toSeq
+      if (ws.length < TextStats.WinnowK) return Set.empty
+      val hs = (0 to ws.length - TextStats.WinnowK)
+        .map(i => jvmHash60(
+          ws.slice(i, i + TextStats.WinnowK).mkString(" "), TextStats.WinnowSeed))
+      val m = hs.length
+      val w = TextStats.WinnowW
+      if (m < w) return Set.empty
+      (0 to m - w).map { i =>
+        val win = hs.slice(i, i + w)
+        val rel = win.lastIndexOf(win.min) // rightmost minimum
+        ((i + rel + 1).toLong, win.min)
+      }.toSet
+    }
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "x y x y x y x y x y"), // repeated grams → real in-window ties
+      (3L, "p1 p2 s1 s2 s3 s4 s5 s6 q1 q2"),
+      (4L, "r1 r2 r3 s1 s2 s3 s4 s5 s6 r4"), // shares the 6-token run
+      (5L, "short one two")) // one gram < w → no window, no fingerprint
+    val got = TextStats.winnowOf(fixture.toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    fixture.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty) == brute(t), s"doc $id diverges")
+    }
+    // the paper's guarantee: a shared token run of k+w-1 = 6 tokens
+    // must leave at least one common selected hash
+    assert((got(3L).map(_._2) & got(4L).map(_._2)).nonEmpty,
+      "shared-run fingerprint guarantee broken")
+  }
+
   test("tx19 temperature mix: sqrt-flattened quotas, exact largest-remainder split, tail source upsampled past one epoch") {
     // counts 100 / 16 / 4 → weights 10 / 4 / 2, Σw = 16, total 120,
     // target 60; bases ⌊60·w/16⌋ = 37 / 15 / 7 (Σ 59), one leftover

@@ -103,12 +103,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT md5_hash56_pair('abc').h1 AS h1,
         |       md5_hash60('abc', 7) AS h60,
-        |       word_ngrams('a b c d', 3) AS ng""".stripMargin).collect()(0)
+        |       word_ngrams('a b c d', 3) AS ng,
+        |       all_word_ngrams('x y x y x', 3) AS ang""".stripMargin).collect()(0)
     // h1 = first 14 hex chars of md5('abc') base-16
     assert(r.getLong(0) ==
       java.lang.Long.parseLong("900150983cd24f", 16))
     assert(r.getLong(1) > 0)
     assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
+    // positioned variant keeps the duplicate gram
+    assert(r.getSeq[String](3) == Seq("x y x", "y x y", "x y x"))
     // the custom aggregate resolves and ranks from plain SQL
     val top = spark.sql(
       """SELECT g, top_k_pairs(v, id, 2) AS top FROM VALUES
