@@ -528,9 +528,10 @@ object TextStats {
     * candidate pairs.
     *
     * Shape: grams explode to their ≤ w covering windows (a fixed w×
-    * linear blowup), one (doc, window) min aggregation, a join-back on
-    * the winning hash for the rightmost-position rule, one distinct —
-    * every stage keyed on (doc, window), nothing global. Documents
+    * linear blowup), then ONE (doc, window) aggregation: the rightmost
+    * minimum is min over the lexicographic struct (h, −pos) — min h,
+    * then max pos — so no join-back pass is needed; one distinct after
+    * — every stage keyed on (doc, window), nothing global. Documents
     * with fewer than w grams define no window and contribute no
     * fingerprint (the paper's domain), mirrored in the oracle. */
   def winnow(s: SparkSession, d: String): DataFrame =
@@ -550,20 +551,16 @@ object TextStats {
         explode(sequence(
           greatest(lit(1L), col("pos") - (WinnowW - 1)),
           least(col("pos"), col("m") - (WinnowW - 1)))).as("i"))
-    val wm = wi.groupBy("doc_id", "i").agg(min("h").as("wmin"))
-      .withColumnRenamed("doc_id", "wdoc").withColumnRenamed("i", "wi")
-    wi.join(wm,
-        wi("doc_id") === wm("wdoc") && wi("i") === wm("wi") &&
-          wi("h") === wm("wmin"))
-      .groupBy(col("doc_id"), col("i"), col("wmin"))
-      .agg(max(col("pos")).as("pos"))
-      .select(col("doc_id"), col("pos"), col("wmin").as("h"))
+    wi.groupBy("doc_id", "i")
+      .agg(min(struct(col("h"), (-col("pos")).as("np"))).as("sel"))
+      .select(col("doc_id"), (-col("sel.np")).as("pos"), col("sel.h").as("h"))
       .distinct()
       .orderBy("doc_id", "pos")
   }
 
   /** DuckDB replay of tx20: the same gram hashes via the md5-60 hex
-    * parse idiom, the same window explode / min / rightmost join. */
+    * parse idiom, the same window explode and lexicographic struct
+    * min (both engines order structs field-by-field). */
   val winnowOracle: String = {
     val k = WinnowK
     val w1 = WinnowW - 1
@@ -581,14 +578,11 @@ object TextStats {
        |         unnest(generate_series(greatest(1, pos-$w1),
        |                                least(pos, m-$w1))) AS i
        |  FROM g WHERE m >= $WinnowW),
-       |wm AS (SELECT doc_id, i, min(h) AS wmin FROM wi GROUP BY doc_id, i),
-       |sel AS (
-       |  SELECT wi.doc_id, wi.i, wm.wmin, max(wi.pos) AS pos
-       |  FROM wi JOIN wm ON wi.doc_id = wm.doc_id AND wi.i = wm.i
-       |                 AND wi.h = wm.wmin
-       |  GROUP BY wi.doc_id, wi.i, wm.wmin)
-       |SELECT DISTINCT doc_id, pos, wmin AS h
-       |FROM sel ORDER BY doc_id, pos""".stripMargin
+       |wm AS (
+       |  SELECT doc_id, i, min(struct_pack(h := h, np := -pos)) AS sel
+       |  FROM wi GROUP BY doc_id, i)
+       |SELECT DISTINCT doc_id, -sel.np AS pos, sel.h AS h
+       |FROM wm ORDER BY doc_id, pos""".stripMargin
   }
 
   /** Target size for [[temperatureMix]] as a percent of the corpus. */

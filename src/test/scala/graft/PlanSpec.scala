@@ -108,6 +108,15 @@ class PlanSpec extends AnyFunSuite {
       "dd9 degraded to an all-pairs join over the signatures")
   }
 
+  test("tx20 winnowing is join-free: one keyed (doc, window) aggregation, no global window") {
+    val p = plan("tx20_winnowing")
+    assert(!p.contains("Join"),
+      s"the struct-min rightmost rule needs no join-back:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"),
+      "winnowing must aggregate per (doc, window id), not run window functions")
+  }
+
   test("dd10 span anchors join keyed on the anchor hash; island window partitions per (pair, diag)") {
     val p = plan("dd10_duplicate_spans")
     assert(!p.contains("CartesianProduct"))
