@@ -135,6 +135,7 @@ object SparkEntry {
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
     "mm3_resize" -> (Multimodal.resizeQuery _),
     "mm4_perceptual_hash" -> (Multimodal.perceptualHashQuery _),
+    "mm5_image_neardup" -> (Multimodal.imageNearDupQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -584,5 +585,6 @@ object SparkEntry {
     "mm2_frame_sample" -> Multimodal.frameSampleOracle,
     "mm3_resize" -> Multimodal.resizeOracle,
     "mm4_perceptual_hash" -> Multimodal.perceptualHashOracle,
+    "mm5_image_neardup" -> Multimodal.imageNearDupOracle,
   )
 }

@@ -233,11 +233,32 @@ object Multimodal {
         ((x * 31 + y * 17) * 113 % 256 << 8) | ((x + y * 7) * 59 % 256)),
       build(33, 17)((x, y) => gray((x + y) * 255 / 48)))          // diagonal
     imgs.zipWithIndex.map { case (bi, i) =>
-      val bos = new java.io.ByteArrayOutputStream()
-      val fmt = if (i % 2 == 0) "bmp" else "png"
-      require(javax.imageio.ImageIO.write(bi, fmt, bos), s"no $fmt codec")
-      (i.toLong, bos.toByteArray)
+      (i.toLong, encodeImg(bi, if (i % 2 == 0) "bmp" else "png"))
     }
+  }
+
+  private def encodeImg(bi: java.awt.image.BufferedImage,
+      fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(bi, fmt, bos), s"no $fmt codec")
+    bos.toByteArray
+  }
+
+  /** mm5 fixture: the mm4 images plus RE-ENCODED duplicates — the same
+    * pixels written through the OTHER codec (ids 8/9/10 duplicate
+    * 3/5/6). Their hashes equal the originals' by the codec-invariance
+    * property the mm4 spec pins (the hash is a function of pixels, not
+    * bytes), so the oracle's golden rows for the copies are the same
+    * definition-anchored literals — nothing newly recorded. */
+  private[graft] def fixtureImagesWithDups(): Seq[(Long, Array[Byte])] = {
+    val base = fixtureImages()
+    val dups = Seq(3, 5, 6).zipWithIndex.map { case (src, k) =>
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(base(src)._2))
+      // the other codec than the original's i%2 choice
+      ((8 + k).toLong, encodeImg(bi, if (src % 2 == 0) "png" else "bmp"))
+    }
+    base ++ dups
   }
 
   /** mm4 — aHash + dHash over the deterministic fixture, the
@@ -257,6 +278,94 @@ object Multimodal {
     val dh = dHashAll(media).toDF("img_id", "dhash")
     a.join(dh, "img_id").orderBy("img_id")
   }
+
+  /** mm5 banding/verify parameters: 4×16-bit aHash bands generate
+    * candidates (pigeonhole: any pair within aHash Hamming 3 shares a
+    * band); a candidate is a near-dup when the COMBINED
+    * aHash + dHash Hamming distance is ≤ [[PHashRadius]]. The two-hash
+    * verify is the point: the fixture carries both traps — a dHash
+    * collision (the two all-rising-gradient images) and an aHash
+    * collision (checker vs half-split) — and each single hash would
+    * pair them; the combined distance rejects both. */
+  val PHashBands = 4
+  val PHashBandBits = 16
+  val PHashRadius = 6
+
+  /** mm5 — image near-duplicate pairs over perceptual hashes: dd9's
+    * banded-Hamming machinery applied to the image modality (find the
+    * same picture re-encoded through a different codec — the constant
+    * situation in web-scraped training corpora). Candidates from an
+    * equi join on (band, 16-bit band value) of the aHash; codegen
+    * bit_count verify on the combined distance; filter before
+    * distinct.
+    *
+    * Scale posture: identical to dd9 — candidates per band are
+    * n²/2^16 per equal-value bucket, shuffles keyed on (band, value),
+    * decode cost stays in the narrow mapPartitions stage. Arithmetic
+    * vs logical shift is immaterial: every shifted value is masked to
+    * its low 16 bits, so sign-extension bits never reach the key. */
+  def imageNearDupOf(hashes: DataFrame): DataFrame = {
+    val bands = hashes.select(col("img_id"), col("ahash"), col("dhash"),
+      explode(array((0 until PHashBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * PHashBandBits)
+            .bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bv"))
+      .select(col("img_id"), col("ahash"), col("dhash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    bands.select(col("band"), col("v"), col("img_id").as("img_a"),
+        col("ahash").as("ha"), col("dhash").as("da"))
+      .join(bands.select(col("band"), col("v"), col("img_id").as("img_b"),
+        col("ahash").as("hb"), col("dhash").as("db")), Seq("band", "v"))
+      .filter(col("img_a") < col("img_b"))
+      .select(col("img_a"), col("img_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("ham_a"),
+        expr("bit_count(da ^ db)").cast("long").as("ham_d"))
+      .filter(col("ham_a") + col("ham_d") <= PHashRadius)
+      .distinct()
+      .orderBy("img_a", "img_b")
+  }
+
+  def imageNearDupQuery(s: SparkSession, d: String): DataFrame = {
+    val media = s.createDataset(fixtureImagesWithDups().map {
+      case (id, b) => Media(id, b, b.length) })(
+      org.apache.spark.sql.Encoders.product[Media]).repartition(2)
+    val a = aHashAll(media).toDF("img_id", "ahash")
+    val dh = dHashAll(media).toDF("img_id", "dhash")
+    imageNearDupOf(a.join(dh, "img_id"))
+  }
+
+  /** Oracle for mm5: the same banding and combined-Hamming verify in
+    * SQL over the golden hash table ([[perceptualHashOracle]]'s rows
+    * plus the re-encoded duplicates, whose literals are the originals'
+    * by codec invariance). DuckDB's BIGINT >> is arithmetic where
+    * Spark's shiftright sign-extends identically — both are masked to
+    * 16 bits, so the band keys agree bit-for-bit. */
+  val imageNearDupOracle: String =
+    s"""WITH h(img_id, ahash, dhash) AS (VALUES
+       |  (0, 0, 0),
+       |  (1, -1085102592571150096, -1),
+       |  (2, -4294967296, 0),
+       |  (3, 6172840429334713770, 5383291072094227125),
+       |  (4, -1085102592571150096, 1736164148113840152),
+       |  (5, -4099135997669700040, -585470186015035457),
+       |  (6, 2978417142350280378, 3051885091855094669),
+       |  (7, -218150868210360128, -1),
+       |  (8, 6172840429334713770, 5383291072094227125),
+       |  (9, -4099135997669700040, -585470186015035457),
+       |  (10, 2978417142350280378, 3051885091855094669)),
+       |b AS (
+       |  SELECT img_id, ahash, dhash, band,
+       |         (ahash >> (band * $PHashBandBits)) & 65535 AS v
+       |  FROM h, unnest([0, 1, 2, 3]) AS t(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.img_id AS img_a, b2.img_id AS img_b,
+       |         CAST(bit_count(xor(a.ahash, b2.ahash)) AS BIGINT) AS ham_a,
+       |         CAST(bit_count(xor(a.dhash, b2.dhash)) AS BIGINT) AS ham_d
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.v = b2.v
+       |                    AND a.img_id < b2.img_id)
+       |SELECT img_a, img_b, ham_a, ham_d
+       |FROM cand WHERE ham_a + ham_d <= $PHashRadius
+       |ORDER BY img_a, img_b""".stripMargin
 
   /** Decode stage: per-partition batch map over the typed Dataset. */
   def decodeAll(media: Dataset[Media],

@@ -494,6 +494,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(t => (t._2, t._3)).distinct.length == 8)
   }
 
+  test("mm5 image near-dup: re-encoded duplicates pair at distance 0; single-hash collision traps are rejected") {
+    val got = Multimodal.imageNearDupQuery(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    // exactly the three codec-duplicate pairs, all at combined 0
+    assert(got == List((3L, 8L, 0L, 0L), (5L, 9L, 0L, 0L), (6L, 10L, 0L, 0L)))
+    // the rejected traps are genuine CANDIDATES (shared aHash band),
+    // not pairs the banding never saw — so their absence above proves
+    // the combined verify did the killing: img 1 and 4 share the whole
+    // aHash (all four bands); img 0 and 2 share the low two bands
+    val hs = Multimodal.perceptualHashQuery(spark, "unused")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def shareBand(a: Long, b: Long): Boolean = (0 until 4).exists(k =>
+      ((hs(a)._1 >> (k * 16)) & 0xFFFFL) == ((hs(b)._1 >> (k * 16)) & 0xFFFFL))
+    assert(shareBand(1L, 4L) && shareBand(0L, 2L))
+  }
+
   test("dHash: gradient hash — codec-invariant, brightness-shift-invariant, direction-sensitive") {
     import java.awt.image.BufferedImage
     def enc(bi: BufferedImage, format: String): Array[Byte] = {
