@@ -105,6 +105,7 @@ object SparkEntry {
     "dd8_semantic_clusters" -> (Dedup.semanticClusters _),
     "dd9_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dd10_duplicate_spans" -> (Dedup.duplicateSpans _),
+    "dd11_incremental_dedup" -> (Dedup.incrementalDedup _),
     "sim1_brute_topk" -> (Similarity.bruteTopK _),
     "sim2_lsh_topk" -> (Similarity.lshTopK _),
     "sim3_ivf_topk" -> ((s, d) =>
@@ -556,6 +557,7 @@ object SparkEntry {
     "dd8_semantic_clusters" -> Dedup.semanticClustersOracle,
     "dd9_simhash_pairs" -> Dedup.simhashPairsOracle,
     "dd10_duplicate_spans" -> Dedup.duplicateSpansOracle,
+    "dd11_incremental_dedup" -> Dedup.incrementalDedupOracle,
     "sim1_brute_topk" -> Similarity.bruteTopKOracle,
     "sim2_lsh_topk" -> Similarity.lshTopKOracle,
     "sim3_ivf_topk" -> Similarity.ivfOracle(Similarity.IvfTrainCap),

@@ -215,6 +215,80 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Watermark split for [[incrementalDedup]]: docs below the split
+    * percentile of doc_id play the persisted index; the rest are the
+    * arriving batch. */
+  val IncrIndexPct = 80
+
+  /** dd11 — INCREMENTAL exact dedup (the daily-crawl pattern): dedupe
+    * an arriving batch against the persisted content-hash index of
+    * everything already accepted, without touching the historical
+    * corpus text — plus first-occurrence dedup WITHIN the batch. Per
+    * batch doc: is its content hash in the index (`dup_of_index`), is
+    * it a repeat within the batch (`dup_in_batch`), and the accept
+    * verdict (novel on both axes). This is dd1's semantics made
+    * T2-incremental: the index side carries ONE HASH per accepted doc
+    * — at 100 TB the index is the only historical state the daily job
+    * reads, and both probes are keyed joins on the hash (left-semi
+    * against the index; a min-id window within the batch).
+    *
+    * The driver query splits the corpus at the [[IncrIndexPct]]
+    * doc_id percentile so the oracle can replay the split; production
+    * passes any (indexHashes, batch) pair. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cut = docs.agg(
+      expr(s"percentile(doc_id, ${IncrIndexPct / 100.0})").as("c"))
+      .select(floor(col("c")).cast("long").as("c"))
+    val withCut = docs.join(broadcast(cut))
+    val index = withCut.filter(col("doc_id") <= col("c"))
+      .select(md5(col("text")).as("text_md5")).distinct()
+    val batch = withCut.filter(col("doc_id") > col("c"))
+      .select(col("doc_id"), col("text"))
+    incrementalDedupOf(index, batch)
+  }
+
+  def incrementalDedupOf(indexHashes: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = batch.select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val inIndex = hashed.join(indexHashes.select(col("text_md5")), Seq("text_md5"),
+        "left_semi")
+      .select(col("doc_id"), lit(true).as("dup_of_index"))
+    val firstInBatch = hashed.withColumn("rn",
+      row_number().over(Window.partitionBy("text_md5").orderBy("doc_id")))
+    firstInBatch
+      .join(inIndex, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_of_index"), lit(false)).as("dup_of_index"),
+        (col("rn") > 1).as("dup_in_batch"))
+      .withColumn("accept",
+        !col("dup_of_index") && !col("dup_in_batch"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of dd11: the same percentile cut (DuckDB's
+    * `quantile_cont` ≡ Spark's `percentile`, floored to an id), the
+    * same index semi-join and batch first-occurrence window. */
+  val incrementalDedupOracle: String =
+    s"""WITH cut AS (
+       |  SELECT CAST(floor(quantile_cont(doc_id, ${IncrIndexPct / 100.0}))
+       |              AS BIGINT) AS c
+       |  FROM documents),
+       |idx AS (
+       |  SELECT DISTINCT md5(text) AS text_md5
+       |  FROM documents, cut WHERE doc_id <= c),
+       |b AS (
+       |  SELECT doc_id, md5(text) AS text_md5
+       |  FROM documents, cut WHERE doc_id > c),
+       |r AS (
+       |  SELECT doc_id, text_md5,
+       |         row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS rn,
+       |         text_md5 IN (SELECT text_md5 FROM idx) AS dup_of_index
+       |  FROM b)
+       |SELECT doc_id, dup_of_index, rn > 1 AS dup_in_batch,
+       |       NOT dup_of_index AND rn <= 1 AS accept
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** Anchor width for [[duplicateSpans]], in tokens: every duplicated
     * span is detected through its length-[[SpanAnchorTokens]] token
     * windows, so spans shorter than this are invisible by design. */

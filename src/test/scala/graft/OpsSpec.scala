@@ -71,6 +71,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got.count(r => r._1 == 4L && r._2 == 5L) == 2)
   }
 
+  test("dd11 incremental dedup: index dupes flagged, within-batch repeats keep first, novel accepted") {
+    val index = Seq("known doc one", "known doc two")
+      .toDF("text").select(md5(col("text")).as("text_md5"))
+    val batch = Seq(
+      (10L, "known doc one"),   // dup of index
+      (11L, "fresh repeat"),    // first in batch → accept
+      (12L, "fresh repeat"),    // batch repeat → reject
+      (13L, "wholly novel"),    // accept
+      (14L, "known doc two"))   // dup of index
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedupOf(index, batch)
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toList
+    assert(got == List(
+      (10L, true, false, false),
+      (11L, false, false, true),
+      (12L, false, true, false),
+      (13L, false, false, true),
+      (14L, true, false, false)))
+  }
+
   test("dd10 island merge: overlapping anchors of one long span yield ONE row, not per-anchor rows") {
     val long = (1 to 40).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, s"$long x"), (2L, s"y $long")).toDF("doc_id", "text")
