@@ -106,6 +106,8 @@ object SparkEntry {
     "dd9_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dd10_duplicate_spans" -> (Dedup.duplicateSpans _),
     "dd11_incremental_dedup" -> (Dedup.incrementalDedup _),
+    "dd12_cluster_survivors" -> (Dedup.clusterSurvivors _),
+    "dd13_duplicate_coverage" -> (Dedup.duplicateCoverage _),
     "sim1_brute_topk" -> (Similarity.bruteTopK _),
     "sim2_lsh_topk" -> (Similarity.lshTopK _),
     "sim3_ivf_topk" -> ((s, d) =>
@@ -558,6 +560,8 @@ object SparkEntry {
     "dd9_simhash_pairs" -> Dedup.simhashPairsOracle,
     "dd10_duplicate_spans" -> Dedup.duplicateSpansOracle,
     "dd11_incremental_dedup" -> Dedup.incrementalDedupOracle,
+    "dd12_cluster_survivors" -> Dedup.clusterSurvivorsOracle,
+    "dd13_duplicate_coverage" -> Dedup.duplicateCoverageOracle,
     "sim1_brute_topk" -> Similarity.bruteTopKOracle,
     "sim2_lsh_topk" -> Similarity.lshTopKOracle,
     "sim3_ivf_topk" -> Similarity.ivfOracle(Similarity.IvfTrainCap),

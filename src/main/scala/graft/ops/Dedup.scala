@@ -392,6 +392,118 @@ object Dedup {
        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
   }
 
+  /** dd13 — per-document duplicate COVERAGE (the "fraction of this
+    * document that is duplicated text" metric Dolma and Lee et al.
+    * report, and the filter predicate "drop documents more than X%
+    * duplicated"): dd10's maximal shared spans, read from each side,
+    * become token intervals per document; overlapping intervals from
+    * different pairs merge (classic sort-free islands over a running
+    * maximum of interval ends), and the merged length over the token
+    * count is the coverage fraction. Every document appears — zero
+    * coverage included — because the filter predicate needs the keeps,
+    * not just the drops.
+    *
+    * Shape: the span table (already Σ df²-bounded, see
+    * [[duplicateSpans]]) unpivots to (doc, start, end) intervals; the
+    * merge is one window per doc_id ordered by (start, end) — running
+    * max of previous ends via rows-unbounded-preceding, island id as a
+    * running sum of gap flags — then two keyed aggregations. All
+    * per-doc groups, no global sort before the output ORDER BY; token
+    * counts come from the same scan shape every tx query uses. */
+  def duplicateCoverage(s: SparkSession, d: String): DataFrame =
+    duplicateCoverageOf(Tables.documents(s, d))
+
+  def duplicateCoverageOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = duplicateSpansOf(docs)
+    val ends = col("start") + col("span_tokens") - 1
+    val ivals = spans
+      .select(col("doc_a").as("doc_id"), col("start_a").as("start"),
+        col("span_tokens"))
+      .unionByName(spans.select(col("doc_b").as("doc_id"),
+        col("start_b").as("start"), col("span_tokens")))
+      .select(col("doc_id"), col("start"), ends.as("end"))
+    val wSeq = Window.partitionBy("doc_id").orderBy("start", "end")
+    val prevMaxEnd = max(col("end")).over(
+      wSeq.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = ivals
+      .withColumn("gap",
+        when(prevMaxEnd.isNull || col("start") > prevMaxEnd, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("gap")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, 0)))
+    val covered = islands.groupBy("doc_id", "isl")
+      .agg((max(col("end")) - min(col("start")) + 1).as("len"))
+      .groupBy("doc_id")
+      .agg(sum(col("len")).as("dup_tokens"))
+    docs
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_fraction", col("dup_tokens") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of dd13: the dd10 span CTE both-sided, the same
+    * running-max island merge, int/int division for the fraction. */
+  val duplicateCoverageOracle: String = {
+    val k = SpanAnchorTokens
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, pos, array_to_string(ws[pos:pos+${k - 1}], ' ') AS gram
+       |  FROM w, unnest(generate_series(1, len(ws)-${k - 1})) AS t(pos)
+       |  WHERE len(ws) >= $k AND NOT (len(ws) = 1 AND ws[1] = '')),
+       |m AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |r AS (
+       |  SELECT da, db, pa - pb AS diag, pa, pb,
+       |         pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS isl
+       |  FROM m),
+       |sp AS (
+       |  SELECT da AS doc_a, db AS doc_b, min(pa) AS start_a, min(pb) AS start_b,
+       |         count(*) + ${k - 1} AS span_tokens
+       |  FROM r GROUP BY da, db, diag, isl),
+       |spf AS (SELECT * FROM sp WHERE span_tokens >= $MinSpanTokens),
+       |iv AS (
+       |  SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens - 1 AS e
+       |  FROM spf
+       |  UNION ALL
+       |  SELECT doc_b, start_b, start_b + span_tokens - 1 FROM spf),
+       |isl AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |                IS NULL
+       |              OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |              THEN 1 ELSE 0 END AS gap
+       |  FROM iv),
+       |isl2 AS (
+       |  SELECT doc_id, s, e,
+       |         sum(gap) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM isl),
+       |cov AS (
+       |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tokens FROM (
+       |    SELECT doc_id, grp, max(e) - min(s) + 1 AS len
+       |    FROM isl2 GROUP BY doc_id, grp) GROUP BY doc_id),
+       |tok AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents)
+       |SELECT t.doc_id, t.n_tokens,
+       |       coalesce(c.dup_tokens, 0) AS dup_tokens,
+       |       coalesce(c.dup_tokens, 0) / t.n_tokens AS dup_fraction
+       |FROM tok t LEFT JOIN cov c USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** Connected-component clustering of near-dup pairs: transitive
     * closure turns pairwise matches into dedup clusters (a≈b, b≈c ⇒
     * {a,b,c} share one canonical id). Min-label propagation WITH
@@ -568,6 +680,58 @@ object Dedup {
        |SELECT c.doc_id, c.cluster_id, s.cluster_size
        |FROM clustered c JOIN sizes s ON c.cluster_id = s.cluster_id
        |ORDER BY c.doc_id""".stripMargin
+
+  /** dd12 — cluster SURVIVOR selection (dedup with best-copy
+    * survivorship): one row per near-dup cluster, keeping the
+    * highest-quality member — longest document by n_chars, ties to the
+    * lowest doc id — instead of dd6's blind min-id policy. This is the
+    * canonicalization step a curation pipeline actually runs after
+    * clustering: near-dup copies differ (truncation, boilerplate
+    * stripping), and the kept copy should be the best one, not the one
+    * with the smallest id.
+    *
+    * Shape: dd7's cluster labels join the document stats, then ONE
+    * hash aggregation on cluster_id whose argmax rides a lexicographic
+    * struct max — (n_chars, −doc_id) picks longest-then-lowest-id, and
+    * the payload columns ride behind the already-unique key, so no
+    * window sort and no join-back pass. Map-side partials cut the
+    * shuffle to one candidate row per (partition, cluster); at 100 TB
+    * the aggregation is the same single keyed exchange the cluster
+    * labeling already paid. */
+  def clusterSurvivors(s: SparkSession, d: String): DataFrame =
+    clusterSurvivorsOf(dedupClusters(s, d),
+      Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"))
+
+  def clusterSurvivorsOf(clusters: DataFrame, docs: DataFrame): DataFrame =
+    clusters.join(docs, "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(col("cluster_size")).as("cluster_size"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("nd"),
+          col("lang"), col("source"))).as("sel"))
+      .select((-col("sel.nd")).as("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("sel.lang").as("lang"),
+        col("sel.source").as("source"), col("sel.n_chars").as("n_chars"))
+      .orderBy("doc_id")
+
+  /** DuckDB replay of dd12: the dd7 cluster CTE, the same struct-max
+    * argmax (both engines order structs field-by-field). */
+  lazy val clusterSurvivorsOracle: String =
+    s"""WITH clusters AS (
+       |  SELECT * FROM (
+       |$dedupClustersOracle
+       |  ) c0),
+       |j AS (
+       |  SELECT c.cluster_id, c.cluster_size, d.doc_id, d.lang, d.source,
+       |         d.n_chars
+       |  FROM clusters c JOIN documents d USING (doc_id)),
+       |sel AS (
+       |  SELECT cluster_id, max(cluster_size) AS cluster_size,
+       |         max(struct_pack(n_chars := n_chars, nd := -doc_id,
+       |                         lang := lang, source := source)) AS s
+       |  FROM j GROUP BY cluster_id)
+       |SELECT -s.nd AS doc_id, cluster_id, cluster_size,
+       |       s.lang AS lang, s.source AS source, s.n_chars AS n_chars
+       |FROM sel ORDER BY doc_id""".stripMargin
 
   /** 60 signature bits: every position backed by md5Hash60 entropy,
     * the packed sum stays under 2^60 (ANSI-safe), and the 4 banding

@@ -71,6 +71,49 @@ class OpsSpec extends AnyFunSuite {
     assert(got.count(r => r._1 == 4L && r._2 == 5L) == 2)
   }
 
+  test("dd12 cluster survivors: longest-then-lowest-id argmax per cluster, singletons kept") {
+    val clusters = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), // ties on n_chars: 2 vs 3
+      (4L, 4L, 1L),                             // singleton
+      (5L, 5L, 2L), (6L, 5L, 2L))               // equal n_chars: min id wins
+      .toDF("doc_id", "cluster_id", "cluster_size")
+    val docs = Seq(
+      (1L, "en", "web", 100L), (2L, "en", "web", 300L),
+      (3L, "de", "book", 300L), (4L, "en", "web", 50L),
+      (5L, "fr", "web", 70L), (6L, "fr", "code", 70L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = Dedup.clusterSurvivorsOf(clusters, docs)
+      .as[(Long, Long, Long, String, String, Long)].collect().toList
+    assert(got == List(
+      (2L, 1L, 3L, "en", "web", 300L),
+      (4L, 4L, 1L, "en", "web", 50L),
+      (5L, 5L, 2L, "fr", "web", 70L)))
+  }
+
+  test("dd13 duplicate coverage: overlapping intervals merge, disjoint sum, zero-coverage docs appear") {
+    val block = (1 to 12).map(i => s"b$i").mkString(" ")
+    val sub = (3 to 12).map(i => s"b$i").mkString(" ")
+    val ten1 = (1 to 10).map(i => s"p$i").mkString(" ")
+    val ten2 = (1 to 10).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block tail1 s1 s2 s3 s4 s5 s6"), // 19 tokens; covered [1,12]
+      (2L, s"pre1 pre2 pre3 $block after"),    // 16 tokens; [4,15]∪[6,15]
+      (3L, sub),                               // 10 tokens; fully covered
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),  // no dup → 0
+      (5L, s"$ten1 gap $ten2"),                // 21 tokens; [1,10]∪[12,21]
+      (6L, s"z1 $ten1 z2 z3 $ten2"))           // 23 tokens; [2,11]∪[14,23]
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateCoverageOf(docs)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (1L, 19L, 12L, 12.0 / 19),
+      (2L, 16L, 12L, 12.0 / 16),
+      (3L, 10L, 10L, 1.0),
+      (4L, 10L, 0L, 0.0),
+      (5L, 21L, 20L, 20.0 / 21),
+      (6L, 23L, 20L, 20.0 / 23)))
+  }
+
   test("dd11 incremental dedup: index dupes flagged, within-batch repeats keep first, novel accepted") {
     val index = Seq("known doc one", "known doc two")
       .toDF("text").select(md5(col("text")).as("text_md5"))
