@@ -133,12 +133,14 @@ object SparkEntry {
     "tx19_temperature_mix" -> (TextStats.temperatureMix _),
     "tx20_winnowing" -> (TextStats.winnow _),
     "tx21_token_shards" -> (TextStats.tokenShards _),
+    "tx22_source_overlap" -> (TextStats.sourceOverlap _),
     "bf1_bloom_decontam" -> (graft.ops.Sketch.bloomDecontaminate _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
     "mm3_resize" -> (Multimodal.resizeQuery _),
     "mm4_perceptual_hash" -> (Multimodal.perceptualHashQuery _),
     "mm5_image_neardup" -> (Multimodal.imageNearDupQuery _),
+    "mm6_audio_frames" -> (Multimodal.audioFrameQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -367,6 +369,7 @@ object SparkEntry {
     "tx19_temperature_mix" -> TextStats.temperatureMixOracle,
     "tx20_winnowing" -> TextStats.winnowOracle,
     "tx21_token_shards" -> TextStats.tokenShardsOracle,
+    "tx22_source_overlap" -> TextStats.sourceOverlapOracle,
 
     "a11_percentiles" ->
       """SELECT o_orderpriority AS priority,
@@ -592,5 +595,6 @@ object SparkEntry {
     "mm3_resize" -> Multimodal.resizeOracle,
     "mm4_perceptual_hash" -> Multimodal.perceptualHashOracle,
     "mm5_image_neardup" -> Multimodal.imageNearDupOracle,
+    "mm6_audio_frames" -> Multimodal.audioFrameOracle,
   )
 }

@@ -500,4 +500,111 @@ object Multimodal {
       |  (6, 2978417142350280378, 3051885091855094669),
       |  (7, -218150868210360128, -1)) t(img_id, ahash, dhash)
       |ORDER BY img_id""".stripMargin
+
+  /** Samples per analysis frame for [[audioFrameQuery]] — the classic
+    * short-time window of audio feature extraction. */
+  val AudioFrameSamples = 256
+
+  /** Audio fixture tracks: (track id, sample count). Mixed lengths
+    * exercise full frames, a trailing partial frame (1000 = 3×256 +
+    * 232), and a single-partial-frame track (100 < 256). */
+  val audioTrackLens: Seq[(Long, Int)] =
+    Seq(1L -> 1024, 2L -> 1000, 3L -> 512, 4L -> 300, 5L -> 2048, 6L -> 100)
+
+  /** The fixture waveform: an integer formula over (track, sample
+    * index) covering the full signed-16-bit range, chosen to be
+    * replayable verbatim in SQL — the audio analogue of mm4's
+    * formula-defined pixels. i·(i+3) makes consecutive samples swing
+    * sign-erratically, so zero-crossing counts are non-trivial. */
+  private[graft] def audioSample(t: Long, i: Long): Int =
+    (((i * (i + 3) * 31 + t * 7919 + i * 1009) % 65536) - 32768).toInt
+
+  /** Encode the fixture as PCM signed 16-bit little-endian mono — the
+    * raw payload layout of a WAV data chunk. The query decodes BYTES,
+    * not the formula, so a pass certifies the encode→decode round-trip
+    * against the oracle's formula replay. */
+  private[graft] def fixtureAudio(): Seq[(Long, Array[Byte])] =
+    audioTrackLens.map { case (t, n) =>
+      val bb = java.nio.ByteBuffer.allocate(n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => bb.putShort(audioSample(t, i.toLong).toShort))
+      (t, bb.array())
+    }
+
+  case class AudioFrame(track_id: Long, frame_idx: Long, n_samples: Long,
+      energy: Long, zero_crossings: Long, peak: Long)
+
+  /** PCM decode + per-frame features for one payload: short-time
+    * energy Σv², within-frame zero crossings (adjacent product < 0 —
+    * boundary pairs belong to no frame), and peak |v|. All integer
+    * arithmetic; energy is bounded by 2¹⁵·²·frame ≈ 2.7e11 ≪ 2⁶³. */
+  def pcmFrameFeatures(m: Media): Iterator[AudioFrame] = {
+    val bb = java.nio.ByteBuffer.wrap(m.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = m.payload.length / 2
+    val v = new Array[Int](n)
+    var i = 0
+    while (i < n) { v(i) = bb.getShort(i * 2).toInt; i += 1 }
+    (0 until n by AudioFrameSamples).iterator.zipWithIndex.map {
+      case (st, fi) =>
+        val end = math.min(st + AudioFrameSamples, n)
+        var e = 0L; var zc = 0L; var pk = 0L
+        var j = st
+        while (j < end) {
+          val s = v(j)
+          e += s.toLong * s
+          if (j > st && v(j - 1).toLong * s < 0) zc += 1
+          if (math.abs(s.toLong) > pk) pk = math.abs(s.toLong)
+          j += 1
+        }
+        AudioFrame(m.doc_id, fi.toLong, (end - st).toLong, e, zc, pk)
+    }
+  }
+
+  /** The corpus-scale audio feature stage: narrow per-partition decode
+    * over the binary column, no shuffle — decode parallelism equals
+    * input splits, exactly the [[decodeAll]] posture with a framed
+    * flatMap instead of a per-payload map. */
+  def audioFramesAll(media: Dataset[Media]): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(pcmFrameFeatures))
+  }
+
+  /** mm6 — audio frame features over the deterministic PCM fixture:
+    * the oracle-checked face of [[audioFramesAll]]. Unlike mm4's
+    * golden literals, the oracle REPLAYS the waveform formula in SQL
+    * and recomputes every frame statistic independently, so the
+    * comparison covers the byte encode, the little-endian decode, the
+    * framing (partial tails included), and the three feature sums. */
+  def audioFrameQuery(s: SparkSession, d: String): DataFrame = {
+    val media = s.createDataset(fixtureAudio().map {
+      case (id, b) => Media(id, b, b.length) })(
+      org.apache.spark.sql.Encoders.product[Media]).repartition(2)
+    audioFramesAll(media).toDF().orderBy("track_id", "frame_idx")
+  }
+
+  /** DuckDB replay of mm6 from the shared formula and track list. */
+  val audioFrameOracle: String = {
+    val tracks = audioTrackLens
+      .map { case (t, n) => s"($t, $n)" }.mkString(", ")
+    s"""WITH tracks(track_id, n) AS (VALUES $tracks),
+       |s AS (
+       |  SELECT track_id, i,
+       |         ((i*(i+3)*31 + track_id*7919 + i*1009) % 65536) - 32768 AS v
+       |  FROM tracks, unnest(generate_series(0, n - 1)) AS u(i)),
+       |f AS (
+       |  SELECT track_id, i // $AudioFrameSamples AS frame_idx, v,
+       |         lag(v) OVER (PARTITION BY track_id, i // $AudioFrameSamples
+       |                      ORDER BY i) AS pv
+       |  FROM s)
+       |SELECT CAST(track_id AS BIGINT) AS track_id,
+       |       CAST(frame_idx AS BIGINT) AS frame_idx,
+       |       CAST(count(*) AS BIGINT) AS n_samples,
+       |       CAST(sum(v * v) AS BIGINT) AS energy,
+       |       CAST(count(*) FILTER (WHERE pv * v < 0) AS BIGINT)
+       |         AS zero_crossings,
+       |       CAST(max(abs(v)) AS BIGINT) AS peak
+       |FROM f GROUP BY track_id, frame_idx
+       |ORDER BY track_id, frame_idx""".stripMargin
+  }
 }

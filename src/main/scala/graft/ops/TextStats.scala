@@ -1074,4 +1074,69 @@ object TextStats {
        |FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
        |GROUP BY w.doc_id, len(w.ws)
        |ORDER BY w.doc_id""".stripMargin
+
+  /** tx22 — cross-SOURCE overlap matrix: for every unordered source
+    * pair, the shared distinct-shingle count and source-level Jaccard.
+    * This is the corpus-curation view of contamination — "how much of
+    * source A is also in source B" decides merge/drop calls and flags
+    * scraped mirrors — where tx9/tx15 answer the per-document
+    * train-vs-eval question.
+    *
+    * Shape: one distinct over (source, shingle hash) — the corpus-scale
+    * pass — then a self-join keyed on the hash whose per-key fanout is
+    * bounded by the SOURCE count after the distinct (≤ C(sources, 2)
+    * candidate rows per shingle, not document df²), and the final
+    * matrix assembles on the O(sources) stats table, including
+    * zero-overlap pairs (a curation matrix needs the zeros). The
+    * stats-table cross join is sources² rows — bounded by construction,
+    * not data. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame =
+    sourceOverlapOf(Tables.documents(s, d))
+
+  def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val flat = docs
+      .select(col("source"), explode(shingles(col("text"), 3)).as("sh"))
+      .select(col("source"),
+        graft.functions.Functions.md5Hash60(col("sh"), 0).as("h"))
+      .distinct()
+    val sizes = flat.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = flat.toDF("source_a", "h")
+      .join(flat.toDF("source_b", "h"), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared"))
+    sizes.toDF("source_a", "n_a")
+      .crossJoin(sizes.toDF("source_b", "n_b"))
+      .filter(col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        col("n_a"), col("n_b"))
+      .withColumn("jaccard",
+        col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB replay of tx22 on raw shingle strings (hash-is-identity,
+    * the dd4/dd10 convention). */
+  val sourceOverlapOracle: String =
+    """WITH t AS (
+      |  SELECT source, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source, array_to_string(ws[pos:pos+2], ' ') AS sh
+      |  FROM t, unnest(generate_series(1, len(ws)-2)) AS u(pos)
+      |  WHERE len(ws) >= 3 AND NOT (len(ws) = 1 AND ws[1] = '')),
+      |sizes AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+      |sh AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+      |  FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sa.source AS source_a, sb.source AS source_b,
+      |       coalesce(sh.shared, 0) AS shared, sa.n AS n_a, sb.n AS n_b,
+      |       coalesce(sh.shared, 0)
+      |         / (sa.n + sb.n - coalesce(sh.shared, 0)) AS jaccard
+      |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+      |LEFT JOIN sh ON sh.source_a = sa.source AND sh.source_b = sb.source
+      |ORDER BY source_a, source_b""".stripMargin
 }

@@ -71,6 +71,42 @@ class OpsSpec extends AnyFunSuite {
     assert(got.count(r => r._1 == 4L && r._2 == 5L) == 2)
   }
 
+  test("mm6 pcm frames: LE16 round-trip, partial tail frame, empty payload, hand-checked features") {
+    import graft.ops.Multimodal.{Media, pcmFrameFeatures, audioSample}
+    // track 2: 1000 samples → frames of 256/256/256/232
+    val payload = graft.ops.Multimodal.fixtureAudio()
+      .find(_._1 == 2L).get._2
+    val frames = pcmFrameFeatures(Media(2L, payload, payload.length)).toList
+    assert(frames.map(f => (f.frame_idx, f.n_samples)) ==
+      List((0L, 256L), (1L, 256L), (2L, 256L), (3L, 232L)))
+    // decode(bytes) must reproduce the formula: recompute frame 1 directly
+    val direct = (256 until 512).map(i => audioSample(2L, i.toLong))
+    val e = direct.map(v => v.toLong * v).sum
+    val zc = direct.sliding(2).count(p => p(0).toLong * p(1) < 0)
+    val pk = direct.map(v => math.abs(v.toLong)).max
+    assert((frames(1).energy, frames(1).zero_crossings, frames(1).peak) ==
+      (e, zc.toLong, pk))
+    // empty payload → no frames; odd trailing byte is ignored (n/2)
+    assert(pcmFrameFeatures(Media(9L, Array.empty[Byte], 0)).isEmpty)
+    val one = pcmFrameFeatures(Media(9L, Array[Byte](1, 2, 3), 3)).toList
+    assert(one.map(f => (f.n_samples, f.energy)) == List((1L, 513L * 513)))
+  }
+
+  test("tx22 source overlap: shared distinct shingles per source pair, zeros included") {
+    val docs = Seq(
+      (1L, "a b c d", "srcA"),  // shingles {a b c, b c d}
+      (2L, "a b c", "srcA"),    // duplicate shingle collapses per source
+      (3L, "a b c x", "srcB"),  // {a b c, b c x}; shares {a b c} with A
+      (4L, "z z z z", "srcC"))  // {z z z}; disjoint from both
+      .toDF("doc_id", "text", "source")
+    val got = TextStats.sourceOverlapOf(docs)
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      ("srcA", "srcB", 1L, 2L, 2L, 1.0 / 3),
+      ("srcA", "srcC", 0L, 2L, 1L, 0.0),
+      ("srcB", "srcC", 0L, 2L, 1L, 0.0)))
+  }
+
   test("dd12 cluster survivors: longest-then-lowest-id argmax per cluster, singletons kept") {
     val clusters = Seq(
       (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), // ties on n_chars: 2 vs 3
