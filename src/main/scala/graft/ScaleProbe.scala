@@ -199,6 +199,28 @@ object ScaleProbe {
           .collect()(0).getLong(0)
       }
       graft.ops.Materialize.releaseAll(spark)
+      // dd13: dd10's span table + a per-doc interval merge — the merge
+      // window partitions by doc_id (bounded groups), so the curve
+      // should track dd10's span curve; the aggregate consumes
+      // dup_tokens so the merge half can't be pruned away
+      val docsA = replicated(spark, sfDir, n).localCheckpoint(true)
+      val (tCov, covDocs) = time {
+        graft.ops.Dedup.duplicateCoverageOf(docsA)
+          .agg(count(lit(1)).as("n"), sum(col("dup_tokens")).as("d"))
+          .collect()(0).getLong(0)
+      }
+      graft.ops.Materialize.releaseAll(spark)
+      // tx22: the (source, shingle) distinct grows ∝ n; after the
+      // distinct the per-hash fanout is bounded by the FIXED source
+      // count, so candidate rows also grow ∝ n — the pair matrix
+      // itself stays sources², constant
+      val docsB = replicated(spark, sfDir, n).localCheckpoint(true)
+      val (tSrc, srcPairs) = time {
+        graft.ops.TextStats.sourceOverlapOf(docsB)
+          .agg(count(lit(1)).as("n"), sum(col("shared")).as("sh"))
+          .collect()(0).getLong(0)
+      }
+      graft.ops.Materialize.releaseAll(spark)
       println(f"""{"factor":$n,"docs":$nDocs,"lsh_sec":$tLsh%.2f,"pairs":$pairs,""" +
         f""""cluster_sec":$tCluster%.2f,"labeled":$clusters,""" +
         f""""pack_sec":$tPack%.2f,"packed":$packed,""" +
@@ -213,7 +235,9 @@ object ScaleProbe {
         f""""merge_sec":$tMerge%.2f,"merged":$mergedRows,""" +
         f""""asof_sec":$tAsof%.2f,"asof_rows":$asofRows,""" +
         f""""span_sec":$tSpan%.2f,"span_rows":$spanRows,""" +
-        f""""segdedup_sec":$tSeg%.2f,"seg_kept":$segKept}""")
+        f""""segdedup_sec":$tSeg%.2f,"seg_kept":$segKept,""" +
+        f""""coverage_sec":$tCov%.2f,"cov_docs":$covDocs,""" +
+        f""""srcoverlap_sec":$tSrc%.2f,"src_pairs":$srcPairs}""")
     }
     spark.stop()
   }

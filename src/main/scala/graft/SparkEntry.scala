@@ -108,6 +108,7 @@ object SparkEntry {
     "dd11_incremental_dedup" -> (Dedup.incrementalDedup _),
     "dd12_cluster_survivors" -> (Dedup.clusterSurvivors _),
     "dd13_duplicate_coverage" -> (Dedup.duplicateCoverage _),
+    "dd14_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim1_brute_topk" -> (Similarity.bruteTopK _),
     "sim2_lsh_topk" -> (Similarity.lshTopK _),
     "sim3_ivf_topk" -> ((s, d) =>
@@ -134,6 +135,7 @@ object SparkEntry {
     "tx20_winnowing" -> (TextStats.winnow _),
     "tx21_token_shards" -> (TextStats.tokenShards _),
     "tx22_source_overlap" -> (TextStats.sourceOverlap _),
+    "pipe1_curation_audit" -> (graft.ops.Curation.curationAudit _),
     "bf1_bloom_decontam" -> (graft.ops.Sketch.bloomDecontaminate _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
@@ -370,6 +372,7 @@ object SparkEntry {
     "tx20_winnowing" -> TextStats.winnowOracle,
     "tx21_token_shards" -> TextStats.tokenShardsOracle,
     "tx22_source_overlap" -> TextStats.sourceOverlapOracle,
+    "pipe1_curation_audit" -> graft.ops.Curation.curationAuditOracle,
 
     "a11_percentiles" ->
       """SELECT o_orderpriority AS priority,
@@ -565,6 +568,7 @@ object SparkEntry {
     "dd11_incremental_dedup" -> Dedup.incrementalDedupOracle,
     "dd12_cluster_survivors" -> Dedup.clusterSurvivorsOracle,
     "dd13_duplicate_coverage" -> Dedup.duplicateCoverageOracle,
+    "dd14_containment_pairs" -> Dedup.containmentOracle,
     "sim1_brute_topk" -> Similarity.bruteTopKOracle,
     "sim2_lsh_topk" -> Similarity.lshTopKOracle,
     "sim3_ivf_topk" -> Similarity.ivfOracle(Similarity.IvfTrainCap),

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Functions.md5Hash60
+
+/** The end-to-end curation FUNNEL as one auditable query — the
+  * composition proof for the training-data operator family: quality
+  * gate (tx7's predicate) → exact dedup among survivors (dd1's
+  * min-id-per-content-hash) → benchmark decontamination (tx9's
+  * train/test shingle flow), emitting per-document stage flags rather
+  * than just the surviving rows, because a production curation run has
+  * to account for every dropped document (the audit table IS the
+  * deliverable reviewers read when a corpus changes size).
+  *
+  * Scale posture is the union of its stages', nothing new: the quality
+  * gate is a narrow scan; canonicalization is one shuffle on the
+  * content hash of the already-filtered pool; contamination is the
+  * tx9 keyed shingle-hash join. Flags compose with plain boolean
+  * logic, so Catalyst sees one plan and pushes the scan work together
+  * — running the stages as separate jobs would scan the corpus three
+  * times instead.
+  */
+object Curation {
+
+  /** tx9's split constants, shared verbatim: md5-bucket of doc_id,
+    * buckets below [[TrainPct]] are train. */
+  val SplitSeed = 7
+  val TrainPct = 90
+
+  /** pipe1 — per-document curation audit: split, quality keep,
+    * canonical-copy flag (min doc id per content hash within the
+    * train ∧ quality pool), contamination vs the test split's shingle
+    * set (train docs only — test docs are the benchmark, not
+    * candidates), and the final selection verdict. */
+  def curationAudit(s: SparkSession, d: String): DataFrame =
+    curationAuditOf(Tables.documents(s, d))
+
+  def curationAuditOf(docs: DataFrame): DataFrame = {
+    val w = TextStats.words(col("text"))
+    val base = docs
+      .withColumn("split",
+        when(pmod(md5Hash60(col("doc_id").cast("string"), SplitSeed),
+          lit(100L)) < TrainPct, "train").otherwise("test"))
+      .withColumn("n_tokens", size(w).cast("long"))
+      .withColumn("diversity", size(array_distinct(w)) / size(w))
+      .withColumn("q_keep",
+        col("n_tokens") >= 20 && col("n_chars") <= 520 &&
+          col("diversity") >= 0.3)
+    val canon = base
+      .filter(col("split") === "train" && col("q_keep"))
+      .groupBy(md5(col("text")).as("__m"))
+      .agg(min(col("doc_id")).as("canon_id"))
+    val flat = base
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("split"),
+        explode(TextStats.shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), col("split"), md5Hash60(col("sh"), 0).as("h"))
+    val testShingles = flat.filter(col("split") === "test")
+      .select("h").distinct()
+    val shared = flat.filter(col("split") === "train")
+      .join(testShingles, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    base
+      .withColumn("__m", md5(col("text")))
+      .join(canon, Seq("__m"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("is_canonical",
+        col("split") === "train" && col("q_keep") &&
+          coalesce(col("doc_id") === col("canon_id"), lit(false)))
+      .withColumn("contaminated",
+        col("split") === "train" &&
+          coalesce(col("n_shared"), lit(0L)) > 0)
+      .withColumn("selected", col("is_canonical") && !col("contaminated"))
+      .select("doc_id", "split", "q_keep", "is_canonical", "contaminated",
+        "selected", "n_tokens", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of pipe1: the tx7 predicate, the dd1 min-id
+    * canonicalization over the train ∧ keep pool, the tx9 shingle
+    * flow, identical boolean assembly. */
+  val curationAuditOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, n_chars, text,
+       |    CASE WHEN ('0x' || substr(md5('$SplitSeed' || ':' ||
+       |        CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < $TrainPct
+       |      THEN 'train' ELSE 'test' END AS split,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |    len(list_distinct(string_split_regex(trim(text), '\\s+')))
+       |      AS n_distinct
+       |  FROM documents),
+       |q AS (
+       |  SELECT *, (n_tokens >= 20 AND n_chars <= 520 AND
+       |             n_distinct / n_tokens >= 0.3) AS q_keep
+       |  FROM b),
+       |canon AS (
+       |  SELECT md5(text) AS m, min(doc_id) AS canon_id
+       |  FROM q WHERE split = 'train' AND q_keep GROUP BY md5(text)),
+       |sets AS (
+       |  SELECT doc_id, split,
+       |    CASE WHEN n_tokens >= 3 THEN list_distinct(list_transform(
+       |      generate_series(1, CAST(n_tokens AS INT) - 2),
+       |      i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+       |           string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+       |           string_split_regex(trim(text), '\\s+')[i+2]))
+       |    ELSE [] END AS sh
+       |  FROM q),
+       |test_sh AS (
+       |  SELECT DISTINCT unnest(sh) AS u FROM sets WHERE split = 'test'),
+       |shared AS (
+       |  SELECT s.doc_id, count(*) AS n_shared
+       |  FROM (SELECT doc_id, unnest(sh) AS u FROM sets
+       |        WHERE split = 'train') s
+       |  JOIN test_sh t ON s.u = t.u
+       |  GROUP BY s.doc_id)
+       |SELECT q.doc_id, q.split, q.q_keep,
+       |  (q.split = 'train' AND q.q_keep AND
+       |   coalesce(q.doc_id = c.canon_id, false)) AS is_canonical,
+       |  (q.split = 'train' AND coalesce(sh.n_shared, 0) > 0)
+       |    AS contaminated,
+       |  (q.split = 'train' AND q.q_keep AND
+       |   coalesce(q.doc_id = c.canon_id, false) AND
+       |   NOT (coalesce(sh.n_shared, 0) > 0)) AS selected,
+       |  CAST(q.n_tokens AS BIGINT) AS n_tokens, q.n_chars
+       |FROM q LEFT JOIN canon c ON md5(q.text) = c.m
+       |LEFT JOIN shared sh ON q.doc_id = sh.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+}

@@ -190,7 +190,21 @@ object Dedup {
     ngramJaccardPairsOf(Tables.documents(s, d), mode)
 
   def ngramJaccardPairsOf(docs: DataFrame,
-      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+      mode: Materialize.Mode = Materialize.Local): DataFrame =
+    shingleIntersections(docs, mode)
+      .withColumn("u_size", col("n_a") + col("n_b") - col("i_size"))
+      .withColumn("jaccard", col("i_size") / col("u_size"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "i_size", "u_size", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared candidate-intersection table for the exact set-similarity
+    * family (dd4 Jaccard, dd14 containment): per-pair intersection
+    * size from the inverted-index equi-join plus both docs' distinct
+    * shingle counts — (doc_a, doc_b, i_size, n_a, n_b), one row per
+    * candidate pair sharing ≥ 1 shingle. */
+  private def shingleIntersections(docs: DataFrame,
+      mode: Materialize.Mode): DataFrame = {
     // materialize the hashed-shingle stream once (md5 per shingle is
     // the dominant scan cost; three consumers read it)
     val flat = Materialize(
@@ -208,12 +222,65 @@ object Dedup {
     iSize
       .join(sizes.toDF("doc_a", "n_a"), "doc_a")
       .join(sizes.toDF("doc_b", "n_b"), "doc_b")
-      .withColumn("u_size", col("n_a") + col("n_b") - col("i_size"))
-      .withColumn("jaccard", col("i_size") / col("u_size"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select("doc_a", "doc_b", "i_size", "u_size", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** Containment threshold for [[containmentPairs]], as a rational
+    * (3/5 = 60%) so the filter is an exact integer cross-multiply in
+    * both engines. */
+  val ContainmentNum = 3
+  val ContainmentDen = 5
+
+  /** dd14 — asymmetric CONTAINMENT pairs: max(|A∩B|/|A|, |A∩B|/|B|)
+    * ≥ 60% over distinct 3-gram shingle sets. The subset-duplicate
+    * detector Jaccard structurally misses: a 10-token notice embedded
+    * verbatim in a 500-token page has containment ≈ 1 but Jaccard
+    * ≈ 2%, far under any useful dd4 threshold — yet it is exactly the
+    * "short doc swallowed by a long doc" duplication a curation
+    * pipeline deduplicates by containment (the complement of dd10's
+    * positional spans: set-level, position-free). Both jaccard and
+    * both one-sided containments ride along so consumers can split
+    * symmetric from asymmetric matches.
+    *
+    * Same inverted-index candidate generation and scale posture as
+    * dd4 ([[shingleIntersections]]); the threshold filter is integer
+    * cross-multiplied (i·den ≥ num·min(n_a, n_b)), so the cut is
+    * bit-exact cross-engine, and the double divisions appear only in
+    * output columns. */
+  def containmentPairs(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame =
+    containmentPairsOf(Tables.documents(s, d), mode)
+
+  def containmentPairsOf(docs: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame =
+    shingleIntersections(docs, mode)
+      .filter(col("i_size") * ContainmentDen >=
+        lit(ContainmentNum) * least(col("n_a"), col("n_b")))
+      .withColumn("cont_a", col("i_size") / col("n_a"))
+      .withColumn("cont_b", col("i_size") / col("n_b"))
+      .withColumn("jaccard",
+        col("i_size") / (col("n_a") + col("n_b") - col("i_size")))
+      .select("doc_a", "doc_b", "i_size", "n_a", "n_b",
+        "cont_a", "cont_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** DuckDB replay of dd14: the dd4 shingle CTE, the same integer
+    * cross-multiplied cut (the ≥ 1 intersection guard mirrors
+    * candidate generation — empty-shingle docs never join). Lazy:
+    * interpolates [[shingleCte]], defined later in this object. */
+  lazy val containmentOracle: String =
+    s"""WITH $shingleCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  len(list_intersect(a.sh, b.sh)) AS i_size,
+       |  len(a.sh) AS n_a, len(b.sh) AS n_b,
+       |  len(list_intersect(a.sh, b.sh)) / len(a.sh) AS cont_a,
+       |  len(list_intersect(a.sh, b.sh)) / len(b.sh) AS cont_b,
+       |  len(list_intersect(a.sh, b.sh)) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.sh, b.sh)) >= 1
+       |  AND len(list_intersect(a.sh, b.sh)) * $ContainmentDen >=
+       |      $ContainmentNum * least(len(a.sh), len(b.sh))
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Watermark split for [[incrementalDedup]]: docs below the split
     * percentile of doc_id play the persisted index; the rest are the
@@ -413,9 +480,14 @@ object Dedup {
   def duplicateCoverage(s: SparkSession, d: String): DataFrame =
     duplicateCoverageOf(Tables.documents(s, d))
 
-  def duplicateCoverageOf(docs: DataFrame): DataFrame = {
+  def duplicateCoverageOf(docs: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = duplicateSpansOf(docs)
+    // materialize the span table: the both-sided unpivot below reads
+    // it twice, and without this each side recomputes the whole dd10
+    // candidate join (ScaleProbe measured 22 s vs dd10's 8.5 s at 40×
+    // before the materialization — the span table itself is tiny)
+    val spans = Materialize(duplicateSpansOf(docs), mode, "dup_spans")
     val ends = col("start") + col("span_tokens") - 1
     val ivals = spans
       .select(col("doc_a").as("doc_id"), col("start_a").as("start"),

@@ -1093,12 +1093,17 @@ object TextStats {
   def sourceOverlap(s: SparkSession, d: String): DataFrame =
     sourceOverlapOf(Tables.documents(s, d))
 
-  def sourceOverlapOf(docs: DataFrame): DataFrame = {
-    val flat = docs
+  def sourceOverlapOf(docs: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    // materialize the per-source distinct shingle table: three
+    // consumers read it (both self-join sides + the size aggregate),
+    // and each would otherwise recompute the corpus-wide explode +
+    // distinct from the scan
+    val flat = Materialize(docs
       .select(col("source"), explode(shingles(col("text"), 3)).as("sh"))
       .select(col("source"),
         graft.functions.Functions.md5Hash60(col("sh"), 0).as("h"))
-      .distinct()
+      .distinct(), mode, "source_shingles")
     val sizes = flat.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = flat.toDF("source_a", "h")
       .join(flat.toDF("source_b", "h"), Seq("h"))

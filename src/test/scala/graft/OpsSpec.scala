@@ -107,6 +107,60 @@ class OpsSpec extends AnyFunSuite {
       ("srcB", "srcC", 0L, 2L, 1L, 0.0)))
   }
 
+  test("pipe1 curation audit: flag algebra holds and canonical picks are unique per content") {
+    val docs = Tables.documents(spark, sf)
+    val audit = graft.ops.Curation.curationAuditOf(docs)
+    val got = audit.collect()
+    assert(got.length == docs.count())
+    got.foreach { r =>
+      val (split, qk, canon, cont, sel) = (r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))
+      assert(sel == (canon && !cont), s"selection algebra broke: $r")
+      if (canon) assert(qk && split == "train", s"canonical outside pool: $r")
+      if (split == "test") assert(!canon && !cont && !sel,
+        s"test doc carries train-only flags: $r")
+    }
+    assert(got.exists(_.getBoolean(5)), "no survivors at all")
+    assert(got.exists(r => r.getString(1) == "test"), "split produced no test docs")
+    // canonical uniqueness: at most one canonical per content hash
+    val dupCanon = audit.filter(col("is_canonical"))
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(dupCanon == 0, "two canonical docs share one content hash")
+  }
+
+  test("dd14 containment: subset-duplicate caught at low Jaccard, sub-threshold overlap rejected") {
+    // doc 2 = doc 1's 12 tokens embedded in 90 fillers: containment 1.0
+    // but Jaccard ≈ 0.1 — the pair dd4's threshold is blind to
+    val short = (1 to 12).map(i => s"c$i").mkString(" ")
+    val filler = (1 to 90).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, short, "en"),
+      (2L, s"$filler $short", "en"),
+      (3L, "c1 c2 c3 x1 x2 x3 x4 x5 x6 x7 x8 x9", "en"), // 1 shared shingle of 10
+      (4L, "y1 y2", "en")) // < 3 tokens → no shingles, never a candidate
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.containmentPairsOf(docs)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toList
+    // doc1: 10 shingles, doc2: 100, intersection 10
+    assert(got == List((1L, 2L, 10L, 10L, 100L, 1.0, 0.1, 0.1)))
+    // and dd4 at its 0.1 threshold keeps the pair only marginally —
+    // shrink the overlap by one token and containment still fires
+    // while Jaccard drops below threshold
+    val docs2 = docs.withColumn("text",
+      when(col("doc_id") === 2L, concat(col("text"), lit(" tail extra words")))
+        .otherwise(col("text")))
+    val j = Dedup.ngramJaccardPairsOf(docs2).as[(Long, Long, Long, Long, Double)]
+      .collect().toList
+    val c = Dedup.containmentPairsOf(docs2)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toList
+    assert(j.isEmpty, s"jaccard should miss the lengthened pair: $j")
+    assert(c.map(r => (r._1, r._2, r._6)) == List((1L, 2L, 1.0)))
+  }
+
   test("dd12 cluster survivors: longest-then-lowest-id argmax per cluster, singletons kept") {
     val clusters = Seq(
       (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), // ties on n_chars: 2 vs 3
