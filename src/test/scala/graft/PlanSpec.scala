@@ -133,6 +133,40 @@ class PlanSpec extends AnyFunSuite {
       s"island window missing or not pair-partitioned:\n${p.take(1500)}")
   }
 
+  test("dd13 coverage reads the span table ONCE: both unpivot sides scan the materialization") {
+    val p = plan("dd13_duplicate_coverage")
+    // the dd10 candidate join ran below the Materialize — the coverage
+    // plan itself must carry no anchor-gram computation at all (before
+    // the fix each union side recomputed the whole span join: 22.3 s
+    // vs 9.1 s at the 40× probe)
+    assert(p.contains("ExistingRDD"),
+      s"span table not materialized:\n${p.take(1200)}")
+    assert(!p.toLowerCase.contains("wordngrams"),
+      "coverage plan recomputes anchor grams — span materialization lost")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tx22 source overlap scans the distinct shingle table once; only the stats cross is unkeyed") {
+    val p = plan("tx22_source_overlap")
+    assert(p.contains("ExistingRDD"),
+      s"(source, shingle) distinct not materialized:\n${p.take(1200)}")
+    assert(!p.toLowerCase.contains("wordngrams"),
+      "overlap plan recomputes shingles — materialization lost")
+    assert(!p.contains("CartesianProduct"))
+    // the sources² stats-table cross join is the ONLY nested-loop
+    // allowed; the candidate self-join must stay keyed on the hash
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "candidate join degraded to an unkeyed pair join")
+  }
+
+  test("dd12 survivors: single struct-max hash aggregation, no window sort") {
+    val p = plan("dd12_cluster_survivors")
+    assert(!p.contains("Window"),
+      "survivor argmax should be an aggregation, not a window rank")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "no partial aggregation on cluster_id")
+  }
+
   test("w3 retention: keyed joins only, partial+final aggregation") {
     val p = plan("w3_retention_cohorts")
     assert(!p.contains("CartesianProduct"))
