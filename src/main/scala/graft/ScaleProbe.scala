@@ -199,6 +199,15 @@ object ScaleProbe {
           .collect()(0).getLong(0)
       }
       graft.ops.Materialize.releaseAll(spark)
+      // g1: kNN build (the sim4 probe's cost) + 5 fixed integer
+      // rounds, each a keyed join + keyed agg over node-sized tables —
+      // the incremental cost over sim4 should stay a small constant
+      // factor at every scale
+      val emb4 = replicatedEmb(spark, sfDir, n).localCheckpoint(true)
+      val (tPr, prNodes) = time {
+        graft.ops.Similarity.knnPagerankOf(emb4).count()
+      }
+      graft.ops.Materialize.releaseAll(spark)
       // dd13: dd10's span table + a per-doc interval merge — the merge
       // window partitions by doc_id (bounded groups), so the curve
       // should track dd10's span curve; the aggregate consumes
@@ -237,7 +246,8 @@ object ScaleProbe {
         f""""span_sec":$tSpan%.2f,"span_rows":$spanRows,""" +
         f""""segdedup_sec":$tSeg%.2f,"seg_kept":$segKept,""" +
         f""""coverage_sec":$tCov%.2f,"cov_docs":$covDocs,""" +
-        f""""srcoverlap_sec":$tSrc%.2f,"src_pairs":$srcPairs}""")
+        f""""srcoverlap_sec":$tSrc%.2f,"src_pairs":$srcPairs,""" +
+        f""""pagerank_sec":$tPr%.2f,"pr_nodes":$prNodes}""")
     }
     spark.stop()
   }

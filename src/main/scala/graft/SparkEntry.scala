@@ -114,6 +114,7 @@ object SparkEntry {
     "sim3_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(s, d, trainCap = Similarity.IvfTrainCap)),
     "sim4_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "g1_knn_pagerank" -> ((s, d) => Similarity.knnPagerank(s, d)),
     "tx1_lang_id" -> (TextStats.langIdQuery _),
     "tx2_quality_score" -> (TextStats.qualityScore _),
     "tx3_token_counts" -> (TextStats.tokenCounts _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "mm4_perceptual_hash" -> (Multimodal.perceptualHashQuery _),
     "mm5_image_neardup" -> (Multimodal.imageNearDupQuery _),
     "mm6_audio_frames" -> (Multimodal.audioFrameQuery _),
+    "mm7_onset_frames" -> (Multimodal.onsetFrameQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -573,6 +575,7 @@ object SparkEntry {
     "sim2_lsh_topk" -> Similarity.lshTopKOracle,
     "sim3_ivf_topk" -> Similarity.ivfOracle(Similarity.IvfTrainCap),
     "sim4_knn_graph" -> Similarity.knnGraphOracle(),
+    "g1_knn_pagerank" -> Similarity.knnPagerankOracle(),
     "tx1_lang_id" -> TextStats.langIdOracle,
     "tx2_quality_score" -> TextStats.qualityOracle,
     "tx3_token_counts" -> TextStats.tokenCountsOracle,
@@ -600,5 +603,6 @@ object SparkEntry {
     "mm4_perceptual_hash" -> Multimodal.perceptualHashOracle,
     "mm5_image_neardup" -> Multimodal.imageNearDupOracle,
     "mm6_audio_frames" -> Multimodal.audioFrameOracle,
+    "mm7_onset_frames" -> Multimodal.onsetFrameOracle,
   )
 }

@@ -583,6 +583,63 @@ object Multimodal {
     audioFramesAll(media).toDF().orderBy("track_id", "frame_idx")
   }
 
+  /** Onset threshold for [[onsetFrameQuery]] as a rational: a frame is
+    * a segment boundary when its energy moved ≥ 1/10 relative to the
+    * previous frame — integer cross-multiplied (10·|e − pe| ≥ pe), so
+    * the cut is exact cross-engine. */
+  val OnsetNum = 1
+  val OnsetDen = 10
+
+  /** mm7 — audio onset / segment-boundary detection: the
+    * content-ADAPTIVE frame selection that complements mm2's fixed
+    * stride — keep a frame when its short-time energy jumps relative
+    * to the previous frame (track openers always qualify; a partial
+    * tail frame's energy drop flags the segment end). This is the
+    * audio face of video keyframe selection: the same lag-compare
+    * over [[audioFramesAll]]'s features, one keyed window per track,
+    * no shuffle beyond the per-track partition. */
+  def onsetFrameQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val media = s.createDataset(fixtureAudio().map {
+      case (id, b) => Media(id, b, b.length) })(
+      org.apache.spark.sql.Encoders.product[Media]).repartition(2)
+    val w = Window.partitionBy("track_id").orderBy("frame_idx")
+    audioFramesAll(media).toDF()
+      .withColumn("prev_energy", lag(col("energy"), 1).over(w))
+      .filter(col("prev_energy").isNull ||
+        abs(col("energy") - col("prev_energy")) * OnsetDen >=
+          col("prev_energy") * OnsetNum)
+      .select("track_id", "frame_idx", "energy", "prev_energy")
+      .orderBy("track_id", "frame_idx")
+  }
+
+  /** DuckDB replay of mm7: the mm6 frame CTE + one lag window and the
+    * same integer cross-multiplied cut. */
+  val onsetFrameOracle: String = {
+    val tracks = audioTrackLens
+      .map { case (t, n) => s"($t, $n)" }.mkString(", ")
+    s"""WITH tracks(track_id, n) AS (VALUES $tracks),
+       |s AS (
+       |  SELECT track_id, i,
+       |         ((i*(i+3)*31 + track_id*7919 + i*1009) % 65536) - 32768 AS v
+       |  FROM tracks, unnest(generate_series(0, n - 1)) AS u(i)),
+       |f AS (
+       |  SELECT track_id, i // $AudioFrameSamples AS frame_idx,
+       |         CAST(sum(v * v) AS BIGINT) AS energy
+       |  FROM s GROUP BY track_id, frame_idx),
+       |l AS (
+       |  SELECT CAST(track_id AS BIGINT) AS track_id,
+       |         CAST(frame_idx AS BIGINT) AS frame_idx, energy,
+       |         lag(energy) OVER (PARTITION BY track_id ORDER BY frame_idx)
+       |           AS prev_energy
+       |  FROM f)
+       |SELECT track_id, frame_idx, energy, prev_energy
+       |FROM l
+       |WHERE prev_energy IS NULL
+       |   OR abs(energy - prev_energy) * $OnsetDen >= prev_energy * $OnsetNum
+       |ORDER BY track_id, frame_idx""".stripMargin
+  }
+
   /** DuckDB replay of mm6 from the shared formula and track list. */
   val audioFrameOracle: String = {
     val tracks = audioTrackLens

@@ -558,4 +558,90 @@ object Similarity {
        |WHERE b.vec_id <> $QueryVecId AND bit_count(xor(b.bucket, q.qbucket)) <= 1
        |ORDER BY cos DESC, b.vec_id LIMIT $K""".stripMargin
   }
+
+  /** Fixed-point scale and iteration count for [[knnPagerank]]: ranks
+    * live in integer millionths, five damped power-iteration rounds. */
+  val PrScale = 1000000L
+  val PrIters = 5
+
+  /** g1 — PageRank centrality over the kNN similarity graph, in
+    * INTEGER fixed-point: rank(v) ← 0.15 + 0.85·Σ_{u→v} rank(u)/deg(u)
+    * with every step floor integer arithmetic (per-edge contribution
+    * `rank div deg`, damping as `(85·m) div 100` on millionth-scaled
+    * ranks). Centrality over the similarity graph is the curation view
+    * of "template/hub documents": a vector many others count among
+    * their nearest neighbors collects rank — exactly the boilerplate
+    * cluster centers dd5/dd8 find by threshold, but RANKED.
+    *
+    * Integer fixed-point is what makes this oracle-checkable at all:
+    * float PageRank sums in data order and no two engines agree on the
+    * last ulp; floor-integer steps are bit-identical everywhere, at
+    * ~1e-6 rank precision nobody misses. Dangling mass (vectors with
+    * no out-edges — impossible here, kNN gives every node k edges) and
+    * the leaked remainder of each floor division are NOT redistributed:
+    * totals drift a few millionths per round, ranks stay comparable.
+    *
+    * Shape: edges materialize once (the sim4 build); each round is one
+    * keyed join rank⋈edges + one (dst)-keyed aggregation + a left join
+    * back to the node set — all shuffles on vec_id-sized keys, driver
+    * holds nothing. Rounds materialize like [[Dedup.labelPropagation]]
+    * so lineage stays bounded at any iteration count. */
+  def knnPagerank(s: SparkSession, d: String): DataFrame =
+    knnPagerankOf(graft.Tables.embeddings(s, d))
+
+  def knnPagerankOf(emb: DataFrame, iters: Int = PrIters): DataFrame =
+    pagerankOf(
+      Materialize(knnGraphOf(emb).select("src", "dst"),
+        Materialize.Local, "pr_edges"),
+      emb.select("vec_id"), iters)
+
+  /** The damped floor-integer power iteration over an explicit edge
+    * list — [[knnPagerankOf]] minus the graph build, directly
+    * spec-testable against hand-computed integer ranks. */
+  def pagerankOf(edges: DataFrame, nodes: DataFrame,
+      iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val ed = edges.join(deg, "src")
+    var ranks = nodes.withColumn("r", lit(PrScale))
+    for (i <- 0 until iters) {
+      val contrib = ed
+        .join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      ranks = Materialize(
+        nodes
+          .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(PrScale * 15 / 100) +
+              expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("r")),
+        Materialize.Local, s"pr_round_$i")
+    }
+    ranks.select(col("vec_id"), col("r").as("pagerank")).orderBy("vec_id")
+  }
+
+  /** DuckDB replay of g1: the sim4 edge CTE, the same floor-integer
+    * rounds unrolled (sums pass through HUGEINT and cast back — the
+    * values are bounded by 85 × total mass ≈ 2e11, well inside
+    * BIGINT). */
+  def knnPagerankOracle(iters: Int = PrIters): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""r$t AS (
+         |  SELECT n.vec_id,
+         |    ${PrScale * 15 / 100} +
+         |      CAST((85 * coalesce(s$t.m, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT eg.dst, sum(r${t - 1}.r // deg.d) AS m
+         |    FROM eg JOIN deg USING (src)
+         |    JOIN r${t - 1} ON eg.src = r${t - 1}.vec_id
+         |    GROUP BY eg.dst) s$t ON n.vec_id = s$t.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eg AS (SELECT src, dst FROM (
+       |${knnGraphOracle()}
+       |) kg),
+       |deg AS (SELECT src, count(*) AS d FROM eg GROUP BY src),
+       |nodes AS (SELECT vec_id FROM embeddings),
+       |r0 AS (SELECT vec_id, CAST($PrScale AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT vec_id, r AS pagerank FROM r$iters ORDER BY vec_id""".stripMargin
+  }
 }

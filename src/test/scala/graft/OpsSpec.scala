@@ -107,6 +107,51 @@ class OpsSpec extends AnyFunSuite {
       ("srcB", "srcC", 0L, 2L, 1L, 0.0)))
   }
 
+  test("g1 pagerank: floor-integer rounds match hand-computed ranks on a star graph") {
+    // 2→1, 3→1, 4→1, 1→2: node 1 collects three contributions, node 2
+    // rides node 1's rank, nodes 3/4 decay to the damping floor
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    val got = graft.ops.Similarity.pagerankOf(edges, nodes, iters = 2)
+      .as[(Long, Long)].collect().toList
+    // r1: 1 ← 150000 + 85·3e6/100 = 2700000; 2 ← 150000 + 850000;
+    //     3,4 ← 150000
+    // r2: 1 ← 150000 + 85·(1000000+150000+150000)/100 = 1255000;
+    //     2 ← 150000 + 85·2700000/100 = 2445000
+    assert(got == List(
+      (1L, 1255000L), (2L, 2445000L), (3L, 150000L), (4L, 150000L)))
+  }
+
+  test("mm7 onset frames: openers always fire; tail fires only on a >=10% energy move") {
+    import graft.ops.Multimodal
+    val got = Multimodal.onsetFrameQuery(spark, sf)
+      .as[(Long, Long, Long, Option[Long])].collect().toList
+    // every track contributes its opener with a null prev
+    assert(got.filter(_._4.isEmpty).map(_._1).sorted ==
+      Multimodal.audioTrackLens.map(_._1).sorted)
+    // independent recompute of the lag filter from the frame features
+    val expected = Multimodal.fixtureAudio().flatMap { case (id, payload) =>
+      val fs = Multimodal.pcmFrameFeatures(
+        Multimodal.Media(id, payload, payload.length)).toList
+      fs.zip(None +: fs.map(f => Some(f.energy))).collect {
+        case (f, pe) if pe.isEmpty ||
+            (f.energy - pe.get).abs * Multimodal.OnsetDen >=
+              pe.get * Multimodal.OnsetNum =>
+          (f.track_id, f.frame_idx, f.energy, pe)
+      }
+    }.toList.sortBy(r => (r._1, r._2))
+    assert(got == expected)
+    // the short tail of track 4 (44 of 256 samples) must register as
+    // a boundary, and some full frame must NOT (selection is adaptive,
+    // not all-pass)
+    assert(got.exists(r => r._1 == 4L && r._2 == 1L))
+    val allFrames = Multimodal.audioTrackLens.map { case (_, n) =>
+      (n + Multimodal.AudioFrameSamples - 1) / Multimodal.AudioFrameSamples
+    }.sum
+    assert(got.length < allFrames, "onset filter selected every frame")
+  }
+
   test("pipe1 curation audit: flag algebra holds and canonical picks are unique per content") {
     val docs = Tables.documents(spark, sf)
     val audit = graft.ops.Curation.curationAuditOf(docs)
