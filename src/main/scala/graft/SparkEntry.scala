@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.geo.GeoQueries
 import graft.model.{Analytics, Fact, Pricing}
 import graft.merge.Upsert
-import graft.ops.{Dedup, Multimodal, Reconcile, Similarity, TextStats}
+import graft.ops.{Dedup, Graph, Multimodal, Reconcile, Similarity, TextStats}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB-equivalent ANSI SQL oracle for each.
@@ -115,6 +115,7 @@ object SparkEntry {
       Similarity.ivfTopK(s, d, trainCap = Similarity.IvfTrainCap)),
     "sim4_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "g1_knn_pagerank" -> ((s, d) => Similarity.knnPagerank(s, d)),
+    "g2_knn_triangles" -> (Graph.knnTriangles _),
     "tx1_lang_id" -> (TextStats.langIdQuery _),
     "tx2_quality_score" -> (TextStats.qualityScore _),
     "tx3_token_counts" -> (TextStats.tokenCounts _),
@@ -576,6 +577,7 @@ object SparkEntry {
     "sim3_ivf_topk" -> Similarity.ivfOracle(Similarity.IvfTrainCap),
     "sim4_knn_graph" -> Similarity.knnGraphOracle(),
     "g1_knn_pagerank" -> Similarity.knnPagerankOracle(),
+    "g2_knn_triangles" -> Graph.knnTrianglesOracle(),
     "tx1_lang_id" -> TextStats.langIdOracle,
     "tx2_quality_score" -> TextStats.qualityOracle,
     "tx3_token_counts" -> TextStats.tokenCountsOracle,

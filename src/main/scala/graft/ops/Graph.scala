@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the kNN similarity graph (sim4's edge list) —
+  * the structural view of a training corpus: PageRank (g1, in
+  * [[Similarity.knnPagerank]]) ranks hub documents; triangle counts and
+  * the local clustering coefficient (g2, here) measure how CLIQUE-LIKE
+  * each document's neighbourhood is. A high-coefficient node sits in a
+  * tight near-duplicate clique (template families — what dd7/dd8
+  * cluster); a high-degree low-coefficient node is a genuine hub
+  * bridging distinct content. The combination separates "popular
+  * because boilerplate" from "popular because central", which degree
+  * alone cannot.
+  */
+object Graph {
+
+  /** g2 — per-node triangle count + local clustering coefficient over
+    * the kNN graph. Edges materialize once (the sim4 build), then
+    * [[trianglesOf]] runs the compact-forward join. */
+  def knnTriangles(s: SparkSession, d: String): DataFrame =
+    knnTrianglesOf(Tables.embeddings(s, d))
+
+  def knnTrianglesOf(emb: DataFrame): DataFrame = {
+    val edges = Materialize(
+      Similarity.knnGraphOf(emb).select("src", "dst"),
+      Materialize.Local, "tri_edges")
+    trianglesOf(edges, emb.select(col("vec_id")))
+  }
+
+  /** Compact-forward triangle counting (Latapy 2008's degree-ordered
+    * orientation, the distributed-join standard): the input edge list
+    * (directed, possibly with both arcs) canonicalizes to undirected
+    * edges, each edge orients from its lexicographically-smaller
+    * (degree, id) endpoint to the larger, and a triangle is counted at
+    * its unique minimum vertex as wedge (a→b, a→c) + closing arc b→c.
+    *
+    * Why the degree ordering matters at scale: with id ordering a hub
+    * of degree D generates O(D²) wedges; ordering by (degree, id)
+    * bounds every out-degree by O(√m), so the wedge stage is O(m^1.5)
+    * worst case and skew-free in practice — each triangle is produced
+    * exactly once, no post-hoc distinct. All three joins are keyed
+    * (pivot id, then (b,c) pair); nothing is collected to the driver.
+    *
+    * The clustering coefficient 2T/(d(d−1)) divides two exact integers
+    * — one correctly-rounded IEEE division, identical in any engine —
+    * and is 0.0 for degree < 2 (no wedge to close). */
+  def trianglesOf(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val und = Materialize(
+      edges.where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct(),
+      Materialize.Local, "tri_und")
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val orient = Materialize(
+      und
+        .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+        .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
+          when(uFirst, col("v")).otherwise(col("u")).as("b")),
+      Materialize.Local, "tri_orient")
+    val wedges = orient
+      .join(orient.select(col("a"), col("b").as("c")), "a")
+      .where(col("b") =!= col("c"))
+    val tri = wedges
+      .join(orient.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("t"))
+    nodes
+      .join(deg.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .join(perNode.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("d"), lit(0L)).as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          lit(2.0d) * col("triangles") / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0d)))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB replay of g2: the sim4 edge CTE, the same canonicalize /
+    * degree-orient / wedge-close joins, the same exact-integer outputs
+    * and single division. */
+  def knnTrianglesOracle(): String =
+    s"""WITH kg AS (SELECT src, dst FROM (
+       |${Similarity.knnGraphOracle()}
+       |) g),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM kg WHERE src <> dst),
+       |deg AS (SELECT id, count(*) AS d FROM (
+       |    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+       |  GROUP BY id),
+       |o AS (
+       |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+       |              THEN e.u ELSE e.v END AS a,
+       |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+       |              THEN e.v ELSE e.u END AS b
+       |  FROM und e
+       |  JOIN deg du ON e.u = du.id
+       |  JOIN deg dv ON e.v = dv.id),
+       |tri AS (
+       |  SELECT w.a, w.b, w.c
+       |  FROM (SELECT e1.a, e1.b, e2.b AS c
+       |        FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b <> e2.b) w
+       |  JOIN o ce ON w.b = ce.a AND w.c = ce.b),
+       |pn AS (SELECT id, count(*) AS t FROM (
+       |    SELECT a AS id FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY id)
+       |SELECT n.vec_id,
+       |  CAST(coalesce(deg.d, 0) AS BIGINT) AS degree,
+       |  CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles,
+       |  CASE WHEN coalesce(deg.d, 0) >= 2
+       |       THEN 2.0 * coalesce(pn.t, 0) / (deg.d * (deg.d - 1))
+       |       ELSE 0.0 END AS clustering
+       |FROM (SELECT vec_id FROM embeddings) n
+       |LEFT JOIN deg ON n.vec_id = deg.id
+       |LEFT JOIN pn ON n.vec_id = pn.id
+       |ORDER BY n.vec_id""".stripMargin
+}

@@ -123,6 +123,37 @@ class OpsSpec extends AnyFunSuite {
       (1L, 1255000L), (2L, 2445000L), (3L, 150000L), (4L, 150000L)))
   }
 
+  test("g2 triangles: canonicalization, per-node counts, coefficient on a tailed triangle") {
+    // triangle {1,2,3} plus pendant 3-4, with a reversed duplicate arc
+    // (2,1) and a self loop (4,4) that canonicalization must drop;
+    // node 5 is isolated and must still appear with zeros
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 4L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")
+    val got = graft.ops.Graph.trianglesOf(edges, nodes)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (1L, 2L, 1L, 1.0),
+      (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 1.0 / 3),
+      (4L, 1L, 0L, 0.0),
+      (5L, 0L, 0L, 0.0)))
+  }
+
+  test("g2 triangles: shared-edge triangles count once each at every member") {
+    // K4 minus edge {1,4}: triangles {1,2,3} and {2,3,4} share edge {2,3}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    val got = graft.ops.Graph.trianglesOf(edges, nodes)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (1L, 2L, 1L, 1.0),
+      (2L, 3L, 2L, 2.0 / 3),
+      (3L, 3L, 2L, 2.0 / 3),
+      (4L, 2L, 1L, 1.0)))
+  }
+
   test("mm7 onset frames: openers always fire; tail fires only on a >=10% energy move") {
     import graft.ops.Multimodal
     val got = Multimodal.onsetFrameQuery(spark, sf)
