@@ -36,6 +36,7 @@ object SparkEntry {
     "u2_except_intersect" -> (Fact.exceptIntersect _),
     "w1_window_dedup" -> (Analytics.windowDedup _),
     "w2_sessionize" -> (Analytics.sessionize _),
+    "w6_funnel" -> (Analytics.funnelSteps _),
     "w3_retention_cohorts" -> (Analytics.retentionCohorts _),
     "w4_moving_avg" -> (Analytics.movingAvg _),
     "tx10_normalize" -> (TextStats.normalizeQuery _),
@@ -202,6 +203,8 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "w6_funnel" -> Analytics.funnelOracle(),
 
     "w2_sessionize" ->
       """WITH ev AS (

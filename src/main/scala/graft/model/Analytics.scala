@@ -463,6 +463,93 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** The w6 funnel's ordered step sequence: event_type per stage,
+    * 1-indexed. */
+  val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** w6 — ordered-step funnel (the windowFunnel of event analytics):
+    * a user reaches stage k+1 at the earliest step-(k+1) event at or
+    * after the time they reached stage k (second-truncated, like every
+    * events query). Emits one row per step: users reaching it and the
+    * percentage of step-1 users.
+    *
+    * ONE shuffle: events filter to the four step types, groupBy user,
+    * and the per-user depth is a sorted-list fold — `sort_array` over
+    * (ts, stage) structs then `aggregate(…, acc+1 iff stage = acc+1)`,
+    * all codegen HOFs, no window, no self-join. Greedy-earliest is
+    * optimal for funnel reachability (advancing at the first eligible
+    * event never forecloses a later advance), so the fold's depth
+    * equals the chained-min definition the oracle replays; within a
+    * tied second the struct sort puts lower stages first, which is
+    * exactly the >= chain's tie rule. Per-user state is bounded by the
+    * user's step-typed event count (a hot key is one oversized sort
+    * task, not a plan change); the step/histogram tables that follow
+    * are O(steps) rows. */
+  def funnelSteps(s: SparkSession, d: String): DataFrame =
+    funnelOf(Tables.events(s, d))
+
+  /** [[funnelSteps]] over an explicit (user_id, event_type, ts) frame —
+    * directly spec-testable with crafted tie/skip/out-of-order cases. */
+  def funnelOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    val idx = FunnelSteps.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (acc, (t, i)) =>
+        when(col("event_type") === t, lit(i + 1)).otherwise(acc)
+      }
+    val depths = events
+      .select(col("user_id"), idx.as("idx"),
+        date_trunc("second", col("ts")).as("t"))
+      .where(col("idx").isNotNull)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("t"), col("idx")))).as("evs"))
+      .select(aggregate(col("evs"), lit(0),
+        (acc, x) => when(x.getField("idx") === acc + 1, acc + 1)
+          .otherwise(acc)).as("depth"))
+    val hist = depths.groupBy("depth").agg(count(lit(1)).as("n"))
+    val steps = s.createDataFrame(
+      FunnelSteps.zipWithIndex.map { case (t, i) => (i + 1, t) })
+      .toDF("step", "event_type")
+    val counts = steps
+      .join(hist, col("depth") >= col("step"), "left")
+      .groupBy("step", "event_type")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("users"))
+    val base = counts.where(col("step") === 1)
+      .select(col("users").as("base"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("users"),
+        when(col("base") > 0, lit(100.0) * col("users") / col("base"))
+          .otherwise(lit(0.0)).as("pct_of_first"))
+      .orderBy("step")
+  }
+
+  /** DuckDB replay of w6: the textbook chained-min CTE ladder — stage
+    * k+1's per-user time is min(ts >= stage k's time) — then step
+    * counts and the same single division. */
+  def funnelOracle(): String = {
+    val ladder = FunnelSteps.zipWithIndex.drop(1).map { case (t, i) =>
+      s"""s${i + 1} AS (
+         |  SELECT ev.user_id, min(ev.t) AS t
+         |  FROM ev JOIN s$i ON ev.user_id = s$i.user_id AND ev.t >= s$i.t
+         |  WHERE ev.event_type = '$t' GROUP BY ev.user_id)""".stripMargin
+    }.mkString(",\n")
+    val unions = FunnelSteps.zipWithIndex.map { case (t, i) =>
+      s"SELECT ${i + 1} AS step, '$t' AS event_type, (SELECT count(*) FROM s${i + 1}) AS users"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, date_trunc('second', ts) AS t
+       |  FROM events),
+       |s1 AS (SELECT user_id, min(t) AS t FROM ev
+       |       WHERE event_type = '${FunnelSteps.head}' GROUP BY user_id),
+       |$ladder,
+       |c AS (
+       |  $unions),
+       |b AS (SELECT users AS base FROM c WHERE step = 1)
+       |SELECT c.step, c.event_type, CAST(c.users AS BIGINT) AS users,
+       |  CASE WHEN b.base > 0 THEN 100.0 * c.users / b.base
+       |       ELSE 0.0 END AS pct_of_first
+       |FROM c, b ORDER BY c.step""".stripMargin
+  }
+
   /** Beyond-reference: exact top-k per group via the custom
     * [[graft.expressions.TopKPairs]] TypedImperativeAggregate — each
     * partial buffer carries at most k pairs through the shuffle (an

@@ -123,6 +123,36 @@ class OpsSpec extends AnyFunSuite {
       (1L, 1255000L), (2L, 2445000L), (3L, 150000L), (4L, 150000L)))
   }
 
+  test("w6 funnel: ordered reachability with ties, skips, and reversed sequences") {
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC))
+    // u1 full funnel (view/click tie at 20s both advance);
+    // u2 views only before signup → depth 1;
+    // u3 signup+view same second (>= chain admits it) → depth 2;
+    // u4 skips view → stuck at 1; u5 reversed order → 1;
+    // u6 only non-step events → ignored entirely;
+    // u7 purchase BEFORE click's time → depth 3
+    val ev = Seq(
+      (1L, "signup", ts(10)), (1L, "view", ts(20)), (1L, "click", ts(20)),
+      (1L, "purchase", ts(30)),
+      (2L, "view", ts(5)), (2L, "signup", ts(10)), (2L, "view", ts(9)),
+      (3L, "signup", ts(10)), (3L, "view", ts(10)),
+      (4L, "signup", ts(10)), (4L, "click", ts(15)), (4L, "purchase", ts(20)),
+      (5L, "purchase", ts(1)), (5L, "click", ts(2)), (5L, "view", ts(3)),
+      (5L, "signup", ts(4)),
+      (6L, "error", ts(7)),
+      (7L, "view", ts(1)), (7L, "signup", ts(2)), (7L, "purchase", ts(2)),
+      (7L, "view", ts(3)), (7L, "click", ts(3)))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.model.Analytics.funnelOf(ev)
+      .as[(Int, String, Long, Double)].collect().toList
+    assert(got == List(
+      (1, "signup", 6L, 100.0),
+      (2, "view", 3L, 100.0 * 3 / 6),
+      (3, "click", 2L, 100.0 * 2 / 6),
+      (4, "purchase", 1L, 100.0 * 1 / 6)))
+  }
+
   test("g2 triangles: canonicalization, per-node counts, coefficient on a tailed triangle") {
     // triangle {1,2,3} plus pendant 3-4, with a reversed duplicate arc
     // (2,1) and a self loop (4,4) that canonicalization must drop;
