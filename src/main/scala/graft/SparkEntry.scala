@@ -37,6 +37,7 @@ object SparkEntry {
     "w1_window_dedup" -> (Analytics.windowDedup _),
     "w2_sessionize" -> (Analytics.sessionize _),
     "w6_funnel" -> (Analytics.funnelSteps _),
+    "a18_robust_outliers" -> (Analytics.robustOutliers _),
     "w3_retention_cohorts" -> (Analytics.retentionCohorts _),
     "w4_moving_avg" -> (Analytics.movingAvg _),
     "tx10_normalize" -> (TextStats.normalizeQuery _),
@@ -117,6 +118,7 @@ object SparkEntry {
     "sim4_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "g1_knn_pagerank" -> ((s, d) => Similarity.knnPagerank(s, d)),
     "g2_knn_triangles" -> (Graph.knnTriangles _),
+    "mm8_channel_stats" -> (Multimodal.channelStatsQuery _),
     "tx1_lang_id" -> (TextStats.langIdQuery _),
     "tx2_quality_score" -> (TextStats.qualityScore _),
     "tx3_token_counts" -> (TextStats.tokenCounts _),
@@ -205,6 +207,7 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "w6_funnel" -> Analytics.funnelOracle(),
+    "a18_robust_outliers" -> Analytics.robustOutliersOracle(),
 
     "w2_sessionize" ->
       """WITH ev AS (
@@ -581,6 +584,7 @@ object SparkEntry {
     "sim4_knn_graph" -> Similarity.knnGraphOracle(),
     "g1_knn_pagerank" -> Similarity.knnPagerankOracle(),
     "g2_knn_triangles" -> Graph.knnTrianglesOracle(),
+    "mm8_channel_stats" -> Multimodal.channelStatsOracle,
     "tx1_lang_id" -> TextStats.langIdOracle,
     "tx2_quality_score" -> TextStats.qualityOracle,
     "tx3_token_counts" -> TextStats.tokenCountsOracle,

@@ -463,6 +463,63 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** a18 — robust outlier detection per event type: median/MAD on
+    * integer cents, flagging |x − med| > 3·MAD. Median and MAD are the
+    * robust location/scale pair (a mean/σ z-score is itself dragged by
+    * the outliers it is meant to find); on integer cents every
+    * intermediate is exact — the 0.5-quantile of integers is an
+    * integer or an exact .5 half, |x − med| is one exactly-rounded
+    * subtraction, and 3·MAD one exactly-rounded multiply — so the
+    * flag comparisons are engine-independent.
+    *
+    * Shape: the (type, cents) projection materializes once; the two
+    * quantile passes MAD inherently needs are per-group sort-based
+    * aggregates on the 5-value group key (the a11 scale posture), and
+    * the 5-row median/MAD tables ride broadcast joins back onto the
+    * stream. */
+  def robustOutliers(s: SparkSession, d: String): DataFrame =
+    robustOutliersOf(Tables.events(s, d))
+
+  /** [[robustOutliers]] over an explicit (event_type, value) frame. */
+  def robustOutliersOf(events: DataFrame): DataFrame = {
+    val ev = graft.ops.Materialize(
+      events.where(col("event_type").isNotNull)
+        .select(col("event_type"), cents(col("value")).as("c")),
+      graft.ops.Materialize.Local, "a18_cents")
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(c, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("c") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med_cents"),
+        max(col("mad")).as("mad_cents"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  def robustOutliersOracle(): String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events WHERE event_type IS NOT NULL),
+      |med AS (SELECT event_type, quantile_cont(c, 0.5) AS med
+      |        FROM ev GROUP BY event_type),
+      |dev AS (SELECT ev.event_type, ev.c, med.med,
+      |               abs(ev.c - med.med) AS adev
+      |        FROM ev JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |        FROM dev GROUP BY event_type)
+      |SELECT dev.event_type, count(*) AS n,
+      |  max(dev.med) AS med_cents, max(mad.mad) AS mad_cents,
+      |  CAST(sum(CASE WHEN dev.adev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin
+
   /** The w6 funnel's ordered step sequence: event_type per stage,
     * 1-indexed. */
   val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")

@@ -501,6 +501,114 @@ object Multimodal {
       |  (7, -218150868210360128, -1)) t(img_id, ahash, dhash)
       |ORDER BY img_id""".stripMargin
 
+  case class ChannelStats(img_id: Long, width: Int, height: Int,
+      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+      min_luma: Int, max_luma: Int, h0: Long, h1: Long, h2: Long, h3: Long)
+
+  /** Per-image channel statistics — the normalization-constant pass of
+    * an image training pipeline (channel sums for mean/std, luma
+    * range, a 4-bin luma histogram for exposure screening). One
+    * imperative accumulation per image inside the same narrow
+    * mapPartitions decode stage as mm2–mm5: decode parallelism equals
+    * input splits, no shuffle, exact integers throughout (ITU-R 601
+    * luma at the ×1000 integer scale [[cellLumaMeans]] uses; histogram
+    * bin = luma/1000/64, and 255000/1000/64 = 3 so no clamp needed). */
+  def channelStatsAll(media: Dataset[Media]): Dataset[ChannelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      readImage(m).map { bi =>
+        val w = bi.getWidth; val h = bi.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var lmin = Int.MaxValue; var lmax = Int.MinValue
+        val hist = Array.ofDim[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = bi.getRGB(x, y)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+            val b = p & 0xff
+            sr += r; sg += g; sb += b
+            val luma = 299 * r + 587 * g + 114 * b
+            if (luma < lmin) lmin = luma
+            if (luma > lmax) lmax = luma
+            hist(luma / 1000 / 64) += 1
+            x += 1
+          }
+          y += 1
+        }
+        ChannelStats(m.doc_id, w, h, w.toLong * h, sr, sg, sb,
+          lmin, lmax, hist(0), hist(1), hist(2), hist(3))
+      }
+    })
+  }
+
+  /** mm8 — channel stats over the mm4 fixtures. Unlike mm4's
+    * golden-literal oracle, this one REPLAYS the fixture pixel
+    * formulas on a SQL coordinate grid (the image analogue of mm6's
+    * waveform replay), so the compare certifies encode → codec decode
+    * → pixel extraction end-to-end against an independent evaluation
+    * of the same integer formulas. */
+  def channelStatsQuery(s: SparkSession, d: String): DataFrame = {
+    val media = s.createDataset(fixtureImages().map {
+      case (id, b) => Media(id, b, b.length) })(
+      org.apache.spark.sql.Encoders.product[Media]).repartition(2)
+    channelStatsAll(media).toDF().orderBy("img_id")
+  }
+
+  /** (img_id, width, height) of [[fixtureImages]] — the oracle's grid
+    * dimensions, kept in one place so a fixture edit breaks loudly. */
+  private val fixtureDims: Seq[(Int, Int, Int)] = Seq(
+    (0, 16, 16), (1, 32, 16), (2, 16, 32), (3, 24, 24),
+    (4, 20, 12), (5, 9, 8), (6, 40, 28), (7, 33, 17))
+
+  val channelStatsOracle: String = {
+    // the gray-image value formula per img_id (img 6 is the only
+    // distinct-channel image and is cased separately)
+    val grayV =
+      """CASE img_id
+        |      WHEN 0 THEN 128
+        |      WHEN 1 THEN (x * 255) // 31
+        |      WHEN 2 THEN (y * 255) // 31
+        |      WHEN 3 THEN ((x // 3 + y // 3) % 2) * 255
+        |      WHEN 4 THEN CASE WHEN x < 10 THEN 0 ELSE 255 END
+        |      WHEN 5 THEN (x * 37 + y * 91) % 256
+        |      WHEN 7 THEN ((x + y) * 255) // 48
+        |    END""".stripMargin
+    val dims = fixtureDims.map { case (i, w, h) => s"($i, $w, $h)" }
+      .mkString(", ")
+    s"""WITH dims(img_id, w, h) AS (VALUES $dims),
+       |px AS (
+       |  SELECT d.img_id, d.w, d.h, xs.x, ys.y
+       |  FROM dims d,
+       |    LATERAL unnest(generate_series(0, d.w - 1)) AS xs(x),
+       |    LATERAL unnest(generate_series(0, d.h - 1)) AS ys(y)),
+       |c AS (
+       |  SELECT img_id, w, h,
+       |    CASE WHEN img_id = 6 THEN ((x * 73 + y * 151) * 179) % 256
+       |         ELSE $grayV END AS r,
+       |    CASE WHEN img_id = 6 THEN ((x * 31 + y * 17) * 113) % 256
+       |         ELSE $grayV END AS g,
+       |    CASE WHEN img_id = 6 THEN ((x + y * 7) * 59) % 256
+       |         ELSE $grayV END AS b
+       |  FROM px),
+       |l AS (SELECT img_id, w, h, r, g, b,
+       |             299 * r + 587 * g + 114 * b AS luma FROM c)
+       |SELECT CAST(img_id AS BIGINT) AS img_id,
+       |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  count(*) AS n_px,
+       |  CAST(sum(r) AS BIGINT) AS sum_r,
+       |  CAST(sum(g) AS BIGINT) AS sum_g,
+       |  CAST(sum(b) AS BIGINT) AS sum_b,
+       |  CAST(min(luma) AS INTEGER) AS min_luma,
+       |  CAST(max(luma) AS INTEGER) AS max_luma,
+       |  CAST(sum(CASE WHEN luma // 1000 // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+       |  CAST(sum(CASE WHEN luma // 1000 // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+       |  CAST(sum(CASE WHEN luma // 1000 // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+       |  CAST(sum(CASE WHEN luma // 1000 // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+       |FROM l GROUP BY img_id, w, h ORDER BY img_id""".stripMargin
+  }
+
   /** Samples per analysis frame for [[audioFrameQuery]] — the classic
     * short-time window of audio feature extraction. */
   val AudioFrameSamples = 256

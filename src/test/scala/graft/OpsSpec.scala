@@ -123,6 +123,36 @@ class OpsSpec extends AnyFunSuite {
       (1L, 1255000L), (2L, 2445000L), (3L, 150000L), (4L, 150000L)))
   }
 
+  test("a18 robust outliers: median/MAD ignore the outlier that drags the mean") {
+    // cents 100,200,300,400,10000: med=300, adevs 200,100,0,100,9700 →
+    // MAD=100; only 9700 > 3·100. A mean/σ flag would call none of
+    // these outliers (σ is inflated by the 10000 itself).
+    val ev = Seq(
+      ("view", 1.0), ("view", 2.0), ("view", 3.0), ("view", 4.0),
+      ("view", 100.0), (null.asInstanceOf[String], 999.0))
+      .toDF("event_type", "value")
+    val got = graft.model.Analytics.robustOutliersOf(ev)
+      .as[(String, Long, Double, Double, Long)].collect().toList
+    assert(got == List(("view", 5L, 300.0, 100.0, 1L)))
+  }
+
+  test("mm8 channel stats: undecodable payloads drop; halves image bins split exactly") {
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.Media
+    val garbage = Media(99L, Array[Byte](1, 2, 3, 4, 5), 5)
+    assert(Multimodal.channelStatsAll(
+      spark.createDataset(Seq(garbage))(
+        org.apache.spark.sql.Encoders.product[Media])).count() == 0)
+    val got = Multimodal.channelStatsQuery(spark, sf)
+      .where($"img_id" === 4)
+      .as[(Long, Int, Int, Long, Long, Long, Long, Int, Int, Long, Long, Long, Long)]
+      .collect().toList
+    // img 4: 20×12, left 10 columns black, right 10 white — histogram
+    // mass sits entirely in the extreme bins, channel sums = 255·120
+    assert(got == List((4L, 20, 12, 240L, 30600L, 30600L, 30600L,
+      0, 255000, 120L, 0L, 0L, 120L)))
+  }
+
   test("w6 funnel: ordered reachability with ties, skips, and reversed sequences") {
     def ts(sec: Int) = java.sql.Timestamp.valueOf(
       java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC))
