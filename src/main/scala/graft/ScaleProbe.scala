@@ -208,6 +208,29 @@ object ScaleProbe {
         graft.ops.Similarity.knnPagerankOf(emb4).count()
       }
       graft.ops.Materialize.releaseAll(spark)
+      // g2: kNN build + the compact-forward wedge join. Degree-ordered
+      // orientation bounds every out-degree by O(sqrt(m)), so wedge
+      // volume tracks edge count; sign-flipped copies keep kNN edges
+      // within copies, so Σ triangles is linear by construction — a
+      // superlinear time curve here would mean the orientation failed
+      // to tame a hub. The aggregate consumes the triangle column so
+      // pruning can't drop the wedge join.
+      val emb5 = replicatedEmb(spark, sfDir, n).localCheckpoint(true)
+      val (tTri, triSum) = time {
+        graft.ops.Graph.knnTrianglesOf(emb5)
+          .agg(sum(col("triangles")).as("t")).collect()(0).getLong(0)
+      }
+      graft.ops.Materialize.releaseAll(spark)
+      // w6: ONE shuffle on user_id with the user domain fixed, so
+      // per-user sorted lists grow ∝ n — the hot-key direction for the
+      // sort_array fold; time should stay ~linear (sort is n log n in
+      // the per-user list, lists are replication-bounded)
+      val ev7 = replicatedEvents(spark, sfDir, n).localCheckpoint(true)
+      val (tFun, funUsers) = time {
+        graft.model.Analytics.funnelOf(ev7)
+          .agg(sum(col("users")).as("u")).collect()(0).getLong(0)
+      }
+      graft.ops.Materialize.releaseAll(spark)
       // dd13: dd10's span table + a per-doc interval merge — the merge
       // window partitions by doc_id (bounded groups), so the curve
       // should track dd10's span curve; the aggregate consumes
@@ -247,7 +270,9 @@ object ScaleProbe {
         f""""segdedup_sec":$tSeg%.2f,"seg_kept":$segKept,""" +
         f""""coverage_sec":$tCov%.2f,"cov_docs":$covDocs,""" +
         f""""srcoverlap_sec":$tSrc%.2f,"src_pairs":$srcPairs,""" +
-        f""""pagerank_sec":$tPr%.2f,"pr_nodes":$prNodes}""")
+        f""""pagerank_sec":$tPr%.2f,"pr_nodes":$prNodes,""" +
+        f""""tri_sec":$tTri%.2f,"tri_sum":$triSum,""" +
+        f""""funnel_sec":$tFun%.2f,"funnel_users":$funUsers}""")
     }
     spark.stop()
   }
