@@ -121,6 +121,8 @@ object SparkEntry {
     "mm8_channel_stats" -> (Multimodal.channelStatsQuery _),
     "tx1_lang_id" -> (TextStats.langIdQuery _),
     "tx2_quality_score" -> (TextStats.qualityScore _),
+    "tx23_surprisal" -> (TextStats.surprisalQuery _),
+    "hll2_sketch_rollup" -> (graft.ops.Sketch.hllRollup _),
     "tx3_token_counts" -> (TextStats.tokenCounts _),
     "tx4_fingerprint" -> (TextStats.fingerprintQuery _),
     "tx5_train_test_split" -> (TextStats.trainTestSplit _),
@@ -587,6 +589,8 @@ object SparkEntry {
     "mm8_channel_stats" -> Multimodal.channelStatsOracle,
     "tx1_lang_id" -> TextStats.langIdOracle,
     "tx2_quality_score" -> TextStats.qualityOracle,
+    "tx23_surprisal" -> TextStats.surprisalOracle,
+    "hll2_sketch_rollup" -> graft.ops.Sketch.hllRollupOracle,
     "tx3_token_counts" -> TextStats.tokenCountsOracle,
     "tx4_fingerprint" -> TextStats.fingerprintOracle,
     "tx5_train_test_split" -> TextStats.trainTestSplitOracle,

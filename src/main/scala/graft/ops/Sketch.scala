@@ -62,7 +62,7 @@ object Sketch {
     * duplicate-insensitive (register max), so callers that already hold
     * a DISTINCT shingle table feed it directly and pay md5 once per
     * distinct shingle instead of once per occurrence. */
-  private def registersOf(sh: DataFrame): DataFrame =
+  private def registersOf(sh: DataFrame, keys: Seq[String] = Seq("lang")): DataFrame =
     sh
       .withColumn("h", md5Hash60(col("sh"), HllSeed))
       .withColumn("reg", col("h").bitwiseAND(lit((HllM - 1).toLong)))
@@ -72,12 +72,12 @@ object Sketch {
       .withColumn("rho",
         when(col("rem") === 0, lit(HllValueBits + 1))
           .otherwise(lit(HllValueBits + 1) - length(bin(col("rem")))))
-      .groupBy("lang", "reg").agg(max(col("rho")).as("mx"))
+      .groupBy((keys :+ "reg").map(col): _*).agg(max(col("rho")).as("mx"))
 
   /** Estimate from register state: exact scaled harmonic sum, one final
     * division (see class doc). */
-  def estimateFromRegisters(regs: DataFrame): DataFrame =
-    regs.groupBy("lang").agg(
+  def estimateFromRegisters(regs: DataFrame, keys: Seq[String] = Seq("lang")): DataFrame =
+    regs.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n_regs"),
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllValueBits + 1} - mx)"))
         .as("s_present"))
@@ -86,7 +86,7 @@ object Sketch {
         col("s_present") +
           col("v_empty") * lit(1L << (HllValueBits + 1)))
       .withColumn("est_raw", lit(HllNumerator) / col("s_scaled"))
-      .select("lang", "v_empty", "s_scaled", "est_raw")
+      .select((keys.map(col) ++ Seq(col("v_empty"), col("s_scaled"), col("est_raw"))): _*)
 
   /** hll1 — per-language distinct 3-gram shingle estimate beside the
     * exact count (the validation pairing; production keeps only the
@@ -98,6 +98,98 @@ object Sketch {
     * the corpus is exploded once, the distinct's exchange is computed
     * once and reused by the two downstream aggregations, and md5 runs
     * per DISTINCT shingle, not per occurrence. */
+  /** hll2 — sketch ROLLUP: registers build ONCE at the finest grain
+    * (source, lang); every coarser level — per source, then global —
+    * is a register-wise max MERGE of that state, never a rescan of the
+    * data. This is the datacube-of-distincts pattern mergeable sketches
+    * exist for: at 100 TB the corpus is read once, and any rollup cell
+    * costs one aggregation over m-register states (the merge law the
+    * spec pins as exact max-idempotence). Estimates use the same
+    * scaled-harmonic integer path as hll1, one final division each.
+    * Rolled-up dimensions print 'ALL' (never null, so the compare's
+    * column sort stays total). */
+  def hllRollup(s: SparkSession, d: String): DataFrame =
+    hllRollupOf(Tables.documents(s, d))
+
+  def hllRollupOf(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("source"), col("lang"),
+        explode(shingles(col("text"), 3)).as("sh"))
+      .distinct()
+    val fineKeys = Seq("source", "lang")
+    val regs = Materialize(
+      registersOf(sh, fineKeys), Materialize.Local, "hll2_regs")
+    val fine = estimateFromRegisters(regs, fineKeys)
+      .withColumn("level", lit(2))
+    val bySource = estimateFromRegisters(
+      regs.groupBy("source", "reg").agg(max(col("mx")).as("mx")),
+      Seq("source"))
+      .withColumn("lang", lit("ALL")).withColumn("level", lit(1))
+    val global = estimateFromRegisters(
+      regs.groupBy("reg").agg(max(col("mx")).as("mx")).withColumn("g", lit(1)),
+      Seq("g"))
+      .drop("g")
+      .withColumn("source", lit("ALL")).withColumn("lang", lit("ALL"))
+      .withColumn("level", lit(0))
+    val cols = Seq("level", "source", "lang", "v_empty", "s_scaled", "est_raw")
+    fine.select(cols.map(col): _*)
+      .unionByName(bySource.select(cols.map(col): _*))
+      .unionByName(global.select(cols.map(col): _*))
+      .orderBy("level", "source", "lang")
+  }
+
+  /** DuckDB replay of hll2: hll1's shingle/hash/rho path at the
+    * (source, lang) grain, then the SAME register states re-grouped by
+    * max at each rollup level. */
+  val hllRollupOracle: String = {
+    val w = HllValueBits + 1
+    def est(sel: String, from: String, grp: String) =
+      s"""SELECT $sel, count(*) AS n_regs,
+         |    CAST(sum(CAST(1 AS BIGINT) << ($w - mx)) AS BIGINT) AS s_present
+         |  FROM $from $grp""".stripMargin
+    s"""WITH w AS (
+       |  SELECT source, lang, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT source, lang, unnest(CASE WHEN len(ws) >= 3 THEN list_transform(
+       |      generate_series(1, len(ws) - 2),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       |    ELSE [] END) AS sh
+       |  FROM w),
+       |h AS (
+       |  SELECT source, lang, sh,
+       |    ('0x' || substr(md5('$HllSeed' || ':' || sh), 1, 15))::BIGINT AS h
+       |  FROM sh),
+       |r AS (
+       |  SELECT source, lang, h & ${HllM - 1} AS reg, h >> $HllP AS rem FROM h),
+       |rho AS (
+       |  SELECT source, lang, reg,
+       |    CASE WHEN rem = 0 THEN $w ELSE $w - length(bin(rem)) END AS rho
+       |  FROM r),
+       |regs AS (
+       |  SELECT source, lang, reg, max(rho) AS mx
+       |  FROM rho GROUP BY source, lang, reg),
+       |fine AS (
+       |  ${est("2 AS level, source, lang", "regs", "GROUP BY source, lang")}),
+       |srcregs AS (
+       |  SELECT source, reg, max(mx) AS mx FROM regs GROUP BY source, reg),
+       |bysrc AS (
+       |  ${est("1 AS level, source, 'ALL' AS lang", "srcregs", "GROUP BY source")}),
+       |gregs AS (SELECT reg, max(mx) AS mx FROM regs GROUP BY reg),
+       |gall AS (
+       |  ${est("0 AS level, 'ALL' AS source, 'ALL' AS lang", "gregs", "")}),
+       |u AS (
+       |  SELECT * FROM fine UNION ALL SELECT * FROM bysrc
+       |  UNION ALL SELECT * FROM gall)
+       |SELECT level, source, lang,
+       |  CAST($HllM - n_regs AS BIGINT) AS v_empty,
+       |  CAST(s_present + ($HllM - n_regs) * (CAST(1 AS BIGINT) << $w)
+       |       AS BIGINT) AS s_scaled,
+       |  $HllNumerator / (s_present +
+       |    ($HllM - n_regs) * (CAST(1 AS BIGINT) << $w)) AS est_raw
+       |FROM u ORDER BY level, source, lang""".stripMargin
+  }
+
   def hllLangDistinct(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val sh = docs

@@ -1093,6 +1093,79 @@ object TextStats {
   def sourceOverlap(s: SparkSession, d: String): DataFrame =
     sourceOverlapOf(Tables.documents(s, d))
 
+  /** tx23 — integer-bit surprisal scoring, the perplexity-filter shape
+    * of CCNet/KenLM quality curation re-expressed exactly: train a
+    * char-trigram unigram model on the corpus itself, then score each
+    * document by Σ over its trigram occurrences of
+    * (bitlen(total) − bitlen(count)) — surprisal quantized to whole
+    * bits. bitlen = length(bin(x)) is exact integer log2 in BOTH
+    * engines (the [[Similarity.planesForSql]] trick), so the score
+    * dodges the transcendental-log determinism trap entirely: a float
+    * ln() cross-entropy could never hash-match across engines, whole
+    * bits always do. High bits/trigram = rare character sequences
+    * (noise, encoding damage); low = repetitive boilerplate.
+    *
+    * Shape: the trigram stream materializes once and feeds both the
+    * model build (one keyed groupBy) and the scoring join (keyed on
+    * trigram; the model table is charset³-bounded but treated as
+    * big-side-safe — no broadcast assumption). The 1-row total rides a
+    * broadcast. Everything is linear in corpus characters. */
+  def surprisalQuery(s: SparkSession, d: String): DataFrame =
+    surprisalOf(Tables.documents(s, d))
+
+  def surprisalOf(docs: DataFrame): DataFrame = {
+    // sequence(1, 0) generates a DESCENDING [1,0] in Spark — guard
+    // short texts to an empty list (the oracle's generate_series(1,0)
+    // is empty natively)
+    val idxs = when(length(col("text")) >= 3,
+      sequence(lit(1), length(col("text")) - 2))
+      .otherwise(array().cast("array<int>"))
+    val tris = Materialize(
+      docs.select(col("doc_id"), col("text")).withColumn("i", explode(idxs))
+        .select(col("doc_id"), col("text").substr(col("i"), lit(3)).as("tri")),
+      Materialize.Local, "tx23_tris")
+    val cnt = tris.groupBy("tri").agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(length(bin(sum(col("cnt")))).as("lbits"))
+    val scored = tris.join(cnt, "tri")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tris"),
+        sum(col("lbits") - length(bin(col("cnt")))).cast("long")
+          .as("bits"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tris"), lit(0L)).as("n_tris"),
+        coalesce(col("bits"), lit(0L)).as("surprisal_bits"))
+      .withColumn("bits_per_tri",
+        when(col("n_tris") > 0,
+          col("surprisal_bits").cast("double") / col("n_tris"))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  val surprisalOracle: String =
+    """WITH tris AS (
+      |  SELECT doc_id, substr(text, i, 3) AS tri
+      |  FROM documents,
+      |    LATERAL unnest(generate_series(1, greatest(length(text) - 2, 0)))
+      |      AS t(i)),
+      |cnt AS (SELECT tri, count(*) AS cnt FROM tris GROUP BY tri),
+      |tot AS (SELECT length(bin(sum(cnt))) AS lbits FROM cnt),
+      |sc AS (
+      |  SELECT tris.doc_id, count(*) AS n_tris,
+      |         sum(tot.lbits - length(bin(cnt.cnt))) AS bits
+      |  FROM tris JOIN cnt USING (tri), tot
+      |  GROUP BY tris.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(sc.n_tris, 0) AS BIGINT) AS n_tris,
+      |  CAST(coalesce(sc.bits, 0) AS BIGINT) AS surprisal_bits,
+      |  CASE WHEN coalesce(sc.n_tris, 0) > 0
+      |       THEN CAST(sc.bits AS DOUBLE) / sc.n_tris
+      |       ELSE 0.0 END AS bits_per_tri
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def sourceOverlapOf(docs: DataFrame,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
     // materialize the per-source distinct shingle table: three

@@ -123,6 +123,36 @@ class OpsSpec extends AnyFunSuite {
       (1L, 1255000L), (2L, 2445000L), (3L, 150000L), (4L, 150000L)))
   }
 
+  test("hll2 rollup: global row equals a direct single-grain sketch (merge is lossless)") {
+    import graft.ops.Sketch
+    val docs = graft.Tables.documents(spark, sf)
+    val global = Sketch.hllRollupOf(docs)
+      .where($"level" === 0)
+      .select("v_empty", "s_scaled", "est_raw")
+      .as[(Long, Long, Double)].collect().toList
+    // collapsing both grouping dims makes the FINE level a direct
+    // whole-corpus sketch — no merge step involved
+    val direct = Sketch.hllRollupOf(
+      docs.withColumn("source", lit("x")).withColumn("lang", lit("y")))
+      .where($"level" === 2)
+      .select("v_empty", "s_scaled", "est_raw")
+      .as[(Long, Long, Double)].collect().toList
+    assert(global.nonEmpty && global == direct)
+  }
+
+  test("tx23 surprisal: whole-bit scores, short-text zeros, rare beats common") {
+    // corpus trigrams: aaa ×2 (from "aaaa"), xyz ×1; total 3 → lbits 2.
+    // "aaaa": 2 occurrences of the common trigram → 0 bits each;
+    // "ab": too short → zero row survives the left join;
+    // "xyz": one singleton → 2 − bitlen(1) = 1 bit
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextStats.surprisalOf(docs)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (1L, 2L, 0L, 0.0), (2L, 0L, 0L, 0.0), (3L, 1L, 1L, 1.0)))
+  }
+
   test("a18 robust outliers: median/MAD ignore the outlier that drags the mean") {
     // cents 100,200,300,400,10000: med=300, adevs 200,100,0,100,9700 →
     // MAD=100; only 9700 > 3·100. A mean/σ flag would call none of
