@@ -566,10 +566,14 @@ object Analytics {
     val steps = s.createDataFrame(
       FunnelSteps.zipWithIndex.map { case (t, i) => (i + 1, t) })
       .toDF("step", "event_type")
-    val counts = steps
-      .join(hist, col("depth") >= col("step"), "left")
-      .groupBy("step", "event_type")
-      .agg(coalesce(sum(col("n")), lit(0L)).as("users"))
+    // materialized: base below re-reads these 4 rows — without this the
+    // whole depths pipeline (and the events scan) would compute twice
+    val counts = graft.ops.Materialize(
+      steps
+        .join(hist, col("depth") >= col("step"), "left")
+        .groupBy("step", "event_type")
+        .agg(coalesce(sum(col("n")), lit(0L)).as("users")),
+      graft.ops.Materialize.Local, "w6_counts")
     val base = counts.where(col("step") === 1)
       .select(col("users").as("base"))
     counts.crossJoin(broadcast(base))

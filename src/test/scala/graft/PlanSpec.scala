@@ -405,6 +405,45 @@ class PlanSpec extends AnyFunSuite {
       s"event_type filter not pushed:\n${pp.take(1200)}")
   }
 
+  test("w6 funnel: step math reads the materialized 4-row counts, events pipeline runs once") {
+    val p = plan("w6_funnel")
+    // the depths fold (and its single user_id shuffle) ran below the
+    // counts materialization — before the fix the base cross join
+    // recomputed the whole pipeline (two user_id exchanges = two
+    // events scans at warehouse scale)
+    assert(p.contains("ExistingRDD"),
+      s"counts table not materialized:\n${p.take(1200)}")
+    assert(!"hashpartitioning\\(user_id".r.findAllIn(p).hasNext,
+      "user_id exchange above the materialization — depths recomputed")
+    assert(!p.contains("Window"),
+      "funnel depth must come from the sorted-list fold, not a window")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("g2 triangle joins are all keyed — no cartesian, no nested loop") {
+    val p = plan("g2_knn_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("tx23 trigram stream materializes once and feeds model + scoring") {
+    val p = plan("tx23_surprisal")
+    assert("ExistingRDD".r.findAllIn(p).size >= 2,
+      "model build and scoring join must both read the materialized trigrams")
+    assert(!p.contains("substring("),
+      "trigram extraction recomputed above the materialization")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("hll2 rollup levels re-aggregate ONE materialized register state") {
+    val p = plan("hll2_sketch_rollup")
+    assert("ExistingRDD".r.findAllIn(p).size >= 3,
+      "fine/source/global levels must all read the materialized registers")
+    assert(!p.toLowerCase.contains("md5"),
+      "register hashing recomputed above the materialization")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("tx16 keep-list and bf1 bitmap probes ride broadcast joins only") {
     val p16 = plan("tx16_df_prune")
     assert(p16.contains("BroadcastHashJoin"),
