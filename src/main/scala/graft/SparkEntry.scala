@@ -73,6 +73,7 @@ object SparkEntry {
     "j6_asof_join" -> (graft.ops.AsOf.asofQuery _),
     "j6b_asof_bucketed" -> (graft.ops.AsOf.asofBucketedQuery _),
     "j7_range_join" -> (graft.ops.RangeJoin.rangeJoinQuery _),
+    "j10_overlap_join" -> (graft.ops.RangeJoin.overlapJoinQuery _),
     "q1_pricing_summary" -> (Pricing.pricingSummary _),
     "q3_shipping_priority" -> (Pricing.shippingPriority _),
     "q5_revenue_by_nation" -> (Pricing.revenueByNation _),
@@ -562,6 +563,7 @@ object SparkEntry {
         |GROUP BY c.cohort_week, e.w
         |ORDER BY cohort_week, activity_week""".stripMargin,
     "j7_range_join" -> graft.ops.RangeJoin.rangeJoinOracle,
+    "j10_overlap_join" -> graft.ops.RangeJoin.overlapJoinOracle,
 
     "q18_large_volume" -> Pricing.largeVolumeOrdersOracle,
     "q17_small_qty_revenue" -> Pricing.smallQtyRevenueOracle,

@@ -58,6 +58,59 @@ object RangeJoin {
       .orderBy("event_id")
   }
 
+  /** j10 — interval×interval OVERLAP join (the temporal/genomic
+    * standard j7's point-in-interval machinery doesn't cover): emit
+    * every same-key pair of intervals with [s,e) intersection, plus
+    * the overlap length. Same bucketization, plus the dedup-free
+    * FIRST-SHARED-BUCKET trick for the both-sides-multi-bucket case: a
+    * pair of overlapping intervals co-resides in every bucket of the
+    * intersection, so the join keeps a candidate only in bucket
+    * max(start_bucket_a, start_bucket_b) — provably the first bucket
+    * both cover (s_b < e_a ⇒ floor(s_b/B) ≤ floor((e_a−1)/B)), hence
+    * exactly one survivor per true pair and NO distinct. One keyed
+    * shuffle; candidate volume is bucket co-residency, AQE-splittable. */
+  def overlapPairsOf(iv: DataFrame, bucketSec: Long): DataFrame = {
+    val withB = iv
+      .withColumn("sb", floor(col("s_ep") / bucketSec).cast("long"))
+      .withColumn("lb", floor((col("e_ep") - 1) / bucketSec).cast("long"))
+    def side(t: String) = withB.select(col("k"), col("id").as(s"id_$t"),
+      col("s_ep").as(s"s_$t"), col("e_ep").as(s"e_$t"),
+      col("sb").as(s"sb_$t"), col("lb").as(s"lb_$t"))
+      .withColumn("bucket", explode(sequence(col(s"sb_$t"), col(s"lb_$t"))))
+    side("a").join(side("b"), Seq("k", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("s_a") < col("e_b") && col("s_b") < col("e_a"))
+      .filter(col("bucket") === greatest(col("sb_a"), col("sb_b")))
+      .select(col("k"), col("id_a"), col("id_b"),
+        (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+          .as("overlap_sec"))
+  }
+
+  /** Driver query: pairs of same-user incident windows (the j7
+    * derivation) that overlap in time — concurrent-incident analysis. */
+  def overlapJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d).filter(col("event_type") === "error")
+      .select(col("user_id").as("k"), col("event_id").as("id"),
+        date_trunc("second", col("ts")).cast("long").as("s_ep"))
+      .withColumn("e_ep", col("s_ep") + BucketSeconds)
+    overlapPairsOf(iv, BucketSeconds)
+      .select(col("k").as("user_id"), col("id_a").as("incident_a"),
+        col("id_b").as("incident_b"), col("overlap_sec"))
+      .orderBy("incident_a", "incident_b")
+  }
+
+  val overlapJoinOracle: String =
+    """WITH e AS (
+      |  SELECT user_id AS k, event_id AS id,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 3600 AS e
+      |  FROM events WHERE event_type = 'error')
+      |SELECT a.k AS user_id, a.id AS incident_a, b.id AS incident_b,
+      |       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_sec
+      |FROM e a JOIN e b ON a.k = b.k AND a.id < b.id
+      |  AND a.s < b.e AND b.s < a.e
+      |ORDER BY incident_a, incident_b""".stripMargin
+
   val rangeJoinOracle: String =
     """WITH base AS (
       |  SELECT event_id, user_id AS k, event_type,

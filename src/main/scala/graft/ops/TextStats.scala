@@ -1120,17 +1120,22 @@ object TextStats {
     val idxs = when(length(col("text")) >= 3,
       sequence(lit(1), length(col("text")) - 2))
       .otherwise(array().cast("array<int>"))
+    // pre-aggregated to (doc, tri, multiplicity) before materializing:
+    // the scoring join then moves one row per DISTINCT doc-trigram, not
+    // per occurrence — the map-side-combine shape for a corpus whose
+    // documents repeat trigrams heavily
     val tris = Materialize(
       docs.select(col("doc_id"), col("text")).withColumn("i", explode(idxs))
-        .select(col("doc_id"), col("text").substr(col("i"), lit(3)).as("tri")),
+        .select(col("doc_id"), col("text").substr(col("i"), lit(3)).as("tri"))
+        .groupBy("doc_id", "tri").agg(count(lit(1)).as("k")),
       Materialize.Local, "tx23_tris")
-    val cnt = tris.groupBy("tri").agg(count(lit(1)).as("cnt"))
+    val cnt = tris.groupBy("tri").agg(sum(col("k")).as("cnt"))
     val total = cnt.agg(length(bin(sum(col("cnt")))).as("lbits"))
     val scored = tris.join(cnt, "tri")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tris"),
-        sum(col("lbits") - length(bin(col("cnt")))).cast("long")
+      .agg(sum(col("k")).cast("long").as("n_tris"),
+        sum(col("k") * (col("lbits") - length(bin(col("cnt"))))).cast("long")
           .as("bits"))
     docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")

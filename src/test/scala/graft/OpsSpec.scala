@@ -123,6 +123,21 @@ class OpsSpec extends AnyFunSuite {
       (1L, 1255000L), (2L, 2445000L), (3L, 150000L), (4L, 150000L)))
   }
 
+  test("j10 overlap pairs: multi-bucket intervals dedup to one row; half-open boundaries exclude") {
+    // bucket 10s. ids 1 [5,35) and 2 [28,60) co-reside in buckets 2 AND
+    // 3 — the first-shared-bucket rule must emit the pair ONCE; id 3
+    // [35,40) abuts id 1 at the half-open boundary (no overlap with 1)
+    // but sits inside id 2; key 2 checks keying and a same-bucket pair
+    val iv = Seq(
+      (1L, 1L, 5L, 35L), (1L, 2L, 28L, 60L), (1L, 3L, 35L, 40L),
+      (2L, 4L, 0L, 100L), (2L, 5L, 90L, 95L))
+      .toDF("k", "id", "s_ep", "e_ep")
+    val got = graft.ops.RangeJoin.overlapPairsOf(iv, 10L)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List((1L, 1L, 2L, 7L), (1L, 2L, 3L, 5L), (2L, 4L, 5L, 5L)))
+  }
+
   test("hll2 rollup: global row equals a direct single-grain sketch (merge is lossless)") {
     import graft.ops.Sketch
     val docs = graft.Tables.documents(spark, sf)
