@@ -1120,22 +1120,24 @@ object TextStats {
     val idxs = when(length(col("text")) >= 3,
       sequence(lit(1), length(col("text")) - 2))
       .otherwise(array().cast("array<int>"))
-    // pre-aggregated to (doc, tri, multiplicity) before materializing:
-    // the scoring join then moves one row per DISTINCT doc-trigram, not
-    // per occurrence — the map-side-combine shape for a corpus whose
-    // documents repeat trigrams heavily
+    // occurrence-level materialization, deliberately NOT pre-aggregated
+    // to (doc, tri, multiplicity): the A/B at sf0.1 measured the
+    // pre-agg variant SLOWER (2.99 vs 2.41 s median) — its extra full
+    // exchange outweighs halving the scoring join's input at this
+    // corpus's 2.07× intra-doc repetition. Pre-aggregation pays only
+    // when documents repeat trigrams heavily (long repetitive docs);
+    // revisit with a corpus-ratio probe before re-enabling.
     val tris = Materialize(
       docs.select(col("doc_id"), col("text")).withColumn("i", explode(idxs))
-        .select(col("doc_id"), col("text").substr(col("i"), lit(3)).as("tri"))
-        .groupBy("doc_id", "tri").agg(count(lit(1)).as("k")),
+        .select(col("doc_id"), col("text").substr(col("i"), lit(3)).as("tri")),
       Materialize.Local, "tx23_tris")
-    val cnt = tris.groupBy("tri").agg(sum(col("k")).as("cnt"))
+    val cnt = tris.groupBy("tri").agg(count(lit(1)).as("cnt"))
     val total = cnt.agg(length(bin(sum(col("cnt")))).as("lbits"))
     val scored = tris.join(cnt, "tri")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
-      .agg(sum(col("k")).cast("long").as("n_tris"),
-        sum(col("k") * (col("lbits") - length(bin(col("cnt"))))).cast("long")
+      .agg(count(lit(1)).as("n_tris"),
+        sum(col("lbits") - length(bin(col("cnt")))).cast("long")
           .as("bits"))
     docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
