@@ -143,6 +143,11 @@ object SparkEntry {
     "tx20_winnowing" -> (TextStats.winnow _),
     "tx21_token_shards" -> (TextStats.tokenShards _),
     "tx22_source_overlap" -> (TextStats.sourceOverlap _),
+    "tx24_vocab_coverage" -> (TextStats.vocabCoverage _),
+    "tx25_ngram_novelty" -> (TextStats.ngramNovelty _),
+    "smp1_stratified_sample" -> (TextStats.stratifiedBalance _),
+    "a19_trend_regression" -> (Analytics.trendRegression _),
+    "w7_markov_transitions" -> (Analytics.markovTransitions _),
     "pipe1_curation_audit" -> (graft.ops.Curation.curationAudit _),
     "bf1_bloom_decontam" -> (graft.ops.Sketch.bloomDecontaminate _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
@@ -384,6 +389,11 @@ object SparkEntry {
     "tx20_winnowing" -> TextStats.winnowOracle,
     "tx21_token_shards" -> TextStats.tokenShardsOracle,
     "tx22_source_overlap" -> TextStats.sourceOverlapOracle,
+    "tx24_vocab_coverage" -> TextStats.vocabCoverageOracle,
+    "tx25_ngram_novelty" -> TextStats.ngramNoveltyOracle,
+    "smp1_stratified_sample" -> TextStats.stratifiedBalanceOracle,
+    "a19_trend_regression" -> Analytics.trendRegressionOracle,
+    "w7_markov_transitions" -> Analytics.markovTransitionsOracle,
     "pipe1_curation_audit" -> graft.ops.Curation.curationAuditOracle,
 
     "a11_percentiles" ->

@@ -626,4 +626,135 @@ object Analytics {
         col("t.id").as("o_orderkey"), col("t.v").as("totalprice_cents"))
       .orderBy("priority", "rank")
   }
+
+  /** a19 — per-type least-squares trend of event value over year, from
+    * EXACT integer moment sums: with x = year−2000 and y = value cents,
+    * the per-group (n, Σx, Σy, Σxy, Σx², Σy²) are exact 64-bit
+    * integers accumulated by one hash aggregate (map-side partials —
+    * the only shuffle is on event_type), and slope/intercept/r² are
+    * derived by identical IEEE expression trees in both engines:
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is one long/long division;
+    * r²'s y-variance term nΣy² − (Σy)² would overflow 64 bits
+    * (Σy² ≈ n·10¹⁰), so it — and only it — is computed in double
+    * (exact while Σy² < 2⁵³; the moment columns in the output keep the
+    * full-precision integers regardless). Groups with a single year
+    * (zero x-variance) emit NULL slope/intercept/r². This is the
+    * distributed-regression shape: sufficient statistics commute with
+    * partitioning, so the same code runs unchanged on 1000 executors. */
+  def trendRegression(s: SparkSession, d: String): DataFrame =
+    trendRegressionOf(Tables.events(s, d))
+
+  /** [[trendRegression]] over an explicit events frame. */
+  def trendRegressionOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_type"),
+        (year(col("ts")) - 2000).cast("long").as("x"),
+        cents(col("value")).as("y"))
+    val agg = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val numX = col("n") * col("sxy") - col("sx") * col("sy")
+    val denX = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = when(denX =!= 0L, numX / denX)
+    val intercept = when(denX =!= 0L,
+      (col("sy").cast("double") - slope * col("sx").cast("double"))
+        / col("n").cast("double"))
+    val denY = col("n").cast("double") * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val r2 = when(denX =!= 0L && denY > 0.0,
+      (numX.cast("double") * numX.cast("double"))
+        / (denX.cast("double") * denY))
+    agg.select(col("event_type"), col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy"),
+        slope.as("slope"), intercept.as("intercept"), r2.as("r2"))
+      .orderBy("event_type")
+  }
+
+  val trendRegressionOracle: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |         CAST(year(ts) - 2000 AS BIGINT) AS x,
+      |         CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |    AND value IS NOT NULL),
+      |agg AS (
+      |  SELECT event_type, count(*) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM ev GROUP BY event_type)
+      |SELECT event_type, n, sx, sy, sxy, sxx, syy,
+      |  CASE WHEN n * sxx - sx * sx <> 0
+      |       THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+      |  CASE WHEN n * sxx - sx * sx <> 0
+      |       THEN (CAST(sy AS DOUBLE)
+      |             - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+      |               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END
+      |    AS intercept,
+      |  CASE WHEN n * sxx - sx * sx <> 0
+      |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+      |       THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+      |             * CAST(n * sxy - sx * sy AS DOUBLE))
+      |            / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END
+      |    AS r2
+      |FROM agg ORDER BY event_type""".stripMargin
+
+  /** w7 — user-journey transition matrix: counts and row-normalized
+    * probabilities of consecutive (event_type → next event_type) steps
+    * per user. One user-keyed window (the w2 sessionize shuffle shape)
+    * computes the successor; the matrix aggregate then shuffles only
+    * (from, to) pairs — O(types²) rows — and the row totals for the
+    * probabilities ride a second window over that TINY matrix, not the
+    * event stream. Ordering inside a user is (second-truncated ts,
+    * event_id), the a15 determinism rule, so ties can't flip
+    * transitions between engines. */
+  def markovTransitions(s: SparkSession, d: String): DataFrame =
+    markovTransitionsOf(Tables.events(s, d))
+
+  /** [[markovTransitions]] over an explicit events frame. */
+  def markovTransitionsOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_sec"), col("event_id"))
+    val steps = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_sec"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val matrix = steps
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowW = Window.partitionBy("from_type")
+    matrix
+      .withColumn("prob", col("n") / sum(col("n")).over(rowW))
+      .orderBy("from_type", "to_type")
+  }
+
+  val markovTransitionsOracle: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY date_trunc('second', ts), event_id) AS next_type
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      |m AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |         count(*) AS n
+      |  FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+      |         AS prob
+      |FROM m ORDER BY from_type, to_type""".stripMargin
 }

@@ -734,6 +734,177 @@ object TextStats {
         countDistinct(col("doc_id")).as("df"))
       .orderBy(desc("tf"), col("term"))
 
+  /** Hash-threshold seed for [[stratifiedBalance]]. */
+  val BalanceSeed = 29
+  /** Denominator of the [[stratifiedBalance]] uniform variate. */
+  val BalanceDen = 1000000L
+
+  /** smp1 — stratified rebalancing by hash THRESHOLD, the shuffle-free
+    * alternative to the rank-window samplers (tx13/tx14): every lang
+    * stratum is Bernoulli-downsampled toward the size of the smallest
+    * stratum. A doc survives iff u · n_lang < t · 10⁶, where u is a
+    * 60-bit-md5-derived uniform in [0, 10⁶), n_lang the stratum size
+    * and t = min stratum size — an integer cross-multiplication, so
+    * both engines agree on every boundary.
+    *
+    * Scale posture: tx13/tx14 place each stratum in ONE window task
+    * (exact counts, but a hot stratum serializes); this form never
+    * shuffles the corpus at all — the per-stratum counts are an
+    * O(strata) aggregate broadcast back, and selection is a codegen'd
+    * filter at scan speed. Kept counts are expected-t rather than
+    * exactly-t: the price of the scan-speed shape, and the right trade
+    * at 100 TB where t is millions and the relative error ~1/√t. */
+  def stratifiedBalance(s: SparkSession, d: String): DataFrame =
+    stratifiedBalanceOf(Tables.documents(s, d))
+
+  /** [[stratifiedBalance]] over an explicit documents frame. */
+  def stratifiedBalanceOf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val target = counts.agg(min(col("n_lang")).as("t"))
+    val u = pmod(
+      graft.functions.Functions.md5Hash60(
+        col("doc_id").cast("string"), BalanceSeed),
+      lit(BalanceDen))
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        u.as("sample_key"))
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(target))
+      .filter(col("sample_key") * col("n_lang") < col("t") * lit(BalanceDen))
+      .select("doc_id", "lang", "source", "sample_key")
+      .orderBy("doc_id")
+  }
+
+  val stratifiedBalanceOracle: String =
+    s"""WITH n AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+       |tt AS (SELECT min(n_lang) AS t FROM n),
+       |d AS (SELECT doc_id, lang, source,
+       |        ('0x' || substr(md5('$BalanceSeed' || ':' ||
+       |           CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $BalanceDen
+       |          AS sample_key
+       |      FROM documents)
+       |SELECT doc_id, d.lang, source, sample_key
+       |FROM d JOIN n USING (lang), tt
+       |WHERE sample_key * n_lang < t * $BalanceDen
+       |ORDER BY doc_id""".stripMargin
+
+  /** Rank cutoff for [[vocabCoverage]]. */
+  val CoverageTopK = 100
+
+  /** tx24 — Zipf coverage curve: the top-[[CoverageTopK]] corpus terms
+    * by frequency with their cumulative share of all tokens — the
+    * how-big-must-the-vocabulary-be curve tokenizer sizing reads.
+    * Totally ordered on (tf DESC, term) so ranks and the top-k cut are
+    * deterministic in both engines; coverage is one long/long division.
+    *
+    * Scale posture: term counting is the tx6 explode + hash aggregate;
+    * the top-k is a TakeOrderedAndProject (per-partition heaps + a
+    * k-row driver merge — no global sort materializes the vocabulary),
+    * the running sum is a window over k rows on one task (bounded by
+    * the CONSTANT k, not the corpus), and the token total rides as a
+    * one-row broadcast. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame =
+    vocabCoverageOf(Tables.documents(s, d))
+
+  /** [[vocabCoverage]] over an explicit documents frame. */
+  def vocabCoverageOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(explode(words(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    val total = terms.agg(sum(col("tf")).as("total"))
+    val top = terms.orderBy(desc("tf"), col("term")).limit(CoverageTopK)
+    val w = Window.orderBy(desc("tf"), col("term"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tf", sum(col("tf")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("term"), col("tf"), col("cum_tf"),
+        (col("cum_tf") / col("total")).as("coverage"))
+      .orderBy("rank")
+  }
+
+  val vocabCoverageOracle: String =
+    s"""WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |           FROM documents),
+       |v AS (SELECT term, count(*) AS tf FROM w GROUP BY term),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM v),
+       |top AS (SELECT term, tf FROM v ORDER BY tf DESC, term LIMIT $CoverageTopK)
+       |SELECT CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rank,
+       |       term, tf,
+       |       CAST(sum(tf) OVER (ORDER BY tf DESC, term
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |         AS cum_tf,
+       |       CAST(sum(tf) OVER (ORDER BY tf DESC, term
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |         / total AS coverage
+       |FROM top, tot ORDER BY rank""".stripMargin
+
+  /** tx25 — corpus novelty scoring: for each document, the fraction of
+    * its distinct 3-gram shingles whose FIRST corpus occurrence (by
+    * min doc_id — ingestion order) is this document. The data-growth
+    * curve read: a tail of low-novelty docs means more scraping from
+    * the same sources has stopped adding information. Differs from
+    * tx18 (which rewrites docs by dropping repeated segments): this
+    * SCORES every doc and keeps the corpus intact.
+    *
+    * Scale posture: one explode to the hashed shingle table, a
+    * min-aggregate per shingle (map-side partial), one join back on
+    * the shingle hash, one per-doc aggregate — all shuffles keyed on
+    * high-cardinality hashes. Zero-shingle docs (< 3 words) survive
+    * via the left join with NULL novelty (0/0 is undefined, not 0). */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame =
+    ngramNoveltyOf(Tables.documents(s, d))
+
+  /** [[ngramNovelty]] over an explicit documents frame. */
+  def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Functions.md5Hash60
+    val flat = docs
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), md5Hash60(col("sh"), 0).as("h"))
+    val first = flat.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    val per = flat.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_shingles") > 0, col("n_novel") / col("n_shingles"))
+          .as("novel_frac"))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltyOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |sdoc AS (SELECT doc_id,
+      |  CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+      |    generate_series(1, len(ws) - 2),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |  ELSE [] END AS sh FROM w),
+      |flat AS (
+      |  SELECT doc_id, ('0x' || substr(md5('0' || ':' || u), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, unnest(sh) AS u FROM sdoc)),
+      |fst AS (SELECT h, min(doc_id) AS first_doc FROM flat GROUP BY h),
+      |per AS (
+      |  SELECT f.doc_id, count(*) AS n_shingles,
+      |         CAST(sum(CASE WHEN f.doc_id = fst.first_doc THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_novel
+      |  FROM flat f JOIN fst USING (h) GROUP BY f.doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(per.n_shingles, 0) AS n_shingles,
+      |       coalesce(per.n_novel, 0) AS n_novel,
+      |       CASE WHEN coalesce(per.n_shingles, 0) > 0
+      |            THEN per.n_novel / per.n_shingles END AS novel_frac
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- oracles ----
 
   val tokenCountsOracle: String =

@@ -1285,4 +1285,90 @@ class OpsSpec extends AnyFunSuite {
       assert(text == expected.mkString(" "), s"doc $id reassembly order")
     }
   }
+
+  test("smp1 stratified balance: min stratum survives whole; threshold rule is exact both ways") {
+    val docs = (1L to 20L).map(i =>
+      (i, if (i <= 4) "small" else "big", s"src${i % 3}"))
+      .toDF("doc_id", "lang", "source")
+    val kept = TextStats.stratifiedBalanceOf(docs)
+      .as[(Long, String, String, Long)].collect().toList
+    // smallest stratum: u·t < t·10⁶ ⇔ u < 10⁶ — always true
+    assert(kept.count(_._2 == "small") == 4, "min stratum kept whole")
+    // completeness + soundness of the cut, checked against an
+    // independently computed u per doc (shared md5 primitive)
+    val u = docs.select(col("doc_id"),
+        pmod(graft.functions.Functions.md5Hash60(
+          col("doc_id").cast("string"), TextStats.BalanceSeed),
+          lit(TextStats.BalanceDen)).as("u"))
+      .as[(Long, Long)].collect().toMap
+    val expect = (1L to 20L).filter { i =>
+      val nLang = if (i <= 4) 4L else 16L
+      u(i) * nLang < 4L * TextStats.BalanceDen
+    }.toList
+    assert(kept.map(_._1) == expect, "hash-threshold cut")
+    assert(kept.map(_._4) == expect.map(u), "sample_key is the variate")
+  }
+
+  test("tx24 vocab coverage: exact ranks, prefix sums, and token-share fractions") {
+    val docs = Seq((1L, "w w w x"), (2L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextStats.vocabCoverageOf(docs)
+      .as[(Long, String, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (1L, "w", 3L, 3L, 3.0 / 6),
+      (2L, "x", 2L, 5L, 5.0 / 6),
+      (3L, "y", 1L, 6L, 1.0)))
+  }
+
+  test("tx25 novelty: first copy scores 1, exact dup 0, partial overlap fractional, short doc NULL") {
+    val docs = Seq(
+      (1L, "a b c d"),   // "a b c","b c d" — both first here
+      (2L, "a b c d"),   // exact dup → nothing novel
+      (3L, "xx"),        // < 3 words → no shingles, NULL fraction
+      (4L, "b c d e"))   // "b c d" seen in doc 1; "c d e" novel
+      .toDF("doc_id", "text")
+    val got = TextStats.ngramNoveltyOf(docs)
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        col("novel_frac"))
+      .as[(Long, Long, Long, Option[Double])].collect().toList
+    assert(got == List(
+      (1L, 2L, 2L, Some(1.0)),
+      (2L, 2L, 0L, Some(0.0)),
+      (3L, 0L, 0L, None),
+      (4L, 2L, 1L, Some(0.5))))
+  }
+
+  test("a19 trend: exact line recovers slope/intercept with r²=1; single-year group NULLs") {
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    // y = 3x + 5 dollars with x = year − 2000 → 300x + 500 cents
+    val ev = Seq(
+      ("t", ts(2001), Some(8.0)), ("t", ts(2002), Some(11.0)),
+      ("t", ts(2003), Some(14.0)),
+      ("s", ts(2001), Some(1.0)), ("s", ts(2001), Some(2.0)),
+      ("t", ts(2001), Option.empty[Double]))
+      .toDF("event_type", "ts", "value")
+    val got = graft.model.Analytics.trendRegressionOf(ev)
+      .select(col("event_type"), col("n"), col("slope"), col("intercept"),
+        col("r2"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toList
+    assert(got == List(
+      ("s", 2L, None, None, None),
+      ("t", 3L, Some(300.0), Some(500.0), Some(1.0))))
+  }
+
+  test("w7 transitions: per-user successor chains, same-second ties break on event_id") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ev = Seq(
+      (1L, 10L, "A", ts("00:00:01")), (2L, 10L, "B", ts("00:00:02")),
+      (3L, 10L, "A", ts("00:00:03")),
+      (4L, 20L, "A", ts("00:00:01")), (5L, 20L, "B", ts("00:00:02")),
+      // same second: event_id order pins C→D, not D→C
+      (6L, 30L, "C", ts("00:00:05")), (7L, 30L, "D", ts("00:00:05")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.model.Analytics.markovTransitionsOf(ev)
+      .as[(String, String, Long, Double)].collect().toList
+    assert(got == List(
+      ("A", "B", 2L, 1.0), ("B", "A", 1L, 1.0), ("C", "D", 1L, 1.0)))
+  }
 }
