@@ -93,7 +93,7 @@ object Dedup {
     * [[Materialize.Storage]] for the fault-tolerant warehouse lifecycle
     * where the shingle/signature tables persist to storage and survive
     * executor loss. */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+  def minhashLshPairsUnsorted(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
     // ONE eager materialization of all per-shingle hashing; signatures,
@@ -145,8 +145,17 @@ object Dedup {
       .withColumn("jaccard", col("i_size") / col("u_size"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "i_size", "u_size", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** [[minhashLshPairsUnsorted]] plus the deterministic output order the
+    * driver compare and human consumers read. Derived stages (dd6's
+    * anti-join) consume the UNSORTED form: a global sort is a range
+    * exchange whose ordering the next join destroys anyway. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double,
+      mode: Materialize.Mode = Materialize.Local): DataFrame =
+    minhashLshPairsUnsorted(docs, idCol, textCol, threshold, mode)
+      .orderBy("doc_a", "doc_b")
 
   def minhashLshQuery(s: SparkSession, d: String,
       mode: Materialize.Mode = Materialize.Local): DataFrame =
@@ -159,8 +168,12 @@ object Dedup {
     * join against the pair set; full connected-component clustering is
     * the iterative refinement (round-2 candidate). */
   def nearDupFilter(s: SparkSession, d: String): DataFrame = {
-    // no distinct: anti joins are insensitive to duplicate right-side keys
-    val dropIds = minhashLshQuery(s, d).select(col("doc_b").as("doc_id"))
+    // no distinct: anti joins are insensitive to duplicate right-side keys;
+    // unsorted pair set: the verified pairs' global sort would be a wasted
+    // range exchange (the anti join re-shuffles on doc_id regardless)
+    val dropIds = minhashLshPairsUnsorted(Tables.documents(s, d),
+        "doc_id", "text", JaccardThreshold)
+      .select(col("doc_b").as("doc_id"))
     Tables.documents(s, d)
       .join(dropIds, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
@@ -709,8 +722,18 @@ object Dedup {
     * near-dups), plus the component size. */
   def dedupClusters(s: SparkSession, d: String,
       mode: Materialize.Mode = Materialize.Local,
+      localThreshold: Long = 1000L * 1000): DataFrame =
+    dedupClustersUnsorted(s, d, mode, localThreshold).orderBy("doc_id")
+
+  /** [[dedupClusters]] without the final sort — what dd12's
+    * survivor aggregation (another cluster_id shuffle) consumes. */
+  def dedupClustersUnsorted(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local,
       localThreshold: Long = 1000L * 1000): DataFrame = {
-    val pairs = minhashLshQuery(s, d, mode)
+    // unsorted pair set: label propagation materializes the edges and
+    // shuffles them by endpoint — a pre-sort would be a dead exchange
+    val pairs = minhashLshPairsUnsorted(Tables.documents(s, d),
+        "doc_id", "text", JaccardThreshold, mode)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val labels = labelPropagation(pairs, mode = mode,
       localThreshold = localThreshold)
@@ -723,7 +746,6 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
     clustered.join(sizes, "cluster_id")
       .select("doc_id", "cluster_id", "cluster_size")
-      .orderBy("doc_id")
   }
 
   // lazy: interpolates minhashLshOracle, which is defined later in this
@@ -771,7 +793,7 @@ object Dedup {
     * the aggregation is the same single keyed exchange the cluster
     * labeling already paid. */
   def clusterSurvivors(s: SparkSession, d: String): DataFrame =
-    clusterSurvivorsOf(dedupClusters(s, d),
+    clusterSurvivorsOf(dedupClustersUnsorted(s, d),
       Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"))
 
   def clusterSurvivorsOf(clusters: DataFrame, docs: DataFrame): DataFrame =
@@ -987,6 +1009,12 @@ object Dedup {
 
   /** DataFrame-first variant (ScaleProbe feeds replicated corpora). */
   def embeddingNearDupOf(emb: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame =
+    embeddingNearDupUnsortedOf(emb, mode).orderBy("vec_a", "vec_b")
+
+  /** [[embeddingNearDupOf]] without the final deterministic sort —
+    * what derived stages (dd8's label propagation) consume. */
+  def embeddingNearDupUnsortedOf(emb: DataFrame,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
     val ppb = embBandPlanesFor(Materialize.cachedCount(emb))
     val e = Materialize(
@@ -1014,7 +1042,6 @@ object Dedup {
           (sqrt(col("anorm")) * sqrt(col("bnorm"))))
       .filter(col("cos") >= 0.4)
       .select("vec_a", "vec_b", "cos")
-      .orderBy("vec_a", "vec_b")
   }
 
   /** SEMANTIC dedup clusters: connected components over the embedding
@@ -1026,7 +1053,9 @@ object Dedup {
     * shape semantic dedup runs at scale: LSH-blocked pair gen (keyed
     * shuffles only) → O(log d) clustering rounds. */
   def semanticClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = embeddingNearDup(s, d)
+    // unsorted pair set: the edges go straight into label propagation's
+    // endpoint-keyed shuffles — a pre-sort would be a dead exchange
+    val pairs = embeddingNearDupUnsortedOf(Tables.embeddings(s, d))
       .select(col("vec_a").as("u"), col("vec_b").as("v"))
     val labels = labelPropagation(pairs)
     val vecs = Tables.embeddings(s, d).select("vec_id")

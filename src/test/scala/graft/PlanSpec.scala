@@ -455,4 +455,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!pbf.contains("CartesianProduct") &&
       !pbf.contains("BroadcastNestedLoopJoin"), pbf.take(1200))
   }
+
+  test("derived dedup stages consume UNSORTED pair sets — one global sort per plan (dd6/dd7/dd8/dd12)") {
+    // dd6/dd7/dd8/dd12 build on dd2/dd5's verified pairs, whose
+    // query-form final orderBy would be a dead range exchange under a
+    // join/aggregate; the *Unsorted seams must keep it out of the plan.
+    // Exactly one global Sort survives: the query's own output order.
+    // (Window-internal sorts are local — "Sort [...], false" — so the
+    // gate counts global sorts only.)
+    for (q <- Seq("dd6_neardup_filter", "dd7_dedup_clusters",
+        "dd8_semantic_clusters", "dd12_cluster_survivors")) {
+      val p = plan(q)
+      val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).size
+      assert(globalSorts == 1,
+        s"$q: expected exactly 1 global sort, found $globalSorts:\n${p.take(1500)}")
+    }
+  }
+
+  test("smp1 selection is a broadcast-joined codegen filter — no corpus shuffle, no window") {
+    val p = plan("smp1_stratified_sample")
+    assert(!p.contains("Window"), "threshold sampling must not use a rank window")
+    // corpus-side exchanges: only the final output sort's range exchange
+    // (the stats tables' own tiny aggregation exchanges are fine — they
+    // sit under BroadcastExchange); assert no hash exchange ABOVE the
+    // documents scan feeds a join, i.e. the big side never repartitions
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"stratum stats must broadcast:\n${p.take(1200)}")
+    val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).size
+    assert(globalSorts == 1, s"one output sort expected:\n${p.take(1200)}")
+  }
+
+  test("tx24 top-k is TakeOrderedAndProject — the vocabulary is never globally sorted") {
+    val p = plan("tx24_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must compile to TakeOrderedAndProject:\n${p.take(1500)}")
+  }
+
+  test("a19 is one partial+final hash aggregate on event_type — no join, no window") {
+    val p = plan("a19_trend_regression")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "moment sums must combine map-side")
+  }
+
+  test("w7 shuffles the event stream once (user_id window); the matrix window rides the tiny aggregate") {
+    val p = plan("w7_markov_transitions")
+    // one hash exchange for the user window, one for the (from,to)
+    // aggregate, one for the from_type row totals — all keyed; no
+    // single-partition exchange except none at all
+    assert(!p.contains("SinglePartition"),
+      s"no global single-partition stage allowed:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
