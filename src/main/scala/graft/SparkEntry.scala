@@ -88,6 +88,8 @@ object SparkEntry {
     "q19_bracket_revenue" -> (Pricing.bracketRevenue _),
     "q22_dormant_rich" -> (Pricing.dormantRich _),
     "q6_forecast_revenue" -> (Pricing.forecastRevenue _),
+    "q12a_priority_classes" -> (Pricing.priorityClasses _),
+    "q21a_sole_blame" -> (Pricing.soleBlame _),
     "q8_market_share" -> (Pricing.marketShare _),
     "q9a_part_profit" -> (Pricing.partNameProfit _),
     "q15_top_supplier" -> (Pricing.topSupplier _),
@@ -112,6 +114,7 @@ object SparkEntry {
     "dd12_cluster_survivors" -> (Dedup.clusterSurvivors _),
     "dd13_duplicate_coverage" -> (Dedup.duplicateCoverage _),
     "dd14_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "dd15_minhash_estimate" -> (Dedup.minhashEstimate _),
     "sim1_brute_topk" -> (Similarity.bruteTopK _),
     "sim2_lsh_topk" -> (Similarity.lshTopK _),
     "sim3_ivf_topk" -> ((s, d) =>
@@ -372,6 +375,8 @@ object SparkEntry {
     "bf1_bloom_decontam" -> graft.ops.Sketch.bloomDecontaminateOracle,
     "hq1_histogram_quantiles" -> graft.ops.Sketch.histQuantilesOracle,
     "q6_forecast_revenue" -> Pricing.forecastRevenueOracle,
+    "q12a_priority_classes" -> Pricing.priorityClassesOracle,
+    "q21a_sole_blame" -> Pricing.soleBlameOracle,
     "q8_market_share" -> Pricing.marketShareOracle,
     "q9a_part_profit" -> Pricing.partNameProfitOracle,
     "q15_top_supplier" -> Pricing.topSupplierOracle,
@@ -592,6 +597,7 @@ object SparkEntry {
     "dd12_cluster_survivors" -> Dedup.clusterSurvivorsOracle,
     "dd13_duplicate_coverage" -> Dedup.duplicateCoverageOracle,
     "dd14_containment_pairs" -> Dedup.containmentOracle,
+    "dd15_minhash_estimate" -> Dedup.minhashEstimateOracle,
     "sim1_brute_topk" -> Similarity.bruteTopKOracle,
     "sim2_lsh_topk" -> Similarity.lshTopKOracle,
     "sim3_ivf_topk" -> Similarity.ivfOracle(Similarity.IvfTrainCap),

@@ -648,4 +648,86 @@ object Pricing {
       |JOIN supplier s ON rev.l_suppkey = s.s_suppkey
       |WHERE rev.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
       |ORDER BY s.s_suppkey""".stripMargin
+
+  /** q12a — two-class CASE counting across a fact-fact join (TPC-H
+    * Q12's shape; this schema has no ship-mode/receipt columns, so the
+    * classes split on order priority per line status): for lineitems
+    * shipped in 1997, how many belong to critical (1-URGENT/2-HIGH)
+    * orders vs the rest. The join is the honest big-big shuffle on
+    * orderkey — at warehouse scale neither side broadcasts — with the
+    * shipdate predicate pushed to the lineitem scan so the shuffle
+    * carries one filtered year, and the classes resolved map-side as a
+    * conditional aggregate (never two joins or a pivot). */
+  def priorityClasses(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1997-01-01" &&
+        col("l_shipdate") < "1998-01-01")
+      .select("l_orderkey", "l_linestatus")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val priorityClassesOracle: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** q21a — the EXISTS + NOT-EXISTS double-correlated chain (TPC-H
+    * Q21's shape; without receipt/commit dates the "blame" predicate
+    * becomes the return flag): per supplier, how many of its RETURNED
+    * lineitems sit in multi-supplier orders where it is the ONLY
+    * supplier with a return — the sole-blame count. Compiled as one
+    * LEFT SEMI (another supplier exists in the order) and one LEFT
+    * ANTI (no OTHER supplier has a return) against the same distinct
+    * (order, supplier) table — both keyed on orderkey, the semi/anti
+    * sides deduplicated so the probes carry one row per (order,
+    * supplier), never the raw lineitem fanout. */
+  def soleBlame(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+    // distinct (order, supplier) tables: semi/anti join probes must not
+    // multiply by lineitem multiplicity
+    val orderSupps = li.select("l_orderkey", "l_suppkey").distinct()
+      .toDF("o2_orderkey", "o2_suppkey")
+    val orderReturns = returned.distinct()
+      .toDF("o3_orderkey", "o3_suppkey")
+    val withOther = returned.join(orderSupps,
+      col("l_orderkey") === col("o2_orderkey") &&
+        col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+    val sole = withOther.join(orderReturns,
+      col("l_orderkey") === col("o3_orderkey") &&
+        col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+    sole
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+  }
+
+  val soleBlameOracle: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
 }

@@ -95,7 +95,17 @@ object Dedup {
     * executor loss. */
   def minhashLshPairsUnsorted(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double,
-      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+      mode: Materialize.Mode = Materialize.Local): DataFrame =
+    minhashPipeline(docs, idCol, textCol, threshold, mode)._2
+
+  /** The shared MinHash pipeline internals: (signature table, verified
+    * pair set). [[Materialize.Local]] checkpoints are EAGER per call,
+    * so a consumer that needs both signatures and pairs (dd15) must
+    * take them from ONE invocation — two separate builder calls would
+    * hash the corpus twice. */
+  private[graft] def minhashPipeline(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      mode: Materialize.Mode = Materialize.Local): (DataFrame, DataFrame) = {
     // ONE eager materialization of all per-shingle hashing; signatures,
     // bands, sizes, and verification all derive from it with cheap
     // re-aggregations instead of re-hashing
@@ -138,13 +148,14 @@ object Dedup {
       .join(hashed.toDF("doc_b", "h"), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("i_size"))
-    iSize
+    val pairs = iSize
       .join(sizes.toDF("doc_a", "n_a"), "doc_a")
       .join(sizes.toDF("doc_b", "n_b"), "doc_b")
       .withColumn("u_size", col("n_a") + col("n_b") - col("i_size"))
       .withColumn("jaccard", col("i_size") / col("u_size"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "i_size", "u_size", "jaccard")
+    (sigs, pairs)
   }
 
   /** [[minhashLshPairsUnsorted]] plus the deterministic output order the
@@ -178,6 +189,66 @@ object Dedup {
       .join(dropIds, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
+  }
+
+  /** dd15 — sketch-accuracy audit: for every verified near-dup pair,
+    * the MinHash ESTIMATE of Jaccard (fraction of the k=[[NumHashes]]
+    * signature slots agreeing — the unbiased estimator LSH banding is
+    * built on) next to the exact value, with the signed error. This is
+    * the calibration readout a pipeline consults before trusting the
+    * sketch path at a new threshold: E[agree/k] = J, and the observed
+    * error distribution says whether k is adequate (σ = √(J(1−J)/k) ≈
+    * 0.17 at k=8, J=0.5 — why verification stays in the pipeline).
+    * Integer agreement counts hash-match exactly; est and err are one
+    * division and one subtraction over identical inputs both engines.
+    *
+    * Scale: signatures and pairs come from ONE [[minhashPipeline]]
+    * invocation (single corpus hashing); the two signature joins are
+    * broadcast-or-keyed on doc ids against the (small) verified pair
+    * set. */
+  def minhashEstimate(s: SparkSession, d: String): DataFrame =
+    minhashEstimateOf(Tables.documents(s, d))
+
+  /** [[minhashEstimate]] over an explicit documents frame. */
+  def minhashEstimateOf(docs: DataFrame): DataFrame = {
+    val (sigs, pairs) = minhashPipeline(docs,
+      "doc_id", "text", JaccardThreshold)
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val agree = (0 until NumHashes).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    pairs
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .withColumn("agree", agree)
+      .withColumn("est_jaccard", col("agree") / lit(NumHashes))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("agree"),
+        col("est_jaccard"),
+        (col("est_jaccard") - col("jaccard")).as("err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  lazy val minhashEstimateOracle: String = {
+    val agreeSum = (0 until NumHashes).map(i =>
+      s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH p AS (
+       |$minhashLshOracle
+       |),
+       |$shingleCte,
+       |uu AS (SELECT doc_id, unnest(sh) AS u FROM s),
+       |sigs AS (SELECT doc_id,
+       |    ${minhashMinExprs}
+       |  FROM uu GROUP BY doc_id)
+       |SELECT p.doc_a, p.doc_b, p.jaccard,
+       |       CAST($agreeSum AS BIGINT) AS agree,
+       |       ($agreeSum) / $NumHashes AS est_jaccard,
+       |       ($agreeSum) / $NumHashes - p.jaccard AS err
+       |FROM p
+       |JOIN sigs sa ON sa.doc_id = p.doc_a
+       |JOIN sigs sb ON sb.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
   /** Exact n-gram Jaccard within a blocking key (lang) — EXACT, not the
@@ -1111,10 +1182,15 @@ object Dedup {
       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
       |  ELSE [] END AS sh FROM w)""".stripMargin
 
-  val minhashLshOracle: String = {
-    val minExprs = (0 until NumHashes).map(i =>
+  /** Shared SQL fragment: the k min-hash signature expressions (the
+    * h1 + i·h2 family over the 56-bit md5 halves). */
+  private val minhashMinExprs: String =
+    (0 until NumHashes).map(i =>
       s"min(('0x' || substr(md5(u), 1, 14))::BIGINT + $i * ('0x' || substr(md5(u), 15, 14))::BIGINT) AS mh$i")
       .mkString(",\n    ")
+
+  val minhashLshOracle: String = {
+    val minExprs = minhashMinExprs
     val bandSelects = (0 until NumHashes / BandRows).map { bnd =>
       val cols = (0 until BandRows).map(r => s"mh${bnd * BandRows + r}::VARCHAR")
       s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || ',' || ")} AS sig FROM sigs"

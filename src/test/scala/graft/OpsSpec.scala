@@ -1338,6 +1338,25 @@ class OpsSpec extends AnyFunSuite {
       (4L, 2L, 1L, Some(0.5))))
   }
 
+  test("dd15 estimate: exact dups agree on all slots; every row internally consistent") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),                    // exact dup: J = 1
+      (3L, base + " lambda"), (4L, "unrelated words entirely here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashEstimateOf(docs)
+      .as[(Long, Long, Double, Long, Double, Double)].collect().toList
+    assert(got.nonEmpty)
+    val dup = got.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(dup._3 == 1.0 && dup._4 == Dedup.NumHashes.toLong &&
+      dup._5 == 1.0 && dup._6 == 0.0)
+    got.foreach { case (_, _, j, agree, est, err) =>
+      assert(agree >= 0L && agree <= Dedup.NumHashes.toLong)
+      assert(est == agree.toDouble / Dedup.NumHashes)
+      assert(err == est - j)
+    }
+  }
+
   test("a19 trend: exact line recovers slope/intercept with r²=1; single-year group NULLs") {
     def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
     // y = 3x + 5 dollars with x = year − 2000 → 300x + 500 cents

@@ -456,6 +456,24 @@ class PlanSpec extends AnyFunSuite {
       !pbf.contains("BroadcastNestedLoopJoin"), pbf.take(1200))
   }
 
+  test("q12a pushes the shipdate year to the lineitem scan; the fact-fact join stays keyed") {
+    val p = plan("q12a_priority_classes")
+    assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"),
+      s"shipdate range not pushed:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "class counts must combine map-side")
+  }
+
+  test("q21a compiles to keyed LEFT SEMI + LEFT ANTI probes — no nested loop despite the <> conjunct") {
+    val p = plan("q21a_sole_blame")
+    assert(p.contains("LeftSemi"), s"EXISTS must be a semi join:\n${p.take(1200)}")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("derived dedup stages consume UNSORTED pair sets — one global sort per plan (dd6/dd7/dd8/dd12)") {
     // dd6/dd7/dd8/dd12 build on dd2/dd5's verified pairs, whose
     // query-form final orderBy would be a dead range exchange under a
