@@ -253,6 +253,38 @@ object ScaleProbe {
           .collect()(0).getLong(0)
       }
       graft.ops.Materialize.releaseAll(spark)
+      // tx25: salted copies are shingle-disjoint, so the
+      // first-occurrence aggregation's key space grows ∝ n with
+      // per-shingle df unchanged; output rows are exactly the docs —
+      // the aggregate consumes n_novel so the join-back can't prune
+      val docsC = replicated(spark, sfDir, n).localCheckpoint(true)
+      val (tNov, novSum) = time {
+        graft.ops.TextStats.ngramNoveltyOf(docsC)
+          .agg(count(lit(1)).as("n"), sum(col("n_novel")).as("nv"))
+          .collect()(0).getLong(1)
+      }
+      graft.ops.Materialize.releaseAll(spark)
+      // w7: user domain fixed → per-user event lists grow ∝ n (the
+      // hot-key direction for the lead window); the transition matrix
+      // stays O(types²) so only the window stage scales
+      val ev8 = replicatedEvents(spark, sfDir, n).localCheckpoint(true)
+      val (tMkv, mkvSum) = time {
+        graft.model.Analytics.markovTransitionsOf(ev8)
+          .agg(sum(col("n")).as("transitions"))
+          .collect()(0).getLong(0)
+      }
+      graft.ops.Materialize.releaseAll(spark)
+      // q21a: fresh orderkeys per copy keep each order's supplier set
+      // intact, so returned rows, the distinct (order, supplier) table
+      // and the semi/anti probe volumes all grow ∝ n with per-orderkey
+      // fanout unchanged — superlinear time would mean the <> conjunct
+      // degraded the keyed joins
+      val li = replicatedLineitem(spark, sfDir, n).localCheckpoint(true)
+      val (tBlame, blameSum) = time {
+        graft.model.Pricing.soleBlameOf(li, Tables.supplier(spark, sfDir))
+          .agg(sum(col("numwait")).as("w")).collect()(0).getLong(0)
+      }
+      graft.ops.Materialize.releaseAll(spark)
       println(f"""{"factor":$n,"docs":$nDocs,"lsh_sec":$tLsh%.2f,"pairs":$pairs,""" +
         f""""cluster_sec":$tCluster%.2f,"labeled":$clusters,""" +
         f""""pack_sec":$tPack%.2f,"packed":$packed,""" +
@@ -272,7 +304,10 @@ object ScaleProbe {
         f""""srcoverlap_sec":$tSrc%.2f,"src_pairs":$srcPairs,""" +
         f""""pagerank_sec":$tPr%.2f,"pr_nodes":$prNodes,""" +
         f""""tri_sec":$tTri%.2f,"tri_sum":$triSum,""" +
-        f""""funnel_sec":$tFun%.2f,"funnel_users":$funUsers}""")
+        f""""funnel_sec":$tFun%.2f,"funnel_users":$funUsers,""" +
+        f""""novelty_sec":$tNov%.2f,"novel_sum":$novSum,""" +
+        f""""markov_sec":$tMkv%.2f,"transitions":$mkvSum,""" +
+        f""""blame_sec":$tBlame%.2f,"blame_sum":$blameSum}""")
     }
     spark.stop()
   }
@@ -285,6 +320,18 @@ object ScaleProbe {
     (0 until n).map { i =>
       base.withColumn("event_id",
         col("event_id") + lit(i.toLong * 10_000_000L))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Lineitem replicated N× (fresh orderkeys; suppkeys/flags kept, so
+    * each copy carries the base corpus's per-order supplier sets and
+    * the q21a probe volumes grow linearly on an unchanged per-key
+    * fanout). */
+  def replicatedLineitem(s: SparkSession, d: String, n: Int): DataFrame = {
+    val base = Tables.lineitem(s, d)
+    (0 until n).map { i =>
+      base.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i.toLong * 10_000_000L))
     }.reduce(_ unionByName _)
   }
 

@@ -120,8 +120,11 @@ object SparkEntry {
     "sim3_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(s, d, trainCap = Similarity.IvfTrainCap)),
     "sim4_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "sim5_label_centroids" -> (Similarity.labelCentroids _),
     "g1_knn_pagerank" -> ((s, d) => Similarity.knnPagerank(s, d)),
     "g2_knn_triangles" -> (Graph.knnTriangles _),
+    "g3_knn_assortativity" -> (Graph.knnAssortativity _),
+    "dd16_source_dup_stats" -> (Dedup.sourceDupStats _),
     "mm8_channel_stats" -> (Multimodal.channelStatsQuery _),
     "tx1_lang_id" -> (TextStats.langIdQuery _),
     "tx2_quality_score" -> (TextStats.qualityScore _),
@@ -602,8 +605,11 @@ object SparkEntry {
     "sim2_lsh_topk" -> Similarity.lshTopKOracle,
     "sim3_ivf_topk" -> Similarity.ivfOracle(Similarity.IvfTrainCap),
     "sim4_knn_graph" -> Similarity.knnGraphOracle(),
+    "sim5_label_centroids" -> Similarity.labelCentroidsOracle,
     "g1_knn_pagerank" -> Similarity.knnPagerankOracle(),
     "g2_knn_triangles" -> Graph.knnTrianglesOracle(),
+    "g3_knn_assortativity" -> Graph.knnAssortativityOracle,
+    "dd16_source_dup_stats" -> Dedup.sourceDupStatsOracle,
     "mm8_channel_stats" -> Multimodal.channelStatsOracle,
     "tx1_lang_id" -> TextStats.langIdOracle,
     "tx2_quality_score" -> TextStats.qualityOracle,

@@ -863,6 +863,38 @@ object Dedup {
     * shuffle to one candidate row per (partition, cluster); at 100 TB
     * the aggregation is the same single keyed exchange the cluster
     * labeling already paid. */
+  /** dd16 — per-source duplication rate: what fraction of each
+    * source's documents are non-canonical members of a near-dup
+    * cluster (doc_id ≠ cluster_id under dd7's min-id labeling). The
+    * source-quality league table a curation pipeline reads to decide
+    * which scrapes to deprioritize — a source that is 40% duplicates
+    * of itself or others is paying 40% of its storage and training
+    * budget for nothing. One broadcast-or-keyed join of the cluster
+    * labels to (doc_id, source) and one O(sources) aggregate on top of
+    * the dd7 labeling cost. */
+  def sourceDupStats(s: SparkSession, d: String): DataFrame = {
+    val clusters = dedupClustersUnsorted(s, d).select("doc_id", "cluster_id")
+    Tables.documents(s, d).select("doc_id", "source")
+      .join(clusters, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+          .as("n_dups"))
+      .withColumn("dup_frac", col("n_dups") / col("n_docs"))
+      .orderBy("source")
+  }
+
+  lazy val sourceDupStatsOracle: String =
+    s"""SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_dups,
+       |  CAST(sum(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END)
+       |       AS BIGINT) / count(*) AS dup_frac
+       |FROM (
+       |$dedupClustersOracle
+       |) c JOIN documents d ON c.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   def clusterSurvivors(s: SparkSession, d: String): DataFrame =
     clusterSurvivorsOf(dedupClustersUnsorted(s, d),
       Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"))

@@ -128,4 +128,80 @@ object Graph {
        |LEFT JOIN deg ON n.vec_id = deg.id
        |LEFT JOIN pn ON n.vec_id = pn.id
        |ORDER BY n.vec_id""".stripMargin
+
+  /** g3 — degree assortativity of the kNN graph: the Pearson
+    * correlation of (in-degree of source, in-degree of target) over
+    * directed kNN edges. Positive = hubs link to hubs (a stratified
+    * near-dup template ecosystem); negative = hubs link to leaves (a
+    * few boilerplate attractors absorbing the long tail — the scrape-
+    * farm signature). Out-degree is the constant k on a kNN graph, so
+    * in-degree carries all the structure. Same exact-integer-moment
+    * discipline as a19: one edge-keyed join per endpoint, one global
+    * aggregate of (n, Σx, Σy, Σxy, Σx², Σy²), the correlation derived
+    * by identical IEEE trees both engines; degenerate (zero-variance)
+    * graphs emit NULL. */
+  def knnAssortativity(s: SparkSession, d: String): DataFrame =
+    knnAssortativityOf(Tables.embeddings(s, d))
+
+  def knnAssortativityOf(emb: DataFrame): DataFrame =
+    assortativityOfEdges(Materialize(
+      Similarity.knnGraphOf(emb).select("src", "dst"),
+      Materialize.Local, "assort_edges"))
+
+  /** The correlation core over an explicit (src, dst) edge list. */
+  def assortativityOfEdges(edges: DataFrame): DataFrame = {
+    val indeg = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val xy = edges
+      .join(indeg.toDF("src", "x"), Seq("src"), "left")
+      .join(indeg.toDF("dst", "y"), Seq("dst"), "left")
+      .select(coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val agg = xy.agg(count(lit(1)).as("n_edges"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n_edges").cast("double")
+    val num = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val dx = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val dy = n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    agg.select(col("n_edges"), col("sx"), col("sy"), col("sxy"),
+      col("sxx"), col("syy"),
+      when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy)))
+        .as("assortativity"))
+  }
+
+  lazy val knnAssortativityOracle: String =
+    s"""WITH eg AS (SELECT src, dst FROM (
+       |${Similarity.knnGraphOracle()}
+       |) kg),
+       |ind AS (SELECT dst AS node, count(*) AS deg FROM eg GROUP BY dst),
+       |xy AS (SELECT coalesce(ia.deg, 0) AS x, coalesce(ib.deg, 0) AS y
+       |       FROM eg
+       |       LEFT JOIN ind ia ON eg.src = ia.node
+       |       LEFT JOIN ind ib ON eg.dst = ib.node),
+       |a AS (SELECT count(*) AS n_edges,
+       |             CAST(sum(x) AS BIGINT) AS sx,
+       |             CAST(sum(y) AS BIGINT) AS sy,
+       |             CAST(sum(x * y) AS BIGINT) AS sxy,
+       |             CAST(sum(x * x) AS BIGINT) AS sxx,
+       |             CAST(sum(y * y) AS BIGINT) AS syy
+       |      FROM xy)
+       |SELECT n_edges, sx, sy, sxy, sxx, syy,
+       |  CASE WHEN CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+       |        AND CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+       |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+       |       THEN (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |            / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |               * sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |  END AS assortativity
+       |FROM a""".stripMargin
 }

@@ -644,4 +644,70 @@ object Similarity {
        |$rounds
        |SELECT vec_id, r AS pagerank FROM r$iters ORDER BY vec_id""".stripMargin
   }
+
+  /** Quantization scale for [[labelCentroids]]: components become
+    * round(v·10⁶) integers, so centroid SUMS are exact (a raw double
+    * sum would be partition-order-dependent — the one thing a
+    * hash-matched aggregate can never be). */
+  val CentroidScale = 1000000L
+
+  /** sim5 — label-centroid separation audit (the domain-drift /
+    * cluster-separation readout a curation pipeline checks before
+    * trusting label-stratified sampling): per label, the centroid of
+    * its embeddings with components quantized to exact integers; per
+    * label pair, the cosine between centroids. The scale factor
+    * cancels in the cosine, so quantization costs ~1e-6 relative
+    * error while buying bit-exact cross-engine aggregation.
+    *
+    * Shape: one posexplode to (label, dim, q) — 64 rows per vector —
+    * then a hash aggregate on (label, dim) with map-side partials, a
+    * gather to O(labels) centroid rows, and an O(labels²) self-join.
+    * Everything after the first aggregate is constant-sized; the
+    * explode stage is the linear scan that dominates, exactly as it
+    * should at 100 TB. */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    labelCentroidsOf(Tables.embeddings(s, d))
+
+  /** [[labelCentroids]] over an explicit embeddings frame. */
+  def labelCentroidsOf(emb: DataFrame): DataFrame = {
+    val q = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        round(col("v").cast("double") * lit(CentroidScale.toDouble))
+          .cast("long").as("q"))
+    val sums = q.groupBy("label", "dim")
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+    val cent = sums.groupBy("label")
+      .agg(max(col("n")).as("n_vecs"),
+        transform(sort_array(collect_list(struct(col("dim"), col("sq")))),
+          e => e.getField("sq").cast("double")).as("cv"))
+    val a = cent.toDF("label_a", "n_a", "cva")
+    val b = cent.toDF("label_b", "n_b", "cvb")
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        (dot(col("cva"), col("cvb")) /
+          (sqrt(dot(col("cva"), col("cva"))) *
+            sqrt(dot(col("cvb"), col("cvb"))))).as("cos_centroid"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val labelCentroidsOracle: String =
+    s"""WITH q AS (
+       |  SELECT label, i AS dim,
+       |         CAST(round(CAST(embedding[i] AS DOUBLE) * $CentroidScale)
+       |              AS BIGINT) AS q
+       |  FROM embeddings, generate_series(1, $Dim) t(i)),
+       |s AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS sq,
+       |             count(*) AS n
+       |      FROM q GROUP BY label, dim),
+       |c AS (SELECT label, max(n) AS n_vecs,
+       |             list(CAST(sq AS DOUBLE) ORDER BY dim) AS cv
+       |      FROM s GROUP BY label)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |       a.n_vecs AS n_a, b.n_vecs AS n_b,
+       |       list_dot_product(a.cv, b.cv) /
+       |         (sqrt(list_dot_product(a.cv, a.cv)) *
+       |          sqrt(list_dot_product(b.cv, b.cv))) AS cos_centroid
+       |FROM c a JOIN c b ON a.label < b.label
+       |ORDER BY label_a, label_b""".stripMargin
 }

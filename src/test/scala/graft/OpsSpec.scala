@@ -1357,6 +1357,50 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("g3 assortativity: a directed star is exactly −1; self-consistent moment sums") {
+    // hub 1 ↔ leaves 2,3: every edge joins the degree-2 hub to a
+    // degree-1 leaf — perfect disassortativity
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.assortativityOfEdges(edges)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toList
+    assert(got == List((4L, 6L, 6L, 8L, 10L, 10L, Some(-1.0))))
+    // uniform-degree graph (directed 3-cycle): zero variance → NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val gotCyc = graft.ops.Graph.assortativityOfEdges(cyc)
+      .select("assortativity").as[Option[Double]].collect().toList
+    assert(gotCyc == List(None))
+  }
+
+  test("dd16 source dup stats: totals reconcile with dd7's cluster structure") {
+    val got = Dedup.sourceDupStats(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toList
+    val clusters = Dedup.dedupClusters(spark, sf)
+    val nDocs = clusters.count()
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    assert(got.map(_._2).sum == nDocs, "per-source doc counts partition the corpus")
+    // each cluster's min-id member is its own canonical doc, so total
+    // dups = docs − clusters
+    assert(got.map(_._3).sum == nDocs - nClusters)
+    got.foreach { case (_, n, d, f) => assert(f == d.toDouble / n) }
+  }
+
+  test("sim5 centroids: axis-aligned labels give exact 0 / −1 cosines") {
+    def vec(axis: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(Similarity.Dim)(j =>
+        if (j == axis) scale else if (j == axis + 1) 0.0f else 0.0f)
+    val emb = Seq(
+      (1L, 0, vec(0, 1.0f)), (2L, 0, vec(0, 2.0f)),   // +x
+      (3L, 1, vec(1, 1.0f)), (4L, 1, vec(1, 3.0f)),   // +y
+      (5L, 2, vec(0, -1.0f)))                          // −x
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelCentroidsOf(emb)
+      .as[(Int, Int, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (0, 1, 2L, 2L, 0.0), (0, 2, 2L, 1L, -1.0), (1, 2, 2L, 1L, 0.0)))
+  }
+
   test("a19 trend: exact line recovers slope/intercept with r²=1; single-year group NULLs") {
     def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
     // y = 3x + 5 dollars with x = year − 2000 → 300x + 500 cents
