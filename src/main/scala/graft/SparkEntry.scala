@@ -154,6 +154,7 @@ object SparkEntry {
     "smp1_stratified_sample" -> (TextStats.stratifiedBalance _),
     "a19_trend_regression" -> (Analytics.trendRegression _),
     "w7_markov_transitions" -> (Analytics.markovTransitions _),
+    "w8_conversion_latency" -> (Analytics.conversionLatency _),
     "pipe1_curation_audit" -> (graft.ops.Curation.curationAudit _),
     "bf1_bloom_decontam" -> (graft.ops.Sketch.bloomDecontaminate _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
@@ -402,6 +403,7 @@ object SparkEntry {
     "smp1_stratified_sample" -> TextStats.stratifiedBalanceOracle,
     "a19_trend_regression" -> Analytics.trendRegressionOracle,
     "w7_markov_transitions" -> Analytics.markovTransitionsOracle,
+    "w8_conversion_latency" -> Analytics.conversionLatencyOracle,
     "pipe1_curation_audit" -> graft.ops.Curation.curationAuditOracle,
 
     "a11_percentiles" ->

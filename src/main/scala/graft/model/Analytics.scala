@@ -742,6 +742,57 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** w8 — conversion latency histogram: per user, the delay from first
+    * signup to first purchase, bucketed into whole hours — the funnel
+    * TIMING readout w6's depth counts don't carry. One user-keyed
+    * conditional-min aggregate (map-side partials; the same single
+    * shuffle class as w6), then an O(buckets) rollup. Deltas are exact
+    * integer seconds on second-truncated timestamps; negative deltas
+    * (purchase before any signup) are excluded on both sides. */
+  def conversionLatency(s: SparkSession, d: String): DataFrame =
+    conversionLatencyOf(Tables.events(s, d))
+
+  /** [[conversionLatency]] over an explicit events frame. */
+  def conversionLatencyOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("ts").isNotNull &&
+        col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    val firsts = ev.groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", col("sec"))).as("s_sec"),
+      min(when(col("event_type") === "purchase", col("sec"))).as("p_sec"))
+    firsts
+      .filter(col("s_sec").isNotNull && col("p_sec").isNotNull &&
+        col("p_sec") >= col("s_sec"))
+      .withColumn("delta_s", col("p_sec") - col("s_sec"))
+      .withColumn("bucket_h", floor(col("delta_s") / 3600L))
+      .groupBy("bucket_h")
+      .agg(count(lit(1)).as("n_users"),
+        min(col("delta_s")).as("min_delta_s"),
+        max(col("delta_s")).as("max_delta_s"))
+      .orderBy("bucket_h")
+  }
+
+  val conversionLatencyOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IN ('signup', 'purchase')),
+      |f AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'signup' THEN sec END) AS s_sec,
+      |         min(CASE WHEN event_type = 'purchase' THEN sec END) AS p_sec
+      |  FROM ev GROUP BY user_id)
+      |SELECT CAST(floor((p_sec - s_sec) / 3600.0) AS BIGINT) AS bucket_h,
+      |       count(*) AS n_users,
+      |       CAST(min(p_sec - s_sec) AS BIGINT) AS min_delta_s,
+      |       CAST(max(p_sec - s_sec) AS BIGINT) AS max_delta_s
+      |FROM f
+      |WHERE s_sec IS NOT NULL AND p_sec IS NOT NULL AND p_sec >= s_sec
+      |GROUP BY bucket_h ORDER BY bucket_h""".stripMargin
+
   val markovTransitionsOracle: String =
     """WITH e AS (
       |  SELECT event_type,

@@ -696,24 +696,27 @@ object Pricing {
   def soleBlame(s: SparkSession, d: String): DataFrame =
     soleBlameOf(Tables.lineitem(s, d), Tables.supplier(s, d))
 
-  /** [[soleBlame]] over explicit lineitem/supplier frames. */
+  /** [[soleBlame]] over explicit lineitem/supplier frames.
+    *
+    * The probe stream is the RAW returned-lineitem rows, by
+    * measurement: pre-aggregating it to distinct (order, supplier)
+    * counts first (recovering numwait as Σ cnt) reads as the obvious
+    * fanout cut, but ScaleProbe timed it 2.6 → 6.3 → 127 s at
+    * 1×/10×/40× vs 2.1 → 5.7 → 38 s raw — at this corpus's ~3-rows-
+    * per-(order,supplier) multiplicity the two extra aggregation
+    * exchanges cost far more than the 3× probe-row reduction saves.
+    * Revisit only if a real corpus shows orders-of-magnitude line
+    * multiplicity. The semi/anti RIGHT sides stay distinct regardless
+    * (correctness: anti must not multiply, and probes stay bounded
+    * per orderkey). */
   def soleBlameOf(li: DataFrame, supplier: DataFrame): DataFrame = {
-    // pre-aggregate the probe stream to one row per (order, supplier)
-    // carrying its lineitem multiplicity: the semi/anti probes then
-    // join distinct-vs-distinct (bounded per-orderkey fanout) instead
-    // of dragging the raw returned-lineitem fanout through both joins
-    // — ScaleProbe measured the raw form bending 1.7× over linear at
-    // 40× corpus; numwait is recovered as Σ cnt at the end
-    val retCnt = li.filter(col("l_returnflag") === "R")
-      .groupBy("l_orderkey", "l_suppkey")
-      .agg(count(lit(1)).as("cnt"))
-    // distinct (order, supplier) tables: semi/anti join probes must not
-    // multiply by lineitem multiplicity
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
     val orderSupps = li.select("l_orderkey", "l_suppkey").distinct()
       .toDF("o2_orderkey", "o2_suppkey")
-    val orderReturns = retCnt.select("l_orderkey", "l_suppkey")
+    val orderReturns = returned.distinct()
       .toDF("o3_orderkey", "o3_suppkey")
-    val withOther = retCnt.join(orderSupps,
+    val withOther = returned.join(orderSupps,
       col("l_orderkey") === col("o2_orderkey") &&
         col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
     val sole = withOther.join(orderReturns,
@@ -723,7 +726,7 @@ object Pricing {
       .join(broadcast(supplier.select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
-      .agg(sum(col("cnt")).as("numwait"))
+      .agg(count(lit(1)).as("numwait"))
       .orderBy(desc("numwait"), col("s_name"))
   }
 

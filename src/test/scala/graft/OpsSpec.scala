@@ -1420,6 +1420,24 @@ class OpsSpec extends AnyFunSuite {
       ("t", 3L, Some(300.0), Some(500.0), Some(1.0))))
   }
 
+  test("w8 conversion latency: first-signup→first-purchase deltas, hour buckets, dropouts excluded") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ev = Seq(
+      // u1: signup 00:00, purchase 00:30 → 1800 s, bucket 0
+      (10L, "signup", ts("00:00:00")), (10L, "purchase", ts("00:30:00")),
+      // u2: two signups (first wins), purchase at 02:00 → 7200 s, bucket 2
+      (20L, "signup", ts("00:00:00")), (20L, "signup", ts("01:00:00")),
+      (20L, "purchase", ts("02:00:00")),
+      // u3: purchase BEFORE signup → excluded
+      (30L, "purchase", ts("00:00:00")), (30L, "signup", ts("01:00:00")),
+      // u4: signup only → excluded
+      (40L, "signup", ts("00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.model.Analytics.conversionLatencyOf(ev)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List((0L, 1L, 1800L, 1800L), (2L, 1L, 7200L, 7200L)))
+  }
+
   test("w7 transitions: per-user successor chains, same-second ties break on event_id") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
     val ev = Seq(
