@@ -90,6 +90,9 @@ object SparkEntry {
     "q6_forecast_revenue" -> (Pricing.forecastRevenue _),
     "q12a_priority_classes" -> (Pricing.priorityClasses _),
     "q21a_sole_blame" -> (Pricing.soleBlame _),
+    "q2a_min_cost_supplier" -> (Pricing.minCostSupplier _),
+    "q11a_important_parts" -> (Pricing.importantParts _),
+    "q20a_excess_suppliers" -> (Pricing.excessSuppliers _),
     "q8_market_share" -> (Pricing.marketShare _),
     "q9a_part_profit" -> (Pricing.partNameProfit _),
     "q15_top_supplier" -> (Pricing.topSupplier _),
@@ -156,6 +159,10 @@ object SparkEntry {
     "w7_markov_transitions" -> (Analytics.markovTransitions _),
     "w8_conversion_latency" -> (Analytics.conversionLatency _),
     "pipe1_curation_audit" -> (graft.ops.Curation.curationAudit _),
+    "dq1_constraint_audit" -> (graft.ops.Profile.constraintAudit _),
+    "pf1_column_profile" -> (graft.ops.Profile.columnProfile _),
+    "rc2_profile_drift" -> (graft.ops.Profile.profileDrift _),
+    "dd17_lsh_recall" -> (Dedup.lshRecallAudit _),
     "bf1_bloom_decontam" -> (graft.ops.Sketch.bloomDecontaminate _),
     "mm1_binary_meta" -> (Multimodal.binaryMetaQuery _),
     "mm2_frame_sample" -> (Multimodal.frameSampleQuery _),
@@ -164,6 +171,12 @@ object SparkEntry {
     "mm5_image_neardup" -> (Multimodal.imageNearDupQuery _),
     "mm6_audio_frames" -> (Multimodal.audioFrameQuery _),
     "mm7_onset_frames" -> (Multimodal.onsetFrameQuery _),
+    "mm9_audio_health" -> (Multimodal.audioHealthQuery _),
+    "tx26_zipf_stats" -> (TextStats.zipfStats _),
+    "tx27_langid_agreement" -> (TextStats.langIdAgreement _),
+    "smp2_weighted_sample" -> (TextStats.weightedSample _),
+    "j11_nearest_event" -> (graft.ops.AsOf.nearestEventQuery _),
+    "w9_touch_attribution" -> (Analytics.touchAttribution _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -381,6 +394,9 @@ object SparkEntry {
     "q6_forecast_revenue" -> Pricing.forecastRevenueOracle,
     "q12a_priority_classes" -> Pricing.priorityClassesOracle,
     "q21a_sole_blame" -> Pricing.soleBlameOracle,
+    "q2a_min_cost_supplier" -> Pricing.minCostSupplierOracle,
+    "q11a_important_parts" -> Pricing.importantPartsOracle,
+    "q20a_excess_suppliers" -> Pricing.excessSuppliersOracle,
     "q8_market_share" -> Pricing.marketShareOracle,
     "q9a_part_profit" -> Pricing.partNameProfitOracle,
     "q15_top_supplier" -> Pricing.topSupplierOracle,
@@ -405,6 +421,10 @@ object SparkEntry {
     "w7_markov_transitions" -> Analytics.markovTransitionsOracle,
     "w8_conversion_latency" -> Analytics.conversionLatencyOracle,
     "pipe1_curation_audit" -> graft.ops.Curation.curationAuditOracle,
+    "dq1_constraint_audit" -> graft.ops.Profile.constraintAuditOracle,
+    "pf1_column_profile" -> graft.ops.Profile.columnProfileOracle,
+    "rc2_profile_drift" -> graft.ops.Profile.profileDriftOracle,
+    "dd17_lsh_recall" -> Dedup.lshRecallAuditOracle,
 
     "a11_percentiles" ->
       """SELECT o_orderpriority AS priority,
@@ -643,5 +663,11 @@ object SparkEntry {
     "mm5_image_neardup" -> Multimodal.imageNearDupOracle,
     "mm6_audio_frames" -> Multimodal.audioFrameOracle,
     "mm7_onset_frames" -> Multimodal.onsetFrameOracle,
+    "mm9_audio_health" -> Multimodal.audioHealthOracle,
+    "tx26_zipf_stats" -> TextStats.zipfStatsOracle,
+    "tx27_langid_agreement" -> TextStats.langIdAgreementOracle,
+    "smp2_weighted_sample" -> TextStats.weightedSampleOracle,
+    "j11_nearest_event" -> graft.ops.AsOf.nearestEventOracle,
+    "w9_touch_attribution" -> Analytics.touchAttributionOracle,
   )
 }

@@ -808,4 +808,70 @@ object Analytics {
       |       n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
       |         AS prob
       |FROM m ORDER BY from_type, to_type""".stripMargin
+
+  /** w9 — first-/last-touch attribution: for every purchase, the
+    * earliest and latest NON-purchase event by the same user inside a
+    * 7-day lookback window. The scalable shape is one user-keyed RANGE
+    * window over epoch seconds — both touches come from min/max of a
+    * null-gated (time, id, type) struct over the same frame, so the
+    * whole operator is ONE shuffle + one sort shared by both frames
+    * and never joins the event stream to itself (the join formulation
+    * fans out by touches-per-purchase and re-shuffles; this one is
+    * bounded by the window sort regardless of fan-in). Purchases with
+    * an empty lookback keep NULL touches (a "direct" conversion —
+    * dropping them would bias any attribution report). Struct min/max
+    * ignore the null entries purchases contribute, and tie-break on
+    * the unique event_id after the timestamp — deterministic, mirrored
+    * in the oracle's (es, event_id) rank. */
+  def touchAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .withColumn("es", unix_timestamp(col("ts_sec")))
+    val w = Window.partitionBy("user_id").orderBy(col("es"))
+      .rangeBetween(-604800L, -1L)
+    val cand = when(col("event_type") =!= "purchase",
+      struct(col("es"), col("event_id"), col("event_type")))
+    ev
+      .withColumn("__first", min(cand).over(w))
+      .withColumn("__last", max(cand).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_sec").cast("string").as("purchase_ts"),
+        col("__first.event_type").as("first_touch_type"),
+        col("__first.event_id").as("first_touch_id"),
+        col("__last.event_type").as("last_touch_type"),
+        col("__last.event_id").as("last_touch_id"))
+      .orderBy("purchase_id")
+  }
+
+  val touchAttributionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         date_trunc('second', ts) AS tss,
+      |         epoch(date_trunc('second', ts)) AS es
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL),
+      |p AS (SELECT user_id, event_id AS purchase_id, tss AS pts, es AS pes
+      |      FROM e WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT p.purchase_id, e.event_id, e.event_type,
+      |         row_number() OVER (PARTITION BY p.purchase_id
+      |           ORDER BY e.es, e.event_id) AS rf,
+      |         row_number() OVER (PARTITION BY p.purchase_id
+      |           ORDER BY e.es DESC, e.event_id DESC) AS rl
+      |  FROM p JOIN e ON p.user_id = e.user_id
+      |  WHERE e.event_type <> 'purchase'
+      |    AND e.es >= p.pes - 604800 AND e.es <= p.pes - 1)
+      |SELECT p.user_id, p.purchase_id, CAST(p.pts AS VARCHAR) AS purchase_ts,
+      |       f.event_type AS first_touch_type, f.event_id AS first_touch_id,
+      |       l.event_type AS last_touch_type, l.event_id AS last_touch_id
+      |FROM p
+      |LEFT JOIN (SELECT purchase_id, event_id, event_type FROM t WHERE rf = 1) f
+      |  ON p.purchase_id = f.purchase_id
+      |LEFT JOIN (SELECT purchase_id, event_id, event_type FROM t WHERE rl = 1) l
+      |  ON p.purchase_id = l.purchase_id
+      |ORDER BY p.purchase_id""".stripMargin
 }

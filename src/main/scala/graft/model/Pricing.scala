@@ -743,4 +743,155 @@ object Pricing {
       |                    AND l3.l_returnflag = 'R')
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** q2a — the min-cost-supplier correlated subquery (TPC-H Q2's shape;
+    * this schema has no partsupp, so a (part, supplier)'s offered cost
+    * is its cheapest observed lineitem price). The classic formulation
+    * re-evaluates `min(cost) WHERE partkey = outer.partkey` per part;
+    * here the whole correlation collapses into ONE argmin aggregation —
+    * `min(struct(cost, suppkey))` per part — so there is no subquery
+    * rescan and no join back against the cost table: the struct min
+    * carries the winning supplier out of the same shuffle that computes
+    * the minimum (ties break to the lowest suppkey by the struct's
+    * lexicographic order, mirrored in the oracle's two-level min).
+    * Part filter is broadcast into the lineitem scan as a semi-join so
+    * the big side never carries non-qualifying parts; supplier/nation
+    * dims broadcast at the (tiny) output grain. */
+  def minCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)
+      .select("p_partkey", "p_name")
+    val cost = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .join(broadcast(p.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("price_cents")).as("cost_cents"))
+    val best = cost
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("cost_cents"), col("l_suppkey"))).as("b"))
+      .select(col("l_partkey"),
+        col("b.cost_cents").as("best_cost_cents"),
+        col("b.l_suppkey").as("best_suppkey"))
+    best
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_name", "s_nationkey")),
+        col("best_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("n_name").as("nation"), col("best_cost_cents"))
+      .orderBy("p_partkey")
+  }
+
+  val minCostSupplierOracle: String =
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS cost_cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'STANDARD' AND p_size <= 15
+      |  GROUP BY 1, 2),
+      |best AS (
+      |  SELECT l_partkey, min(cost_cents) AS best_cost_cents FROM cost GROUP BY 1),
+      |pick AS (
+      |  SELECT c.l_partkey, b.best_cost_cents, min(c.l_suppkey) AS best_suppkey
+      |  FROM cost c JOIN best b
+      |    ON c.l_partkey = b.l_partkey AND c.cost_cents = b.best_cost_cents
+      |  GROUP BY 1, 2)
+      |SELECT p_partkey, p_name, s_name, n_name AS nation, best_cost_cents
+      |FROM pick
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON best_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q11a — group HAVING against a global scalar (TPC-H Q11's shape):
+    * parts whose inventory value exceeds 1.5× the mean part share.
+    * Value is exact e-4 integer (price_cents × qty_cents); the global
+    * sum and part count come from re-aggregating the per-part table,
+    * and the threshold compare is CROSS-MULTIPLIED integers
+    * (`v · n_parts · 10 > 15 · total`) so no division touches the
+    * predicate. The per-part aggregate subtree appears on both sides
+    * of the broadcast cross join, but its input exchange is structurally
+    * identical on both — Spark's ReuseExchange collapses the second
+    * lineitem scan+shuffle (gated in PlanSpec), which is exactly the
+    * Q11 plan you want at 100 TB: one big shuffle, one scalar, one
+    * broadcast. TPC-H's own fraction is scale-dependent (0.0001/SF);
+    * the mean-relative form keeps the predicate meaningful at any SF. */
+  def importantParts(s: SparkSession, d: String): DataFrame = {
+    val perPart = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice")) * cents(col("l_quantity")))
+        .as("value_e4"))
+    val totals = perPart.agg(
+      sum(col("value_e4")).as("total_e4"),
+      count(lit(1)).as("n_parts"))
+    perPart.join(broadcast(totals))
+      .filter(col("value_e4") * col("n_parts") * 10 > col("total_e4") * 15)
+      .select(col("l_partkey").as("p_partkey"), col("value_e4"))
+      .orderBy(desc("value_e4"), col("p_partkey"))
+  }
+
+  val importantPartsOracle: String =
+    """WITH pp AS (
+      |  SELECT l_partkey,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |                  CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |           AS value_e4
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(value_e4) AS BIGINT) AS total_e4,
+      |             count(*) AS n_parts FROM pp)
+      |SELECT pp.l_partkey AS p_partkey, pp.value_e4
+      |FROM pp, t
+      |WHERE pp.value_e4 * t.n_parts * 10 > t.total_e4 * 15
+      |ORDER BY value_e4 DESC, p_partkey""".stripMargin
+
+  /** q20a — the nested-aggregate semi-join (TPC-H Q20's shape; without
+    * partsupp availqty, "excess" becomes shipped-quantity dominance):
+    * suppliers who shipped a strict MAJORITY of some part's 1997
+    * quantity, with how many parts they dominate. The inner correlated
+    * sum (part total) is a window sum OVER THE AGGREGATED (part,
+    * supplier) table — one lineitem scan, one big shuffle, then a
+    * small exchange of pre-aggregated rows; never a second scan or a
+    * self-join of the raw fact. The majority predicate is integer
+    * cross-multiplication (2·q > total) on exact qty cents. */
+  def excessSuppliers(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_cents"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    ps.withColumn("part_total", sum(col("qty_cents")).over(w))
+      .filter(col("qty_cents") * 2 > col("part_total"))
+      .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_dominant_parts"))
+      .orderBy("s_suppkey")
+  }
+
+  val excessSuppliersOracle: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |           AS qty_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      |  GROUP BY 1, 2),
+      |w AS (SELECT *, sum(qty_cents) OVER (PARTITION BY l_partkey) AS part_total
+      |      FROM ps)
+      |SELECT s_suppkey, s_name, n_name AS nation, count(*) AS n_dominant_parts
+      |FROM w
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE 2 * qty_cents > part_total
+      |GROUP BY 1, 2, 3
+      |ORDER BY s_suppkey""".stripMargin
 }

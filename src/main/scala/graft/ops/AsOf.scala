@@ -204,4 +204,84 @@ object AsOf {
       |       o.o_orderkey AS asof_o_orderkey
       |FROM ev e ASOF LEFT JOIN ord o ON e.k = o.k AND e.t >= o.t
       |ORDER BY e.event_id""".stripMargin
+
+  /** j11 — nearest-in-time join (as-of's two-sided sibling: each probe
+    * picks the build row with the MINIMUM absolute time distance, either
+    * direction). The naive form is a per-probe scan of the key's build
+    * rows; the scalable shape extends the union trick BIDIRECTIONALLY:
+    * one shuffle on the key, one sort, and BOTH candidates come from the
+    * same ordered pass — previous build row via last(ignoreNulls) over
+    * the preceding frame, next via first(ignoreNulls) over the following
+    * frame (two frames over one window ordering = one exchange + one
+    * sort, the same sharing PlanSpec pins for w2). The winner is a pure
+    * row-local comparison.
+    *
+    * Driver query: each purchase event matched to the nearest same-user
+    * click. Tie rules, mirrored in the oracle's (distance, build time,
+    * build id) rank: equal distance resolves to the EARLIER click; build
+    * rows are pre-deduped to one per (user, second) keeping the min
+    * event_id, so the carry is unique and same-second matches (distance
+    * 0 — the deduped click sorts before the purchase at equal time) are
+    * well-defined. Purchases whose user has no click drop (inner
+    * semantics). */
+  def nearestEventQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .withColumn("es", unix_timestamp(col("ts_sec")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("es"))
+      .agg(min(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("es"), lit(0).as("__side"),
+        lit(null).cast("long").as("purchase_id"),
+        lit(null).cast("timestamp").as("ts_sec"),
+        struct(col("es").as("ces"), col("click_id").as("cid")).as("__c"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("es"), lit(1).as("__side"),
+        col("event_id").as("purchase_id"), col("ts_sec"),
+        lit(null).cast("struct<ces:bigint,cid:bigint>").as("__c"))
+    val w = Window.partitionBy("user_id").orderBy(col("es"), col("__side"))
+    val prev = last(col("__c"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val next = first(col("__c"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    clicks.unionByName(purchases)
+      .withColumn("__prev", prev)
+      .withColumn("__next", next)
+      .filter(col("__side") === 1)
+      .withColumn("dp", col("es") - col("__prev.ces"))
+      .withColumn("dn", col("__next.ces") - col("es"))
+      .withColumn("__usePrev", col("__next").isNull ||
+        (col("__prev").isNotNull && col("dp") <= col("dn")))
+      .filter(col("__prev").isNotNull || col("__next").isNotNull)
+      .select(col("user_id"), col("purchase_id"),
+        col("ts_sec").cast("string").as("purchase_ts"),
+        when(col("__usePrev"), col("__prev.cid"))
+          .otherwise(col("__next.cid")).as("click_id"),
+        when(col("__usePrev"), col("dp")).otherwise(col("dn")).as("dsec"))
+      .orderBy("purchase_id")
+  }
+
+  val nearestEventOracle: String =
+    """WITH c AS (
+      |  SELECT user_id, epoch(date_trunc('second', ts)) AS ces,
+      |         min(event_id) AS click_id
+      |  FROM events
+      |  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |         date_trunc('second', ts) AS pts,
+      |         epoch(date_trunc('second', ts)) AS pes
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
+      |j AS (
+      |  SELECT p.user_id, p.purchase_id, p.pts, c.click_id,
+      |         abs(p.pes - c.ces) AS dsec,
+      |         row_number() OVER (PARTITION BY p.purchase_id
+      |           ORDER BY abs(p.pes - c.ces), c.ces, c.click_id) AS rn
+      |  FROM p JOIN c ON p.user_id = c.user_id)
+      |SELECT user_id, purchase_id, CAST(pts AS VARCHAR) AS purchase_ts,
+      |       click_id, CAST(dsec AS BIGINT) AS dsec
+      |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
 }

@@ -96,16 +96,18 @@ object Dedup {
   def minhashLshPairsUnsorted(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double,
       mode: Materialize.Mode = Materialize.Local): DataFrame =
-    minhashPipeline(docs, idCol, textCol, threshold, mode)._2
+    minhashPipeline(docs, idCol, textCol, threshold, mode)._3
 
-  /** The shared MinHash pipeline internals: (signature table, verified
-    * pair set). [[Materialize.Local]] checkpoints are EAGER per call,
-    * so a consumer that needs both signatures and pairs (dd15) must
-    * take them from ONE invocation — two separate builder calls would
-    * hash the corpus twice. */
+  /** The shared MinHash pipeline internals: (signature table, candidate
+    * pair set — banding hits BEFORE verification, dd17's audit subject —
+    * and the verified pair set). [[Materialize.Local]] checkpoints are
+    * EAGER per call, so a consumer that needs more than one of these
+    * (dd15, dd17) must take them from ONE invocation — separate builder
+    * calls would hash the corpus twice. */
   private[graft] def minhashPipeline(docs: DataFrame, idCol: String,
       textCol: String, threshold: Double,
-      mode: Materialize.Mode = Materialize.Local): (DataFrame, DataFrame) = {
+      mode: Materialize.Mode = Materialize.Local)
+      : (DataFrame, DataFrame, DataFrame) = {
     // ONE eager materialization of all per-shingle hashing; signatures,
     // bands, sizes, and verification all derive from it with cheap
     // re-aggregations instead of re-hashing
@@ -155,7 +157,7 @@ object Dedup {
       .withColumn("jaccard", col("i_size") / col("u_size"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "i_size", "u_size", "jaccard")
-    (sigs, pairs)
+    (sigs, cand, pairs)
   }
 
   /** [[minhashLshPairsUnsorted]] plus the deterministic output order the
@@ -211,7 +213,7 @@ object Dedup {
 
   /** [[minhashEstimate]] over an explicit documents frame. */
   def minhashEstimateOf(docs: DataFrame): DataFrame = {
-    val (sigs, pairs) = minhashPipeline(docs,
+    val (sigs, _, pairs) = minhashPipeline(docs,
       "doc_id", "text", JaccardThreshold)
     val sa = sigs.select(col("doc_id").as("doc_a") +:
       (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
@@ -1221,13 +1223,16 @@ object Dedup {
       s"min(('0x' || substr(md5(u), 1, 14))::BIGINT + $i * ('0x' || substr(md5(u), 15, 14))::BIGINT) AS mh$i")
       .mkString(",\n    ")
 
-  val minhashLshOracle: String = {
+  /** Shared SQL fragment: shingles → signatures → bands → candidate
+    * pairs (the dd2 pipeline up to banding; verification is dd2's tail,
+    * the raw `cand` set is dd17's audit subject). */
+  private lazy val minhashCandCtes: String = {
     val minExprs = minhashMinExprs
     val bandSelects = (0 until NumHashes / BandRows).map { bnd =>
       val cols = (0 until BandRows).map(r => s"mh${bnd * BandRows + r}::VARCHAR")
       s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || ',' || ")} AS sig FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
        |u AS (SELECT doc_id, unnest(sh) AS u FROM s),
        |sigs AS (SELECT doc_id,
        |    $minExprs
@@ -1236,7 +1241,11 @@ object Dedup {
        |  $bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  lazy val minhashLshOracle: String = {
+    s"""WITH $minhashCandCtes,
        |verified AS (
        |  SELECT c.doc_a, c.doc_b,
        |    len(list_intersect(sa.sh, sb.sh)) AS i_size,
@@ -1305,4 +1314,59 @@ object Dedup {
        |WHERE list_dot_product(a.v, b.v) / (sqrt(a.norm) * sqrt(b.norm)) >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  /** dd17 — LSH candidate-recall audit, the banding S-curve measured
+    * on the live corpus (the calibration dd15's per-pair estimates
+    * roll up to): ground truth is EVERY pair with J > 0 (the exact
+    * inverted-index pairs, lang-blocked, no threshold), bucketed by
+    * integer Jaccard ventile, with the fraction of each bucket that
+    * surfaced in dd2's raw CANDIDATE set — banding hits BEFORE
+    * verification, so the curve measures the banding geometry itself,
+    * not the downstream threshold filter. Theory says P[candidate] =
+    * 1−(1−J^r)^b (r=[[BandRows]], b=[[NumHashes]]/r): ≈0 at the
+    * bottom ventiles, ≈1 at the top — the observed curve is what a
+    * pipeline owner consults before changing bands×rows, and a bucket
+    * far off the formula means the signature family is correlated for
+    * this corpus's shingle distribution. Bucket key is integer
+    * cross-multiplied (i·20 div u — no float boundary ambiguity);
+    * recall is one long/long division per output row. Cost: the two
+    * audited pipelines (both keyed, materialize-once) + one left join
+    * on the pair key + a ≤21-row aggregate. */
+  def lshRecallAudit(s: SparkSession, d: String): DataFrame =
+    lshRecallAuditOf(Tables.documents(s, d))
+
+  def lshRecallAuditOf(docs: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val truth = shingleIntersections(docs, mode)
+      .withColumn("u_size", col("n_a") + col("n_b") - col("i_size"))
+    val cand = minhashPipeline(docs, "doc_id", "text",
+        JaccardThreshold, mode)._2
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("caught"))
+    truth
+      .join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy(expr("i_size * 20 div u_size").as("j_ventile"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_candidates"))
+      .withColumn("candidate_recall", col("n_candidates") / col("n_true"))
+      .orderBy("j_ventile")
+  }
+
+  /** DuckDB replay: the shared banding CTEs ([[minhashCandCtes]] — the
+    * same fragment dd2's oracle verifies) + the unthresholded exact
+    * pair set, joined on the pair key. */
+  lazy val lshRecallAuditOracle: String =
+    s"""WITH $minhashCandCtes,
+       |truth AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.sh, b.sh)) AS i_size,
+       |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u_size
+       |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) > 0)
+       |SELECT t.i_size * 20 // t.u_size AS j_ventile,
+       |       count(*) AS n_true,
+       |       CAST(count(c.doc_a) AS BIGINT) AS n_candidates,
+       |       CAST(count(c.doc_a) AS BIGINT) / count(*) AS candidate_recall
+       |FROM truth t
+       |LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+       |GROUP BY j_ventile ORDER BY j_ventile""".stripMargin
 }

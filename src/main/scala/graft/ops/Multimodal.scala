@@ -772,4 +772,70 @@ object Multimodal {
        |FROM f GROUP BY track_id, frame_idx
        |ORDER BY track_id, frame_idx""".stripMargin
   }
+
+  /** Clipping threshold for [[audioHealthQuery]]: |v| at or beyond this
+    * counts as clipped (the standard near-full-scale heuristic for
+    * signed 16-bit audio; true full scale is 32767/-32768). */
+  val ClipThreshold = 32000L
+
+  case class AudioHealth(track_id: Long, n_samples: Long, n_clipped: Long,
+      dc_sum: Long, energy: Long, peak: Long)
+
+  /** mm9 — per-track audio health screen: clipped-sample count
+    * (|v| ≥ [[ClipThreshold]]), DC offset numerator (Σv — a nonzero
+    * mean betrays a miswired recording chain), total energy Σv², and
+    * peak amplitude. This is the drop-level triage a speech-corpus
+    * pipeline runs before feature extraction: tracks that are clipped
+    * or DC-shifted get routed to re-normalization rather than poisoning
+    * the training set. The whole statistic accumulates inside the
+    * narrow per-partition decode — one pass over the bytes, NO shuffle
+    * at all (per-track grain is produced where the track lives); at
+    * 100 TB this runs at scan speed with parallelism = input splits.
+    * Sums are exact longs (|v| ≤ 2¹⁵ so Σv² ≤ 2³⁰·n ≪ 2⁶³; the rates
+    * are left to the consumer so every emitted column is an integer). */
+  def pcmHealth(m: Media): AudioHealth = {
+    val bb = java.nio.ByteBuffer.wrap(m.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = m.payload.length / 2
+    var i = 0; var clip = 0L; var dc = 0L; var e = 0L; var pk = 0L
+    while (i < n) {
+      val s = bb.getShort(i * 2).toLong
+      if (math.abs(s) >= ClipThreshold) clip += 1
+      dc += s
+      e += s * s
+      if (math.abs(s) > pk) pk = math.abs(s)
+      i += 1
+    }
+    AudioHealth(m.doc_id, n.toLong, clip, dc, e, pk)
+  }
+
+  /** Oracle-checked face of [[pcmHealth]] over the shared PCM fixture;
+    * like mm6/mm8 the oracle REPLAYS the waveform formula in SQL, so a
+    * pass certifies encode → little-endian decode → every accumulator. */
+  def audioHealthQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val media = s.createDataset(fixtureAudio().map {
+      case (id, b) => Media(id, b, b.length) })(
+      Encoders.product[Media]).repartition(2)
+    media.mapPartitions(_.map(pcmHealth))(Encoders.product[AudioHealth])
+      .toDF().orderBy("track_id")
+  }
+
+  val audioHealthOracle: String = {
+    val tracks = audioTrackLens
+      .map { case (t, n) => s"($t, $n)" }.mkString(", ")
+    s"""WITH tracks(track_id, n) AS (VALUES $tracks),
+       |s AS (
+       |  SELECT track_id, i,
+       |         ((i*(i+3)*31 + track_id*7919 + i*1009) % 65536) - 32768 AS v
+       |  FROM tracks, unnest(generate_series(0, n - 1)) AS u(i))
+       |SELECT CAST(track_id AS BIGINT) AS track_id,
+       |       CAST(count(*) AS BIGINT) AS n_samples,
+       |       CAST(count(*) FILTER (WHERE abs(v) >= $ClipThreshold) AS BIGINT)
+       |         AS n_clipped,
+       |       CAST(sum(v) AS BIGINT) AS dc_sum,
+       |       CAST(sum(v * v) AS BIGINT) AS energy,
+       |       CAST(max(abs(v)) AS BIGINT) AS peak
+       |FROM s GROUP BY track_id ORDER BY track_id""".stripMargin
+  }
 }

@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Functions._
+
+/** Data-quality profiling for warehouse tables — the Deequ/dbt-test
+  * shape a curation pipeline runs before trusting an input drop:
+  * declarative constraint audits and per-column profiles, each computed
+  * in ONE pass over the fact table (a constraint suite that rescans per
+  * rule is unusable at 100 TB; the single-aggregate form is the whole
+  * point of these operators).
+  *
+  * Reference behavior: the reference pipeline validates its ingest
+  * frame ad hoc (range filters, null drops — clean.py's validity
+  * predicates); these operators generalize that into the audit surface
+  * a production pipeline needs: violation COUNTS per rule (not silent
+  * row drops), and column-level profile stats for drift detection.
+  */
+object Profile {
+
+  /** dq1 — constraint audit over events: every rule is a conditional
+    * sum inside ONE aggregation (plus a count-distinct for the
+    * uniqueness rule, which Catalyst plans into the same scan via
+    * expand), then the single result row is unpivoted into one row per
+    * constraint. No per-rule rescan, no driver-side loop; adding a
+    * rule is adding a column expression. The rate is one long/long
+    * division at the end (exact cross-engine).
+    *
+    * At 100 TB: one scan + a 2-way expand for the distinct — the same
+    * cost envelope as any exact-distinct aggregate; if the uniqueness
+    * rule's exact count becomes the bottleneck, swap it for
+    * approx_count_distinct and keep the other rules exact (they are
+    * plain sums).
+    */
+  def constraintAudit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val typeDomain = Seq("click", "error", "purchase", "signup", "view")
+    def v(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val agg = ev.agg(
+      count(lit(1)).as("n_rows"),
+      v(col("user_id").isNull).as("v_user"),
+      v(col("ts").isNull).as("v_ts"),
+      v(col("value").isNull).as("v_value_null"),
+      v(col("value").isNotNull &&
+        (col("value") < 0 || col("value") > 500)).as("v_value_range"),
+      v(col("event_type").isNull ||
+        !col("event_type").isin(typeDomain: _*)).as("v_type"),
+      v(col("props").isNull ||
+        !col("props").contains("\"k\": ")).as("v_props"),
+      count_distinct(col("event_id")).as("n_distinct_ids"))
+    def row(name: String, violations: Column) =
+      struct(lit(name).as("constraint_name"),
+        violations.as("n_violations"), col("n_rows"))
+    agg.select(explode(array(
+        row("user_id_not_null", col("v_user")),
+        row("ts_not_null", col("v_ts")),
+        row("value_not_null", col("v_value_null")),
+        row("value_range_0_500", col("v_value_range")),
+        row("type_in_domain", col("v_type")),
+        row("props_has_k", col("v_props")),
+        row("event_id_unique", col("n_rows") - col("n_distinct_ids"))))
+        .as("r"))
+      .select(col("r.constraint_name"), col("r.n_violations"), col("r.n_rows"))
+      .withColumn("violation_rate", col("n_violations") / col("n_rows"))
+      .orderBy("constraint_name")
+  }
+
+  val constraintAuditOracle: String =
+    """WITH a AS (
+      |  SELECT count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_user,
+      |    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ts,
+      |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_value_null,
+      |    CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 500)
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS v_value_range,
+      |    CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+      |             ('click','error','purchase','signup','view')
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+      |    CAST(sum(CASE WHEN props IS NULL OR NOT contains(props, '"k": ')
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS v_props,
+      |    count(DISTINCT event_id) AS n_distinct_ids
+      |  FROM events),
+      |r AS (
+      |  SELECT 'user_id_not_null' AS constraint_name, v_user AS n_violations, n_rows FROM a
+      |  UNION ALL SELECT 'ts_not_null', v_ts, n_rows FROM a
+      |  UNION ALL SELECT 'value_not_null', v_value_null, n_rows FROM a
+      |  UNION ALL SELECT 'value_range_0_500', v_value_range, n_rows FROM a
+      |  UNION ALL SELECT 'type_in_domain', v_type, n_rows FROM a
+      |  UNION ALL SELECT 'props_has_k', v_props, n_rows FROM a
+      |  UNION ALL SELECT 'event_id_unique', n_rows - n_distinct_ids, n_rows FROM a)
+      |SELECT constraint_name, n_violations, n_rows,
+      |       n_violations / n_rows AS violation_rate
+      |FROM r ORDER BY constraint_name""".stripMargin
+
+  /** pf1 — per-column profile of orders (completeness, exact distinct
+    * cardinality, min/max), one row per column, computed in ONE
+    * aggregation. The N count-distincts plan into a single scan with
+    * an N+1-way expand — the standard exact-profile cost (Deequ's
+    * Analyzer batch does the same); the documented scale path swaps
+    * exact distincts for approx_count_distinct when the expand
+    * dominates, keeping completeness/min/max exact.
+    *
+    * Min/max are normalized to strings at the OUTPUT layer only, from
+    * types whose rendering is engine-identical (longs; dates via
+    * cast-to-date; money as integer cents) — never raw doubles, whose
+    * formatting differs across engines.
+    */
+  /** Profiled columns of the orders table, post-normalization. */
+  private val orderProfileCols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_orderpriority", "price_cents", "od")
+
+  /** Orders with profile-normalized derived columns (money as integer
+    * cents, dates at date grain) — the engine-identical rendering
+    * layer both profile operators read. */
+  private def normalizedOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("price_cents", cents(col("o_totalprice")))
+      .withColumn("od", col("o_orderdate").cast("date"))
+
+  /** One-pass long-format profile of `cols` over `df` — the shared
+    * core of pf1 and rc2. Output: (col_name, n_nonnull, n_distinct,
+    * min_val, max_val), one row per column. */
+  def profileOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val agg = df.agg(
+      count(col(cols.head)).as(s"nn_${cols.head}"),
+      (cols.tail.map(c => count(col(c)).as(s"nn_$c")) ++
+        cols.map(c => count_distinct(col(c)).as(s"nd_$c")) ++
+        cols.map(c => min(col(c)).cast("string").as(s"mn_$c")) ++
+        cols.map(c => max(col(c)).cast("string").as(s"mx_$c"))): _*)
+    def row(c: String) =
+      struct(lit(c).as("col_name"), col(s"nn_$c").as("n_nonnull"),
+        col(s"nd_$c").as("n_distinct"), col(s"mn_$c").as("min_val"),
+        col(s"mx_$c").as("max_val"))
+    agg.select(explode(array(cols.map(row): _*)).as("r"))
+      .select("r.col_name", "r.n_nonnull", "r.n_distinct",
+        "r.min_val", "r.max_val")
+  }
+
+  def columnProfile(s: SparkSession, d: String): DataFrame =
+    profileOf(normalizedOrders(s, d), orderProfileCols)
+      .orderBy("col_name")
+
+  /** SQL mirror of [[profileOf]] over the normalized orders columns;
+    * `where` restricts the snapshot (empty = full table). */
+  private def profileSql(where: String): String = {
+    val cols = Seq(
+      "o_orderkey" -> "o_orderkey",
+      "o_custkey" -> "o_custkey",
+      "o_orderstatus" -> "o_orderstatus",
+      "o_orderpriority" -> "o_orderpriority",
+      "price_cents" -> "CAST(round(o_totalprice * 100) AS BIGINT)",
+      "od" -> "CAST(o_orderdate AS DATE)")
+    cols.map { case (name, e) =>
+      s"""SELECT '$name' AS col_name, count($e) AS n_nonnull,
+         |  count(DISTINCT $e) AS n_distinct,
+         |  CAST(min($e) AS VARCHAR) AS min_val,
+         |  CAST(max($e) AS VARCHAR) AS max_val FROM orders $where""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
+  val columnProfileOracle: String =
+    s"${profileSql("")}\nORDER BY col_name"
+
+  /** Snapshot boundary for [[profileDrift]]: orders strictly before
+    * this date form snapshot A, the rest snapshot B. */
+  val DriftSplitDate = "1997-01-01 00:00:00"
+
+  /** rc2 — profile drift between two snapshots of the same table (the
+    * before/after check a pipeline runs across an ingest drop, here:
+    * orders before vs since [[DriftSplitDate]]): the pf1 profile of
+    * each side joined on column name, with completeness-rate and
+    * cardinality deltas. Reconciliation at the STATISTIC level — rc1
+    * diffs rows, this diffs distributions, which is what you can
+    * afford when the snapshots are 100 TB each (two single-pass
+    * profiles of C columns vs a row-level diff's full shuffle of both
+    * snapshots). The snapshot predicate pushes to both scans; the
+    * join is 6 rows. Completeness rates divide by each side's row
+    * count (two exact long/long divisions); distinct-delta stays an
+    * exact integer. */
+  def profileDrift(s: SparkSession, d: String): DataFrame = {
+    val o = normalizedOrders(s, d)
+    val boundary = to_timestamp(lit(DriftSplitDate))
+    val a = profileOf(o.filter(col("o_orderdate") < boundary),
+      orderProfileCols)
+    val b = profileOf(o.filter(col("o_orderdate") >= boundary),
+      orderProfileCols)
+      .toDF("col_name", "n_nonnull_b", "n_distinct_b", "min_val_b",
+        "max_val_b")
+    a.toDF("col_name", "n_nonnull_a", "n_distinct_a", "min_val_a",
+        "max_val_a")
+      .join(b, "col_name")
+      .withColumn("distinct_delta",
+        col("n_distinct_b") - col("n_distinct_a"))
+      .withColumn("range_moved",
+        col("min_val_a") =!= col("min_val_b") ||
+          col("max_val_a") =!= col("max_val_b"))
+      .orderBy("col_name")
+  }
+
+  val profileDriftOracle: String = {
+    val a = profileSql(s"WHERE o_orderdate < TIMESTAMP '$DriftSplitDate'")
+    val b = profileSql(s"WHERE o_orderdate >= TIMESTAMP '$DriftSplitDate'")
+    s"""WITH a AS ($a),
+       |b AS ($b)
+       |SELECT a.col_name,
+       |  a.n_nonnull AS n_nonnull_a, a.n_distinct AS n_distinct_a,
+       |  a.min_val AS min_val_a, a.max_val AS max_val_a,
+       |  b.n_nonnull AS n_nonnull_b, b.n_distinct AS n_distinct_b,
+       |  b.min_val AS min_val_b, b.max_val AS max_val_b,
+       |  b.n_distinct - a.n_distinct AS distinct_delta,
+       |  (a.min_val <> b.min_val OR a.max_val <> b.max_val) AS range_moved
+       |FROM a JOIN b ON a.col_name = b.col_name
+       |ORDER BY a.col_name""".stripMargin
+  }
+}

@@ -1395,4 +1395,122 @@ object TextStats {
       |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
       |LEFT JOIN sh ON sh.source_a = sa.source AND sh.source_b = sb.source
       |ORDER BY source_a, source_b""".stripMargin
+
+  /** tx26 — per-source lexical-diversity profile (the Zipf-curve
+    * summary a corpus curator reads before mixing sources): token and
+    * type counts, hapax-legomenon types (frequency 1 — the Zipf tail),
+    * the most frequent term's count (the Zipf head), and type-token
+    * ratio. Everything derives from ONE (source, term) count table —
+    * explode, two keyed aggregations, both with map-side partials;
+    * TTR is a single long/long division (exact cross-engine). A
+    * collapsing TTR or exploding top-term share between two corpus
+    * drops is the classic symptom of boilerplate/template flooding
+    * that per-document repetition stats (tx8) can't see. */
+  def zipfStats(s: SparkSession, d: String): DataFrame = {
+    val termCounts = Tables.documents(s, d)
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("c"))
+    termCounts
+      .groupBy("source")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax_types"),
+        max(col("c")).as("top_freq"))
+      .withColumn("ttr", col("n_types") / col("n_tokens"))
+      .orderBy("source")
+  }
+
+  val zipfStatsOracle: String =
+    """WITH tc AS (
+      |  SELECT source, term, count(*) AS c
+      |  FROM (SELECT source, unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+      |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types,
+      |       CAST(max(c) AS BIGINT) AS top_freq,
+      |       count(*) / CAST(sum(c) AS BIGINT) AS ttr
+      |FROM tc GROUP BY source ORDER BY source""".stripMargin
+
+  /** tx27 — language-ID agreement matrix: declared `lang` metadata vs
+    * the tx1 n-gram classifier, as a confusion matrix with per-declared-
+    * lang shares. The audit every multilingual pipeline runs on an
+    * untrusted source drop — metadata labels are wrong often enough
+    * that temperature mixing (tx19) over raw `lang` silently skews
+    * quotas. Scan + codegen classifier + one tiny two-key aggregate;
+    * the share divides by a window total over the aggregate (grouped
+    * rows, no second scan). */
+  def langIdAgreement(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    Tables.documents(s, d)
+      .select(col("lang"), langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_declared", sum(col("n_docs")).over(w))
+      .withColumn("share_of_declared", col("n_docs") / col("n_declared"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  val langIdAgreementOracle: String = {
+    // reuse tx1's CASE-chain classifier verbatim (single source of truth
+    // for the scoring expressions lives in langMarkers)
+    val score = langMarkers.map { case (l, m) =>
+      l -> s"len(regexp_extract_all(text, '\\b(${m.mkString("|")})\\b'))"
+    }
+    val cases = score.zipWithIndex.map { case ((lang, sc), i) =>
+      val conds = score.take(i).map(e => s"$sc >= ${e._2}") ++
+        score.drop(i + 1).map(e => s"$sc > ${e._2}") :+ s"$sc > 0"
+      s"WHEN ${conds.mkString(" AND ")} THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH p AS (
+       |  SELECT lang, CASE $cases ELSE 'und' END AS lang_pred FROM documents),
+       |m AS (SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2)
+       |SELECT lang, lang_pred, n_docs,
+       |       CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS n_declared,
+       |       n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+       |         AS share_of_declared
+       |FROM m ORDER BY lang, lang_pred""".stripMargin
+  }
+
+  /** Seed + denominator for [[weightedSample]]'s uniform draw. */
+  val WeightSeed = 29
+  val WeightDen = 1000000L
+
+  /** smp2 — deterministic importance sampling (quality-weighted
+    * Bernoulli): each document is kept with probability proportional
+    * to a quality proxy (its clamped length, here: p = min(n_chars,
+    * 500)/1000), decided by comparing a stable per-doc md5 draw
+    * against the weight with CROSS-MULTIPLIED integers — no float
+    * probability ever exists, so the kept set is bit-reproducible
+    * across engines, partitionings, and reruns, and a re-drop of the
+    * same corpus keeps exactly the same documents (the property
+    * resample pipelines need for cache reuse). Pure scan-speed filter:
+    * no shuffle, no state — the 100-TB form of "sample 30% weighted
+    * by quality". Complements smp1 (stratum equalization) and tx14
+    * (per-source fixed rates): the weight here is per-DOCUMENT. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val draw = pmod(
+      graft.functions.Functions.md5Hash60(
+        col("doc_id").cast("string"), WeightSeed),
+      lit(WeightDen))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        draw.as("draw"),
+        least(col("n_chars"), lit(500L)).as("weight_x1000"))
+      .filter(col("draw") * 1000L < col("weight_x1000") * lit(WeightDen))
+      .orderBy("doc_id")
+  }
+
+  val weightedSampleOracle: String =
+    s"""WITH dr AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    ('0x' || substr(md5('$WeightSeed' || ':' ||
+       |       CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $WeightDen AS draw,
+       |    least(n_chars, 500) AS weight_x1000
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars, draw, weight_x1000
+       |FROM dr WHERE draw * 1000 < weight_x1000 * $WeightDen
+       |ORDER BY doc_id""".stripMargin
 }

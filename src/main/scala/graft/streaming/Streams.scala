@@ -431,4 +431,32 @@ object Streams {
     * point a dedup stream should be running at. */
   val BloomFillWarnNum = 1
   val BloomFillWarnDen = 2
+
+  /** Streaming twin of dq1 ([[graft.ops.Profile.constraintAudit]]):
+    * cumulative per-constraint violation counters over an unbounded
+    * event stream — the live data-quality dashboard behind the batch
+    * audit. Each rule is the SAME conditional-sum column expression as
+    * the batch side (one scan, map-side partials per micro-batch;
+    * Complete output re-emits the running row). State is O(1): a
+    * single global group holding seven longs. The batch audit's
+    * uniqueness rule is the one deliberate omission — exact
+    * distinct-over-a-stream is unbounded state by definition; its
+    * streaming face is [[bloomDedupStream]]'s bounded-memory bitmap,
+    * which reports (probabilistic) duplicate drops per shard.
+    * Input columns: (user_id, ts, value, event_type, props). */
+  def constraintAuditStream(events: DataFrame): DataFrame = {
+    val typeDomain = Seq("click", "error", "purchase", "signup", "view")
+    def v(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    events.groupBy().agg(
+      count(lit(1)).as("n_rows"),
+      v(col("user_id").isNull).as("user_id_not_null"),
+      v(col("ts").isNull).as("ts_not_null"),
+      v(col("value").isNull).as("value_not_null"),
+      v(col("value").isNotNull &&
+        (col("value") < 0 || col("value") > 500)).as("value_range_0_500"),
+      v(col("event_type").isNull ||
+        !col("event_type").isin(typeDomain: _*)).as("type_in_domain"),
+      v(col("props").isNull ||
+        !col("props").contains("\"k\": ")).as("props_has_k"))
+  }
 }

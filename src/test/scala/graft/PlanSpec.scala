@@ -526,4 +526,56 @@ class PlanSpec extends AnyFunSuite {
       s"no global single-partition stage allowed:\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  /** Final AQE plan text only (the Initial Plan section repeats every
+    * scan, so substring counts over the raw toString double-count). */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q11a computes the per-part aggregate once — the scalar side reuses the exchange") {
+    val p = finalPlan("q11a_important_parts")
+    assert(p.contains("ReusedExchange"),
+      s"global-total branch must reuse the per-part shuffle:\n${p.take(2000)}")
+    assert("lineitem".r.findAllIn(p).size == 1,
+      s"exactly one lineitem scan expected:\n${p.take(2000)}")
+  }
+
+  test("q2a argmin carries the winner out of the aggregation — no join back, dims broadcast") {
+    val p = finalPlan("q2a_min_cost_supplier")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("lineitem".r.findAllIn(p).size == 1,
+      s"the correlated min must not rescan lineitem:\n${p.take(2000)}")
+  }
+
+  test("q20a's correlated part total is a window over the aggregate — one lineitem scan, pushed shipdate") {
+    val p = finalPlan("q20a_excess_suppliers")
+    assert("lineitem".r.findAllIn(p).size == 1,
+      s"nested aggregate must not rescan lineitem:\n${p.take(2000)}")
+    assert(p.contains("Window"), "part totals must ride a window over the agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate predicate not pushed:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("dq1 audits every constraint in one events scan") {
+    val p = finalPlan("dq1_constraint_audit")
+    assert("events\\.parquet".r.findAllIn(p).size == 1,
+      s"constraint suite must be a single pass:\n${p.take(2000)}")
+    // Spark 4 plans the single count-distinct WITHOUT an expand: a
+    // partial aggregate keyed on event_id dedups while merging the
+    // plain sums alongside — strictly better; pin that shape.
+    assert(p.contains("HashAggregate(keys=[event_id"),
+      s"uniqueness rule should dedup in the same scan's partial agg:\n${p.take(2000)}")
+  }
+
+  test("pf1 profiles every column in one orders scan") {
+    val p = finalPlan("pf1_column_profile")
+    assert("orders\\.parquet".r.findAllIn(p).size == 1,
+      s"column profile must be a single pass:\n${p.take(2000)}")
+    assert(p.contains("Expand"), "count-distincts should share the scan via expand")
+  }
 }

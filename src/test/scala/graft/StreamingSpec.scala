@@ -523,4 +523,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(byType("click").n == 3 && byType("click").sum == 7.0)
     assert(byType("view").n == 1 && byType("view").sum == 5.0)
   }
+
+  test("constraint-audit stream: counters accumulate across batches and match the batch rules (dq1 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Option[Long], Option[java.sql.Timestamp],
+      Option[Double], Option[String], Option[String])]
+    val df = input.toDF().toDF("user_id", "ts", "value", "event_type", "props")
+    val q = Streams.constraintAuditStream(df)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("dq_stream").start()
+    val okTs = Some(ts("2024-01-01 10:00:00"))
+    val okProps = Some("""{"k": 30}""")
+    // batch 1: one clean row, one null user, one out-of-range value
+    input.addData(
+      (Some(1L), okTs, Some(5.0), Some("click"), okProps),
+      (None, okTs, Some(5.0), Some("click"), okProps),
+      (Some(2L), okTs, Some(900.0), Some("view"), okProps))
+    q.processAllAvailable()
+    // batch 2: bad type, missing-k props, null ts + null value
+    input.addData(
+      (Some(3L), okTs, Some(5.0), Some("mystery"), okProps),
+      (Some(4L), okTs, Some(5.0), Some("click"), Some("{}")),
+      (Some(5L), None, None, Some("click"), okProps))
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("dq_stream").collect().head
+    def g(n: String) = r.getLong(r.fieldIndex(n))
+    assert(g("n_rows") == 6)
+    assert(g("user_id_not_null") == 1)
+    assert(g("ts_not_null") == 1)
+    assert(g("value_not_null") == 1)
+    assert(g("value_range_0_500") == 1)
+    assert(g("type_in_domain") == 1)
+    assert(g("props_has_k") == 1)
+  }
 }
