@@ -177,6 +177,8 @@ object SparkEntry {
     "smp2_weighted_sample" -> (TextStats.weightedSample _),
     "j11_nearest_event" -> (graft.ops.AsOf.nearestEventQuery _),
     "w9_touch_attribution" -> (Analytics.touchAttribution _),
+    "w10_rfm_segments" -> (Analytics.rfmSegments _),
+    "sim6_knn_recall" -> (Similarity.knnRecallAudit _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -669,5 +671,7 @@ object SparkEntry {
     "smp2_weighted_sample" -> TextStats.weightedSampleOracle,
     "j11_nearest_event" -> graft.ops.AsOf.nearestEventOracle,
     "w9_touch_attribution" -> Analytics.touchAttributionOracle,
+    "w10_rfm_segments" -> Analytics.rfmSegmentsOracle,
+    "sim6_knn_recall" -> Similarity.knnRecallAuditOracle(),
   )
 }

@@ -874,4 +874,99 @@ object Analytics {
       |LEFT JOIN (SELECT purchase_id, event_id, event_type FROM t WHERE rl = 1) l
       |  ON p.purchase_id = l.purchase_id
       |ORDER BY p.purchase_id""".stripMargin
+
+  /** w10 — RFM user segmentation (recency / frequency / monetary), the
+    * classic cohort-quality cube: per-user stats in one keyed
+    * aggregate, quartile boundaries as ONE exact-percentile aggregate
+    * broadcast back, quartile labels as pure comparisons. Never a
+    * global ntile window — ntile's total order is a single-task sort
+    * over every user at 100 TB; the threshold form costs one tiny
+    * sort-based percentile aggregate (a11's machinery) plus a
+    * codegen'd filter, and assigns identical quartiles up to boundary
+    * ties, which both engines resolve identically because the
+    * comparisons are the same doubles. Recency counts whole days from
+    * the corpus's last event (derived from the same per-user aggregate
+    * — no second events scan); monetary sums purchase value in exact
+    * integer cents. Output: the 4×4×4 segment cube with user counts
+    * and monetary totals. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .groupBy("user_id")
+      .agg(
+        max(col("ts_sec")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          cents(col("value")))), lit(0L)).as("monetary_cents"))
+    val corpusLast = per.agg(max(col("last_ts")).as("corpus_last"))
+    val r = per.join(broadcast(corpusLast))
+      .withColumn("recency_days",
+        datediff(col("corpus_last").cast("date"), col("last_ts").cast("date")))
+    val thresholds = r.agg(
+      expr("percentile(recency_days, 0.25)").as("r1"),
+      expr("percentile(recency_days, 0.5)").as("r2"),
+      expr("percentile(recency_days, 0.75)").as("r3"),
+      expr("percentile(frequency, 0.25)").as("f1"),
+      expr("percentile(frequency, 0.5)").as("f2"),
+      expr("percentile(frequency, 0.75)").as("f3"),
+      expr("percentile(monetary_cents, 0.25)").as("m1"),
+      expr("percentile(monetary_cents, 0.5)").as("m2"),
+      expr("percentile(monetary_cents, 0.75)").as("m3"))
+    def quartile(m: Column, t1: Column, t2: Column, t3: Column): Column =
+      lit(1) + (m > t1).cast("int") + (m > t2).cast("int") +
+        (m > t3).cast("int")
+    r.join(broadcast(thresholds))
+      .select(
+        quartile(col("recency_days"), col("r1"), col("r2"), col("r3"))
+          .as("r_quartile"),
+        quartile(col("frequency"), col("f1"), col("f2"), col("f3"))
+          .as("f_quartile"),
+        quartile(col("monetary_cents"), col("m1"), col("m2"), col("m3"))
+          .as("m_quartile"),
+        col("monetary_cents"))
+      .groupBy("r_quartile", "f_quartile", "m_quartile")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary_cents")).as("sum_monetary_cents"))
+      .orderBy("r_quartile", "f_quartile", "m_quartile")
+  }
+
+  val rfmSegmentsOracle: String =
+    """WITH per AS (
+      |  SELECT user_id, max(date_trunc('second', ts)) AS last_ts,
+      |         count(*) AS frequency,
+      |         coalesce(sum(CASE WHEN event_type = 'purchase'
+      |           THEN CAST(round(value * 100) AS BIGINT) END), 0)
+      |           AS monetary_cents
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY user_id),
+      |g AS (SELECT max(last_ts) AS corpus_last FROM per),
+      |r AS (SELECT user_id,
+      |        datediff('day', CAST(last_ts AS DATE),
+      |                 CAST(corpus_last AS DATE)) AS recency_days,
+      |        frequency, monetary_cents
+      |      FROM per, g),
+      |t AS (SELECT
+      |  quantile_cont(recency_days, 0.25) AS r1,
+      |  quantile_cont(recency_days, 0.5) AS r2,
+      |  quantile_cont(recency_days, 0.75) AS r3,
+      |  quantile_cont(frequency, 0.25) AS f1,
+      |  quantile_cont(frequency, 0.5) AS f2,
+      |  quantile_cont(frequency, 0.75) AS f3,
+      |  quantile_cont(monetary_cents, 0.25) AS m1,
+      |  quantile_cont(monetary_cents, 0.5) AS m2,
+      |  quantile_cont(monetary_cents, 0.75) AS m3 FROM r),
+      |q AS (SELECT
+      |  1 + (recency_days > r1)::INT + (recency_days > r2)::INT +
+      |      (recency_days > r3)::INT AS r_quartile,
+      |  1 + (frequency > f1)::INT + (frequency > f2)::INT +
+      |      (frequency > f3)::INT AS f_quartile,
+      |  1 + (monetary_cents > m1)::INT + (monetary_cents > m2)::INT +
+      |      (monetary_cents > m3)::INT AS m_quartile,
+      |  monetary_cents
+      |  FROM r, t)
+      |SELECT r_quartile, f_quartile, m_quartile, count(*) AS n_users,
+      |       CAST(sum(monetary_cents) AS BIGINT) AS sum_monetary_cents
+      |FROM q GROUP BY 1, 2, 3
+      |ORDER BY r_quartile, f_quartile, m_quartile""".stripMargin
 }

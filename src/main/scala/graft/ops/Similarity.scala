@@ -710,4 +710,82 @@ object Similarity {
        |          sqrt(list_dot_product(b.cv, b.cv))) AS cos_centroid
        |FROM c a JOIN c b ON a.label < b.label
        |ORDER BY label_a, label_b""".stripMargin
+
+  /** Seed + stride for [[knnRecallAudit]]'s deterministic query sample
+    * (~1/16 of the corpus via the md5 primitive, oracle-replayable). */
+  val RecallSampleSeed = 41
+  val RecallSampleStride = 16L
+
+  /** sim6 — ANN recall@k audit, the similarity-path sibling of dd17:
+    * exact brute-force top-[[KnnK]] for a SAMPLED query set vs the
+    * sim4 kNN graph's bucketed approximation, reported as the
+    * distribution of per-query matched counts (0..k) with shares.
+    * This is the standard ANN benchmark harness made into an operator:
+    * exact ground truth is only affordable on a sample — truth cost is
+    * O(sample × corpus) BY DESIGN (the one deliberate brute-force
+    * join in the library; the sampled side broadcasts, the corpus
+    * side streams, so it is still one scan + a keyed window). The
+    * approximate side reuses [[knnGraphOf]] unchanged — the audit
+    * measures the production operator, not a reimplementation. Both
+    * sides rank by (cos DESC, dst), so ties resolve identically and
+    * recall is well-defined. The closing share division is long/long;
+    * the ≤k+1-row total rides a window over the tiny aggregate. */
+  def knnRecallAudit(s: SparkSession, d: String): DataFrame =
+    knnRecallAuditOf(Tables.embeddings(s, d))
+
+  def knnRecallAuditOf(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embDoubleOf(emb)
+    val samp = e
+      .filter(pmod(md5Hash60(col("vec_id").cast("string"), RecallSampleSeed),
+        lit(RecallSampleStride)) === 0)
+      .select(col("vec_id").as("src"), col("v").as("sv"),
+        col("norm").as("snorm"))
+    val w = Window.partitionBy("src").orderBy(desc("cos"), col("dst"))
+    val truth = e
+      .select(col("vec_id").as("dst"), col("v"), col("norm"))
+      .join(broadcast(samp), col("dst") =!= col("src"))
+      .withColumn("cos",
+        dot(col("v"), col("sv")) / (sqrt(col("norm")) * sqrt(col("snorm"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select("src", "dst")
+    val approx = knnGraphOf(emb)
+      .select(col("src"), col("dst"), lit(1L).as("hit"))
+    val perQuery = truth
+      .join(approx, Seq("src", "dst"), "left")
+      .groupBy("src")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+    perQuery
+      .groupBy("n_matched")
+      .agg(count(lit(1)).as("n_queries"))
+      .withColumn("share",
+        col("n_queries") / sum(col("n_queries")).over(Window.partitionBy()))
+      .orderBy("n_matched")
+  }
+
+  def knnRecallAuditOracle(): String =
+    s"""WITH g AS (
+       |${knnGraphOracle()}
+       |),
+       |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm
+       |  FROM embeddings),
+       |samp AS (SELECT vec_id, v, norm FROM e2
+       |  WHERE ('0x' || substr(md5('$RecallSampleSeed' || ':' ||
+       |    CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % $RecallSampleStride = 0),
+       |truth AS (
+       |  SELECT src, dst FROM (
+       |    SELECT s.vec_id AS src, e2.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY list_dot_product(e2.v, s.v) /
+       |          (sqrt(e2.norm) * sqrt(s.norm)) DESC, e2.vec_id) AS rk
+       |    FROM samp s JOIN e2 ON e2.vec_id <> s.vec_id) t
+       |  WHERE rk <= $KnnK),
+       |m AS (SELECT t.src, CAST(count(g.dst) AS BIGINT) AS n_matched
+       |      FROM truth t LEFT JOIN g ON t.src = g.src AND t.dst = g.dst
+       |      GROUP BY t.src)
+       |SELECT n_matched, count(*) AS n_queries,
+       |       count(*) / CAST(sum(count(*)) OVER () AS BIGINT) AS share
+       |FROM m GROUP BY n_matched ORDER BY n_matched""".stripMargin
 }

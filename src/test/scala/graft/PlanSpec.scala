@@ -578,4 +578,24 @@ class PlanSpec extends AnyFunSuite {
       s"column profile must be a single pass:\n${p.take(2000)}")
     assert(p.contains("Expand"), "count-distincts should share the scan via expand")
   }
+
+  test("w10 RFM quartiles come from broadcast percentile thresholds — never an ntile window") {
+    val p = finalPlan("w10_rfm_segments")
+    assert(!p.contains("Window"),
+      s"quartile labels must be threshold comparisons, not ntile:\n${p.take(2000)}")
+    assert(p.contains("percentile"), "exact percentile thresholds expected")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "thresholds must broadcast back")
+  }
+
+  test("sim6 brute-force truth broadcasts the sample; the audited kNN side stays keyed") {
+    val p = finalPlan("sim6_knn_recall")
+    // the ONE deliberate brute-force join: sampled queries broadcast
+    // against the streamed corpus
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"truth side should broadcast the sample:\n${p.take(2000)}")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      "the audited kNN bucket join must stay keyed")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }
