@@ -572,11 +572,21 @@ class PlanSpec extends AnyFunSuite {
       s"uniqueness rule should dedup in the same scan's partial agg:\n${p.take(2000)}")
   }
 
-  test("pf1 profiles every column in one orders scan") {
+  test("pf1 profiles via column-pruned passes — one single-column scan each, no expand") {
     val p = finalPlan("pf1_column_profile")
-    assert("orders\\.parquet".r.findAllIn(p).size == 1,
-      s"column profile must be a single pass:\n${p.take(2000)}")
-    assert(p.contains("Expand"), "count-distincts should share the scan via expand")
+    // union of 6 per-column aggregates: 6 scans, each reading exactly
+    // ONE parquet column (columnar I/O = the single wide scan), each
+    // count-distinct a keyed partial dedup — the (N+1)-way Expand of
+    // the one-scan form benched 6x slower at sf0.1
+    assert("orders\\.parquet".r.findAllIn(p).size == 6,
+      s"expected one pruned pass per column:\n${p.take(2000)}")
+    assert(!p.contains("Expand"),
+      s"per-column passes must not expand:\n${p.take(2000)}")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(schemas.nonEmpty && schemas.forall { l =>
+      val s = l.substring(l.indexOf("ReadSchema"))
+      s.count(_ == ',') == 0 // struct<onecol:type>
+    }, s"each pass must read exactly one column:\n${schemas.mkString("\n")}")
   }
 
   test("w10 RFM quartiles come from broadcast percentile thresholds — never an ntile window") {
