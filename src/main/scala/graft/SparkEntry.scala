@@ -179,6 +179,9 @@ object SparkEntry {
     "w9_touch_attribution" -> (Analytics.touchAttribution _),
     "w10_rfm_segments" -> (Analytics.rfmSegments _),
     "sim6_knn_recall" -> (Similarity.knnRecallAudit _),
+    "tx28_boilerplate_catalog" -> (TextStats.boilerplateCatalog _),
+    "w11_pit_features" -> (Analytics.pitFeatures _),
+    "g4_knn_reciprocity" -> (Graph.knnReciprocity _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -673,5 +676,8 @@ object SparkEntry {
     "w9_touch_attribution" -> Analytics.touchAttributionOracle,
     "w10_rfm_segments" -> Analytics.rfmSegmentsOracle,
     "sim6_knn_recall" -> Similarity.knnRecallAuditOracle(),
+    "tx28_boilerplate_catalog" -> TextStats.boilerplateCatalogOracle,
+    "w11_pit_features" -> Analytics.pitFeaturesOracle,
+    "g4_knn_reciprocity" -> Graph.knnReciprocityOracle(),
   )
 }

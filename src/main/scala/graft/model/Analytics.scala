@@ -969,4 +969,53 @@ object Analytics {
       |       CAST(sum(monetary_cents) AS BIGINT) AS sum_monetary_cents
       |FROM q GROUP BY 1, 2, 3
       |ORDER BY r_quartile, f_quartile, m_quartile""".stripMargin
+
+  /** Lookback horizon for [[pitFeatures]], in seconds (90 days). */
+  val PitLookbackSec = 7776000L
+
+  /** w11 — point-in-time trailing features: for every order, the same
+    * customer's order count and spend over the STRICTLY-PRIOR 90
+    * days. This is the leakage-free feature-engineering shape (each
+    * row's features use only information available before that row's
+    * own timestamp — what a feature store backfills for training):
+    * ONE customer-keyed RANGE window over epoch seconds computes both
+    * statistics in one shuffle + one sort, never a fact-to-fact
+    * self-join (whose fanout is rows × lookback-multiplicity and
+    * which re-shuffles both sides). The [-90d, -1s] frame excludes
+    * the row itself and any same-second order — tie rule mirrored in
+    * the oracle's strict es inequality. Spend is exact integer cents;
+    * empty lookbacks read 0, not NULL (a model consumes these). */
+  def pitFeatures(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("ts_sec", date_trunc("second", col("o_orderdate")))
+      .withColumn("es", unix_timestamp(col("ts_sec")))
+      .withColumn("cents", cents(col("o_totalprice")))
+    val w = Window.partitionBy("o_custkey").orderBy(col("es"))
+      .rangeBetween(-PitLookbackSec, -1L)
+    o
+      .withColumn("n_prior_90d",
+        coalesce(count(lit(1)).over(w), lit(0L)))
+      .withColumn("prior_cents_90d",
+        coalesce(sum(col("cents")).over(w), lit(0L)))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("ts_sec").cast("date").cast("string").as("orderdate"),
+        col("n_prior_90d"), col("prior_cents_90d"))
+      .orderBy("o_orderkey")
+  }
+
+  val pitFeaturesOracle: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_custkey,
+       |         epoch(date_trunc('second', o_orderdate)) AS es,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       |         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate
+       |  FROM orders)
+       |SELECT a.o_orderkey, a.o_custkey, a.orderdate,
+       |       count(b.o_orderkey) AS n_prior_90d,
+       |       CAST(coalesce(sum(b.cents), 0) AS BIGINT) AS prior_cents_90d
+       |FROM o a
+       |LEFT JOIN o b ON a.o_custkey = b.o_custkey
+       |  AND b.es >= a.es - $PitLookbackSec AND b.es <= a.es - 1
+       |GROUP BY a.o_orderkey, a.o_custkey, a.orderdate
+       |ORDER BY a.o_orderkey""".stripMargin
 }

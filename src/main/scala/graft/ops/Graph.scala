@@ -204,4 +204,46 @@ object Graph {
        |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
        |  END AS assortativity
        |FROM a""".stripMargin
+
+  /** g4 — kNN edge reciprocity by rank: for each neighbor rank, the
+    * fraction of src→dst edges whose reverse dst→src edge (any rank)
+    * also exists. Mutual-kNN edges are the high-precision core every
+    * kNN-graph consumer (dd8's semantic clusters, g1's ranking)
+    * implicitly leans on — asymmetric edges are how hub vectors
+    * attract spurious neighbors; reciprocity BY RANK shows how fast
+    * precision decays down the neighbor list and is the evidence for
+    * choosing a mutual-only edge filter. One self-join of the
+    * materialized edge list on the reversed key (edges materialize
+    * once — the sim4 build is the dominant cost, the audit adds a
+    * keyed join of top-k·n rows) + an O(k)-row aggregate; the rate is
+    * one long/long division per rank. */
+  def knnReciprocity(s: SparkSession, d: String): DataFrame =
+    knnReciprocityOf(Tables.embeddings(s, d))
+
+  def knnReciprocityOf(emb: DataFrame): DataFrame = {
+    val edges = Materialize(
+      Similarity.knnGraphOf(emb).select("src", "rank", "dst"),
+      Materialize.Local, "recip_edges")
+    // (src, dst) is unique in a top-k list, so the reversed side needs
+    // no distinct and the left join cannot multiply rows
+    val rev = edges.select(col("dst").as("r_src"), col("src").as("r_dst"))
+    edges
+      .join(rev,
+        col("src") === col("r_src") && col("dst") === col("r_dst"), "left")
+      .groupBy("rank")
+      .agg(count(lit(1)).as("n_edges"),
+        count(col("r_src")).as("n_mutual"))
+      .withColumn("reciprocity", col("n_mutual") / col("n_edges"))
+      .orderBy("rank")
+  }
+
+  def knnReciprocityOracle(): String =
+    s"""WITH g AS (
+       |${Similarity.knnGraphOracle()}
+       |)
+       |SELECT a.rank, count(*) AS n_edges,
+       |       CAST(count(b.src) AS BIGINT) AS n_mutual,
+       |       CAST(count(b.src) AS BIGINT) / count(*) AS reciprocity
+       |FROM g a LEFT JOIN g b ON a.src = b.dst AND a.dst = b.src
+       |GROUP BY a.rank ORDER BY a.rank""".stripMargin
 }

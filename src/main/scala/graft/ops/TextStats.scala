@@ -1513,4 +1513,60 @@ object TextStats {
        |SELECT doc_id, lang, n_chars, draw, weight_x1000
        |FROM dr WHERE draw * 1000 < weight_x1000 * $WeightDen
        |ORDER BY doc_id""".stripMargin
+
+  /** Minimum distinct-document frequency for a segment to enter the
+    * [[boilerplateCatalog]]. */
+  val BoilerplateMinDf = 3
+
+  /** tx28 — boilerplate catalog: the recurring text segments
+    * themselves, ranked — tx18 tells you WHICH copies to drop; this
+    * tells a curator WHAT the boilerplate is (cookie banners,
+    * templated footers, license headers) and how far it spreads:
+    * per distinct segment (tx18's fixed [[SegTokens]]-token windows,
+    * same segmentation — the two operators describe one phenomenon),
+    * total occurrences, distinct-document frequency, distinct-source
+    * spread, and the first carrying doc. One segment explode + one
+    * keyed aggregate; the two distinct counts over (doc, source) ride
+    * the standard expand. A segment present across many SOURCES is
+    * the scraper-injected template class that per-source caps (tx13)
+    * structurally cannot remove. */
+  def boilerplateCatalog(s: SparkSession, d: String): DataFrame =
+    boilerplateCatalogOf(Tables.documents(s, d))
+
+  def boilerplateCatalogOf(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), col("source"),
+      words(col("text")).as("ws"))
+    val segArr = transform(
+      sequence(lit(0),
+        ceil(size(col("ws")) / lit(SegTokens.toDouble)).cast("int") - 1),
+      i => array_join(slice(col("ws"), i * SegTokens + 1, lit(SegTokens)), " "))
+    w.select(col("doc_id"), col("source"), explode(segArr).as("seg"))
+      .groupBy("seg")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") >= BoilerplateMinDf)
+      .orderBy(desc("n_docs"), col("seg"))
+  }
+
+  val boilerplateCatalogOracle: String = {
+    val k = SegTokens
+    s"""WITH w AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, source,
+       |         array_to_string(ws[(i-1)*$k+1 : (i-1)*$k+$k], ' ') AS seg
+       |  FROM w, unnest(generate_series(1,
+       |    CAST(ceil(len(ws)/$k.0) AS BIGINT))) AS t(i))
+       |SELECT seg, count(*) AS n_occurrences,
+       |       count(DISTINCT doc_id) AS n_docs,
+       |       count(DISTINCT source) AS n_sources,
+       |       min(doc_id) AS first_doc_id
+       |FROM seg GROUP BY seg
+       |HAVING count(DISTINCT doc_id) >= $BoilerplateMinDf
+       |ORDER BY n_docs DESC, seg""".stripMargin
+  }
 }

@@ -598,6 +598,15 @@ class PlanSpec extends AnyFunSuite {
       "thresholds must broadcast back")
   }
 
+  test("w11 PIT features are one customer-keyed range window — never a fact self-join") {
+    val p = finalPlan("w11_pit_features")
+    assert(!p.contains("Join"),
+      s"trailing features must ride a window, not a self-join:\n${p.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one keyed exchange expected (custkey window):\n${p.take(2000)}")
+    assert("orders\\.parquet".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
   test("sim6 brute-force truth broadcasts the sample; the audited kNN side stays keyed") {
     val p = finalPlan("sim6_knn_recall")
     // the ONE deliberate brute-force join: sampled queries broadcast
