@@ -182,6 +182,9 @@ object SparkEntry {
     "tx28_boilerplate_catalog" -> (TextStats.boilerplateCatalog _),
     "w11_pit_features" -> (Analytics.pitFeatures _),
     "g4_knn_reciprocity" -> (Graph.knnReciprocity _),
+    "tx29_bpe_pairs" -> (TextStats.bpePairs _),
+    "t5_hopping_windows" -> (Analytics.hoppingWindows _),
+    "sim7_cluster_margins" -> (Similarity.clusterMargins _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -679,5 +682,8 @@ object SparkEntry {
     "tx28_boilerplate_catalog" -> TextStats.boilerplateCatalogOracle,
     "w11_pit_features" -> Analytics.pitFeaturesOracle,
     "g4_knn_reciprocity" -> Graph.knnReciprocityOracle(),
+    "tx29_bpe_pairs" -> TextStats.bpePairsOracle,
+    "t5_hopping_windows" -> Analytics.hoppingWindowsOracle,
+    "sim7_cluster_margins" -> Similarity.clusterMarginsOracle,
   )
 }

@@ -372,6 +372,51 @@ object Analytics {
         col("event_type"), col("n"), col("sum_value_cents"))
       .orderBy("win_start", "event_type")
 
+  /** t5 — HOPPING (sliding) windows: 1-day windows advancing every 6
+    * hours, so each event lands in size/slide = 4 overlapping windows.
+    * Spark's `window(ts, size, slide)` expands each row to its window
+    * instances BEFORE the aggregation — map-side, no join against a
+    * window dimension — then the count/sum aggregate shuffles once on
+    * (window, type) with partial combine, identical to t4's plan at 4×
+    * the pre-aggregation row count (the inherent hopping-window cost).
+    * Epoch-aligned starts in the pinned UTC session zone; the oracle
+    * regenerates each event's window set from the same integer
+    * arithmetic (floor-division bounds on epoch seconds). The same
+    * expression runs unchanged under readStream + watermark — t4's
+    * streaming twin covers the machinery (StreamingSpec). */
+  def hoppingWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .groupBy(
+        window(col("ts"), "1 day", "6 hours").as("win"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("sum_value_cents"))
+      .select(
+        col("win.start").cast("string").as("win_start"),
+        col("win.end").cast("string").as("win_end"),
+        col("event_type"), col("n"), col("sum_value_cents"))
+      .orderBy("win_start", "event_type")
+
+  val hoppingWindowsOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, value, epoch(date_trunc('second', ts)) AS es,
+      |         epoch(ts) AS esf
+      |  FROM events WHERE ts IS NOT NULL),
+      |wins AS (
+      |  SELECT event_type, value, k * 21600 AS ws
+      |  FROM e, unnest(generate_series(
+      |    CAST(floor((esf - 86400) / 21600) + 1 AS BIGINT),
+      |    CAST(floor(esf / 21600) AS BIGINT))) AS t(k))
+      |SELECT CAST(make_timestamp(ws * 1000000) AS VARCHAR) AS win_start,
+      |       CAST(make_timestamp((ws + 86400) * 1000000) AS VARCHAR) AS win_end,
+      |       event_type, count(*) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_value_cents
+      |FROM wins GROUP BY ws, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+
   /** Beyond-reference: gap-based sessionization — the canonical event-
     * pipeline windowing the reference never needed. Two layered windows
     * over one shuffle on user_id: lag() flags gaps > 30 min, a running

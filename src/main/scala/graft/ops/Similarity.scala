@@ -669,18 +669,26 @@ object Similarity {
     labelCentroidsOf(Tables.embeddings(s, d))
 
   /** [[labelCentroids]] over an explicit embeddings frame. */
-  def labelCentroidsOf(emb: DataFrame): DataFrame = {
+  /** Shared per-label centroid table (label, n_vecs, cv): exact
+    * integer component sums (the [[CentroidScale]] quantization makes
+    * the sums partition-order-independent) rendered as a double array
+    * — cosine against it needs no division by n (scale-invariant). */
+  private def centroidTable(emb: DataFrame): DataFrame = {
     val q = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("label"), col("dim"),
         round(col("v").cast("double") * lit(CentroidScale.toDouble))
           .cast("long").as("q"))
-    val sums = q.groupBy("label", "dim")
+    q.groupBy("label", "dim")
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-    val cent = sums.groupBy("label")
+      .groupBy("label")
       .agg(max(col("n")).as("n_vecs"),
         transform(sort_array(collect_list(struct(col("dim"), col("sq")))),
           e => e.getField("sq").cast("double")).as("cv"))
+  }
+
+  def labelCentroidsOf(emb: DataFrame): DataFrame = {
+    val cent = centroidTable(emb)
     val a = cent.toDF("label_a", "n_a", "cva")
     val b = cent.toDF("label_b", "n_b", "cvb")
     a.join(b, col("label_a") < col("label_b"))
@@ -691,8 +699,10 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
-  val labelCentroidsOracle: String =
-    s"""WITH q AS (
+  /** Shared SQL fragment mirroring [[centroidTable]]: CTEs q/s/c with
+    * c = (label, n_vecs, cv). */
+  private lazy val centroidCtes: String =
+    s"""q AS (
        |  SELECT label, i AS dim,
        |         CAST(round(CAST(embedding[i] AS DOUBLE) * $CentroidScale)
        |              AS BIGINT) AS q
@@ -702,7 +712,10 @@ object Similarity {
        |      FROM q GROUP BY label, dim),
        |c AS (SELECT label, max(n) AS n_vecs,
        |             list(CAST(sq AS DOUBLE) ORDER BY dim) AS cv
-       |      FROM s GROUP BY label)
+       |      FROM s GROUP BY label)""".stripMargin
+
+  lazy val labelCentroidsOracle: String =
+    s"""WITH $centroidCtes
        |SELECT a.label AS label_a, b.label AS label_b,
        |       a.n_vecs AS n_a, b.n_vecs AS n_b,
        |       list_dot_product(a.cv, b.cv) /
@@ -788,4 +801,71 @@ object Similarity {
        |SELECT n_matched, count(*) AS n_queries,
        |       count(*) / CAST(sum(count(*)) OVER () AS BIGINT) AS share
        |FROM m GROUP BY n_matched ORDER BY n_matched""".stripMargin
+
+  /** sim7 — cluster-assignment margin audit (the per-POINT face of
+    * sim5's centroid-pair view): for every vector, cosine to its own
+    * label's centroid minus the best cosine to any OTHER centroid —
+    * positive = the label holds for this point, negative = the point
+    * sits closer to another label's center (a candidate label error or
+    * domain-drift victim). Per label: vector count, misassigned count,
+    * and the exact integer sum of e-6-quantized margins. This is the
+    * simplified-silhouette screen run before trusting label-stratified
+    * operations (tx5 splits, smp1 balancing, sim5's own centroids).
+    *
+    * Determinism: centroids are [[CentroidScale]]-quantized EXACT
+    * integer sums (cosine is scale-invariant, so no division by n ever
+    * happens); per-point cosines are identical IEEE trees both
+    * engines; each margin quantizes to a long BEFORE the per-label sum
+    * so the rollup is exact-integer (a raw double sum would be
+    * partition-order-dependent). Cost: one centroid aggregation +
+    * an L-row broadcast fanout per point + two keyed aggregates —
+    * linear in corpus × labels, no shuffle of the vectors themselves
+    * beyond the final per-label rollup. */
+  def clusterMargins(s: SparkSession, d: String): DataFrame =
+    clusterMarginsOf(Tables.embeddings(s, d))
+
+  def clusterMarginsOf(emb: DataFrame): DataFrame = {
+    val cent = centroidTable(emb)
+      .select(col("label").as("c_label"), col("cv"))
+    val e = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val x = e.join(broadcast(cent))
+      .withColumn("cos",
+        dot(col("v"), col("cv")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))))
+    x.groupBy("vec_id", "label")
+      .agg(
+        max(when(col("c_label") === col("label"), col("cos"))).as("cos_own"),
+        max(when(col("c_label") =!= col("label"), col("cos"))).as("cos_other"))
+      .withColumn("margin_e6",
+        round((col("cos_own") - col("cos_other")) * lit(CentroidScale.toDouble))
+          .cast("long"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("margin_e6") < 0, 1L).otherwise(0L)).as("n_misassigned"),
+        sum(col("margin_e6")).as("sum_margin_e6"))
+      .orderBy("label")
+  }
+
+  lazy val clusterMarginsOracle: String =
+    s"""WITH $centroidCtes,
+       |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (SELECT e.vec_id, e.label AS own_label, c.label AS c_label,
+       |        list_dot_product(e.v, c.cv) /
+       |          (sqrt(list_dot_product(e.v, e.v)) *
+       |           sqrt(list_dot_product(c.cv, c.cv))) AS cos
+       |      FROM e, c),
+       |m AS (SELECT vec_id, own_label,
+       |        max(CASE WHEN c_label = own_label THEN cos END) AS cos_own,
+       |        max(CASE WHEN c_label <> own_label THEN cos END) AS cos_other
+       |      FROM x GROUP BY 1, 2),
+       |p AS (SELECT own_label AS label,
+       |        CAST(round((cos_own - cos_other) * $CentroidScale) AS BIGINT)
+       |          AS margin_e6
+       |      FROM m)
+       |SELECT label, count(*) AS n_vecs,
+       |       CAST(sum(CASE WHEN margin_e6 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_misassigned,
+       |       CAST(sum(margin_e6) AS BIGINT) AS sum_margin_e6
+       |FROM p GROUP BY label ORDER BY label""".stripMargin
 }

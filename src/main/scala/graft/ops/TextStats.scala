@@ -1569,4 +1569,40 @@ object TextStats {
        |HAVING count(DISTINCT doc_id) >= $BoilerplateMinDf
        |ORDER BY n_docs DESC, seg""".stripMargin
   }
+
+  /** Top merge candidates emitted by [[bpePairs]]. */
+  val BpeTopPairs = 20
+
+  /** tx29 — BPE merge candidates: the corpus-wide adjacent-pair
+    * frequency count that IS the first round of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016: repeatedly merge the
+    * most frequent adjacent pair), here at whitespace-token grain —
+    * the step's distributed shape is what matters, and it is exactly
+    * this: positioned (non-distinct!) 2-grams via the imperative
+    * [[graft.expressions.AllWordNGrams]] expression — tx6's distinct
+    * shingles would undercount and cannot train a tokenizer — one
+    * explode, one map-side-combined count aggregate, and a global
+    * top-k that compiles to TakeOrderedAndProject (per-partition
+    * heaps, never a full sort of the pair vocabulary — the tx24
+    * gate's shape). Subsequent BPE rounds re-run the same job on
+    * re-segmented text; one round is the oracle-checkable unit. */
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(
+        graft.expressions.AllWordNGrams.ngrams(col("text"), 2)).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), col("pair"))
+      .limit(BpeTopPairs)
+
+  val bpePairsOracle: String =
+    s"""WITH w AS (
+       |  SELECT string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+       |g AS (
+       |  SELECT array_to_string(ws[pos:pos+1], ' ') AS pair
+       |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(pos)
+       |  WHERE len(ws) >= 2 AND NOT (len(ws) = 1 AND ws[1] = ''))
+       |SELECT pair, count(*) AS n_occurrences
+       |FROM g GROUP BY pair
+       |ORDER BY n_occurrences DESC, pair LIMIT $BpeTopPairs""".stripMargin
 }

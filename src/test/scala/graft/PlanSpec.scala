@@ -598,6 +598,17 @@ class PlanSpec extends AnyFunSuite {
       "thresholds must broadcast back")
   }
 
+  test("tx29 BPE pair count is map-side-combined with a TakeOrdered top-k; t5 hopping windows expand map-side") {
+    val p29 = finalPlan("tx29_bpe_pairs")
+    assert(p29.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort the pair vocabulary:\n${p29.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p29).size >= 2, "no partial aggregation")
+    val p5 = finalPlan("t5_hopping_windows")
+    assert(!p5.contains("Join"),
+      s"window instances must expand map-side, not join a window dim:\n${p5.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p5).size >= 2, "no partial aggregation")
+  }
+
   test("w11 PIT features are one customer-keyed range window — never a fact self-join") {
     val p = finalPlan("w11_pit_features")
     assert(!p.contains("Join"),
