@@ -185,6 +185,7 @@ object SparkEntry {
     "tx29_bpe_pairs" -> (TextStats.bpePairs _),
     "t5_hopping_windows" -> (Analytics.hoppingWindows _),
     "sim7_cluster_margins" -> (Similarity.clusterMargins _),
+    "mm10_scene_cuts" -> (Multimodal.sceneCutQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -685,5 +686,6 @@ object SparkEntry {
     "tx29_bpe_pairs" -> TextStats.bpePairsOracle,
     "t5_hopping_windows" -> Analytics.hoppingWindowsOracle,
     "sim7_cluster_margins" -> Similarity.clusterMarginsOracle,
+    "mm10_scene_cuts" -> Multimodal.sceneCutOracle,
   )
 }

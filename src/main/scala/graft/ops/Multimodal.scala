@@ -838,4 +838,107 @@ object Multimodal {
        |       CAST(max(abs(v)) AS BIGINT) AS peak
        |FROM s GROUP BY track_id ORDER BY track_id""".stripMargin
   }
+
+  /** Video fixture clips: (video id, width, height, frame count).
+    * Mixed dims exercise the flattened frame stride; every clip spans
+    * at least one scene boundary (scene length [[SceneFrames]]). */
+  val videoDims: Seq[(Long, Int, Int, Int)] =
+    Seq((1L, 16, 12, 12), (2L, 8, 8, 9), (3L, 20, 10, 6))
+
+  /** Frames per scene in the fixture, and the cut threshold as a
+    * rational: a frame starts a new shot when its summed absolute
+    * pixel diff vs the previous frame exceeds [[CutMeanDiff]] per
+    * pixel (integer cross-multiplied — diff_sum > mean·w·h). Within a
+    * scene the formula moves every pixel by exactly 1/frame (mean
+    * diff 1, below threshold); across a scene boundary the base
+    * pattern re-randomizes (mean diff ~66, far above). */
+  val SceneFrames = 4
+  val CutMeanDiff = 2L
+
+  /** The fixture frame formula: scene-dependent base pattern (bounded
+    * < 200 so the +frame jitter never wraps a byte) plus an
+    * intra-scene jitter of (f mod [[SceneFrames]]) — replayable
+    * verbatim in SQL. */
+  private[graft] def videoPixel(f: Int, x: Int, y: Int): Int = {
+    val s = f / SceneFrames
+    (x * (3 + s) + y * (7 + 2 * s) + s * 37) % 200 + (f % SceneFrames)
+  }
+
+  case class Video(video_id: Long, payload: Array[Byte], width: Int,
+      height: Int, n_frames: Int)
+
+  /** Encode the fixture as flattened gray frames (1 byte/pixel,
+    * row-major within a frame, frames concatenated — the raw layout
+    * of a planar video buffer). */
+  private[graft] def fixtureVideo(): Seq[Video] =
+    videoDims.map { case (id, w, h, nf) =>
+      val bytes = new Array[Byte](w * h * nf)
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+        bytes(f * w * h + y * w + x) = videoPixel(f, x, y).toByte
+      Video(id, bytes, w, h, nf)
+    }
+
+  case class FrameDiff(video_id: Long, frame_idx: Long, diff_sum: Long,
+      is_cut: Boolean)
+
+  /** Per-frame difference energy + shot-boundary flag for one clip:
+    * Σ|p_f − p_{f−1}| over the frame, cut when the mean per-pixel
+    * move exceeds [[CutMeanDiff]] (exact integer cross-multiply).
+    * Unsigned byte decode (& 0xff); one pass over the buffer. */
+  def frameDiffs(v: Video): Iterator[FrameDiff] = {
+    val stride = v.width * v.height
+    (1 until v.n_frames).iterator.map { f =>
+      var s = 0L
+      var i = 0
+      while (i < stride) {
+        val cur = v.payload(f * stride + i) & 0xff
+        val prev = v.payload((f - 1) * stride + i) & 0xff
+        s += math.abs(cur - prev)
+        i += 1
+      }
+      FrameDiff(v.video_id, f.toLong, s, s > CutMeanDiff * stride)
+    }
+  }
+
+  /** mm10 — video shot-boundary detection: the content-adaptive frame
+    * selection for VIDEO (mm7 is the audio face, mm2 the fixed-stride
+    * fallback): per adjacent frame pair, summed absolute pixel
+    * difference and the cut flag. Runs entirely inside the narrow
+    * per-partition decode — no shuffle, parallelism = input splits; at
+    * 100 TB the real decoder swaps in behind the same iterator
+    * signature ([[decodeAll]] posture). The oracle replays the frame
+    * formula in SQL and recomputes every diff independently, so a
+    * pass certifies byte layout, unsigned decode, frame striding, and
+    * the accumulator. */
+  def sceneCutQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val vids = s.createDataset(fixtureVideo())(Encoders.product[Video])
+      .repartition(2)
+    vids.mapPartitions(_.flatMap(frameDiffs))(Encoders.product[FrameDiff])
+      .toDF().orderBy("video_id", "frame_idx")
+  }
+
+  val sceneCutOracle: String = {
+    val dims = videoDims.map { case (id, w, h, nf) => s"($id, $w, $h, $nf)" }
+      .mkString(", ")
+    val k = SceneFrames
+    def pix(fe: String) =
+      s"((x*(3+($fe)//$k) + y*(7+2*(($fe)//$k)) + (($fe)//$k)*37) % 200 + (($fe) % $k))"
+    s"""WITH dims(video_id, w, h, nf) AS (VALUES $dims),
+       |px AS (
+       |  SELECT video_id, w, h, fs.f, xs.x, ys.y
+       |  FROM dims,
+       |    LATERAL unnest(generate_series(1, nf - 1)) AS fs(f),
+       |    LATERAL unnest(generate_series(0, w - 1)) AS xs(x),
+       |    LATERAL unnest(generate_series(0, h - 1)) AS ys(y)),
+       |d AS (SELECT video_id, w, h, f,
+       |        abs(${pix("f")} - ${pix("f - 1")}) AS ad
+       |      FROM px)
+       |SELECT CAST(video_id AS BIGINT) AS video_id,
+       |       CAST(f AS BIGINT) AS frame_idx,
+       |       CAST(sum(ad) AS BIGINT) AS diff_sum,
+       |       sum(ad) > $CutMeanDiff * w * h AS is_cut
+       |FROM d GROUP BY video_id, w, h, f
+       |ORDER BY video_id, frame_idx""".stripMargin
+  }
 }

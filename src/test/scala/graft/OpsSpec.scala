@@ -1452,4 +1452,49 @@ class OpsSpec extends AnyFunSuite {
     assert(got == List(
       ("A", "B", 2L, 1.0), ("B", "A", 1L, 1.0), ("C", "D", 1L, 1.0)))
   }
+
+  test("sim7 margins: a planted mislabeled point is the one negative margin") {
+    def vec(axis: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(Similarity.Dim)(j => if (j == axis) scale else 0.0f)
+    // label 0 clusters on +x, label 1 on +y; vector 5 carries label 0
+    // but points along +y — it must be label 0's single misassignment,
+    // and label 1's points must all be positive-margin
+    val emb = Seq(
+      (1L, 0, vec(0, 1.0f)), (2L, 0, vec(0, 2.0f)), (3L, 0, vec(0, 1.5f)),
+      (4L, 1, vec(1, 1.0f)), (6L, 1, vec(1, 2.0f)),
+      (5L, 0, vec(1, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.clusterMarginsOf(emb)
+      .as[(Int, Long, Long, Long)].collect().toList
+    assert(got.map(r => (r._1, r._2, r._3)) == List((0, 4L, 1L), (1, 2L, 0L)))
+    // label 1's margin sum is strictly positive; label 0's carries the
+    // planted negative but stays internally consistent (3 clean points
+    // near +x vs one pure +y outlier)
+    assert(got(1)._4 > 0L)
+  }
+
+  test("j11 nearest event: distance ties go to the EARLIER click; same-second clicks dedup to min id") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ev = Seq(
+      // user 1: clicks at 00:00:00 and 00:00:20, purchase at 00:00:10 —
+      // equidistant (10 s both ways) → earlier click (id 1) wins
+      (1L, 1L, "click", ts("00:00:00")),
+      (2L, 1L, "click", ts("00:00:20")),
+      (3L, 1L, "purchase", ts("00:00:10")),
+      // user 2: two clicks in the same second → min event_id survives;
+      // purchase same second → distance 0
+      (4L, 2L, "click", ts("00:01:00")),
+      (5L, 2L, "click", ts("00:01:00")),
+      (6L, 2L, "purchase", ts("00:01:00")),
+      // user 3: purchase with no clicks → dropped (inner semantics)
+      (7L, 3L, "purchase", ts("00:02:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("j11spec").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.AsOf.nearestEventQuery(spark, dir)
+      .select("purchase_id", "click_id", "dsec")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((3L, 1L, 10L), (6L, 4L, 0L)))
+  }
 }
