@@ -186,6 +186,7 @@ object SparkEntry {
     "t5_hopping_windows" -> (Analytics.hoppingWindows _),
     "sim7_cluster_margins" -> (Similarity.clusterMargins _),
     "mm10_scene_cuts" -> (Multimodal.sceneCutQuery _),
+    "kmv1_set_ops" -> (graft.ops.Sketch.kmvSetOps _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -687,5 +688,6 @@ object SparkEntry {
     "t5_hopping_windows" -> Analytics.hoppingWindowsOracle,
     "sim7_cluster_margins" -> Similarity.clusterMarginsOracle,
     "mm10_scene_cuts" -> Multimodal.sceneCutOracle,
+    "kmv1_set_ops" -> graft.ops.Sketch.kmvSetOpsOracle,
   )
 }

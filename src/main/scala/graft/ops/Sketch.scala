@@ -581,4 +581,161 @@ object Sketch {
        |FROM ex JOIN sk USING (lang)
        |ORDER BY ex.lang""".stripMargin
   }
+
+  // ----- KMV (k-minimum-values / theta-style) set-operation sketch -----
+
+  /** Sketch size: the k smallest distinct 60-bit hashes per source.
+    * Standard error ~ 1/sqrt(k-2) ≈ 13%; state is k longs per group. */
+  val KmvK = 64
+  val KmvSeed = 33
+  /** Coarse prefilter granularity: hashes bucket by their top
+    * [[KmvBucketBits]] bits, a per-source cutoff bucket is derived from
+    * the tiny (source × 2^bits) count table, and only hashes at or
+    * below the cutoff reach the per-source top-k sort — an expected
+    * 2^bits-fold reduction of the sorted stream. The dial for bigger
+    * corpora is this constant, not the algorithm. */
+  val KmvBucketBits = 12
+  /** (k−1)·2^60 folded into ONE double literal embedded in both
+    * engines via toString round-trip (the [[HllNumerator]] rule). */
+  val KmvNumerator: Double = (KmvK - 1).toDouble * math.pow(2, 60)
+
+  /** kmv1 — cross-source distinct set operations from k-minimum-values
+    * sketches. HLL ([[hll1]]/[[hll2]]) merges to UNIONS only; the KMV
+    * sketch also estimates INTERSECTIONS — "how many distinct shingles
+    * do two crawl sources share" is the contamination/provenance
+    * question a curation pipeline asks before mixing them, and at
+    * 100 TB the exact answer is a full cross-source distinct join.
+    *
+    * Shape: one explode to (source, hash), ONE keyed distinct
+    * (map-side partial dedup; md5 runs per occurrence — cheap codegen
+    * CPU against saving a second shuffle of the distinct set), then the
+    * bucket-cutoff prefilter (declarative: tiny windowed count table
+    * broadcast back, no driver action) ahead of the per-source top-k
+    * window. Source-level state is O(sources·k) longs — the pair stage
+    * (bounded sources², array ops per row) rides a broadcast self-join
+    * of that tiny table, the documented tx22 smallness class.
+    *
+    * Estimator (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007):
+    * with U = merged top-k of the pair's union, |A∪B| ≈ (k−1)·2^60 /
+    * max(U) and |A∩B| ≈ |A∪B| · ρ/k where ρ counts members of U
+    * present in BOTH sketches. When the merged set holds fewer than k
+    * values the sketch IS the exact distinct set and both estimates
+    * are exact (spec-pinned). All integer state rides exact longs;
+    * the only doubles are the two final IEEE divisions, operand order
+    * mirrored in the oracle. */
+  def kmvSetOps(s: SparkSession, d: String): DataFrame =
+    kmvSetOpsOf(Tables.documents(s, d))
+
+  def kmvSetOpsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = Materialize(
+      docs.select(col("source"), explode(shingles(col("text"), 3)).as("sh"))
+        .select(col("source"), md5Hash60(col("sh"), KmvSeed).as("h"))
+        .distinct()
+        .withColumn("bkt", shiftright(col("h"), HllHashBits - KmvBucketBits)),
+      Materialize.Local, "kmv_hashes")
+    // per-source cutoff bucket: smallest prefix of buckets holding ≥ k
+    // hashes. The count table is O(sources · 2^bits) rows; the window
+    // rides it, and the cutoff broadcasts back — never a driver action.
+    val cut = hashed.groupBy("source", "bkt").agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("source").orderBy("bkt")))
+      .filter(col("cum") >= KmvK)
+      .groupBy("source").agg(min("bkt").as("cutoff"))
+    // a source with < k hashes total has no cutoff row → keep all
+    val survivors = hashed.join(broadcast(cut), Seq("source"), "left")
+      .filter(col("cutoff").isNull || col("bkt") <= col("cutoff"))
+    val rn = row_number()
+      .over(Window.partitionBy("source").orderBy("h"))
+    val sk = survivors.withColumn("rn", rn).filter(col("rn") <= KmvK)
+      .groupBy("source").agg(sort_array(collect_list(col("h"))).as("vals"))
+    val pairs = sk.select(col("source").as("source_a"), col("vals").as("va"))
+      .join(sk.select(col("source").as("source_b"), col("vals").as("vb")),
+        col("source_a") < col("source_b"))
+    pairs
+      .withColumn("merged", array_sort(array_distinct(concat(col("va"), col("vb")))))
+      .withColumn("m", least(lit(KmvK), size(col("merged"))).cast("long"))
+      .withColumn("topk", slice(col("merged"), 1, KmvK))
+      .withColumn("kth", element_at(col("topk"), col("m").cast("int")))
+      .withColumn("rho", size(filter(col("topk"),
+        x => array_contains(col("va"), x) && array_contains(col("vb"), x)))
+        .cast("long"))
+      .withColumn("est_union",
+        when(size(col("merged")) >= KmvK,
+          lit(KmvNumerator) / col("kth").cast("double"))
+          .otherwise(size(col("merged")).cast("double")))
+      .withColumn("est_jaccard",
+        col("rho").cast("double") / col("m").cast("double"))
+      .withColumn("est_intersect",
+        (col("est_union") * col("rho").cast("double")) / col("m").cast("double"))
+      .select(col("source_a"), col("source_b"),
+        size(col("va")).cast("long").as("n_a"),
+        size(col("vb")).cast("long").as("n_b"),
+        col("m").as("n_union_topk"), col("kth"), col("rho").as("n_common"),
+        col("est_union"), col("est_jaccard"), col("est_intersect"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB replay of kmv1, fully relational: distinct (source, hash),
+    * rank per source, top-k; pair union via two equi-joins (UNION
+    * dedups), re-rank for the merged top-k; ρ via double membership
+    * join. Estimate expressions mirror the Spark operand order. */
+  val kmvSetOpsOracle: String = {
+    val k = KmvK
+    s"""WITH w AS (
+       |  SELECT source, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |shl AS (
+       |  SELECT source, unnest(CASE WHEN len(ws) >= 3 THEN list_transform(
+       |      generate_series(1, len(ws) - 2),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       |    ELSE [] END) AS sh
+       |  FROM w),
+       |h AS (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5('$KmvSeed' || ':' || sh), 1, 15))::BIGINT AS h
+       |  FROM shl),
+       |rnk AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM h),
+       |tk AS (SELECT source, h FROM rnk WHERE rn <= $k),
+       |n AS (SELECT source, count(*) AS n FROM tk GROUP BY source),
+       |p AS (SELECT a.source AS sa, a.n AS n_a, b.source AS sb, b.n AS n_b
+       |      FROM n a JOIN n b ON a.source < b.source),
+       |mg AS (
+       |  SELECT p.sa, p.sb, t.h FROM p JOIN tk t ON t.source = p.sa
+       |  UNION
+       |  SELECT p.sa, p.sb, t.h FROM p JOIN tk t ON t.source = p.sb),
+       |mr AS (
+       |  SELECT sa, sb, h,
+       |    row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY sa, sb) AS n_union
+       |  FROM mg),
+       |mtk AS (SELECT * FROM mr WHERE rn <= $k),
+       |st AS (
+       |  SELECT sa, sb, max(rn) AS m, max(h) AS kth, max(n_union) AS n_union
+       |  FROM mtk GROUP BY sa, sb),
+       |rho AS (
+       |  SELECT mtk.sa, mtk.sb, count(*) AS rho
+       |  FROM mtk
+       |  JOIN tk ta ON ta.source = mtk.sa AND ta.h = mtk.h
+       |  JOIN tk tb ON tb.source = mtk.sb AND tb.h = mtk.h
+       |  GROUP BY mtk.sa, mtk.sb)
+       |SELECT p.sa AS source_a, p.sb AS source_b,
+       |  CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+       |  CAST(st.m AS BIGINT) AS n_union_topk, st.kth,
+       |  CAST(coalesce(rho.rho, 0) AS BIGINT) AS n_common,
+       |  CASE WHEN st.n_union >= $k THEN $KmvNumerator / CAST(st.kth AS DOUBLE)
+       |       ELSE CAST(st.n_union AS DOUBLE) END AS est_union,
+       |  CAST(coalesce(rho.rho, 0) AS DOUBLE) / CAST(st.m AS DOUBLE)
+       |    AS est_jaccard,
+       |  (CASE WHEN st.n_union >= $k THEN $KmvNumerator / CAST(st.kth AS DOUBLE)
+       |        ELSE CAST(st.n_union AS DOUBLE) END
+       |    * CAST(coalesce(rho.rho, 0) AS DOUBLE)) / CAST(st.m AS DOUBLE)
+       |    AS est_intersect
+       |FROM p JOIN st ON st.sa = p.sa AND st.sb = p.sb
+       |LEFT JOIN rho ON rho.sa = p.sa AND rho.sb = p.sb
+       |ORDER BY source_a, source_b""".stripMargin
+  }
 }

@@ -1497,4 +1497,58 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toList
     assert(got == List((3L, 1L, 10L), (6L, 4L, 0L)))
   }
+
+  test("kmv1: below k the sketch IS the exact set — union/intersect/jaccard exact") {
+    // srcA: shingles from "t1..t6" stream; srcB overlaps on a suffix;
+    // srcC disjoint. All well under k=64 distinct trigrams.
+    val docs = Seq(
+      (1L, "a b c d e f", "en", "srcA", 11L),
+      (2L, "d e f g h", "en", "srcB", 9L),
+      (3L, "p q r s", "en", "srcC", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.Sketch.kmvSetOpsOf(docs)
+      .select("source_a", "source_b", "n_a", "n_b", "n_union_topk",
+        "n_common", "est_union", "est_jaccard", "est_intersect")
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toList
+    // srcA trigrams: {abc,bcd,cde,def} (4); srcB: {def,efg,fgh} (3);
+    // shared: {def} (1). srcC: {pqr,qrs} (2), disjoint from both.
+    val ab = got.find(r => r._1 == "srcA" && r._2 == "srcB").get
+    assert((ab._3, ab._4) == (4L, 3L))
+    assert(ab._5 == 6L && ab._6 == 1L)       // |A∪B|=6, |A∩B|=1
+    assert(ab._7 == 6.0 && ab._9 == 1.0)     // exact below k
+    assert(ab._8 == 1.0 / 6.0)
+    val ac = got.find(r => r._1 == "srcA" && r._2 == "srcC").get
+    assert(ac._5 == 6L && ac._6 == 0L && ac._9 == 0.0)
+  }
+
+  test("kmv1 above k: kth/rho agree with brute-force k smallest; estimate within 3 stderr") {
+    // two sources sharing half their shingles, each ~200 distinct — the
+    // cutoff prefilter + window path must reproduce the exact k
+    // smallest hashes of each set and of the merged union
+    val mk = (s: String, n: Int, off: Int) =>
+      (0 until n).map(i => s"w${off + i}").grouped(50)
+        .zipWithIndex.map { case (ws, i) =>
+          ((s + i).hashCode.toLong, ws.mkString(" "), "en", s, 1L) }.toSeq
+    val docs = (mk("sA", 300, 0) ++ mk("sB", 300, 150))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = graft.ops.Sketch.kmvSetOpsOf(docs)
+      .select("n_a", "n_b", "n_union_topk", "kth", "n_common", "est_union")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(row._1 == 64L && row._2 == 64L && row._3 == 64L)
+    // brute force: hash every distinct trigram of each source directly
+    import graft.functions.Functions.md5Hash60
+    def hashes(src: String) = docs.filter(col("source") === src)
+      .select(explode(TextStats.shingles(col("text"), 3)).as("sh"))
+      .select(md5Hash60(col("sh"), graft.ops.Sketch.KmvSeed).as("h"))
+      .distinct().as[Long].collect().sorted
+    val (ha, hb) = (hashes("sA"), hashes("sB"))
+    val merged = (ha ++ hb).distinct.sorted.take(64)
+    assert(row._4 == merged.last)
+    assert(row._5 == merged.count(h => ha.contains(h) && hb.contains(h)))
+    // true union: ~448 distinct trigrams (300+300 minus ~150 shared
+    // minus boundary effects); KMV stderr ≈ 1/sqrt(k−2)
+    val trueUnion = (ha ++ hb).distinct.length.toDouble
+    assert(math.abs(row._6 - trueUnion) / trueUnion < 3.0 / math.sqrt(62.0))
+  }
 }

@@ -618,6 +618,24 @@ class PlanSpec extends AnyFunSuite {
     assert("orders\\.parquet".r.findAllIn(p).size == 1, p.take(1500))
   }
 
+  test("kmv1 sketch build: keyed partial dedup, broadcast cutoff, pair stage on the tiny state only") {
+    val p = plan("kmv1_set_ops")
+    // the (source, hash) distinct must map-side combine (partial+final)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"distinct should be partial+final hash aggregate:\n${p.take(1500)}")
+    // the bucket-cutoff table joins back as a broadcast — the hashed
+    // stream never repartitions for it
+    assert(p.contains("BroadcastHashJoin"),
+      s"cutoff join must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the source-pair self-join rides the O(sources·k) sketch table —
+    // the one deliberate nested-loop, same smallness class as tx22
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"pair stage should be a tiny-table nested loop:\n${p.take(1500)}")
+    val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).size
+    assert(globalSorts == 1, s"one output sort expected:\n${p.take(1500)}")
+  }
+
   test("sim6 brute-force truth broadcasts the sample; the audited kNN side stays keyed") {
     val p = finalPlan("sim6_knn_recall")
     // the ONE deliberate brute-force join: sampled queries broadcast
