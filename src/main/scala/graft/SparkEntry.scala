@@ -187,6 +187,7 @@ object SparkEntry {
     "sim7_cluster_margins" -> (Similarity.clusterMargins _),
     "mm10_scene_cuts" -> (Multimodal.sceneCutQuery _),
     "kmv1_set_ops" -> (graft.ops.Sketch.kmvSetOps _),
+    "rl1_record_linkage" -> (graft.ops.Linkage.recordLinkage _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -689,5 +690,6 @@ object SparkEntry {
     "sim7_cluster_margins" -> Similarity.clusterMarginsOracle,
     "mm10_scene_cuts" -> Multimodal.sceneCutOracle,
     "kmv1_set_ops" -> graft.ops.Sketch.kmvSetOpsOracle,
+    "rl1_record_linkage" -> graft.ops.Linkage.recordLinkageOracle,
   )
 }

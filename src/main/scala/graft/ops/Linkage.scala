@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Entity resolution / record linkage: match records that denote the
+  * same real-world entity across two registries despite typos — the
+  * curation step that deduplicates user/author/site registries before
+  * they key anything downstream (the reference's pipeline trusts its
+  * USGS event ids; a multi-source 100-TB corpus never can).
+  *
+  * The scale shape is BLOCKING: candidates come from a UNION of cheap
+  * equi-joins on blocking keys, never an all-pairs comparison, and the
+  * expensive edit-distance verifier runs only inside blocks. Recall is
+  * guaranteed by the pigeonhole split (the dd9 simhash-banding
+  * argument applied to strings): a single-character edit leaves at
+  * least one of {left digit half, right 5-char tail} untouched, so
+  * every true pair shares at least one of the two blocking keys by
+  * construction — the property the spec pins.
+  */
+object Linkage {
+
+  /** Dirty ids offset so the two registries' id spaces never collide. */
+  val DirtyOffset = 1000000L
+
+  /** Name length of the synthetic registry ('Customer#%09d'). */
+  private val NameLen = 18
+
+  /** Deterministic dirty registry: one single-character corruption per
+    * row, rule keyed by custkey — substitution anywhere in the digit
+    * region, deletion/insertion confined to the last 5 characters (so
+    * the left digit half survives them), one row in four left intact.
+    * Replayed verbatim by the oracle. */
+  def dirtyRegistryOf(cust: DataFrame): DataFrame = {
+    val name = col("c_name")
+    val r = col("c_custkey") % 4
+    // substitution position spans BOTH halves (10..17); tail-edit
+    // position stays in the right half (15..18)
+    val pSub = (col("c_custkey") % 8 + 10).cast("int")
+    val pTail = (col("c_custkey") % 4 + 15).cast("int")
+    val sub = concat(name.substr(lit(1), pSub - 1), lit("x"),
+      name.substr(pSub + 1, lit(NameLen) - pSub))
+    val del = concat(name.substr(lit(1), pTail - 1),
+      name.substr(pTail + 1, lit(NameLen) - pTail))
+    val ins = concat(name.substr(lit(1), pTail - 1), lit("x"),
+      name.substr(pTail, lit(NameLen + 1) - pTail))
+    cust.select(
+      (col("c_custkey") + DirtyOffset).as("dirty_id"),
+      when(r === 0, sub).when(r === 1, del).when(r === 2, ins)
+        .otherwise(name).as("dirty_name"),
+      col("c_nationkey").as("nk"))
+  }
+
+  /** rl1 — blocked record linkage between the clean customer registry
+    * and its corrupted twin: two keyed equi-join candidate passes
+    * (nation + left digit half; nation + right 5-char tail), UNION
+    * (dedups pairs caught by both), Levenshtein ≤ 1 verification
+    * inside blocks only. `same_entity` rides along as the audit
+    * column: false-positive links (two customers whose names really
+    * are one edit apart after corruption) are part of the answer, not
+    * an error — both engines derive them identically. */
+  def recordLinkage(s: SparkSession, d: String): DataFrame =
+    recordLinkageOf(Tables.customer(s, d))
+
+  def recordLinkageOf(cust: DataFrame): DataFrame = {
+    val clean = cust.select(col("c_custkey").as("clean_id"),
+      col("c_name").as("clean_name"), col("c_nationkey").as("nk"))
+    val dirty = dirtyRegistryOf(cust)
+    def pass(key: Column => Column): DataFrame =
+      clean.withColumn("bk", key(col("clean_name")))
+        .join(dirty.withColumn("bk", key(col("dirty_name"))), Seq("nk", "bk"))
+        .select(col("clean_id"), col("clean_name"),
+          col("dirty_id"), col("dirty_name"))
+    val candidates = pass(n => substring(n, 10, 4))
+      .unionByName(pass(n => substring(n, -5, 5)))
+      .distinct()
+    candidates
+      .withColumn("lev", levenshtein(col("clean_name"), col("dirty_name")))
+      .filter(col("lev") <= 1)
+      .select(col("clean_id"), col("dirty_id"), col("lev").cast("long"),
+        (col("dirty_id") - DirtyOffset === col("clean_id")).as("same_entity"))
+      .orderBy("clean_id", "dirty_id")
+  }
+
+  /** DuckDB replay: identical corruption rules, identical two blocking
+    * passes, DuckDB's levenshtein (the same unit-cost edit distance as
+    * Spark's). */
+  val recordLinkageOracle: String = {
+    val n = NameLen
+    s"""WITH d AS (
+       |  SELECT c_custkey + $DirtyOffset AS dirty_id,
+       |    CASE c_custkey % 4
+       |      WHEN 0 THEN substr(c_name, 1, (c_custkey % 8 + 10) - 1) || 'x'
+       |        || substr(c_name, (c_custkey % 8 + 10) + 1, $n - (c_custkey % 8 + 10))
+       |      WHEN 1 THEN substr(c_name, 1, (c_custkey % 4 + 15) - 1)
+       |        || substr(c_name, (c_custkey % 4 + 15) + 1, $n - (c_custkey % 4 + 15))
+       |      WHEN 2 THEN substr(c_name, 1, (c_custkey % 4 + 15) - 1) || 'x'
+       |        || substr(c_name, (c_custkey % 4 + 15), ${n + 1} - (c_custkey % 4 + 15))
+       |      ELSE c_name END AS dirty_name,
+       |    c_nationkey AS nk
+       |  FROM customer),
+       |c AS (SELECT c_custkey AS clean_id, c_name AS clean_name,
+       |        c_nationkey AS nk FROM customer),
+       |cand AS (
+       |  SELECT clean_id, clean_name, dirty_id, dirty_name
+       |  FROM c JOIN d ON c.nk = d.nk
+       |    AND substr(clean_name, 10, 4) = substr(dirty_name, 10, 4)
+       |  UNION
+       |  SELECT clean_id, clean_name, dirty_id, dirty_name
+       |  FROM c JOIN d ON c.nk = d.nk
+       |    AND right(clean_name, 5) = right(dirty_name, 5))
+       |SELECT clean_id, dirty_id,
+       |  CAST(levenshtein(clean_name, dirty_name) AS BIGINT) AS lev,
+       |  dirty_id - $DirtyOffset = clean_id AS same_entity
+       |FROM cand
+       |WHERE levenshtein(clean_name, dirty_name) <= 1
+       |ORDER BY clean_id, dirty_id""".stripMargin
+  }
+}

@@ -1498,6 +1498,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got == List((3L, 1L, 10L), (6L, 4L, 0L)))
   }
 
+  test("rl1 blocking recall is total: every corrupted row links back to its source at its rule's distance") {
+    val cust = graft.Tables.customer(spark, sf)
+    val n = cust.count()
+    val links = graft.ops.Linkage.recordLinkageOf(cust)
+      .filter(col("same_entity"))
+      .select(col("clean_id"), col("lev"))
+      .as[(Long, Long)].collect().toMap
+    // pigeonhole guarantee: all n true pairs survive blocking
+    assert(links.size == n)
+    // distance equals the corruption rule: 0 for untouched (key%4==3),
+    // 1 for substitution/deletion/insertion
+    links.foreach { case (id, lev) =>
+      assert(lev == (if (id % 4 == 3) 0L else 1L), s"custkey $id lev $lev")
+    }
+  }
+
   test("kmv1: below k the sketch IS the exact set — union/intersect/jaccard exact") {
     // srcA: shingles from "t1..t6" stream; srcB overlaps on a suffix;
     // srcC disjoint. All well under k=64 distinct trigrams.

@@ -636,6 +636,15 @@ class PlanSpec extends AnyFunSuite {
     assert(globalSorts == 1, s"one output sort expected:\n${p.take(1500)}")
   }
 
+  test("rl1 candidates come from keyed equi-joins only — blocking, never all-pairs") {
+    val p = plan("rl1_record_linkage")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"linkage must never compare all pairs:\n${p.take(1500)}")
+    // both blocking passes are joins on (nk, bk)
+    assert("Join".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
   test("sim6 brute-force truth broadcasts the sample; the audited kNN side stays keyed") {
     val p = finalPlan("sim6_knn_recall")
     // the ONE deliberate brute-force join: sampled queries broadcast
