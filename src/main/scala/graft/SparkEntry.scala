@@ -188,6 +188,7 @@ object SparkEntry {
     "mm10_scene_cuts" -> (Multimodal.sceneCutQuery _),
     "kmv1_set_ops" -> (graft.ops.Sketch.kmvSetOps _),
     "rl1_record_linkage" -> (graft.ops.Linkage.recordLinkage _),
+    "lay1_zorder" -> (graft.ops.Layout.zorderManifest _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -691,5 +692,6 @@ object SparkEntry {
     "mm10_scene_cuts" -> Multimodal.sceneCutOracle,
     "kmv1_set_ops" -> graft.ops.Sketch.kmvSetOpsOracle,
     "rl1_record_linkage" -> graft.ops.Linkage.recordLinkageOracle,
+    "lay1_zorder" -> graft.ops.Layout.zorderManifestOracle,
   )
 }

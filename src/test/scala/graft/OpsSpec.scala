@@ -1498,6 +1498,37 @@ class OpsSpec extends AnyFunSuite {
     assert(got == List((3L, 1L, 10L), (6L, 4L, 0L)))
   }
 
+  test("lay1 z-order buckets are tight on BOTH dimensions — single-column sort is not") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val m = graft.ops.Layout.zorderManifestOf(li)
+      .select("n_rows", "day_span", "part_span")
+      .as[(Long, Long, Long)].collect()
+    assert(m.length > 500, s"manifest should occupy most buckets, got ${m.length}")
+    val n = m.map(_._1).sum.toDouble
+    // row-weighted mean spans (what a scan actually prunes against)
+    val daySpan = m.map(r => r._1 * r._2).sum / n
+    val partSpan = m.map(r => r._1 * r._3).sum / n
+    val (dayRange, partRange) = li.select(
+      (max(datediff(to_date(col("l_shipdate")), lit("1970-01-01"))) -
+        min(datediff(to_date(col("l_shipdate")), lit("1970-01-01")))).cast("long"),
+      (max("l_partkey") - min("l_partkey")).cast("long"))
+      .as[(Long, Long)].collect().head
+    // 10 bucket bits = 5 per dimension → ideal span ≈ range/32; allow 4×
+    assert(daySpan < dayRange / 8.0, s"day span $daySpan vs range $dayRange")
+    assert(partSpan < partRange / 8.0, s"part span $partSpan vs range $partRange")
+    // the single-column contrast: bucket by day rank alone → partkey
+    // span per bucket stays ~the full range (no pruning on dim 2)
+    val byDay = li.select(datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+        .cast("long").as("d"), col("l_partkey").as("p"))
+      .withColumn("bucket", (col("d") * 1024L / (lit(dayRange) + 1)).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"),
+        (max("p") - min("p")).as("pspan"))
+      .as[(Long, Long, Long)].collect()
+    val sortedPartSpan = byDay.map(r => r._2 * r._3).sum / byDay.map(_._2).sum.toDouble
+    assert(partSpan * 4 < sortedPartSpan,
+      s"z-order part span $partSpan should beat day-sorted $sortedPartSpan by ≥4×")
+  }
+
   test("rl1 blocking recall is total: every corrupted row links back to its source at its rule's distance") {
     val cust = graft.Tables.customer(spark, sf)
     val n = cust.count()

@@ -636,6 +636,18 @@ class PlanSpec extends AnyFunSuite {
     assert(globalSorts == 1, s"one output sort expected:\n${p.take(1500)}")
   }
 
+  test("lay1 z-value is a codegen projection; one keyed aggregation; stats ride a 1-row broadcast") {
+    val p = plan("lay1_zorder")
+    // the 32-term interleave must stay inside whole-stage codegen —
+    // the projection lines carry the '*(n)' prefix
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"manifest agg should be partial+final:\n${p.take(1500)}")
+    // exactly one hash exchange (the bucket groupBy) + the output sort
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 keyed exchange, got $hashEx:\n${p.take(2000)}")
+  }
+
   test("rl1 candidates come from keyed equi-joins only — blocking, never all-pairs") {
     val p = plan("rl1_record_linkage")
     assert(!p.contains("CartesianProduct") &&
