@@ -189,6 +189,7 @@ object SparkEntry {
     "kmv1_set_ops" -> (graft.ops.Sketch.kmvSetOps _),
     "rl1_record_linkage" -> (graft.ops.Linkage.recordLinkage _),
     "lay1_zorder" -> (graft.ops.Layout.zorderManifest _),
+    "inc1_agg_maintenance" -> (graft.ops.Incremental.aggMaintenance _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -693,5 +694,6 @@ object SparkEntry {
     "kmv1_set_ops" -> graft.ops.Sketch.kmvSetOpsOracle,
     "rl1_record_linkage" -> graft.ops.Linkage.recordLinkageOracle,
     "lay1_zorder" -> graft.ops.Layout.zorderManifestOracle,
+    "inc1_agg_maintenance" -> graft.ops.Incremental.aggMaintenanceOracle,
   )
 }

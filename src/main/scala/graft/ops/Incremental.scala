@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Functions.cents
+
+/** Incremental view maintenance: keep a big aggregate current by
+  * merging the stored aggregate STATE of already-processed data with
+  * the state of the new batch — never rescanning the base. At 100 TB
+  * the base state is a stored table a few orders of magnitude smaller
+  * than the facts; each refresh scans only the delta and pays an
+  * O(keys) merge. The requirement this encodes: every aggregate in the
+  * view must be expressed in mergeable state — count/sum/min/max merge
+  * by sum/sum/min/max, avg rides as (sum, count) and divides only at
+  * read time (never store an average: averages don't merge).
+  */
+object Incremental {
+
+  /** The batch boundary: rows before it play the stored base, rows at
+    * or after it the newly arrived delta. */
+  val SplitDate = "1996-01-01"
+
+  /** inc1 — merged (nation, priority) order-revenue view from two
+    * partial aggregations (base before [[SplitDate]], delta after),
+    * re-aggregated by state-merge. The oracle computes the same view
+    * in ONE full-scan aggregation — the hash match IS the maintenance
+    * law (merge(partial(A), partial(B)) = full(A ∪ B)), and the spec
+    * additionally pins it against Spark's own single-pass plan.
+    * Dimensions broadcast; each side's date filter pushes into its
+    * scan (PlanSpec). Integer-cents state; the one division (read-time
+    * avg) mirrors the oracle's operand order. */
+  def aggMaintenance(s: SparkSession, d: String): DataFrame =
+    aggMaintenanceOf(Tables.orders(s, d), Tables.customer(s, d),
+      Tables.nation(s, d))
+
+  def aggMaintenanceOf(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val enriched = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        col("o_orderpriority").as("priority"),
+        cents(col("o_totalprice")).as("tp"), col("o_orderdate"))
+    def partialState(df: DataFrame): DataFrame =
+      df.groupBy("nation", "priority").agg(
+        count(lit(1)).as("n"), sum("tp").as("s"),
+        min("tp").as("mn"), max("tp").as("mx"))
+    val base = partialState(enriched.filter(col("o_orderdate") < lit(SplitDate)))
+    val delta = partialState(enriched.filter(col("o_orderdate") >= lit(SplitDate)))
+    base.unionByName(delta)
+      .groupBy("nation", "priority")
+      .agg(sum("n").as("n_orders"), sum("s").as("sum_cents"),
+        min("mn").as("min_cents"), max("mx").as("max_cents"))
+      .withColumn("avg_price",
+        col("sum_cents").cast("double") / col("n_orders").cast("double") / 100.0)
+      .orderBy("nation", "priority")
+  }
+
+  /** DuckDB replay: ONE full-scan aggregation of the same view — the
+    * compare certifies the partial-state merge against the direct
+    * answer. */
+  val aggMaintenanceOracle: String =
+    s"""SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+       |  count(*) AS n_orders,
+       |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |    AS sum_cents,
+       |  min(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS min_cents,
+       |  max(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS max_cents,
+       |  CAST(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) / 100.0 AS avg_price
+       |FROM orders o
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |GROUP BY 1, 2
+       |ORDER BY nation, priority""".stripMargin
+}

@@ -1498,6 +1498,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got == List((3L, 1L, 10L), (6L, 4L, 0L)))
   }
 
+  test("inc1 maintenance law: merged partial states equal the single-pass aggregate; split covers all rows") {
+    val (o, c, n) = (graft.Tables.orders(spark, sf),
+      graft.Tables.customer(spark, sf), graft.Tables.nation(spark, sf))
+    val merged = graft.ops.Incremental.aggMaintenanceOf(o, c, n)
+    // direct single-pass plan over the same inputs
+    import graft.functions.Functions.cents
+    val direct = o
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("sum_cents"),
+        min(cents(col("o_totalprice"))).as("min_cents"),
+        max(cents(col("o_totalprice"))).as("max_cents"))
+      .withColumn("avg_price",
+        col("sum_cents").cast("double") / col("n_orders").cast("double") / 100.0)
+      .orderBy("nation", "priority")
+    assert(merged.collect().toSeq == direct.collect().toSeq)
+    // the split is a partition: base + delta row counts sum to the total
+    assert(merged.agg(sum("n_orders")).as[Long].collect().head == o.count())
+  }
+
   test("lay1 z-order buckets are tight on BOTH dimensions — single-column sort is not") {
     val li = graft.Tables.lineitem(spark, sf)
     val m = graft.ops.Layout.zorderManifestOf(li)

@@ -636,6 +636,17 @@ class PlanSpec extends AnyFunSuite {
     assert(globalSorts == 1, s"one output sort expected:\n${p.take(1500)}")
   }
 
+  test("inc1 sides push their date split into the scans; dims broadcast; merge is a re-aggregation") {
+    val p = plan("inc1_agg_maintenance")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, // 2 dims × 2 sides
+      s"dims must broadcast on both sides:\n${p.take(1500)}")
+    assert(p.contains("LessThan(o_orderdate") && p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"each side's date filter must reach its parquet scan:\n${p.take(2000)}")
+    // three aggregations: two partial-state sides + the merge
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      s"partial+final on each side and on the merge:\n${p.take(1500)}")
+  }
+
   test("lay1 z-value is a codegen projection; one keyed aggregation; stats ride a 1-row broadcast") {
     val p = plan("lay1_zorder")
     // the 32-term interleave must stay inside whole-stage codegen —
