@@ -190,6 +190,7 @@ object SparkEntry {
     "rl1_record_linkage" -> (graft.ops.Linkage.recordLinkage _),
     "lay1_zorder" -> (graft.ops.Layout.zorderManifest _),
     "inc1_agg_maintenance" -> (graft.ops.Incremental.aggMaintenance _),
+    "mm11_keyframes" -> (Multimodal.keyframeQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -695,5 +696,6 @@ object SparkEntry {
     "rl1_record_linkage" -> graft.ops.Linkage.recordLinkageOracle,
     "lay1_zorder" -> graft.ops.Layout.zorderManifestOracle,
     "inc1_agg_maintenance" -> graft.ops.Incremental.aggMaintenanceOracle,
+    "mm11_keyframes" -> Multimodal.keyframeOracle,
   )
 }

@@ -941,4 +941,75 @@ object Multimodal {
        |FROM d GROUP BY video_id, w, h, f
        |ORDER BY video_id, frame_idx""".stripMargin
   }
+
+  /** mm11 — keyframe selection per shot: mm10's cut flags segment each
+    * clip into shots (shot id = running cut count over the diff
+    * stream), then each shot elects its highest-motion frame as the
+    * keyframe — the content-adaptive sampling that replaces mm2's
+    * fixed stride when training data should over-represent action.
+    * The argmax rides OUT of the same aggregation as the shot stats
+    * via the struct-max idiom (q2a/dd12/tx20): max(struct(diff,
+    * −frame)) — no join-back, no second window. One keyed window
+    * (cumulative cut count) + one aggregation over the per-frame diff
+    * stream, which is itself produced shuffle-free in the narrow
+    * decode stage. */
+  def keyframeQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.expressions.Window
+    val vids = s.createDataset(fixtureVideo())(Encoders.product[Video])
+      .repartition(2)
+    val diffs = vids
+      .mapPartitions(_.flatMap(frameDiffs))(Encoders.product[FrameDiff])
+      .toDF()
+    val shotW = Window.partitionBy("video_id").orderBy("frame_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    diffs
+      .withColumn("shot_id",
+        sum(when(col("is_cut"), 1L).otherwise(0L)).over(shotW))
+      .groupBy("video_id", "shot_id")
+      .agg(min("frame_idx").as("first_frame"),
+        max("frame_idx").as("last_frame"),
+        count(lit(1)).as("n_frames"),
+        max(struct(col("diff_sum").as("d"), (-col("frame_idx")).as("nf")))
+          .as("k"))
+      .select(col("video_id"), col("shot_id"), col("first_frame"),
+        col("last_frame"), col("n_frames"),
+        (-col("k.nf")).as("key_frame"), col("k.d").as("key_diff"))
+      .orderBy("video_id", "shot_id")
+  }
+
+  /** DuckDB replay: mm10's per-frame diff replay, a running cut count,
+    * and the same struct-max argmax. */
+  val keyframeOracle: String = {
+    val dims = videoDims.map { case (id, w, h, nf) => s"($id, $w, $h, $nf)" }
+      .mkString(", ")
+    val k = SceneFrames
+    def pix(fe: String) =
+      s"((x*(3+($fe)//$k) + y*(7+2*(($fe)//$k)) + (($fe)//$k)*37) % 200 + (($fe) % $k))"
+    s"""WITH dims(video_id, w, h, nf) AS (VALUES $dims),
+       |px AS (
+       |  SELECT video_id, w, h, fs.f, xs.x, ys.y
+       |  FROM dims,
+       |    LATERAL unnest(generate_series(1, nf - 1)) AS fs(f),
+       |    LATERAL unnest(generate_series(0, w - 1)) AS xs(x),
+       |    LATERAL unnest(generate_series(0, h - 1)) AS ys(y)),
+       |fd AS (SELECT video_id, f, sum(abs(${pix("f")} - ${pix("f - 1")})) AS ds,
+       |         sum(abs(${pix("f")} - ${pix("f - 1")})) > $CutMeanDiff * w * h
+       |           AS is_cut
+       |       FROM px GROUP BY video_id, w, h, f),
+       |sh AS (SELECT video_id, f, ds,
+       |         sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY video_id ORDER BY f
+       |                 ROWS UNBOUNDED PRECEDING) AS shot_id
+       |       FROM fd)
+       |SELECT CAST(video_id AS BIGINT) AS video_id,
+       |  CAST(shot_id AS BIGINT) AS shot_id,
+       |  CAST(min(f) AS BIGINT) AS first_frame,
+       |  CAST(max(f) AS BIGINT) AS last_frame,
+       |  count(*) AS n_frames,
+       |  CAST(-(max(struct_pack(d := ds, nf := -f)).nf) AS BIGINT) AS key_frame,
+       |  CAST(max(struct_pack(d := ds, nf := -f)).d AS BIGINT) AS key_diff
+       |FROM sh GROUP BY video_id, shot_id
+       |ORDER BY video_id, shot_id""".stripMargin
+  }
 }

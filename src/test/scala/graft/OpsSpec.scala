@@ -1498,6 +1498,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got == List((3L, 1L, 10L), (6L, 4L, 0L)))
   }
 
+  test("mm11 shots align to scene boundaries; equal-motion ties elect the EARLIEST frame") {
+    val got = graft.ops.Multimodal.keyframeQuery(spark, sf)
+      .select("video_id", "shot_id", "first_frame", "last_frame", "key_frame")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    val k = graft.ops.Multimodal.SceneFrames
+    got.foreach { case (vid, shot, first, last, key) =>
+      // every shot after the first starts exactly at a scene boundary
+      // (the cut frame); shot 0 starts at frame 1 (frame 0 has no diff)
+      assert(first == (if (shot == 0) 1L else shot * k))
+      assert(last < (shot + 1) * k)
+      // intra-scene diffs are all equal (the fixture moves every pixel
+      // by exactly 1/frame) and the boundary frame dwarfs them — so the
+      // keyframe is the cut frame, and for shot 0 the tie rule elects
+      // the earliest frame
+      assert(key == first, s"video $vid shot $shot: key $key != first $first")
+    }
+    // clip 1: 12 frames / 4-frame scenes → shots 0..2 present
+    assert(got.filter(_._1 == 1L).map(_._2) == List(0L, 1L, 2L))
+  }
+
   test("inc1 maintenance law: merged partial states equal the single-pass aggregate; split covers all rows") {
     val (o, c, n) = (graft.Tables.orders(spark, sf),
       graft.Tables.customer(spark, sf), graft.Tables.nation(spark, sf))
