@@ -191,6 +191,7 @@ object SparkEntry {
     "lay1_zorder" -> (graft.ops.Layout.zorderManifest _),
     "inc1_agg_maintenance" -> (graft.ops.Incremental.aggMaintenance _),
     "mm11_keyframes" -> (Multimodal.keyframeQuery _),
+    "tx30_bpe_merge" -> (TextStats.bpeMergeRound _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -697,5 +698,6 @@ object SparkEntry {
     "lay1_zorder" -> graft.ops.Layout.zorderManifestOracle,
     "inc1_agg_maintenance" -> graft.ops.Incremental.aggMaintenanceOracle,
     "mm11_keyframes" -> Multimodal.keyframeOracle,
+    "tx30_bpe_merge" -> TextStats.bpeMergeRoundOracle,
   )
 }

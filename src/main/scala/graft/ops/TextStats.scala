@@ -1605,4 +1605,107 @@ object TextStats {
        |SELECT pair, count(*) AS n_occurrences
        |FROM g GROUP BY pair
        |ORDER BY n_occurrences DESC, pair LIMIT $BpeTopPairs""".stripMargin
+
+  /** tx30 — the SECOND round of BPE training: elect tx29's top merge
+    * (count desc, then lexicographic — a total order), apply it to
+    * every document with the greedy leftmost-non-overlapping semantics
+    * real BPE uses, and recount adjacent pairs over the merged
+    * streams. This is the part of tokenizer training that looks
+    * sequential and isn't: the merge application is per-document data
+    * parallelism expressed relationally — match positions from one
+    * doc-keyed lead() window, overlap resolution (only possible inside
+    * equal-token runs like "a a a") by the gaps-and-islands parity
+    * rule (keep even offsets within each run of consecutive match
+    * positions — provably the greedy-leftmost fixpoint), consumed
+    * positions dropped by two (doc, pos)-keyed anti-style left joins,
+    * and the new adjacency from a second lead() over surviving
+    * positions. Every stage is a doc-keyed window or join — at 100 TB
+    * each merge round is a constant number of keyed shuffles, which is
+    * why BPE trains on corpora at all. The 1-row merge rule rides a
+    * broadcast. */
+  def bpeMergeRound(s: SparkSession, d: String): DataFrame =
+    bpeMergeRoundOf(Tables.documents(s, d))
+
+  def bpeMergeRoundOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val withNext = toks.withColumn("nxt", lead("tok", 1).over(byDoc))
+    val top = withNext.filter(col("nxt").isNotNull)
+      .groupBy("tok", "nxt").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("tok"), col("nxt")).limit(1)
+      .select(col("tok").as("ta"), col("nxt").as("tb"))
+    val marked = withNext.crossJoin(broadcast(top))
+    val matches = marked
+      .filter(col("nxt").isNotNull && col("tok") === col("ta") &&
+        col("nxt") === col("tb"))
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+    val kept = matches
+      .withColumn("off",
+        col("pos") - min("pos").over(Window.partitionBy("doc_id", "island")))
+      .filter(col("off") % 2 === 0)
+      .select(col("doc_id"), col("pos"))
+    val stream = marked
+      .join(kept.withColumn("st", lit(1)), Seq("doc_id", "pos"), "left")
+      .join(kept.select(col("doc_id"), (col("pos") + 1).as("pos"))
+        .withColumn("consumed", lit(1)), Seq("doc_id", "pos"), "left")
+      .filter(col("consumed").isNull)
+      .withColumn("tok2",
+        when(col("st") === 1, concat(col("ta"), lit("_"), col("tb")))
+          .otherwise(col("tok")))
+    stream
+      .withColumn("nxt2", lead("tok2", 1).over(byDoc))
+      .filter(col("nxt2").isNotNull)
+      .groupBy(concat(col("tok2"), lit(" "), col("nxt2")).as("pair"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), col("pair"))
+      .limit(BpeTopPairs)
+  }
+
+  /** DuckDB replay: same election, same islands/parity overlap rule,
+    * same consumed-position joins, same recount. Positions are 1-based
+    * here and 0-based in Spark — the parity rule is relative to each
+    * island's minimum, so the offset arithmetic is identical. */
+  val bpeMergeRoundOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents WHERE trim(text) <> ''),
+       |t AS (
+       |  SELECT doc_id, pos, ws[pos] AS tok
+       |  FROM w, unnest(generate_series(1, len(ws))) AS u(pos)),
+       |n AS (
+       |  SELECT doc_id, pos, tok,
+       |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM t),
+       |top AS (
+       |  SELECT tok AS ta, nxt AS tb FROM n WHERE nxt IS NOT NULL
+       |  GROUP BY tok, nxt ORDER BY count(*) DESC, tok, nxt LIMIT 1),
+       |mk AS (SELECT n.*, ta, tb FROM n, top),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |           AS island
+       |  FROM mk WHERE nxt IS NOT NULL AND tok = ta AND nxt = tb),
+       |kept AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |           pos - min(pos) OVER (PARTITION BY doc_id, island) AS off
+       |    FROM m) WHERE off % 2 = 0),
+       |s1 AS (
+       |  SELECT mk.doc_id, mk.pos,
+       |         CASE WHEN k1.pos IS NOT NULL THEN ta || '_' || tb
+       |              ELSE mk.tok END AS tok2
+       |  FROM mk
+       |  LEFT JOIN kept k1 ON k1.doc_id = mk.doc_id AND k1.pos = mk.pos
+       |  LEFT JOIN kept k2 ON k2.doc_id = mk.doc_id AND k2.pos + 1 = mk.pos
+       |  WHERE k2.pos IS NULL),
+       |p2 AS (
+       |  SELECT doc_id, tok2,
+       |         lead(tok2) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt2
+       |  FROM s1)
+       |SELECT tok2 || ' ' || nxt2 AS pair, count(*) AS n_occurrences
+       |FROM p2 WHERE nxt2 IS NOT NULL
+       |GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT $BpeTopPairs""".stripMargin
 }

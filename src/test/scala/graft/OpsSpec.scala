@@ -1498,6 +1498,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got == List((3L, 1L, 10L), (6L, 4L, 0L)))
   }
 
+  test("tx30 merge application is greedy-leftmost: overlapping runs alternate, isolated matches all merge") {
+    // top pair is (a, a) with 6 occurrences; "a a a a a" must merge to
+    // [a_a, a_a, a] (positions 0 and 2, NOT 1 or 3), "a a b a a" to
+    // [a_a, b, a_a]
+    val docs = Seq(
+      (1L, "a a a a a", "en", "s", 9L),
+      (2L, "a a b a a", "en", "s", 9L),
+      (3L, "b b", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextStats.bpeMergeRoundOf(docs)
+      .as[(String, Long)].collect().toList
+    assert(got == List(
+      ("a_a a", 1L), ("a_a a_a", 1L), ("a_a b", 1L),
+      ("b a_a", 1L), ("b b", 1L)))
+  }
+
   test("mm11 shots align to scene boundaries; equal-motion ties elect the EARLIEST frame") {
     val got = graft.ops.Multimodal.keyframeQuery(spark, sf)
       .select("video_id", "shot_id", "first_frame", "last_frame", "key_frame")
