@@ -192,6 +192,7 @@ object SparkEntry {
     "inc1_agg_maintenance" -> (graft.ops.Incremental.aggMaintenance _),
     "mm11_keyframes" -> (Multimodal.keyframeQuery _),
     "tx30_bpe_merge" -> (TextStats.bpeMergeRound _),
+    "sim8_pq_adc" -> ((s, d) => Similarity.pqTopK(s, d)),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -699,5 +700,6 @@ object SparkEntry {
     "inc1_agg_maintenance" -> graft.ops.Incremental.aggMaintenanceOracle,
     "mm11_keyframes" -> Multimodal.keyframeOracle,
     "tx30_bpe_merge" -> TextStats.bpeMergeRoundOracle,
+    "sim8_pq_adc" -> Similarity.pqTopKOracle,
   )
 }

@@ -868,4 +868,179 @@ object Similarity {
        |         AS n_misassigned,
        |       CAST(sum(margin_e6) AS BIGINT) AS sum_margin_e6
        |FROM p GROUP BY label ORDER BY label""".stripMargin
+
+  // ----- sim8: product quantization + asymmetric distance (ADC) -----
+
+  /** PQ geometry: [[Dim]] splits into [[PqSub]] subspaces of
+    * [[PqSubDim]] dims; each trains its own [[PqCodes]]-entry codebook
+    * ([[PqIters]] Lloyd rounds, same exact-integer machinery as IVF).
+    * A vector compresses to PqSub codes — log2(PqCodes)·PqSub bits —
+    * and search scores candidates from codebook lookups instead of
+    * touching the raw vectors: the FAISS IVF-PQ memory model, the only
+    * way 100 TB of float embeddings fits a serving tier. */
+  val PqSub = 4
+  val PqSubDim: Int = Dim / PqSub
+  val PqCodes = 8
+  val PqIters = 2
+
+  /** Cell assignment against a centroid set for CALLER-CHOSEN operand
+    * columns (the [[cellCol]] shape, parameterized so each PQ subspace
+    * binds its own sliced qvd/a2). */
+  private def cellColOn(a2: Column, qvd: Column,
+      cents: Seq[Centroid]): Column = {
+    val structs = cents.map(c =>
+      struct(distToCentroid(a2, qvd, c).as("d"), lit(c.cid).as("cid")))
+    (if (structs.size == 1) structs.head else least(structs: _*))
+      .getField("cid")
+  }
+
+  /** sim8 — PQ-encode the corpus and rank the query's neighbours by
+    * asymmetric distance: adc(v) = Σ_m dist(query_m, codebook_m[
+    * code_m(v)]), each term the same exact rational-centroid expression
+    * IVF uses, summed in fixed subspace order so both engines add the
+    * same doubles in the same order. The true cosine rides along as
+    * the audit column (the spec quantifies ADC's ranking agreement).
+    * Scale shape: training is PqSub × PqIters broadcast-out/aggregate-
+    * back rounds; encoding is one codegen projection per vector; the
+    * ADC score touches only the PqSub code columns + the broadcast
+    * codebooks — candidate scoring never reads the raw vectors. */
+  def pqTopK(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame =
+    pqTopKOf(Tables.embeddings(s, d), mode)
+
+  def pqTopKOf(emb: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val e = embDoubleOf(emb)
+    val qtFull = Materialize(
+      e.select(col("vec_id"), quantizeCol(col("v")).as("qv")),
+      mode, "pq_quantized")
+    def subCols(m: Int): (Column, Column) = {
+      val qvd = slice(col("qv"), m * PqSubDim + 1, PqSubDim)
+        .cast("array<double>")
+      (qvd, dot(qvd, qvd))
+    }
+    // per-subspace codebooks: seeds = first PqCodes vectors by id
+    val codebooks: IndexedSeq[Seq[Centroid]] = (0 until PqSub).map { m =>
+      val sub = Materialize(
+        qtFull.select(col("vec_id"),
+          slice(col("qv"), m * PqSubDim + 1, PqSubDim).as("qv"))
+          .withColumn("qvd", col("qv").cast("array<double>"))
+          .withColumn("a2", dot(col("qvd"), col("qvd"))),
+        mode, s"pq_sub$m")
+      var cs: Seq[Centroid] = sub.filter(col("vec_id") < PqCodes)
+        .select(col("vec_id"), col("qv")).collect()
+        .map(r => Centroid(r.getLong(0).toInt,
+          r.getAs[collection.Seq[Long]](1).toArray, 1L))
+        .toSeq.sortBy(_.cid)
+      for (_ <- 1 to PqIters) cs = lloydRound(sub, cs)
+      cs
+    }
+    // encode: PqSub code columns out of one projection over qv
+    val coded = (0 until PqSub).foldLeft(qtFull) { (df, m) =>
+      val (qvd, a2) = subCols(m)
+      df.withColumn(s"code$m", cellColOn(a2, qvd, codebooks(m)))
+    }.select(col("vec_id") +: (0 until PqSub).map(m => col(s"code$m")): _*)
+    // the query row's per-subspace operands, broadcast once
+    val q = (0 until PqSub).foldLeft(
+      qtFull.filter(col("vec_id") === QueryVecId)) { (df, m) =>
+      val (qvd, a2) = subCols(m)
+      df.withColumn(s"qqvd$m", qvd).withColumn(s"qa2$m", a2)
+    }.select((0 until PqSub).flatMap(m =>
+      Seq(col(s"qqvd$m"), col(s"qa2$m"))): _*)
+    // adc = fixed-order sum over subspaces of the code's table entry
+    val adc = (0 until PqSub).map { m =>
+      // exactly one branch matches per row; coalesce picks it
+      coalesce(codebooks(m).map(c =>
+        when(col(s"code$m") === c.cid,
+          distToCentroid(col(s"qa2$m"), col(s"qqvd$m"), c))): _*)
+    }.reduce(_ + _)
+    val truth = e.select(col("vec_id"), col("v"), col("norm"))
+    val qv = e.filter(col("vec_id") === QueryVecId)
+      .select(col("v").as("tqv"), col("norm").as("tqnorm"))
+    coded
+      .filter(col("vec_id") =!= QueryVecId)
+      .join(broadcast(q))
+      .withColumn("adc", adc)
+      .join(truth, "vec_id")
+      .join(broadcast(qv))
+      .withColumn("cos",
+        dot(col("v"), col("tqv")) / (sqrt(col("norm")) * sqrt(col("tqnorm"))))
+      .select(col("vec_id") +:
+        (0 until PqSub).map(m => col(s"code$m").cast("int")) :+
+        col("adc") :+ col("cos"): _*)
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(K)
+  }
+
+  /** DuckDB replay of sim8: per-subspace training unrolled as CTEs
+    * (same seeds, same exact distance, same (dist, cid) tiebreak),
+    * encoding via QUALIFY argmin, the same fixed-order ADC sum, true
+    * cosine audit, same output order. */
+  val pqTopKOracle: String = {
+    val dist = (v: String, c: String) =>
+      s"$v.a2 - 2.0 * list_dot_product($v.qvd, $c.sd) / $c.n + " +
+        s"list_dot_product($c.sd, $c.sd) / ($c.n * $c.n)"
+    def sub(m: Int) =
+      s"""s$m AS (SELECT vec_id, qv[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS qv,
+         |    qv[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]::DOUBLE[] AS qvd,
+         |    list_dot_product(qv[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]::DOUBLE[],
+         |      qv[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]::DOUBLE[]) AS a2
+         |  FROM q0)""".stripMargin
+    def c0(m: Int) =
+      s"""c${m}_0 AS (SELECT CAST(vec_id AS INT) AS cid, qvd AS sd,
+         |    CAST(1 AS BIGINT) AS n
+         |  FROM s$m WHERE vec_id < $PqCodes)""".stripMargin
+    def assign(name: String, centsCte: String, src: String) =
+      s"""$name AS (
+         |  SELECT v.vec_id, v.qv, v.qvd, v.a2, c.cid AS cell
+         |  FROM $src v CROSS JOIN $centsCte c
+         |  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+         |    ORDER BY ${dist("v", "c")}, c.cid) = 1)""".stripMargin
+    def recenter(name: String, assignCte: String) =
+      s"""$name AS (
+         |  SELECT p.cell AS cid, list(p.s ORDER BY p.pos)::DOUBLE[] AS sd, cn.n AS n
+         |  FROM (
+         |    SELECT cell, ix.pos, sum(qv[ix.pos]) AS s
+         |    FROM $assignCte, (SELECT unnest(generate_series(1, $PqSubDim)) AS pos) ix
+         |    GROUP BY cell, ix.pos) p
+         |  JOIN (SELECT cell, count(*) AS n FROM $assignCte GROUP BY cell) cn
+         |    USING (cell)
+         |  GROUP BY p.cell, cn.n)""".stripMargin
+    val training = (0 until PqSub).map { m =>
+      val rounds = (1 to PqIters).map { i =>
+        assign(s"a${m}_$i", s"c${m}_${i - 1}", s"s$m") + ",\n" +
+          recenter(s"c${m}_$i", s"a${m}_$i")
+      }.mkString(",\n")
+      s"${sub(m)},\n${c0(m)},\n$rounds,\n" +
+        assign(s"enc$m", s"c${m}_$PqIters", s"s$m")
+    }.mkString(",\n")
+    val qsubs = (0 until PqSub).map(m =>
+      s"qq$m AS (SELECT qvd, a2 FROM s$m WHERE vec_id = $QueryVecId)")
+      .mkString(",\n")
+    val adcTerms = (0 until PqSub).map { m =>
+      s"""(SELECT ${dist(s"qq$m", "c")} FROM c${m}_$PqIters c, qq$m
+         |   WHERE c.cid = enc$m.cell)""".stripMargin
+    }.mkString(" + ")
+    val encJoins = (1 until PqSub)
+      .map(m => s"JOIN enc$m ON enc$m.vec_id = enc0.vec_id").mkString("\n")
+    val codeCols = (0 until PqSub)
+      .map(m => s"CAST(enc$m.cell AS INT) AS code$m").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm
+       |  FROM embeddings),
+       |q0 AS (SELECT vec_id,
+       |    list_transform(v, x -> CAST(floor(x * $IvfQuant) AS BIGINT)) AS qv
+       |  FROM e),
+       |$training,
+       |$qsubs,
+       |tq AS (SELECT v AS tqv, norm AS tqnorm FROM e WHERE vec_id = $QueryVecId)
+       |SELECT enc0.vec_id, $codeCols,
+       |  $adcTerms AS adc,
+       |  list_dot_product(e.v, tq.tqv) / (sqrt(e.norm) * sqrt(tq.tqnorm)) AS cos
+       |FROM enc0
+       |$encJoins
+       |JOIN e ON e.vec_id = enc0.vec_id, tq
+       |WHERE enc0.vec_id <> $QueryVecId
+       |ORDER BY adc, enc0.vec_id LIMIT $K""".stripMargin
+  }
 }

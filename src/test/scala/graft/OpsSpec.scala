@@ -1498,6 +1498,43 @@ class OpsSpec extends AnyFunSuite {
     assert(got == List((3L, 1L, 10L), (6L, 4L, 0L)))
   }
 
+  test("sim8 PQ on a zero-error lattice: codes hit the planted patterns, ADC order = exact L2 order") {
+    val sub = Similarity.PqSub
+    val sd = Similarity.PqSubDim
+    // subvector pattern k (k=0..7) = constant (k+1)/256 — quantizes
+    // exactly to integer k+1, so codebooks converge to the patterns and
+    // ADC degenerates to the exact squared L2 distance
+    def pat(j: Int, m: Int): Int = if (j < 8) j else (j + m) % 8
+    val emb = (0 until 40).map { j =>
+      val v = Array.tabulate(Similarity.Dim) { d =>
+        (pat(j, d / sd) + 1).toFloat / 256f
+      }
+      (j.toLong, v.toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.pqTopKOf(emb)
+      .select(col("vec_id"), col("code0"), col("code1"), col("code2"),
+        col("code3"), col("adc"))
+      .as[(Long, Int, Int, Int, Int, Double)].collect().toList
+    // codes = planted pattern ids (seed vec j<8 carries pattern j → cid j)
+    got.foreach { case (j, c0, c1, c2, c3, _) =>
+      assert(Seq(c0, c1, c2, c3) == (0 until sub).map(m => pat(j.toInt, m)),
+        s"vec $j codes ($c0,$c1,$c2,$c3)")
+    }
+    // ADC ranking equals brute-force integer L2 against query vec 0
+    val expect = (1 until 40).map { j =>
+      val d2 = (0 until Similarity.Dim).map { d =>
+        val diff = pat(0, d / sd) + 1 - (pat(j, d / sd) + 1); diff * diff
+      }.sum.toLong
+      (j.toLong, d2)
+    }.sortBy(r => (r._2, r._1)).take(Similarity.K)
+    assert(got.map(_._1) == expect.map(_._1),
+      s"got ${got.map(_._1)} expect ${expect.map(_._1)}")
+    // and the emitted adc values are those exact integers
+    got.zip(expect).foreach { case ((_, _, _, _, _, adc), (_, d2)) =>
+      assert(adc == d2.toDouble, s"adc $adc != $d2")
+    }
+  }
+
   test("tx30 merge application is greedy-leftmost: overlapping runs alternate, isolated matches all merge") {
     // top pair is (a, a) with 6 occurrences; "a a a a a" must merge to
     // [a_a, a_a, a] (positions 0 and 2, NOT 1 or 3), "a a b a a" to
