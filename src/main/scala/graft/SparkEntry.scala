@@ -193,6 +193,7 @@ object SparkEntry {
     "mm11_keyframes" -> (Multimodal.keyframeQuery _),
     "tx30_bpe_merge" -> (TextStats.bpeMergeRound _),
     "sim8_pq_adc" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "g5_link_prediction" -> (Graph.linkPrediction _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -701,5 +702,6 @@ object SparkEntry {
     "mm11_keyframes" -> Multimodal.keyframeOracle,
     "tx30_bpe_merge" -> TextStats.bpeMergeRoundOracle,
     "sim8_pq_adc" -> Similarity.pqTopKOracle,
+    "g5_link_prediction" -> Graph.linkPredictionOracle(),
   )
 }

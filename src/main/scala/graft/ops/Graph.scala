@@ -246,4 +246,70 @@ object Graph {
        |       CAST(count(b.src) AS BIGINT) / count(*) AS reciprocity
        |FROM g a LEFT JOIN g b ON a.src = b.dst AND a.dst = b.src
        |GROUP BY a.rank ORDER BY a.rank""".stripMargin
+
+  /** Candidate cap for g5's link list (total-order tiebreak makes the
+    * cut deterministic). */
+  val LinkPredTopK = 100
+
+  /** g5 — link prediction over the kNN graph: score non-adjacent
+    * distance-2 pairs by common-neighbour count and the
+    * resource-allocation index Σ_w 1/deg(w) (Zhou et al. 2009 — RA
+    * beats raw CN because a shared neighbour that links HALF THE
+    * CORPUS is weak evidence, a shared 3-degree neighbour is strong).
+    * For semantic dedup this is the expansion audit: high-scoring
+    * non-edges are near-dup pairs the kNN cut missed (each vector only
+    * keeps k arcs) and candidates dd8's clustering would merge next.
+    *
+    * Everything is exact integers: RA terms quantize as 10^6 div deg —
+    * integer division per term, summed as longs, so partition order
+    * can never move the result (the sim7 rule, with no doubles at
+    * all). Shape: symmetrized-distinct edge set, wedge join keyed on
+    * the middle vertex, LEFT ANTI against existing edges, one (u,v)
+    * aggregation, TakeOrdered cap. */
+  def linkPrediction(s: SparkSession, d: String): DataFrame =
+    linkPredictionOf(Tables.embeddings(s, d))
+
+  def linkPredictionOf(emb: DataFrame): DataFrame =
+    linkScoresOf(Materialize(
+      Similarity.knnGraphOf(emb).select("src", "dst"),
+      Materialize.Local, "lp_edges"))
+
+  /** The scoring pipeline over an arbitrary (src, dst) arc list —
+    * [[linkPredictionOf]] minus the kNN build (the spec's seam). */
+  def linkScoresOf(edges: DataFrame): DataFrame = {
+    val und = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
+    val e1 = und.select(col("src").as("u"), col("dst").as("w"))
+    val e2 = und.select(col("src").as("w"), col("dst").as("v"))
+    val existing = und.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    e1.join(e2, "w").filter(col("u") < col("v"))
+      .join(existing, Seq("u", "v"), "left_anti")
+      .join(deg, "w")
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"), sum(expr("1000000 div deg")).as("ra_e6"))
+      .orderBy(desc("cn"), desc("ra_e6"), col("u"), col("v"))
+      .limit(LinkPredTopK)
+  }
+
+  def linkPredictionOracle(): String =
+    s"""WITH g AS (
+       |${Similarity.knnGraphOracle()}
+       |),
+       |und AS (SELECT src AS u, dst AS v FROM g
+       |        UNION SELECT dst, src FROM g),
+       |deg AS (SELECT u AS w, count(*) AS deg FROM und GROUP BY u),
+       |p2 AS (SELECT a.u, b.v, a.v AS w
+       |       FROM und a JOIN und b ON a.v = b.u WHERE a.u < b.v),
+       |cand AS (
+       |  SELECT p2.u, p2.v, p2.w FROM p2
+       |  LEFT JOIN und e ON e.u = p2.u AND e.v = p2.v
+       |  WHERE e.u IS NULL)
+       |SELECT u, v, count(*) AS cn,
+       |       CAST(sum(1000000 // deg) AS BIGINT) AS ra_e6
+       |FROM cand JOIN deg USING (w)
+       |GROUP BY u, v
+       |ORDER BY cn DESC, ra_e6 DESC, u, v LIMIT $LinkPredTopK""".stripMargin
 }
