@@ -285,6 +285,35 @@ object ScaleProbe {
           .agg(sum(col("numwait")).as("w")).collect()(0).getLong(0)
       }
       graft.ops.Materialize.releaseAll(spark)
+      // kmv1: the (source, hash) distinct grows ∝ n (copies are
+      // shingle-disjoint); the bucket-cutoff prefilter keeps the
+      // per-source top-k sort input ~constant, and the pair stage is
+      // sources² regardless of n — so the curve should track the
+      // distinct alone
+      val docsD = replicated(spark, sfDir, n).localCheckpoint(true)
+      val (tKmv, kmvPairs) = time {
+        graft.ops.Sketch.kmvSetOpsOf(docsD)
+          .agg(count(lit(1)).as("n"), sum(col("n_common")).as("c"))
+          .collect()(0).getLong(0)
+      }
+      graft.ops.Materialize.releaseAll(spark)
+      // tx30: every stage is a doc-keyed window or (doc, pos) join
+      // over per-copy-bounded documents — the merge-application round
+      // must stay linear for BPE training to be viable at corpus scale
+      val docsE = replicated(spark, sfDir, n).localCheckpoint(true)
+      val (tBpe, bpeSum) = time {
+        graft.ops.TextStats.bpeMergeRoundOf(docsE)
+          .agg(sum(col("n_occurrences")).as("s")).collect()(0).getLong(0)
+      }
+      graft.ops.Materialize.releaseAll(spark)
+      // sim8: training collects only PqSub × codes × subdim stats per
+      // round; encoding + ADC is one projection + broadcast lookups, so
+      // the curve should be ~linear in the corpus with a fixed offset
+      val emb6 = replicatedEmb(spark, sfDir, n).localCheckpoint(true)
+      val (tPq, pqRows) = time {
+        graft.ops.Similarity.pqTopKOf(emb6).count()
+      }
+      graft.ops.Materialize.releaseAll(spark)
       println(f"""{"factor":$n,"docs":$nDocs,"lsh_sec":$tLsh%.2f,"pairs":$pairs,""" +
         f""""cluster_sec":$tCluster%.2f,"labeled":$clusters,""" +
         f""""pack_sec":$tPack%.2f,"packed":$packed,""" +
@@ -307,7 +336,10 @@ object ScaleProbe {
         f""""funnel_sec":$tFun%.2f,"funnel_users":$funUsers,""" +
         f""""novelty_sec":$tNov%.2f,"novel_sum":$novSum,""" +
         f""""markov_sec":$tMkv%.2f,"transitions":$mkvSum,""" +
-        f""""blame_sec":$tBlame%.2f,"blame_sum":$blameSum}""")
+        f""""blame_sec":$tBlame%.2f,"blame_sum":$blameSum,""" +
+        f""""kmv_sec":$tKmv%.2f,"kmv_pairs":$kmvPairs,""" +
+        f""""bpe_sec":$tBpe%.2f,"bpe_sum":$bpeSum,""" +
+        f""""pq_sec":$tPq%.2f,"pq_rows":$pqRows}""")
     }
     spark.stop()
   }

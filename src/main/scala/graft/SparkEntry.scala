@@ -194,6 +194,7 @@ object SparkEntry {
     "tx30_bpe_merge" -> (TextStats.bpeMergeRound _),
     "sim8_pq_adc" -> ((s, d) => Similarity.pqTopK(s, d)),
     "g5_link_prediction" -> (Graph.linkPrediction _),
+    "skew1_salted_rollup" -> (graft.ops.Skew.saltedRollup _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -703,5 +704,6 @@ object SparkEntry {
     "tx30_bpe_merge" -> TextStats.bpeMergeRoundOracle,
     "sim8_pq_adc" -> Similarity.pqTopKOracle,
     "g5_link_prediction" -> Graph.linkPredictionOracle(),
+    "skew1_salted_rollup" -> graft.ops.Skew.saltedRollupOracle,
   )
 }

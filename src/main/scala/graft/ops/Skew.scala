@@ -35,4 +35,22 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__cnt")).as("cnt"), sum(col("__sum")).as("total"))
   }
+
+  /** skew1 — the salted rollup as a driver query: per-event-type count
+    * + integer-cents total through the two-stage salted aggregation,
+    * against a PLAIN single-stage GROUP BY oracle. The hash match is
+    * the semantics-preservation proof: the salt splits partials and
+    * vanishes in the merge, so the answer is independent of the salt
+    * function, bucket count, and partitioning — while bounding any one
+    * reduce task at ~1/buckets of the heaviest key. */
+  def saltedRollup(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    saltedCountSum(graft.Tables.events(s, d), Seq("event_type"),
+      graft.functions.Functions.cents(col("value")),
+      buckets = 32, saltOn = col("event_id"))
+      .orderBy("event_type")
+
+  val saltedRollupOracle: String =
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }
