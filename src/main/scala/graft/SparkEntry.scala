@@ -195,6 +195,7 @@ object SparkEntry {
     "sim8_pq_adc" -> ((s, d) => Similarity.pqTopK(s, d)),
     "g5_link_prediction" -> (Graph.linkPrediction _),
     "skew1_salted_rollup" -> (graft.ops.Skew.saltedRollup _),
+    "a20_cusum_changepoint" -> (Analytics.cusumChangepoint _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -705,5 +706,6 @@ object SparkEntry {
     "sim8_pq_adc" -> Similarity.pqTopKOracle,
     "g5_link_prediction" -> Graph.linkPredictionOracle(),
     "skew1_salted_rollup" -> graft.ops.Skew.saltedRollupOracle,
+    "a20_cusum_changepoint" -> Analytics.cusumChangepointOracle,
   )
 }

@@ -1063,4 +1063,72 @@ object Analytics {
        |  AND b.es >= a.es - $PitLookbackSec AND b.es <= a.es - 1
        |GROUP BY a.o_orderkey, a.o_custkey, a.orderdate
        |ORDER BY a.o_orderkey""".stripMargin
+
+  /** a20 — CUSUM changepoint over the daily event-count series, per
+    * event type: the monitoring primitive that answers "did this
+    * stream's rate shift, and when" before a human eyeballs a chart.
+    * The statistic at day k (of n, cumulative count C_k, total T) is
+    * |n·C_k − k·T| — the cumulative deviation from a constant rate
+    * with the mean CROSS-MULTIPLIED away, so the whole scan is exact
+    * long arithmetic and the argmax day is engine-independent (ties →
+    * earliest day, via the struct-max idiom with negated epoch-day).
+    * Shape: one (type, day) count aggregation, one type-keyed window
+    * for (k, C_k), one argmax aggregation — constant keyed shuffles,
+    * series length per key irrelevant. */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame =
+    cusumChangepointOf(Tables.events(s, d))
+
+  def cusumChangepointOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy("event_type")
+    daily
+      .withColumn("ck", sum("c").over(w))
+      .withColumn("k", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")))
+      .withColumn("n", count(lit(1)).over(wall))
+      .withColumn("t", sum("c").over(wall))
+      .withColumn("stat",
+        abs(col("n") * col("ck") - col("k") * col("t")))
+      .groupBy("event_type")
+      .agg(max("n").as("n_days"), max("t").as("total"),
+        max(struct(col("stat").as("s"),
+          (-datediff(col("day"), lit("1970-01-01"))).cast("long").as("nd")))
+          .as("b"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        date_add(lit("1970-01-01"), (-col("b.nd")).cast("int"))
+          .cast("string").as("cut_day"),
+        col("b.s").as("cusum_stat"))
+      .orderBy("event_type")
+  }
+
+  val cusumChangepointOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, day, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY day
+      |                 ROWS UNBOUNDED PRECEDING) AS ck,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    sum(c) OVER (PARTITION BY event_type) AS t
+      |  FROM daily),
+      |st AS (
+      |  SELECT event_type, day, n, t, abs(n * ck - k * t) AS stat,
+      |    -date_diff('day', DATE '1970-01-01', day) AS nd
+      |  FROM cum)
+      |SELECT event_type,
+      |  CAST(max(n) AS BIGINT) AS n_days,
+      |  CAST(max(t) AS BIGINT) AS total,
+      |  CAST(CAST(DATE '1970-01-01' + to_days(CAST(
+      |    -(max(struct_pack(s := stat, nd := nd)).nd) AS INT)) AS DATE)
+      |    AS VARCHAR) AS cut_day,
+      |  CAST(max(struct_pack(s := stat, nd := nd)).s AS BIGINT) AS cusum_stat
+      |FROM st GROUP BY event_type ORDER BY event_type""".stripMargin
 }

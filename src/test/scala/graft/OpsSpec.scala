@@ -1498,6 +1498,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got == List((3L, 1L, 10L), (6L, 4L, 0L)))
   }
 
+  test("a20 CUSUM lands on a planted rate shift; brute-force statistic agrees") {
+    // 20 days at 2 events/day, then 10 days at 10/day → the max
+    // cumulative deviation from the pooled mean sits at the boundary
+    def ts(day: Int, i: Int) = java.sql.Timestamp.valueOf(
+      f"2024-02-${day + 1}%02d 0${i % 10}:00:00")
+    val counts = (0 until 20).map(_ => 2) ++ (0 until 10).map(_ => 10)
+    val ev = counts.zipWithIndex.flatMap { case (c, day) =>
+      (0 until c).map(i =>
+        (day.toLong * 100 + i, ts(day, i), 1L, "x", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.cusumChangepointOf(ev)
+      .select("n_days", "total", "cut_day", "cusum_stat")
+      .as[(Long, Long, String, Long)].collect().head
+    // brute force the same statistic
+    val n = counts.length.toLong
+    val t = counts.sum.toLong
+    val stats = counts.scanLeft(0L)(_ + _).drop(1).zipWithIndex.map {
+      case (ck, k0) => math.abs(n * ck - (k0 + 1) * t)
+    }
+    val bestK = stats.indexOf(stats.max) // earliest argmax
+    assert(got._1 == n && got._2 == t)
+    assert(got._3 == f"2024-02-${bestK + 1}%02d", s"got ${got._3} k=$bestK")
+    assert(got._4 == stats.max)
+    assert(bestK == 19, "the planted boundary day")
+  }
+
   test("g5 RA weighting: a shared 2-degree neighbour outranks a shared 5-degree hub at equal CN") {
     // hub 100 ~ {1..5}; tight node 200 ~ {6,7}: every candidate pair
     // has cn=1, but (6,7)'s witness has degree 2 vs the hub's 5
