@@ -196,6 +196,7 @@ object SparkEntry {
     "g5_link_prediction" -> (Graph.linkPrediction _),
     "skew1_salted_rollup" -> (graft.ops.Skew.saltedRollup _),
     "a20_cusum_changepoint" -> (Analytics.cusumChangepoint _),
+    "mm12_video_neardup" -> (Multimodal.videoNearDupQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -707,5 +708,6 @@ object SparkEntry {
     "g5_link_prediction" -> Graph.linkPredictionOracle(),
     "skew1_salted_rollup" -> graft.ops.Skew.saltedRollupOracle,
     "a20_cusum_changepoint" -> Analytics.cusumChangepointOracle,
+    "mm12_video_neardup" -> Multimodal.videoNearDupOracle,
   )
 }

@@ -942,6 +942,105 @@ object Multimodal {
        |ORDER BY video_id, frame_idx""".stripMargin
   }
 
+  /** mm12 fixture: the mm10 clips plus a 4th that REPLAYS clip 1's
+    * scenes 2–3 (same dims, frame offset 8) — the re-upload/clip-reuse
+    * case video dedup exists for. (video id, w, h, frames, offset);
+    * offset shifts the scene formula, so equal (w, h, f+off) ⇒
+    * byte-identical frames. */
+  val videoDims2: Seq[(Long, Int, Int, Int, Int)] =
+    videoDims.map { case (id, w, h, nf) => (id, w, h, nf, 0) } :+
+      (4L, 16, 12, 8, 8)
+
+  /** Minimum shared frames before two clips count as near-dups. */
+  val VideoNearDupMin = 3
+
+  private[graft] def fixtureVideo2(): Seq[Video] =
+    videoDims2.map { case (id, w, h, nf, off) =>
+      val bytes = new Array[Byte](w * h * nf)
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+        bytes(f * w * h + y * w + x) = videoPixel(f + off, x, y).toByte
+      Video(id, bytes, w, h, nf)
+    }
+
+  /** Exact per-frame fingerprint: Σ p(x,y)·(1 + x + y·w) over the
+    * frame — position-weighted so permuted frames differ, bounded well
+    * under 2^63, and replayable in SQL from the scene formula (the
+    * mm8/mm10 certification style: a pass certifies byte layout,
+    * unsigned decode, striding, and the accumulator). A production
+    * swap-in uses a perceptual hash here; the JOIN SHAPE downstream is
+    * identical. */
+  def frameFingerprints(v: Video): Iterator[(Long, Long, Long)] = {
+    val stride = v.width * v.height
+    (0 until v.n_frames).iterator.map { f =>
+      var s = 0L
+      var y = 0
+      while (y < v.height) {
+        var x = 0
+        while (x < v.width) {
+          s += (v.payload(f * stride + y * v.width + x) & 0xff).toLong *
+            (1L + x + y.toLong * v.width)
+          x += 1
+        }
+        y += 1
+      }
+      (v.video_id, f.toLong, s)
+    }
+  }
+
+  /** mm12 — video near-dup detection: clips sharing ≥
+    * [[VideoNearDupMin]] distinct frame fingerprints are flagged — the
+    * re-upload/clip-reuse dedup. Fingerprints are produced in the
+    * narrow decode stage (no shuffle); the candidate join is the
+    * inverted-index shape (dd4 applied to video): keyed self-join on
+    * the fingerprint value, never clip×clip. */
+  def videoNearDupQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val vids = s.createDataset(fixtureVideo2())(Encoders.product[Video])
+      .repartition(2)
+    val fps = vids.mapPartitions(_.flatMap(frameFingerprints))(
+        Encoders.product[(Long, Long, Long)])
+      .toDF("video_id", "frame_idx", "fp")
+      .select("video_id", "fp").distinct()
+    val a = fps.select(col("video_id").as("video_a"), col("fp"))
+    val b = fps.select(col("video_id").as("video_b"), col("fp"))
+    a.join(b, "fp").filter(col("video_a") < col("video_b"))
+      .groupBy("video_a", "video_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("is_neardup", col("n_shared") >= VideoNearDupMin)
+      .orderBy("video_a", "video_b")
+  }
+
+  /** DuckDB replay: same offset scene formula on the coordinate grid,
+    * same fingerprint weights, same inverted-index pair count. */
+  val videoNearDupOracle: String = {
+    val dims = videoDims2.map { case (id, w, h, nf, off) =>
+      s"($id, $w, $h, $nf, $off)" }.mkString(", ")
+    val k = SceneFrames
+    val pix =
+      s"((x*(3+(f+off)//$k) + y*(7+2*((f+off)//$k)) + ((f+off)//$k)*37) % 200 + ((f+off) % $k))"
+    s"""WITH dims(video_id, w, h, nf, off) AS (VALUES $dims),
+       |px AS (
+       |  SELECT video_id, w, h, off, fs.f, xs.x, ys.y
+       |  FROM dims,
+       |    LATERAL unnest(generate_series(0, nf - 1)) AS fs(f),
+       |    LATERAL unnest(generate_series(0, w - 1)) AS xs(x),
+       |    LATERAL unnest(generate_series(0, h - 1)) AS ys(y)),
+       |fp AS (
+       |  SELECT DISTINCT video_id,
+       |    sum($pix * (1 + x + y * w)) AS fp
+       |  FROM px GROUP BY video_id, f),
+       |p AS (
+       |  SELECT a.video_id AS video_a, b.video_id AS video_b,
+       |         count(*) AS n_shared
+       |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.video_id < b.video_id
+       |  GROUP BY 1, 2)
+       |SELECT CAST(video_a AS BIGINT) AS video_a,
+       |  CAST(video_b AS BIGINT) AS video_b,
+       |  CAST(n_shared AS BIGINT) AS n_shared,
+       |  n_shared >= $VideoNearDupMin AS is_neardup
+       |FROM p ORDER BY video_a, video_b""".stripMargin
+  }
+
   /** mm11 — keyframe selection per shot: mm10's cut flags segment each
     * clip into shots (shot id = running cut count over the diff
     * stream), then each shot elects its highest-motion frame as the

@@ -1498,6 +1498,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got == List((3L, 1L, 10L), (6L, 4L, 0L)))
   }
 
+  test("mm12 finds exactly the planted clip-reuse pair: 4 shared scene-2 frames, nothing else") {
+    val got = graft.ops.Multimodal.videoNearDupQuery(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect().toList
+    // clip 4 replays clip 1's scenes 2-3 at offset 8: the 4 frames of
+    // scene 2 coincide (clip 1 ends mid-scene-3 at frame 11); clips
+    // 2/3 have different dims and share no fingerprint with anything
+    assert(got == List((1L, 4L, 4L, true)))
+    // and the fingerprints really are frame-level: the shared count
+    // equals SceneFrames, the full shared scene
+    assert(got.head._3 == graft.ops.Multimodal.SceneFrames)
+  }
+
   test("a20 CUSUM lands on a planted rate shift; brute-force statistic agrees") {
     // 20 days at 2 events/day, then 10 days at 10/day → the max
     // cumulative deviation from the pooled mean sits at the boundary
