@@ -444,6 +444,42 @@ object Streams {
     * streaming face is [[bloomDedupStream]]'s bounded-memory bitmap,
     * which reports (probabilistic) duplicate drops per shard.
     * Input columns: (user_id, ts, value, event_type, props). */
+  case class CusumState(splus: Long, sminus: Long)
+  case class CusumOut(event_type: String, day: java.sql.Date,
+      count: Long, splus: Long, sminus: Long, alarm: Boolean)
+
+  /** Streaming twin of the batch CUSUM changepoint (a20): the
+    * one-sided CUSUM control chart (Page 1954), the form that runs
+    * forever on a stream because its state is TWO LONGS per key —
+    * the batch query's retrospective argmax needs the whole series.
+    * Per (type, day) count record: S⁺ accumulates positive deviation
+    * max(0, S⁺ + (c − target − slack)), S⁻ the negative side; either
+    * crossing `threshold` raises the alarm for that day (state keeps
+    * accumulating — reset policy belongs to the consumer). All-integer
+    * arithmetic, days folded in order within each batch, so a replay
+    * from checkpoint reproduces identical rows.
+    * Input: (event_type, day, count). */
+  def cusumStream(daily: Dataset[(String, java.sql.Date, Long)],
+      target: Long, slack: Long, threshold: Long): Dataset[CusumOut] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (typ, rows, state: GroupState[CusumState]) =>
+          var s = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = rows.toSeq.sortBy(_._2.getTime).map { case (_, day, c) =>
+            s = CusumState(
+              math.max(0L, s.splus + (c - target - slack)),
+              math.max(0L, s.sminus + (target - slack - c)))
+            CusumOut(typ, day, c, s.splus, s.sminus,
+              s.splus > threshold || s.sminus > threshold)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   def constraintAuditStream(events: DataFrame): DataFrame = {
     val typeDomain = Seq("click", "error", "purchase", "signup", "view")
     def v(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))

@@ -559,4 +559,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(g("type_in_domain") == 1)
     assert(g("props_has_k") == 1)
   }
+
+  test("CUSUM stream (a20 twin): two-long state, alarm crosses at the planted shift, batch boundary invisible") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val input = MemoryStream[(String, java.sql.Date, Long)]
+    // target 10/day, slack 2, threshold 15: rate-10 days keep S⁺ at 0,
+    // rate-20 days add 8 each → alarm on the SECOND shifted day
+    val q = Streams.cusumStream(input.toDS(), target = 10, slack = 2,
+        threshold = 15)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("cusum_stream").start()
+    input.addData(
+      ("x", d("2024-03-01"), 10L), ("x", d("2024-03-02"), 11L),
+      ("x", d("2024-03-03"), 20L))
+    q.processAllAvailable()
+    input.addData(
+      ("x", d("2024-03-04"), 20L), ("x", d("2024-03-05"), 10L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cusum_stream")
+      .orderBy("day")
+      .select("count", "splus", "sminus", "alarm")
+      .as[(Long, Long, Long, Boolean)].collect().toList
+    assert(rows == List(
+      (10L, 0L, 0L, false),   // on target
+      (11L, 0L, 0L, false),   // within slack
+      (20L, 8L, 0L, false),   // shift starts accumulating
+      (20L, 16L, 0L, true),   // crosses threshold — across the batch cut
+      (10L, 14L, 0L, false))) // decays, no reset policy imposed
+  }
 }
