@@ -197,6 +197,13 @@ object SparkEntry {
     "skew1_salted_rollup" -> (graft.ops.Skew.saltedRollup _),
     "a20_cusum_changepoint" -> (Analytics.cusumChangepoint _),
     "mm12_video_neardup" -> (Multimodal.videoNearDupQuery _),
+    "clf1_confusion" -> (graft.ops.Eval.confusionMatrix _),
+    "clf2_class_metrics" -> (graft.ops.Eval.classMetrics _),
+    "auc1_roc_slices" -> (graft.ops.Eval.rocAucSlices _),
+    "cal1_calibration_bins" -> (graft.ops.Eval.calibrationBins _),
+    "a21_autocorrelation" -> (Analytics.autocorrelation _),
+    "u3_unpivot" -> (Fact.unpivotMetrics _),
+    "priv1_k_anonymity" -> (graft.ops.Privacy.kAnonymityAudit _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -709,5 +716,12 @@ object SparkEntry {
     "skew1_salted_rollup" -> graft.ops.Skew.saltedRollupOracle,
     "a20_cusum_changepoint" -> Analytics.cusumChangepointOracle,
     "mm12_video_neardup" -> Multimodal.videoNearDupOracle,
+    "clf1_confusion" -> graft.ops.Eval.confusionMatrixOracle,
+    "clf2_class_metrics" -> graft.ops.Eval.classMetricsOracle,
+    "auc1_roc_slices" -> graft.ops.Eval.rocAucSlicesOracle,
+    "cal1_calibration_bins" -> graft.ops.Eval.calibrationBinsOracle,
+    "a21_autocorrelation" -> Analytics.autocorrelationOracle,
+    "u3_unpivot" -> Fact.unpivotMetricsOracle,
+    "priv1_k_anonymity" -> graft.ops.Privacy.kAnonymityAuditOracle,
   )
 }

@@ -1131,4 +1131,76 @@ object Analytics {
       |    AS VARCHAR) AS cut_day,
       |  CAST(max(struct_pack(s := stat, nd := nd)).s AS BIGINT) AS cusum_stat
       |FROM st GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** a21 — EXACT lag-k autocorrelation (k = 1..3) of each type's daily
+    * count series: the seasonality/persistence diagnostic behind every
+    * capacity forecast. Mean subtraction is cross-multiplied by n so
+    * every summand is an integer — d_t = n·x_t − S with S = Σx — and
+    * acf_k = Σ d_t·d_{t−k} / Σ d_t² is the single IEEE division both
+    * engines compute identically (the n² factors cancel). Two window
+    * passes share ONE event_type exchange (full-frame totals, then
+    * ordered lags); state is bounded by the DAY domain per type, never
+    * the row count, because the series is the daily aggregate.
+    * Overflow bound: |d_t| ≤ n·max_x, so den ≤ n³·max_x² — raise the
+    * aggregation grain before 2^63 (~10¹² daily events at n=365). */
+  def autocorrelation(s: SparkSession, d: String): DataFrame =
+    autocorrelationOf(Tables.events(s, d))
+
+  /** [[autocorrelation]] over an explicit events frame. */
+  def autocorrelationOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wAll = Window.partitionBy("event_type")
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val dev = daily
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("x")).over(wAll))
+      .withColumn("d0", col("n") * col("x") - col("s"))
+      .withColumn("d1", lag(col("d0"), 1).over(wOrd))
+      .withColumn("d2", lag(col("d0"), 2).over(wOrd))
+      .withColumn("d3", lag(col("d0"), 3).over(wOrd))
+    def num(k: String) =
+      sum(when(col(s"d$k").isNotNull, col("d0") * col(s"d$k")).otherwise(0L))
+    val agg = dev.groupBy("event_type").agg(
+      max(col("n")).as("n_days"), max(col("s")).as("total"),
+      sum(col("d0") * col("d0")).as("den"),
+      num("1").as("num1"), num("2").as("num2"), num("3").as("num3"))
+    def acf(k: Int) =
+      when(col("den") =!= 0L, col(s"num$k") / col("den")).as(s"acf$k")
+    agg.select(col("event_type"), col("n_days"), col("total"), col("den"),
+        col("num1"), col("num2"), col("num3"), acf(1), acf(2), acf(3))
+      .orderBy("event_type")
+  }
+
+  val autocorrelationOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |dev0 AS (
+      |  SELECT event_type, day, x,
+      |         count(*) OVER (PARTITION BY event_type) AS n,
+      |         CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      |  FROM daily),
+      |dev AS (
+      |  SELECT event_type, n, s, n * x - s AS d0,
+      |         lag(n * x - s, 1) OVER w AS d1,
+      |         lag(n * x - s, 2) OVER w AS d2,
+      |         lag(n * x - s, 3) OVER w AS d3
+      |  FROM dev0 WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(max(n) AS BIGINT) AS n_days, max(s) AS total,
+      |    CAST(sum(d0 * d0) AS BIGINT) AS den,
+      |    CAST(sum(CASE WHEN d1 IS NOT NULL THEN d0 * d1 ELSE 0 END) AS BIGINT) AS num1,
+      |    CAST(sum(CASE WHEN d2 IS NOT NULL THEN d0 * d2 ELSE 0 END) AS BIGINT) AS num2,
+      |    CAST(sum(CASE WHEN d3 IS NOT NULL THEN d0 * d3 ELSE 0 END) AS BIGINT) AS num3
+      |  FROM dev GROUP BY event_type)
+      |SELECT event_type, n_days, total, den, num1, num2, num3,
+      |       CASE WHEN den <> 0 THEN num1 / den END AS acf1,
+      |       CASE WHEN den <> 0 THEN num2 / den END AS acf2,
+      |       CASE WHEN den <> 0 THEN num3 / den END AS acf3
+      |FROM agg ORDER BY event_type""".stripMargin
 }

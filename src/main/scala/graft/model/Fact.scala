@@ -114,6 +114,44 @@ object Fact {
       |  SELECT event_id FROM events WHERE event_type = 'signup')
       |ORDER BY op, event_id""".stripMargin
 
+  /** u3 — unpivot/melt (wide→long reshape): the four lineitem money
+    * columns become (metric, cents) rows, then a per-(flag, metric)
+    * profile. Spark plans `unpivot` as ONE Expand over a single scan —
+    * never four scans like the naive UNION ALL — and the immediate
+    * aggregation collapses the 4× intermediate to a 12-row result with
+    * map-side partials, so the reshape costs one pass at any SF. */
+  def unpivotMetrics(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        cents(col("l_quantity")).as("qty"),
+        cents(col("l_extendedprice")).as("price"),
+        cents(col("l_discount")).as("discount"),
+        cents(col("l_tax")).as("tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("discount"), col("tax")),
+        "metric", "cents")
+      .groupBy("l_returnflag", "metric")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy("l_returnflag", "metric")
+
+  val unpivotMetricsOracle: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, 'qty' AS metric,
+      |         CAST(round(l_quantity * 100) AS BIGINT) AS cents FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'price',
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'discount',
+      |         CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'tax',
+      |         CAST(round(l_tax * 100) AS BIGINT) FROM lineitem)
+      |SELECT l_returnflag, metric, count(*) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       min(cents) AS min_cents, max(cents) AS max_cents
+      |FROM m GROUP BY l_returnflag, metric
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   /** p19 — typed JSON column extraction (the semi-structured projection
     * every event pipeline runs on a properties payload): `from_json`
     * with an EXPLICIT schema — the typed, codegen-friendly parser, not

@@ -1742,4 +1742,40 @@ class OpsSpec extends AnyFunSuite {
     val trueUnion = (ha ++ hb).distinct.length.toDouble
     assert(math.abs(row._6 - trueUnion) / trueUnion < 3.0 / math.sqrt(62.0))
   }
+
+  test("a21 autocorrelation matches brute force on a planted alternating series") {
+    // 14 days alternating 2/8 events → acf1 strongly negative, acf2
+    // strongly positive; exact integers all the way to the division
+    def ts(day: Int, i: Int) = java.sql.Timestamp.valueOf(
+      f"2024-03-${day + 1}%02d 0${i % 10}:00:00")
+    val counts = (0 until 14).map(d => if (d % 2 == 0) 2 else 8)
+    val ev = counts.zipWithIndex.flatMap { case (c, day) =>
+      (0 until c).map(i =>
+        (day.toLong * 100 + i, ts(day, i), 1L, "x", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.autocorrelationOf(ev)
+      .select("n_days", "total", "den", "num1", "num2", "num3")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val n = counts.length.toLong
+    val sTot = counts.sum.toLong
+    val d0 = counts.map(x => n * x - sTot)
+    def num(k: Int) = (k until counts.length)
+      .map(t => d0(t) * d0(t - k)).sum
+    val den = d0.map(x => x * x).sum
+    assert(got == ((n, sTot, den, num(1), num(2), num(3))))
+    assert(num(1) < 0 && num(2) > 0, "alternating series signs")
+  }
+
+  test("priv1 accounts for every customer and flags agree with the counts") {
+    val sf = GraftSpark.sf
+    val total = graft.Tables.customer(spark, sf).count()
+    val rows = graft.ops.Privacy.kAnonymityAudit(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      assert((r.getAs[Long]("k_anon_ok") == 1L) == (r.getAs[Long]("n") >= 5L))
+      assert((r.getAs[Long]("l_div_ok") == 1L) ==
+        (r.getAs[Long]("n_sensitive") >= 3L))
+      assert(r.getAs[Long]("n_sensitive") <= r.getAs[Long]("n"))
+    }
+  }
 }

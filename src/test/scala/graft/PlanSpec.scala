@@ -678,4 +678,19 @@ class PlanSpec extends AnyFunSuite {
       "the audited kNN bucket join must stay keyed")
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("u3 unpivot is one Expand over ONE lineitem scan, not four scans") {
+    val p = plan("u3_unpivot")
+    assert(p.contains("Expand"), p.take(1500))
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"melt must not rescan per metric:\n${p.take(2000)}")
+  }
+
+  test("a21 autocorrelation windows share one event_type exchange; no SinglePartition") {
+    val p = plan("a21_autocorrelation")
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    // daily agg shuffle + (type) window exchange + final sort only
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"the two window passes must share the event_type exchange:\n${p.take(2500)}")
+  }
 }
