@@ -204,6 +204,8 @@ object SparkEntry {
     "a21_autocorrelation" -> (Analytics.autocorrelation _),
     "u3_unpivot" -> (Fact.unpivotMetrics _),
     "priv1_k_anonymity" -> (graft.ops.Privacy.kAnonymityAudit _),
+    "leak1_split_leakage" -> (graft.ops.Curation.splitLeakage _),
+    "a22_dow_profile" -> (Analytics.dowProfile _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -723,5 +725,7 @@ object SparkEntry {
     "a21_autocorrelation" -> Analytics.autocorrelationOracle,
     "u3_unpivot" -> Fact.unpivotMetricsOracle,
     "priv1_k_anonymity" -> graft.ops.Privacy.kAnonymityAuditOracle,
+    "leak1_split_leakage" -> graft.ops.Curation.splitLeakageOracle,
+    "a22_dow_profile" -> Analytics.dowProfileOracle,
   )
 }

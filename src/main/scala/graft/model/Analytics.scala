@@ -1203,4 +1203,55 @@ object Analytics {
       |       CASE WHEN den <> 0 THEN num2 / den END AS acf2,
       |       CASE WHEN den <> 0 THEN num3 / den END AS acf3
       |FROM agg ORDER BY event_type""".stripMargin
+
+  /** a22 — day-of-week seasonality profile with an exact uniformity
+    * statistic: per (type, dow) the observed count, share, and the
+    * cross-multiplied deviation dev7 = 7·obs − total (integer-exact;
+    * zero iff perfectly uniform), plus the type's χ² against the
+    * uniform null as Σ dev7² / (7·total) — algebraically identical to
+    * Σ(obs−E)²/E with E = total/7, but every intermediate is an
+    * integer and the lone division happens once. The χ² rides a
+    * full-frame window over the ≤7-row-per-type aggregate, sharing the
+    * single event_type exchange. A weekday with zero events has no row,
+    * but its null-hypothesis term (0−E)²/E = total²/(7·total) is still
+    * owed — added as (7 − days_present)·total², so χ² is the true
+    * 7-cell statistic (spec pins a missing-Sunday fixture to 1.0). */
+  def dowProfile(s: SparkSession, d: String): DataFrame =
+    dowProfileOf(Tables.events(s, d))
+
+  /** [[dowProfile]] over an explicit events frame. */
+  def dowProfileOf(events: DataFrame): DataFrame = {
+    val byDow = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("obs"))
+    val w = Window.partitionBy("event_type")
+    byDow
+      .withColumn("total", sum(col("obs")).over(w))
+      .withColumn("dev7", col("obs") * 7 - col("total"))
+      .withColumn("share", col("obs") / col("total"))
+      .withColumn("chi2",
+        (sum(col("dev7") * col("dev7")).over(w) +
+          (lit(7L) - count(lit(1)).over(w)) * col("total") * col("total"))
+          / (col("total") * 7.0))
+      .orderBy("event_type", "dow")
+  }
+
+  val dowProfileOracle: String =
+    """WITH byd AS (
+      |  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+      |         count(*) AS obs
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY event_type, dow),
+      |t AS (
+      |  SELECT event_type, dow, obs,
+      |         CAST(sum(obs) OVER w AS BIGINT) AS total,
+      |         CAST(obs * 7 - sum(obs) OVER w AS BIGINT) AS dev7
+      |  FROM byd WINDOW w AS (PARTITION BY event_type))
+      |SELECT event_type, dow, obs, total, dev7,
+      |       obs / total AS share,
+      |       (CAST(sum(dev7 * dev7) OVER (PARTITION BY event_type) AS BIGINT)
+      |        + (7 - count(*) OVER (PARTITION BY event_type)) * total * total)
+      |         / (total * 7.0) AS chi2
+      |FROM t ORDER BY event_type, dow""".stripMargin
 }

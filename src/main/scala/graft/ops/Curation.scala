@@ -128,4 +128,59 @@ object Curation {
        |FROM q LEFT JOIN canon c ON md5(q.text) = c.m
        |LEFT JOIN shared sh ON q.doc_id = sh.doc_id
        |ORDER BY q.doc_id""".stripMargin
+
+  /** leak1 — NEAR-duplicate split leakage: test documents whose
+    * near-duplicate (MinHash-verified, J ≥ threshold) lives in the
+    * TRAIN split. Exact-match decontamination (tx9) misses these —
+    * an eval answer paraphrased into a training page still leaks — so
+    * this is the audit serious eval hygiene runs on top of the split.
+    *
+    * Shape: the dd2 pair pipeline unchanged (banded keyed shuffles),
+    * then the split of each endpoint computed INLINE from the stable
+    * doc-id hash (the tx5 bucket function) — a pure expression on the
+    * pair set, no join back to the corpus — and one aggregation per
+    * leaked test doc. Cost beyond dd2 is one scan of the (small)
+    * verified-pair set. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame =
+    splitLeakageOf(Tables.documents(s, d))
+
+  /** [[splitLeakage]] over an explicit documents frame. */
+  def splitLeakageOf(docs: DataFrame): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) =
+      when(pmod(md5Hash60(c.cast("string"), 7), lit(100L)) < 90, "train")
+        .otherwise("test")
+    val pairs = Dedup.minhashLshPairsUnsorted(docs,
+        "doc_id", "text", Dedup.JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        splitOf(col("doc_a")).as("split_a"), splitOf(col("doc_b")).as("split_b"))
+    val ab = pairs.filter(col("split_a") === "test" && col("split_b") === "train")
+      .select(col("doc_a").as("test_doc"), col("jaccard"))
+    val ba = pairs.filter(col("split_b") === "test" && col("split_a") === "train")
+      .select(col("doc_b").as("test_doc"), col("jaccard"))
+    ab.unionByName(ba)
+      .groupBy("test_doc")
+      .agg(count(lit(1)).as("n_train_neardups"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy("test_doc")
+  }
+
+  lazy val splitLeakageOracle: String =
+    s"""WITH p AS (
+       |${Dedup.minhashLshOracle}
+       |),
+       |sp AS (
+       |  SELECT doc_a, doc_b, jaccard,
+       |    CASE WHEN ('0x' || substr(md5('7' || ':' || CAST(doc_a AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+       |         THEN 'train' ELSE 'test' END AS split_a,
+       |    CASE WHEN ('0x' || substr(md5('7' || ':' || CAST(doc_b AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+       |         THEN 'train' ELSE 'test' END AS split_b
+       |  FROM p),
+       |l AS (
+       |  SELECT doc_a AS test_doc, jaccard FROM sp
+       |  WHERE split_a = 'test' AND split_b = 'train'
+       |  UNION ALL
+       |  SELECT doc_b, jaccard FROM sp
+       |  WHERE split_b = 'test' AND split_a = 'train')
+       |SELECT test_doc, count(*) AS n_train_neardups, max(jaccard) AS max_jaccard
+       |FROM l GROUP BY test_doc ORDER BY test_doc""".stripMargin
 }

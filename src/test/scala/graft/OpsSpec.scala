@@ -1689,6 +1689,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rl1 blocked pair set equals per-nation brute force lev<=1 exactly") {
+    val cust = graft.Tables.customer(spark, sf)
+    val got = graft.ops.Linkage.recordLinkageOf(cust)
+      .select("clean_id", "dirty_id").as[(Long, Long)].collect().toSet
+    val clean = cust.select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .as[(Long, String, Int)].collect()
+    val dirty = graft.ops.Linkage.dirtyRegistryOf(cust)
+      .as[(Long, String, Int)].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (cid, cn, cnk) <- clean; (did, dn, dnk) <- dirty
+      if cnk == dnk && lev(cn, dn) <= 1
+    } yield (cid, did)).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
   test("kmv1: below k the sketch IS the exact set — union/intersect/jaccard exact") {
     // srcA: shingles from "t1..t6" stream; srcB overlaps on a suffix;
     // srcC disjoint. All well under k=64 distinct trigrams.
@@ -1764,6 +1788,46 @@ class OpsSpec extends AnyFunSuite {
     val den = d0.map(x => x * x).sum
     assert(got == ((n, sTot, den, num(1), num(2), num(3))))
     assert(num(1) < 0 && num(2) > 0, "alternating series signs")
+  }
+
+  test("leak1 catches a planted cross-split near-dup and only that") {
+    // find one id in each split under the tx5 bucket function, give
+    // them near-identical text; a third doc is unrelated
+    import graft.functions.Functions.md5Hash60
+    val ids = (1L to 200L).toDF("doc_id")
+      .withColumn("b", pmod(md5Hash60(col("doc_id").cast("string"), 7), lit(100L)))
+    val trainId = ids.filter(col("b") < 90).select("doc_id").as[Long].head()
+    val testId = ids.filter(col("b") >= 90).select("doc_id").as[Long].head()
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (trainId, base + " extra", "en", "s", 1L),
+      (testId, base + " other", "en", "s", 1L),
+      (999999L, (100 to 140).map(i => s"zz$i").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.Curation.splitLeakageOf(docs).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("test_doc") == testId)
+    assert(got.head.getAs[Long]("n_train_neardups") == 1L)
+    assert(got.head.getAs[Double]("max_jaccard") >= 0.5)
+  }
+
+  test("a22 dow profile: uniform week has dev7=0/chi2=0; a missing day contributes total²") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 10:00:00")
+    // type 'u': one event each day Mon..Sun (Jan 1 2024 = Monday) → uniform
+    // type 'm': one event Mon..Sat only (6 days, Sunday missing)
+    val ev = ((1 to 7).map(dd => (dd.toLong, ts(dd), 1L, "u", 1.0, "{}")) ++
+      (1 to 6).map(dd => (100L + dd, ts(dd), 1L, "m", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.dowProfileOf(ev).collect()
+    val u = got.filter(_.getAs[String]("event_type") == "u")
+    assert(u.length == 7 && u.forall(_.getAs[Long]("dev7") == 0L))
+    assert(u.forall(_.getAs[Double]("chi2") == 0.0))
+    val m = got.filter(_.getAs[String]("event_type") == "m")
+    assert(m.length == 6)
+    // present days: dev7 = 7·1 − 6 = 1; the missing Sunday owes its
+    // (0−E)²/E term via (7−6)·total², so χ² = (6·1² + 6²)/(7·6) = 1
+    assert(m.forall(_.getAs[Long]("dev7") == 1L))
+    assert(math.abs(m.head.getAs[Double]("chi2") - 1.0) < 1e-15)
   }
 
   test("priv1 accounts for every customer and flags agree with the counts") {
