@@ -314,6 +314,18 @@ object ScaleProbe {
         graft.ops.Similarity.pqTopKOf(emb6).count()
       }
       graft.ops.Materialize.releaseAll(spark)
+      // rl1: the FastSS blocking keys inherit the near-unique low
+      // digits, so candidates and links must both grow ∝ n (copies
+      // shift keys by 11M — two digit positions apart, so a single
+      // 'x' substitution can never bridge copies and the true link
+      // structure is per-copy by construction). The pre-fix left-half
+      // blocking measured 21 s at 1× — this curve guards the rewrite.
+      val cust = replicatedCustomer(spark, sfDir, n).localCheckpoint(true)
+      val nCust = cust.count()
+      val (tRl, rlLinks) = time {
+        graft.ops.Linkage.recordLinkageOf(cust).count()
+      }
+      graft.ops.Materialize.releaseAll(spark)
       println(f"""{"factor":$n,"docs":$nDocs,"lsh_sec":$tLsh%.2f,"pairs":$pairs,""" +
         f""""cluster_sec":$tCluster%.2f,"labeled":$clusters,""" +
         f""""pack_sec":$tPack%.2f,"packed":$packed,""" +
@@ -339,7 +351,8 @@ object ScaleProbe {
         f""""blame_sec":$tBlame%.2f,"blame_sum":$blameSum,""" +
         f""""kmv_sec":$tKmv%.2f,"kmv_pairs":$kmvPairs,""" +
         f""""bpe_sec":$tBpe%.2f,"bpe_sum":$bpeSum,""" +
-        f""""pq_sec":$tPq%.2f,"pq_rows":$pqRows}""")
+        f""""pq_sec":$tPq%.2f,"pq_rows":$pqRows,""" +
+        f""""cust":$nCust,"rl_sec":$tRl%.2f,"rl_links":$rlLinks}""")
     }
     spark.stop()
   }
@@ -359,6 +372,23 @@ object ScaleProbe {
     * each copy carries the base corpus's per-order supplier sets and
     * the q21a probe volumes grow linearly on an unchanged per-key
     * fanout). */
+  /** Customers replicate with RE-DERIVED names ('Customer#%09d' of the
+    * shifted key), keeping the 18-char shape rl1's corruption rules and
+    * blocking positions assume. The 11M stride makes any two copies'
+    * digit strings differ in ≥2 positions, and the corruption alphabet
+    * ('x', never a digit) cannot close that gap — so cross-copy
+    * lev ≤ 1 links are impossible and the true link set is exactly the
+    * per-copy union. */
+  def replicatedCustomer(s: SparkSession, d: String, n: Int): DataFrame = {
+    val base = Tables.customer(s, d)
+    (0 until n).map { i =>
+      val key = col("c_custkey") + lit(i.toLong * 11_000_000L)
+      base.select(key.as("c_custkey"),
+        format_string("Customer#%09d", key).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }.reduce(_ unionByName _)
+  }
+
   def replicatedLineitem(s: SparkSession, d: String, n: Int): DataFrame = {
     val base = Tables.lineitem(s, d)
     (0 until n).map { i =>

@@ -206,6 +206,8 @@ object SparkEntry {
     "priv1_k_anonymity" -> (graft.ops.Privacy.kAnonymityAudit _),
     "leak1_split_leakage" -> (graft.ops.Curation.splitLeakage _),
     "a22_dow_profile" -> (Analytics.dowProfile _),
+    "smp3_negative_sampling" -> (graft.ops.Sampling.negativeSampling _),
+    "a23_trimmed_stats" -> (Analytics.trimmedStats _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -727,5 +729,7 @@ object SparkEntry {
     "priv1_k_anonymity" -> graft.ops.Privacy.kAnonymityAuditOracle,
     "leak1_split_leakage" -> graft.ops.Curation.splitLeakageOracle,
     "a22_dow_profile" -> Analytics.dowProfileOracle,
+    "smp3_negative_sampling" -> graft.ops.Sampling.negativeSamplingOracle,
+    "a23_trimmed_stats" -> Analytics.trimmedStatsOracle,
   )
 }

@@ -1254,4 +1254,53 @@ object Analytics {
       |        + (7 - count(*) OVER (PARTITION BY event_type)) * total * total)
       |         / (total * 7.0) AS chi2
       |FROM t ORDER BY event_type, dow""".stripMargin
+
+  /** a23 — rank-trimmed robust statistics: per priority, drop the
+    * lowest and highest 10% of orders BY RANK (row_number over the
+    * unique (cents, orderkey) order — integer-exact trim boundaries,
+    * never an interpolated percentile both engines could render
+    * differently) and profile what's left. Complements a18's
+    * median/MAD (which bounds influence) with the trimmed mean (which
+    * removes it) — the robust location estimate reporting pipelines
+    * quote when a handful of whale orders shouldn't move the average.
+    * Shape: one priority-keyed window pass (the a16/w5 class — the
+    * partition count is the priority domain; acceptable because the
+    * per-group sort is the operator's contract), then a hash
+    * aggregation; trimmed_avg is the single division. */
+  def trimmedStats(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority").as("priority"),
+      cents(col("o_totalprice")).as("cents"), col("o_orderkey"))
+    val w = Window.partitionBy("priority").orderBy("cents", "o_orderkey")
+    val wAll = Window.partitionBy("priority")
+    val t = o.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val trim = (col("n") / 10L).cast("long")
+    t.filter(col("rn") > trim && col("rn") <= col("n") - trim)
+      .groupBy("priority")
+      .agg(max(col("n")).as("n_total"), count(lit(1)).as("n_kept"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+      .withColumn("trimmed_avg", col("sum_cents") / col("n_kept") / 100.0)
+      .orderBy("priority")
+  }
+
+  val trimmedStatsOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS priority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |         o_orderkey
+      |  FROM orders),
+      |t AS (
+      |  SELECT priority, cents,
+      |         CAST(row_number() OVER (PARTITION BY priority
+      |           ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+      |         CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+      |  FROM o)
+      |SELECT priority, max(n) AS n_total, count(*) AS n_kept,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       min(cents) AS lo_cents, max(cents) AS hi_cents,
+      |       CAST(sum(cents) AS BIGINT) / count(*) / 100.0 AS trimmed_avg
+      |FROM t WHERE rn > n // 10 AND rn <= n - n // 10
+      |GROUP BY priority ORDER BY priority""".stripMargin
 }

@@ -29,16 +29,18 @@ import graft.functions.Functions
   */
 object Eval {
 
-  /** Severity-class bucketing on integer cents (crit/high/med/low). */
-  private def bucket(cents: Column): Column =
+  /** Severity-class bucketing on integer cents (crit/high/med/low).
+    * Public: the streaming confusion twin applies the same classifier. */
+  def bucketCents(cents: Column): Column =
     when(cents >= 40000L, "crit")
       .when(cents >= 25000L, "high")
       .when(cents >= 10000L, "med")
       .otherwise("low")
 
-  /** Deterministic "model score": true cents + stable signed md5 noise
-    * in [-10000, 10000] keyed by event_id (seed 11). */
-  private def predictedCents(idCol: Column): Column =
+  /** Deterministic "model score" noise: stable signed md5 offset in
+    * [-10000, 10000] keyed by event_id (seed 11); the score is the true
+    * cents plus this. Public for the streaming twin. */
+  def scoreNoise(idCol: Column): Column =
     pmod(Functions.md5Hash60(idCol.cast("string"), 11), lit(20001L)) - lit(10000L)
 
   private def scored(s: SparkSession, d: String): DataFrame = {
@@ -48,7 +50,7 @@ object Eval {
       .select(
         col("event_id"), col("user_id"), col("event_type"),
         cents.as("cents"),
-        (cents + predictedCents(col("event_id"))).as("pred_cents"))
+        (cents + scoreNoise(col("event_id"))).as("pred_cents"))
   }
 
   private val scoredSql: String =
@@ -69,8 +71,8 @@ object Eval {
     * shuffle is O(executors), not O(rows) — the right shape at any SF. */
   def confusionMatrix(s: SparkSession, d: String): DataFrame =
     scored(s, d)
-      .select(bucket(col("cents")).as("actual"),
-        bucket(col("pred_cents")).as("predicted"))
+      .select(bucketCents(col("cents")).as("actual"),
+        bucketCents(col("pred_cents")).as("predicted"))
       .groupBy("actual", "predicted")
       .agg(count(lit(1)).as("n"))
       .orderBy("actual", "predicted")
@@ -89,8 +91,8 @@ object Eval {
     * one axis surface with 0s via the full outer join, not silently. */
   def classMetrics(s: SparkSession, d: String): DataFrame = {
     val cells = scored(s, d)
-      .select(bucket(col("cents")).as("actual"),
-        bucket(col("pred_cents")).as("predicted"))
+      .select(bucketCents(col("cents")).as("actual"),
+        bucketCents(col("pred_cents")).as("predicted"))
       .groupBy("actual", "predicted")
       .agg(count(lit(1)).as("n"))
     val byActual = cells.groupBy(col("actual").as("cls"))

@@ -495,4 +495,23 @@ object Streams {
       v(col("props").isNull ||
         !col("props").contains("\"k\": ")).as("props_has_k"))
   }
+
+  /** Streaming confusion matrix — the clf1 twin: the identical
+    * md5-scored severity classifier applied to the live (event_id,
+    * value) stream, aggregated into per-(actual, predicted) counters.
+    * State is one long per matrix cell — bounded by the square of the
+    * class domain (16 cells here), never the stream length — and the
+    * cells are additive, so batch boundaries are invisible and the
+    * final matrix equals the batch clf1 over the union of batches
+    * (spec-pinned). Run with Complete/Update output; the batch parity
+    * makes drift against an offline evaluation directly diffable. */
+  def confusionStream(scored: DataFrame): DataFrame = {
+    val cents = graft.functions.Functions.cents(col("value"))
+    val pred = cents + graft.ops.Eval.scoreNoise(col("event_id"))
+    scored.filter(col("value").isNotNull)
+      .select(graft.ops.Eval.bucketCents(cents).as("actual"),
+        graft.ops.Eval.bucketCents(pred).as("predicted"))
+      .groupBy("actual", "predicted")
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -1713,6 +1713,44 @@ class OpsSpec extends AnyFunSuite {
       s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
   }
 
+  test("smp3 negatives are never positives, capped at k, and partition-invariant") {
+    val got = graft.ops.Sampling.negativeSampling(spark, sf)
+    val rows = got.collect()
+    val pos = graft.Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect().toSet
+    rows.foreach { r =>
+      assert(!pos.contains((r.getAs[Long]("l_suppkey"),
+        r.getAs[Long]("neg_partkey"))),
+        s"negative is a positive: $r")
+      assert(r.getAs[Long]("rank") >= 1L && r.getAs[Long]("rank") <= 3L)
+    }
+    // per-positive counts never exceed k (fewer only when draws collide
+    // with the dense positive set — legal and deterministic)
+    val perPair = rows.groupBy(r =>
+      (r.getAs[Long]("l_suppkey"), r.getAs[Long]("l_partkey")))
+    assert(perPair.values.forall(_.length <= 3))
+    // hash-derived draws are partitioning-independent: 17-way
+    // repartitioned input produces the identical sample
+    val repart = graft.ops.Sampling.negativeSamplingOf(
+      graft.Tables.lineitem(spark, sf).repartition(17),
+      graft.Tables.part(spark, sf).repartition(3))
+    assert(repart.collect().map(_.toString).sorted
+      .sameElements(rows.map(_.toString).sorted))
+  }
+
+  test("a23 trims exactly floor(n/10) per side and the kept range brackets the mean") {
+    val rows = graft.model.Analytics.trimmedStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_total"); val kept = r.getAs[Long]("n_kept")
+      assert(kept == n - 2 * (n / 10), r.toString)
+      val avg = r.getAs[Double]("trimmed_avg")
+      assert(avg * 100 >= r.getAs[Long]("lo_cents") &&
+        avg * 100 <= r.getAs[Long]("hi_cents"))
+    }
+  }
+
   test("kmv1: below k the sketch IS the exact set — union/intersect/jaccard exact") {
     // srcA: shingles from "t1..t6" stream; srcB overlaps on a suffix;
     // srcC disjoint. All well under k=64 distinct trigrams.

@@ -679,6 +679,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("smp3 rejection is a keyed LEFT ANTI; keep-first-k pushes down as WindowGroupLimit") {
+    val p = plan("smp3_negative_sampling")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    // rank<=k prunes per-group input BEFORE the full window sort
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    // the window itself is keyed on the (supplier, part) pair
+    assert(p.contains("hashpartitioning(l_suppkey"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("u3 unpivot is one Expand over ONE lineitem scan, not four scans") {
     val p = plan("u3_unpivot")
     assert(p.contains("Expand"), p.take(1500))

@@ -524,6 +524,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(byType("view").n == 1 && byType("view").sum == 5.0)
   }
 
+  test("confusion stream (clf1 twin): cells accumulate across batches and equal the batch matrix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Option[Double])]
+    val df = input.toDF().toDF("event_id", "value")
+    val q = Streams.confusionStream(df)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("clf_stream").start()
+    val b1 = Seq((1L, Some(450.0)), (2L, Some(300.0)), (3L, Some(50.0)))
+    val b2 = Seq((4L, Some(120.0)), (5L, None), (6L, Some(50.0)))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("clf_stream")
+      .as[(String, String, Long)].collect().toSet
+    // batch clf1 logic over the union of both batches
+    val cents = graft.functions.Functions.cents(col("value"))
+    val pred = cents + graft.ops.Eval.scoreNoise(col("event_id"))
+    val batch = (b1 ++ b2).toDF("event_id", "value")
+      .filter(col("value").isNotNull)
+      .select(graft.ops.Eval.bucketCents(cents).as("actual"),
+        graft.ops.Eval.bucketCents(pred).as("predicted"))
+      .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.toSeq.map(_._3).sum == 5, "null value row excluded")
+  }
+
   test("constraint-audit stream: counters accumulate across batches and match the batch rules (dq1 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
