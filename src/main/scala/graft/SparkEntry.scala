@@ -208,6 +208,8 @@ object SparkEntry {
     "a22_dow_profile" -> (Analytics.dowProfile _),
     "smp3_negative_sampling" -> (graft.ops.Sampling.negativeSampling _),
     "a23_trimmed_stats" -> (Analytics.trimmedStats _),
+    "w12_interval_union" -> (Analytics.intervalUnion _),
+    "av1_sync_audit" -> (Multimodal.avSyncQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -731,5 +733,7 @@ object SparkEntry {
     "a22_dow_profile" -> Analytics.dowProfileOracle,
     "smp3_negative_sampling" -> graft.ops.Sampling.negativeSamplingOracle,
     "a23_trimmed_stats" -> Analytics.trimmedStatsOracle,
+    "w12_interval_union" -> Analytics.intervalUnionOracle,
+    "av1_sync_audit" -> Multimodal.avSyncOracle,
   )
 }

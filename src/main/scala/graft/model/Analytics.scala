@@ -1303,4 +1303,75 @@ object Analytics {
       |       CAST(sum(cents) AS BIGINT) / count(*) / 100.0 AS trimmed_avg
       |FROM t WHERE rn > n // 10 AND rn <= n - n // 10
       |GROUP BY priority ORDER BY priority""".stripMargin
+
+  /** w12 — per-user interval UNION (Allen-algebra busy-time
+    * accounting): each event opens a variable-length interval
+    * [ts, ts + cents(value) seconds); overlapping or touching
+    * intervals merge, and the answer is the number of merged busy
+    * blocks and total busy seconds per user. This is NOT w2's gap
+    * sessionization — with variable durations an event can fall
+    * inside a long predecessor's interval while starting far from the
+    * predecessor's start, so the merge condition must compare against
+    * the running MAX END of all prior intervals (the dd13 span-merge
+    * algorithm applied to the time axis). One user-keyed window pass
+    * (running max end on the strictly-prior frame → new-block flag →
+    * running block id) + two keyed aggregations; every quantity an
+    * exact integer second on second-truncated timestamps. */
+  def intervalUnion(s: SparkSession, d: String): DataFrame =
+    intervalUnionOf(Tables.events(s, d))
+
+  /** [[intervalUnion]] over an explicit events frame. */
+  def intervalUnionOf(events: DataFrame): DataFrame = {
+    val iv = events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("start"),
+        (unix_timestamp(date_trunc("second", col("ts")))
+          + cents(col("value"))).as("end"))
+    val w = Window.partitionBy("user_id").orderBy("start", "event_id")
+    val prevEnd = max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = iv.withColumn("new_block",
+      when(prevEnd.isNull || col("start") > prevEnd, 1L).otherwise(0L))
+    val blocks = flagged
+      .withColumn("block",
+        sum(col("new_block")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "block")
+      .agg(count(lit(1)).as("n_ev"), min(col("start")).as("bstart"),
+        max(col("end")).as("bend"))
+    blocks.groupBy("user_id")
+      .agg(sum(col("n_ev")).as("n_events"),
+        count(lit(1)).as("n_busy_blocks"),
+        sum(col("bend") - col("bstart")).as("busy_seconds"))
+      .orderBy("user_id")
+  }
+
+  val intervalUnionOracle: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id,
+      |         epoch(date_trunc('second', ts)) AS s,
+      |         epoch(date_trunc('second', ts))
+      |           + CAST(round(value * 100) AS BIGINT) AS e
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |flagged AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |           OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS new_block,
+      |    event_id
+      |  FROM iv),
+      |blk AS (
+      |  SELECT user_id, s, e,
+      |    CAST(sum(new_block) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS block
+      |  FROM flagged),
+      |b AS (
+      |  SELECT user_id, block, count(*) AS n_ev,
+      |         min(s) AS bstart, max(e) AS bend
+      |  FROM blk GROUP BY user_id, block)
+      |SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+      |       count(*) AS n_busy_blocks,
+      |       CAST(sum(bend - bstart) AS BIGINT) AS busy_seconds
+      |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin
 }

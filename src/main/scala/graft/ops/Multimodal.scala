@@ -942,6 +942,125 @@ object Multimodal {
        |ORDER BY video_id, frame_idx""".stripMargin
   }
 
+  /** Fixture timebases for [[avSyncQuery]]: 25 fps video (40 ms/frame)
+    * against 8 kHz / 256-sample audio frames (32 ms/frame), and the
+    * sync tolerance (±48 ms ≈ the broadcast lip-sync acceptability
+    * bound). Exact integer milliseconds on both timelines. */
+  val VideoFrameMs = 40L
+  val AudioFrameMs = 32L
+  val SyncToleranceMs = 48L
+
+  /** av1 — cross-modal A/V sync audit: every video shot boundary
+    * (mm10's cut flag) matched to the NEAREST audio onset (mm7) of the
+    * paired track, with the signed-free millisecond offset and an
+    * in-sync flag. This is the alignment check a multimodal curation
+    * pipeline runs before trusting video+audio pairs as training
+    * examples — desynced files poison contrastive A/V objectives.
+    *
+    * Shape: both feature streams come out of their narrow decode
+    * stages exactly as mm10/mm7 produce them (no new decode path);
+    * the nearest-match is a keyed equi join on the clip↔track pairing
+    * followed by ONE struct-min argmin per cut — never a global sort,
+    * never a cross join of timelines. Cuts and onsets are sparse
+    * (O(scenes) and O(transients) per asset), so the join block per
+    * key is tiny at any corpus size. */
+  def avSyncQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.expressions.Window
+    val vids = s.createDataset(fixtureVideo())(Encoders.product[Video])
+      .repartition(2)
+    val cuts = vids.mapPartitions(_.flatMap(frameDiffs))(
+        Encoders.product[FrameDiff])
+      .toDF().filter(col("is_cut"))
+      .select(col("video_id"), col("frame_idx").as("cut_frame"),
+        (col("frame_idx") * VideoFrameMs).as("cut_ms"))
+    val media = s.createDataset(fixtureAudio().map {
+      case (id, b) => Media(id, b, b.length) })(
+      Encoders.product[Media]).repartition(2)
+    val w = Window.partitionBy("track_id").orderBy("frame_idx")
+    val onsets = audioFramesAll(media).toDF()
+      .withColumn("prev_energy", lag(col("energy"), 1).over(w))
+      .filter(col("prev_energy").isNull ||
+        abs(col("energy") - col("prev_energy")) * OnsetDen >=
+          col("prev_energy") * OnsetNum)
+      .select(col("track_id"), col("frame_idx").as("onset_frame"),
+        (col("frame_idx") * AudioFrameMs).as("onset_ms"))
+    cuts.join(onsets, col("video_id") === col("track_id"))
+      .withColumn("delta_ms", abs(col("cut_ms") - col("onset_ms")))
+      .groupBy("video_id", "cut_frame", "cut_ms")
+      .agg(min(struct(col("delta_ms"), col("onset_ms"),
+        col("onset_frame"))).as("b"))
+      .select(col("video_id"), col("cut_frame"), col("cut_ms"),
+        col("b.onset_frame").as("onset_frame"),
+        col("b.onset_ms").as("onset_ms"),
+        col("b.delta_ms").as("delta_ms"),
+        when(col("b.delta_ms") <= SyncToleranceMs, 1L).otherwise(0L)
+          .as("in_sync"))
+      .orderBy("video_id", "cut_frame")
+  }
+
+  /** DuckDB replay of av1: the mm10 diff CTE (cuts via HAVING), the
+    * mm7 onset CTE, the same pairing join, argmin via the identical
+    * (delta, onset_ms) order. */
+  val avSyncOracle: String = {
+    val dims = videoDims.map { case (id, w, h, nf) => s"($id, $w, $h, $nf)" }
+      .mkString(", ")
+    val tracks = audioTrackLens
+      .map { case (t, n) => s"($t, $n)" }.mkString(", ")
+    val k = SceneFrames
+    def pix(fe: String) =
+      s"((x*(3+($fe)//$k) + y*(7+2*(($fe)//$k)) + (($fe)//$k)*37) % 200 + (($fe) % $k))"
+    s"""WITH dims(video_id, w, h, nf) AS (VALUES $dims),
+       |px AS (
+       |  SELECT video_id, w, h, fs.f, xs.x, ys.y
+       |  FROM dims,
+       |    LATERAL unnest(generate_series(1, nf - 1)) AS fs(f),
+       |    LATERAL unnest(generate_series(0, w - 1)) AS xs(x),
+       |    LATERAL unnest(generate_series(0, h - 1)) AS ys(y)),
+       |dd AS (SELECT video_id, w, h, f,
+       |         abs(${pix("f")} - ${pix("f - 1")}) AS ad
+       |       FROM px),
+       |cuts AS (
+       |  SELECT CAST(video_id AS BIGINT) AS video_id,
+       |         CAST(f AS BIGINT) AS cut_frame,
+       |         CAST(f * $VideoFrameMs AS BIGINT) AS cut_ms
+       |  FROM dd GROUP BY video_id, w, h, f
+       |  HAVING sum(ad) > $CutMeanDiff * w * h),
+       |tracks(track_id, n) AS (VALUES $tracks),
+       |s AS (
+       |  SELECT track_id, i,
+       |         ((i*(i+3)*31 + track_id*7919 + i*1009) % 65536) - 32768 AS v
+       |  FROM tracks, unnest(generate_series(0, n - 1)) AS u(i)),
+       |fa AS (
+       |  SELECT track_id, i // $AudioFrameSamples AS frame_idx,
+       |         CAST(sum(v * v) AS BIGINT) AS energy
+       |  FROM s GROUP BY track_id, frame_idx),
+       |l AS (
+       |  SELECT CAST(track_id AS BIGINT) AS track_id,
+       |         CAST(frame_idx AS BIGINT) AS frame_idx, energy,
+       |         lag(energy) OVER (PARTITION BY track_id ORDER BY frame_idx)
+       |           AS prev_energy
+       |  FROM fa),
+       |onsets AS (
+       |  SELECT track_id, frame_idx AS onset_frame,
+       |         CAST(frame_idx * $AudioFrameMs AS BIGINT) AS onset_ms
+       |  FROM l
+       |  WHERE prev_energy IS NULL
+       |     OR abs(energy - prev_energy) * $OnsetDen >= prev_energy * $OnsetNum),
+       |j AS (
+       |  SELECT c.video_id, c.cut_frame, c.cut_ms, o.onset_frame, o.onset_ms,
+       |         abs(c.cut_ms - o.onset_ms) AS delta_ms
+       |  FROM cuts c JOIN onsets o ON c.video_id = o.track_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY video_id, cut_frame
+       |    ORDER BY delta_ms, onset_ms) AS rn
+       |  FROM j)
+       |SELECT video_id, cut_frame, cut_ms, onset_frame, onset_ms, delta_ms,
+       |       CAST(CASE WHEN delta_ms <= $SyncToleranceMs THEN 1 ELSE 0 END
+       |         AS BIGINT) AS in_sync
+       |FROM r WHERE rn = 1 ORDER BY video_id, cut_frame""".stripMargin
+  }
+
   /** mm12 fixture: the mm10 clips plus a 4th that REPLAYS clip 1's
     * scenes 2–3 (same dims, frame offset 8) — the re-upload/clip-reuse
     * case video dedup exists for. (video id, w, h, frames, offset);

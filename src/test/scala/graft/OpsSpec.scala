@@ -1868,6 +1868,60 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(m.head.getAs[Double]("chi2") - 1.0) < 1e-15)
   }
 
+  test("w12 merges an event INSIDE a long predecessor (where gap sessionization splits)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: a 2h interval (value 72.00 → 7200 s), then an event 90 min
+    // later (inside it, 1-min duration), then one 10 s booking starting
+    // exactly at the merged end (touching → merges), then a separate one
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "x", 72.00, "{}"),
+      (2L, ts("2024-01-01 09:30:00"), 1L, "x", 0.60, "{}"),
+      (3L, ts("2024-01-01 10:00:00"), 1L, "x", 0.10, "{}"),
+      (4L, ts("2024-01-01 15:00:00"), 1L, "x", 0.50, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.intervalUnionOf(ev)
+      .select("n_events", "n_busy_blocks", "busy_seconds")
+      .as[(Long, Long, Long)].collect().head
+    // block 1: [08:00, 10:00) ∪ [09:30, 09:31) ∪ [10:00, 10:00:10) →
+    // [08:00, 10:00:10) = 7210 s (event 2 is 5400 s after event 1 —
+    // a 30-min gap rule would have split; the running-max-end merge
+    // doesn't). block 2: 50 s.
+    assert(got == ((4L, 2L, 7260L)), got.toString)
+  }
+
+  test("av1 matches every cut to the true nearest onset with the earliest-tie rule") {
+    import graft.ops.Multimodal
+    val rows = Multimodal.avSyncQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent onset timeline: decode frames, Scala-side lag + filter
+    val media = Multimodal.fixtureAudio().map { case (id, b) =>
+      Multimodal.Media(id, b, b.length) }
+    val frames = media.flatMap(m => Multimodal.pcmFrameFeatures(m).toSeq)
+      .groupBy(_.track_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    val onsetsByTrack = frames.map { case (t, fs) =>
+      t -> fs.zip(None +: fs.map(f => Some(f.energy))).collect {
+        case (f, prev) if prev.isEmpty ||
+          (f.energy - prev.get).abs * Multimodal.OnsetDen >=
+            prev.get * Multimodal.OnsetNum =>
+          f.frame_idx * Multimodal.AudioFrameMs
+      }
+    }
+    rows.foreach { r =>
+      val onsets = onsetsByTrack(r.getAs[Long]("video_id"))
+      val cutMs = r.getAs[Long]("cut_ms")
+      val best = onsets.map(o => ((cutMs - o).abs, o)).min
+      assert(r.getAs[Long]("delta_ms") == best._1, r.toString)
+      assert(r.getAs[Long]("onset_ms") == best._2, s"earliest-tie: $r")
+      assert((r.getAs[Long]("in_sync") == 1L) == (best._1 <= 48L))
+    }
+    // and the cut list is exactly mm10's flagged frames
+    val expectedCuts = Multimodal.fixtureVideo()
+      .flatMap(v => Multimodal.frameDiffs(v).filter(_.is_cut))
+      .map(f => (f.video_id, f.frame_idx)).toSet
+    assert(rows.map(r => (r.getAs[Long]("video_id"),
+      r.getAs[Long]("cut_frame"))).toSet == expectedCuts)
+  }
+
   test("priv1 accounts for every customer and flags agree with the counts") {
     val sf = GraftSpark.sf
     val total = graft.Tables.customer(spark, sf).count()
