@@ -210,6 +210,7 @@ object SparkEntry {
     "a23_trimmed_stats" -> (Analytics.trimmedStats _),
     "w12_interval_union" -> (Analytics.intervalUnion _),
     "av1_sync_audit" -> (Multimodal.avSyncQuery _),
+    "g6_kcore" -> (Graph.kCore _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -735,5 +736,6 @@ object SparkEntry {
     "a23_trimmed_stats" -> Analytics.trimmedStatsOracle,
     "w12_interval_union" -> Analytics.intervalUnionOracle,
     "av1_sync_audit" -> Multimodal.avSyncOracle,
+    "g6_kcore" -> Graph.kCoreOracle(),
   )
 }

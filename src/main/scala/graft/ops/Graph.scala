@@ -294,6 +294,116 @@ object Graph {
       .limit(LinkPredTopK)
   }
 
+  /** k and round bound for the g6 peel. Five rounds suffice for the
+    * fixture corpora at every SF the gate runs (the spec demonstrates
+    * multi-round propagation explicitly); at warehouse scale the bound
+    * is the standard way to cap iterative cost — degeneracy-ordered
+    * peeling converges in O(log n) effective rounds on power-law
+    * graphs, and the converged flag is readable from the output
+    * (no removals in the last round ⟺ removed_round < rounds ∀removed). */
+  val KCoreK = 3
+  val KCoreRounds = 5
+
+  /** g6 — bounded-round k-CORE peel of the kNN graph: iteratively
+    * remove vertices with alive-degree < k; report each vertex's
+    * removal round (NULL = survived all rounds = in the k-core given
+    * convergence). The k-core separates documents in dense mutual-
+    * similarity regions (template families, boilerplate clusters —
+    * what a curation pass prunes hardest) from peripheral content;
+    * it is the classic iterative-peel shape (the same loop structure
+    * as dd7's pointer jumping, with per-round lineage truncation).
+    *
+    * Scale: each round is one keyed degree aggregation + two
+    * alive-filter semi joins, all on vertex/edge keys; the alive set
+    * only shrinks. Rounds materialize via [[Materialize]] so the plan
+    * never grows with the iteration count. */
+  def kCore(s: SparkSession, d: String): DataFrame =
+    kCoreOf(Tables.embeddings(s, d))
+
+  def kCoreOf(emb: DataFrame): DataFrame = {
+    val edges = Materialize(
+      Similarity.knnGraphOf(emb).select("src", "dst"),
+      Materialize.Local, "kcore_edges")
+    kCorePeel(edges, KCoreK, KCoreRounds)
+  }
+
+  /** The peel loop over an explicit directed edge list (canonicalized
+    * to undirected internally). */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val und = Materialize(
+      edges.where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct(),
+      Materialize.Local, "kcore_und")
+    val sym = und.select(col("u"), col("v"))
+      .unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val nodes0 = Materialize(
+      sym.select(col("u").as("vertex")).distinct(),
+      Materialize.Local, "kcore_nodes")
+    var alive = nodes0
+    val removedParts = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val aliveEdges = sym
+        .join(alive.select(col("vertex").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("vertex").as("v")), Seq("v"), "left_semi")
+      val deg = aliveEdges.groupBy(col("u").as("vertex"))
+        .agg(count(lit(1)).as("deg"))
+      val sub = alive.join(deg, Seq("vertex"), "left")
+        .withColumn("deg", coalesce(col("deg"), lit(0L)))
+      removedParts += Materialize(
+        sub.filter(col("deg") < k)
+          .select(col("vertex"), lit(r.toLong).as("removed_round")),
+        Materialize.Local, s"kcore_rem_$r")
+      alive = Materialize(
+        sub.filter(col("deg") >= k).select("vertex"),
+        Materialize.Local, s"kcore_alive_$r")
+    }
+    val removed = removedParts.result().reduce(_ unionByName _)
+    nodes0.join(removed, Seq("vertex"), "left")
+      .select(col("vertex"), col("removed_round"),
+        when(col("removed_round").isNull, 1L).otherwise(0L).as("in_core"))
+      .orderBy("vertex")
+  }
+
+  /** DuckDB replay: the peel unrolled to [[KCoreRounds]] levels — each
+    * level one degree CTE over the previous alive set (a vertex absent
+    * from the degree table has alive-degree 0 and drops, matching the
+    * engine's coalesce-to-0). */
+  def kCoreOracle(): String = {
+    val k = KCoreK
+    val levels = (1 to KCoreRounds).map { r =>
+      val prev = if (r == 1) "a0" else s"a${r - 1}"
+      s"""d$r AS (
+         |  SELECT s.u AS vertex, count(*) AS deg
+         |  FROM sym s JOIN $prev x ON s.u = x.vertex
+         |              JOIN $prev y ON s.v = y.vertex
+         |  GROUP BY s.u),
+         |a$r AS (SELECT a.vertex FROM $prev a JOIN d$r USING (vertex)
+         |        WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    val removedCase = (1 to KCoreRounds)
+      .map(r => s"WHEN a$r.vertex IS NULL THEN $r").mkString(" ")
+    val joins = (1 to KCoreRounds)
+      .map(r => s"LEFT JOIN a$r ON n0.vertex = a$r.vertex").mkString("\n")
+    s"""WITH g AS (
+       |${Similarity.knnGraphOracle()}
+       |),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM g WHERE src <> dst),
+       |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+       |n0 AS (SELECT DISTINCT u AS vertex FROM sym),
+       |a0 AS (SELECT vertex FROM n0),
+       |$levels
+       |SELECT n0.vertex,
+       |       CAST(CASE $removedCase END AS BIGINT) AS removed_round,
+       |       CAST(CASE WHEN a${KCoreRounds}.vertex IS NOT NULL
+       |            THEN 1 ELSE 0 END AS BIGINT) AS in_core
+       |FROM n0
+       |$joins
+       |ORDER BY n0.vertex""".stripMargin
+  }
+
   def linkPredictionOracle(): String =
     s"""WITH g AS (
        |${Similarity.knnGraphOracle()}

@@ -1922,6 +1922,29 @@ class OpsSpec extends AnyFunSuite {
       r.getAs[Long]("cut_frame"))).toSet == expectedCuts)
   }
 
+  test("g6 peel removes a chain wave by wave and keeps the clique core") {
+    // 4-clique {1,2,3,4} (3-core) with a tail 4-5-6-7: at k=2 the tail
+    // peels one vertex per round from the free end — the multi-round
+    // propagation a single degree filter cannot express
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val tail = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (clique ++ tail).toDF("src", "dst")
+    val got = graft.ops.Graph.kCorePeel(edges, k = 2, rounds = 5)
+      .collect()
+      .map(r => r.getAs[Long]("vertex") ->
+        (Option(r.getAs[java.lang.Long]("removed_round")).map(_.toLong),
+          r.getAs[Long]("in_core"))).toMap
+    assert(got(7L) == ((Some(1L), 0L)), got.toString) // degree 1 → round 1
+    assert(got(6L) == ((Some(2L), 0L)))               // exposed after 7 leaves
+    assert(got(5L) == ((Some(3L), 0L)))               // exposed after 6 leaves
+    (1L to 4L).foreach(v => assert(got(v) == ((None, 1L)), s"clique $v"))
+    // at k=3 the whole tail AND nothing of the clique survives
+    val g3 = graft.ops.Graph.kCorePeel(edges, k = 3, rounds = 5)
+      .filter(col("in_core") === 1L)
+      .select("vertex").as[Long].collect().toSet
+    assert(g3 == Set(1L, 2L, 3L, 4L))
+  }
+
   test("priv1 accounts for every customer and flags agree with the counts") {
     val sf = GraftSpark.sf
     val total = graft.Tables.customer(spark, sf).count()
