@@ -211,6 +211,8 @@ object SparkEntry {
     "w12_interval_union" -> (Analytics.intervalUnion _),
     "av1_sync_audit" -> (Multimodal.avSyncQuery _),
     "g6_kcore" -> (Graph.kCore _),
+    "inc2_join_maintenance" -> (graft.ops.Incremental.joinMaintenance _),
+    "tx31_lang_mixture" -> (TextStats.langMixture _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -737,5 +739,7 @@ object SparkEntry {
     "w12_interval_union" -> Analytics.intervalUnionOracle,
     "av1_sync_audit" -> Multimodal.avSyncOracle,
     "g6_kcore" -> Graph.kCoreOracle(),
+    "inc2_join_maintenance" -> graft.ops.Incremental.joinMaintenanceOracle,
+    "tx31_lang_mixture" -> TextStats.langMixtureOracle,
   )
 }

@@ -78,4 +78,51 @@ object Incremental {
        |JOIN nation n ON c.c_nationkey = n.n_nationkey
        |GROUP BY 1, 2
        |ORDER BY nation, priority""".stripMargin
+
+  /** inc2 — delta-JOIN view maintenance: a materialized join view
+    * V = O ⋈ C refreshed under inserts to BOTH sides without
+    * rejoining the old data against itself:
+    *   V_new = O₀⋈C₀ (standing) ∪ ΔO⋈C₀ ∪ O₀⋈ΔC ∪ ΔO⋈ΔC
+    * — the textbook bilinear delta rule. The orders delta is the
+    * batch boundary ([[SplitDate]]); the customer delta simulates
+    * late-arriving dimension rows (custkey ≡ 0 mod 10). The engine
+    * computes the four-term union and aggregates it; the DuckDB
+    * oracle joins the FULL tables from scratch — the hash match is
+    * the algebra proof that the three delta terms are exactly the
+    * new rows. At 100 TB the standing term is the stored view (never
+    * recomputed); each refresh pays |Δ|-sized joins, with the
+    * delta sides broadcast when small. */
+  def joinMaintenance(s: SparkSession, d: String): DataFrame =
+    joinMaintenanceOf(Tables.orders(s, d), Tables.customer(s, d))
+
+  def joinMaintenanceOf(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      col("o_orderpriority").as("priority"), cents(col("o_totalprice")).as("tp"),
+      col("o_orderdate"))
+    val c = customer.select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val oOld = o.filter(col("o_orderdate") < lit(SplitDate))
+    val oNew = o.filter(col("o_orderdate") >= lit(SplitDate))
+    val cOld = c.filter(col("c_custkey") % 10 =!= 0)
+    val cNew = c.filter(col("c_custkey") % 10 === 0)
+    def j(ox: DataFrame, cx: DataFrame): DataFrame =
+      ox.join(cx, col("o_custkey") === col("c_custkey"))
+        .select(col("segment"), col("priority"), col("tp"))
+    j(oOld, cOld)
+      .unionByName(j(oNew, cOld))
+      .unionByName(j(oOld, cNew))
+      .unionByName(j(oNew, cNew))
+      .groupBy("segment", "priority")
+      .agg(count(lit(1)).as("n_orders"), sum(col("tp")).as("sum_cents"))
+      .orderBy("segment", "priority")
+  }
+
+  /** DuckDB replay: the full join recomputed from scratch. */
+  val joinMaintenanceOracle: String =
+    """SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY segment, priority
+      |ORDER BY segment, priority""".stripMargin
 }

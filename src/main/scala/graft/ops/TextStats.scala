@@ -1708,4 +1708,74 @@ object TextStats {
        |SELECT tok2 || ' ' || nxt2 AS pair, count(*) AS n_occurrences
        |FROM p2 WHERE nxt2 IS NOT NULL
        |GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT $BpeTopPairs""".stripMargin
+
+  /** Mixture flag threshold: a document is code-switched/mixed when
+    * its top language family holds under 80% of marker hits. */
+  val MixTopPctNum = 80L
+
+  /** tx31 — per-document language-MIXTURE (code-switching) detection:
+    * tx1 assigns one label per document; this reports the full marker
+    * profile — hits per family, the dominant family and its share,
+    * and an integer cross-multiplied mixed flag (top·100 < total·80).
+    * Mixed documents poison both language-stratified sampling (tx19's
+    * quotas count them once) and per-language quality thresholds; the
+    * flag is the curation predicate that routes them to review.
+    *
+    * The marker regexes evaluate ONCE into a projection and every
+    * derived column (total, top, argmax, flag) reads the projected
+    * counts — the smp3 lesson: non-cheap expressions must not inline
+    * into each consumer. Pure scan-speed select, no shuffle. */
+  def langMixture(s: SparkSession, d: String): DataFrame =
+    langMixtureOf(Tables.documents(s, d))
+
+  /** [[langMixture]] over an explicit documents frame. */
+  def langMixtureOf(docs: DataFrame): DataFrame = {
+    val hitCols = langMarkers.map { case (l, m) =>
+      markerCount(col("text"), m).cast("long").as(s"hits_$l") }
+    val base = docs.select(col("doc_id") +: hitCols: _*)
+    val scores = langMarkers.map { case (l, _) => (l, col(s"hits_$l")) }
+    val total = scores.map(_._2).reduce(_ + _)
+    val top = greatest(scores.map(_._2): _*)
+    val topLang = scores.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, ((lang, sc), i)) =>
+        val wins = (scores.take(i).map(sc >= _._2) ++
+          scores.drop(i + 1).map(sc > _._2) :+ (sc > 0L)).reduce(_ && _)
+        Some(acc.fold(when(wins, lit(lang)))(_.when(wins, lit(lang))))
+    }.get.otherwise(lit("und"))
+    base.select(col("doc_id") +: scores.map(_._2) :+
+        total.as("n_hits") :+ topLang.as("top_lang") :+
+        when(total > 0L, top.cast("double") / total.cast("double"))
+          .as("top_share") :+
+        when(total > 0L && top * 100L < total * MixTopPctNum, 1L)
+          .otherwise(0L).as("is_mixed"): _*)
+      .orderBy("doc_id")
+  }
+
+  val langMixtureOracle: String = {
+    val hits = langMarkers.map { case (l, m) =>
+      l -> s"CAST(len(regexp_extract_all(text, '\\b(${m.mkString("|")})\\b')) AS BIGINT)"
+    }
+    val hitSel = hits.map { case (l, e) => s"$e AS hits_$l" }.mkString(",\n    ")
+    val cols = langMarkers.map { case (l, _) => s"hits_$l" }
+    val total = cols.mkString(" + ")
+    val top = s"greatest(${cols.mkString(", ")})"
+    val cases = cols.zipWithIndex.map { case (c, i) =>
+      val conds = cols.take(i).map(e => s"$c >= $e") ++
+        cols.drop(i + 1).map(e => s"$c > $e") :+ s"$c > 0"
+      s"WHEN ${conds.mkString(" AND ")} THEN '${langMarkers(i)._1}'"
+    }.mkString(" ")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    $hitSel
+       |  FROM documents)
+       |SELECT doc_id, ${cols.mkString(", ")},
+       |       $total AS n_hits,
+       |       CASE $cases ELSE 'und' END AS top_lang,
+       |       CASE WHEN $total > 0
+       |            THEN CAST($top AS DOUBLE) / CAST($total AS DOUBLE) END
+       |         AS top_share,
+       |       CAST(CASE WHEN $total > 0 AND $top * 100 < ($total) * $MixTopPctNum
+       |            THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
 }

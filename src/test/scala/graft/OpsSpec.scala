@@ -1945,6 +1945,34 @@ class OpsSpec extends AnyFunSuite {
     assert(g3 == Set(1L, 2L, 3L, 4L))
   }
 
+  test("inc2 delta terms partition the join exactly — no drops, no double counting") {
+    val o = graft.Tables.orders(spark, sf)
+    val c = graft.Tables.customer(spark, sf)
+    val direct = o.join(c, col("o_custkey") === col("c_custkey")).count()
+    val viaDeltas = graft.ops.Incremental.joinMaintenanceOf(o, c)
+      .agg(sum("n_orders")).as[Long].head()
+    assert(viaDeltas == direct)
+  }
+
+  test("tx31 flags a genuinely mixed doc, not a dominated or empty one") {
+    val docs = Seq(
+      (1L, "table query join scan filter table", "en", "s", 1L), // pure sqlish
+      (2L, "table vector batch query model stream", "en", "s", 1L), // 2/2/2 mixed
+      (3L, "nothing matches here at all", "en", "s", 1L),         // zero hits
+      (4L, "table table table table vector", "en", "s", 1L))      // 4/5 = dominated
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.TextStats.langMixtureOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("top_lang"), r.getAs[Long]("is_mixed"),
+          r.getAs[Long]("n_hits"))).toMap
+    assert(got(1L) == (("sqlish", 0L, 6L)))
+    // the langId convention: a tie resolves to the LAST marker family
+    // (earlier families need strict > over later ones) — tx1's exact rule
+    assert(got(2L) == (("opsish", 1L, 6L)), "ties resolve last; 2/6 < 80%")
+    assert(got(3L) == (("und", 0L, 0L)), "no hits is unknown, not mixed")
+    assert(got(4L) == (("sqlish", 0L, 5L)), "4/5 = 80% is NOT mixed (strict <)")
+  }
+
   test("priv1 accounts for every customer and flags agree with the counts") {
     val sf = GraftSpark.sf
     val total = graft.Tables.customer(spark, sf).count()
