@@ -213,6 +213,8 @@ object SparkEntry {
     "g6_kcore" -> (Graph.kCore _),
     "inc2_join_maintenance" -> (graft.ops.Incremental.joinMaintenance _),
     "tx31_lang_mixture" -> (TextStats.langMixture _),
+    "j12_scd2_snapshot" -> (Upsert.scd2Snapshot _),
+    "a24_ab_proportions" -> (Analytics.abProportions _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -741,5 +743,7 @@ object SparkEntry {
     "g6_kcore" -> Graph.kCoreOracle(),
     "inc2_join_maintenance" -> graft.ops.Incremental.joinMaintenanceOracle,
     "tx31_lang_mixture" -> TextStats.langMixtureOracle,
+    "j12_scd2_snapshot" -> Upsert.scd2SnapshotOracle,
+    "a24_ab_proportions" -> Analytics.abProportionsOracle,
   )
 }

@@ -100,6 +100,75 @@ object Upsert {
       |       next_ts IS NULL AS is_current
       |FROM c ORDER BY custkey, valid_from, o_orderkey""".stripMargin
 
+  /** Reporting dates for the j12 snapshot reconstruction. */
+  val SnapshotDates = Seq("1994-01-01", "1996-01-01", "1998-01-01",
+    "2000-01-01")
+
+  /** j12 — SCD2 snapshot reconstruction (time travel over the j8
+    * version history): for every dimension key and reporting date,
+    * the version valid AT that date — the "rebuild the dim as of
+    * quarter-end" query every warehouse runs against slowly-changing
+    * dimensions. Implemented with the AsOf union-carry pattern, not
+    * an inequality join: version rows and probe rows union into ONE
+    * key-partitioned stream ordered by (ts, kind, version-id), a
+    * running last() carries the newest version fields forward, and
+    * probe rows read the carried values — one shuffle + one sort,
+    * per-key cost bounded by that key's version count, no
+    * versions×probes fanout. Keys with no version yet surface with
+    * NULLs (the oracle's LEFT JOIN keeps them identically). */
+  def scd2Snapshot(s: SparkSession, d: String): DataFrame =
+    scd2SnapshotOf(Tables.orders(s, d))
+
+  def scd2SnapshotOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ver = orders.select(col("o_custkey").as("custkey"),
+      col("o_orderkey"), col("o_orderdate").as("ts"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    val probeTs = SnapshotDates.map(x => lit(x + " 00:00:00").cast("timestamp"))
+    val probes = ver.select("custkey").distinct()
+      .withColumn("d", explode(array(probeTs: _*)))
+    val vRows = ver.select(col("custkey"), col("ts"), lit(0).as("kind"),
+      col("o_orderkey"), col("price_cents"),
+      lit(null).cast("timestamp").as("d"))
+    val pRows = probes.select(col("custkey"), col("d").as("ts"),
+      lit(1).as("kind"), lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("long").as("price_cents"), col("d"))
+    val w = Window.partitionBy("custkey")
+      .orderBy(col("ts"), col("kind"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vRows.unionByName(pRows)
+      .withColumn("v_key",
+        last(when(col("kind") === 0, col("o_orderkey")), ignoreNulls = true).over(w))
+      .withColumn("v_price",
+        last(when(col("kind") === 0, col("price_cents")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("custkey"), col("d").cast("string").as("valid_at"),
+        col("v_key").as("version_orderkey"), col("v_price").as("price_cents"))
+      .orderBy("custkey", "valid_at")
+  }
+
+  /** DuckDB replay: probes × dates LEFT JOIN versions at ts ≤ d,
+    * newest (ts, orderkey) wins — the rank formulation of the same
+    * as-of pick, tie rules mirrored. */
+  val scd2SnapshotOracle: String = {
+    val ds = SnapshotDates.map(x => s"(TIMESTAMP '$x')").mkString(", ")
+    s"""WITH ver AS (
+       |  SELECT o_custkey AS custkey, o_orderkey, o_orderdate AS ts,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+       |  FROM orders),
+       |ds(d) AS (VALUES $ds),
+       |probes AS (SELECT DISTINCT custkey FROM ver),
+       |cand AS (
+       |  SELECT p.custkey, ds.d, v.o_orderkey, v.price_cents,
+       |         row_number() OVER (PARTITION BY p.custkey, ds.d
+       |           ORDER BY v.ts DESC, v.o_orderkey DESC) AS rn
+       |  FROM probes p CROSS JOIN ds
+       |  LEFT JOIN ver v ON v.custkey = p.custkey AND v.ts <= ds.d)
+       |SELECT custkey, CAST(d AS VARCHAR) AS valid_at,
+       |       o_orderkey AS version_orderkey, price_cents
+       |FROM cand WHERE rn = 1 ORDER BY custkey, valid_at""".stripMargin
+  }
+
   /** j9 — CDC latest-wins merge: a change batch usually carries SEVERAL
     * updates per key (a customer ordering twice in the window); merging
     * it raw would write whichever duplicate the join met last. The

@@ -1304,6 +1304,94 @@ object Analytics {
       |FROM t WHERE rn > n // 10 AND rn <= n - n // 10
       |GROUP BY priority ORDER BY priority""".stripMargin
 
+  /** χ²₁ critical value at α = 0.05 (z² threshold for the two-sided
+    * two-proportion test), as the documented literal both engines
+    * compare against. */
+  val AbZ2Critical = 3.8415
+
+  /** a24 — two-proportion A/B test per conversion event: users split
+    * into deterministic md5 arms (seed 17 — reproducible assignment,
+    * the experiment-platform requirement), a user "converts to t" on
+    * ≥1 event of type t, and the pooled two-proportion z² decides
+    * significance. The statistic keeps every count exact — the only
+    * doubles are the final fixed-shape expression
+    * z² = d²·N / (n₁n₂·C(N−C)) with d = c₁n₂ − c₂n₁, whose identical
+    * IEEE tree both engines evaluate (the a19 r² precedent); the
+    * comparison against [[AbZ2Critical]] is then engine-exact.
+    * Degenerate designs (an empty arm, 0% or 100% pooled conversion)
+    * yield NULL z² and an insignificant flag, not a division blowup.
+    * Shape: one distinct over users (arm sizes broadcast back as one
+    * row) + one conditional count-distinct aggregate per type. */
+  def abProportions(s: SparkSession, d: String): DataFrame =
+    abProportionsOf(Tables.events(s, d))
+
+  /** [[abProportions]] over an explicit events frame. */
+  def abProportionsOf(events: DataFrame): DataFrame = {
+    import graft.functions.Functions.md5Hash60
+    val arm = when(
+      pmod(md5Hash60(col("user_id").cast("string"), 17), lit(2L)) === 0L,
+      "control").otherwise("treatment")
+    val sizes = events.filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
+      .select(arm.as("arm"))
+      .agg(sum(when(col("arm") === "control", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === "treatment", 1L).otherwise(0L)).as("n2"))
+    val conv = events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("user_id"), arm.as("arm"))
+      .groupBy("event_type")
+      .agg(countDistinct(when(col("arm") === "control", col("user_id"))).as("c1"),
+        countDistinct(when(col("arm") === "treatment", col("user_id"))).as("c2"))
+    val bigN = col("n1") + col("n2")
+    val bigC = col("c1") + col("c2")
+    val dNum = col("c1") * col("n2") - col("c2") * col("n1")
+    val ok = col("n1") > 0L && col("n2") > 0L &&
+      bigC > 0L && bigC < bigN
+    val z2 = (dNum.cast("double") * dNum.cast("double") * bigN.cast("double")) /
+      ((col("n1") * col("n2")).cast("double") *
+        (bigC * (bigN - bigC)).cast("double"))
+    conv.crossJoin(broadcast(sizes))
+      .select(col("event_type"), col("n1"), col("c1"), col("n2"), col("c2"),
+        when(ok, z2).as("z2"),
+        when(ok && z2 > AbZ2Critical, 1L).otherwise(0L).as("significant"))
+      .orderBy("event_type")
+  }
+
+  val abProportionsOracle: String =
+    s"""WITH au AS (
+       |  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+       |ua AS (
+       |  SELECT user_id,
+       |    CASE WHEN ('0x' || substr(md5('17' || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+       |         THEN 'control' ELSE 'treatment' END AS arm
+       |  FROM au),
+       |sizes AS (
+       |  SELECT CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |         CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+       |  FROM ua),
+       |conv AS (
+       |  SELECT e.event_type,
+       |         count(DISTINCT CASE WHEN ua.arm = 'control' THEN e.user_id END) AS c1,
+       |         count(DISTINCT CASE WHEN ua.arm = 'treatment' THEN e.user_id END) AS c2
+       |  FROM events e JOIN ua ON e.user_id = ua.user_id
+       |  WHERE e.event_type IS NOT NULL
+       |  GROUP BY e.event_type),
+       |t AS (SELECT * FROM conv CROSS JOIN sizes)
+       |SELECT event_type, n1, c1, n2, c2,
+       |  CASE WHEN n1 > 0 AND n2 > 0 AND c1 + c2 > 0 AND c1 + c2 < n1 + n2
+       |       THEN CAST(c1 * n2 - c2 * n1 AS DOUBLE) * CAST(c1 * n2 - c2 * n1 AS DOUBLE)
+       |            * CAST(n1 + n2 AS DOUBLE)
+       |            / (CAST(n1 * n2 AS DOUBLE)
+       |               * CAST((c1 + c2) * (n1 + n2 - (c1 + c2)) AS DOUBLE)) END AS z2,
+       |  CAST(CASE WHEN n1 > 0 AND n2 > 0 AND c1 + c2 > 0 AND c1 + c2 < n1 + n2
+       |       AND CAST(c1 * n2 - c2 * n1 AS DOUBLE) * CAST(c1 * n2 - c2 * n1 AS DOUBLE)
+       |            * CAST(n1 + n2 AS DOUBLE)
+       |            / (CAST(n1 * n2 AS DOUBLE)
+       |               * CAST((c1 + c2) * (n1 + n2 - (c1 + c2)) AS DOUBLE))
+       |            > $AbZ2Critical
+       |       THEN 1 ELSE 0 END AS BIGINT) AS significant
+       |FROM t ORDER BY event_type""".stripMargin
+
   /** w12 — per-user interval UNION (Allen-algebra busy-time
     * accounting): each event opens a variable-length interval
     * [ts, ts + cents(value) seconds); overlapping or touching

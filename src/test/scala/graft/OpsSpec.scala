@@ -1973,6 +1973,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == (("sqlish", 0L, 5L)), "4/5 = 80% is NOT mixed (strict <)")
   }
 
+  test("a24 flags a planted arm effect; universal conversion yields NULL z2") {
+    import graft.functions.Functions.md5Hash60
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 10:00:00")
+    val armOf = (1L to 200L).toDF("user_id")
+      .select(col("user_id"), pmod(md5Hash60(col("user_id").cast("string"), 17),
+        lit(2L)).as("b")).as[(Long, Long)].collect().toMap
+    val ev = (1L to 200L).flatMap { u =>
+      val base = Seq((u * 10, ts(u.toInt), u, "signup", 1.0, "{}"))
+      // purchases only from the control arm → maximal separation
+      val effect = if (armOf(u) == 0L)
+        Seq((u * 10 + 1, ts(u.toInt), u, "purchase", 1.0, "{}")) else Nil
+      base ++ effect
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.abProportionsOf(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val p = got("purchase")
+    assert(p.getAs[Long]("c2") == 0L && p.getAs[Long]("significant") == 1L)
+    assert(p.getAs[Double]("z2") > 100.0, "one-armed conversion is extreme")
+    // signup converts EVERY user: C = N → no variance → NULL, not a crash
+    val s0 = got("signup")
+    assert(s0.isNullAt(s0.fieldIndex("z2")))
+    assert(s0.getAs[Long]("significant") == 0L)
+    assert(s0.getAs[Long]("c1") + s0.getAs[Long]("c2") ==
+      s0.getAs[Long]("n1") + s0.getAs[Long]("n2"))
+  }
+
   test("priv1 accounts for every customer and flags agree with the counts") {
     val sf = GraftSpark.sf
     val total = graft.Tables.customer(spark, sf).count()
