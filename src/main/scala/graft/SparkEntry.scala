@@ -215,6 +215,7 @@ object SparkEntry {
     "tx31_lang_mixture" -> (TextStats.langMixture _),
     "j12_scd2_snapshot" -> (Upsert.scd2Snapshot _),
     "a24_ab_proportions" -> (Analytics.abProportions _),
+    "dd18_cluster_cohesion" -> ((s, d) => Dedup.clusterCohesion(s, d)),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -745,5 +746,6 @@ object SparkEntry {
     "tx31_lang_mixture" -> TextStats.langMixtureOracle,
     "j12_scd2_snapshot" -> Upsert.scd2SnapshotOracle,
     "a24_ab_proportions" -> Analytics.abProportionsOracle,
+    "dd18_cluster_cohesion" -> Dedup.clusterCohesionOracle,
   )
 }

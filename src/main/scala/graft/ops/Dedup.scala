@@ -821,6 +821,67 @@ object Dedup {
       .select("doc_id", "cluster_id", "cluster_size")
   }
 
+  /** dd18 — cluster COHESION audit (the clustering path's face of the
+    * dd15/dd17/sim6 audit family): per near-dup cluster, the verified
+    * pair count, the exact-integer micro-Jaccard sum/mean over its
+    * pairs (⌊i·10⁶/u⌋ per pair — a raw double jaccard sum would be
+    * partition-order-dependent; the quantized longs are not), and the
+    * pair DENSITY n_pairs·2/(size·(size−1)) — 1.0 means every member
+    * pair was independently verified (a clique: trustworthy cluster),
+    * low density means the component is chained through hubs and a
+    * survivor-based collapse (dd12) may over-merge. The readout a
+    * curation pass consults before deleting whole clusters.
+    *
+    * Shape: ONE pipeline invocation feeds both the pair set and the
+    * labels (the dd7 loop); the audit itself is one doc_a-keyed join
+    * + one cluster_id aggregation. Clusters surface iff they have a
+    * verified pair (singletons have nothing to audit). */
+  def clusterCohesion(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val pairs = minhashLshPairsUnsorted(Tables.documents(s, d),
+      "doc_id", "text", JaccardThreshold, mode)
+    val labels = labelPropagation(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")), mode = mode)
+    val qj = (col("i_size") * 1000000L / col("u_size")).cast("long")
+    pairs.select(col("doc_a"), qj.as("qj"))
+      .join(labels.select(col("id").as("doc_a"), col("lbl").as("cluster_id")),
+        Seq("doc_a"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("qj")).as("sum_qj_e6"))
+      .join(labels.groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size")), Seq("cluster_id"))
+      .select(col("cluster_id"), col("cluster_size"), col("n_pairs"),
+        col("sum_qj_e6"),
+        (col("sum_qj_e6") / col("n_pairs")).as("mean_qj_e6"),
+        (col("n_pairs") * 2 / (col("cluster_size") * (col("cluster_size") - 1)))
+          .as("pair_density"))
+      .orderBy("cluster_id")
+  }
+
+  lazy val clusterCohesionOracle: String =
+    s"""WITH p AS (SELECT * FROM (
+       |$minhashLshOracle
+       |) x),
+       |lab AS (SELECT * FROM (
+       |$dedupClustersOracle
+       |) y),
+       |j AS (
+       |  SELECT l.cluster_id, (p.i_size * 1000000) // p.u_size AS qj
+       |  FROM p JOIN lab l ON p.doc_a = l.doc_id),
+       |agg AS (
+       |  SELECT cluster_id, count(*) AS n_pairs,
+       |         CAST(sum(qj) AS BIGINT) AS sum_qj_e6
+       |  FROM j GROUP BY cluster_id),
+       |sz AS (
+       |  SELECT cluster_id, CAST(max(cluster_size) AS BIGINT) AS cluster_size
+       |  FROM lab GROUP BY cluster_id)
+       |SELECT a.cluster_id, s.cluster_size, a.n_pairs, a.sum_qj_e6,
+       |       a.sum_qj_e6 / a.n_pairs AS mean_qj_e6,
+       |       a.n_pairs * 2 / (s.cluster_size * (s.cluster_size - 1))
+       |         AS pair_density
+       |FROM agg a JOIN sz s ON a.cluster_id = s.cluster_id
+       |ORDER BY a.cluster_id""".stripMargin
+
   // lazy: interpolates minhashLshOracle, which is defined later in this
   // object — a strict val would capture null at initialization
   lazy val dedupClustersOracle: String =

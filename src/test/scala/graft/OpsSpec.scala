@@ -1999,6 +1999,28 @@ class OpsSpec extends AnyFunSuite {
       s0.getAs[Long]("n1") + s0.getAs[Long]("n2"))
   }
 
+  test("dd18 cohesion rows reconcile with dd7's clusters and stay in range") {
+    val rows = graft.ops.Dedup.clusterCohesion(spark, sf).collect()
+    val dd7 = graft.ops.Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("cluster_size"))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val size = r.getAs[Long]("cluster_size")
+      val pairs = r.getAs[Long]("n_pairs")
+      // same component structure as dd7, only multi-member clusters
+      assert(dd7(r.getAs[Long]("cluster_id")) == size, r.toString)
+      assert(size >= 2 && pairs >= 1)
+      assert(pairs <= size * (size - 1) / 2, "more pairs than member pairs")
+      val d = r.getAs[Double]("pair_density")
+      assert(d > 0.0 && d <= 1.0)
+      val m = r.getAs[Double]("mean_qj_e6")
+      // verified pairs sit at J >= threshold, so the mean must too
+      assert(m >= 1000000.0 * graft.ops.Dedup.JaccardThreshold - 1 &&
+        m <= 1000000.0)
+    }
+  }
+
   test("priv1 accounts for every customer and flags agree with the counts") {
     val sf = GraftSpark.sf
     val total = graft.Tables.customer(spark, sf).count()
