@@ -343,7 +343,9 @@ object Graph {
       Materialize.Local, "kcore_nodes")
     var alive = nodes0
     val removedParts = Seq.newBuilder[DataFrame]
-    for (r <- 1 to rounds) {
+    var r = 1
+    var converged = false
+    while (r <= rounds && !converged) {
       val aliveEdges = sym
         .join(alive.select(col("vertex").as("u")), Seq("u"), "left_semi")
         .join(alive.select(col("vertex").as("v")), Seq("v"), "left_semi")
@@ -351,13 +353,21 @@ object Graph {
         .agg(count(lit(1)).as("deg"))
       val sub = alive.join(deg, Seq("vertex"), "left")
         .withColumn("deg", coalesce(col("deg"), lit(0L)))
-      removedParts += Materialize(
+      val rem = Materialize(
         sub.filter(col("deg") < k)
           .select(col("vertex"), lit(r.toLong).as("removed_round")),
         Materialize.Local, s"kcore_rem_$r")
-      alive = Materialize(
-        sub.filter(col("deg") >= k).select("vertex"),
-        Materialize.Local, s"kcore_alive_$r")
+      removedParts += rem
+      // a fixpoint stays fixed: once a round removes nothing, every
+      // later round removes nothing — stop paying materialized rounds
+      // (the count is an action on the just-checkpointed tiny table).
+      // Output is identical to running out the bound.
+      converged = rem.count() == 0L
+      if (!converged)
+        alive = Materialize(
+          sub.filter(col("deg") >= k).select("vertex"),
+          Materialize.Local, s"kcore_alive_$r")
+      r += 1
     }
     val removed = removedParts.result().reduce(_ unionByName _)
     nodes0.join(removed, Seq("vertex"), "left")
