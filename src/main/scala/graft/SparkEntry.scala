@@ -216,6 +216,12 @@ object SparkEntry {
     "j12_scd2_snapshot" -> (Upsert.scd2Snapshot _),
     "a24_ab_proportions" -> (Analytics.abProportions _),
     "dd18_cluster_cohesion" -> ((s, d) => Dedup.clusterCohesion(s, d)),
+    "tx32_source_divergence" -> (TextStats.sourceDivergence _),
+    "dq2_benford_audit" -> (graft.ops.Profile.benfordAudit _),
+    "w13_gap_histogram" -> (Analytics.gapHistogram _),
+    "tx33_vocab_growth" -> (TextStats.vocabGrowth _),
+    "g7_bfs_landmarks" -> (Graph.bfsLandmarks _),
+    "g8_label_modularity" -> (Graph.labelModularity _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -747,5 +753,11 @@ object SparkEntry {
     "j12_scd2_snapshot" -> Upsert.scd2SnapshotOracle,
     "a24_ab_proportions" -> Analytics.abProportionsOracle,
     "dd18_cluster_cohesion" -> Dedup.clusterCohesionOracle,
+    "tx32_source_divergence" -> TextStats.sourceDivergenceOracle,
+    "dq2_benford_audit" -> graft.ops.Profile.benfordAuditOracle,
+    "w13_gap_histogram" -> Analytics.gapHistogramOracle,
+    "tx33_vocab_growth" -> TextStats.vocabGrowthOracle,
+    "g7_bfs_landmarks" -> Graph.bfsLandmarksOracle(),
+    "g8_label_modularity" -> Graph.labelModularityOracle(),
   )
 }

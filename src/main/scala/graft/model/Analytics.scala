@@ -1462,4 +1462,72 @@ object Analytics {
       |       count(*) AS n_busy_blocks,
       |       CAST(sum(bend - bstart) AS BIGINT) AS busy_seconds
       |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** w13 — inter-arrival gap histogram in power-of-two buckets: per
+    * event type, the distribution of seconds since the same user's
+    * previous event (any type; the gap belongs to the LATER event's
+    * type). Burstiness profiling — a type whose mass sits in low
+    * buckets fires in machine-speed bursts (bot/retry traffic, a
+    * dedup-worthy signal for interaction-log training data); human
+    * activity lands in the minutes-to-days decades.
+    *
+    * The bucket is floor(log₂ gap)+1 computed EXACTLY as the bit
+    * length of the integer second gap (`length(bin(g))` — tx23's
+    * quantization trick), bucket 0 for gap = 0, so every output cell
+    * is exact integer arithmetic both engines agree on; the mean is
+    * one long/long division at the end. Shape: one user-keyed window
+    * (lag) on second-truncated timestamps + one hash aggregation on
+    * (type, bucket) — a bounded ~9×40-cell result at any scale, and
+    * the lag shuffle is the same user-keyed exchange every
+    * sessionization query in this family already pays. */
+  def gapHistogram(s: SparkSession, d: String): DataFrame =
+    gapHistogramOf(Tables.events(s, d))
+
+  /** [[gapHistogram]] over an explicit events frame. */
+  def gapHistogramOf(events: DataFrame): DataFrame = {
+    val sec = unix_timestamp(toSecond(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val gapped = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        sec.as("s"))
+      .withColumn("gap", col("s") - lag(col("s"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gapped
+      .withColumn("bucket",
+        when(col("gap") === 0L, 0L)
+          .otherwise(length(bin(col("gap"))).cast("long")))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sum_gap_s"),
+        min(col("gap")).as("min_gap_s"), max(col("gap")).as("max_gap_s"))
+      .withColumn("mean_gap_s", col("sum_gap_s") / col("n_gaps") / 1.0)
+      .orderBy("event_type", "bucket")
+  }
+
+  val gapHistogramOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id, event_id,
+      |         epoch(date_trunc('second', ts))::BIGINT AS s
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type IS NOT NULL),
+      |g AS (
+      |  SELECT event_type,
+      |         s - lag(s, 1) OVER (PARTITION BY user_id
+      |           ORDER BY s, event_id) AS gap
+      |  FROM e),
+      |b AS (
+      |  SELECT event_type,
+      |         CASE WHEN gap = 0 THEN 0
+      |              ELSE CAST(length(bin(gap)) AS BIGINT) END AS bucket,
+      |         gap
+      |  FROM g WHERE gap IS NOT NULL)
+      |SELECT event_type, bucket, count(*) AS n_gaps,
+      |       CAST(sum(gap) AS BIGINT) AS sum_gap_s,
+      |       min(gap) AS min_gap_s, max(gap) AS max_gap_s,
+      |       CAST(sum(gap) AS BIGINT) / count(*) / 1.0 AS mean_gap_s
+      |FROM b GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin
 }

@@ -432,4 +432,232 @@ object Graph {
        |FROM cand JOIN deg USING (w)
        |GROUP BY u, v
        |ORDER BY cn DESC, ra_e6 DESC, u, v LIMIT $LinkPredTopK""".stripMargin
+
+  /** Every vec_id ≡ 0 (mod this) is a BFS landmark seed. */
+  val BfsSeedMod = 97L
+
+  /** Hop cap for g7 — both engines stop expanding at this depth, so
+    * nodes farther than the cap from every seed report NULL
+    * identically. */
+  val BfsMaxHops = 6
+
+  /** g7 — multi-source BFS landmark assignment over the kNN graph:
+    * every node gets its hop DISTANCE to the nearest landmark seed
+    * (the deterministic vec_id ≡ 0 mod [[BfsSeedMod]] set) and WHICH
+    * landmark claimed it (min seed id among seeds at exactly that
+    * distance — a total tiebreak, so the partition is unique). This is
+    * the landmark/Voronoi decomposition of a corpus graph: hop-0/1
+    * nodes are the seeds' near-duplicate halo, high-hop nodes are the
+    * corpus regions no landmark represents (where to spend labeling
+    * budget), and the seed column IS a coarse clustering with
+    * guaranteed seed-per-cluster semantics that dd8's k-means cannot
+    * give.
+    *
+    * Scale shape: textbook frontier BFS as iterated keyed joins — per
+    * hop ONE join of the frontier against the symmetrized edge list
+    * (shuffles on node id) + ONE min-struct aggregation merging
+    * candidates into the settled state; ≤ [[BfsMaxHops]] rounds, each
+    * durably materialized (the labelPropagation discipline), with an
+    * early exit the moment a round settles nothing new. Seed
+    * correctness of the propagated tiebreak: a frontier neighbor
+    * settled at h−1 carries the min seed over ITS shortest paths, and
+    * any seed at distance exactly h from the new node routes through
+    * some such neighbor, so the min over candidate carries is exactly
+    * the min over that seed set — no global regrouping needed. */
+  def bfsLandmarks(s: SparkSession, d: String): DataFrame =
+    bfsLandmarksOf(Tables.embeddings(s, d))
+
+  def bfsLandmarksOf(emb: DataFrame): DataFrame = {
+    val edges = Materialize(
+      Similarity.knnGraphOf(emb).select("src", "dst"),
+      Materialize.Local, "bfs_edges")
+    bfsOf(edges, emb.select(col("vec_id")), BfsSeedMod, BfsMaxHops)
+  }
+
+  /** The BFS loop over an explicit directed edge list (symmetrized
+    * internally) and node universe; seeds are id ≡ 0 (mod seedMod). */
+  def bfsOf(edges: DataFrame, nodes: DataFrame, seedMod: Long,
+      maxHops: Int): DataFrame = {
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val sym = Materialize(
+      und.unionAll(und.select(col("v").as("u"), col("u").as("v"))),
+      Materialize.Local, "bfs_sym")
+    var state = Materialize(
+      nodes.filter(col("vec_id") % seedMod === 0L)
+        .select(col("vec_id").as("id"), lit(0L).as("dist"),
+          col("vec_id").as("seed")),
+      Materialize.Local, "bfs_state0")
+    var hop = 1
+    var done = false
+    while (hop <= maxHops && !done) {
+      val frontier = state.filter(col("dist") === (hop - 1).toLong)
+      val cand = frontier
+        .join(sym.select(col("u").as("id"), col("v")), "id")
+        .select(col("v").as("id"), lit(hop.toLong).as("dist"), col("seed"))
+      val next = Materialize(
+        state.unionByName(cand)
+          .groupBy("id")
+          .agg(min(struct(col("dist"), col("seed"))).as("m"))
+          .select(col("id"), col("m.dist").as("dist"),
+            col("m.seed").as("seed")),
+        Materialize.Local, s"bfs_state_$hop")
+      // settled set growth is the only change a round can make (a
+      // settled node's (dist, seed) is already minimal); no growth ⇒
+      // every later frontier is empty — stop. Counts are actions on
+      // just-materialized tables.
+      done = next.count() == state.count()
+      state = next
+      hop += 1
+    }
+    nodes
+      .join(state.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dist"), col("seed"),
+        when(col("dist").isNotNull, 1L).otherwise(0L).as("reached"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB replay of g7: a recursive CTE enumerating (node, walk
+    * length, seed) up to the hop cap; min walk length per node is the
+    * BFS distance, and the min seed among rows AT that length is
+    * exactly the engine's tiebreak (a seed strictly closer would have
+    * produced a shorter row and lowered the min). */
+  def bfsLandmarksOracle(): String =
+    s"""WITH RECURSIVE g AS (
+       |${Similarity.knnGraphOracle()}
+       |),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM g WHERE src <> dst),
+       |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+       |bfs(id, dist, seed) AS (
+       |  SELECT vec_id, CAST(0 AS BIGINT), vec_id FROM embeddings
+       |  WHERE vec_id % $BfsSeedMod = 0
+       |  UNION
+       |  SELECT e.v, b.dist + 1, b.seed
+       |  FROM bfs b JOIN sym e ON e.u = b.id
+       |  WHERE b.dist < $BfsMaxHops),
+       |m AS (SELECT id, min(dist) AS dist FROM bfs GROUP BY id),
+       |r AS (
+       |  SELECT b.id, b.dist, min(b.seed) AS seed
+       |  FROM bfs b JOIN m ON b.id = m.id AND b.dist = m.dist
+       |  GROUP BY b.id, b.dist)
+       |SELECT emb.vec_id, r.dist, r.seed,
+       |       CAST(CASE WHEN r.dist IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |         AS reached
+       |FROM embeddings emb LEFT JOIN r ON emb.vec_id = r.id
+       |ORDER BY emb.vec_id""".stripMargin
+
+  /** g8 — Newman modularity of the ground-truth label partition over
+    * the kNN graph: per label, the internal-edge count, degree mass,
+    * and modularity contribution; high Q means the embedding
+    * neighborhoods respect the labels (the labels are learnable from
+    * geometry), Q ≈ 0 means the kNN structure ignores them — the
+    * graph-level complement of sim5's centroid audit and sim6's
+    * recall@k.
+    *
+    * The float trap and its fix: Q = Σ_c [e_c/m − (d_c/2m)²] as a
+    * literal double sum would depend on which engine adds the per-label
+    * terms in which order. Clearing denominators keeps EVERYTHING
+    * integral until one final division per row:
+    * term_num_c = 4m·e_c − d_c² (exact long), term_c = term_num_c/4m²
+    * (one division), and the GLOBAL Q sums the exact numerators first —
+    * Q = Σterm_num_c / 4m² — so no double is ever added to a double.
+    * Shape: the edge list joins the (broadcast-size) label map on each
+    * endpoint, then one label-keyed aggregation; degrees are an
+    * id-keyed aggregation of the symmetrized list; m and ΣQ are
+    * one-row broadcasts. */
+  def labelModularity(s: SparkSession, d: String): DataFrame =
+    labelModularityOf(Tables.embeddings(s, d))
+
+  def labelModularityOf(emb: DataFrame): DataFrame =
+    modularityOfEdges(
+      Similarity.knnGraphOf(emb).select("src", "dst"),
+      emb.select(col("vec_id"), col("label").cast("long").as("lab")))
+
+  /** The modularity computation over an explicit directed edge list
+    * (canonicalized internally) and a (vec_id, lab) label map. */
+  def modularityOfEdges(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = Materialize(
+      edges
+        .where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct(),
+      Materialize.Local, "mod_und")
+    val deg = und.select(col("u").as("vec_id"))
+      .unionAll(und.select(col("v").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("deg"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val perNode = labels
+      .join(deg, Seq("vec_id"), "left")
+      .withColumn("deg", coalesce(col("deg"), lit(0L)))
+      .groupBy("lab")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+    val internal = und
+      .join(labels.select(col("vec_id").as("u"), col("lab").as("lu")), "u")
+      .join(labels.select(col("vec_id").as("v"), col("lab").as("lv")), "v")
+      .where(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lab"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val per = perNode
+      .join(internal, Seq("lab"), "left")
+      .withColumn("internal_edges", coalesce(col("internal_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("term_num",
+        lit(4L) * col("m") * col("internal_edges")
+          - col("degree_sum") * col("degree_sum"))
+    val q = per.agg(sum(col("term_num")).as("q_num"))
+    per.crossJoin(broadcast(q))
+      .select(col("lab").as("label"), col("n_nodes"),
+        col("internal_edges"), col("degree_sum"), col("m"),
+        col("term_num"),
+        (col("term_num").cast("double")
+          / (lit(4L) * col("m") * col("m")).cast("double"))
+          .as("modularity_term"),
+        (col("q_num").cast("double")
+          / (lit(4L) * col("m") * col("m")).cast("double"))
+          .as("q_total"))
+      .orderBy("label")
+  }
+
+  def labelModularityOracle(): String =
+    s"""WITH g AS (
+       |${Similarity.knnGraphOracle()}
+       |),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM g WHERE src <> dst),
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings),
+       |deg AS (SELECT id AS vec_id, count(*) AS deg FROM (
+       |    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+       |  GROUP BY id),
+       |mm AS (SELECT count(*) AS m FROM und),
+       |pn AS (
+       |  SELECT l.lab, count(*) AS n_nodes,
+       |         CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS degree_sum
+       |  FROM lab l LEFT JOIN deg d ON l.vec_id = d.vec_id
+       |  GROUP BY l.lab),
+       |ie AS (
+       |  SELECT lu.lab, count(*) AS internal_edges
+       |  FROM und e
+       |  JOIN lab lu ON e.u = lu.vec_id
+       |  JOIN lab lv ON e.v = lv.vec_id
+       |  WHERE lu.lab = lv.lab
+       |  GROUP BY lu.lab),
+       |per AS (
+       |  SELECT pn.lab, pn.n_nodes, pn.degree_sum,
+       |         CAST(coalesce(ie.internal_edges, 0) AS BIGINT)
+       |           AS internal_edges,
+       |         mm.m,
+       |         4 * mm.m * CAST(coalesce(ie.internal_edges, 0) AS BIGINT)
+       |           - pn.degree_sum * pn.degree_sum AS term_num
+       |  FROM pn LEFT JOIN ie ON pn.lab = ie.lab CROSS JOIN mm),
+       |qn AS (SELECT CAST(sum(term_num) AS BIGINT) AS q_num FROM per)
+       |SELECT lab AS label, n_nodes, internal_edges, degree_sum,
+       |       CAST(m AS BIGINT) AS m, CAST(term_num AS BIGINT) AS term_num,
+       |       CAST(term_num AS DOUBLE) / CAST(4 * m * m AS DOUBLE)
+       |         AS modularity_term,
+       |       CAST(q_num AS DOUBLE) / CAST(4 * m * m AS DOUBLE) AS q_total
+       |FROM per CROSS JOIN qn ORDER BY label""".stripMargin
 }

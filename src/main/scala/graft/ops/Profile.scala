@@ -224,4 +224,96 @@ object Profile {
        |FROM a JOIN b ON a.col_name = b.col_name
        |ORDER BY a.col_name""".stripMargin
   }
+
+  /** Benford first-digit proportions log10(1 + 1/d), d = 1..9, as the
+    * SHARED literal table: both the Spark plan and the DuckDB oracle
+    * interpolate these exact Double values (shortest-roundtrip repr →
+    * the identical IEEE literal in both engines), so the χ² tree never
+    * depends on either engine's log10 rounding. */
+  val BenfordP: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** χ²₈ critical value at α = 0.05 for the 9-digit Benford fit. */
+  val BenfordChi2Critical = 15.507
+
+  /** dq2 — Benford first-significant-digit audit per order priority:
+    * genuinely transactional amounts follow Benford's law; a segment
+    * whose leading-digit histogram rejects it is a fraud/synthetic-data
+    * flag — for a training-data pipeline, the numeric-column analogue
+    * of tx25's n-gram novelty check on generated text.
+    *
+    * Counts are exact: the leading digit is the first character of the
+    * integer-cents decimal string (cents > 0 always has one), and the 9
+    * digit counts are conditional sums inside ONE aggregation — a
+    * single scan at any scale, no per-digit rescan, trivially partial-
+    * aggregable. The only doubles are the final fixed-shape χ² =
+    * Σ_d (c_d − n·p_d)²/(n·p_d) with p_d from [[BenfordP]], summed
+    * left-to-right d = 1..9 THROUGH A LAMBDA FOLD (`aggregate` over a
+    * 9-element array / DuckDB `list_reduce`): a plain 9-term `+` chain
+    * is NOT a fixed tree — Catalyst rebalances long associative double
+    * chains into a pairwise tree (measured: one group off by 1 ulp vs
+    * the written left-assoc chain), while neither engine reassociates
+    * through a higher-order function. The interpreted fold runs once
+    * per output group — 5 rows — not per input row. With the tree
+    * pinned, the [[BenfordChi2Critical]] comparison is engine-exact. */
+  def benfordAudit(s: SparkSession, d: String): DataFrame =
+    benfordAuditOf(Tables.orders(s, d))
+
+  /** [[benfordAudit]] over an explicit orders frame. */
+  def benfordAuditOf(orders: DataFrame): DataFrame = {
+    val digit = substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+      .cast("int")
+    val base = orders
+      .filter(col("o_totalprice").isNotNull && col("o_totalprice") > 0)
+      .select(col("o_orderpriority").as("priority"), digit.as("d1"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"),
+        (1 to 9).map(i =>
+          sum(when(col("d1") === i, 1L).otherwise(0L)).as(s"c$i")): _*)
+    val terms = (1 to 9).map { i =>
+      val e = col("n").cast("double") * lit(BenfordP(i - 1))
+      val diff = col(s"c$i").cast("double") - e
+      diff * diff / e
+    }
+    val chi2 = aggregate(array(terms: _*), lit(0.0d), (acc, x) => acc + x)
+    base
+      .withColumn("chi2", chi2)
+      .withColumn("benford_ok",
+        when(col("chi2") <= BenfordChi2Critical, 1L).otherwise(0L))
+      .orderBy("priority")
+  }
+
+  val benfordAuditOracle: String = {
+    val cs = (1 to 9).map(i =>
+      s"CAST(sum(CASE WHEN d1 = $i THEN 1 ELSE 0 END) AS BIGINT) AS c$i")
+      .mkString(",\n      |    ")
+    // the e0 suffix types each literal DOUBLE at the parser: a bare
+    // decimal literal is DECIMAL(18,17) in DuckDB, whose cast to
+    // DOUBLE rounds 0.12493873660829993 one ulp off the correctly-
+    // rounded parse both engines otherwise agree on
+    val terms = (1 to 9).map { i =>
+      val p = s"${BenfordP(i - 1)}e0"
+      s"(CAST(c$i AS DOUBLE) - CAST(n AS DOUBLE) * $p)" +
+        s" * (CAST(c$i AS DOUBLE) - CAST(n AS DOUBLE) * $p)" +
+        s" / (CAST(n AS DOUBLE) * $p)"
+    }
+    // list_reduce folds left-to-right with the first element as seed;
+    // Spark's aggregate seeds 0.0 — IEEE 0.0 + x = x for these
+    // positive terms, so the two folds are the identical tree
+    val chi2 = s"list_reduce([${terms.mkString(",\n      ")}]," +
+      " (acc, x) -> acc + x)"
+    s"""WITH o AS (
+      |  SELECT o_orderpriority AS priority,
+      |         CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |           AS VARCHAR), 1, 1) AS INT) AS d1
+      |  FROM orders
+      |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+      |g AS (
+      |  SELECT priority, count(*) AS n,
+      |    $cs
+      |  FROM o GROUP BY priority),
+      |t AS (SELECT *, $chi2 AS chi2 FROM g)
+      |SELECT *, CAST(CASE WHEN chi2 <= ${BenfordChi2Critical}e0 THEN 1 ELSE 0
+      |  END AS BIGINT) AS benford_ok
+      |FROM t ORDER BY priority""".stripMargin
+  }
 }

@@ -1709,6 +1709,72 @@ object TextStats {
        |FROM p2 WHERE nxt2 IS NOT NULL
        |GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT $BpeTopPairs""".stripMargin
 
+  /** tx32 — per-source distributional divergence from the corpus pool,
+    * in WHOLE BITS (tx23's quantization applied to the mixing
+    * problem): D_s = Σ_t c_s(t)·[bits_pool(t) − bits_s(t)] with
+    * bits_x(t) = bitlen(T_x) − bitlen(c_x(t)) — T_s·KL(s ∥ pool)
+    * quantized to integers, so the statistic hash-matches exactly
+    * where a float Σ p·ln(p/q) never could. This is the diagnostic
+    * BEFORE choosing tx19's temperature weights: a source with high
+    * bits/trigram is distributionally far from the pool (upweighting
+    * it moves the mixture most); ≈0 means interchangeable.
+    *
+    * Shape: ONE trigram explode (linear in corpus characters)
+    * aggregated to (source, trigram) counts; the pool counts are a
+    * re-aggregation of that table — never a second corpus scan; the
+    * per-term join is keyed on the trigram, the source-total join on
+    * the O(sources) key, the 1-row grand total broadcast. */
+  def sourceDivergence(s: SparkSession, d: String): DataFrame =
+    sourceDivergenceOf(Tables.documents(s, d))
+
+  /** [[sourceDivergence]] over an explicit documents frame. */
+  def sourceDivergenceOf(docs: DataFrame): DataFrame = {
+    val idxs = when(length(col("text")) >= 3,
+      sequence(lit(1), length(col("text")) - 2))
+      .otherwise(array().cast("array<int>"))
+    val srcCnt = graft.ops.Materialize(
+      docs.select(col("source"), col("text")).withColumn("i", explode(idxs))
+        .select(col("source"), col("text").substr(col("i"), lit(3)).as("tri"))
+        .groupBy("source", "tri").agg(count(lit(1)).as("c")),
+      Materialize.Local, "tx32_srccnt")
+    val srcTot = srcCnt.groupBy("source").agg(sum(col("c")).as("t_s"))
+    val pool = srcCnt.groupBy("tri").agg(sum(col("c")).as("cc"))
+    val tot = pool.agg(length(bin(sum(col("cc")))).as("t_bits"))
+    val term = (col("t_bits") - length(bin(col("cc")))) -
+      (length(bin(col("t_s"))) - length(bin(col("c"))))
+    srcCnt.join(srcTot, "source")
+      .join(pool, "tri")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("c"), (col("c") * term).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tris"), sum(col("c")).as("total_tris"),
+        sum(col("w")).cast("long").as("div_bits"))
+      .withColumn("bits_per_tri",
+        col("div_bits").cast("double") / col("total_tris").cast("double"))
+      .orderBy("source")
+  }
+
+  val sourceDivergenceOracle: String =
+    """WITH tris AS (
+      |  SELECT source, substr(text, i, 3) AS tri
+      |  FROM documents,
+      |    LATERAL unnest(generate_series(1, greatest(length(text) - 2, 0)))
+      |      AS t(i)),
+      |sc AS (SELECT source, tri, count(*) AS c FROM tris GROUP BY source, tri),
+      |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_s FROM sc GROUP BY source),
+      |co AS (SELECT tri, CAST(sum(c) AS BIGINT) AS cc FROM sc GROUP BY tri),
+      |tt AS (SELECT length(bin(sum(cc))) AS t_bits FROM co),
+      |terms AS (
+      |  SELECT sc.source, sc.c,
+      |    sc.c * ((t_bits - length(bin(co.cc)))
+      |            - (length(bin(st.t_s)) - length(bin(sc.c)))) AS w
+      |  FROM sc JOIN st USING (source) JOIN co USING (tri) CROSS JOIN tt)
+      |SELECT source, count(*) AS n_tris, CAST(sum(c) AS BIGINT) AS total_tris,
+      |       CAST(sum(w) AS BIGINT) AS div_bits,
+      |       CAST(CAST(sum(w) AS BIGINT) AS DOUBLE)
+      |         / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS bits_per_tri
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   /** Mixture flag threshold: a document is code-switched/mixed when
     * its top language family holds under 80% of marker hits. */
   val MixTopPctNum = 80L
@@ -1778,4 +1844,90 @@ object TextStats {
        |            THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
        |FROM h ORDER BY doc_id""".stripMargin
   }
+
+  /** Docs per vocabulary-growth checkpoint bucket (doc_id div). */
+  val VocabBucketDocs = 256L
+
+  /** tx33 — vocabulary-growth (Heaps-law) curve: cumulative distinct
+    * token TYPES vs cumulative token volume at fixed doc-id
+    * checkpoints. The curve is how a tokenizer/vocab budget is sized
+    * before training (does vocabulary saturate, or is the corpus still
+    * discovering types at the margin?) and a dedup smoke signal — a
+    * near-flat tail on a corpus that "should" still grow means the new
+    * documents are rehashes of old ones.
+    *
+    * The naive form (distinct-over-prefix per checkpoint) rescans the
+    * corpus once per checkpoint. This computes the whole curve in ONE
+    * pass over the token stream: a type's FIRST-OCCURRENCE doc
+    * (min(doc_id) per token — one keyed aggregation) converts
+    * "cumulative distinct types at checkpoint b" into "count of types
+    * whose first doc lands in any bucket ≤ b", a plain cumulative sum;
+    * token volume is a per-doc projection aggregated the same way. The
+    * only window runs over the O(n/[[VocabBucketDocs]]) bucket rows —
+    * a post-aggregate frame, not a data-scale sort. Every output is an
+    * exact long except the closing types-per-kilotoken density (one
+    * long-derived division, identical IEEE in both engines). */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame =
+    vocabGrowthOf(Tables.documents(s, d))
+
+  /** [[vocabGrowth]] over an explicit documents frame. */
+  def vocabGrowthOf(docs: DataFrame): DataFrame = {
+    val bucketOf = (c: Column) => (c / VocabBucketDocs).cast("long")
+    val toks = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+    val firstDocs = toks.groupBy("tok").agg(min(col("doc_id")).as("fdoc"))
+      .select(bucketOf(col("fdoc")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val volume = docs
+      .select(bucketOf(col("doc_id")).as("bucket"),
+        size(words(col("text"))).cast("long").as("n_toks"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bucket_tokens"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    volume.join(firstDocs, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumn("types_per_kilotoken",
+        (col("cum_types") * 1000L).cast("double")
+          / col("cum_tokens").cast("double"))
+      .select(col("bucket"), col("n_docs"), col("bucket_tokens"),
+        col("new_types"), col("cum_tokens"), col("cum_types"),
+        col("types_per_kilotoken"))
+      .orderBy("bucket")
+  }
+
+  val vocabGrowthOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |fd AS (
+       |  SELECT doc_id // $VocabBucketDocs AS bucket, count(*) AS nt
+       |  FROM (SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY tok)
+       |  GROUP BY 1),
+       |vol AS (
+       |  SELECT doc_id // $VocabBucketDocs AS bucket, count(*) AS n_docs,
+       |         CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+       |           AS BIGINT) AS bucket_tokens
+       |  FROM documents GROUP BY 1),
+       |j AS (
+       |  SELECT v.bucket, v.n_docs, v.bucket_tokens,
+       |         CAST(coalesce(fd.nt, 0) AS BIGINT) AS new_types
+       |  FROM vol v LEFT JOIN fd ON v.bucket = fd.bucket),
+       |c AS (
+       |  SELECT *,
+       |    CAST(sum(bucket_tokens) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens,
+       |    CAST(sum(new_types) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_types
+       |  FROM j)
+       |SELECT bucket, n_docs, bucket_tokens, new_types, cum_tokens,
+       |       cum_types,
+       |       CAST(cum_types * 1000 AS DOUBLE) / CAST(cum_tokens AS DOUBLE)
+       |         AS types_per_kilotoken
+       |FROM c ORDER BY bucket""".stripMargin
 }

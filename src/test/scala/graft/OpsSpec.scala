@@ -2021,6 +2021,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx32: single-source corpus diverges exactly 0; disjoint sources diverge positive") {
+    // one source ⇒ pool == source ⇒ every term cancels to exactly 0
+    val solo = Seq((1L, "abcdefgh", "en", "only", 8L),
+      (2L, "abcdxyz", "en", "only", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r0 = graft.ops.TextStats.sourceDivergenceOf(solo).collect()
+    assert(r0.length == 1 && r0.head.getAs[Long]("div_bits") == 0L)
+    assert(r0.head.getAs[Double]("bits_per_tri") == 0.0)
+    // two trigram-disjoint sources: each source's own model finds its
+    // trigrams ~2x more often than the pool does ⇒ strictly positive
+    val duo = Seq((1L, "aaaaaaaaaa", "en", "srcA", 10L),
+      (2L, "bbbbbbbbbb", "en", "srcB", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = graft.ops.TextStats.sourceDivergenceOf(duo).collect()
+    assert(r1.length == 2)
+    r1.foreach(r => assert(r.getAs[Long]("div_bits") > 0L, r.toString))
+  }
+
   test("priv1 accounts for every customer and flags agree with the counts") {
     val sf = GraftSpark.sf
     val total = graft.Tables.customer(spark, sf).count()
@@ -2032,5 +2050,116 @@ class OpsSpec extends AnyFunSuite {
         (r.getAs[Long]("n_sensitive") >= 3L))
       assert(r.getAs[Long]("n_sensitive") <= r.getAs[Long]("n"))
     }
+  }
+
+  test("dq2: digit counts partition n; a planted non-Benford segment flags, a Benford-profile one passes") {
+    import java.sql.Timestamp
+    // "good": counts proportional to Benford expectations over 1000
+    // rows (first digit d appears round(1000·p_d) times — χ² stays
+    // far under the critical value); "bad": every price starts with 9
+    val good = (1 to 9).flatMap { d =>
+      val n = math.round(1000 * graft.ops.Profile.BenfordP(d - 1)).toInt
+      (1 to n).map(i => ("GOOD", d * 100.0 + (i % 90)))
+    }
+    val bad = (1 to 200).map(i => ("BAD", 900.0 + (i % 90)))
+    val df = (good ++ bad).zipWithIndex.map { case ((p, v), i) =>
+      (i.toLong, p, v, "O", new Timestamp(0L), "x")
+    }.toDF("o_orderkey", "o_orderpriority", "o_totalprice",
+      "o_orderstatus", "o_orderdate", "o_comment")
+    val rows = graft.ops.Profile.benfordAuditOf(df).collect()
+      .map(r => r.getAs[String]("priority") -> r).toMap
+    val g = rows("GOOD")
+    val b = rows("BAD")
+    Seq(g, b).foreach { r =>
+      assert((1 to 9).map(i => r.getAs[Long](s"c$i")).sum ==
+        r.getAs[Long]("n"))
+    }
+    assert(g.getAs[Long]("benford_ok") == 1L, s"good chi2=${g.getAs[Double]("chi2")}")
+    assert(b.getAs[Long]("benford_ok") == 0L)
+    assert(b.getAs[Long]("c9") == b.getAs[Long]("n"))
+  }
+
+  test("w13: gaps bucket by bit length and attribute to the later event's type") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: events at 0 (view), 1 (click), 1 (view, tied ts → by
+    // event_id), 9 (click): gaps 1→click(1s, bucket 1), 2→view(0s,
+    // bucket 0), 3→click(8s, bucket 4: bin(8)=1000)
+    val ev = Seq(
+      (0L, ts(0), 1L, "view", 1.0, "{}"),
+      (1L, ts(1), 1L, "click", 1.0, "{}"),
+      (2L, ts(1), 1L, "view", 1.0, "{}"),
+      (3L, ts(9), 1L, "click", 1.0, "{}"),
+      (4L, ts(100), 2L, "view", 1.0, "{}")) // user 2: no gap
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.gapHistogramOf(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket")) ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("sum_gap_s"))).toMap
+    assert(got == Map(
+      ("click", 1L) -> (1L, 1L),
+      ("click", 4L) -> (1L, 8L),
+      ("view", 0L) -> (1L, 0L)))
+  }
+
+  test("tx33: cumulative vocabulary counts each type once at its first bucket") {
+    val docs = Seq(
+      (0L, "a b a", "en", "s", 5L),        // bucket 0: types a,b
+      (300L, "b c", "en", "s", 3L),        // bucket 1: new type c
+      (600L, "a b c", "en", "s", 5L))      // bucket 2: nothing new
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ops.TextStats.vocabGrowthOf(docs).collect()
+    assert(rows.map(r => (r.getAs[Long]("bucket"),
+      r.getAs[Long]("bucket_tokens"), r.getAs[Long]("new_types"),
+      r.getAs[Long]("cum_tokens"), r.getAs[Long]("cum_types"))).toSeq ==
+      Seq((0L, 3L, 2L, 3L, 2L), (1L, 2L, 1L, 5L, 3L), (2L, 3L, 0L, 8L, 3L)))
+  }
+
+  test("g7: BFS distances, min-seed tiebreak at equal distance, hop cap, unreachable NULL") {
+    // path 0-1-2-3-4 plus seed 97 attached at node 3: node 2 is dist 1
+    // from 97 vs dist 2 from 0 → nearest wins; node 1 is dist 1 from 0
+    // and dist 2 from 97 → 0 wins; isolated 50 stays NULL. (vec_id 0
+    // and 97 are the seeds: ≡ 0 mod 97.)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (97L, 2L))
+      .toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 50L, 97L).toDF("vec_id")
+    val got = graft.ops.Graph.bfsOf(edges, nodes, 97L, 6).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (Option(r.getAs[java.lang.Long]("dist")),
+          Option(r.getAs[java.lang.Long]("seed")))).toMap
+    assert(got(0L) == (Some(0L), Some(0L)))
+    assert(got(97L) == (Some(0L), Some(97L)))
+    assert(got(1L) == (Some(1L), Some(0L)))
+    assert(got(2L) == (Some(1L), Some(97L)))
+    assert(got(3L) == (Some(2L), Some(97L)))
+    assert(got(4L) == (Some(3L), Some(97L)))
+    assert(got(50L) == (None, None))
+    // hop cap: with maxHops = 1 nodes at dist ≥ 2 stay unreached
+    val capped = graft.ops.Graph.bfsOf(edges, nodes, 97L, 1).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        Option(r.getAs[java.lang.Long]("dist"))).toMap
+    assert(capped(2L) == Some(1L) && capped(3L) == None && capped(4L) == None)
+  }
+
+  test("g8: two planted triangles bridged by one edge give the textbook Q = 70/196") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (2L, 3L)).toDF("src", "dst")
+    val labels = Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 20L),
+      (4L, 20L), (5L, 20L)).toDF("vec_id", "lab")
+    val rows = graft.ops.Graph.modularityOfEdges(edges, labels).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      // per community: 3 internal edges, degree mass 7, m = 7
+      assert(r.getAs[Long]("internal_edges") == 3L)
+      assert(r.getAs[Long]("degree_sum") == 7L)
+      assert(r.getAs[Long]("m") == 7L)
+      assert(r.getAs[Long]("term_num") == 4L * 7 * 3 - 49)
+      assert(r.getAs[Double]("q_total") == 70.0 / 196.0)
+    }
+    // degenerate partition: everything one label → Q = 0 exactly
+    // (term_num = 4m·m − (2m)² = 0)
+    val one = labels.withColumn("lab", lit(1L))
+    val qs = graft.ops.Graph.modularityOfEdges(edges, one).collect()
+    assert(qs.length == 1 && qs.head.getAs[Long]("term_num") == 0L)
+    assert(qs.head.getAs[Double]("q_total") == 0.0)
   }
 }

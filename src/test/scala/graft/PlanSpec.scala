@@ -703,4 +703,33 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       s"the two window passes must share the event_type exchange:\n${p.take(2500)}")
   }
+
+  test("dq2 is one pushed-filter scan into partial+final hash aggregation; χ² adds no exchange") {
+    val p = plan("dq2_benford_audit")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no map-side combine")
+    // priority-key agg exchange + final sort's range exchange only
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(2500))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_orderkey"), s"unused column read: $readSchema")
+  }
+
+  test("w13 lag window keys on user_id — no SinglePartition window, lag+agg share nothing quadratic") {
+    val p = plan("w13_gap_histogram")
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    assert(p.contains("hashpartitioning(user_id"),
+      s"lag window must partition by user:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("g8 modularity: endpoint label joins stay keyed or broadcast; only 1-row plans nested-loop") {
+    val p = plan("g8_label_modularity")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the m / q_num singletons ride 1-row broadcasts; any BNLJ in this
+    // plan must be one of those (guarded by the LocalLimit-free shape:
+    // a data-scale BNLJ would pair with a non-aggregate child)
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).nonEmpty, "label joins missing")
+  }
 }
