@@ -222,6 +222,9 @@ object SparkEntry {
     "tx33_vocab_growth" -> (TextStats.vocabGrowth _),
     "g7_bfs_landmarks" -> (Graph.bfsLandmarks _),
     "g8_label_modularity" -> (Graph.labelModularity _),
+    "a25_mean_ci" -> (Analytics.meanCi _),
+    "dd19_similarity_histogram" -> ((s, d) => Dedup.similarityHistogram(s, d)),
+    "mm13_lowenergy_segments" -> (Multimodal.lowEnergySegmentsQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -759,5 +762,8 @@ object SparkEntry {
     "tx33_vocab_growth" -> TextStats.vocabGrowthOracle,
     "g7_bfs_landmarks" -> Graph.bfsLandmarksOracle(),
     "g8_label_modularity" -> Graph.labelModularityOracle(),
+    "a25_mean_ci" -> Analytics.meanCiOracle,
+    "dd19_similarity_histogram" -> Dedup.similarityHistogramOracle,
+    "mm13_lowenergy_segments" -> Multimodal.lowEnergySegmentsOracle,
   )
 }

@@ -1530,4 +1530,78 @@ object Analytics {
       |       CAST(sum(gap) AS BIGINT) / count(*) / 1.0 AS mean_gap_s
       |FROM b GROUP BY event_type, bucket
       |ORDER BY event_type, bucket""".stripMargin
+
+  /** z at 95% two-sided, the shared literal (typed e0 in the oracle —
+    * the dq2 lesson). */
+  val CiZ = 1.96
+
+  /** a25 — per-type mean with a 95% confidence interval: the
+    * estimate-with-error-bars form every metrics read-out needs, and
+    * the statistical guard for a8-style threshold decisions (a mean
+    * that "moved" inside its interval didn't move). Moments are exact
+    * integer cents (n, Σx, Σx² — one partial+final aggregation); the
+    * variance numerator n·Σx² − (Σx)² would overflow a long at
+    * warehouse row counts, so it follows a19's denY precedent: the
+    * exact longs cast to double and combined in ONE fixed IEEE tree
+    * (every operand exact, every op correctly rounded, sqrt included —
+    * both engines produce the identical bits). A sample variance that
+    * rounds to a tiny negative on a constant column clamps through the
+    * `< 0 → 0` guard both engines share; n < 2 yields NULL bounds. */
+  def meanCi(s: SparkSession, d: String): DataFrame =
+    meanCiOf(Tables.events(s, d))
+
+  /** [[meanCi]] over an explicit events frame. */
+  def meanCiOf(events: DataFrame): DataFrame = {
+    val agg = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), cents(col("value")).as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sum_cents"),
+        sum(col("y") * col("y")).as("sumsq_cents"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sumsq_cents").cast("double") -
+      col("sum_cents").cast("double") * col("sum_cents").cast("double")
+    val varHat = when(num < 0.0, 0.0)
+      .otherwise(num / (nD * (col("n") - 1L).cast("double")))
+    val hw = lit(CiZ) * sqrt(varHat / nD) / 100.0
+    val mean = col("sum_cents") / col("n") / 100.0
+    agg.select(col("event_type"), col("n"), col("sum_cents"),
+        col("sumsq_cents"), mean.as("mean_value"),
+        when(col("n") >= 2L, hw).as("half_width"),
+        when(col("n") >= 2L, mean - hw).as("ci_lo"),
+        when(col("n") >= 2L, mean + hw).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  val meanCiOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y
+       |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       |agg AS (
+       |  SELECT event_type, count(*) AS n,
+       |         CAST(sum(y) AS BIGINT) AS sum_cents,
+       |         CAST(sum(y * y) AS BIGINT) AS sumsq_cents
+       |  FROM ev GROUP BY event_type),
+       |t AS (
+       |  SELECT *,
+       |    CAST(n AS DOUBLE) * CAST(sumsq_cents AS DOUBLE)
+       |      - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) AS num
+       |  FROM agg),
+       |v AS (
+       |  SELECT *,
+       |    CASE WHEN num < 0.0e0 THEN 0.0e0
+       |         ELSE num / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) END
+       |      AS var_hat
+       |  FROM t)
+       |SELECT event_type, n, sum_cents, sumsq_cents,
+       |  sum_cents / n / 100.0e0 AS mean_value,
+       |  CASE WHEN n >= 2 THEN ${CiZ}e0 * sqrt(var_hat / CAST(n AS DOUBLE))
+       |       / 100.0e0 END AS half_width,
+       |  CASE WHEN n >= 2 THEN sum_cents / n / 100.0e0
+       |       - ${CiZ}e0 * sqrt(var_hat / CAST(n AS DOUBLE)) / 100.0e0 END
+       |    AS ci_lo,
+       |  CASE WHEN n >= 2 THEN sum_cents / n / 100.0e0
+       |       + ${CiZ}e0 * sqrt(var_hat / CAST(n AS DOUBLE)) / 100.0e0 END
+       |    AS ci_hi
+       |FROM v ORDER BY event_type""".stripMargin
 }

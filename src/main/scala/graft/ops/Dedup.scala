@@ -368,6 +368,80 @@ object Dedup {
        |      $ContainmentNum * least(len(a.sh), len(b.sh))
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Similarity-histogram resolution: Jaccard quantized to
+    * twentieths, bucket = ⌊20·i/u⌋ ∈ 0..20 (exact integer both
+    * engines). */
+  val SimHistBuckets = 20L
+
+  /** dd19 — candidate-pair similarity histogram: the THRESHOLD-SWEEP
+    * artifact behind dd4/dd6's fixed cut. Every inverted-index
+    * candidate pair (≥ 1 shared shingle, no threshold) lands in an
+    * exact-integer Jaccard bucket; per bucket: pair count, the
+    * same-source vs cross-source split (cross-source mass at high
+    * similarity = syndication/mirror traffic — the dedup policy
+    * question "dedupe within or across sources" answered from data),
+    * and the reverse-cumulative pairs-at-or-above count, which reads
+    * directly as "a threshold of b/20 keeps N pairs". One artifact
+    * replaces re-running dd4 per candidate threshold.
+    *
+    * Scale shape: identical candidate generation to dd4
+    * ([[shingleIntersections]] — the Σdf² inverted-index join, keyed
+    * end to end); the bucket map is a codegen projection; source
+    * attribution is two id-keyed joins against the (id, source)
+    * projection; the cumulative window runs over ≤ 21 post-aggregate
+    * rows. */
+  def similarityHistogram(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame =
+    similarityHistogramOf(Tables.documents(s, d), mode)
+
+  def similarityHistogramOf(docs: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = shingleIntersections(docs, mode)
+      .withColumn("u_size", col("n_a") + col("n_b") - col("i_size"))
+      .withColumn("bucket",
+        (col("i_size") * SimHistBuckets / col("u_size")).cast("long"))
+      .join(src.toDF("doc_a", "src_a"), "doc_a")
+      .join(src.toDF("doc_b", "src_b"), "doc_b")
+    val hist = pairs.groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("src_a") === col("src_b"), 1L).otherwise(0L))
+          .as("n_same_source"))
+      .withColumn("n_cross_source", col("n_pairs") - col("n_same_source"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("pairs_at_or_above", sum(col("n_pairs")).over(w))
+      .orderBy("bucket")
+  }
+
+  lazy val similarityHistogramOracle: String =
+    s"""WITH $shingleCte,
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.sh, b.sh)) AS i_size,
+       |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u_size
+       |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+       |bk AS (
+       |  SELECT i_size * $SimHistBuckets // u_size AS bucket,
+       |         da.source AS src_a, db.source AS src_b
+       |  FROM pr
+       |  JOIN documents da ON pr.doc_a = da.doc_id
+       |  JOIN documents db ON pr.doc_b = db.doc_id),
+       |h AS (
+       |  SELECT bucket, count(*) AS n_pairs,
+       |         CAST(sum(CASE WHEN src_a = src_b THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_same_source
+       |  FROM bk GROUP BY bucket)
+       |SELECT bucket, n_pairs, n_same_source,
+       |       n_pairs - n_same_source AS n_cross_source,
+       |       CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |         AS pairs_at_or_above
+       |FROM h ORDER BY bucket""".stripMargin
+
   /** Watermark split for [[incrementalDedup]]: docs below the split
     * percentile of doc_id play the persisted index; the rest are the
     * arriving batch. */

@@ -839,6 +839,113 @@ object Multimodal {
        |FROM s GROUP BY track_id ORDER BY track_id""".stripMargin
   }
 
+  /** Low-energy gate for mm13 as a rational: a frame is "quiet" when
+    * its PER-SAMPLE energy is under [[QuietNum]]/[[QuietDen]] of the
+    * track's mean per-sample energy — integer cross-multiplied
+    * (energy·track_samples·den < num·n_samples·total_energy), so the
+    * gate is exact cross-engine, self-normalizing per track (an
+    * absolute threshold gates nothing on loud tracks, everything on
+    * soft ones), and fair to partial tail frames (frame-level mean
+    * energy would flag every short tail as quiet). 1/1 = strictly
+    * below the mean: on near-stationary content roughly half the
+    * frames gate, which is exactly what makes the RUN structure the
+    * signal. */
+  val QuietNum = 1L
+  val QuietDen = 1L
+
+  /** mm13 — relative low-energy (silence-shaped) segment detection:
+    * per track, maximal RUNS of consecutive quiet frames — the
+    * segment count, quiet-frame total, longest run, and quiet
+    * fraction. This is the speech-curation triage between mm7 (onset
+    * boundaries) and mm9 (whole-track health): long quiet runs are
+    * dead air to trim or VAD-split before transcription; MANY short
+    * runs on a track whose health screen is clean indicate
+    * pause-heavy but usable speech.
+    *
+    * Shape: the mm6 frame features (narrow per-partition decode) join
+    * their track-level totals (one per-track aggregation, broadcast-
+    * class), the quiet flag is a codegen integer comparison, and runs
+    * merge with the island trick — frame_idx minus a per-track
+    * quiet-rank is constant exactly within a consecutive run (no lag
+    * chain needed), so one track-keyed window + two aggregations
+    * finish the job. Everything an exact integer but the final
+    * fraction (one long/long division). */
+  def lowEnergySegmentsQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.expressions.Window
+    val media = s.createDataset(fixtureAudio().map {
+      case (id, b) => Media(id, b, b.length) })(
+      Encoders.product[Media]).repartition(2)
+    val frames = audioFramesAll(media).toDF()
+    val tot = frames.groupBy("track_id")
+      .agg(count(lit(1)).as("n_frames"), sum(col("energy")).as("tot_energy"),
+        sum(col("n_samples")).as("tot_samples"))
+    val flagged = frames.join(broadcast(tot), "track_id")
+      .withColumn("quiet",
+        col("energy") * col("tot_samples") * QuietDen <
+          lit(QuietNum) * col("n_samples") * col("tot_energy"))
+    val w = Window.partitionBy("track_id").orderBy("frame_idx")
+    val runs = flagged.filter(col("quiet"))
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy("track_id", "grp").agg(count(lit(1)).as("run_len"))
+    val perTrack = runs.groupBy("track_id")
+      .agg(count(lit(1)).as("n_segments"), sum(col("run_len")).as("n_quiet"),
+        max(col("run_len")).as("longest_run"))
+    tot.join(perTrack, Seq("track_id"), "left")
+      .select(col("track_id"), col("n_frames"),
+        coalesce(col("n_quiet"), lit(0L)).as("n_quiet"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+      .withColumn("quiet_fraction", col("n_quiet") / col("n_frames"))
+      .orderBy("track_id")
+  }
+
+  val lowEnergySegmentsOracle: String = {
+    val tracks = audioTrackLens
+      .map { case (t, n) => s"($t, $n)" }.mkString(", ")
+    s"""WITH tracks(track_id, n) AS (VALUES $tracks),
+       |s AS (
+       |  SELECT track_id, i,
+       |         ((i*(i+3)*31 + track_id*7919 + i*1009) % 65536) - 32768 AS v
+       |  FROM tracks, unnest(generate_series(0, n - 1)) AS u(i)),
+       |fr AS (
+       |  SELECT track_id, i // $AudioFrameSamples AS frame_idx,
+       |         count(*) AS n_samples,
+       |         CAST(sum(v * v) AS BIGINT) AS energy
+       |  FROM s GROUP BY track_id, i // $AudioFrameSamples),
+       |tot AS (
+       |  SELECT track_id, count(*) AS n_frames,
+       |         CAST(sum(energy) AS BIGINT) AS tot_energy,
+       |         CAST(sum(n_samples) AS BIGINT) AS tot_samples
+       |  FROM fr GROUP BY track_id),
+       |q AS (
+       |  SELECT fr.track_id, fr.frame_idx
+       |  FROM fr JOIN tot ON fr.track_id = tot.track_id
+       |  WHERE fr.energy * tot.tot_samples * $QuietDen
+       |        < $QuietNum * fr.n_samples * tot.tot_energy),
+       |g AS (
+       |  SELECT track_id, frame_idx,
+       |         frame_idx - row_number() OVER (PARTITION BY track_id
+       |           ORDER BY frame_idx) AS grp
+       |  FROM q),
+       |runs AS (
+       |  SELECT track_id, grp, count(*) AS run_len
+       |  FROM g GROUP BY track_id, grp),
+       |pt AS (
+       |  SELECT track_id, count(*) AS n_segments,
+       |         CAST(sum(run_len) AS BIGINT) AS n_quiet,
+       |         max(run_len) AS longest_run
+       |  FROM runs GROUP BY track_id)
+       |SELECT t.track_id, t.n_frames,
+       |       CAST(coalesce(pt.n_quiet, 0) AS BIGINT) AS n_quiet,
+       |       CAST(coalesce(pt.n_segments, 0) AS BIGINT) AS n_segments,
+       |       CAST(coalesce(pt.longest_run, 0) AS BIGINT) AS longest_run,
+       |       CAST(coalesce(pt.n_quiet, 0) AS BIGINT) / t.n_frames
+       |         AS quiet_fraction
+       |FROM tot t LEFT JOIN pt ON t.track_id = pt.track_id
+       |ORDER BY t.track_id""".stripMargin
+  }
+
   /** Video fixture clips: (video id, width, height, frame count).
     * Mixed dims exercise the flattened frame stride; every clip spans
     * at least one scene boundary (scene length [[SceneFrames]]). */

@@ -59,6 +59,52 @@ object Streams {
   case class TypeState(n: Long, sum: Double)
   case class TypeUpdate(event_type: String, n: Long, sum: Double)
 
+  case class GapState(lastS: Long, lastEid: Long)
+  case class GapObs(event_type: String, bucket: Long, gap: Long)
+
+  /** w13's streaming twin: per-user inter-arrival gaps with the same
+    * second-truncation, later-event type attribution, and bit-length
+    * bucket as the batch histogram — state is TWO LONGS per user (the
+    * previous arrival's second + event id for the batch's tie order),
+    * so the stream pays O(active users), not O(events). Emitted GapObs
+    * rows feed a standard streaming aggregation on (type, bucket);
+    * aggregating the emissions over any batch slicing equals
+    * [[graft.model.Analytics.gapHistogramOf]] on the union, PROVIDED
+    * same-second ties arrive in the same micro-batch (within a batch
+    * the rows re-sort by (second, event_id) exactly like the batch
+    * window; a stream cannot re-order ties it has already answered
+    * across batches — the sessionizeStream caveat family). Pair with a
+    * timeout TTL when the user key space churns unboundedly. */
+  def gapStream(
+      events: Dataset[(Long, java.sql.Timestamp, Long, String)]): Dataset[GapObs] = {
+    import events.sparkSession.implicits._
+    def bucketOf(gap: Long): Long =
+      if (gap == 0L) 0L else 64L - java.lang.Long.numberOfLeadingZeros(gap)
+    events
+      .filter(r => r._2 != null && r._4 != null)
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[GapState, GapObs](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[GapState]) =>
+          var out = List.empty[GapObs]
+          var prev = state.getOption
+          rows.toSeq
+            .map(r => (r._1, r._2.getTime / 1000L, r._4))
+            .sortBy(r => (r._2, r._1))
+            .foreach { case (eid, sec, tpe) =>
+              prev match {
+                case Some(GapState(ls, _)) =>
+                  val gap = sec - ls
+                  out ::= GapObs(tpe, bucketOf(gap), gap)
+                case None =>
+              }
+              prev = Some(GapState(sec, eid))
+            }
+          prev.foreach(state.update)
+          out.reverse.iterator
+      }
+  }
+
   /** Stateful extension — running per-type totals via mapGroupsWithState
     * (the custom-state path the reference never needed; bounded state:
     * one row per event type). */

@@ -2140,6 +2140,101 @@ class OpsSpec extends AnyFunSuite {
     assert(capped(2L) == Some(1L) && capped(3L) == None && capped(4L) == None)
   }
 
+  test("a25: constant column gives zero-width interval; planted spread brackets the mean; n=1 NULLs") {
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, v: Double) =
+      (id, new Timestamp(0L), 1L, t, v, "{}")
+    val rows = (
+      (1 to 10).map(i => ev(i, "const", 2.0)) ++
+      (1 to 50).map(i => ev(100 + i, "spread", if (i % 2 == 0) 1.0 else 3.0)) ++
+      Seq(ev(200, "solo", 5.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.meanCiOf(rows).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val c = got("const")
+    assert(c.getAs[Double]("half_width") == 0.0 &&
+      c.getAs[Double]("mean_value") == 2.0)
+    val sp = got("spread")
+    assert(sp.getAs[Double]("mean_value") == 2.0)
+    assert(sp.getAs[Double]("half_width") > 0.0)
+    assert(sp.getAs[Double]("ci_lo") < 2.0 && sp.getAs[Double]("ci_hi") > 2.0)
+    // planted: var = 1 (values ±1 around mean), se = 1/√50,
+    // hw ≈ 1.96·0.1414 ≈ 0.277 — sanity bracket, exactness is the
+    // driver compare's job
+    assert(math.abs(sp.getAs[Double]("half_width") - 0.2772) < 0.01)
+    val so = got("solo")
+    assert(so.isNullAt(so.fieldIndex("half_width")) &&
+      so.isNullAt(so.fieldIndex("ci_lo")))
+  }
+
+  test("dd19: buckets partition the candidate pairs; cumulative column sweeps thresholds; source split adds up") {
+    val sf = GraftSpark.sf
+    val rows = graft.ops.Dedup.similarityHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_same_source") + r.getAs[Long]("n_cross_source")
+        == r.getAs[Long]("n_pairs"))
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b <= 20L)
+    }
+    // reverse-cumulative: the lowest bucket's at-or-above equals the
+    // grand total; monotone nonincreasing in bucket
+    val sorted = rows.sortBy(_.getAs[Long]("bucket"))
+    assert(sorted.head.getAs[Long]("pairs_at_or_above") == total)
+    sorted.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("pairs_at_or_above") >=
+          hi.getAs[Long]("pairs_at_or_above"))
+      case _ =>
+    }
+    // consistency with dd4: pairs at or above the production threshold
+    // (0.7 → bucket 14) ≥ the thresholded pair count (bucket floor
+    // truncates, so the histogram can only over-count at the boundary)
+    val dd4 = graft.ops.Dedup.ngramJaccardPairs(spark, sf).count()
+    val ge14 = sorted.find(_.getAs[Long]("bucket") >= 14L)
+      .map(_.getAs[Long]("pairs_at_or_above")).getOrElse(0L)
+    assert(ge14 >= dd4)
+  }
+
+  test("mm13: quiet runs merge maximally, totals reconcile, gate is relative to the track mean") {
+    val rows = graft.ops.Multimodal.lowEnergySegmentsQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nq = r.getAs[Long]("n_quiet")
+      val ns = r.getAs[Long]("n_segments")
+      val lr = r.getAs[Long]("longest_run")
+      assert(nq <= r.getAs[Long]("n_frames"))
+      assert(ns <= nq, "more segments than quiet frames")
+      assert(lr <= nq && (ns == 0L || lr >= 1L))
+      // with a strict below-mean gate a multi-frame track always
+      // gates something (some frame sits below the mean unless every
+      // frame's per-sample energy is equal — the fixture's are not);
+      // a single-frame track IS its own mean and must gate nothing
+      if (r.getAs[Long]("n_frames") >= 2L)
+        assert(nq >= 1L, s"track ${r.getAs[Long]("track_id")} gated nothing")
+      else assert(nq == 0L)
+    }
+    // cross-check one track against a direct recompute of the gate
+    import spark.implicits._
+    val frames = graft.ops.Multimodal.audioFramesAll(
+      spark.createDataset(graft.ops.Multimodal.fixtureAudio().map {
+        case (id, b) => graft.ops.Multimodal.Media(id, b, b.length) })(
+        org.apache.spark.sql.Encoders.product[graft.ops.Multimodal.Media]))
+      .collect().filter(_.track_id == 1L).sortBy(_.frame_idx)
+    val tot = frames.map(_.energy).sum
+    val totSamples = frames.map(_.n_samples).sum
+    val quiet = frames.map(f =>
+      f.energy * totSamples < f.n_samples * tot)
+    val expectedQuiet = quiet.count(identity).toLong
+    val r1 = rows.find(_.getAs[Long]("track_id") == 1L).get
+    assert(r1.getAs[Long]("n_quiet") == expectedQuiet)
+    // segments = number of quiet-run starts
+    val expectedSegs = quiet.zipWithIndex.count { case (q, i) =>
+      q && (i == 0 || !quiet(i - 1)) }.toLong
+    assert(r1.getAs[Long]("n_segments") == expectedSegs)
+  }
+
   test("g8: two planted triangles bridged by one edge give the textbook Q = 70/196") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L),
       (5L, 3L), (2L, 3L)).toDF("src", "dst")

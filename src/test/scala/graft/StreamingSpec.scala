@@ -552,6 +552,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq.map(_._3).sum == 5, "null value row excluded")
   }
 
+  test("gap stream (w13 twin): per-user 2-long state, aggregated gaps equal the batch histogram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = Streams.gapStream(input.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gap_stream").start()
+    // batch 1: user 1 with a same-second tie (re-sorted by event_id
+    // inside the micro-batch), user 2 opener
+    val b1 = Seq((1L, ts(0), 1L, "view"), (3L, ts(1), 1L, "view"),
+      (2L, ts(1), 1L, "click"), (10L, ts(50), 2L, "view"))
+    // batch 2: continuations — gaps span the batch boundary via state
+    val b2 = Seq((4L, ts(9), 1L, "click"), (11L, ts(50), 2L, "click"),
+      (12L, ts(114), 2L, "view"))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gap_stream").as[Streams.GapObs].collect()
+      .groupBy(o => (o.event_type, o.bucket))
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_.gap).sum) }
+    val batch = graft.model.Analytics.gapHistogramOf(
+      (b1 ++ b2).toDF("event_id", "ts", "user_id", "event_type"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket")) ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("sum_gap_s"))).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // the boundary-spanning gap (user 2: 50 → 50 same-second then 64 s)
+    assert(batch.contains(("click", 0L)) && batch.contains(("view", 7L)))
+  }
+
   test("constraint-audit stream: counters accumulate across batches and match the batch rules (dq1 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
