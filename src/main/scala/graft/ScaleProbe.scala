@@ -326,6 +326,19 @@ object ScaleProbe {
         graft.ops.Linkage.recordLinkageOf(cust).count()
       }
       graft.ops.Materialize.releaseAll(spark)
+      // g7: kNN build + ≤6 BFS rounds of frontier join + min-struct
+      // agg. Sign-flipped copies keep edges within copies and each
+      // copy carries its own ∝ n/97 seed slice, so reached counts grow
+      // ∝ n; rounds are diameter-capped, so the curve should track
+      // sim4's build plus a flat per-round keyed-join cost — the probe
+      // consumes dist so the propagation stages can't prune away
+      val emb7 = replicatedEmb(spark, sfDir, n).localCheckpoint(true)
+      val (tBfs, bfsReached) = time {
+        graft.ops.Graph.bfsLandmarksOf(emb7)
+          .agg(sum(col("reached")).as("r"), sum(col("dist")).as("d"))
+          .collect()(0).getLong(0)
+      }
+      graft.ops.Materialize.releaseAll(spark)
       println(f"""{"factor":$n,"docs":$nDocs,"lsh_sec":$tLsh%.2f,"pairs":$pairs,""" +
         f""""cluster_sec":$tCluster%.2f,"labeled":$clusters,""" +
         f""""pack_sec":$tPack%.2f,"packed":$packed,""" +
@@ -352,7 +365,8 @@ object ScaleProbe {
         f""""kmv_sec":$tKmv%.2f,"kmv_pairs":$kmvPairs,""" +
         f""""bpe_sec":$tBpe%.2f,"bpe_sum":$bpeSum,""" +
         f""""pq_sec":$tPq%.2f,"pq_rows":$pqRows,""" +
-        f""""cust":$nCust,"rl_sec":$tRl%.2f,"rl_links":$rlLinks}""")
+        f""""cust":$nCust,"rl_sec":$tRl%.2f,"rl_links":$rlLinks,""" +
+        f""""bfs_sec":$tBfs%.2f,"bfs_reached":$bfsReached}""")
     }
     spark.stop()
   }

@@ -225,6 +225,10 @@ object SparkEntry {
     "a25_mean_ci" -> (Analytics.meanCi _),
     "dd19_similarity_histogram" -> ((s, d) => Dedup.similarityHistogram(s, d)),
     "mm13_lowenergy_segments" -> (Multimodal.lowEnergySegmentsQuery _),
+    "ord1_epoch_shuffle" -> (graft.ops.Sampling.epochShuffle _),
+    "inc3_rolling_refresh" -> (graft.ops.Incremental.rollingRefresh _),
+    "w14_dominant_period" -> (Analytics.dominantPeriod _),
+    "dq3_fk_audit" -> (graft.ops.Profile.fkAudit _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -765,5 +769,9 @@ object SparkEntry {
     "a25_mean_ci" -> Analytics.meanCiOracle,
     "dd19_similarity_histogram" -> Dedup.similarityHistogramOracle,
     "mm13_lowenergy_segments" -> Multimodal.lowEnergySegmentsOracle,
+    "ord1_epoch_shuffle" -> graft.ops.Sampling.epochShuffleOracle,
+    "inc3_rolling_refresh" -> graft.ops.Incremental.rollingRefreshOracle,
+    "w14_dominant_period" -> Analytics.dominantPeriodOracle,
+    "dq3_fk_audit" -> graft.ops.Profile.fkAuditOracle,
   )
 }

@@ -1604,4 +1604,105 @@ object Analytics {
        |       + ${CiZ}e0 * sqrt(var_hat / CAST(n AS DOUBLE)) / 100.0e0 END
        |    AS ci_hi
        |FROM v ORDER BY event_type""".stripMargin
+
+  /** Lag search range for w14 (covers weekly = 7 with headroom). */
+  val PeriodMaxLag = 14
+
+  /** w14 — dominant periodicity per event type: the lag k ∈ 1..14
+    * maximizing the daily-count autocorrelation — "does this stream
+    * beat daily, weekly, or not at all", the signal behind choosing
+    * t4/t5 window widths and reading a22's day-of-week profile as
+    * cause rather than noise.
+    *
+    * The argmax needs NO floats: all 14 autocorrelation numerators
+    * share the one positive denominator Σd₀², so comparing num_k
+    * compares acf_k — the argmax is a pure exact-long comparison (a21
+    * quantization argument applied to the SELECTION problem; the
+    * single num/den division appears only in the reported best_acf).
+    * Ties elect the smallest lag via the struct-max idiom with
+    * negated lag. Shape: a21's one type-keyed window pass widened to
+    * 14 lag columns + one aggregation; the argmax explodes 14 rows
+    * per TYPE (post-aggregate, O(types·14)), never per day. */
+  def dominantPeriod(s: SparkSession, d: String): DataFrame =
+    dominantPeriodOf(Tables.events(s, d))
+
+  /** [[dominantPeriod]] over an explicit events frame. */
+  def dominantPeriodOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wAll = Window.partitionBy("event_type")
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val dev0 = daily
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("x")).over(wAll))
+      .withColumn("d0", col("n") * col("x") - col("s"))
+    val dev = (1 to PeriodMaxLag).foldLeft(dev0) { (df, k) =>
+      df.withColumn(s"d$k", lag(col("d0"), k).over(wOrd))
+    }
+    def num(k: Int) =
+      sum(when(col(s"d$k").isNotNull, col("d0") * col(s"d$k")).otherwise(0L))
+        .as(s"num$k")
+    val agg = dev.groupBy("event_type").agg(
+      max(col("n")).as("n_days"),
+      sum(col("d0") * col("d0")).as("den") +:
+        (1 to PeriodMaxLag).map(num): _*)
+    val entries = (1 to PeriodMaxLag).map(k =>
+      struct(col(s"num$k").as("num"), lit(-k.toLong).as("nlag")))
+    agg
+      .select(col("event_type"), col("n_days"), col("den"),
+        explode(array(entries: _*)).as("e"))
+      .groupBy("event_type")
+      .agg(max(col("n_days")).as("n_days"), max(col("den")).as("den"),
+        max(struct(col("e.num"), col("e.nlag"))).as("m"))
+      .select(col("event_type"), col("n_days"), col("den"),
+        (-col("m.nlag")).as("best_lag"), col("m.num").as("best_num"),
+        when(col("den") =!= 0L, col("m.num") / col("den")).as("best_acf"),
+        when(col("m.nlag") === -7L, 1L).otherwise(0L).as("is_weekly"))
+      .orderBy("event_type")
+  }
+
+  val dominantPeriodOracle: String = {
+    val lagCols = (1 to PeriodMaxLag).map(k =>
+      s"lag(d0, $k) OVER (PARTITION BY event_type ORDER BY day) AS d$k")
+      .mkString(",\n      |         ")
+    val numCols = (1 to PeriodMaxLag).map(k =>
+      s"CAST(sum(CASE WHEN d$k IS NOT NULL THEN d0 * d$k ELSE 0 END) AS BIGINT) AS num$k")
+      .mkString(",\n      |         ")
+    val unions = (1 to PeriodMaxLag).map(k =>
+      s"SELECT event_type, n_days, den, CAST($k AS BIGINT) AS lag, num$k AS num FROM agg")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY event_type, CAST(ts AS DATE)),
+      |dev AS (
+      |  SELECT event_type, day,
+      |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |         CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+      |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) * x
+      |           - CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)
+      |           AS d0
+      |  FROM daily),
+      |lagged AS (
+      |  SELECT event_type, n, d0,
+      |         $lagCols
+      |  FROM dev),
+      |agg AS (
+      |  SELECT event_type, max(n) AS n_days,
+      |         CAST(sum(d0 * d0) AS BIGINT) AS den,
+      |         $numCols
+      |  FROM lagged GROUP BY event_type),
+      |e AS (
+      |  $unions),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY num DESC, lag) AS rn
+      |  FROM e)
+      |SELECT event_type, n_days, den, lag AS best_lag, num AS best_num,
+      |       CASE WHEN den <> 0 THEN num / den END AS best_acf,
+      |       CAST(CASE WHEN lag = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_weekly
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+  }
 }

@@ -125,4 +125,80 @@ object Incremental {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY segment, priority
       |ORDER BY segment, priority""".stripMargin
+
+  /** Sliding-window width in days for inc3. */
+  val RollingDays = 7
+
+  /** inc3 — SLIDING-WINDOW view maintenance: the per-type 7-day
+    * rolling event count maintained by the add/retire recurrence
+    * R(d) = R(d−1) + D(d) − D(d−[[RollingDays]]) instead of re-summing
+    * [[RollingDays]] days per row. inc1 maintains a monoid aggregate
+    * under inserts and inc2 a join view; this is the third refresh
+    * algebra a metrics stack needs — windows that RETIRE data, where
+    * the naive recompute cost is window-width × daily volume forever.
+    * The engine form materializes the recurrence as a running sum of
+    * the (D(d) − D(d−w)) delta stream; the oracle recomputes every
+    * window from scratch (ROWS BETWEEN w−1 PRECEDING), so the hash
+    * match is the telescoping identity Σ_{i≤d} [D(i) − D(i−w)] =
+    * Σ_{d−w<i≤d} D(i) proved on real data.
+    *
+    * The trap the dense-day spine guards: day gaps. lag(n, w) over the
+    * OBSERVED rows slides by w ROWS, not w DAYS — on a type with a
+    * missing day the retire leg subtracts the wrong day and every
+    * later window inherits the error. Each type therefore explodes
+    * its min..max day span (one sequence per type, O(span) rows) and
+    * left-joins observed counts with a 0 fill; both windows then run
+    * per type over the dense spine. One aggregation + one type-keyed
+    * exchange shared by both window passes. */
+  def rollingRefresh(s: SparkSession, d: String): DataFrame =
+    rollingRefreshOf(Tables.events(s, d))
+
+  /** [[rollingRefresh]] over an explicit events frame. */
+  def rollingRefreshOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_day"))
+    val span = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+    val dense = span.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n_day", coalesce(col("n_day"), lit(0L)))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val delta = col("n_day") -
+      coalesce(lag(col("n_day"), RollingDays).over(byDay), lit(0L))
+    dense
+      .withColumn("delta", delta)
+      .withColumn("rolling",
+        sum(col("delta")).over(byDay.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("event_type", "day", "n_day", "rolling")
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB replay: every window re-summed from scratch over the same
+    * dense spine — the recurrence never appears. */
+  val rollingRefreshOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_day
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |  GROUP BY event_type, CAST(ts AS DATE)),
+       |spine AS (
+       |  SELECT event_type,
+       |         CAST(unnest(generate_series(min(day), max(day),
+       |           INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM daily GROUP BY event_type),
+       |dense AS (
+       |  SELECT s.event_type, s.day,
+       |         CAST(coalesce(d.n_day, 0) AS BIGINT) AS n_day
+       |  FROM spine s LEFT JOIN daily d
+       |    ON s.event_type = d.event_type AND s.day = d.day)
+       |SELECT event_type, day, n_day,
+       |       CAST(sum(n_day) OVER (PARTITION BY event_type ORDER BY day
+       |         ROWS BETWEEN ${RollingDays - 1} PRECEDING AND CURRENT ROW)
+       |         AS BIGINT) AS rolling
+       |FROM dense ORDER BY event_type, day""".stripMargin
 }

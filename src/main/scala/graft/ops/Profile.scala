@@ -316,4 +316,80 @@ object Profile {
       |  END AS BIGINT) AS benford_ok
       |FROM t ORDER BY priority""".stripMargin
   }
+
+  /** The star schema's FK relations as (name, child table, FK column,
+    * parent table, PK column) — the audit is data-driven; adding a
+    * relation is adding a row. */
+  private val fkRelations: Seq[(String, String, String, String, String)] = Seq(
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  /** dq3 — referential-integrity audit across the whole star schema:
+    * per FK relation the child row count, NULL-FK count, ORPHAN count
+    * (non-null FK with no parent — the row a dim join silently drops
+    * or null-fills), and orphan rate. This is the cross-TABLE
+    * complement of dq1's single-table rules: the first question after
+    * an ingest drop is "do the facts still join", and the audit
+    * answers it as counts per relation instead of as missing rows in
+    * downstream reports.
+    *
+    * Shape per relation: one column-pruned child scan aggregated to
+    * (count, null-count) + one LEFT ANTI join against the distinct
+    * parent key (keyed shuffle, or broadcast when the dim is small —
+    * exactly the join the fact queries themselves run) aggregated to
+    * one row; the relation rows union to a 7-row result. At 100 TB
+    * the audit costs one pass per relation over two key columns —
+    * strictly cheaper than any fact-dim join it certifies. */
+  def fkAudit(s: SparkSession, d: String): DataFrame = {
+    def table(name: String): DataFrame = name match {
+      case "customer" => Tables.customer(s, d)
+      case "lineitem" => Tables.lineitem(s, d)
+      case "nation" => Tables.nation(s, d)
+      case "orders" => Tables.orders(s, d)
+      case "part" => Tables.part(s, d)
+      case "region" => Tables.region(s, d)
+      case "supplier" => Tables.supplier(s, d)
+    }
+    fkRelations.map { case (rel, child, fk, parent, pk) =>
+      relationRow(rel,
+        table(child).select(col(fk).cast("long").as("fk")),
+        table(parent).select(col(pk).cast("long").as("fk")))
+    }.reduce(_ unionByName _).orderBy("relation")
+  }
+
+  /** One relation's audit row from pre-projected single-column child
+    * FK / parent PK frames. */
+  private[graft] def relationRow(rel: String, c: DataFrame,
+      p: DataFrame): DataFrame = {
+    val base = c.agg(count(lit(1)).as("n_child"),
+      sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"))
+    val orphans = c.where(col("fk").isNotNull)
+      .join(p.distinct(), Seq("fk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    base.crossJoin(orphans)
+      .select(lit(rel).as("relation"), col("n_child"), col("n_null_fk"),
+        col("n_orphans"),
+        (col("n_orphans") / col("n_child")).as("orphan_rate"))
+  }
+
+  val fkAuditOracle: String =
+    fkRelations.map { case (rel, child, fk, parent, pk) =>
+      s"""SELECT '$rel' AS relation,
+         |  (SELECT count(*) FROM $child) AS n_child,
+         |  (SELECT count(*) FROM $child WHERE $fk IS NULL) AS n_null_fk,
+         |  (SELECT count(*) FROM $child c
+         |     WHERE c.$fk IS NOT NULL AND NOT EXISTS
+         |       (SELECT 1 FROM $parent p WHERE CAST(p.$pk AS BIGINT)
+         |          = CAST(c.$fk AS BIGINT))) AS n_orphans,
+         |  (SELECT count(*) FROM $child c
+         |     WHERE c.$fk IS NOT NULL AND NOT EXISTS
+         |       (SELECT 1 FROM $parent p WHERE CAST(p.$pk AS BIGINT)
+         |          = CAST(c.$fk AS BIGINT)))
+         |    / (SELECT count(*) FROM $child) AS orphan_rate""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
 }

@@ -122,4 +122,62 @@ object Sampling {
        |SELECT l_suppkey, l_partkey, rank, cand AS neg_partkey, draw
        |FROM rk WHERE rank <= $NumNegatives
        |ORDER BY l_suppkey, l_partkey, rank""".stripMargin
+
+  /** ord1 parameters: training epochs materialized, data-loader
+    * shards per epoch, and the hash seed that makes the permutation
+    * reproducible. */
+  val ShuffleEpochs = 2
+  val ShuffleShards = 8L
+  val ShuffleSeed = 23
+
+  /** ord1 — deterministic EPOCH SHUFFLE: the data-loader order for E
+    * training epochs, each epoch an independent pseudo-random
+    * permutation of the corpus, sharded for parallel consumption.
+    * Every (epoch, doc) gets a stable md5 rank key — run the job
+    * twice, or on a different cluster, and byte-identical shard files
+    * come out; that reproducibility is what makes a training run
+    * auditable (WHICH example was step 31337 of epoch 2?) and
+    * resumable without materializing a global permutation anywhere.
+    *
+    * Scale shape: the key is a codegen projection; the shard
+    * assignment is hash mod S; the position is a row_number WITHIN
+    * (epoch, shard) — the only sorts are per-shard, exactly the units
+    * a loader consumes, so nothing ever needs a global order (the
+    * smp3/w-family keyed-window discipline). Epochs multiply output
+    * rows, not shuffle width: each epoch's rows carry their own
+    * shard keys through one exchange. */
+  def epochShuffle(s: SparkSession, d: String): DataFrame =
+    epochShuffleOf(Tables.documents(s, d))
+
+  /** [[epochShuffle]] over an explicit documents frame. */
+  def epochShuffleOf(docs: DataFrame): DataFrame = {
+    val perEpoch = (0 until ShuffleEpochs).map { e =>
+      docs.select(lit(e.toLong).as("epoch"), col("doc_id"))
+    }.reduce(_ unionByName _)
+    val keyed = perEpoch.withColumn("k",
+      md5Hash60(concat_ws(":", col("epoch").cast("string"),
+        col("doc_id").cast("string")), ShuffleSeed))
+    val w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    keyed
+      .withColumn("shard", col("k") % ShuffleShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("epoch", "shard", "pos", "doc_id")
+      .orderBy("epoch", "shard", "pos")
+  }
+
+  val epochShuffleOracle: String =
+    s"""WITH ep AS (SELECT unnest(generate_series(0, ${ShuffleEpochs - 1}))
+       |  AS epoch),
+       |k AS (
+       |  SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       |    ('0x' || substr(md5('$ShuffleSeed' || ':'
+       |      || CAST(epoch AS VARCHAR) || ':'
+       |      || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+       |  FROM documents, ep),
+       |sh AS (SELECT epoch, doc_id, k, k % $ShuffleShards AS shard FROM k)
+       |SELECT epoch, shard,
+       |       CAST(row_number() OVER (PARTITION BY epoch, shard
+       |         ORDER BY k, doc_id) AS BIGINT) AS pos,
+       |       doc_id
+       |FROM sh ORDER BY epoch, shard, pos""".stripMargin
 }

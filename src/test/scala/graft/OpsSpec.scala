@@ -2235,6 +2235,101 @@ class OpsSpec extends AnyFunSuite {
     assert(r1.getAs[Long]("n_segments") == expectedSegs)
   }
 
+  test("ord1: each epoch is a full permutation, positions are per-shard contiguous, epochs disagree") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ops.Sampling.epochShuffleOf(docs).collect()
+    val epochs = graft.ops.Sampling.ShuffleEpochs
+    assert(rows.length == 200 * epochs)
+    (0 until epochs).foreach { e =>
+      val ep = rows.filter(_.getAs[Long]("epoch") == e.toLong)
+      assert(ep.map(_.getAs[Long]("doc_id")).toSet == (0L until 200L).toSet,
+        s"epoch $e is not a permutation")
+      ep.groupBy(_.getAs[Long]("shard")).foreach { case (_, sh) =>
+        val ps = sh.map(_.getAs[Long]("pos")).sorted
+        assert(ps.toSeq == (1L to sh.length.toLong), "positions not contiguous")
+      }
+    }
+    // different epochs must produce different shard/pos assignments
+    // for at least one doc (md5 keys differ with the epoch in the
+    // preimage) and the whole thing is deterministic across runs
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id")).values
+    assert(byDoc.exists(v =>
+      v.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toSet.size > 1))
+    val again = graft.ops.Sampling.epochShuffleOf(docs).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("inc3: recurrence equals brute-force window on gapped days, ramp-up head included") {
+    import java.sql.Timestamp
+    def at(day: Int) = new Timestamp(day * 86400L * 1000L)
+    // type A: days 0,1,2 then a GAP, then 10..12 (the lag-by-rows trap);
+    // counts vary per day
+    val ev = (Seq.tabulate(3)(d => (d, 0)) ++ Seq((10, 0), (11, 0), (12, 0)))
+      .flatMap { case (day, _) =>
+        (0 to day % 4).map(k => (day * 100L + k, at(day), 1L, "A", 1.0, "{}"))
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Incremental.rollingRefreshOf(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay ->
+        (r.getAs[Long]("n_day"), r.getAs[Long]("rolling"))).toMap
+    // dense spine: every day 0..12 present
+    assert(got.size == 13)
+    val w = graft.ops.Incremental.RollingDays
+    val daily = (0L to 12L).map(d => d -> got(d)._1).toMap
+    (0L to 12L).foreach { d =>
+      val brute = ((d - w + 1) to d).filter(_ >= 0).map(daily).sum
+      assert(got(d)._2 == brute, s"day $d: ${got(d)._2} != $brute")
+    }
+    // gap days materialize with zero counts
+    assert(daily(5L) == 0L && daily(9L) == 0L)
+  }
+
+  test("w14: a planted 3-day cycle is detected as best_lag 3; argmax needs no floats") {
+    import java.sql.Timestamp
+    def at(day: Int) = new Timestamp(day * 86400L * 1000L)
+    // 30 days with counts cycling 1,1,8 — strongest autocorrelation at
+    // lag 3 (and its multiples; 3 wins the tie against nothing, 6/9/12
+    // have identical structure but the series favors the shortest full
+    // alignment; assert the detected lag is a multiple of 3)
+    val ev = (0 until 30).flatMap { day =>
+      val c = if (day % 3 == 2) 8 else 1
+      (0 until c).map(k => (day * 100L + k, at(day), 1L, "cyc", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.model.Analytics.dominantPeriodOf(ev).collect().head
+    assert(r.getAs[String]("event_type") == "cyc")
+    val lag = r.getAs[Long]("best_lag")
+    assert(lag % 3 == 0, s"best_lag $lag not a multiple of the planted 3")
+    assert(r.getAs[Long]("best_num") > 0L)
+    assert(r.getAs[Double]("best_acf") > 0.0)
+    assert(r.getAs[Long]("is_weekly") == (if (lag == 7) 1L else 0L))
+  }
+
+  test("dq3: planted orphans and null FKs are counted; clean pair audits zero") {
+    val child = Seq(Some(1L), Some(2L), Some(99L), None, Some(98L))
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("fk")
+    val r = graft.ops.Profile.relationRow("t->p", child, parent)
+      .collect().head
+    assert(r.getAs[Long]("n_child") == 5L)
+    assert(r.getAs[Long]("n_null_fk") == 1L)
+    assert(r.getAs[Long]("n_orphans") == 2L)
+    assert(r.getAs[Double]("orphan_rate") == 2.0 / 5.0)
+    val clean = graft.ops.Profile.relationRow("c", parent, parent)
+      .collect().head
+    assert(clean.getAs[Long]("n_orphans") == 0L &&
+      clean.getAs[Long]("n_null_fk") == 0L)
+    // the star-schema audit covers all 7 relations with sane rates
+    val all = graft.ops.Profile.fkAudit(spark, sf).collect()
+    assert(all.length == 7)
+    all.foreach { row =>
+      val rate = row.getAs[Double]("orphan_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(row.getAs[Long]("n_null_fk") + row.getAs[Long]("n_orphans")
+        <= row.getAs[Long]("n_child"))
+    }
+  }
+
   test("g8: two planted triangles bridged by one edge give the textbook Q = 70/196") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L),
       (5L, 3L), (2L, 3L)).toDF("src", "dst")

@@ -723,6 +723,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ord1 epoch shuffle: positions sort per (epoch, shard) partition — the only global sort is the output contract") {
+    val p = plan("ord1_epoch_shuffle")
+    assert(p.contains("hashpartitioning(epoch") ||
+      p.contains("hashpartitioning(shard"),
+      s"pos window must key on (epoch, shard):\n${p.take(2000)}")
+    // one keyed exchange for the window + the final ORDER BY range
+    // exchange; a global-sort permutation would show SinglePartition
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+  }
+
+  test("inc3 rolling refresh: both window passes share one event_type exchange over the dense spine") {
+    val p = plan("inc3_rolling_refresh")
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("hashpartitioning(event_type"),
+      s"windows must key on event_type:\n${p.take(2000)}")
+  }
+
   test("g8 modularity: endpoint label joins stay keyed or broadcast; only 1-row plans nested-loop") {
     val p = plan("g8_label_modularity")
     assert(!p.contains("CartesianProduct"), p.take(2000))
