@@ -230,6 +230,10 @@ object SparkEntry {
     "w14_dominant_period" -> (Analytics.dominantPeriod _),
     "dq3_fk_audit" -> (graft.ops.Profile.fkAudit _),
     "cal2_brier_decomposition" -> (graft.ops.Eval.brierDecomposition _),
+    "rank1_ranking_metrics" -> (graft.ops.Eval.rankingMetrics _),
+    "lift1_gains_table" -> (graft.ops.Eval.gainsTable _),
+    "dq4_fd_audit" -> (graft.ops.Profile.fdAudit _),
+    "mm14_aspect_buckets" -> (Multimodal.aspectBucketQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -775,5 +779,9 @@ object SparkEntry {
     "w14_dominant_period" -> Analytics.dominantPeriodOracle,
     "dq3_fk_audit" -> graft.ops.Profile.fkAuditOracle,
     "cal2_brier_decomposition" -> graft.ops.Eval.brierDecompositionOracle,
+    "rank1_ranking_metrics" -> graft.ops.Eval.rankingMetricsOracle,
+    "lift1_gains_table" -> graft.ops.Eval.gainsTableOracle,
+    "dq4_fd_audit" -> graft.ops.Profile.fdAuditOracle,
+    "mm14_aspect_buckets" -> Multimodal.aspectBucketOracle,
   )
 }

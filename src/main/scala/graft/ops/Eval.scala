@@ -363,4 +363,200 @@ object Eval {
        |  covs / CAST(n AS DOUBLE) AS within_bin_cov
        |FROM g CROSS JOIN f""".stripMargin
   }
+
+  /** Fixed-point NDCG position weights: W(i) = round(1e6 / log2(i+1))
+    * for ranks 1..10, precomputed once as integer literals so BOTH
+    * engines sum exact longs instead of accumulating log2 doubles in
+    * engine-dependent order (the dq2 rule applied to ranking). The
+    * metric is "micro-NDCG@10" — identical ordering behavior to the
+    * textbook 1/log2(i+1) discount at 1e-6 granularity. */
+  private val NdcgW = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** Cumulative ideal-DCG micro-weights: CW(k) = W(1)+…+W(k). */
+  private val NdcgCW = NdcgW.scanLeft(0L)(_ + _).tail
+
+  /** Fixed-point reciprocal ranks: R(i) = round(1e6 / i), ranks 1..10. */
+  private val MrrR = Seq(1000000L, 500000L, 333333L, 250000L,
+    200000L, 166667L, 142857L, 125000L, 111111L, 100000L)
+
+  /** rank1 — per-user ranking metrics over the scored events, the
+    * recommender/retrieval face of model eval: each user's events
+    * ranked by predicted score (ties broken by event_id — total order,
+    * run-invariant), relevance = the positive event types. Emits the
+    * NDCG@10 decile histogram (per-user NDCG bucketed by EXACT integer
+    * division — no per-user double survives aggregation) alongside
+    * micro-NDCG@10 (Σ user DCG / Σ user ideal DCG, exact long
+    * numerators, ONE division) and MRR@10 (Σ fixed-point reciprocal
+    * first-hit ranks / users·1e6, ONE division). Users with no
+    * positive anywhere have undefined NDCG and are excluded (counted
+    * out, not silently).
+    *
+    * Scale shape: one shuffle by user_id + per-user window sort (the
+    * canonical distributed ranking shape — per-partition state is one
+    * user's event list), then a hash aggregation onto an 11-key bucket
+    * domain whose global sums ride a single-partition window over ≤11
+    * rows. No driver-side loop, no unbounded double accumulation. */
+  def rankingMetrics(s: SparkSession, d: String): DataFrame =
+    rankingMetricsOf(scored(s, d))
+
+  /** [[rankingMetrics]] over an explicit (user_id, event_id,
+    * event_type, pred_cents) frame. */
+  def rankingMetricsOf(sc0: DataFrame): DataFrame = {
+    val sc = sc0.select(col("user_id"), col("event_id"),
+      col("pred_cents"),
+      when(col("event_type").isin("purchase", "signup"), 1L)
+        .otherwise(0L).as("y"))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(desc("pred_cents"), col("event_id"))
+    val wcase = (2 to 10).foldLeft(
+        when(col("i") === 1, NdcgW(0))) { (acc, i) =>
+      acc.when(col("i") === i, NdcgW(i - 1)) }.otherwise(0L)
+    val perUser = sc.withColumn("i", row_number().over(byUser))
+      .groupBy("user_id")
+      .agg(sum(col("y") * wcase).as("dcg"),
+        sum(col("y")).as("npos"),
+        min(when(col("y") === 1L && col("i") <= 10, col("i")))
+          .as("first_hit"))
+      .filter(col("npos") >= 1L)
+    val idcg = (1 to 9).foldLeft(
+        when(col("npos") >= 10L, NdcgCW(9))) { (acc, k) =>
+      acc.when(col("npos") === k, NdcgCW(k - 1)) }
+    val rr = (1 to 10).foldLeft(lit(0L)) { (acc, i) =>
+      when(col("first_hit") === i, MrrR(i - 1)).otherwise(acc) }
+    val buckets = perUser
+      .select(col("dcg"), idcg.as("idcg"), rr.as("rr"))
+      .select(((col("dcg") * 10L) / col("idcg")).cast("long")
+          .as("ndcg_decile"), col("dcg"), col("idcg"), col("rr"))
+      .groupBy("ndcg_decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("dcg")).as("sd"),
+        sum(col("idcg")).as("si"), sum(col("rr")).as("sr"))
+    val all = Window.orderBy("ndcg_decile")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    buckets.select(col("ndcg_decile"), col("n_users"),
+        sum(col("n_users")).over(all).as("total_users"),
+        sum(col("sd")).over(all).as("tsd"),
+        sum(col("si")).over(all).as("tsi"),
+        sum(col("sr")).over(all).as("tsr"))
+      .select(col("ndcg_decile"), col("n_users"), col("total_users"),
+        (col("tsd").cast("double") / col("tsi").cast("double"))
+          .as("micro_ndcg10"),
+        (col("tsr").cast("double") /
+          (col("total_users") * 1000000L).cast("double")).as("mrr10"))
+      .orderBy("ndcg_decile")
+  }
+
+  val rankingMetricsOracle: String = {
+    val wcase = (1 to 10).map(i =>
+      s"WHEN ${i} THEN ${NdcgW(i - 1)}").mkString(" ")
+    val icase = (1 to 9).map(k =>
+      s"WHEN npos = ${k} THEN ${NdcgCW(k - 1)}").mkString(" ")
+    val rcase = (1 to 10).map(i =>
+      s"WHEN ${i} THEN ${MrrR(i - 1)}").mkString(" ")
+    s"""WITH t AS ($scoredSql),
+       |r AS (
+       |  SELECT user_id, event_id,
+       |         CASE WHEN event_type IN ('purchase', 'signup')
+       |              THEN 1 ELSE 0 END AS y,
+       |         row_number() OVER (PARTITION BY user_id
+       |           ORDER BY pred_cents DESC, event_id) AS i
+       |  FROM t),
+       |u AS (
+       |  SELECT user_id,
+       |    CAST(sum(y * CASE i $wcase ELSE 0 END) AS BIGINT) AS dcg,
+       |    CAST(sum(y) AS BIGINT) AS npos,
+       |    min(CASE WHEN y = 1 AND i <= 10 THEN i END) AS first_hit
+       |  FROM r GROUP BY user_id HAVING sum(y) >= 1),
+       |pu AS (
+       |  SELECT dcg,
+       |    CASE WHEN npos >= 10 THEN ${NdcgCW(9)} $icase END AS idcg,
+       |    coalesce(CASE first_hit $rcase END, 0) AS rr
+       |  FROM u),
+       |b AS (
+       |  SELECT (dcg * 10) // idcg AS ndcg_decile,
+       |         count(*) AS n_users, CAST(sum(dcg) AS BIGINT) AS sd,
+       |         CAST(sum(idcg) AS BIGINT) AS si,
+       |         CAST(sum(rr) AS BIGINT) AS sr
+       |  FROM pu GROUP BY 1)
+       |SELECT ndcg_decile, n_users,
+       |  CAST(sum(n_users) OVER () AS BIGINT) AS total_users,
+       |  CAST(sum(sd) OVER () AS DOUBLE) / CAST(sum(si) OVER () AS DOUBLE)
+       |    AS micro_ndcg10,
+       |  CAST(sum(sr) OVER () AS DOUBLE)
+       |    / CAST(sum(n_users) OVER () * 1000000 AS DOUBLE) AS mrr10
+       |FROM b ORDER BY ndcg_decile""".stripMargin
+  }
+
+  /** lift1 — cumulative gains / lift table over cal1's fixed score
+    * bands, walked from the highest band down: what fraction of all
+    * positives a campaign capturing only the top-k score bands gets
+    * (gain), and how much better that is than random targeting
+    * (lift). cal1 answers "are the probabilities honest"; this answers
+    * "how efficiently does the score RANK" — the two quality axes of a
+    * scoring model, and lift1 is readable straight off bounded exact
+    * counters.
+    *
+    * Fixed-width bands (not rank deciles) keep the table exactly
+    * deterministic: every per-band and cumulative quantity is an exact
+    * long, and gain/lift are evaluated as the identical IEEE division
+    * tree in both engines (lift as a ratio of two single-division
+    * rates, so no long-product overflow at any corpus size — cum_pos·n
+    * products would overflow int64 near 1e12 rows). Shape: one
+    * bounded-key aggregation + a single-partition window over ≤10
+    * rows. */
+  def gainsTable(s: SparkSession, d: String): DataFrame =
+    gainsTableOf(scored(s, d))
+
+  /** [[gainsTable]] over an explicit (event_type, pred_cents) frame. */
+  def gainsTableOf(sc0: DataFrame): DataFrame = {
+    val sc = sc0.select(
+      greatest(least(col("pred_cents"), lit(49999L)), lit(0L)).as("c"),
+      when(col("event_type").isin("purchase", "signup"), 1L)
+        .otherwise(0L).as("y"))
+    val bins = sc.groupBy((col("c") / 5000L).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_bin"), sum(col("y")).as("pos_bin"))
+    val down = Window.orderBy(desc("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(desc("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bins.select(col("bin"), col("n_bin"), col("pos_bin"),
+        sum(col("n_bin")).over(down).as("cum_n"),
+        sum(col("pos_bin")).over(down).as("cum_pos"),
+        sum(col("n_bin")).over(all).as("n"),
+        sum(col("pos_bin")).over(all).as("p"))
+      .select(col("bin"), col("n_bin"), col("pos_bin"), col("cum_n"),
+        col("cum_pos"),
+        (col("cum_pos").cast("double") / col("p").cast("double"))
+          .as("gain"),
+        ((col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+          (col("p").cast("double") / col("n").cast("double")))
+          .as("lift"))
+      .orderBy(desc("bin"))
+  }
+
+  val gainsTableOracle: String =
+    s"""WITH t AS ($scoredSql),
+       |b0 AS (
+       |  SELECT greatest(least(pred_cents, 49999), 0) AS c,
+       |         CASE WHEN event_type IN ('purchase', 'signup')
+       |              THEN 1 ELSE 0 END AS y
+       |  FROM t),
+       |bins AS (
+       |  SELECT c // 5000 AS bin, count(*) AS n_bin,
+       |         CAST(sum(y) AS BIGINT) AS pos_bin
+       |  FROM b0 GROUP BY 1),
+       |cum AS (
+       |  SELECT bin, n_bin, pos_bin,
+       |    CAST(sum(n_bin) OVER (ORDER BY bin DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+       |    CAST(sum(pos_bin) OVER (ORDER BY bin DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+       |    CAST(sum(n_bin) OVER () AS BIGINT) AS n,
+       |    CAST(sum(pos_bin) OVER () AS BIGINT) AS p
+       |  FROM bins)
+       |SELECT bin, n_bin, pos_bin, cum_n, cum_pos,
+       |  CAST(cum_pos AS DOUBLE) / CAST(p AS DOUBLE) AS gain,
+       |  (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+       |    / (CAST(p AS DOUBLE) / CAST(n AS DOUBLE)) AS lift
+       |FROM cum ORDER BY bin DESC""".stripMargin
 }

@@ -1337,4 +1337,118 @@ object Multimodal {
        |FROM sh GROUP BY video_id, shot_id
        |ORDER BY video_id, shot_id""".stripMargin
   }
+
+  /** mm14 aspect buckets: name, ratio upper bound in permille
+    * (exclusive; last bucket unbounded), and the bucket's target
+    * canvas — the SDXL-style equal-area (~1024²) multi-aspect family
+    * a batched image-training pipeline resizes into. Boundaries sit at
+    * the midpoints between adjacent target ratios, as exact integer
+    * permille so bucket assignment never touches a double. */
+  private val AspectBuckets: Seq[(String, Long, Long, Long)] = Seq(
+    ("a_portrait_9x16", 650L, 768L, 1344L),
+    ("b_portrait_3x4", 866L, 896L, 1152L),
+    ("c_square", 1155L, 1024L, 1024L),
+    ("d_landscape_4x3", 1540L, 1152L, 896L),
+    ("e_landscape_16x9", Long.MaxValue, 1344L, 768L))
+
+  /** mm14 — aspect-ratio bucketing audit: every image goes to the
+    * fixed-canvas bucket nearest its aspect ratio, and the audit
+    * reports per bucket the population, the batch count and tail
+    * slack at batch size 32 (the padding a bucketed batch sampler
+    * actually wastes), and the center-crop loss of scale-to-fill
+    * resizing into the bucket canvas (mean/max, in exact ppm). This is
+    * the sizing decision multi-aspect image training (SDXL-style
+    * bucketing) makes ahead of every epoch; the audit is how you pick
+    * the canvas family before committing a 100 TB decode pass.
+    *
+    * Dimensions are synthesized from doc_id via the engine's md5-60
+    * twins (256..1024 px, step 64 — the stand-in for a real metadata
+    * scan; a real corpus swaps in its width/height columns and
+    * nothing else changes). Determinism: ratio permille, bucket
+    * choice, and per-image crop-waste ppm are all exact integer
+    * arithmetic — kept fraction = min(tw·h, th·w)/max(·,·) evaluated
+    * as one 1e6-scaled integer division — so the per-bucket sums are
+    * exact longs and each mean is ONE division. Shape: a narrow
+    * per-row projection + one hash aggregation onto a 5-key domain —
+    * map-side partials make the shuffle O(executors) at any SF. */
+  def aspectBucketQuery(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Functions.md5Hash60
+    val w = (lit(256L) + lit(64L) * pmod(md5Hash60(
+      col("doc_id").cast("string"), 31), lit(13L))).as("w")
+    val h = (lit(256L) + lit(64L) * pmod(md5Hash60(
+      col("doc_id").cast("string"), 32), lit(13L))).as("h")
+    val r = ((col("w") * 1000L) / col("h")).cast("long")
+    val bucket = AspectBuckets.init.foldLeft(
+        when(lit(false), "")) { case (acc, (name, ub, _, _)) =>
+      acc.when(r < ub, name) }.otherwise(AspectBuckets.last._1)
+    val tw = AspectBuckets.init.foldLeft(
+        when(lit(false), lit(0L))) { case (acc, (name, _, bw, _)) =>
+      acc.when(col("bucket") === name, bw) }
+      .otherwise(AspectBuckets.last._3)
+    val th = AspectBuckets.init.foldLeft(
+        when(lit(false), lit(0L))) { case (acc, (name, _, _, bh)) =>
+      acc.when(col("bucket") === name, bh) }
+      .otherwise(AspectBuckets.last._4)
+    val fill = greatest(col("tw") * col("h"), col("th") * col("w"))
+    val keep = least(col("tw") * col("h"), col("th") * col("w"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), w, h)
+      .select(col("doc_id"), col("w"), col("h"), bucket.as("bucket"))
+      .select(col("*"), tw.as("tw"), th.as("th"))
+      .select(col("bucket"), col("tw"), col("th"),
+        (lit(1000000L) - ((lit(1000000L) * keep) / fill).cast("long"))
+          .as("waste_ppm"))
+      .groupBy("bucket", "tw", "th")
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("waste_ppm")).as("sum_waste"),
+        max(col("waste_ppm")).as("max_waste_ppm"))
+      .select(col("bucket"), col("tw").as("target_w"),
+        col("th").as("target_h"), col("n_images"),
+        ((col("n_images") + 31L) / 32L).cast("long").as("n_batches"),
+        (((col("n_images") + 31L) / 32L).cast("long") * 32L -
+          col("n_images")).as("tail_slack"),
+        (col("sum_waste") / col("n_images")).as("mean_waste_ppm"),
+        col("max_waste_ppm"))
+      .orderBy("bucket")
+  }
+
+  val aspectBucketOracle: String = {
+    val bucketCase = AspectBuckets.init.map { case (name, ub, _, _) =>
+      s"WHEN r < $ub THEN '$name'" }.mkString(" ")
+    val twCase = AspectBuckets.init.map { case (name, _, bw, _) =>
+      s"WHEN bucket = '$name' THEN $bw" }.mkString(" ")
+    val thCase = AspectBuckets.init.map { case (name, _, _, bh) =>
+      s"WHEN bucket = '$name' THEN $bh" }.mkString(" ")
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    256 + 64 * (('0x' || substr(md5('31' || ':' ||
+       |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 13) AS w,
+       |    256 + 64 * (('0x' || substr(md5('32' || ':' ||
+       |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 13) AS h
+       |  FROM documents),
+       |bk AS (
+       |  SELECT *, CASE $bucketCase
+       |    ELSE '${AspectBuckets.last._1}' END AS bucket
+       |  FROM (SELECT doc_id, w, h, (w * 1000) // h AS r FROM dims)),
+       |tg AS (
+       |  SELECT *, CASE $twCase ELSE ${AspectBuckets.last._3} END AS tw,
+       |            CASE $thCase ELSE ${AspectBuckets.last._4} END AS th
+       |  FROM bk),
+       |px AS (
+       |  SELECT bucket, tw, th,
+       |    1000000 - (1000000 * least(tw * h, th * w))
+       |      // greatest(tw * h, th * w) AS waste_ppm
+       |  FROM tg),
+       |agg AS (
+       |  SELECT bucket, tw, th, count(*) AS n_images,
+       |    CAST(sum(waste_ppm) AS BIGINT) AS sum_waste,
+       |    CAST(max(waste_ppm) AS BIGINT) AS max_waste_ppm
+       |  FROM px GROUP BY bucket, tw, th)
+       |SELECT bucket, CAST(tw AS BIGINT) AS target_w,
+       |  CAST(th AS BIGINT) AS target_h, n_images,
+       |  (n_images + 31) // 32 AS n_batches,
+       |  ((n_images + 31) // 32) * 32 - n_images AS tail_slack,
+       |  sum_waste / n_images AS mean_waste_ppm, max_waste_ppm
+       |FROM agg ORDER BY bucket""".stripMargin
+  }
 }

@@ -392,4 +392,84 @@ object Profile {
          |          = CAST(c.$fk AS BIGINT)))
          |    / (SELECT count(*) FROM $child) AS orphan_rate""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+
+  /** (rule, table, determinant, dependent) — declared functional
+    * dependencies for dq4. The key rule is the always-holds control;
+    * the rest measure how far the data is from each candidate FD. */
+  private val fdRules: Seq[(String, String, String, String)] = Seq(
+    ("part:p_partkey->p_name", "part", "p_partkey", "p_name"),
+    ("part:p_brand->p_type", "part", "p_brand", "p_type"),
+    ("orders:o_custkey->o_orderpriority",
+      "orders", "o_custkey", "o_orderpriority"),
+    ("customer:c_nationkey->c_mktsegment",
+      "customer", "c_nationkey", "c_mktsegment"),
+    ("documents:lang->source", "documents", "lang", "source"),
+    ("lineitem:l_partkey->l_suppkey",
+      "lineitem", "l_partkey", "l_suppkey"))
+
+  /** dq4 — functional-dependency audit: for each declared candidate
+    * FD `determinant → dependent`, how many determinant groups exist,
+    * how many carry MORE than one distinct dependent value (FD
+    * violations), how many rows sit inside violating groups, and the
+    * worst group's dependent cardinality. This is the schema-semantics
+    * complement of dq3's referential audit: dq3 asks "do the facts
+    * join", dq4 asks "is this column really derivable from that one" —
+    * the question behind every denormalization, dedup-survivor, and
+    * dim-extraction decision a curation pipeline makes.
+    *
+    * Shape per rule: a two-level aggregation — groupBy(determinant)
+    * with a count + count_distinct (both partial-aggregable; the
+    * distinct expands only within a determinant's partition), then a
+    * single-row rollup; the six rule rows union. Never a self-join,
+    * never a driver-side loop; per rule the shuffle key domain is the
+    * determinant's cardinality, exactly like the GROUP BY any
+    * downstream consumer of the FD would run. All counters exact
+    * longs; the violation rate is ONE long/long division. */
+  def fdAudit(s: SparkSession, d: String): DataFrame = {
+    def table(name: String): DataFrame = name match {
+      case "customer" => Tables.customer(s, d)
+      case "documents" => Tables.documents(s, d)
+      case "lineitem" => Tables.lineitem(s, d)
+      case "orders" => Tables.orders(s, d)
+      case "part" => Tables.part(s, d)
+    }
+    fdRules.map { case (rule, t, det, dep) =>
+      table(t).select(col(det).cast("string").as("det"),
+          col(dep).cast("string").as("dep"))
+        .groupBy("det")
+        .agg(count(lit(1)).as("n"), count_distinct(col("dep")).as("nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1L, 1L).otherwise(0L))
+            .as("n_violating_groups"),
+          sum(col("n")).as("n_rows"),
+          sum(when(col("nd") > 1L, col("n")).otherwise(0L))
+            .as("n_rows_violating"),
+          max(col("nd")).as("max_distinct_dep"))
+        .select(lit(rule).as("rule"), col("n_groups"),
+          col("n_violating_groups"), col("n_rows"),
+          col("n_rows_violating"),
+          (col("n_rows_violating") / col("n_rows")).as("violation_rate"),
+          col("max_distinct_dep"))
+    }.reduce(_ unionByName _).orderBy("rule")
+  }
+
+  val fdAuditOracle: String =
+    fdRules.map { case (rule, t, det, dep) =>
+      s"""SELECT '$rule' AS rule, n_groups, n_violating_groups, n_rows,
+         |  n_rows_violating,
+         |  n_rows_violating / n_rows AS violation_rate,
+         |  max_distinct_dep
+         |FROM (
+         |  SELECT count(*) AS n_groups,
+         |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_violating_groups,
+         |    CAST(sum(n) AS BIGINT) AS n_rows,
+         |    CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+         |      AS n_rows_violating,
+         |    CAST(max(nd) AS BIGINT) AS max_distinct_dep
+         |  FROM (
+         |    SELECT CAST($det AS VARCHAR) AS det, count(*) AS n,
+         |           count(DISTINCT CAST($dep AS VARCHAR)) AS nd
+         |    FROM $t GROUP BY 1))""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
 }
