@@ -234,6 +234,10 @@ object SparkEntry {
     "lift1_gains_table" -> (graft.ops.Eval.gainsTable _),
     "dq4_fd_audit" -> (graft.ops.Profile.fdAudit _),
     "mm14_aspect_buckets" -> (Multimodal.aspectBucketQuery _),
+    "a26_gini_concentration" -> (Analytics.giniRevenue _),
+    "a27_theil_sen" -> (Analytics.theilSen _),
+    "w15_user_hhi" -> (Analytics.userHhi _),
+    "tx34_type_token" -> (TextStats.typeTokenQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -783,5 +787,9 @@ object SparkEntry {
     "lift1_gains_table" -> graft.ops.Eval.gainsTableOracle,
     "dq4_fd_audit" -> graft.ops.Profile.fdAuditOracle,
     "mm14_aspect_buckets" -> Multimodal.aspectBucketOracle,
+    "a26_gini_concentration" -> Analytics.giniRevenueOracle,
+    "a27_theil_sen" -> Analytics.theilSenOracle,
+    "w15_user_hhi" -> Analytics.userHhiOracle,
+    "tx34_type_token" -> TextStats.typeTokenOracle,
   )
 }

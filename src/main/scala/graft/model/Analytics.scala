@@ -1705,4 +1705,200 @@ object Analytics {
       |       CAST(CASE WHEN lag = 7 THEN 1 ELSE 0 END AS BIGINT) AS is_weekly
       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
   }
+
+  /** a26 — Gini concentration of customer revenue within each nation:
+    * the inequality read-out behind "is this market one whale or a
+    * long tail" (and, on a training corpus, "is one source dominating
+    * the token budget"). Uses the rank formula G = (2·Σᵢ i·xᵢ −
+    * (n+1)·Σx) / (n·Σx) over revenues sorted ascending — one window
+    * rank + one aggregation, both keyed by nation, so the only
+    * shuffle is on the grouping key and the per-nation sort is a
+    * partition-local window (the a16 shape). Revenue is exact integer
+    * cents; i·xᵢ and the two sums stay exact longs, and the single
+    * division happens once per NATION on doubles cast from exact
+    * longs in one fixed IEEE tree (the a19/a25 precedent), so both
+    * engines emit identical bits. Customers with no orders are out of
+    * scope by construction (revenue is undefined, not zero). */
+  def giniRevenue(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("y"))
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val rev = o.groupBy("o_custkey").agg(sum("y").as("rev"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("o_custkey").as("custkey"),
+        col("rev"))
+    giniOfRevenue(rev)
+  }
+
+  /** [[giniRevenue]] over an explicit (nation, custkey, rev) frame. */
+  def giniOfRevenue(rev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("nation").orderBy(col("rev"), col("custkey"))
+    val agg = rev.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_cust"), sum("rev").as("sum_cents"),
+        sum(col("i") * col("rev")).as("weighted_cents"))
+    val gini = (lit(2.0) * col("weighted_cents").cast("double") -
+      (col("n_cust") + 1L).cast("double") * col("sum_cents").cast("double")) /
+      (col("n_cust").cast("double") * col("sum_cents").cast("double"))
+    agg.select(col("nation"), col("n_cust"), col("sum_cents"),
+        col("weighted_cents"),
+        when(col("sum_cents") > 0L, gini).as("gini"))
+      .orderBy("nation")
+  }
+
+  val giniRevenueOracle: String =
+    """WITH rev AS (
+      |  SELECT o_custkey AS custkey,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS rev
+      |  FROM orders GROUP BY 1),
+      |geo AS (
+      |  SELECT n_name AS nation, custkey, rev
+      |  FROM rev JOIN customer ON custkey = c_custkey
+      |           JOIN nation ON c_nationkey = n_nationkey),
+      |rk AS (
+      |  SELECT nation, rev, CAST(row_number() OVER (
+      |    PARTITION BY nation ORDER BY rev, custkey) AS BIGINT) AS i
+      |  FROM geo),
+      |agg AS (
+      |  SELECT nation, count(*) AS n_cust,
+      |         CAST(sum(rev) AS BIGINT) AS sum_cents,
+      |         CAST(sum(i * rev) AS BIGINT) AS weighted_cents
+      |  FROM rk GROUP BY nation)
+      |SELECT nation, n_cust, sum_cents, weighted_cents,
+      |  CASE WHEN sum_cents > 0 THEN
+      |    (2.0e0 * CAST(weighted_cents AS DOUBLE)
+      |      - CAST(n_cust + 1 AS DOUBLE) * CAST(sum_cents AS DOUBLE))
+      |    / (CAST(n_cust AS DOUBLE) * CAST(sum_cents AS DOUBLE)) END AS gini
+      |FROM agg ORDER BY nation""".stripMargin
+
+  /** a27 — Theil–Sen slope of the daily event-count series per type:
+    * the median of all pairwise slopes, the robust trend estimator
+    * that shrugs off the outlier days that drag a19's least-squares
+    * line around. The pairwise join runs on the AGGREGATED (type,
+    * day) series — |days| is bounded by the time domain, not the row
+    * count, so the O(|days|²) pair set stays tiny at any corpus scale
+    * while the raw scan is one hash aggregation. Each slope is a
+    * single IEEE division of exact long deltas (identical bits both
+    * engines); the median is picked by rank (odd n → middle row, even
+    * n → mean of the two middle rows, a 2-term commutative double
+    * add), never by interpolation built-ins whose tie semantics
+    * differ across engines. */
+  def theilSen(s: SparkSession, d: String): DataFrame =
+    theilSenOf(Tables.events(s, d))
+
+  /** [[theilSen]] over an explicit events frame. */
+  def theilSenOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val b = daily.select(col("event_type").as("et2"), col("day").as("d2"),
+      col("x").as("x2"))
+    val pairs = daily
+      .join(b, col("event_type") === col("et2") && col("day") < col("d2"))
+      .select(col("event_type"),
+        ((col("x2") - col("x")).cast("double") /
+          (col("d2") - col("day")).cast("double")).as("slope"))
+    val wOrd = Window.partitionBy("event_type").orderBy("slope")
+    val wAll = Window.partitionBy("event_type")
+    val mid = pairs
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .filter(col("rn") === (col("m") + 1L) / 2L ||
+        col("rn") === (col("m") + 2L) / 2L)
+      .groupBy("event_type")
+      .agg(max(col("m")).as("n_pairs"),
+        (sum(col("slope")) / count(lit(1)).cast("double")).as("ts_slope"))
+    val nDays = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    nDays.join(mid, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("ts_slope"))
+      .orderBy("event_type")
+  }
+
+  val theilSenOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS day,
+      |         count(*) AS x
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |         CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+      |           AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day),
+      |rk AS (
+      |  SELECT event_type, slope,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |           ORDER BY slope) AS BIGINT) AS rn,
+      |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+      |  FROM pairs),
+      |mid AS (
+      |  SELECT event_type, max(m) AS n_pairs,
+      |         sum(slope) / CAST(count(*) AS DOUBLE) AS ts_slope
+      |  FROM rk
+      |  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+      |  GROUP BY event_type),
+      |nd AS (
+      |  SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+      |SELECT nd.event_type, nd.n_days,
+      |       COALESCE(mid.n_pairs, 0) AS n_pairs, mid.ts_slope
+      |FROM nd LEFT JOIN mid USING (event_type)
+      |ORDER BY nd.event_type""".stripMargin
+
+  /** w15 — user activity concentration histogram: per user, the
+    * Herfindahl index of their event-type mix in exact basis points
+    * (10000·Σc²)/(Σc)² via pure long arithmetic (both engines
+    * truncate the all-positive integer division identically — no
+    * floats anywhere), then a decile histogram of users by
+    * concentration. HHI = 10000 means a single-type user; 10000/k is
+    * the k-type uniform floor. Two keyed aggregations (user×type,
+    * then user) plus an O(100) percent-bucket histogram — the w10/RFM
+    * shape, scales as a pair of hash aggregates. */
+  def userHhi(s: SparkSession, d: String): DataFrame =
+    userHhiOf(Tables.events(s, d))
+
+  /** [[userHhi]] over an explicit events frame. */
+  def userHhiOf(events: DataFrame): DataFrame = {
+    val perType = events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val perUser = perType.groupBy("user_id")
+      .agg(sum(col("c")).as("tot"), sum(col("c") * col("c")).as("ssq"),
+        count(lit(1)).as("n_types"))
+      .withColumn("hhi_bp", expr("(10000 * ssq) div (tot * tot)"))
+    perUser
+      .groupBy(expr("hhi_bp div 100").as("pct_bucket"))
+      .agg(count(lit(1)).as("n_users"), min(col("hhi_bp")).as("min_bp"),
+        max(col("hhi_bp")).as("max_bp"),
+        sum(col("n_types")).as("sum_types"))
+      .orderBy("pct_bucket")
+  }
+
+  val userHhiOracle: String =
+    """WITH pt AS (
+      |  SELECT user_id, event_type, count(*) AS c
+      |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |pu AS (
+      |  SELECT user_id, CAST(sum(c) AS BIGINT) AS tot,
+      |         CAST(sum(c * c) AS BIGINT) AS ssq,
+      |         count(*) AS n_types
+      |  FROM pt GROUP BY 1),
+      |h AS (
+      |  SELECT user_id, n_types,
+      |         (10000 * ssq) // (tot * tot) AS hhi_bp
+      |  FROM pu)
+      |SELECT hhi_bp // 100 AS pct_bucket, count(*) AS n_users,
+      |       min(hhi_bp) AS min_bp, max(hhi_bp) AS max_bp,
+      |       CAST(sum(n_types) AS BIGINT) AS sum_types
+      |FROM h GROUP BY 1 ORDER BY pct_bucket""".stripMargin
 }

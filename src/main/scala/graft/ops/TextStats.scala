@@ -1930,4 +1930,42 @@ object TextStats {
        |       CAST(cum_types * 1000 AS DOUBLE) / CAST(cum_tokens AS DOUBLE)
        |         AS types_per_kilotoken
        |FROM c ORDER BY bucket""".stripMargin
+
+  /** tx34 — per-document type–token ratio: lexical diversity in exact
+    * basis points, the cheap repetition signal that catches template
+    * spam tx8's adjacent-repeat ratio misses (a doc cycling 5 tokens
+    * has near-zero adjacent repeats but TTR ≈ 0). n_types counts
+    * distinct whitespace tokens per doc via `array_distinct` INSIDE
+    * the row (no explode, no shuffle — the whole query is a narrow
+    * codegen'd projection over the scan, the tx3 shape); ttr_bp =
+    * (10000·types)/tokens is all-positive long division, truncated
+    * identically by both engines. Empty/whitespace-only text
+    * degenerates to the single empty token both engines agree on
+    * (tx3 precedent); null text propagates nulls. */
+  def typeTokenQuery(s: SparkSession, d: String): DataFrame =
+    typeTokenOf(graft.Tables.documents(s, d))
+
+  /** [[typeTokenQuery]] over an explicit documents frame. */
+  def typeTokenOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(words(col("text"))).cast("long"))
+      .withColumn("n_types",
+        size(array_distinct(words(col("text")))).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 0L,
+          expr("(10000 * n_types) div n_tokens")).as("ttr_bp"))
+      .orderBy("doc_id")
+
+  val typeTokenOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |           AS n_tokens,
+      |         CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+      |           AS BIGINT) AS n_types
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, n_types,
+      |       CASE WHEN n_tokens > 0
+      |            THEN (10000 * n_types) // n_tokens END AS ttr_bp
+      |FROM t ORDER BY doc_id""".stripMargin
 }

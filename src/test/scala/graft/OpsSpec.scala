@@ -2453,4 +2453,80 @@ class OpsSpec extends AnyFunSuite {
     assert(qs.length == 1 && qs.head.getAs[Long]("term_num") == 0L)
     assert(qs.head.getAs[Double]("q_total") == 0.0)
   }
+
+  test("a26: equal revenues gini 0; one-whale nation matches the rank formula; zero-revenue nation NULLs") {
+    val rev = Seq(
+      ("EQ", 1L, 100L), ("EQ", 2L, 100L), ("EQ", 3L, 100L), ("EQ", 4L, 100L),
+      // whale: [1, 1, 1, 97] → G = (2·(1+2+3+4·97) − 5·100)/(4·100) = 0.72
+      ("WHALE", 1L, 1L), ("WHALE", 2L, 1L), ("WHALE", 3L, 1L),
+      ("WHALE", 4L, 97L),
+      ("ZERO", 1L, 0L), ("ZERO", 2L, 0L))
+      .toDF("nation", "custkey", "rev")
+    val got = graft.model.Analytics.giniOfRevenue(rev).collect()
+      .map(r => r.getAs[String]("nation") -> r).toMap
+    assert(got("EQ").getAs[Double]("gini") == 0.0)
+    assert(got("WHALE").getAs[Double]("gini") == 0.72)
+    assert(got("WHALE").getAs[Long]("weighted_cents") == 1L + 2 + 3 + 4 * 97)
+    assert(got("ZERO").isNullAt(got("ZERO").fieldIndex("gini")))
+  }
+
+  test("a27: exact linear series slope 1; outlier day barely moves the median; single-day type NULLs") {
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, day: Int, n: Int) =
+      (0 until n).map(k => (id + k, Timestamp.valueOf(
+        f"2024-01-${day + 1}%02d 00:00:00"), 1L, t, 1.0, "{}"))
+    // lin: counts 1,2,3,4,5 on days 0..4 → every pairwise slope is 1
+    val lin = (0 until 5).flatMap(d => ev(1000L * d, "lin", d, d + 1))
+    // rob: same linear counts plus day 9 spiking to 50 — the 5 spike
+    // slopes are a minority of the 15 pairs, so the median stays 1
+    val rob = (0 until 5).flatMap(d => ev(100000L + 1000L * d, "rob", d, d + 1)) ++
+      ev(200000L, "rob", 9, 50)
+    val solo = ev(300000L, "solo", 0, 3)
+    val rows = (lin ++ rob ++ solo)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.theilSenOf(rows).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got("lin").getAs[Double]("ts_slope") == 1.0)
+    assert(got("lin").getAs[Long]("n_pairs") == 10L)
+    assert(got("rob").getAs[Double]("ts_slope") == 1.0)
+    val so = got("solo")
+    assert(so.getAs[Long]("n_pairs") == 0L &&
+      so.isNullAt(so.fieldIndex("ts_slope")))
+  }
+
+  test("w15: single-type user lands in bucket 100; uniform two-type user at 50; bucket stats exact") {
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, t: String) =
+      (id, new Timestamp(0L), u, t, 1.0, "{}")
+    val rows = (
+      (1 to 4).map(i => ev(i, 1L, "only")) ++
+      Seq(ev(10, 2L, "a"), ev(11, 2L, "b")) ++
+      // user 3: [3, 1] → (10000·10)/16 = 6250 → bucket 62
+      Seq(ev(20, 3L, "a"), ev(21, 3L, "a"), ev(22, 3L, "a"), ev(23, 3L, "b")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.userHhiOf(rows).collect()
+      .map(r => r.getAs[Long]("pct_bucket") -> r).toMap
+    assert(got(100L).getAs[Long]("n_users") == 1L &&
+      got(100L).getAs[Long]("min_bp") == 10000L)
+    assert(got(50L).getAs[Long]("n_users") == 1L &&
+      got(50L).getAs[Long]("max_bp") == 5000L)
+    assert(got(62L).getAs[Long]("min_bp") == 6250L &&
+      got(62L).getAs[Long]("sum_types") == 2L)
+  }
+
+  test("tx34: repetitive text scores low, all-distinct scores 10000, empty degenerates, null propagates") {
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "a b c d"), (3L, ""), (4L, null: String),
+      (5L, "x y x y"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextStats.typeTokenOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("ttr_bp") == 2500L)
+    assert(got(2L).getAs[Long]("ttr_bp") == 10000L)
+    // empty text: the single empty token both engines agree on
+    assert(got(3L).getAs[Long]("n_tokens") == 1L &&
+      got(3L).getAs[Long]("ttr_bp") == 10000L)
+    assert(got(4L).isNullAt(got(4L).fieldIndex("ttr_bp")))
+    assert(got(5L).getAs[Long]("ttr_bp") == 5000L)
+  }
 }
