@@ -238,6 +238,13 @@ object SparkEntry {
     "a27_theil_sen" -> (Analytics.theilSen _),
     "w15_user_hhi" -> (Analytics.userHhi _),
     "tx34_type_token" -> (TextStats.typeTokenQuery _),
+    "a28_dow_anova" -> (Analytics.dowAnova _),
+    "w16_session_durations" -> (Analytics.sessionDurations _),
+    "dq5_chisq_drift" -> (graft.ops.Profile.chisqDrift _),
+    "pf2_price_histogram" -> (graft.ops.Profile.priceHistogram _),
+    "g9_degree_histogram" -> (graft.ops.Graph.degreeHistogram _),
+    "tx35_charclass_profile" -> (TextStats.charClassProfile _),
+    "dq6_volume_anomaly" -> (graft.ops.Profile.volumeAnomaly _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -791,5 +798,12 @@ object SparkEntry {
     "a27_theil_sen" -> Analytics.theilSenOracle,
     "w15_user_hhi" -> Analytics.userHhiOracle,
     "tx34_type_token" -> TextStats.typeTokenOracle,
+    "a28_dow_anova" -> Analytics.dowAnovaOracle,
+    "w16_session_durations" -> Analytics.sessionDurationsOracle,
+    "dq5_chisq_drift" -> graft.ops.Profile.chisqDriftOracle,
+    "pf2_price_histogram" -> graft.ops.Profile.priceHistogramOracle,
+    "g9_degree_histogram" -> graft.ops.Graph.degreeHistogramOracle(),
+    "tx35_charclass_profile" -> TextStats.charClassProfileOracle,
+    "dq6_volume_anomaly" -> graft.ops.Profile.volumeAnomalyOracle,
   )
 }

@@ -1901,4 +1901,164 @@ object Analytics {
       |       min(hhi_bp) AS min_bp, max(hhi_bp) AS max_bp,
       |       CAST(sum(n_types) AS BIGINT) AS sum_types
       |FROM h GROUP BY 1 ORDER BY pct_bucket""".stripMargin
+
+  /** a28 — seasonality strength per event type as a one-way ANOVA over
+    * the daily-count series grouped by day-of-week: η² = SS_between /
+    * SS_total answers "how much of this stream's daily variance is
+    * explained by the weekly cycle" as a 0..1 effect size — the
+    * magnitude W14's argmax (which only names the best lag) can't
+    * report. Day-of-week is epoch-day mod 7 (pure integer, no
+    * locale/engine week-start semantics). All moments (n, Σx, Σx²
+    * per type; n_g, Σx per dow cell) are exact longs; the ≤7 cell
+    * terms S_g²/n_g are each one fixed IEEE tree and are summed by an
+    * explicit dow-sorted lambda fold (the cal2/dq2 rule — never an
+    * unordered double sum), so both engines emit identical bits.
+    * Shape: two keyed hash aggregations + an O(7) fold per type. */
+  def dowAnova(s: SparkSession, d: String): DataFrame =
+    dowAnovaOf(Tables.events(s, d))
+
+  /** [[dowAnova]] over an explicit events frame. */
+  def dowAnovaOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow", expr("day % 7"))
+    val byDow = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ssq"))
+    val cellTerm = col("s_g").cast("double") * col("s_g").cast("double") /
+      col("n_g").cast("double")
+    val folded = byDow.join(tot, "event_type")
+      .select(col("event_type"), col("n_days"), col("s"), col("ssq"),
+        struct(col("dow"), cellTerm.as("t")).as("e"))
+      .groupBy("event_type", "n_days", "s", "ssq")
+      .agg(sort_array(collect_list(col("e"))).as("es"),
+        count(lit(1)).as("n_dow_groups"))
+    val grand = col("s").cast("double") * col("s").cast("double") /
+      col("n_days").cast("double")
+    val sb = aggregate(col("es"), lit(0.0d),
+      (acc, x) => acc + x.getField("t")) - grand
+    val st = col("ssq").cast("double") - grand
+    folded.select(col("event_type"), col("n_days"), col("n_dow_groups"),
+        sb.as("ss_between"), st.as("ss_total"),
+        when(st > 0.0, sb / st).as("eta2"))
+      .orderBy("event_type")
+  }
+
+  val dowAnovaOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS day,
+      |         count(*) AS x
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |d2 AS (SELECT event_type, day % 7 AS dow, x FROM daily),
+      |bydow AS (
+      |  SELECT event_type, dow, count(*) AS n_g,
+      |         CAST(sum(x) AS BIGINT) AS s_g
+      |  FROM d2 GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |         CAST(sum(x) AS BIGINT) AS s,
+      |         CAST(sum(x * x) AS BIGINT) AS ssq
+      |  FROM d2 GROUP BY 1),
+      |terms AS (
+      |  SELECT event_type, dow,
+      |         CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+      |           / CAST(n_g AS DOUBLE) AS t
+      |  FROM bydow),
+      |f AS (
+      |  SELECT event_type, count(*) AS n_dow_groups,
+      |         list_reduce([0.0e0] || list(t ORDER BY dow), (a, x) -> a + x)
+      |           AS sb_raw
+      |  FROM terms GROUP BY 1)
+      |SELECT t.event_type, t.n_days, f.n_dow_groups,
+      |  f.sb_raw - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+      |    / CAST(t.n_days AS DOUBLE) AS ss_between,
+      |  CAST(t.ssq AS DOUBLE) - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+      |    / CAST(t.n_days AS DOUBLE) AS ss_total,
+      |  CASE WHEN CAST(t.ssq AS DOUBLE) - CAST(t.s AS DOUBLE)
+      |         * CAST(t.s AS DOUBLE) / CAST(t.n_days AS DOUBLE) > 0.0e0
+      |       THEN (f.sb_raw - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+      |             / CAST(t.n_days AS DOUBLE))
+      |            / (CAST(t.ssq AS DOUBLE) - CAST(t.s AS DOUBLE)
+      |               * CAST(t.s AS DOUBLE) / CAST(t.n_days AS DOUBLE)) END
+      |    AS eta2
+      |FROM tot t JOIN f USING (event_type)
+      |ORDER BY t.event_type""".stripMargin
+
+  /** w16 — session-duration histogram: W2's gap-sessionization rolled
+    * into bit-length (⌊log₂⌋+1) duration buckets — the power-law
+    * read-out ("are sessions seconds or hours") that a mean duration
+    * hides. Duration is exact whole seconds from the second-truncated
+    * session bounds; the bucket is `length(bin(dur))` — the tx23
+    * integer-bits idiom, so zero-length single-event sessions land in
+    * bucket 1 and each bucket b covers [2^(b-1), 2^b) seconds. Same
+    * one user-keyed shuffle as W2 (two layered windows + session
+    * rollup), then an O(32) histogram aggregation. */
+  def sessionDurations(s: SparkSession, d: String): DataFrame =
+    sessionDurationsOf(Tables.events(s, d))
+
+  /** [[sessionDurations]] over an explicit events frame. */
+  def sessionDurationsOf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val ev = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .withColumn("prev_ts", lag(col("ts_sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts_sec").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_no",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = ev.groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_sec").cast("long")) - min(col("ts_sec").cast("long")))
+          .as("dur_sec"))
+    sessions
+      .groupBy(length(bin(col("dur_sec"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        min(col("dur_sec")).as("min_sec"), max(col("dur_sec")).as("max_sec"),
+        sum(col("n_events")).as("sum_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("bucket")
+  }
+
+  val sessionDurationsOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('second', ts) AS ts_sec, event_id
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_sec,
+      |    CASE WHEN lag(ts_sec) OVER w IS NULL
+      |           OR epoch(ts_sec) - epoch(lag(ts_sec) OVER w) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+      |sess AS (
+      |  SELECT user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY ts_sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no,
+      |    ts_sec
+      |  FROM flagged),
+      |rolled AS (
+      |  SELECT user_id, session_no, count(*) AS n_events,
+      |         CAST(epoch(max(ts_sec)) - epoch(min(ts_sec)) AS BIGINT)
+      |           AS dur_sec
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT CAST(length(bin(dur_sec)) AS BIGINT) AS bucket,
+      |       count(*) AS n_sessions,
+      |       min(dur_sec) AS min_sec, max(dur_sec) AS max_sec,
+      |       CAST(sum(n_events) AS BIGINT) AS sum_events,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM rolled GROUP BY 1 ORDER BY bucket""".stripMargin
 }

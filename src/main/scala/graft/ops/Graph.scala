@@ -660,4 +660,64 @@ object Graph {
        |         AS modularity_term,
        |       CAST(q_num AS DOUBLE) / CAST(4 * m * m AS DOUBLE) AS q_total
        |FROM per CROSS JOIN qn ORDER BY label""".stripMargin
+
+  /** g9 — undirected degree distribution of the kNN graph: how many
+    * nodes sit at each degree, including the degree-0 isolates the
+    * edge list can't show. The read that separates "uniform manifold"
+    * (degrees concentrated near k) from "boilerplate attractor" (a
+    * heavy right tail of in-degree hubs — the same pathology g3's
+    * assortativity summarizes, here as the full curve). Exact count
+    * histogram keyed by degree: two hash aggregations over the edge
+    * list plus a broadcast-left join back to the node spine; output
+    * is O(max_degree) rows regardless of corpus size, and every
+    * statistic is an exact long. */
+  def degreeHistogram(s: SparkSession, d: String): DataFrame =
+    degreeHistogramOf(Tables.embeddings(s, d))
+
+  /** [[degreeHistogram]] over an explicit embeddings frame. */
+  def degreeHistogramOf(emb: DataFrame): DataFrame = {
+    val edges = Materialize(
+      Similarity.knnGraphOf(emb).select("src", "dst"),
+      Materialize.Local, "g9_edges")
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val perNode = emb.select(col("vec_id"))
+      .join(deg, col("vec_id") === col("id"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("degree"))
+    val hist = perNode.groupBy("degree")
+      .agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum(col("n_nodes")).as("n_total"),
+      sum(col("degree") * col("n_nodes")).as("deg_mass"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("degree"), col("n_nodes"),
+        expr("(10000 * n_nodes) div n_total").as("share_bp"),
+        col("deg_mass"))
+      .orderBy("degree")
+  }
+
+  def degreeHistogramOracle(): String =
+    s"""WITH g AS (
+       |${Similarity.knnGraphOracle()}
+       |),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM g WHERE src <> dst),
+       |deg AS (SELECT id, count(*) AS deg FROM (
+       |    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+       |  GROUP BY id),
+       |pn AS (
+       |  SELECT CAST(coalesce(d.deg, 0) AS BIGINT) AS degree
+       |  FROM (SELECT vec_id FROM embeddings) n
+       |  LEFT JOIN deg d ON n.vec_id = d.id),
+       |h AS (SELECT degree, count(*) AS n_nodes FROM pn GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total,
+       |             CAST(sum(degree * n_nodes) AS BIGINT) AS deg_mass
+       |      FROM h)
+       |SELECT degree, n_nodes, (10000 * n_nodes) // n_total AS share_bp,
+       |       deg_mass
+       |FROM h CROSS JOIN t ORDER BY degree""".stripMargin
 }

@@ -472,4 +472,204 @@ object Profile {
          |           count(DISTINCT CAST($dep AS VARCHAR)) AS nd
          |    FROM $t GROUP BY 1))""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+
+  /** dq5 — frequency-drift audit: the chi-square homogeneity test of
+    * the event-type mix between the first and second half of the time
+    * range — "did the composition of this stream shift", the
+    * distributional cousin of rc2's per-column drift. The half
+    * boundary is the data-derived median epoch-day (ceil), so the
+    * audit needs no configuration. Per type the 2×2-margin identity
+    * collapses both cells to ONE term: contrib = D² / (r·N₁·N₂) with
+    * D = o₁·N₂ − o₂·N₁ exact longs (products bounded by rows² — fine
+    * to ~3e9 rows/half; beyond that pre-aggregate per shard), squared
+    * AFTER the cast to double so the long never overflows; the total
+    * χ² sums the per-type terms by a type-sorted lambda fold (cal2/
+    * dq2 rule). Shape: one scan + one type-keyed aggregation + two
+    * 1-row broadcasts — no per-type rescans. */
+  def chisqDrift(s: SparkSession, d: String): DataFrame =
+    chisqDriftOf(Tables.events(s, d))
+
+  /** [[chisqDrift]] over an explicit events frame. */
+  def chisqDriftOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val perType = ev.crossJoin(broadcast(bounds))
+      .withColumn("first_half",
+        col("day") < expr("(d0 + d1 + 1) div 2"))
+      .groupBy("event_type")
+      .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("o_first"),
+        sum(when(col("first_half"), 0L).otherwise(1L)).as("o_second"))
+    val tot = perType.agg(sum(col("o_first")).as("n_first"),
+      sum(col("o_second")).as("n_second"))
+    val dCol = (col("o_first") * col("n_second") -
+      col("o_second") * col("n_first")).as("d_num")
+    val terms = perType.crossJoin(broadcast(tot))
+      .withColumn("d_num", dCol)
+      .withColumn("contrib",
+        col("d_num").cast("double") * col("d_num").cast("double") /
+          ((col("o_first") + col("o_second")).cast("double") *
+            col("n_first").cast("double") * col("n_second").cast("double")))
+    val total = terms
+      .groupBy(lit(1).as("one"))
+      .agg(sort_array(collect_list(
+          struct(col("event_type"), col("contrib")))).as("es"),
+        count(lit(1)).as("n_types"))
+      .select((col("n_types") - 1L).as("df"),
+        aggregate(col("es"), lit(0.0d),
+          (acc, x) => acc + x.getField("contrib")).as("chi2_total"))
+    terms.crossJoin(broadcast(total))
+      .select(col("event_type"), col("o_first"), col("o_second"),
+        col("n_first"), col("n_second"), col("d_num"), col("contrib"),
+        col("chi2_total"), col("df"))
+      .orderBy("event_type")
+  }
+
+  val chisqDriftOracle: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS day
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |pt AS (
+      |  SELECT event_type,
+      |         CAST(sum(CASE WHEN day < (d0 + d1 + 1) // 2
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS o_first,
+      |         CAST(sum(CASE WHEN day < (d0 + d1 + 1) // 2
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS o_second
+      |  FROM ev CROSS JOIN b GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(o_first) AS BIGINT) AS n_first,
+      |         CAST(sum(o_second) AS BIGINT) AS n_second
+      |  FROM pt),
+      |terms AS (
+      |  SELECT event_type, o_first, o_second, n_first, n_second,
+      |         o_first * n_second - o_second * n_first AS d_num,
+      |         CAST(o_first * n_second - o_second * n_first AS DOUBLE)
+      |           * CAST(o_first * n_second - o_second * n_first AS DOUBLE)
+      |           / (CAST(o_first + o_second AS DOUBLE)
+      |              * CAST(n_first AS DOUBLE) * CAST(n_second AS DOUBLE))
+      |           AS contrib
+      |  FROM pt CROSS JOIN tot),
+      |f AS (
+      |  SELECT count(*) - 1 AS df,
+      |         list_reduce([0.0e0] || list(contrib ORDER BY event_type),
+      |           (a, x) -> a + x) AS chi2_total
+      |  FROM terms)
+      |SELECT event_type, o_first, o_second, n_first, n_second, d_num,
+      |       contrib, chi2_total, df
+      |FROM terms CROSS JOIN f
+      |ORDER BY event_type""".stripMargin
+
+  /** Bucket width for pf2: 25,000 dollars of order value in cents —
+    * ~20 buckets over the TPC-H price domain at any SF. */
+  val PriceBucketCents = 2500000L
+
+  /** pf2 — equi-width value histogram of order totals: the
+    * distribution profile pf1's min/max/mean summary can't show
+    * (bimodality, truncation, heaping). Exact integer cents
+    * throughout: bucket = cents div width, per-bucket count/min/max/
+    * sum plus an exact basis-point share (all-positive long division,
+    * identical truncation both engines). ONE hash aggregation over
+    * the scan + a 1-row broadcast for the share denominator; the
+    * output is O(domain/width) rows regardless of row count. */
+  def priceHistogram(s: SparkSession, d: String): DataFrame =
+    priceHistogramOf(Tables.orders(s, d))
+
+  /** [[priceHistogram]] over an explicit orders frame. */
+  def priceHistogramOf(orders: DataFrame): DataFrame = {
+    val cents = graft.functions.Functions.cents(col("o_totalprice"))
+    val buckets = orders
+      .filter(col("o_totalprice").isNotNull)
+      .select(cents.as("c"))
+      .groupBy(expr(s"c div $PriceBucketCents").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"), min(col("c")).as("min_cents"),
+        max(col("c")).as("max_cents"), sum(col("c")).as("sum_cents"))
+    val tot = buckets.agg(sum(col("n_orders")).as("n_total"))
+    buckets.crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("(10000 * n_orders) div n_total"))
+      .select(col("bucket"), col("n_orders"), col("min_cents"),
+        col("max_cents"), col("sum_cents"), col("share_bp"))
+      .orderBy("bucket")
+  }
+
+  /** dq6 — daily-volume anomaly flags: each day's event count tested
+    * against the trailing 7-day window (excluding the day itself) at
+    * the 3σ level — the pipeline-monitoring primitive behind "did
+    * yesterday's drop double-ingest or lose a shard". The test is
+    * EXACT integer arithmetic end to end: with trailing moments (n,
+    * S, Q), |x−μ| > 3σ cross-multiplies to (x·n − S)²·(n−1) >
+    * 9·n·(n·Q − S²) — no division, no doubles, no engine drift (the
+    * a20 cross-multiplication discipline; exact up to ~3e8 events/day
+    * before the long square saturates — pre-aggregate per shard past
+    * that). The window runs over the AGGREGATED daily series (one
+    * row per day, bounded by the time domain), so the unpartitioned
+    * window is O(days) — the inc3 spine argument. Days with fewer
+    * than 3 trailing observations emit NULL flags (σ undefined). */
+  def volumeAnomaly(s: SparkSession, d: String): DataFrame =
+    volumeAnomalyOf(Tables.events(s, d))
+
+  /** [[volumeAnomaly]] over an explicit events frame. */
+  def volumeAnomalyOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("ts").isNotNull)
+      .groupBy(datediff(col("ts").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("day").rowsBetween(-7, -1)
+    val moments = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", coalesce(sum(col("x")).over(w), lit(0L)))
+      .withColumn("q",
+        coalesce(sum(col("x") * col("x")).over(w), lit(0L)))
+    moments
+      .select(col("day"), col("x"), col("n"), col("s"), col("q"),
+        (col("x") * col("n") - col("s")).as("dev_num"),
+        when(col("n") >= 3L,
+          when((col("x") * col("n") - col("s")) *
+            (col("x") * col("n") - col("s")) * (col("n") - 1L) >
+            lit(9L) * col("n") * (col("n") * col("q") - col("s") * col("s")),
+            1L).otherwise(0L)).as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  val volumeAnomalyOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS day,
+      |         count(*) AS x
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |m AS (
+      |  SELECT day, x,
+      |    CAST(count(*) OVER tw AS BIGINT) AS n,
+      |    CAST(coalesce(sum(x) OVER tw, 0) AS BIGINT) AS s,
+      |    CAST(coalesce(sum(x * x) OVER tw, 0) AS BIGINT) AS q
+      |  FROM daily
+      |  WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+      |    AND 1 PRECEDING))
+      |SELECT day, x, n, s, q, x * n - s AS dev_num,
+      |  CASE WHEN n >= 3 THEN
+      |    CASE WHEN (x * n - s) * (x * n - s) * (n - 1)
+      |              > 9 * n * (n * q - s * s)
+      |         THEN 1 ELSE 0 END END AS is_anomaly
+      |FROM m ORDER BY day""".stripMargin
+
+  val priceHistogramOracle: String =
+    s"""WITH c AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |b AS (
+      |  SELECT c // $PriceBucketCents AS bucket, count(*) AS n_orders,
+      |         min(c) AS min_cents, max(c) AS max_cents,
+      |         CAST(sum(c) AS BIGINT) AS sum_cents
+      |  FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM b)
+      |SELECT bucket, n_orders, min_cents, max_cents, sum_cents,
+      |       (10000 * n_orders) // n_total AS share_bp
+      |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin
 }

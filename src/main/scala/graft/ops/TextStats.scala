@@ -1968,4 +1968,67 @@ object TextStats {
       |       CASE WHEN n_tokens > 0
       |            THEN (10000 * n_types) // n_tokens END AS ttr_bp
       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** tx35 — per-source character-class composition: letters / digits /
+    * spaces / other, as exact counts and per-mille shares. The cheap
+    * encoding-health probe a curation pipeline runs per ingest source
+    * — a source whose "other" share jumps is emitting mojibake,
+    * markup, or binary spill, visible long before tx1's language ID
+    * degrades. Class counts are length differences under class-strip
+    * `regexp_replace` (identical POSIX-class semantics both engines),
+    * summed as exact longs in ONE source-keyed hash aggregation;
+    * shares are all-positive long division. Output is O(sources). */
+  def charClassProfile(s: SparkSession, d: String): DataFrame =
+    charClassProfileOf(Tables.documents(s, d))
+
+  /** [[charClassProfile]] over an explicit documents frame. */
+  def charClassProfileOf(docs: DataFrame): DataFrame = {
+    def stripped(cls: String): Column =
+      length(col("text")) - length(regexp_replace(col("text"), cls, ""))
+    val perDoc = docs
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), length(col("text")).cast("long").as("chars"),
+        stripped("[a-z]").cast("long").as("letters"),
+        stripped("[0-9]").cast("long").as("digits"),
+        stripped("[ ]").cast("long").as("spaces"))
+    val agg = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("n_chars"),
+        sum(col("letters")).as("letters"), sum(col("digits")).as("digits"),
+        sum(col("spaces")).as("spaces"))
+      .withColumn("other",
+        col("n_chars") - col("letters") - col("digits") - col("spaces"))
+    agg.select(col("source"), col("n_docs"), col("n_chars"),
+        col("letters"), col("digits"), col("spaces"), col("other"),
+        when(col("n_chars") > 0L,
+          expr("(1000 * letters) div n_chars")).as("letters_pm"),
+        when(col("n_chars") > 0L,
+          expr("(1000 * other) div n_chars")).as("other_pm"))
+      .orderBy("source")
+  }
+
+  val charClassProfileOracle: String =
+    """WITH pd AS (
+      |  SELECT source, CAST(length(text) AS BIGINT) AS chars,
+      |    CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+      |      AS BIGINT) AS letters,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      |      AS BIGINT) AS digits,
+      |    CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g'))
+      |      AS BIGINT) AS spaces
+      |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+      |agg AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(chars) AS BIGINT) AS n_chars,
+      |         CAST(sum(letters) AS BIGINT) AS letters,
+      |         CAST(sum(digits) AS BIGINT) AS digits,
+      |         CAST(sum(spaces) AS BIGINT) AS spaces
+      |  FROM pd GROUP BY 1)
+      |SELECT source, n_docs, n_chars, letters, digits, spaces,
+      |       n_chars - letters - digits - spaces AS other,
+      |       CASE WHEN n_chars > 0
+      |            THEN (1000 * letters) // n_chars END AS letters_pm,
+      |       CASE WHEN n_chars > 0
+      |            THEN (1000 * (n_chars - letters - digits - spaces))
+      |                 // n_chars END AS other_pm
+      |FROM agg ORDER BY source""".stripMargin
 }

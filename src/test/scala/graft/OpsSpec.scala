@@ -2514,6 +2514,150 @@ class OpsSpec extends AnyFunSuite {
       got(62L).getAs[Long]("sum_types") == 2L)
   }
 
+  test("a28: pure-weekly series eta2 exactly 1; constant series NULLs; moments exact") {
+    import java.sql.Timestamp
+    def dayEvents(t: String, d: Int, n: Int, base: Long) =
+      (0 until n).map(k => (base + 100L * d + k,
+        Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00"), 1L, t, 1.0, "{}"))
+    val epoch0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    // weekly: count = (epochDay % 7) + 1 over exactly two weeks → every
+    // dow group has two identical values → SSW = 0 → eta2 == 1.0
+    val weekly = (0 until 14).flatMap(d =>
+      dayEvents("weekly", d, ((epoch0 + d) % 7).toInt + 1, 10000L))
+    val flat = (0 until 14).flatMap(d => dayEvents("flat", d, 5, 50000L))
+    val rows = (weekly ++ flat)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.dowAnovaOf(rows).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val wk = got("weekly")
+    assert(wk.getAs[Long]("n_days") == 14L &&
+      wk.getAs[Long]("n_dow_groups") == 7L)
+    assert(wk.getAs[Double]("eta2") == 1.0)
+    val fl = got("flat")
+    assert(fl.getAs[Double]("ss_total") == 0.0 &&
+      fl.isNullAt(fl.fieldIndex("eta2")))
+  }
+
+  test("dq5: planted composition shift yields the hand-computed chi-square; stable type contributes its margin term") {
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, day: Int) =
+      (id, Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00"), 1L, t, 1.0, "{}")
+    // days 0,1 → first half; 2,3 → second (median-day-ceil boundary)
+    val rows = (
+      (1 to 10).map(i => ev(i, "stable", 0)) ++
+      (1 to 10).map(i => ev(100 + i, "stable", 2)) ++
+      (1 to 10).map(i => ev(200 + i, "shift", 1)) ++
+      (1 to 30).map(i => ev(300 + i, "shift", 3)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Profile.chisqDriftOf(rows).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val st = got("stable")
+    // N1=20, N2=40; D = 10·40 − 10·20 = 200; contrib = 200²/(20·20·40)
+    assert(st.getAs[Long]("d_num") == 200L)
+    assert(st.getAs[Double]("contrib") == 2.5)
+    val sh = got("shift")
+    assert(sh.getAs[Long]("d_num") == -200L)
+    assert(sh.getAs[Double]("contrib") == 1.25)
+    assert(st.getAs[Double]("chi2_total") == 3.75 &&
+      st.getAs[Long]("df") == 1L)
+  }
+
+  test("w16: durations land in their bit-length buckets; 1800s gap keeps one session, 1801 splits") {
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, sec: Long) =
+      (id, new Timestamp(sec * 1000L), u, "view", 1.0, "{}")
+    val rows = Seq(
+      ev(1, 1L, 0L), ev(2, 1L, 100L),          // dur 100 → 7 bits
+      ev(3, 2L, 0L),                           // dur 0 → bucket 1
+      ev(4, 2L, 10000L),                       // second dur-0 session
+      ev(5, 3L, 0L), ev(6, 3L, 1800L),         // exactly 1800 → one session
+      ev(7, 4L, 0L), ev(8, 4L, 1801L))         // 1801 → two sessions
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.sessionDurationsOf(rows).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(got(7L).getAs[Long]("n_sessions") == 1L &&
+      got(7L).getAs[Long]("min_sec") == 100L)
+    // dur-0 sessions: users 2 (×2) and 4 (×2) → 4 sessions, 2 users
+    assert(got(1L).getAs[Long]("n_sessions") == 4L &&
+      got(1L).getAs[Long]("n_users") == 2L)
+    // 1800 s = 11100001000₂ → 11 bits
+    assert(got(11L).getAs[Long]("n_sessions") == 1L &&
+      got(11L).getAs[Long]("max_sec") == 1800L)
+    assert(got.keySet == Set(1L, 7L, 11L))
+  }
+
+  test("pf2: cents land in their width buckets, share_bp truncates, nulls excluded") {
+    val orders = Seq(
+      (1L, 100.00), (2L, 25000.00), (3L, 49999.99),
+      (4L, Double.NaN))
+      .toDF("o_orderkey", "o_totalprice")
+      .withColumn("o_totalprice",
+        when(isnan(col("o_totalprice")), lit(null)).otherwise(col("o_totalprice")))
+    val got = graft.ops.Profile.priceHistogramOf(orders).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(got(0L).getAs[Long]("n_orders") == 1L &&
+      got(0L).getAs[Long]("min_cents") == 10000L)
+    assert(got(1L).getAs[Long]("n_orders") == 2L &&
+      got(1L).getAs[Long]("max_cents") == 4999999L)
+    assert(got(0L).getAs[Long]("share_bp") == 3333L &&
+      got(1L).getAs[Long]("share_bp") == 6666L)
+    assert(got.size == 2)
+  }
+
+  test("g9: degree counts partition the node spine; isolates land at degree 0; mass equals 2·edges") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val rows = graft.ops.Graph.degreeHistogramOf(emb).collect()
+    val nNodes = emb.count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == nNodes)
+    val mass = rows.map(r =>
+      r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum
+    assert(rows.forall(_.getAs[Long]("deg_mass") == mass))
+    assert(mass % 2 == 0) // every undirected edge contributes exactly 2
+    val shares = rows.map(_.getAs[Long]("share_bp"))
+    assert(shares.sum <= 10000L && shares.forall(_ >= 0L))
+  }
+
+  test("tx35: planted class mix counts exactly; accounting identity; empty source guarded") {
+    val docs = Seq(
+      (1L, "ab1 2cd", "s1"),   // 4 letters, 2 digits, 1 space
+      (2L, "xyz", "s1"),
+      (3L, "", "s2"),
+      (4L, "#$%", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.TextStats.charClassProfileOf(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = got("s1")
+    assert(s1.getAs[Long]("letters") == 7L && s1.getAs[Long]("digits") == 2L &&
+      s1.getAs[Long]("spaces") == 1L && s1.getAs[Long]("other") == 0L)
+    assert(s1.getAs[Long]("letters_pm") == 700L)
+    val s2 = got("s2")
+    assert(s2.getAs[Long]("n_chars") == 3L && s2.getAs[Long]("other") == 3L &&
+      s2.getAs[Long]("other_pm") == 1000L)
+  }
+
+  test("dq6: planted spike flags, steady days don't, warm-up days NULL") {
+    import java.sql.Timestamp
+    def ev(id: Long, day: Int, n: Int) =
+      (0 until n).map(k => (id + k, Timestamp.valueOf(
+        f"2024-01-${day + 1}%02d 00:00:00"), 1L, "view", 1.0, "{}"))
+    // 10 steady days at 100/day, then day 10 spikes to 200
+    val rows = ((0 until 10).flatMap(d => ev(1000L * d, d, 100)) ++
+      ev(20000L, 10, 200))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Profile.volumeAnomalyOf(rows).collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(got.length == 11)
+    // days 0..2 have < 3 trailing observations → NULL flag
+    assert(got(0).isNullAt(got(0).fieldIndex("is_anomaly")))
+    assert(got(2).isNullAt(got(2).fieldIndex("is_anomaly")))
+    // steady interior days: zero deviation → not anomalous
+    assert(got(5).getAs[Long]("is_anomaly") == 0L)
+    // the spike: trailing window is constant-100 (σ = 0), x = 200 → flag
+    val spike = got(10)
+    assert(spike.getAs[Long]("x") == 200L &&
+      spike.getAs[Long]("is_anomaly") == 1L)
+  }
+
   test("tx34: repetitive text scores low, all-distinct scores 10000, empty degenerates, null propagates") {
     val docs = Seq(
       (1L, "a a a a"), (2L, "a b c d"), (3L, ""), (4L, null: String),
