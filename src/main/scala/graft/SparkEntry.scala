@@ -245,6 +245,17 @@ object SparkEntry {
     "g9_degree_histogram" -> (graft.ops.Graph.degreeHistogram _),
     "tx35_charclass_profile" -> (TextStats.charClassProfile _),
     "dq6_volume_anomaly" -> (graft.ops.Profile.volumeAnomaly _),
+    "dq7_ks_drift" -> (graft.ops.Profile.ksDrift _),
+    "pf3_correlation_matrix" -> (graft.ops.Profile.correlationMatrix _),
+    "tx36_readability" -> (TextStats.readability _),
+    "lay2_compaction_plan" -> (graft.ops.Layout.compactionPlan _),
+    "a29_kendall_tau" -> (Analytics.kendallTau _),
+    "ord2_curriculum" -> (graft.ops.Sampling.curriculumOrder _),
+    "smp4_grouped_split" -> (graft.ops.Sampling.groupedSplit _),
+    "dd20_cluster_histogram" -> ((s, d) => Dedup.clusterHistogram(s, d)),
+    "sim9_triplet_mining" -> (Similarity.tripletMining _),
+    "cal3_calibration_error" -> (graft.ops.Eval.calibrationError _),
+    "a30_burstiness" -> (Analytics.burstiness _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -805,5 +816,16 @@ object SparkEntry {
     "g9_degree_histogram" -> graft.ops.Graph.degreeHistogramOracle(),
     "tx35_charclass_profile" -> TextStats.charClassProfileOracle,
     "dq6_volume_anomaly" -> graft.ops.Profile.volumeAnomalyOracle,
+    "dq7_ks_drift" -> graft.ops.Profile.ksDriftOracle,
+    "pf3_correlation_matrix" -> graft.ops.Profile.correlationMatrixOracle,
+    "tx36_readability" -> TextStats.readabilityOracle,
+    "lay2_compaction_plan" -> graft.ops.Layout.compactionPlanOracle,
+    "a29_kendall_tau" -> Analytics.kendallTauOracle,
+    "ord2_curriculum" -> graft.ops.Sampling.curriculumOrderOracle,
+    "smp4_grouped_split" -> graft.ops.Sampling.groupedSplitOracle,
+    "dd20_cluster_histogram" -> Dedup.clusterHistogramOracle,
+    "sim9_triplet_mining" -> Similarity.tripletMiningOracle,
+    "cal3_calibration_error" -> graft.ops.Eval.calibrationErrorOracle,
+    "a30_burstiness" -> Analytics.burstinessOracle,
   )
 }

@@ -2061,4 +2061,158 @@ object Analytics {
       |       CAST(sum(n_events) AS BIGINT) AS sum_events,
       |       count(DISTINCT user_id) AS n_users
       |FROM rolled GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** a29 — Kendall τ-b rank correlation between lineitem quantity and
+    * discount: the monotone-association statistic Pearson (pf3) can't
+    * give — robust to any monotone transform and exact on tied, coarse
+    * domains. Computed from the CONTINGENCY TABLE, never row pairs:
+    * both columns live on small integer domains (quantity 1..50,
+    * discount basis points), so one keyed aggregation collapses the
+    * corpus to O(|X|·|Y|) cells and the concordant/discordant counts
+    * are a cells×cells broadcast nested-loop join on x_a < x_b —
+    * bounded by the DOMAIN squared (~10⁵ cell pairs), independent of
+    * row count. That is the 100-TB shape: the O(n²) pair statistic
+    * reduced to sufficient statistics plus domain-sized compute.
+    *
+    * Exactness: nc, nd, and the tie terms n₁ = Σ tₓ(tₓ−1)/2,
+    * n₂ = Σ t_y(t_y−1)/2, n₀ = n(n−1)/2 are exact longs (t(t−1) is
+    * always even, so `div 2` is exact); τ_b = (nc−nd)/(√(n₀−n₁)·
+    * √(n₀−n₂)) is a fixed-shape IEEE tree with each factor √'d
+    * separately so the product never overflows (the a24/pf3 rule). */
+  def kendallTau(s: SparkSession, d: String): DataFrame =
+    kendallTauOf(Tables.lineitem(s, d))
+
+  /** [[kendallTau]] over an explicit lineitem frame. */
+  def kendallTauOf(li: DataFrame,
+      mode: graft.ops.Materialize.Mode = graft.ops.Materialize.Local)
+      : DataFrame = {
+    val base = li.select(
+      round(col("l_quantity")).cast("long").as("x"),
+      round(col("l_discount") * 10000).cast("long").as("y"))
+    // the O(|X|·|Y|) cell table feeds four consumers (both nested-loop
+    // sides, the two margin rollups, the totals); materialize it once
+    // or every fork replays the corpus scan (PlanSpec-gated)
+    val cells = graft.ops.Materialize(
+      base.groupBy("x", "y").agg(count(lit(1)).as("cn")),
+      mode, "kendall_cells")
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"),
+      col("cn").as("na"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"),
+      col("cn").as("nb"))
+    val cd = a.join(broadcast(b), col("xa") < col("xb"))
+      .agg(
+        coalesce(sum(when(col("ya") < col("yb"),
+          col("na") * col("nb")).otherwise(0L)), lit(0L)).as("nc"),
+        coalesce(sum(when(col("ya") > col("yb"),
+          col("na") * col("nb")).otherwise(0L)), lit(0L)).as("nd"))
+    val nx = cells.groupBy("x").agg(sum(col("cn")).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)).as("n1"))
+    val ny = cells.groupBy("y").agg(sum(col("cn")).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)).as("n2"))
+    val tot = cells.agg(sum(col("cn")).as("n"),
+      count(lit(1)).as("n_cells"))
+    val one = tot.crossJoin(broadcast(cd)).crossJoin(broadcast(nx))
+      .crossJoin(broadcast(ny))
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+    one.select(col("n"), col("n_cells"), col("nc"), col("nd"),
+      col("n0"), col("n1"), col("n2"),
+      when(col("n0") > col("n1") && col("n0") > col("n2"),
+        (col("nc") - col("nd")).cast("double") /
+          (sqrt((col("n0") - col("n1")).cast("double")) *
+            sqrt((col("n0") - col("n2")).cast("double"))))
+        .as("tau_b"))
+  }
+
+  val kendallTauOracle: String =
+    """WITH base AS (
+      |  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+      |         CAST(round(l_discount * 10000) AS BIGINT) AS y
+      |  FROM lineitem),
+      |cells AS (
+      |  SELECT x, y, count(*) AS cn FROM base GROUP BY x, y),
+      |cd AS (
+      |  SELECT
+      |    CAST(coalesce(sum(CASE WHEN a.y < b.y THEN a.cn * b.cn
+      |      ELSE 0 END), 0) AS BIGINT) AS nc,
+      |    CAST(coalesce(sum(CASE WHEN a.y > b.y THEN a.cn * b.cn
+      |      ELSE 0 END), 0) AS BIGINT) AS nd
+      |  FROM cells a JOIN cells b ON a.x < b.x),
+      |nx AS (
+      |  SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT) AS n1
+      |  FROM (SELECT CAST(sum(cn) AS BIGINT) AS t FROM cells GROUP BY x)),
+      |ny AS (
+      |  SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT) AS n2
+      |  FROM (SELECT CAST(sum(cn) AS BIGINT) AS t FROM cells GROUP BY y)),
+      |tot AS (
+      |  SELECT CAST(sum(cn) AS BIGINT) AS n, count(*) AS n_cells
+      |  FROM cells),
+      |one AS (
+      |  SELECT n, n_cells, nc, nd, n * (n - 1) // 2 AS n0, n1, n2
+      |  FROM tot, cd, nx, ny)
+      |SELECT n, n_cells, nc, nd, n0, n1, n2,
+      |  CASE WHEN n0 > n1 AND n0 > n2
+      |       THEN CAST(nc - nd AS DOUBLE)
+      |            / (sqrt(CAST(n0 - n1 AS DOUBLE))
+      |               * sqrt(CAST(n0 - n2 AS DOUBLE))) END AS tau_b
+      |FROM one""".stripMargin
+
+  /** a30 — BURSTINESS (Fano factor) of daily volume per event type:
+    * sample-variance over mean of the daily count series, the
+    * dispersion index that separates Poisson-like organic traffic
+    * (F ≈ 1) from bursty campaign/incident traffic (F ≫ 1) and
+    * bot-regular traffic (F ≪ 1) — the temporal-shape screen next to
+    * dq6's point anomalies. The identity s²/x̄ = (nΣx² − (Σx)²) /
+    * ((n−1)·Σx) clears every division but the last: fano_num and
+    * fano_den are EXACT longs from one day-grain aggregation + one
+    * type-grain rollup (both partial-aggregable, the a19 sufficient-
+    * statistics shape), and F is the single long/long division.
+    * Types observed on one day emit NULL (variance undefined).
+    * Overflow: Σx² ≤ days·(rows/day)² — safe past 10⁹ events/type at
+    * this time span; shard-preaggregate beyond. */
+  def burstiness(s: SparkSession, d: String): DataFrame =
+    burstinessOf(Tables.events(s, d))
+
+  /** [[burstiness]] over an explicit events frame. */
+  def burstinessOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sum_x"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        max(col("x")).as("max_day"))
+      .withColumn("fano_num",
+        col("n_days") * col("sum_x2") - col("sum_x") * col("sum_x"))
+      .withColumn("fano_den", (col("n_days") - 1L) * col("sum_x"))
+      .withColumn("fano",
+        when(col("fano_den") > 0L, col("fano_num") / col("fano_den")))
+      .orderBy("event_type")
+  }
+
+  val burstinessOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS day,
+      |         count(*) AS x
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |         CAST(sum(x) AS BIGINT) AS sum_x,
+      |         CAST(sum(x * x) AS BIGINT) AS sum_x2,
+      |         CAST(max(x) AS BIGINT) AS max_day
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n_days, sum_x, sum_x2, max_day,
+      |  n_days * sum_x2 - sum_x * sum_x AS fano_num,
+      |  (n_days - 1) * sum_x AS fano_den,
+      |  CASE WHEN (n_days - 1) * sum_x > 0
+      |       THEN (n_days * sum_x2 - sum_x * sum_x)
+      |            / ((n_days - 1) * sum_x) END AS fano
+      |FROM agg ORDER BY event_type""".stripMargin
 }

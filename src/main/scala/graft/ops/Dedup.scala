@@ -983,6 +983,68 @@ object Dedup {
        |FROM clustered c JOIN sizes s ON c.cluster_id = s.cluster_id
        |ORDER BY c.doc_id""".stripMargin
 
+  /** dd20 — cluster-SIZE histogram + dedup yield summary: the corpus-
+    * level readout of dd7's clustering (how much mass sits in
+    * singletons vs near-dup families, how big the giant component is,
+    * and what fraction of the corpus a keep-one-per-cluster pass
+    * removes). This is the number a curation review quotes — "dedup
+    * reclaims X% of the corpus" — and the giant-size column is the
+    * over-merge tripwire (a giant component near corpus size means the
+    * threshold or banding is broken, the failure dd18's density audit
+    * localizes per cluster).
+    *
+    * Shape: dd7's labels collapse to one row per cluster (keyed
+    * aggregation), the histogram is a second aggregation on the
+    * O(clusters) table, and the summary columns ride a 1-row
+    * broadcast — nothing beyond dd7's own cost. All integers;
+    * shares in exact basis points (all-positive long division). */
+  def clusterHistogram(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val per = dedupClustersUnsorted(s, d, mode)
+      .groupBy("cluster_id")
+      .agg(max(col("cluster_size")).as("cluster_size"))
+    val hist = per.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val tot = hist.agg(sum(col("n_docs")).as("total_docs"),
+      max(col("cluster_size")).as("giant_size"),
+      coalesce(sum(when(col("cluster_size") > 1L,
+        col("n_docs") - col("n_clusters")).otherwise(0L)), lit(0L))
+        .as("removable_docs"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("(10000 * n_docs) div total_docs").as("docs_share_bp"),
+        col("giant_size"), col("removable_docs"),
+        expr("(10000 * removable_docs) div total_docs").as("removable_bp"))
+      .orderBy("cluster_size")
+  }
+
+  lazy val clusterHistogramOracle: String =
+    s"""WITH lab AS (SELECT * FROM (
+       |$dedupClustersOracle
+       |) y),
+       |per AS (
+       |  SELECT cluster_id, CAST(max(cluster_size) AS BIGINT)
+       |    AS cluster_size
+       |  FROM lab GROUP BY cluster_id),
+       |hist AS (
+       |  SELECT cluster_size, count(*) AS n_clusters,
+       |         CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |  FROM per GROUP BY cluster_size),
+       |tot AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+       |         CAST(max(cluster_size) AS BIGINT) AS giant_size,
+       |         CAST(coalesce(sum(CASE WHEN cluster_size > 1
+       |           THEN n_docs - n_clusters ELSE 0 END), 0) AS BIGINT)
+       |           AS removable_docs
+       |  FROM hist)
+       |SELECT cluster_size, n_clusters, n_docs,
+       |       (10000 * n_docs) // total_docs AS docs_share_bp,
+       |       giant_size, removable_docs,
+       |       (10000 * removable_docs) // total_docs AS removable_bp
+       |FROM hist CROSS JOIN tot
+       |ORDER BY cluster_size""".stripMargin
+
   /** dd12 — cluster SURVIVOR selection (dedup with best-copy
     * survivorship): one row per near-dup cluster, keeping the
     * highest-quality member — longest document by n_chars, ties to the

@@ -559,4 +559,79 @@ object Eval {
        |  (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
        |    / (CAST(p AS DOUBLE) / CAST(n AS DOUBLE)) AS lift
        |FROM cum ORDER BY bin DESC""".stripMargin
+
+  /** cal3 — Expected / Maximum Calibration Error over cal1's ten fixed
+    * bins: ECE = Σ_b (n_b/N)·|obs_b − conf_b| — the single number the
+    * cal1 reliability table is usually collapsed to, and the
+    * ship/no-ship gate next to cal2's decomposition. The key identity
+    * makes it EXACT: with confidence the clamped pred/50000, each
+    * bin's weighted gap (n_b/N)·|pos_b/n_b − Σc_b/(50000·n_b)| clears
+    * to |50000·pos_b − Σc_b| / (50000·N), so the global ECE numerator
+    * Σ_b |50000·pos_b − Σc_b| is ONE exact long sum — no float
+    * accumulation, no lambda fold needed (the stronger form of the
+    * dq2 rule: clear denominators until the sum is integral). ECE and
+    * the per-bin gaps are then single divisions; MCE is a max over
+    * per-bin fixed doubles (order-independent).
+    *
+    * Shape: one 10-key hash aggregation + a 1-row broadcast — the
+    * same cost class as cal1 itself. */
+  def calibrationError(s: SparkSession, d: String): DataFrame =
+    calibrationErrorOf(scored(s, d))
+
+  /** [[calibrationError]] over an explicit (event_type, pred_cents)
+    * frame. */
+  def calibrationErrorOf(sc0: DataFrame): DataFrame = {
+    val sc = sc0.select(
+      greatest(least(col("pred_cents"), lit(49999L)), lit(0L)).as("c"),
+      when(col("event_type").isin("purchase", "signup"), 1L)
+        .otherwise(0L).as("y"))
+    val bins = sc
+      .groupBy(expr("c div 5000").as("bin"))
+      .agg(count(lit(1)).as("n_bin"), sum(col("y")).as("pos_bin"),
+        sum(col("c")).as("sum_c"))
+      .withColumn("gap_num",
+        abs(lit(50000L) * col("pos_bin") - col("sum_c")))
+      .withColumn("bin_gap",
+        col("gap_num").cast("double") /
+          (lit(50000d) * col("n_bin").cast("double")))
+    val tot = bins.agg(sum(col("n_bin")).as("n"),
+      sum(col("gap_num")).as("ece_num"),
+      max(col("bin_gap")).as("mce"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_bin"), col("pos_bin"), col("sum_c"),
+        col("gap_num"), col("bin_gap"),
+        (col("ece_num").cast("double") /
+          (lit(50000d) * col("n").cast("double"))).as("ece"),
+        col("mce"))
+      .orderBy("bin")
+  }
+
+  val calibrationErrorOracle: String =
+    s"""WITH t AS ($scoredSql),
+       |b0 AS (
+       |  SELECT greatest(least(pred_cents, 49999), 0) AS c,
+       |         CASE WHEN event_type IN ('purchase', 'signup')
+       |              THEN 1 ELSE 0 END AS y
+       |  FROM t),
+       |bins AS (
+       |  SELECT c // 5000 AS bin, count(*) AS n_bin,
+       |         CAST(sum(y) AS BIGINT) AS pos_bin,
+       |         CAST(sum(c) AS BIGINT) AS sum_c
+       |  FROM b0 GROUP BY 1),
+       |g AS (
+       |  SELECT bin, n_bin, pos_bin, sum_c,
+       |         abs(50000 * pos_bin - sum_c) AS gap_num,
+       |         CAST(abs(50000 * pos_bin - sum_c) AS DOUBLE)
+       |           / (50000.0e0 * CAST(n_bin AS DOUBLE)) AS bin_gap
+       |  FROM bins),
+       |tot AS (
+       |  SELECT CAST(sum(n_bin) AS BIGINT) AS n,
+       |         CAST(sum(gap_num) AS BIGINT) AS ece_num,
+       |         max(bin_gap) AS mce
+       |  FROM g)
+       |SELECT bin, n_bin, pos_bin, sum_c, gap_num, bin_gap,
+       |  CAST(ece_num AS DOUBLE) / (50000.0e0 * CAST(n AS DOUBLE)) AS ece,
+       |  mce
+       |FROM g CROSS JOIN tot
+       |ORDER BY bin""".stripMargin
 }

@@ -108,4 +108,81 @@ object Layout {
        |  max(xr) - min(xr) AS day_span, max(yr) - min(yr) AS part_span
        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
   }
+
+  /** Target rows per compacted output file for [[compactionPlan]] —
+    * sized so the sf-series fixtures plan a handful of output files
+    * per partition; a production run sets this from target file bytes
+    * / avg row width. */
+  val CompactTargetRows = 2000L
+
+  /** lay2 — small-file compaction planner (the OPTIMIZE/bin-pack step
+    * of Delta/Iceberg maintenance): the "file manifest" is the per-
+    * (day, shard) row-count table of events (shard = user_id mod 64 —
+    * the write layout a per-executor streaming sink produces), and
+    * within each day the planner assigns files to output buckets by
+    * FIRST-FIT-IN-ORDER bin packing: walking files in shard order,
+    * bucket = floor(cumulative rows BEFORE this file / target), so
+    * every output file lands within one input file of the target size
+    * — the standard deterministic compaction contract.
+    *
+    * Scale shape: the manifest aggregation is one keyed shuffle over
+    * the scan; the two planning windows run on the AGGREGATED manifest
+    * partitioned by day — O(shards) rows per partition, never the
+    * event stream (the dq6/inc3 bounded-spine argument). Pure integer
+    * arithmetic throughout. A real deployment swaps the count for
+    * sum(file_bytes); the plan algebra is identical. */
+  def compactionPlan(s: SparkSession, d: String): DataFrame =
+    compactionPlanOf(Tables.events(s, d))
+
+  /** [[compactionPlan]] over an explicit events frame; `target` is the
+    * rows-per-output-file goal (defaults to [[CompactTargetRows]]). */
+  def compactionPlanOf(
+      events: DataFrame,
+      target: Long = CompactTargetRows): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = events
+      .filter(col("ts").isNotNull)
+      .groupBy(
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        pmod(col("user_id"), lit(64L)).as("shard"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wBefore = Window.partitionBy("day").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val planned = files
+      .withColumn("cum_before",
+        coalesce(sum(col("n_rows")).over(wBefore), lit(0L)))
+      .withColumn("out_bucket", expr(s"cum_before div $target"))
+    val wBucket = Window.partitionBy("day", "out_bucket")
+    planned
+      .withColumn("bucket_rows", sum(col("n_rows")).over(wBucket))
+      .withColumn("bucket_files", count(lit(1)).over(wBucket))
+      .select(col("day"), col("shard"), col("n_rows"), col("cum_before"),
+        col("out_bucket"), col("bucket_rows"), col("bucket_files"))
+      .orderBy("day", "shard")
+  }
+
+  val compactionPlanOracle: String =
+    s"""WITH files AS (
+       |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |           AS BIGINT) AS day,
+       |         CAST(user_id % 64 + CASE WHEN user_id % 64 < 0
+       |           THEN 64 ELSE 0 END AS BIGINT) AS shard,
+       |         count(*) AS n_rows
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+       |planned AS (
+       |  SELECT day, shard, n_rows,
+       |    CAST(coalesce(sum(n_rows) OVER (PARTITION BY day ORDER BY shard
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM files),
+       |b AS (
+       |  SELECT *, cum_before // $CompactTargetRows AS out_bucket
+       |  FROM planned)
+       |SELECT day, shard, n_rows, cum_before, out_bucket,
+       |  CAST(sum(n_rows) OVER (PARTITION BY day, out_bucket) AS BIGINT)
+       |    AS bucket_rows,
+       |  CAST(count(*) OVER (PARTITION BY day, out_bucket) AS BIGINT)
+       |    AS bucket_files
+       |FROM b ORDER BY day, shard""".stripMargin
 }

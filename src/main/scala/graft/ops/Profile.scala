@@ -672,4 +672,217 @@ object Profile {
       |SELECT bucket, n_orders, min_cents, max_cents, sum_cents,
       |       (10000 * n_orders) // n_total AS share_bp
       |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin
+
+  /** dq7 — continuous-distribution drift: the two-sample
+    * Kolmogorov–Smirnov test of the event `value` distribution between
+    * the first and second half of the time range — the continuous
+    * sibling of [[chisqDrift]]'s categorical χ² (same data-derived
+    * median-day boundary, so the pair shares one configuration-free
+    * contract). Values are binned to whole dollars (exact `cents div
+    * 100`), making the CDF domain O(value range), NOT O(rows): the
+    * binned statistic is the exact KS D of the dollar-rounded
+    * distributions (a lower bound of the unbinned D; at 1-dollar grain
+    * on this domain the distinction is below any decision threshold).
+    *
+    * Exactness: per-bucket cumulative counts c₁, c₂ are longs from one
+    * window over the AGGREGATED bucket series (O(buckets) rows — the
+    * dq6/inc3 bounded-spine argument, so the unpartitioned window is
+    * safe at any SF); the per-bucket CDF gap is cross-multiplied to
+    * the exact integer |c₁·n₂ − c₂·n₁| (bounded by n₁·n₂ — fine to
+    * ~3e9 rows per half). D and the α=0.05 rejection flag
+    * (c(α)=1.358) are fixed-shape IEEE expressions over those exact
+    * longs: D = d_num/(n₁·n₂), reject ⟺ d_num > 1.358·√(n₁n₂(n₁+n₂))
+    * with the product formed in doubles so it cannot overflow.
+    * Shape: one scan + one bucket aggregation + O(buckets) window +
+    * two 1-row broadcasts. */
+  def ksDrift(s: SparkSession, d: String): DataFrame =
+    ksDriftOf(Tables.events(s, d))
+
+  /** [[ksDrift]] over an explicit events frame. */
+  def ksDriftOf(events: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val ev = events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT) div 100").as("bucket"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    // the O(buckets) table is read by four downstream consumers (CDF,
+    // totals, gaps, max); materialize it once or each fork replays the
+    // events scan (the PlanSpec gate counts scans)
+    val perBucket = Materialize(ev.crossJoin(broadcast(bounds))
+      .withColumn("first_half", col("day") < expr("(d0 + d1 + 1) div 2"))
+      .groupBy("bucket")
+      .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("o_first"),
+        sum(when(col("first_half"), 0L).otherwise(1L)).as("o_second")),
+      mode, "ks_buckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0L)
+    val cdf = perBucket
+      .withColumn("c_first", sum(col("o_first")).over(w))
+      .withColumn("c_second", sum(col("o_second")).over(w))
+    val tot = perBucket.agg(sum(col("o_first")).as("n_first"),
+      sum(col("o_second")).as("n_second"))
+    val gaps = cdf.crossJoin(broadcast(tot))
+      .withColumn("gap_num",
+        abs(col("c_first") * col("n_second") -
+          col("c_second") * col("n_first")))
+    val top = gaps.agg(max(col("gap_num")).as("d_num"))
+    gaps.crossJoin(broadcast(top))
+      .select(col("bucket"), col("o_first"), col("o_second"),
+        col("c_first"), col("c_second"), col("gap_num"),
+        col("n_first"), col("n_second"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_first").cast("double") * col("n_second").cast("double")))
+          .as("ks_d"),
+        when(col("d_num").cast("double") >
+          lit(1.358d) * sqrt(col("n_first").cast("double") *
+            col("n_second").cast("double") *
+            (col("n_first") + col("n_second")).cast("double")),
+          1L).otherwise(0L).as("reject_05"))
+      .orderBy("bucket")
+  }
+
+  val ksDriftOracle: String =
+    """WITH ev AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS day,
+      |         CAST(round(value * 100) AS BIGINT) // 100 AS bucket
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |pb AS (
+      |  SELECT bucket,
+      |         CAST(sum(CASE WHEN day < (d0 + d1 + 1) // 2
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS o_first,
+      |         CAST(sum(CASE WHEN day < (d0 + d1 + 1) // 2
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS o_second
+      |  FROM ev CROSS JOIN b GROUP BY 1),
+      |cdf AS (
+      |  SELECT bucket, o_first, o_second,
+      |    CAST(sum(o_first) OVER (ORDER BY bucket ROWS BETWEEN
+      |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_first,
+      |    CAST(sum(o_second) OVER (ORDER BY bucket ROWS BETWEEN
+      |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_second
+      |  FROM pb),
+      |tot AS (
+      |  SELECT CAST(sum(o_first) AS BIGINT) AS n_first,
+      |         CAST(sum(o_second) AS BIGINT) AS n_second
+      |  FROM pb),
+      |gaps AS (
+      |  SELECT cdf.*, n_first, n_second,
+      |         abs(c_first * n_second - c_second * n_first) AS gap_num
+      |  FROM cdf CROSS JOIN tot),
+      |top AS (SELECT CAST(max(gap_num) AS BIGINT) AS d_num FROM gaps)
+      |SELECT bucket, o_first, o_second, c_first, c_second, gap_num,
+      |  n_first, n_second, d_num,
+      |  CAST(d_num AS DOUBLE)
+      |    / (CAST(n_first AS DOUBLE) * CAST(n_second AS DOUBLE)) AS ks_d,
+      |  CASE WHEN CAST(d_num AS DOUBLE) >
+      |    1.358e0 * sqrt(CAST(n_first AS DOUBLE) * CAST(n_second AS DOUBLE)
+      |      * CAST(n_first + n_second AS DOUBLE))
+      |    THEN 1 ELSE 0 END AS reject_05
+      |FROM gaps CROSS JOIN top
+      |ORDER BY bucket""".stripMargin
+
+  /** pf3 pair descriptors: (pair label, x column, y column) over the
+    * exact-integer projections of lineitem's four numeric measures —
+    * quantity (integral), price in whole DOLLARS (cents div 100 —
+    * dollar grain keeps Σx² inside 64 bits to ~1e8 rows; correlation
+    * on the dollar-rounded values, documented), discount and tax in
+    * basis points. */
+  private val corrCols: Seq[(String, String)] = Seq(
+    "quantity" -> "qty", "price_usd" -> "usd",
+    "discount_bp" -> "dbp", "tax_bp" -> "tbp")
+
+  /** pf3 — Pearson correlation matrix of lineitem's numeric measures
+    * from EXACT integer sufficient statistics: ONE hash aggregation
+    * computes n plus all 4 sums, 4 square sums, and 6 cross sums
+    * (map-side partials; the only exchange carries a single row), and
+    * each of the 6 pair rows is a SELECT over that 1-row frame — no
+    * second scan, no per-pair pass (a correlation matrix that rescans
+    * per pair is unusable at 100 TB; sufficient statistics commute
+    * with partitioning, the a19 argument). r is a fixed-shape IEEE
+    * tree over the exact longs: num/(√denx·√deny) with every term
+    * formed in doubles (the long forms overflow 64 bits at warehouse
+    * row counts; the raw integer moments stay in the output columns
+    * at full precision). Zero-variance columns emit NULL r. */
+  def correlationMatrix(s: SparkSession, d: String): DataFrame =
+    correlationMatrixOf(Tables.lineitem(s, d))
+
+  /** [[correlationMatrix]] over an explicit lineitem frame. */
+  def correlationMatrixOf(li: DataFrame): DataFrame = {
+    val base = li.select(
+      round(col("l_quantity")).cast("long").as("qty"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100")
+        .as("usd"),
+      round(col("l_discount") * 10000).cast("long").as("dbp"),
+      round(col("l_tax") * 10000).cast("long").as("tbp"))
+    val names = corrCols.map(_._2)
+    val sums = names.map(c => sum(col(c)).as(s"s_$c")) ++
+      names.flatMap(x => names.filter(_ >= x).map(y =>
+        sum(col(x) * col(y)).as(s"q_${x}_$y")))
+    val m = base.agg(count(lit(1)).as("n"), sums: _*)
+    val pairs = for {
+      i <- corrCols.indices; j <- corrCols.indices if i < j
+    } yield (corrCols(i), corrCols(j))
+    // ONE aggregation row fans out to the 6 pair rows through a single
+    // inline(array(struct...)) projection — a per-pair select + union
+    // would plan 6 subtrees whose dedup hangs on exchange reuse; this
+    // form is one scan by construction (PlanSpec-gated)
+    val pairStructs = pairs.map { case ((lx, x), (ly, y)) =>
+      val (qx, qy) = (s"q_${x}_$x", s"q_${y}_$y")
+      val qxy = if (x <= y) s"q_${x}_$y" else s"q_${y}_$x"
+      val nD = col("n").cast("double")
+      val num = nD * col(qxy).cast("double") -
+        col(s"s_$x").cast("double") * col(s"s_$y").cast("double")
+      val denx = nD * col(qx).cast("double") -
+        col(s"s_$x").cast("double") * col(s"s_$x").cast("double")
+      val deny = nD * col(qy).cast("double") -
+        col(s"s_$y").cast("double") * col(s"s_$y").cast("double")
+      struct(lit(s"${lx}__$ly").as("pair"), col("n"),
+        col(s"s_$x").as("sx"), col(s"s_$y").as("sy"),
+        col(qxy).as("sxy"), col(qx).as("sxx"), col(qy).as("syy"),
+        when(denx > 0.0d && deny > 0.0d,
+          num / (sqrt(denx) * sqrt(deny))).as("r"))
+    }
+    m.select(inline(array(pairStructs: _*))).orderBy("pair")
+  }
+
+  val correlationMatrixOracle: String = {
+    val names = corrCols.map(_._2)
+    val sumSql = names.map(c => s"CAST(sum($c) AS BIGINT) AS s_$c") ++
+      names.flatMap(x => names.filter(_ >= x).map(y =>
+        s"CAST(sum($x * $y) AS BIGINT) AS q_${x}_$y"))
+    val pairs = for {
+      i <- corrCols.indices; j <- corrCols.indices if i < j
+    } yield (corrCols(i), corrCols(j))
+    val selects = pairs.map { case ((lx, x), (ly, y)) =>
+      val (qx, qy) = (s"q_${x}_$x", s"q_${y}_$y")
+      val qxy = if (x <= y) s"q_${x}_$y" else s"q_${y}_$x"
+      val num = s"(CAST(n AS DOUBLE) * CAST($qxy AS DOUBLE) " +
+        s"- CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE))"
+      val denx = s"(CAST(n AS DOUBLE) * CAST($qx AS DOUBLE) " +
+        s"- CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE))"
+      val deny = s"(CAST(n AS DOUBLE) * CAST($qy AS DOUBLE) " +
+        s"- CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE))"
+      s"""SELECT '${lx}__$ly' AS pair, n, s_$x AS sx, s_$y AS sy,
+         |  $qxy AS sxy, $qx AS sxx, $qy AS syy,
+         |  CASE WHEN $denx > 0.0e0 AND $deny > 0.0e0
+         |       THEN $num / (sqrt($denx) * sqrt($deny)) END AS r
+         |FROM m""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+       |         CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS usd,
+       |         CAST(round(l_discount * 10000) AS BIGINT) AS dbp,
+       |         CAST(round(l_tax * 10000) AS BIGINT) AS tbp
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT count(*) AS n, ${sumSql.mkString(",\n    ")}
+       |  FROM base)
+       |${selects.mkString("", "\nUNION ALL\n", "\nORDER BY pair")}""".stripMargin
+  }
 }

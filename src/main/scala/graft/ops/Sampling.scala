@@ -180,4 +180,128 @@ object Sampling {
        |         ORDER BY k, doc_id) AS BIGINT) AS pos,
        |       doc_id
        |FROM sh ORDER BY epoch, shard, pos""".stripMargin
+
+  /** Interleave stride for [[curriculumOrder]]: one slot per possible
+    * bit-length bucket (length(bin(x)) ≤ 63 for any non-negative
+    * long), so (rank, bucket) → rank·64 + bucket is injective. */
+  val CurriculumStride = 64L
+
+  /** ord2 — CURRICULUM interleave order: a deterministic training
+    * order where difficulty strata (bit-length buckets of document
+    * size — the w13/tx23 exact-integer log2) are consumed round-robin,
+    * so every training window sees a mix of short and long documents
+    * instead of the ramp a plain sort-by-length produces. The schedule
+    * key is rank_in_bucket·[[CurriculumStride]] + bucket: when buckets
+    * are equal-sized this is a strict round-robin; when they are not,
+    * exhausted buckets simply drop out of the rotation — the standard
+    * stratified-interleave contract. Within a bucket the order is the
+    * stable md5 of the doc id (the ord1/tx21 reproducible-shuffle
+    * discipline).
+    *
+    * Scale shape: rank-in-bucket does NOT come from a per-bucket
+    * window — with ~10 buckets that is ~10 single-task sorts over the
+    * whole corpus. Instead ONE two-phase [[PrefixSum.exclusive]] pass
+    * over the bucket-major key gives every doc its global offset
+    * (per-partition windows + O(partitions) driver offsets), and
+    * rank_in_bucket = offset − min(offset) of the bucket (an
+    * O(buckets) broadcast join) — exactly the tx21 machinery, reused
+    * for ranking instead of byte packing. */
+  def curriculumOrder(s: SparkSession, d: String): DataFrame =
+    curriculumOrderOf(Tables.documents(s, d),
+      s.sparkContext.defaultParallelism)
+
+  /** [[curriculumOrder]] over an explicit documents frame. */
+  def curriculumOrderOf(docs: DataFrame, partitions: Int): DataFrame = {
+    val base = docs
+      .filter(col("n_chars").isNotNull)
+      .select(col("doc_id"),
+        length(bin(col("n_chars"))).cast("long").as("bucket"))
+      .withColumn("ord",
+        concat(lpad(col("bucket").cast("string"), 2, "0"),
+          md5(col("doc_id").cast("string"))))
+      .withColumn("one", lit(1L))
+    val pos = PrefixSum.exclusive(base, "ord", "one", partitions)
+    val bases = pos.groupBy("bucket")
+      .agg(min(col("offset")).as("bucket_base"))
+    pos.join(broadcast(bases), Seq("bucket"))
+      .withColumn("rank_in_bucket", col("offset") - col("bucket_base"))
+      .withColumn("schedule_key",
+        col("rank_in_bucket") * CurriculumStride + col("bucket"))
+      .select("doc_id", "bucket", "rank_in_bucket", "schedule_key")
+      .orderBy("schedule_key")
+  }
+
+  val curriculumOrderOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(length(bin(n_chars)) AS BIGINT) AS bucket,
+       |         lpad(CAST(length(bin(n_chars)) AS VARCHAR), 2, '0')
+       |           || md5(CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |r AS (
+       |  SELECT doc_id, bucket,
+       |    CAST(row_number() OVER (PARTITION BY bucket ORDER BY ord) - 1
+       |      AS BIGINT) AS rank_in_bucket
+       |  FROM t)
+       |SELECT doc_id, bucket, rank_in_bucket,
+       |       rank_in_bucket * $CurriculumStride + bucket AS schedule_key
+       |FROM r ORDER BY schedule_key""".stripMargin
+
+  /** smp4 split fraction: buckets 0..79 train, 80..99 heldout. */
+  val GroupSplitTrainBuckets = 80L
+
+  /** smp4 — GROUP-level train/heldout split: every (source, lang)
+    * slice lands WHOLE in one split — the leakage-safe discipline when
+    * examples within a group are correlated (same crawl domain, same
+    * author, same template family), where tx5's per-document split
+    * would put near-identical siblings on both sides of the boundary
+    * (the contamination leak1 measures after the fact; this prevents
+    * the group-level version by construction). The split is the
+    * stable md5 bucket of the GROUP key — reproducible across runs,
+    * engines, partitioning, and corpus growth (a group keeps its split
+    * as new members arrive, the property a refreshed corpus needs).
+    *
+    * Shape: one keyed aggregation to group grain (map-side partials),
+    * then O(groups) projection + a 1-row broadcast for shares. The
+    * audit columns (docs/chars per group, share of corpus) are what a
+    * curation review reads before accepting the split imbalance that
+    * group atomicity necessarily costs. */
+  def groupedSplit(s: SparkSession, d: String): DataFrame =
+    groupedSplitOf(Tables.documents(s, d))
+
+  /** [[groupedSplit]] over an explicit documents frame. */
+  def groupedSplitOf(docs: DataFrame): DataFrame = {
+    val per = docs
+      .filter(col("source").isNotNull && col("lang").isNotNull)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("bucket",
+        pmod(md5Hash60(concat_ws(":", col("source"), col("lang")), 11),
+          lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < GroupSplitTrainBuckets, "train")
+          .otherwise("heldout"))
+    val tot = per.agg(sum(col("n_docs")).as("total_docs"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("docs_share_bp", expr("(10000 * n_docs) div total_docs"))
+      .select(col("split"), col("source"), col("lang"), col("bucket"),
+        col("n_docs"), col("n_chars"), col("docs_share_bp"))
+      .orderBy("split", "source", "lang")
+  }
+
+  val groupedSplitOracle: String =
+    s"""WITH per AS (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |         ('0x' || substr(md5('11:' || source || ':' || lang), 1, 15))
+       |           ::BIGINT % 100 AS bucket
+       |  FROM documents
+       |  WHERE source IS NOT NULL AND lang IS NOT NULL
+       |  GROUP BY source, lang),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM per)
+       |SELECT CASE WHEN bucket < $GroupSplitTrainBuckets THEN 'train'
+       |            ELSE 'heldout' END AS split,
+       |       source, lang, bucket, n_docs, n_chars,
+       |       (10000 * n_docs) // total_docs AS docs_share_bp
+       |FROM per CROSS JOIN tot
+       |ORDER BY split, source, lang""".stripMargin
 }

@@ -1043,4 +1043,96 @@ object Similarity {
        |WHERE enc0.vec_id <> $QueryVecId
        |ORDER BY adc, enc0.vec_id LIMIT $K""".stripMargin
   }
+
+  /** Seed + stride for [[tripletMining]]'s deterministic anchor sample
+    * (distinct from sim6's so the two audits don't share anchors). */
+  val TripletSampleSeed = 43
+  val TripletSampleStride = 16L
+
+  /** sim9 — hard TRIPLET mining for metric learning: for each sampled
+    * anchor, the HARDEST positive (same-label vector with the LOWEST
+    * cosine — the pair the embedding must pull together) and the
+    * HARDEST negative (different-label vector with the HIGHEST cosine
+    * — the pair it must push apart), plus the margin and its violation
+    * flag. This is the batch-construction step of triplet/contrastive
+    * training (FaceNet-style semi-hard mining done corpus-side):
+    * [[graft.ops.Sampling.negativeSampling]] draws RANDOM relational
+    * negatives; this mines the hardest ones in embedding space, which
+    * is what actually moves a metric model late in training.
+    *
+    * Scale shape: anchors are a deterministic md5 sample (~1/16) that
+    * BROADCASTS; the corpus streams through one scan against it (the
+    * sim6 sampled-brute-force discipline — exact truth is affordable
+    * on a sample, and the one cross join is the deliberate one). Both
+    * argmaxes ride ONE hash aggregation as lexicographic struct
+    * extrema over (cos, dst) — no per-anchor window, no sort. Cosines
+    * are the fixed sim1 IEEE tree; ties break on dst in both engines
+    * (struct order = ORDER BY cos, dst). */
+  def tripletMining(s: SparkSession, d: String): DataFrame =
+    tripletMiningOf(Tables.embeddings(s, d))
+
+  /** [[tripletMining]] over an explicit embeddings frame. */
+  def tripletMiningOf(emb: DataFrame): DataFrame = {
+    val e = embDoubleOf(emb)
+    val anchors = e
+      .filter(pmod(md5Hash60(col("vec_id").cast("string"), TripletSampleSeed),
+        lit(TripletSampleStride)) === 0)
+      .select(col("vec_id").as("src"), col("label").as("src_label"),
+        col("v").as("sv"), col("norm").as("snorm"))
+    val scoredPairs = e
+      .select(col("vec_id").as("dst"), col("label").as("dst_label"),
+        col("v"), col("norm"))
+      .join(broadcast(anchors), col("dst") =!= col("src"))
+      .withColumn("cos",
+        dot(col("v"), col("sv")) / (sqrt(col("norm")) * sqrt(col("snorm"))))
+    val mined = scoredPairs
+      .groupBy("src", "src_label")
+      .agg(
+        min(when(col("dst_label") === col("src_label"),
+          struct(col("cos"), col("dst")))).as("pos"),
+        max(when(col("dst_label") =!= col("src_label"),
+          struct(col("cos"), col("dst")))).as("neg"))
+    mined.select(col("src"), col("src_label"),
+        col("pos.dst").as("pos_id"), col("pos.cos").as("pos_cos"),
+        col("neg.dst").as("neg_id"), col("neg.cos").as("neg_cos"))
+      .withColumn("margin", col("pos_cos") - col("neg_cos"))
+      .withColumn("violation",
+        when(col("pos_cos").isNotNull && col("neg_cos").isNotNull,
+          when(col("neg_cos") > col("pos_cos"), 1L).otherwise(0L)))
+      .orderBy("src")
+  }
+
+  val tripletMiningOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm
+       |  FROM embeddings),
+       |a AS (SELECT vec_id AS src, label AS src_label, v AS sv,
+       |             norm AS snorm
+       |  FROM e
+       |  WHERE ('0x' || substr(md5('$TripletSampleSeed' || ':' ||
+       |    CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |    % $TripletSampleStride = 0),
+       |sc AS (
+       |  SELECT a.src, a.src_label, e.vec_id AS dst, e.label AS dst_label,
+       |    list_dot_product(e.v, a.sv) / (sqrt(e.norm) * sqrt(a.snorm))
+       |      AS cos
+       |  FROM a JOIN e ON e.vec_id <> a.src),
+       |pos AS (
+       |  SELECT src, dst AS pos_id, cos AS pos_cos FROM (
+       |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos ASC, dst ASC) AS rk
+       |    FROM sc WHERE dst_label = src_label) t WHERE rk = 1),
+       |neg AS (
+       |  SELECT src, dst AS neg_id, cos AS neg_cos FROM (
+       |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst DESC) AS rk
+       |    FROM sc WHERE dst_label <> src_label) t WHERE rk = 1)
+       |SELECT a.src, a.src_label, pos_id, pos_cos, neg_id, neg_cos,
+       |  pos_cos - neg_cos AS margin,
+       |  CASE WHEN pos_cos IS NOT NULL AND neg_cos IS NOT NULL
+       |       THEN CASE WHEN neg_cos > pos_cos THEN 1 ELSE 0 END END
+       |    AS violation
+       |FROM a LEFT JOIN pos ON pos.src = a.src
+       |       LEFT JOIN neg ON neg.src = a.src
+       |ORDER BY a.src""".stripMargin
 }

@@ -2031,4 +2031,63 @@ object TextStats {
       |            THEN (1000 * (n_chars - letters - digits - spaces))
       |                 // n_chars END AS other_pm
       |FROM agg ORDER BY source""".stripMargin
+
+  /** tx36 — readability profile: per-document Flesch Reading Ease from
+    * surface counts (words, sentence terminators, vowel runs as the
+    * syllable proxy — the standard cheap approximation), computed so
+    * the SCORE itself is exact-integer-derived: with W words, S
+    * sentences (≥1), V vowel runs, FRE = 206.835 − 1.015·W/S −
+    * 84.6·V/W is emitted as the exact long numerator/denominator pair
+    * fre_num = 206835·S·W − 1015·W² − 84600·V·S, fre_den = 1000·S·W
+    * (clearing both divisions at the ×1000 fixed-point grain), plus
+    * the ONE double division fre_num/fre_den — no float accumulation
+    * anywhere, the cross-multiplication discipline of a20/dq6.
+    * Overflow bound: terms ≤ ~2e5·W·S — safe past 10⁶-word documents.
+    * Shape: one narrow codegen'd pass (regexp counts), no shuffle
+    * before the output sort; at 100 TB the score column feeds a
+    * pushed-down quality-gate filter (tx7's bucket discipline). */
+  def readability(s: SparkSession, d: String): DataFrame =
+    readabilityOf(Tables.documents(s, d))
+
+  /** [[readability]] over an explicit documents frame. */
+  def readabilityOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("long").as("n_sentences"),
+        regexp_count(col("text"), lit("[aeiouAEIOU]+")).cast("long")
+          .as("n_vowel_runs"))
+      .withColumn("fre_num",
+        lit(206835L) * col("n_sentences") * col("n_words") -
+          lit(1015L) * col("n_words") * col("n_words") -
+          lit(84600L) * col("n_vowel_runs") * col("n_sentences"))
+      .withColumn("fre_den", lit(1000L) * col("n_sentences") * col("n_words"))
+      .withColumn("fre",
+        when(col("fre_den") > 0L,
+          col("fre_num").cast("double") / col("fre_den").cast("double")))
+      .orderBy("doc_id")
+
+  val readabilityOracle: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_words,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+      |      AS BIGINT) AS n_sentences,
+      |    CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT)
+      |      AS n_vowel_runs
+      |  FROM documents WHERE text IS NOT NULL),
+      |f AS (
+      |  SELECT doc_id, n_words, n_sentences, n_vowel_runs,
+      |    206835 * n_sentences * n_words - 1015 * n_words * n_words
+      |      - 84600 * n_vowel_runs * n_sentences AS fre_num,
+      |    1000 * n_sentences * n_words AS fre_den
+      |  FROM c)
+      |SELECT doc_id, n_words, n_sentences, n_vowel_runs, fre_num, fre_den,
+      |  CASE WHEN fre_den > 0
+      |       THEN CAST(fre_num AS DOUBLE) / CAST(fre_den AS DOUBLE) END
+      |    AS fre
+      |FROM f ORDER BY doc_id""".stripMargin
 }

@@ -526,6 +526,53 @@ object Streams {
       }
   }
 
+  case class VolAnomState(window: Seq[Long])
+  case class VolAnomOut(key: String, day: java.sql.Date, x: Long,
+      n: Long, s: Long, q: Long, dev_num: Long,
+      is_anomaly: Option[Long])
+
+  /** Streaming twin of the batch volume-anomaly audit (dq6): each
+    * arriving daily count is tested against the trailing ≤7 OBSERVED
+    * days with the identical exact-integer cross-multiplied 3σ rule
+    * ((x·n − S)²·(n−1) > 9·n·(n·Q − S²)), then pushed into the ring.
+    * State per key is the trailing window itself — at most SEVEN longs,
+    * bounded by the rule's horizon, never the stream length — so the
+    * monitor runs forever, and because the batch window frame is ROWS
+    * (observed days, not calendar days) the emitted rows are
+    * EXACTLY the batch dq6 columns over the same series regardless of
+    * where batch boundaries fall (spec-pinned, including a
+    * boundary-spanning window). Days fold in order within each batch;
+    * fewer than 3 trailing observations emit a NULL flag, matching
+    * the batch warm-up contract.
+    * Input: (key, day, count) — callers pass a constant key for the
+    * global face dq6 computes, or event_type for a per-type monitor. */
+  def volumeAnomalyStream(
+      daily: Dataset[(String, java.sql.Date, Long)]): Dataset[VolAnomOut] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[VolAnomState, VolAnomOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[VolAnomState]) =>
+          var w = state.getOption.map(_.window.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = rows.toSeq.sortBy(_._2.getTime).map { case (_, day, x) =>
+            val n = w.length.toLong
+            val s = w.sum
+            val q = w.map(v => v * v).sum
+            val dev = x * n - s
+            val flag = if (n >= 3L)
+              Some(if (dev * dev * (n - 1L) > 9L * n * (n * q - s * s)) 1L
+                   else 0L)
+            else None
+            w = (w :+ x).takeRight(7)
+            VolAnomOut(key, day, x, n, s, q, dev, flag)
+          }
+          state.update(VolAnomState(w))
+          out.iterator
+      }
+  }
+
   def constraintAuditStream(events: DataFrame): DataFrame = {
     val typeDomain = Seq("click", "error", "purchase", "signup", "view")
     def v(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))

@@ -2673,4 +2673,313 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L).isNullAt(got(4L).fieldIndex("ttr_bp")))
     assert(got(5L).getAs[Long]("ttr_bp") == 5000L)
   }
+
+  test("dq7: complete separation gives D = n1·n2 and rejects; identical halves give D = 0") {
+    import java.sql.Timestamp
+    def ev(id: Long, day: Int, v: Double) =
+      (id, Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00"),
+        1L, "view", v, "{}")
+    // days 0,1 → first half; 2,3 → second (median-day-ceil boundary)
+    val drift = (
+      (1 to 20).map(i => ev(i, 0, 5.0)) ++
+      (1 to 20).map(i => ev(100 + i, 3, 15.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Profile.ksDriftOf(drift).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    // CDF at bucket 5: c1=20, c2=0 → gap = 20·20 = 400 = n1·n2 → D=1
+    assert(got(5L).getAs[Long]("gap_num") == 400L)
+    assert(got(5L).getAs[Long]("d_num") == 400L)
+    assert(got(5L).getAs[Double]("ks_d") == 1.0)
+    // 400 > 1.358·sqrt(400·40) ≈ 171.8 → reject at α=0.05
+    assert(got(5L).getAs[Long]("reject_05") == 1L)
+    // bucket 15 closes the CDFs: gap 0
+    assert(got(15L).getAs[Long]("gap_num") == 0L)
+
+    val same = (
+      (1 to 10).map(i => ev(i, 0, 5.0)) ++
+      (1 to 10).map(i => ev(50 + i, 0, 15.0)) ++
+      (1 to 10).map(i => ev(100 + i, 3, 5.0)) ++
+      (1 to 10).map(i => ev(150 + i, 3, 15.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val flat = graft.ops.Profile.ksDriftOf(same).collect()
+    assert(flat.forall(_.getAs[Long]("d_num") == 0L))
+    assert(flat.forall(_.getAs[Long]("reject_05") == 0L))
+  }
+
+  test("pf3: linear pair hits r = ±1 exactly, zero-variance pair is NULL, moments exact") {
+    // qty 1..4; price = 200·qty dollars; discount constant; tax = 0.08 − 0.01·qty
+    val li = (1 to 4).map { i =>
+      (i.toDouble, 200.0 * i, 0.05, 0.08 - 0.01 * i)
+    }.toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val got = graft.ops.Profile.correlationMatrixOf(li).collect()
+      .map(r => r.getAs[String]("pair") -> r).toMap
+    assert(got.size == 6)
+    val qp = got("quantity__price_usd")
+    assert(qp.getAs[Long]("n") == 4L && qp.getAs[Long]("sx") == 10L &&
+      qp.getAs[Long]("sy") == 2000L && qp.getAs[Long]("sxy") == 6000L)
+    assert(qp.getAs[Double]("r") == 1.0)
+    // y = 800 − 100·x basis points → exactly −1 (sqrt(100²·d) = 100·sqrt(d))
+    assert(got("quantity__tax_bp").getAs[Double]("r") == -1.0)
+    // constant discount: zero variance → NULL r on every discount pair
+    assert(got("quantity__discount_bp").isNullAt(
+      got("quantity__discount_bp").fieldIndex("r")))
+    assert(got("discount_bp__tax_bp").isNullAt(
+      got("discount_bp__tax_bp").fieldIndex("r")))
+  }
+
+  test("tx36: hand-counted words/sentences/vowel-runs produce the exact FRE rationals") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, ""),
+      (3L, "xyzzy!!"),
+      (4L, null: String))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextStats.readabilityOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!got.contains(4L)) // null text filtered
+    val d1 = got(1L)
+    assert(d1.getAs[Long]("n_words") == 6L &&
+      d1.getAs[Long]("n_sentences") == 2L &&
+      d1.getAs[Long]("n_vowel_runs") == 6L)
+    // 206835·2·6 − 1015·36 − 84600·6·2 = 1430280 over 1000·2·6
+    assert(d1.getAs[Long]("fre_num") == 1430280L &&
+      d1.getAs[Long]("fre_den") == 12000L)
+    assert(d1.getAs[Double]("fre") == 1430280.0 / 12000.0)
+    // empty text: one empty whitespace token, sentence floor 1, no vowels
+    val d2 = got(2L)
+    assert(d2.getAs[Long]("n_words") == 1L &&
+      d2.getAs[Long]("n_sentences") == 1L &&
+      d2.getAs[Long]("n_vowel_runs") == 0L &&
+      d2.getAs[Long]("fre_num") == 205820L)
+    // "!!" is ONE terminator run; y is not a vowel here
+    val d3 = got(3L)
+    assert(d3.getAs[Long]("n_sentences") == 1L &&
+      d3.getAs[Long]("n_vowel_runs") == 0L)
+  }
+
+  test("lay2: first-fit-in-order packs the planted manifest; totals conserve; days independent") {
+    import java.sql.Timestamp
+    def evs(day: Int, shard: Int, n: Int) = (0 until n).map { k =>
+      (day * 100000L + shard * 1000L + k,
+        Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00"),
+        shard.toLong, "view", 1.0, "{}")
+    }
+    // day 0 shard counts: 15, 10, 6, 1, 25 at target 20
+    val rows = (evs(0, 0, 15) ++ evs(0, 1, 10) ++ evs(0, 2, 6) ++
+      evs(0, 3, 1) ++ evs(0, 4, 25) ++ evs(1, 7, 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Layout.compactionPlanOf(rows, target = 20L)
+      .collect()
+    val day0 = got.filter(_.getAs[Long]("day") ==
+      got.map(_.getAs[Long]("day")).min)
+    val byShard = day0.map(r => r.getAs[Long]("shard") -> r).toMap
+    // cum_before: 0, 15, 25, 31, 32 → buckets 0, 0, 1, 1, 1
+    assert(byShard(0L).getAs[Long]("out_bucket") == 0L &&
+      byShard(1L).getAs[Long]("out_bucket") == 0L &&
+      byShard(2L).getAs[Long]("out_bucket") == 1L &&
+      byShard(3L).getAs[Long]("out_bucket") == 1L &&
+      byShard(4L).getAs[Long]("out_bucket") == 1L)
+    assert(byShard(0L).getAs[Long]("bucket_rows") == 25L &&
+      byShard(0L).getAs[Long]("bucket_files") == 2L)
+    assert(byShard(4L).getAs[Long]("bucket_rows") == 32L &&
+      byShard(4L).getAs[Long]("bucket_files") == 3L)
+    // conservation: Σ n_rows per day == Σ bucket_rows over distinct buckets
+    val sumRows = day0.map(_.getAs[Long]("n_rows")).sum
+    val sumBuckets = day0.map(r =>
+      (r.getAs[Long]("out_bucket"), r.getAs[Long]("bucket_rows")))
+      .distinct.map(_._2).sum
+    assert(sumRows == 57L && sumBuckets == 57L)
+    // packing bound: every bucket within one input file of target
+    val maxFile = day0.map(_.getAs[Long]("n_rows")).max
+    assert(day0.forall(_.getAs[Long]("bucket_rows") <= 20L + maxFile))
+    // day 1 packs independently from cum 0
+    val day1 = got.filter(_.getAs[Long]("day") !=
+      day0.head.getAs[Long]("day"))
+    assert(day1.length == 1 && day1.head.getAs[Long]("out_bucket") == 0L &&
+      day1.head.getAs[Long]("bucket_rows") == 3L)
+  }
+
+  test("a29: perfect concordance hits τ = 1; one swap prices exactly 1/3; all-tied column is NULL") {
+    def li(q: Double, disc: Double) = (q, 0.0, disc, 0.0)
+    val mono = Seq(li(1, 0.01), li(2, 0.02), li(3, 0.03))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val t1 = graft.model.Analytics.kendallTauOf(mono).collect().head
+    assert(t1.getAs[Long]("nc") == 3L && t1.getAs[Long]("nd") == 0L)
+    assert(t1.getAs[Long]("n1") == 0L && t1.getAs[Long]("n2") == 0L)
+    // the fixed IEEE shape: √3·√3 = 2.9999999999999996, NOT 3 — both
+    // engines compute this identical value (the hash-match relies on it)
+    val den3 = math.sqrt(3.0) * math.sqrt(3.0)
+    assert(t1.getAs[Double]("tau_b") == 3.0 / den3)
+
+    // (1,1),(2,3),(3,2): two concordant, one discordant → 1/(√3·√3)
+    val mixed = Seq(li(1, 0.01), li(2, 0.03), li(3, 0.02))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val t2 = graft.model.Analytics.kendallTauOf(mixed).collect().head
+    assert(t2.getAs[Long]("nc") == 2L && t2.getAs[Long]("nd") == 1L)
+    assert(t2.getAs[Double]("tau_b") == 1.0 / den3)
+
+    // constant discount: n2 = n0 → τ undefined (NULL), counts still exact
+    val tied = Seq(li(1, 0.05), li(2, 0.05), li(3, 0.05))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val t3 = graft.model.Analytics.kendallTauOf(tied).collect().head
+    assert(t3.getAs[Long]("n2") == 3L && t3.getAs[Long]("n0") == 3L)
+    assert(t3.isNullAt(t3.fieldIndex("tau_b")))
+  }
+
+  test("ord2: equal-sized buckets interleave strictly round-robin; ranks contiguous; key encodes bucket") {
+    // bucket = bit length of n_chars: 1 → 1; 2,3 → 2
+    val docs = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 3L), (6L, 2L))
+      .toDF("doc_id", "n_chars")
+    val got = graft.ops.Sampling.curriculumOrderOf(docs, 2).collect()
+      .sortBy(_.getAs[Long]("schedule_key"))
+    assert(got.length == 6)
+    // keys are unique and key mod stride recovers the bucket
+    assert(got.map(_.getAs[Long]("schedule_key")).distinct.length == 6)
+    assert(got.forall(r => r.getAs[Long]("schedule_key") % 64L ==
+      r.getAs[Long]("bucket")))
+    // equal-sized buckets → strict alternation 1,2,1,2,1,2
+    assert(got.map(_.getAs[Long]("bucket")).toSeq ==
+      Seq(1L, 2L, 1L, 2L, 1L, 2L))
+    // ranks contiguous 0..2 within each bucket
+    Seq(1L, 2L).foreach { b =>
+      val ranks = got.filter(_.getAs[Long]("bucket") == b)
+        .map(_.getAs[Long]("rank_in_bucket")).sorted.toSeq
+      assert(ranks == Seq(0L, 1L, 2L))
+    }
+  }
+
+  test("smp4: groups are atomic, the bucket replays the md5 reference, shares conserve") {
+    val docs = graft.Tables.documents(spark, sf)
+    val got = graft.ops.Sampling.groupedSplitOf(docs).collect()
+    // one row per (source, lang): atomicity by construction
+    val keys = got.map(r => (r.getAs[String]("source"), r.getAs[String]("lang")))
+    assert(keys.distinct.length == keys.length)
+    // bucket replays the md5Hash60 reference formulation
+    import graft.functions.Functions.md5Hash60Reference
+    val ref = docs
+      .filter(col("source").isNotNull && col("lang").isNotNull)
+      .select(col("source"), col("lang"),
+        pmod(md5Hash60Reference(
+          concat_ws(":", col("source"), col("lang")), 11), lit(100L))
+          .as("b"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("b"))
+      .toMap
+    assert(got.forall(r => r.getAs[Long]("bucket") ==
+      ref((r.getAs[String]("source"), r.getAs[String]("lang")))))
+    // doc counts conserve and shares stay within the basis-point budget
+    val total = docs.filter(col("source").isNotNull &&
+      col("lang").isNotNull).count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(got.map(_.getAs[Long]("docs_share_bp")).sum <= 10000L)
+    assert(got.forall(r => Set("train", "heldout")
+      .contains(r.getAs[String]("split"))))
+  }
+
+  test("dd20: histogram conserves the corpus, removable matches keep-one-per-cluster, giant is the max") {
+    val got = graft.ops.Dedup.clusterHistogram(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val removable = got.filter(_.getAs[Long]("cluster_size") > 1L)
+      .map(r => r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters")).sum
+    assert(got.forall(_.getAs[Long]("removable_docs") == removable))
+    val giant = got.map(_.getAs[Long]("cluster_size")).max
+    assert(got.forall(_.getAs[Long]("giant_size") == giant))
+    assert(got.map(_.getAs[Long]("docs_share_bp")).sum <= 10000L)
+  }
+
+  test("sim9: mined positives share the anchor label, negatives don't, and a brute-force replay agrees") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val got = graft.ops.Similarity.tripletMiningOf(emb).collect()
+    assert(got.nonEmpty)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      val srcLabel = r.getAs[Int]("src_label")
+      if (!r.isNullAt(r.fieldIndex("pos_id")))
+        assert(labels(r.getAs[Long]("pos_id")) == srcLabel)
+      if (!r.isNullAt(r.fieldIndex("neg_id")))
+        assert(labels(r.getAs[Long]("neg_id")) != srcLabel)
+      if (!r.isNullAt(r.fieldIndex("violation")))
+        assert((r.getAs[Long]("violation") == 1L) ==
+          (r.getAs[Double]("neg_cos") > r.getAs[Double]("pos_cos")))
+    }
+    // brute-force replay for three anchors: same argmin/argmax
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.take(3).foreach { r =>
+      val src = r.getAs[Long]("src")
+      val srcLabel = r.getAs[Int]("src_label")
+      val sv = vecs(src)
+      val others = vecs.keys.filter(_ != src).toSeq
+      val pos = others.filter(labels(_) == srcLabel)
+        .map(id => (cos(vecs(id), sv), id)).minOption
+      val neg = others.filter(labels(_) != srcLabel)
+        .map(id => (cos(vecs(id), sv), id)).maxOption
+      pos.foreach { case (_, id) =>
+        assert(r.getAs[Long]("pos_id") == id, s"pos for $src") }
+      neg.foreach { case (_, id) =>
+        assert(r.getAs[Long]("neg_id") == id, s"neg for $src") }
+    }
+  }
+
+  test("cal3: perfectly calibrated bin contributes zero; the exact-numerator identity closes") {
+    // bin 5 (c=25000): 2 pos + 2 neg → 50000·2 == sum_c → gap 0
+    // bin 9 (c=49000): 1 neg → gap 49000
+    val rows = Seq(
+      ("purchase", 25000L), ("signup", 25000L),
+      ("view", 25000L), ("click", 25000L),
+      ("view", 49000L))
+      .toDF("event_type", "pred_cents")
+    val got = graft.ops.Eval.calibrationErrorOf(rows).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(got(5L).getAs[Long]("gap_num") == 0L &&
+      got(5L).getAs[Double]("bin_gap") == 0.0)
+    assert(got(9L).getAs[Long]("gap_num") == 49000L)
+    // identity: ece = Σ gap_num / (50000·N), N = 5
+    val sumGaps = got.values.map(_.getAs[Long]("gap_num")).sum
+    val n = got.values.map(_.getAs[Long]("n_bin")).sum
+    assert(got.values.forall(_.getAs[Double]("ece") ==
+      sumGaps.toDouble / (50000.0 * n.toDouble)))
+    // mce is the worst bin's gap
+    val worst = got.values.map(_.getAs[Double]("bin_gap")).max
+    assert(got.values.forall(_.getAs[Double]("mce") == worst))
+  }
+
+  test("a30: constant days → F = 0, planted burst prices exactly, single day NULL") {
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, day: Int, n: Int) =
+      (0 until n).map(k => (id + k, Timestamp.valueOf(
+        f"2024-01-${day + 1}%02d 00:00:00"), 1L, t, 1.0, "{}"))
+    val rows = (
+      ev(0L, "steady", 0, 4) ++ ev(100L, "steady", 1, 4) ++
+        ev(200L, "steady", 2, 4) ++
+      ev(1000L, "burst", 0, 1) ++ ev(1100L, "burst", 1, 1) ++
+        ev(1200L, "burst", 2, 10) ++
+      ev(2000L, "single", 0, 7))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.burstinessOf(rows).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val st = got("steady")
+    assert(st.getAs[Long]("fano_num") == 0L &&
+      st.getAs[Double]("fano") == 0.0)
+    // days 1,1,10: num = 3·102 − 144 = 162, den = 2·12 = 24 → 6.75
+    val b = got("burst")
+    assert(b.getAs[Long]("fano_num") == 162L &&
+      b.getAs[Long]("fano_den") == 24L &&
+      b.getAs[Double]("fano") == 6.75)
+    val sg = got("single")
+    assert(sg.getAs[Long]("n_days") == 1L &&
+      sg.isNullAt(sg.fieldIndex("fano")))
+  }
 }

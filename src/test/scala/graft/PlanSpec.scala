@@ -741,6 +741,66 @@ class PlanSpec extends AnyFunSuite {
       s"windows must key on event_type:\n${p.take(2000)}")
   }
 
+  test("pf3 correlation matrix is ONE scan + one aggregation; the 6 pair rows are a projection") {
+    val p = plan("pf3_correlation_matrix")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"matrix must not rescan per pair:\n${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no map-side combine")
+    assert(p.contains("Generate") || p.contains("inline"),
+      s"pair fan-out should be an inline projection:\n${p.take(2000)}")
+    assert(!p.contains("Union"), "per-pair union crept back in")
+  }
+
+  test("a29 kendall: corpus collapses to cells before the domain-bounded nested-loop; margins reuse cells") {
+    val p = plan("a29_kendall_tau")
+    // the only nested-loop is over the AGGREGATED cell table (and the
+    // 1-row assembly joins); raw rows never cross-join
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the materialized cell table absorbs all four consumer forks
+    assert("FileScan parquet".r.findAllIn(p).size <= 1,
+      s"cells/margins fan-out should not explode scans:\n${p.take(2500)}")
+    assert(p.contains("HashAggregate"), "cells aggregation missing")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("dq7 KS: one events scan feeds the bucket CDF; the window runs over the aggregate") {
+    val p = plan("dq7_ks_drift")
+    // bounds + main pass: at most two scans (the chisq-drift shape)
+    assert("FileScan parquet".r.findAllIn(p).size <= 2, p.take(2000))
+    assert(p.contains("Window"), "CDF window missing")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the CDF window's input is the bucket aggregate, not raw events:
+    // a raw-row window would dwarf the aggregate count
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("lay2 compaction planner: windows run per day over the aggregated manifest") {
+    val p = plan("lay2_compaction_plan")
+    assert(p.contains("hashpartitioning(day"),
+      s"planning windows must key on day:\n${p.take(2000)}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("ord2 curriculum: rank comes from the two-phase prefix sum — no single-task global window") {
+    val p = plan("ord2_curriculum")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-bucket rank must not globally sort:\n${p.take(2000)}")
+    assert(p.contains("rangepartitioning"),
+      "PrefixSum range partitioning missing")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket-base join should broadcast the O(buckets) side")
+  }
+
+  test("sim9 triplet mining broadcasts the anchor sample; both argmaxes ride one aggregation") {
+    val p = finalPlan("sim9_triplet_mining")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"anchors should broadcast against the streamed corpus:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      "argmin/argmax must be struct extrema, not per-anchor windows")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("g8 modularity: endpoint label joins stay keyed or broadcast; only 1-row plans nested-loop") {
     val p = plan("g8_label_modularity")
     assert(!p.contains("CartesianProduct"), p.take(2000))

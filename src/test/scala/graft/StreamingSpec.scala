@@ -649,4 +649,43 @@ class StreamingSpec extends AnyFunSuite {
       (20L, 16L, 0L, true),   // crosses threshold — across the batch cut
       (10L, 14L, 0L, false))) // decays, no reset policy imposed
   }
+
+  test("volume-anomaly stream equals batch dq6 over the batch union — spike flagged across the cut") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // 10 steady days at 100, day 11 spikes to 200 — the dq6 fixture,
+    // split so the spike and part of its trailing window cross batches
+    val days = (0 until 10).map(i =>
+      ("all", d(f"2024-01-${i + 1}%02d"), 100L)) :+
+      ("all", d("2024-01-11"), 200L)
+    val input = MemoryStream[(String, java.sql.Date, Long)]
+    val q = Streams.volumeAnomalyStream(input.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("volanom_stream").start()
+    input.addData(days.take(6): _*)
+    q.processAllAvailable()
+    input.addData(days.drop(6): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("volanom_stream").orderBy("day")
+      .select("x", "n", "s", "q", "dev_num", "is_anomaly").collect()
+    // batch dq6 over the same series (events expanded from the counts)
+    import java.sql.Timestamp
+    val events = days.zipWithIndex.flatMap { case ((_, day, n), i) =>
+      (0L until n).map(k => (i * 1000L + k,
+        new Timestamp(day.getTime), 1L, "view", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = graft.ops.Profile.volumeAnomalyOf(events).orderBy("day")
+      .select("x", "n", "s", "q", "dev_num", "is_anomaly").collect()
+    assert(got.length == batch.length)
+    got.zip(batch).foreach { case (g, b) =>
+      (0 until 5).foreach(i => assert(g.getLong(i) == b.getLong(i)))
+      assert(g.isNullAt(5) == b.isNullAt(5))
+      if (!g.isNullAt(5)) assert(g.getLong(5) == b.getLong(5))
+    }
+    // the spike itself is flagged, steady days are not
+    val spike = got.last
+    assert(spike.getLong(0) == 200L && spike.getLong(5) == 1L)
+  }
 }
