@@ -339,6 +339,21 @@ object ScaleProbe {
           .collect()(0).getLong(0)
       }
       graft.ops.Materialize.releaseAll(spark)
+      // ord2: one PrefixSum pass over the bucket-major key — per-
+      // partition windows + O(partitions) driver offsets — so the
+      // curve should track the corpus linearly at any bucket skew
+      // (salted copies keep n_chars, so bucket POPULATIONS grow ∝ n
+      // while the bucket count stays fixed: the exact hot-key shape a
+      // per-bucket window would die on). The aggregate consumes
+      // schedule_key so pruning can't drop the rank machinery.
+      val docsF = replicated(spark, sfDir, n).localCheckpoint(true)
+      val (tCur, curKeyMax) = time {
+        graft.ops.Sampling
+          .curriculumOrderOf(docsF, spark.sparkContext.defaultParallelism)
+          .agg(max(col("schedule_key")).as("m"), count(lit(1)).as("c"))
+          .collect()(0).getLong(0)
+      }
+      graft.ops.Materialize.releaseAll(spark)
       println(f"""{"factor":$n,"docs":$nDocs,"lsh_sec":$tLsh%.2f,"pairs":$pairs,""" +
         f""""cluster_sec":$tCluster%.2f,"labeled":$clusters,""" +
         f""""pack_sec":$tPack%.2f,"packed":$packed,""" +
@@ -366,7 +381,8 @@ object ScaleProbe {
         f""""bpe_sec":$tBpe%.2f,"bpe_sum":$bpeSum,""" +
         f""""pq_sec":$tPq%.2f,"pq_rows":$pqRows,""" +
         f""""cust":$nCust,"rl_sec":$tRl%.2f,"rl_links":$rlLinks,""" +
-        f""""bfs_sec":$tBfs%.2f,"bfs_reached":$bfsReached}""")
+        f""""bfs_sec":$tBfs%.2f,"bfs_reached":$bfsReached,""" +
+        f""""curriculum_sec":$tCur%.2f,"cur_key_max":$curKeyMax}""")
     }
     spark.stop()
   }

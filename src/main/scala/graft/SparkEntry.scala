@@ -256,6 +256,17 @@ object SparkEntry {
     "sim9_triplet_mining" -> (Similarity.tripletMining _),
     "cal3_calibration_error" -> (graft.ops.Eval.calibrationError _),
     "a30_burstiness" -> (Analytics.burstiness _),
+    "tx37_gopher_filter" -> (TextStats.gopherFilter _),
+    "dq8_entropy_profile" -> (graft.ops.Profile.entropyProfile _),
+    "mm15_audio_dynamics" -> (Multimodal.audioDynamicsQuery _),
+    "a31_runs_test" -> ((s, d) => Analytics.runsTest(s, d)),
+    "dq9_id_gap_audit" -> (graft.ops.Profile.idGapAudit _),
+    "tx38_code_detect" -> (TextStats.codeDetect _),
+    "w18_stickiness" -> (Analytics.stickiness _),
+    "dq10_dup_rows" -> (graft.ops.Profile.dupRowAudit _),
+    "sim10_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d)),
+    "ord3_packed_batches" -> (graft.ops.Sampling.packedBatches _),
+    "w19_churn_cohorts" -> (Analytics.churnCohorts _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -827,5 +838,16 @@ object SparkEntry {
     "sim9_triplet_mining" -> Similarity.tripletMiningOracle,
     "cal3_calibration_error" -> graft.ops.Eval.calibrationErrorOracle,
     "a30_burstiness" -> Analytics.burstinessOracle,
+    "tx37_gopher_filter" -> TextStats.gopherFilterOracle,
+    "dq8_entropy_profile" -> graft.ops.Profile.entropyProfileOracle,
+    "mm15_audio_dynamics" -> Multimodal.audioDynamicsOracle,
+    "a31_runs_test" -> Analytics.runsTestOracle,
+    "dq9_id_gap_audit" -> graft.ops.Profile.idGapAuditOracle,
+    "tx38_code_detect" -> TextStats.codeDetectOracle,
+    "w18_stickiness" -> Analytics.stickinessOracle,
+    "dq10_dup_rows" -> graft.ops.Profile.dupRowAuditOracle,
+    "sim10_centroid_drift" -> Similarity.centroidDriftOracle,
+    "ord3_packed_batches" -> graft.ops.Sampling.packedBatchesOracle,
+    "w19_churn_cohorts" -> Analytics.churnCohortsOracle,
   )
 }

@@ -2193,6 +2193,264 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Inactivity horizon for [[churnCohorts]]: a user whose last
+    * activity is more than this many days before the corpus's last
+    * day counts as churned. */
+  val ChurnHorizonDays = 7L
+
+  /** w19 — CHURN by signup cohort: per first-seen month, how many
+    * users' last activity fell more than [[ChurnHorizonDays]] before
+    * the corpus end — the survival readout w3's return-rate matrix
+    * doesn't collapse to, and on a data feed the
+    * contributor-attrition probe (rising early-cohort churn = the
+    * corpus's future distribution is drifting toward new sources).
+    * Exactness: per-user first/last days are exact min/max; the
+    * churn test is an integer day comparison against a 1-row
+    * broadcast global max; cohort shares in exact basis points.
+    * Shape: one user-keyed aggregation (map-side partials) + one
+    * O(months) rollup + a 1-row broadcast — never per-user state
+    * beyond the aggregation itself. */
+  def churnCohorts(s: SparkSession, d: String): DataFrame =
+    churnCohortsOf(Tables.events(s, d))
+
+  /** [[churnCohorts]] over an explicit events frame. */
+  def churnCohortsOf(events: DataFrame): DataFrame = {
+    val perUser = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(min(datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long")).as("first_day"),
+        max(datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long")).as("last_day"),
+        min(date_format(col("ts"), "yyyy-MM")).as("cohort"))
+    val end = perUser.agg(max(col("last_day")).as("end_day"))
+    perUser.crossJoin(broadcast(end))
+      .withColumn("churned",
+        when(col("last_day") < col("end_day") - ChurnHorizonDays, 1L)
+          .otherwise(0L))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("churned")).as("n_churned"),
+        min(col("first_day")).as("cohort_first_day"))
+      .withColumn("churn_bp", expr("(10000 * n_churned) div n_users"))
+      .orderBy("cohort")
+  }
+
+  val churnCohortsOracle: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    min(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |      AS BIGINT)) AS first_day,
+       |    max(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |      AS BIGINT)) AS last_day,
+       |    min(strftime(ts, '%Y-%m')) AS cohort
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |  GROUP BY user_id),
+       |e AS (SELECT max(last_day) AS end_day FROM pu)
+       |SELECT cohort, count(*) AS n_users,
+       |  CAST(sum(CASE WHEN last_day < end_day - $ChurnHorizonDays
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       |  min(first_day) AS cohort_first_day,
+       |  (10000 * CAST(sum(CASE WHEN last_day < end_day - $ChurnHorizonDays
+       |    THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS churn_bp
+       |FROM pu CROSS JOIN e
+       |GROUP BY cohort ORDER BY cohort""".stripMargin
+
+  /** w18 — engagement STICKINESS per calendar month: mean daily
+    * active users over monthly active users (DAU/MAU), the standard
+    * product-health ratio — and on a training-data feed, the
+    * user-base-rotation probe (a stable corpus has sticky
+    * contributors; a churn-heavy one re-learns its user distribution
+    * every month). Exactness: per-day and per-month distinct user
+    * counts are exact keyed aggregations; stickiness clears its inner
+    * division as permille = (1000·Σdau) div (n_days·mau) — pure
+    * integer arithmetic (mean-DAU/MAU = Σdau/(n_days·mau)) — plus the
+    * one closing double division for the readable ratio.
+    * Shape: two keyed aggregations ((day,user) → day → month, and
+    * (month,user) → month) + one month-grain join — both distincts
+    * partial-aggregate; nothing holds per-user state across months. */
+  def stickiness(s: SparkSession, d: String): DataFrame =
+    stickinessOf(Tables.events(s, d))
+
+  /** [[stickiness]] over an explicit events frame. */
+  def stickinessOf(events: DataFrame): DataFrame = {
+    val base = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM").as("month"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("user_id"))
+    val dau = base.groupBy("month", "day")
+      .agg(count_distinct(col("user_id")).as("dau"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val mau = base.groupBy("month")
+      .agg(count_distinct(col("user_id")).as("mau"))
+    dau.join(mau, "month")
+      .withColumn("stickiness_pm",
+        expr("(1000 * sum_dau) div (n_days * mau)"))
+      .withColumn("stickiness",
+        col("sum_dau").cast("double") /
+          (col("n_days") * col("mau")).cast("double"))
+      .select("month", "n_days", "sum_dau", "mau", "stickiness_pm",
+        "stickiness")
+      .orderBy("month")
+  }
+
+  val stickinessOracle: String =
+    """WITH base AS (
+      |  SELECT strftime(ts, '%Y-%m') AS month,
+      |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS day,
+      |         user_id
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |dau AS (
+      |  SELECT month, count(*) AS n_days,
+      |         CAST(sum(dau) AS BIGINT) AS sum_dau
+      |  FROM (SELECT month, day, count(DISTINCT user_id) AS dau
+      |        FROM base GROUP BY 1, 2)
+      |  GROUP BY month),
+      |mau AS (
+      |  SELECT month, count(DISTINCT user_id) AS mau
+      |  FROM base GROUP BY 1)
+      |SELECT d.month, d.n_days, d.sum_dau, m.mau,
+      |  (1000 * d.sum_dau) // (d.n_days * m.mau) AS stickiness_pm,
+      |  CAST(d.sum_dau AS DOUBLE)
+      |    / CAST(d.n_days * m.mau AS DOUBLE) AS stickiness
+      |FROM dau d JOIN mau m ON d.month = m.month
+      |ORDER BY d.month""".stripMargin
+
+  /** a31 — Wald–Wolfowitz RUNS test per event type: is the daily
+    * volume series random around its median, or does it trend/cycle?
+    * (a30's Fano factor sees dispersion; this sees ORDER — a series
+    * can be perfectly Poisson-dispersed and still trending.) The
+    * series reduces to above/below-median signs (median BY RANK over
+    * the aggregated day series — ties at the median drop, the
+    * standard treatment), R = 1 + sign-change count via one lag
+    * window over O(days) rows. Exactness: n₁, n₂, R are longs;
+    * E[R] = 2n₁n₂/n + 1 and Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) are
+    * fixed IEEE trees over exact longs (2n₁n₂ ≤ n²/2 stays exact in
+    * doubles to n ~ 9e7 days — forever, for day grains); z² =
+    * (R−E)²/Var is one division, and |z|>1.96 cross-checks as
+    * z² > 3.8416 with the rational 2401/625 — an exact compare.
+    * Shape: one day aggregation + two O(days) windows + a 1-row
+    * rollup per type — the dq6/inc3 bounded-spine argument. */
+  def runsTest(s: SparkSession, d: String): DataFrame =
+    runsTestOf(Tables.events(s, d))
+
+  /** [[runsTest]] over an explicit events frame. */
+  def runsTestOf(events: DataFrame,
+      mode: graft.ops.Materialize.Mode = graft.ops.Materialize.Local)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // O(types×days) series feeds both the median rank and the sign
+    // join — materialize once (the a29/dq7 fork rule)
+    val daily = graft.ops.Materialize(events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("x")), mode, "runs_daily")
+    // median by rank over the per-type day series (odd count → middle
+    // row; even → the LOWER middle — a fixed total-order choice both
+    // engines replay; only the sign split needs consistency, not the
+    // statistical median itself)
+    val wRank = Window.partitionBy("event_type").orderBy("x", "day")
+    val wCnt = Window.partitionBy("event_type")
+    val ranked = daily
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+    val med = ranked
+      .filter(col("rk") === expr("(cnt + 1) div 2"))
+      .select(col("event_type"), col("x").as("med"))
+    val signed = daily.join(med, "event_type")
+      .filter(col("x") =!= col("med"))
+      .withColumn("sign", when(col("x") > col("med"), 1L).otherwise(0L))
+    val wDay = Window.partitionBy("event_type").orderBy("day")
+    val runs = signed
+      .withColumn("prev", lag(col("sign"), 1).over(wDay))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("sign")).as("n1"),
+        (count(lit(1)) - sum(col("sign"))).as("n2"),
+        (sum(when(col("prev").isNotNull && col("prev") =!= col("sign"), 1L)
+          .otherwise(0L)) + 1L).as("r"))
+    val e = lit(2.0d) * col("n1").cast("double") * col("n2").cast("double") /
+      col("n").cast("double") + lit(1.0d)
+    val twoN1N2 = lit(2.0d) * col("n1").cast("double") *
+      col("n2").cast("double")
+    val variance = twoN1N2 * (twoN1N2 - col("n").cast("double")) /
+      (col("n").cast("double") * col("n").cast("double") *
+        (col("n") - 1L).cast("double"))
+    runs
+      .withColumn("expected_r", when(col("n") > 1L, e))
+      .withColumn("var_r", when(col("n") > 1L, variance))
+      .withColumn("z2",
+        when(col("n") > 1L && variance > 0.0d,
+          (col("r").cast("double") - e) * (col("r").cast("double") - e)
+            / variance))
+      .withColumn("nonrandom_05",
+        when(col("z2").isNotNull,
+          when(col("z2") * 625.0d > 2401.0d, 1L).otherwise(0L)))
+      .orderBy("event_type")
+  }
+
+  val runsTestOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS day,
+      |         count(*) AS x
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT event_type, day, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY x, day)
+      |      AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM daily),
+      |med AS (
+      |  SELECT event_type, x AS med FROM rk WHERE rk = (cnt + 1) // 2),
+      |signed AS (
+      |  SELECT d.event_type, d.day,
+      |         CASE WHEN d.x > m.med THEN 1 ELSE 0 END AS sign
+      |  FROM daily d JOIN med m ON d.event_type = m.event_type
+      |  WHERE d.x <> m.med),
+      |lagged AS (
+      |  SELECT event_type, sign,
+      |    lag(sign) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      |  FROM signed),
+      |runs AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(sign) AS BIGINT) AS n1,
+      |    count(*) - CAST(sum(sign) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> sign
+      |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r
+      |  FROM lagged GROUP BY 1),
+      |f AS (
+      |  SELECT event_type, n, n1, n2, r,
+      |    CASE WHEN n > 1 THEN
+      |      2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |        / CAST(n AS DOUBLE) + 1.0e0 END AS expected_r,
+      |    CASE WHEN n > 1 THEN
+      |      (2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+      |      * ((2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+      |         - CAST(n AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |         * CAST(n - 1 AS DOUBLE)) END AS var_r
+      |  FROM runs)
+      |SELECT event_type, n, n1, n2, r, expected_r, var_r,
+      |  CASE WHEN n > 1 AND var_r > 0.0e0 THEN
+      |    (CAST(r AS DOUBLE) - expected_r) * (CAST(r AS DOUBLE) - expected_r)
+      |      / var_r END AS z2,
+      |  CASE WHEN n > 1 AND var_r > 0.0e0 THEN
+      |    CASE WHEN ((CAST(r AS DOUBLE) - expected_r)
+      |               * (CAST(r AS DOUBLE) - expected_r) / var_r) * 625.0e0
+      |               > 2401.0e0
+      |         THEN 1 ELSE 0 END END AS nonrandom_05
+      |FROM f ORDER BY event_type""".stripMargin
+
   val burstinessOracle: String =
     """WITH daily AS (
       |  SELECT event_type,

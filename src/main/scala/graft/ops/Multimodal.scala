@@ -1451,4 +1451,92 @@ object Multimodal {
        |  sum_waste / n_images AS mean_waste_ppm, max_waste_ppm
        |FROM agg ORDER BY bucket""".stripMargin
   }
+
+  /** mm15 — per-track audio DYNAMICS profile over [[audioFramesAll]]'s
+    * frame features: peak level, crest factor (peak over RMS — the
+    * compression/limiting fingerprint: heavily mastered or synthetic
+    * audio sits low, natural transients high), and the loud/quiet
+    * frame-energy spread in whole bits (full frames only, so the
+    * partial tail can't fake a dynamic-range tail). Complements mm9's
+    * health screen (clipping/DC) with the loudness-SHAPE axis a
+    * curation pass uses to drop over-compressed or near-silent
+    * program material.
+    *
+    * Determinism: crest² clears to the exact rational peak²·n/energy
+    * — emitted as exact long numerator + denominator with ONE closing
+    * division (crest itself would need a √; the square carries the
+    * same ordering); the dynamic-range ratio quantizes to whole bits
+    * via length(bin(max div max(1,min))) — the tx23/dq8 rule. Shape:
+    * the frame features accumulate inside the narrow decode stage
+    * (zero shuffle), then ONE track-keyed aggregation. */
+  def audioDynamicsQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val media = s.createDataset(fixtureAudio().map {
+      case (id, b) => Media(id, b, b.length) })(
+      Encoders.product[Media]).repartition(2)
+    val frames = audioFramesAll(media).toDF()
+    frames
+      .groupBy("track_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("n_samples") === AudioFrameSamples, 1L).otherwise(0L))
+          .as("n_full_frames"),
+        sum(col("n_samples")).as("n_samples"),
+        sum(col("energy")).as("energy"),
+        max(col("peak")).as("peak"),
+        max(when(col("n_samples") === AudioFrameSamples, col("energy")))
+          .as("max_frame_energy"),
+        min(when(col("n_samples") === AudioFrameSamples, col("energy")))
+          .as("min_frame_energy"))
+      .withColumn("crest2_num", col("peak") * col("peak") * col("n_samples"))
+      .withColumn("crest2",
+        when(col("energy") > 0L,
+          col("crest2_num") / col("energy")))
+      .withColumn("dyn_bits",
+        when(col("n_full_frames") > 0L,
+          (length(bin(expr(
+            "max_frame_energy div greatest(1, min_frame_energy)")))
+            .cast("long") - 1L)))
+      .select("track_id", "n_frames", "n_full_frames", "n_samples",
+        "energy", "peak", "max_frame_energy", "min_frame_energy",
+        "crest2_num", "crest2", "dyn_bits")
+      .orderBy("track_id")
+  }
+
+  val audioDynamicsOracle: String = {
+    val tracks = audioTrackLens
+      .map { case (t, n) => s"($t, $n)" }.mkString(", ")
+    s"""WITH tracks(track_id, n) AS (VALUES $tracks),
+       |s AS (
+       |  SELECT track_id, i,
+       |         ((i*(i+3)*31 + track_id*7919 + i*1009) % 65536) - 32768 AS v
+       |  FROM tracks, unnest(generate_series(0, n - 1)) AS u(i)),
+       |f AS (
+       |  SELECT track_id, i // $AudioFrameSamples AS frame_idx,
+       |         count(*) AS fn, CAST(sum(v * v) AS BIGINT) AS fe,
+       |         CAST(max(abs(v)) AS BIGINT) AS fp
+       |  FROM s GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT CAST(track_id AS BIGINT) AS track_id,
+       |    count(*) AS n_frames,
+       |    CAST(sum(CASE WHEN fn = $AudioFrameSamples THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_full_frames,
+       |    CAST(sum(fn) AS BIGINT) AS n_samples,
+       |    CAST(sum(fe) AS BIGINT) AS energy,
+       |    CAST(max(fp) AS BIGINT) AS peak,
+       |    CAST(max(CASE WHEN fn = $AudioFrameSamples THEN fe END)
+       |      AS BIGINT) AS max_frame_energy,
+       |    CAST(min(CASE WHEN fn = $AudioFrameSamples THEN fe END)
+       |      AS BIGINT) AS min_frame_energy
+       |  FROM f GROUP BY 1)
+       |SELECT track_id, n_frames, n_full_frames, n_samples, energy, peak,
+       |  max_frame_energy, min_frame_energy,
+       |  peak * peak * n_samples AS crest2_num,
+       |  CASE WHEN energy > 0
+       |       THEN (peak * peak * n_samples) / energy END AS crest2,
+       |  CASE WHEN n_full_frames > 0
+       |       THEN CAST(length(bin(max_frame_energy
+       |              // greatest(1, min_frame_energy))) - 1 AS BIGINT)
+       |       END AS dyn_bits
+       |FROM agg ORDER BY track_id""".stripMargin
+  }
 }

@@ -851,6 +851,205 @@ object Profile {
     m.select(inline(array(pairStructs: _*))).orderBy("pair")
   }
 
+  /** dq8 column descriptors: (label, exact integer/string projection)
+    * — SQL expression form shared by both engines via the builder
+    * below. */
+  private val entropyCols: Seq[(String, String, String)] = Seq(
+    // (label, spark expr, duckdb expr) over events
+    ("event_type", "event_type", "event_type"),
+    ("user_id", "CAST(user_id AS STRING)", "CAST(user_id AS VARCHAR)"),
+    ("value_usd",
+      "CAST(CAST(round(value * 100) AS BIGINT) div 100 AS STRING)",
+      "CAST(CAST(round(value * 100) AS BIGINT) // 100 AS VARCHAR)"),
+    ("day",
+      "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS STRING)",
+      "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS VARCHAR)"))
+
+  /** dq8 — quantized Shannon-entropy profile per column: for each
+    * profiled column, the distinct count, the heaviest value's share,
+    * and the entropy estimate Ĥ = Σ n_v·⌊log₂(N div n_v)⌋ / N in
+    * exact MILLIBITS — the key-ness/skew readout behind partition-key
+    * and dedup-key choices that pf1's min/max/distinct summary can't
+    * give (1M distinct values can still carry near-zero entropy when
+    * one value dominates). The per-value surprisal quantizes to WHOLE
+    * BITS via `length(bin(N div n_v)) − 1` — the tx23/tx32 rule:
+    * an IEEE log2 sum could never hash-match across engines; the
+    * integer-quantized sum always does (Ĥ is a documented ≤1-bit-
+    * biased estimator, the price of exactness).
+    *
+    * Shape: one PRUNED value-grouped aggregation per column (the pf1
+    * lesson: per-column pruned passes beat one N-way expand scan),
+    * each collapsing to a 1-row profile; the union is O(columns).
+    * Null values profile as their own "∅" bucket — a null-heavy
+    * column's entropy collapse is exactly the signal. */
+  def entropyProfile(s: SparkSession, d: String): DataFrame =
+    entropyProfileOf(Tables.events(s, d))
+
+  /** [[entropyProfile]] over an explicit events frame. */
+  def entropyProfileOf(events: DataFrame): DataFrame = {
+    // every profiled projection coalesces nulls into their own bucket,
+    // so N is the plain row count for all four columns — one cached
+    // count action (metadata-cheap on parquet, cached per Materialize
+    // lifetime) turns the surprisal into a pure literal projection
+    val n = Materialize.cachedCount(events)
+    entropyCols.map { case (label, sparkExpr, _) =>
+      val sbits = length(bin(expr(s"$n div nv"))).cast("long") - 1L
+      events
+        .select(coalesce(expr(sparkExpr), lit("∅")).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("nv"))
+        .agg(
+          sum(col("nv")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          max(col("nv")).as("top_count"),
+          sum(col("nv") * sbits).as("h_num_bits"))
+        .select(lit(label).as("column"), col("n_rows"),
+          col("n_distinct"), col("top_count"),
+          expr("(10000 * top_count) div n_rows").as("top_share_bp"),
+          col("h_num_bits"),
+          expr("(1000 * h_num_bits) div n_rows").as("h_mbits"))
+    }.reduce(_ unionByName _).orderBy("column")
+  }
+
+  val entropyProfileOracle: String = {
+    val selects = entropyCols.map { case (label, _, duckExpr) =>
+      s"""SELECT '$label' AS "column", n_rows, n_distinct, top_count,
+         |  (10000 * top_count) // n_rows AS top_share_bp,
+         |  h_num_bits, (1000 * h_num_bits) // n_rows AS h_mbits
+         |FROM (
+         |  SELECT CAST(sum(nv) AS BIGINT) AS n_rows,
+         |         count(*) AS n_distinct,
+         |         CAST(max(nv) AS BIGINT) AS top_count,
+         |         CAST(sum(nv * (length(bin(nt.n // nv)) - 1)) AS BIGINT)
+         |           AS h_num_bits
+         |  FROM (
+         |    SELECT coalesce($duckExpr, '∅') AS v, count(*) AS nv
+         |    FROM events GROUP BY 1) vv
+         |  CROSS JOIN (SELECT count(*) AS n FROM events) nt
+         |  GROUP BY nt.n)""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
+  /** dq10 — duplicate-ROW audit (double-ingest detector): exact
+    * duplicate groups over the content key (user, second-truncated
+    * ts, type, value-cents) — event_id deliberately excluded, because
+    * a replayed batch re-ingests the same content under FRESH
+    * surrogate ids, which is precisely the failure uniqueness checks
+    * on the id (dq1) cannot see. Per day: rows, content groups,
+    * groups with multiplicity > 1, excess rows (what a dedup pass
+    * would remove), worst multiplicity, excess in basis points.
+    * Shape: one content-keyed aggregation + one day rollup, both
+    * partial-aggregable; the content key is the GROUP BY key, so
+    * memory is bounded per key like any distinct. */
+  def dupRowAudit(s: SparkSession, d: String): DataFrame =
+    dupRowAuditOf(Tables.events(s, d))
+
+  /** [[dupRowAudit]] over an explicit events frame. */
+  def dupRowAuditOf(events: DataFrame): DataFrame = {
+    val cents = graft.functions.Functions.cents(col("value"))
+    val groups = events
+      .filter(col("ts").isNotNull)
+      .groupBy(
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("user_id"),
+        date_trunc("second", col("ts")).as("ts_sec"),
+        col("event_type"), cents.as("cents"))
+      .agg(count(lit(1)).as("m"))
+    groups.groupBy("day")
+      .agg(sum(col("m")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("m") > 1L, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when(col("m") > 1L, col("m") - 1L).otherwise(0L))
+          .as("n_excess_rows"),
+        max(col("m")).as("max_multiplicity"))
+      .withColumn("excess_bp", expr("(10000 * n_excess_rows) div n_rows"))
+      .orderBy("day")
+  }
+
+  val dupRowAuditOracle: String =
+    """WITH g AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS day,
+      |         user_id, date_trunc('second', ts) AS ts_sec, event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS cents,
+      |         count(*) AS m
+      |  FROM events WHERE ts IS NOT NULL
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |SELECT day, CAST(sum(m) AS BIGINT) AS n_rows,
+      |  count(*) AS n_groups,
+      |  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_groups,
+      |  CAST(sum(CASE WHEN m > 1 THEN m - 1 ELSE 0 END) AS BIGINT)
+      |    AS n_excess_rows,
+      |  CAST(max(m) AS BIGINT) AS max_multiplicity,
+      |  (10000 * CAST(sum(CASE WHEN m > 1 THEN m - 1 ELSE 0 END)
+      |    AS BIGINT)) // CAST(sum(m) AS BIGINT) AS excess_bp
+      |FROM g GROUP BY day ORDER BY day""".stripMargin
+
+  /** Id-range bucket width for [[idGapAudit]]. */
+  val IdGapBucket = 4096L
+
+  /** dq9 — id-CONTINUITY audit: missing-id accounting per fixed
+    * id-range bucket over the event_id sequence — the "did we lose a
+    * shard / drop a batch" probe for surrogate-keyed feeds that dq6's
+    * volume view can't localize (a uniform 1% loss moves no daily
+    * total visibly; it puts 1% holes in every bucket here). Per
+    * bucket: present count, the bucket's observed span, missing =
+    * span_width − present (exact — ids are unique), plus global
+    * totals on every row. Interior buckets' expected width is the
+    * full [[IdGapBucket]]; the two edge buckets audit against their
+    * observed min/max so sequence start/end don't read as loss.
+    * Shape: ONE keyed aggregation over the scan (map-side partials)
+    * + a 1-row broadcast; output is O(id_range/width). */
+  def idGapAudit(s: SparkSession, d: String): DataFrame =
+    idGapAuditOf(Tables.events(s, d))
+
+  /** [[idGapAudit]] over an explicit events frame. */
+  def idGapAuditOf(events: DataFrame): DataFrame = {
+    val buckets = events
+      .filter(col("event_id").isNotNull)
+      .groupBy(expr(s"event_id div $IdGapBucket").as("bucket"))
+      .agg(count(lit(1)).as("n_present"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+    val tot = buckets.agg(min(col("bucket")).as("b_lo"),
+      max(col("bucket")).as("b_hi"))
+    buckets.crossJoin(broadcast(tot))
+      .withColumn("span_lo",
+        when(col("bucket") === col("b_lo"), col("min_id"))
+          .otherwise(col("bucket") * IdGapBucket))
+      .withColumn("span_hi",
+        when(col("bucket") === col("b_hi"), col("max_id"))
+          .otherwise((col("bucket") + 1L) * IdGapBucket - 1L))
+      .withColumn("n_missing",
+        col("span_hi") - col("span_lo") + 1L - col("n_present"))
+      .select(col("bucket"), col("n_present"), col("min_id"),
+        col("max_id"), col("span_lo"), col("span_hi"), col("n_missing"),
+        expr(s"(10000 * n_missing) div (span_hi - span_lo + 1)")
+          .as("missing_bp"))
+      .orderBy("bucket")
+  }
+
+  val idGapAuditOracle: String =
+    s"""WITH b AS (
+       |  SELECT event_id // $IdGapBucket AS bucket, count(*) AS n_present,
+       |         min(event_id) AS min_id, max(event_id) AS max_id
+       |  FROM events WHERE event_id IS NOT NULL GROUP BY 1),
+       |t AS (SELECT min(bucket) AS b_lo, max(bucket) AS b_hi FROM b),
+       |sp AS (
+       |  SELECT bucket, n_present, min_id, max_id,
+       |    CASE WHEN bucket = b_lo THEN min_id
+       |         ELSE bucket * $IdGapBucket END AS span_lo,
+       |    CASE WHEN bucket = b_hi THEN max_id
+       |         ELSE (bucket + 1) * $IdGapBucket - 1 END AS span_hi
+       |  FROM b CROSS JOIN t)
+       |SELECT bucket, n_present, min_id, max_id, span_lo, span_hi,
+       |  span_hi - span_lo + 1 - n_present AS n_missing,
+       |  (10000 * (span_hi - span_lo + 1 - n_present))
+       |    // (span_hi - span_lo + 1) AS missing_bp
+       |FROM sp ORDER BY bucket""".stripMargin
+
   val correlationMatrixOracle: String = {
     val names = corrCols.map(_._2)
     val sumSql = names.map(c => s"CAST(sum($c) AS BIGINT) AS s_$c") ++

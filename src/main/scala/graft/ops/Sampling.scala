@@ -288,6 +288,86 @@ object Sampling {
       .orderBy("split", "source", "lang")
   }
 
+  /** Token budget per training batch for [[packedBatches]]. */
+  val BatchTokenBudget = 512L
+
+  /** ord3 — length-bucketed DYNAMIC BATCHING: the training
+    * DataLoader's batch construction done corpus-side — documents
+    * grouped into same-length-class batches (bit-length buckets, so
+    * padding waste is bounded by 2× within a batch) and packed
+    * first-fit-in-order against a token budget (the lay2 bin-pack
+    * algebra applied to tokens). Differs from tx12 (token-exact
+    * sequence splitting — docs cross windows) and tx21 (shard FILES):
+    * here a doc lands whole in exactly one (bucket, batch), which is
+    * what a padded-batch trainer consumes. Within a bucket the order
+    * is the stable md5 shuffle (ord1/tx21 discipline).
+    *
+    * Scale shape: the within-bucket running token offset is ord2's
+    * machinery — ONE two-phase [[PrefixSum.exclusive]] over the
+    * bucket-major key with the TOKEN COUNT as the summand, bucket
+    * bases broadcast back (O(buckets) rows) — so there is no
+    * per-bucket single-task window anywhere; the per-batch row count
+    * rides one keyed window over (bucket, batch) — millions of tiny
+    * partitions. */
+  def packedBatches(s: SparkSession, d: String): DataFrame =
+    packedBatchesOf(Tables.documents(s, d),
+      s.sparkContext.defaultParallelism)
+
+  /** [[packedBatches]] over an explicit documents frame. */
+  def packedBatchesOf(docs: DataFrame, partitions: Int,
+      budget: Long = BatchTokenBudget): DataFrame = {
+    val base = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(graft.ops.TextStats.words(col("text"))).cast("long")
+          .as("n_tokens"))
+      .withColumn("bucket", length(bin(col("n_tokens"))).cast("long"))
+      .withColumn("ord",
+        concat(lpad(col("bucket").cast("string"), 2, "0"),
+          md5(col("doc_id").cast("string"))))
+    val pos = PrefixSum.exclusive(base, "ord", "n_tokens", partitions)
+    val bases = pos.groupBy("bucket")
+      .agg(min(col("offset")).as("bucket_base"))
+    val assigned = pos.join(broadcast(bases), Seq("bucket"))
+      .withColumn("tok_before", col("offset") - col("bucket_base"))
+      .withColumn("batch", expr(s"tok_before div $budget"))
+    val wBatch = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket", "batch")
+    assigned
+      .withColumn("batch_docs", count(lit(1)).over(wBatch))
+      .withColumn("batch_tokens", sum(col("n_tokens")).over(wBatch))
+      .select("doc_id", "n_tokens", "bucket", "tok_before", "batch",
+        "batch_docs", "batch_tokens")
+      .orderBy("doc_id")
+  }
+
+  val packedBatchesOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL),
+       |k AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(length(bin(n_tokens)) AS BIGINT) AS bucket,
+       |    lpad(CAST(length(bin(n_tokens)) AS VARCHAR), 2, '0')
+       |      || md5(CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM t),
+       |o AS (
+       |  SELECT doc_id, n_tokens, bucket,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+       |      ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+       |  FROM k),
+       |a AS (
+       |  SELECT *, tok_before // $BatchTokenBudget AS batch FROM o)
+       |SELECT doc_id, n_tokens, bucket, tok_before, batch,
+       |  CAST(count(*) OVER (PARTITION BY bucket, batch) AS BIGINT)
+       |    AS batch_docs,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY bucket, batch) AS BIGINT)
+       |    AS batch_tokens
+       |FROM a ORDER BY doc_id""".stripMargin
+
   val groupedSplitOracle: String =
     s"""WITH per AS (
        |  SELECT source, lang, count(*) AS n_docs,

@@ -1102,6 +1102,83 @@ object Similarity {
       .orderBy("src")
   }
 
+  /** sim10 — embedding-space CENTROID drift between two ingestion
+    * halves (vec_id parity — the deterministic batch-A/batch-B split
+    * a refreshed corpus gives for free): per label, the cosine
+    * between the two halves' centroids plus both support counts.
+    * This closes the drift-audit family's last axis: rc2 watches
+    * column statistics, dq5 categorical mixes, dq7 continuous
+    * distributions — this watches the REPRESENTATION itself (an
+    * embedding-model upgrade or upstream domain shift moves label
+    * centroids long before accuracy metrics catch it).
+    *
+    * Determinism: the sim5 discipline — centroids stay
+    * [[CentroidScale]]-quantized exact integer component SUMS (cosine
+    * is scale-invariant, so the mean's division never happens), the
+    * cosine is the one fixed IEEE tree. The per-(label, half) sum
+    * table is materialized once (O(labels·2·Dim) rows) so the
+    * half-vs-half join doesn't replay the corpus explode (the a29/dq7
+    * fork rule). Labels with a missing half (all vectors on one
+    * parity) emit NULL cosine. */
+  def centroidDrift(s: SparkSession, d: String): DataFrame =
+    centroidDriftOf(Tables.embeddings(s, d))
+
+  /** [[centroidDrift]] over an explicit embeddings frame. */
+  def centroidDriftOf(emb: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val cent = Materialize(
+      emb
+        .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("half"), col("dim"),
+          round(col("v").cast("double") * lit(CentroidScale.toDouble))
+            .cast("long").as("q"))
+        .groupBy("label", "half", "dim")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .groupBy("label", "half")
+        .agg(max(col("n")).as("n_vecs"),
+          transform(sort_array(collect_list(struct(col("dim"), col("sq")))),
+            e => e.getField("sq").cast("double")).as("cv")),
+      mode, "centroid_halves")
+    val a = cent.filter(col("half") === 0L)
+      .select(col("label"), col("n_vecs").as("n_a"), col("cv").as("cva"))
+    val b = cent.filter(col("half") === 1L)
+      .select(col("label"), col("n_vecs").as("n_b"), col("cv").as("cvb"))
+    a.join(b, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("cva").isNotNull && col("cvb").isNotNull,
+          dot(col("cva"), col("cvb")) /
+            (sqrt(dot(col("cva"), col("cva"))) *
+              sqrt(dot(col("cvb"), col("cvb"))))).as("cos_drift"))
+      .orderBy("label")
+  }
+
+  lazy val centroidDriftOracle: String =
+    s"""WITH q AS (
+       |  SELECT label, vec_id % 2 AS half, i AS dim,
+       |         CAST(round(CAST(embedding[i] AS DOUBLE) * $CentroidScale)
+       |              AS BIGINT) AS q
+       |  FROM embeddings, generate_series(1, $Dim) t(i)),
+       |s AS (SELECT label, half, dim, CAST(sum(q) AS BIGINT) AS sq,
+       |             count(*) AS n
+       |      FROM q GROUP BY label, half, dim),
+       |c AS (SELECT label, half, max(n) AS n_vecs,
+       |             list(CAST(sq AS DOUBLE) ORDER BY dim) AS cv
+       |      FROM s GROUP BY label, half),
+       |a AS (SELECT label, n_vecs AS n_a, cv AS cva FROM c WHERE half = 0),
+       |b AS (SELECT label, n_vecs AS n_b, cv AS cvb FROM c WHERE half = 1)
+       |SELECT coalesce(a.label, b.label) AS label,
+       |  CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+       |  CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+       |  CASE WHEN cva IS NOT NULL AND cvb IS NOT NULL THEN
+       |    list_dot_product(cva, cvb) /
+       |      (sqrt(list_dot_product(cva, cva))
+       |       * sqrt(list_dot_product(cvb, cvb))) END AS cos_drift
+       |FROM a FULL OUTER JOIN b ON a.label = b.label
+       |ORDER BY label""".stripMargin
+
   val tripletMiningOracle: String =
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
        |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm

@@ -2090,4 +2090,205 @@ object TextStats {
       |       THEN CAST(fre_num AS DOUBLE) / CAST(fre_den AS DOUBLE) END
       |    AS fre
       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Gopher word-count bounds (Rae et al. 2021 §A1.1.2, public):
+    * scaled to this corpus's short documents — the production values
+    * (50, 100k) would reject every fixture row and the rule logic is
+    * what the operator demonstrates. */
+  val GopherMinWords = 10L
+  val GopherMaxWords = 100000L
+  /** Required stopword hits (distinct members of the 8-word set). */
+  val GopherMinStopHits = 2L
+
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** tx37 — Gopher-rule quality gate (Rae et al. 2021's repetition-
+    * free subset; the DeepMind filter suite beside tx7's C4 rules):
+    * word-count bounds, mean word length in [3, 10], symbol-to-word
+    * ratio (# and … marks) ≤ 1/10, non-alphabetic word fraction
+    * ≤ 2/10, bullet-started lines ≤ 9/10, ellipsis-ended lines ≤ 3/10,
+    * and ≥ 2 distinct members of the 8-stopword set. Every ratio rule
+    * is an integer CROSS-MULTIPLICATION (3·W ≤ C ≤ 10·W, 10·sym ≤ W,
+    * …) so the gate is exact cross-engine — no float thresholds.
+    * Per-token counts (non-alpha words) come from a higher-order
+    * `filter` over the split array INSIDE the row — no explode, no
+    * shuffle; the whole operator is one narrow codegen pass whose
+    * `keep` column pushes into the next stage's scan (the tx7
+    * discipline). Counts stay in the output so a reviewer can audit
+    * WHY a document failed, not just that it did. */
+  def gopherFilter(s: SparkSession, d: String): DataFrame =
+    gopherFilterOf(Tables.documents(s, d))
+
+  /** [[gopherFilter]] over an explicit documents frame. */
+  def gopherFilterOf(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val lines = split(col("text"), "\n")
+    val stopHits = gopherStops.map(sw =>
+      when(col("text").rlike(s"\\b$sw\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val base = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), "[ \\t\\n\\f\\r]+", ""))
+          .cast("long").as("n_word_chars"),
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).cast("long")
+          .as("n_symbols"),
+        size(filter(w, t => !t.rlike("[a-zA-Z]"))).cast("long")
+          .as("n_nonalpha_words"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+          .as("n_bullet_lines"),
+        size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("long")
+          .as("n_ellipsis_lines"),
+        stopHits.as("n_stop_present"))
+    val fWords = col("n_words") >= GopherMinWords &&
+      col("n_words") <= GopherMaxWords
+    val fMeanLen = lit(3L) * col("n_words") <= col("n_word_chars") &&
+      col("n_word_chars") <= lit(10L) * col("n_words")
+    val fSymbols = lit(10L) * col("n_symbols") <= col("n_words")
+    val fAlpha = lit(10L) * col("n_nonalpha_words") <= lit(2L) * col("n_words")
+    val fBullets = lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines")
+    val fEllipsis =
+      lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines")
+    val fStops = col("n_stop_present") >= GopherMinStopHits
+    base
+      .withColumn("pass_words", fWords)
+      .withColumn("pass_mean_len", fMeanLen)
+      .withColumn("pass_symbols", fSymbols)
+      .withColumn("pass_alpha", fAlpha)
+      .withColumn("pass_bullets", fBullets)
+      .withColumn("pass_ellipsis", fEllipsis)
+      .withColumn("pass_stops", fStops)
+      .withColumn("keep", fWords && fMeanLen && fSymbols && fAlpha &&
+        fBullets && fEllipsis && fStops)
+      .orderBy("doc_id")
+  }
+
+  /** tx38 — code-vs-prose detection: the routing classifier a mixed
+    * crawl needs before language ID or quality scoring makes sense
+    * (code documents fail every prose heuristic and prose documents
+    * poison a code corpus). Pure surface densities, each an exact
+    * count with a cross-multiplied threshold: brace/bracket density
+    * ≥ 5/1000 chars, statement punctuation (`;` or `=`) ≥ 10/1000,
+    * camelCase or snake_case identifiers ≥ 5/1000, and an indented-
+    * line fraction ≥ 2/10 — `is_code` when ≥ 2 of the 4 signals fire
+    * (single signals misfire on math prose and legal text; the 2-vote
+    * rule is the standard heuristic-ensemble shape, same spirit as
+    * tx1's marker vote). One narrow codegen pass, counts kept for
+    * audit, flag pushes into the next stage's scan. */
+  def codeDetect(s: SparkSession, d: String): DataFrame =
+    codeDetectOf(Tables.documents(s, d))
+
+  /** [[codeDetect]] over an explicit documents frame. */
+  def codeDetectOf(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val base = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        regexp_count(col("text"), lit("[{}\\[\\]()]")).cast("long")
+          .as("n_braces"),
+        regexp_count(col("text"), lit("[;=]")).cast("long").as("n_stmt"),
+        (regexp_count(col("text"), lit("[a-z][A-Z]")) +
+          regexp_count(col("text"), lit("[a-zA-Z]_[a-zA-Z]")))
+          .cast("long").as("n_ident"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => l.rlike("^(    |\\t)"))).cast("long")
+          .as("n_indented"))
+    val sBrace = lit(1000L) * col("n_braces") >= lit(5L) * col("n_chars")
+    val sStmt = lit(1000L) * col("n_stmt") >= lit(10L) * col("n_chars")
+    val sIdent = lit(1000L) * col("n_ident") >= lit(5L) * col("n_chars")
+    val sIndent = lit(10L) * col("n_indented") >= lit(2L) * col("n_lines")
+    val votes = Seq(sBrace, sStmt, sIdent, sIndent)
+      .map(s => when(s, 1L).otherwise(0L)).reduce(_ + _)
+    base
+      .withColumn("sig_braces", sBrace)
+      .withColumn("sig_stmt", sStmt)
+      .withColumn("sig_ident", sIdent)
+      .withColumn("sig_indent", sIndent)
+      .withColumn("n_votes", votes)
+      .withColumn("is_code", votes >= 2L)
+      .orderBy("doc_id")
+  }
+
+  val codeDetectOracle: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(regexp_extract_all(text, '[{}\[\]()]')) AS BIGINT)
+      |      AS n_braces,
+      |    CAST(len(regexp_extract_all(text, '[;=]')) AS BIGINT) AS n_stmt,
+      |    CAST(len(regexp_extract_all(text, '[a-z][A-Z]'))
+      |      + len(regexp_extract_all(text, '[a-zA-Z]_[a-zA-Z]')) AS BIGINT)
+      |      AS n_ident,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(string_split(text, chr(10)),
+      |      l -> regexp_matches(l, '^(    |\t)'))) AS BIGINT) AS n_indented
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (
+      |  SELECT *,
+      |    (1000 * n_braces >= 5 * n_chars) AS sig_braces,
+      |    (1000 * n_stmt >= 10 * n_chars) AS sig_stmt,
+      |    (1000 * n_ident >= 5 * n_chars) AS sig_ident,
+      |    (10 * n_indented >= 2 * n_lines) AS sig_indent
+      |  FROM c)
+      |SELECT doc_id, n_chars, n_braces, n_stmt, n_ident, n_lines,
+      |  n_indented, sig_braces, sig_stmt, sig_ident, sig_indent,
+      |  (CASE WHEN sig_braces THEN 1 ELSE 0 END
+      |   + CASE WHEN sig_stmt THEN 1 ELSE 0 END
+      |   + CASE WHEN sig_ident THEN 1 ELSE 0 END
+      |   + CASE WHEN sig_indent THEN 1 ELSE 0 END) AS n_votes,
+      |  (CASE WHEN sig_braces THEN 1 ELSE 0 END
+      |   + CASE WHEN sig_stmt THEN 1 ELSE 0 END
+      |   + CASE WHEN sig_ident THEN 1 ELSE 0 END
+      |   + CASE WHEN sig_indent THEN 1 ELSE 0 END) >= 2 AS is_code
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  val gopherFilterOracle: String = {
+    val stopHits = gopherStops.map(sw =>
+      s"CASE WHEN regexp_matches(text, '\\b$sw\\b') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_words,
+       |    CAST(length(regexp_replace(text, '[ \\t\\n\\f\\r]+', '', 'g'))
+       |      AS BIGINT) AS n_word_chars,
+       |    CAST(len(regexp_extract_all(text, '#'))
+       |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+       |      AS n_symbols,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      t -> NOT regexp_matches(t, '[a-zA-Z]'))) AS BIGINT)
+       |      AS n_nonalpha_words,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT)
+       |      AS n_bullet_lines,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      l -> regexp_matches(l, '\\.\\.\\.$$'))) AS BIGINT)
+       |      AS n_ellipsis_lines,
+       |    CAST($stopHits AS BIGINT) AS n_stop_present
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT *,
+       |  (pass_words AND pass_mean_len AND pass_symbols AND pass_alpha
+       |   AND pass_bullets AND pass_ellipsis AND pass_stops) AS keep
+       |FROM (
+       |  SELECT doc_id, n_words, n_word_chars, n_symbols,
+       |    n_nonalpha_words, n_lines, n_bullet_lines, n_ellipsis_lines,
+       |    n_stop_present,
+       |    (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
+       |      AS pass_words,
+       |    (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+       |      AS pass_mean_len,
+       |    (10 * n_symbols <= n_words) AS pass_symbols,
+       |    (10 * n_nonalpha_words <= 2 * n_words) AS pass_alpha,
+       |    (10 * n_bullet_lines <= 9 * n_lines) AS pass_bullets,
+       |    (10 * n_ellipsis_lines <= 3 * n_lines) AS pass_ellipsis,
+       |    (n_stop_present >= $GopherMinStopHits) AS pass_stops
+       |  FROM c)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

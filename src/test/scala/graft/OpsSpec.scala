@@ -2982,4 +2982,250 @@ class OpsSpec extends AnyFunSuite {
     assert(sg.getAs[Long]("n_days") == 1L &&
       sg.isNullAt(sg.fieldIndex("fano")))
   }
+
+  test("tx37: each Gopher rule fires on its planted violator and only there") {
+    val goodText = "the cat and dog have fun with all of that " +
+      "be cause words keep flowing here nicely ok then" // 19 words, all alpha
+    val docs = Seq(
+      (1L, goodText),
+      (2L, "too short to pass"),                       // words rule
+      (3L, goodText + " ### ... ### ... #"),           // symbols rule
+      (4L, goodText + " 111 222 333 444 555"),         // alpha rule (5/24 > 2/10)
+      (5L, "- one\n- two\n- three"),                   // bullets (3/3 > 9/10)
+      (6L, "xyz qrs tuv wxy zab cde fgh ijk lmn opq rst uvw"))  // stops
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextStats.gopherFilterOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("pass_words") &&
+      got(2L).getAs[Long]("n_words") == 4L)
+    // "###" counts 3 single-# matches; 2 ellipses + 7 hashes = 9
+    assert(!got(3L).getAs[Boolean]("pass_symbols") &&
+      got(3L).getAs[Long]("n_symbols") == 9L)
+    assert(!got(4L).getAs[Boolean]("pass_alpha") &&
+      got(4L).getAs[Long]("n_nonalpha_words") == 5L)
+    assert(!got(5L).getAs[Boolean]("pass_bullets") &&
+      got(5L).getAs[Long]("n_bullet_lines") == 3L &&
+      got(5L).getAs[Long]("n_lines") == 3L)
+    assert(!got(6L).getAs[Boolean]("pass_stops") &&
+      got(6L).getAs[Long]("n_stop_present") == 0L)
+    assert(got.values.count(_.getAs[Boolean]("keep")) == 1)
+  }
+
+  test("dq8: constant column reads zero entropy, uniform 4-way reads exactly 2000 mbits, nulls bucket") {
+    import java.sql.Timestamp
+    val rows = (0 until 8).map { i =>
+      (i.toLong, Timestamp.valueOf("2024-01-01 00:00:00"), (i % 4).toLong,
+        "view", if (i < 2) Double.NaN else 10.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("value",
+        when(isnan(col("value")), lit(null)).otherwise(col("value")))
+    val got = graft.ops.Profile.entropyProfileOf(rows).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    val et = got("event_type")
+    assert(et.getAs[Long]("n_distinct") == 1L &&
+      et.getAs[Long]("h_mbits") == 0L &&
+      et.getAs[Long]("top_share_bp") == 10000L)
+    // 4 values × 2 rows: sbits = len(bin(8 div 2)) − 1 = 2 → 2000 mbits
+    val uid = got("user_id")
+    assert(uid.getAs[Long]("n_distinct") == 4L &&
+      uid.getAs[Long]("h_mbits") == 2000L)
+    // nulls form their own bucket: {∅×2, 10$×6} → 2 distinct
+    val vu = got("value_usd")
+    assert(vu.getAs[Long]("n_distinct") == 2L &&
+      vu.getAs[Long]("n_rows") == 8L)
+  }
+
+  test("mm15: crest² is the exact rational, dyn_bits recomputes from its own columns, accounting holds") {
+    val got = graft.ops.Multimodal.audioDynamicsQuery(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (peak, n, e) = (r.getAs[Long]("peak"), r.getAs[Long]("n_samples"),
+        r.getAs[Long]("energy"))
+      assert(r.getAs[Long]("crest2_num") == peak * peak * n)
+      assert(r.getAs[Double]("crest2") == (peak * peak * n).toDouble / e)
+      assert(r.getAs[Long]("n_full_frames") <= r.getAs[Long]("n_frames"))
+      if (!r.isNullAt(r.fieldIndex("dyn_bits"))) {
+        val ratio = r.getAs[Long]("max_frame_energy") /
+          math.max(1L, r.getAs[Long]("min_frame_energy"))
+        assert(r.getAs[Long]("dyn_bits") ==
+          (63 - java.lang.Long.numberOfLeadingZeros(ratio)))
+      }
+    }
+  }
+
+  test("a31: monotone trend reads two runs and flags; short alternation doesn't; constant series drops out") {
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, day: Int, n: Int) =
+      (0 until n).map(k => (id + k, Timestamp.valueOf(
+        f"2024-01-${day + 1}%02d 00:00:00"), 1L, t, 1.0, "{}"))
+    val trend = (0 until 10).flatMap(d => ev(d * 100L, "trend", d, d + 1))
+    // counts 1,9,2,8,3,7,4,6 → med 4 (lower middle), day 6 drops
+    val altCounts = Seq(1, 9, 2, 8, 3, 7, 4, 6)
+    val alt = altCounts.zipWithIndex.flatMap { case (n, d) =>
+      ev(10000L + d * 100L, "alt", d, n) }
+    val const = (0 until 6).flatMap(d => ev(50000L + d * 100L, "const", d, 3))
+    val rows = (trend ++ alt ++ const)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.runsTestOf(rows).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // trend: med=5 drops its day; signs 0000 11111 → R=2, flagged
+    val tr = got("trend")
+    assert(tr.getAs[Long]("n") == 9L && tr.getAs[Long]("n1") == 5L &&
+      tr.getAs[Long]("r") == 2L &&
+      tr.getAs[Long]("nonrandom_05") == 1L)
+    // alt: signs 0,1,0,1,0,1,1 → R=6, n=7 — not extreme enough at α=.05
+    val al = got("alt")
+    assert(al.getAs[Long]("n") == 7L && al.getAs[Long]("n1") == 4L &&
+      al.getAs[Long]("n2") == 3L && al.getAs[Long]("r") == 6L &&
+      al.getAs[Long]("nonrandom_05") == 0L)
+    // constant series: every day equals the median → no surviving rows
+    assert(!got.contains("const"))
+  }
+
+  test("dq9: interior hole counts exactly; edge buckets audit against observed bounds") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // bucket 0: complete from its observed start; bucket 1: 5 ids
+    // removed; bucket 2: hi edge, complete to its observed end
+    val ids = (0L until 4096L) ++
+      (4096L until 8192L).filterNot(i => i >= 5000L && i < 5005L) ++
+      (8192L until 8292L)
+    val rows = ids.map(i => (i, ts, 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Profile.idGapAuditOf(rows).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(got(0L).getAs[Long]("n_missing") == 0L)
+    assert(got(1L).getAs[Long]("n_missing") == 5L &&
+      got(1L).getAs[Long]("span_lo") == 4096L &&
+      got(1L).getAs[Long]("span_hi") == 8191L)
+    assert(got(2L).getAs[Long]("n_missing") == 0L &&
+      got(2L).getAs[Long]("span_hi") == 8291L)
+  }
+
+  test("tx38: planted code votes its signals, prose votes none, signals are independent") {
+    val code =
+      """def f(x):
+        |    y = x * 2;
+        |    return {"someKey": my_val}
+        |    # camelCase and snake_case here
+        |""".stripMargin
+    val prose = "the quick brown fox jumps over a lazy dog and keeps " +
+      "running through fields of tall grass toward the river"
+    val docs = Seq((1L, code), (2L, prose))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextStats.codeDetectOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val c = got(1L)
+    assert(c.getAs[Boolean]("is_code") && c.getAs[Long]("n_votes") >= 2L)
+    assert(c.getAs[Boolean]("sig_braces") && c.getAs[Boolean]("sig_stmt") &&
+      c.getAs[Boolean]("sig_indent"))
+    val p = got(2L)
+    assert(!p.getAs[Boolean]("is_code") && p.getAs[Long]("n_votes") == 0L)
+  }
+
+  test("w18: DAU/MAU prices exactly per month; months independent") {
+    import java.sql.Timestamp
+    def ev(id: Long, day: String, u: Long) =
+      (id, Timestamp.valueOf(s"$day 10:00:00"), u, "view", 1.0, "{}")
+    val rows = Seq(
+      ev(1, "2024-01-01", 1L), ev(2, "2024-01-01", 2L),
+      ev(3, "2024-01-01", 3L), ev(4, "2024-01-01", 3L), // dup user same day
+      ev(5, "2024-01-02", 2L), ev(6, "2024-01-02", 3L),
+      ev(7, "2024-02-05", 9L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.stickinessOf(rows).collect()
+      .map(r => r.getAs[String]("month") -> r).toMap
+    val jan = got("2024-01")
+    // dau: 3 + 2 = 5; mau 3; n_days 2 → 5000 div 6 = 833; 5/6 exact
+    assert(jan.getAs[Long]("sum_dau") == 5L && jan.getAs[Long]("mau") == 3L)
+    assert(jan.getAs[Long]("stickiness_pm") == 833L)
+    assert(jan.getAs[Double]("stickiness") == 5.0 / 6.0)
+    val feb = got("2024-02")
+    assert(feb.getAs[Long]("stickiness_pm") == 1000L)
+  }
+
+  test("dq10: replayed content under fresh ids counts as excess; unique content doesn't") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows = Seq(
+      (1L, ts, 1L, "view", 5.0, "{}"),
+      (2L, ts, 1L, "view", 5.0, "{}"),      // replay: same content, new id
+      (3L, ts, 1L, "view", 5.0, "{}"),      // triple ingest
+      (4L, ts, 2L, "view", 5.0, "{}"),      // different user → unique
+      (5L, ts, 1L, "click", 5.0, "{}"))     // different type → unique
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Profile.dupRowAuditOf(rows).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_rows") == 5L && r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("n_dup_groups") == 1L &&
+      r.getAs[Long]("n_excess_rows") == 2L &&
+      r.getAs[Long]("max_multiplicity") == 3L)
+    assert(r.getAs[Long]("excess_bp") == 4000L)
+  }
+
+  test("sim10: identical-direction halves read cos 1, orthogonal read 0, missing half reads NULL") {
+    // label 0: [1,0] (even id) vs [2,0] (odd) → same direction → 1.0
+    // label 1: [1,0] vs [0,1] → orthogonal → 0.0
+    // label 2: even id only → NULL drift, n_b = 0
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(2.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 1), (3L, Seq(0.0f, 1.0f), 1),
+      (4L, Seq(3.0f, 4.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.centroidDriftOf(emb).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    assert(got(0).getAs[Double]("cos_drift") == 1.0)
+    assert(got(1).getAs[Double]("cos_drift") == 0.0)
+    assert(got(2).isNullAt(got(2).fieldIndex("cos_drift")) &&
+      got(2).getAs[Long]("n_a") == 1L && got(2).getAs[Long]("n_b") == 0L)
+  }
+
+  test("ord3: docs land whole in one batch, budgets bound every batch, tokens conserve") {
+    // words per doc: 3 and 5-token docs (buckets 2 and 3) at budget 8
+    val docs = (1L to 8L).map(i =>
+      (i, if (i <= 4) "a b c" else "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Sampling.packedBatchesOf(docs, 2, budget = 8L)
+      .collect()
+    assert(got.length == 8)
+    assert(got.map(_.getAs[Long]("doc_id")).distinct.length == 8)
+    val byBatch = got.groupBy(r =>
+      (r.getAs[Long]("bucket"), r.getAs[Long]("batch")))
+    byBatch.foreach { case ((_, _), rows) =>
+      val toks = rows.map(_.getAs[Long]("n_tokens")).sum
+      assert(rows.forall(_.getAs[Long]("batch_tokens") == toks))
+      assert(rows.forall(_.getAs[Long]("batch_docs") == rows.length))
+      // first-fit bound: within one doc of the budget
+      val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
+      assert(toks <= 8L + maxDoc)
+    }
+    // bucket 2 = 3-token docs (bin(3)='11'): 4 docs × 3 = 12 tokens
+    // → batches of cum 0,3,6 | 9 → two batches
+    val b2 = got.filter(_.getAs[Long]("bucket") == 2L)
+    assert(b2.length == 4 &&
+      b2.map(_.getAs[Long]("batch")).distinct.sorted.toSeq == Seq(0L, 1L))
+  }
+
+  test("w19: early-stopping users churn against the corpus end; cohorts key on first month") {
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, day: String) =
+      (id, Timestamp.valueOf(s"$day 10:00:00"), u, "view", 1.0, "{}")
+    val rows = Seq(
+      ev(1, 1L, "2024-01-01"), ev(2, 1L, "2024-03-30"), // active to end
+      ev(3, 2L, "2024-01-05"),                          // churned (jan)
+      ev(4, 3L, "2024-02-10"), ev(5, 3L, "2024-03-25"), // within horizon
+      ev(6, 4L, "2024-03-30"))                          // feb?? no — mar cohort
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.churnCohortsOf(rows).collect()
+      .map(r => r.getAs[String]("cohort") -> r).toMap
+    // end_day = 2024-03-30; horizon 7 → churned iff last < 03-23
+    val jan = got("2024-01")
+    assert(jan.getAs[Long]("n_users") == 2L &&
+      jan.getAs[Long]("n_churned") == 1L &&
+      jan.getAs[Long]("churn_bp") == 5000L)
+    assert(got("2024-02").getAs[Long]("n_churned") == 0L)
+    assert(got("2024-03").getAs[Long]("n_users") == 1L)
+  }
 }

@@ -801,6 +801,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("ord3 packed batches: token offsets come from the prefix sum; batch stats window keys on (bucket, batch)") {
+    val p = plan("ord3_packed_batches")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-bucket packing must not globally sort:\n${p.take(2000)}")
+    assert(p.contains("rangepartitioning"),
+      "PrefixSum range partitioning missing")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"batch-stats window must key on (bucket, batch):\n${p.take(2000)}")
+  }
+
+  test("sim10 centroid drift: the materialized half-sum table absorbs both join sides — one corpus scan") {
+    val p = plan("sim10_centroid_drift")
+    assert("FileScan parquet".r.findAllIn(p).size <= 1,
+      s"half-vs-half join must not replay the explode:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("a31 runs test: rank and sign windows key on event_type; the materialized day series absorbs the forks") {
+    val p = plan("a31_runs_test")
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    assert(p.contains("hashpartitioning(event_type"),
+      s"windows must key on event_type:\n${p.take(2000)}")
+    assert("FileScan parquet".r.findAllIn(p).size <= 1,
+      s"median/sign forks must read the materialized series:\n${p.take(2500)}")
+  }
+
   test("g8 modularity: endpoint label joins stay keyed or broadcast; only 1-row plans nested-loop") {
     val p = plan("g8_label_modularity")
     assert(!p.contains("CartesianProduct"), p.take(2000))
