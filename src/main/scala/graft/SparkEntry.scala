@@ -267,6 +267,10 @@ object SparkEntry {
     "sim10_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d)),
     "ord3_packed_batches" -> (graft.ops.Sampling.packedBatches _),
     "w19_churn_cohorts" -> (Analytics.churnCohorts _),
+    "dd21_df_spectrum" -> (Dedup.dfSpectrum _),
+    "dq11_id_time_alignment" -> ((s, d) =>
+      graft.ops.Profile.idTimeAlignment(s, d)),
+    "w20_active_days" -> (Analytics.activeDays _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -849,5 +853,8 @@ object SparkEntry {
     "sim10_centroid_drift" -> Similarity.centroidDriftOracle,
     "ord3_packed_batches" -> graft.ops.Sampling.packedBatchesOracle,
     "w19_churn_cohorts" -> Analytics.churnCohortsOracle,
+    "dd21_df_spectrum" -> Dedup.dfSpectrumOracle,
+    "dq11_id_time_alignment" -> graft.ops.Profile.idTimeAlignmentOracle,
+    "w20_active_days" -> Analytics.activeDaysOracle,
   )
 }

@@ -2193,6 +2193,58 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** w20 — ACTIVE-DAYS histogram: users bucketed by how many distinct
+    * days they were active — the engagement-DEPTH distribution behind
+    * w18's month-level ratio (the same stickiness can hide "everyone
+    * comes twice" or "a core lives here daily"; this is the curve).
+    * Per active-day count: users, their share in exact basis points,
+    * and the event mass they carry. Exact integers end to end.
+    * Shape: one (user, day) distinct → one user rollup → one
+    * O(days)-key histogram, each partial-aggregable, + a 1-row
+    * broadcast for shares. */
+  def activeDays(s: SparkSession, d: String): DataFrame =
+    activeDaysOf(Tables.events(s, d))
+
+  /** [[activeDays]] over an explicit events frame. */
+  def activeDaysOf(events: DataFrame): DataFrame = {
+    val perUser = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("active_days"), sum(col("n_events")).as("m"))
+    val hist = perUser.groupBy("active_days")
+      .agg(count(lit(1)).as("n_users"), sum(col("m")).as("n_events"))
+    val tot = hist.agg(sum(col("n_users")).as("t_users"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("active_days"), col("n_users"), col("n_events"),
+        expr("(10000 * n_users) div t_users").as("user_share_bp"))
+      .orderBy("active_days")
+  }
+
+  val activeDaysOracle: String =
+    """WITH pd AS (
+      |  SELECT user_id,
+      |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS day,
+      |         count(*) AS n_events
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY 1, 2),
+      |pu AS (
+      |  SELECT user_id, count(*) AS active_days,
+      |         CAST(sum(n_events) AS BIGINT) AS m
+      |  FROM pd GROUP BY 1),
+      |hist AS (
+      |  SELECT active_days, count(*) AS n_users,
+      |         CAST(sum(m) AS BIGINT) AS n_events
+      |  FROM pu GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS t_users FROM hist)
+      |SELECT active_days, n_users, n_events,
+      |       (10000 * n_users) // t_users AS user_share_bp
+      |FROM hist CROSS JOIN t ORDER BY active_days""".stripMargin
+
   /** Inactivity horizon for [[churnCohorts]]: a user whose last
     * activity is more than this many days before the corpus's last
     * day counts as churned. */

@@ -1045,6 +1045,67 @@ object Dedup {
        |FROM hist CROSS JOIN tot
        |ORDER BY cluster_size""".stripMargin
 
+  /** dd21 — shingle document-frequency SPECTRUM: the df histogram of
+    * distinct 3-gram shingles in bit-length buckets (df 1, 2–3, 4–7,
+    * …) with each bucket's share of distinct shingles AND of
+    * occurrence mass. This is the one-page answer to "how
+    * boilerplate-heavy is this corpus": a healthy long tail puts most
+    * DISTINCT shingles at df=1 while a boilerplate infestation moves
+    * occurrence MASS into the high-df buckets — and it is the
+    * evidence behind choosing tx16's df-prune threshold and dd4's
+    * inverted-index feasibility (Σ df² is readable off the spectrum).
+    * Shape: one explode + one shingle-keyed aggregation (map-side
+    * partials) + one O(64)-bucket rollup + a 1-row broadcast. Exact
+    * integers; shares in basis points. */
+  def dfSpectrum(s: SparkSession, d: String): DataFrame =
+    dfSpectrumOf(Tables.documents(s, d))
+
+  /** [[dfSpectrum]] over an explicit documents frame. */
+  def dfSpectrumOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Functions.md5Hash60
+    val df = docs
+      .select(explode(TextStats.shingles(col("text"), 3)).as("sh"))
+      .select(md5Hash60(col("sh"), 0).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val hist = df
+      .groupBy(length(bin(col("df"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("mass"),
+        max(col("df")).as("max_df"))
+    val tot = hist.agg(sum(col("n_shingles")).as("t_sh"),
+      sum(col("mass")).as("t_mass"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_shingles"), col("mass"), col("max_df"),
+        expr("(10000 * n_shingles) div t_sh").as("shingle_share_bp"),
+        expr("(10000 * mass) div t_mass").as("mass_share_bp"))
+      .orderBy("bucket")
+  }
+
+  val dfSpectrumOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |sdoc AS (SELECT doc_id,
+      |  CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+      |    generate_series(1, len(ws) - 2),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |  ELSE [] END AS sh FROM w),
+      |dfr AS (
+      |  SELECT ('0x' || substr(md5('0' || ':' || u), 1, 15))::BIGINT AS h,
+      |         count(*) AS df
+      |  FROM (SELECT doc_id, unnest(sh) AS u FROM sdoc) GROUP BY 1),
+      |hist AS (
+      |  SELECT CAST(length(bin(df)) AS BIGINT) AS bucket,
+      |         count(*) AS n_shingles,
+      |         CAST(sum(df) AS BIGINT) AS mass,
+      |         CAST(max(df) AS BIGINT) AS max_df
+      |  FROM dfr GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_shingles) AS BIGINT) AS t_sh,
+      |               CAST(sum(mass) AS BIGINT) AS t_mass FROM hist)
+      |SELECT bucket, n_shingles, mass, max_df,
+      |  (10000 * n_shingles) // t_sh AS shingle_share_bp,
+      |  (10000 * mass) // t_mass AS mass_share_bp
+      |FROM hist CROSS JOIN tot ORDER BY bucket""".stripMargin
+
   /** dd12 — cluster SURVIVOR selection (dedup with best-copy
     * survivorship): one row per near-dup cluster, keeping the
     * highest-quality member — longest document by n_chars, ties to the

@@ -987,6 +987,74 @@ object Profile {
       |    AS BIGINT)) // CAST(sum(m) AS BIGINT) AS excess_bp
       |FROM g GROUP BY day ORDER BY day""".stripMargin
 
+  /** dq11 — id/time ALIGNMENT audit: are surrogate ids assigned in
+    * event-time order? Per dq9-style id-range bucket, the exact
+    * second-truncated time span, plus the overlap flag against the
+    * PREVIOUS bucket's span (an overlap means ids in this range were
+    * minted while earlier-range events were still arriving — the
+    * out-of-order-ingest signal that breaks naive "resume from max
+    * id" incremental consumers, exactly the assumption a1/T2's
+    * watermark pattern exists to avoid trusting). The global overlap
+    * count rides every row. Shape: one keyed aggregation over the
+    * scan; the lag window and rollup run on the MATERIALIZED
+    * O(buckets) series (the dq7 fork rule). */
+  def idTimeAlignment(s: SparkSession, d: String): DataFrame =
+    idTimeAlignmentOf(Tables.events(s, d))
+
+  /** [[idTimeAlignment]] over an explicit events frame. */
+  def idTimeAlignmentOf(events: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = Materialize(events
+      .filter(col("event_id").isNotNull && col("ts").isNotNull)
+      .groupBy(expr(s"event_id div $IdGapBucket").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(unix_timestamp(date_trunc("second", col("ts"))))
+          .as("ts_min_sec"),
+        max(unix_timestamp(date_trunc("second", col("ts"))))
+          .as("ts_max_sec")), mode, "idtime_buckets")
+    val w = Window.orderBy("bucket")
+    val flagged = buckets
+      .withColumn("prev_max_sec", lag(col("ts_max_sec"), 1).over(w))
+      .withColumn("overlap",
+        when(col("prev_max_sec").isNotNull,
+          when(col("ts_min_sec") < col("prev_max_sec"), 1L).otherwise(0L)))
+    val tot = flagged.agg(
+      coalesce(sum(col("overlap")), lit(0L)).as("n_overlaps"))
+    flagged.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("ts_min_sec"),
+        col("ts_max_sec"), col("prev_max_sec"), col("overlap"),
+        col("n_overlaps"))
+      .orderBy("bucket")
+  }
+
+  // lazy: interpolates IdGapBucket, which is declared later in this
+  // object — a strict val would capture 0 at initialization
+  lazy val idTimeAlignmentOracle: String =
+    s"""WITH b AS (
+       |  SELECT event_id // $IdGapBucket AS bucket, count(*) AS n,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+       |  FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+       |  GROUP BY 1, date_trunc('second', ts)),
+       |agg AS (
+       |  SELECT bucket, CAST(sum(n) AS BIGINT) AS n,
+       |         min(sec) AS ts_min_sec, max(sec) AS ts_max_sec
+       |  FROM b GROUP BY 1),
+       |f AS (
+       |  SELECT *, lag(ts_max_sec) OVER (ORDER BY bucket) AS prev_max_sec
+       |  FROM agg),
+       |fl AS (
+       |  SELECT *,
+       |    CASE WHEN prev_max_sec IS NOT NULL THEN
+       |      CASE WHEN ts_min_sec < prev_max_sec THEN 1 ELSE 0 END
+       |    END AS overlap
+       |  FROM f),
+       |t AS (SELECT CAST(coalesce(sum(overlap), 0) AS BIGINT)
+       |        AS n_overlaps FROM fl)
+       |SELECT bucket, n, ts_min_sec, ts_max_sec, prev_max_sec, overlap,
+       |       n_overlaps
+       |FROM fl CROSS JOIN t ORDER BY bucket""".stripMargin
+
   /** Id-range bucket width for [[idGapAudit]]. */
   val IdGapBucket = 4096L
 

@@ -3228,4 +3228,58 @@ class OpsSpec extends AnyFunSuite {
     assert(got("2024-02").getAs[Long]("n_churned") == 0L)
     assert(got("2024-03").getAs[Long]("n_users") == 1L)
   }
+
+  test("dd21: planted df spectrum buckets by bit length; distinct-share and mass-share diverge on boilerplate") {
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles {a b c, b c d}
+      (2L, "a b c x"),   // {a b c, b c x}
+      (3L, "a b c y"))   // {a b c, b c y}
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.dfSpectrumOf(docs).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    // df=1 ×3 shingles → bucket 1; df=3 ("a b c") → bucket 2
+    assert(got(1L).getAs[Long]("n_shingles") == 3L &&
+      got(1L).getAs[Long]("mass") == 3L)
+    assert(got(2L).getAs[Long]("n_shingles") == 1L &&
+      got(2L).getAs[Long]("mass") == 3L &&
+      got(2L).getAs[Long]("max_df") == 3L)
+    assert(got(1L).getAs[Long]("shingle_share_bp") == 7500L &&
+      got(1L).getAs[Long]("mass_share_bp") == 5000L)
+    assert(got.keySet == Set(1L, 2L))
+  }
+
+  test("dq11: a bucket minted before the previous range drained flags overlap; aligned buckets don't") {
+    import java.sql.Timestamp
+    def ev(id: Long, sec: Long) =
+      (id, new Timestamp(sec * 1000L), 1L, "view", 1.0, "{}")
+    val rows = (Seq(ev(0L, 0L), ev(10L, 100L)) ++          // bucket 0: [0,100]
+      Seq(ev(4096L, 50L), ev(4100L, 150L)) ++              // bucket 1: [50,150] overlaps
+      Seq(ev(8192L, 200L), ev(8200L, 300L)))               // bucket 2: [200,300] clean
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Profile.idTimeAlignmentOf(rows).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(got(0L).isNullAt(got(0L).fieldIndex("overlap")))
+    assert(got(1L).getAs[Long]("overlap") == 1L &&
+      got(1L).getAs[Long]("prev_max_sec") == 100L)
+    assert(got(2L).getAs[Long]("overlap") == 0L)
+    assert(got.values.forall(_.getAs[Long]("n_overlaps") == 1L))
+  }
+
+  test("w20: active-day counts histogram users exactly with truncated shares") {
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, day: String) =
+      (id, Timestamp.valueOf(s"$day 10:00:00"), u, "view", 1.0, "{}")
+    val rows = Seq(
+      ev(1, 1L, "2024-01-01"), ev(2, 1L, "2024-01-01"), ev(3, 1L, "2024-01-01"),
+      ev(4, 2L, "2024-01-01"), ev(5, 2L, "2024-01-02"),
+      ev(6, 3L, "2024-01-03"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.activeDaysOf(rows).collect()
+      .map(r => r.getAs[Long]("active_days") -> r).toMap
+    assert(got(1L).getAs[Long]("n_users") == 2L &&
+      got(1L).getAs[Long]("n_events") == 4L &&
+      got(1L).getAs[Long]("user_share_bp") == 6666L)
+    assert(got(2L).getAs[Long]("n_users") == 1L &&
+      got(2L).getAs[Long]("user_share_bp") == 3333L)
+  }
 }
