@@ -271,6 +271,8 @@ object SparkEntry {
     "dq11_id_time_alignment" -> ((s, d) =>
       graft.ops.Profile.idTimeAlignment(s, d)),
     "w20_active_days" -> (Analytics.activeDays _),
+    "g10_knn_label_mix" -> (graft.ops.Graph.knnLabelMix _),
+    "w21_new_returning" -> ((s, d) => Analytics.newVsReturning(s, d)),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -856,5 +858,7 @@ object SparkEntry {
     "dd21_df_spectrum" -> Dedup.dfSpectrumOracle,
     "dq11_id_time_alignment" -> graft.ops.Profile.idTimeAlignmentOracle,
     "w20_active_days" -> Analytics.activeDaysOracle,
+    "g10_knn_label_mix" -> graft.ops.Graph.knnLabelMixOracle(),
+    "w21_new_returning" -> Analytics.newVsReturningOracle,
   )
 }

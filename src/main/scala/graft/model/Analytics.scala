@@ -2193,6 +2193,63 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** w21 — NEW vs RETURNING daily mix: per day the active users split
+    * by whether this is their first-ever day — the growth-accounting
+    * curve (is the feed growing by acquisition or by retention?) and,
+    * on a data pipeline, the contributor-mix probe behind w19's churn
+    * (a corpus whose daily mix tilts new is drifting toward whatever
+    * the new cohort writes). Exactness: the (user, day) distinct and
+    * the per-user first day are exact keyed aggregations; new = users
+    * whose min-day equals the day, returning = active − new; shares
+    * in basis points. The (user, day) table is materialized once —
+    * it feeds both the first-day rollup and the daily-active rollup
+    * (the a29/dq7 fork rule; Storage mode at warehouse scale). */
+  def newVsReturning(s: SparkSession, d: String): DataFrame =
+    newVsReturningOf(Tables.events(s, d))
+
+  /** [[newVsReturning]] over an explicit events frame. */
+  def newVsReturningOf(events: DataFrame,
+      mode: graft.ops.Materialize.Mode = graft.ops.Materialize.Local)
+      : DataFrame = {
+    val ud = graft.ops.Materialize(events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .distinct(), mode, "user_days")
+    val newPerDay = ud.groupBy("user_id")
+      .agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val activePerDay = ud.groupBy("day")
+      .agg(count(lit(1)).as("active_users"))
+    activePerDay.join(newPerDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("returning_users",
+        col("active_users") - col("new_users"))
+      .withColumn("new_share_bp",
+        expr("(10000 * new_users) div active_users"))
+      .orderBy("day")
+  }
+
+  val newVsReturningOracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS day
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |npd AS (
+      |  SELECT day, count(*) AS new_users FROM (
+      |    SELECT user_id, min(day) AS day FROM ud GROUP BY user_id)
+      |  GROUP BY day),
+      |apd AS (SELECT day, count(*) AS active_users FROM ud GROUP BY day)
+      |SELECT a.day, a.active_users,
+      |  coalesce(n.new_users, 0) AS new_users,
+      |  a.active_users - coalesce(n.new_users, 0) AS returning_users,
+      |  (10000 * coalesce(n.new_users, 0)) // a.active_users
+      |    AS new_share_bp
+      |FROM apd a LEFT JOIN npd n ON a.day = n.day
+      |ORDER BY a.day""".stripMargin
+
   /** w20 — ACTIVE-DAYS histogram: users bucketed by how many distinct
     * days they were active — the engagement-DEPTH distribution behind
     * w18's month-level ratio (the same stickiness can hide "everyone
@@ -2215,8 +2272,12 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("active_days"), sum(col("n_events")).as("m"))
-    val hist = perUser.groupBy("active_days")
-      .agg(count(lit(1)).as("n_users"), sum(col("m")).as("n_events"))
+    // O(days)-key histogram feeds the share denominator and the output
+    // — materialize or both forks replay the two-level user aggregation
+    val hist = graft.ops.Materialize(
+      perUser.groupBy("active_days")
+        .agg(count(lit(1)).as("n_users"), sum(col("m")).as("n_events")),
+      graft.ops.Materialize.Local, "active_days_hist")
     val tot = hist.agg(sum(col("n_users")).as("t_users"))
     hist.crossJoin(broadcast(tot))
       .select(col("active_days"), col("n_users"), col("n_events"),

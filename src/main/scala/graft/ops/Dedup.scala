@@ -1003,9 +1003,12 @@ object Dedup {
     val per = dedupClustersUnsorted(s, d, mode)
       .groupBy("cluster_id")
       .agg(max(col("cluster_size")).as("cluster_size"))
-    val hist = per.groupBy("cluster_size")
+    // O(sizes)-row histogram feeds the summary AND the output — a
+    // fork here would replay the whole dd7 clustering pipeline
+    val hist = Materialize(per.groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"))
-      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters")),
+      mode, "cluster_hist")
     val tot = hist.agg(sum(col("n_docs")).as("total_docs"),
       max(col("cluster_size")).as("giant_size"),
       coalesce(sum(when(col("cluster_size") > 1L,
@@ -1067,10 +1070,13 @@ object Dedup {
       .select(explode(TextStats.shingles(col("text"), 3)).as("sh"))
       .select(md5Hash60(col("sh"), 0).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
-    val hist = df
+    // O(64)-row histogram feeds the totals AND the output — without a
+    // materialization each fork replays the shingle explode
+    val hist = Materialize(df
       .groupBy(length(bin(col("df"))).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("mass"),
-        max(col("df")).as("max_df"))
+        max(col("df")).as("max_df")),
+      Materialize.Local, "df_spectrum")
     val tot = hist.agg(sum(col("n_shingles")).as("t_sh"),
       sum(col("mass")).as("t_mass"))
     hist.crossJoin(broadcast(tot))

@@ -585,7 +585,9 @@ object Eval {
       greatest(least(col("pred_cents"), lit(49999L)), lit(0L)).as("c"),
       when(col("event_type").isin("purchase", "signup"), 1L)
         .otherwise(0L).as("y"))
-    val bins = sc
+    // ≤10-row bin table feeds the ECE/MCE rollup and the output —
+    // materialize once or both forks rescan the scored events
+    val bins = Materialize(sc
       .groupBy(expr("c div 5000").as("bin"))
       .agg(count(lit(1)).as("n_bin"), sum(col("y")).as("pos_bin"),
         sum(col("c")).as("sum_c"))
@@ -593,7 +595,8 @@ object Eval {
         abs(lit(50000L) * col("pos_bin") - col("sum_c")))
       .withColumn("bin_gap",
         col("gap_num").cast("double") /
-          (lit(50000d) * col("n_bin").cast("double")))
+          (lit(50000d) * col("n_bin").cast("double"))),
+      Materialize.Local, "cal_bins")
     val tot = bins.agg(sum(col("n_bin")).as("n"),
       sum(col("gap_num")).as("ece_num"),
       max(col("bin_gap")).as("mce"))

@@ -720,4 +720,68 @@ object Graph {
        |SELECT degree, n_nodes, (10000 * n_nodes) // n_total AS share_bp,
        |       deg_mass
        |FROM h CROSS JOIN t ORDER BY degree""".stripMargin
+
+  /** g10 — label-MIX matrix over the kNN graph: per unordered label
+    * pair, how many undirected kNN edges connect them, with
+    * basis-point shares — the per-pair breakdown of the mixing g8's
+    * modularity collapses to one scalar (WHICH labels are entangled
+    * in embedding space, the confusion structure a probe classifier
+    * will inherit; sim5's centroid-pair cosine sees the centers,
+    * this sees the boundary traffic). Off-diagonal mass concentrated
+    * on one pair = a label-merge candidate; uniform off-diagonal = a
+    * weak embedding.
+    *
+    * Shape: the kNN edge list canonicalized to undirected (the g8
+    * rule), two keyed label joins, one O(labels²) aggregation + a
+    * 1-row broadcast. Exact integers; within flag per row. */
+  def knnLabelMix(s: SparkSession, d: String): DataFrame =
+    knnLabelMixOf(Tables.embeddings(s, d))
+
+  /** [[knnLabelMix]] over an explicit embeddings frame. */
+  def knnLabelMixOf(emb: DataFrame): DataFrame = {
+    val und = Similarity.knnGraphOf(emb)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val labels = emb.select(col("vec_id"),
+      col("label").cast("long").as("lab"))
+    // O(labels²) matrix feeds both the total and the output — one
+    // materialization or the share denominator replays the kNN build
+    val mix = Materialize(und
+      .join(labels.select(col("vec_id").as("u"), col("lab").as("lu")), "u")
+      .join(labels.select(col("vec_id").as("v"), col("lab").as("lv")), "v")
+      .groupBy(least(col("lu"), col("lv")).as("label_a"),
+        greatest(col("lu"), col("lv")).as("label_b"))
+      .agg(count(lit(1)).as("n_edges")),
+      Materialize.Local, "label_mix")
+    val tot = mix.agg(sum(col("n_edges")).as("t_edges"))
+    mix.crossJoin(broadcast(tot))
+      .select(col("label_a"), col("label_b"), col("n_edges"),
+        when(col("label_a") === col("label_b"), 1L).otherwise(0L)
+          .as("within"),
+        expr("(10000 * n_edges) div t_edges").as("share_bp"))
+      .orderBy("label_a", "label_b")
+  }
+
+  def knnLabelMixOracle(): String =
+    s"""WITH g AS (
+       |${Similarity.knnGraphOracle()}
+       |),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM g WHERE src <> dst),
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings),
+       |mix AS (
+       |  SELECT least(lu.lab, lv.lab) AS label_a,
+       |         greatest(lu.lab, lv.lab) AS label_b,
+       |         count(*) AS n_edges
+       |  FROM und e
+       |  JOIN lab lu ON e.u = lu.vec_id
+       |  JOIN lab lv ON e.v = lv.vec_id
+       |  GROUP BY 1, 2),
+       |t AS (SELECT CAST(sum(n_edges) AS BIGINT) AS t_edges FROM mix)
+       |SELECT label_a, label_b, n_edges,
+       |  CASE WHEN label_a = label_b THEN 1 ELSE 0 END AS within,
+       |  (10000 * n_edges) // t_edges AS share_bp
+       |FROM mix CROSS JOIN t ORDER BY label_a, label_b""".stripMargin
 }

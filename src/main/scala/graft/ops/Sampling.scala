@@ -270,7 +270,9 @@ object Sampling {
 
   /** [[groupedSplit]] over an explicit documents frame. */
   def groupedSplitOf(docs: DataFrame): DataFrame = {
-    val per = docs
+    // O(groups) table feeds the share denominator and the output —
+    // materialize once (the a29/dq7 fork rule)
+    val per = Materialize(docs
       .filter(col("source").isNotNull && col("lang").isNotNull)
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
@@ -279,7 +281,8 @@ object Sampling {
           lit(100L)))
       .withColumn("split",
         when(col("bucket") < GroupSplitTrainBuckets, "train")
-          .otherwise("heldout"))
+          .otherwise("heldout")),
+      Materialize.Local, "grouped_split")
     val tot = per.agg(sum(col("n_docs")).as("total_docs"))
     per.crossJoin(broadcast(tot))
       .withColumn("docs_share_bp", expr("(10000 * n_docs) div total_docs"))

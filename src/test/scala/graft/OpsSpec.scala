@@ -3282,4 +3282,47 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L).getAs[Long]("n_users") == 1L &&
       got(2L).getAs[Long]("user_share_bp") == 3333L)
   }
+
+  test("g10: mix matrix conserves the undirected edge set; pairs canonicalize; shares bound") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val got = graft.ops.Graph.knnLabelMixOf(emb).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("label_a") <= r.getAs[Long]("label_b"))
+      assert((r.getAs[Long]("within") == 1L) ==
+        (r.getAs[Long]("label_a") == r.getAs[Long]("label_b")))
+    }
+    assert(got.map(_.getAs[Long]("share_bp")).sum <= 10000L)
+    // conservation against the canonicalized edge set
+    val und = graft.ops.Similarity.knnGraphOf(emb)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().count()
+    assert(got.map(_.getAs[Long]("n_edges")).sum == und)
+  }
+
+  test("w21: first-ever days count as new, later days as returning; shares truncate") {
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, day: String) =
+      (id, Timestamp.valueOf(s"$day 10:00:00"), u, "view", 1.0, "{}")
+    val rows = Seq(
+      ev(1, 1L, "2024-01-01"), ev(2, 2L, "2024-01-01"),
+      ev(3, 1L, "2024-01-02"), ev(4, 3L, "2024-01-02"),
+      ev(5, 2L, "2024-01-03"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.newVsReturningOf(rows).collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(got.length == 3)
+    val (d1, d2, d3) = (got(0), got(1), got(2))
+    assert(d1.getAs[Long]("new_users") == 2L &&
+      d1.getAs[Long]("returning_users") == 0L &&
+      d1.getAs[Long]("new_share_bp") == 10000L)
+    assert(d2.getAs[Long]("active_users") == 2L &&
+      d2.getAs[Long]("new_users") == 1L &&
+      d2.getAs[Long]("returning_users") == 1L &&
+      d2.getAs[Long]("new_share_bp") == 5000L)
+    assert(d3.getAs[Long]("new_users") == 0L &&
+      d3.getAs[Long]("returning_users") == 1L)
+  }
 }
