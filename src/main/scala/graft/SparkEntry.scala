@@ -273,6 +273,8 @@ object SparkEntry {
     "w20_active_days" -> (Analytics.activeDays _),
     "g10_knn_label_mix" -> (graft.ops.Graph.knnLabelMix _),
     "w21_new_returning" -> ((s, d) => Analytics.newVsReturning(s, d)),
+    "a33_spearman" -> ((s, d) => Analytics.spearmanPairs(s, d)),
+    "j13_asof_tolerance" -> (graft.ops.AsOf.asofToleranceQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -860,5 +862,7 @@ object SparkEntry {
     "w20_active_days" -> Analytics.activeDaysOracle,
     "g10_knn_label_mix" -> graft.ops.Graph.knnLabelMixOracle(),
     "w21_new_returning" -> Analytics.newVsReturningOracle,
+    "a33_spearman" -> Analytics.spearmanPairsOracle,
+    "j13_asof_tolerance" -> graft.ops.AsOf.asofToleranceOracle,
   )
 }

@@ -2193,6 +2193,120 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** a33 — SPEARMAN rank correlation between the daily-count series
+    * of every event-type pair: do these streams move together?
+    * (completes the correlation trio: pf3 Pearson on raw values, a29
+    * Kendall on coarse domains, a33 Spearman on TIME SERIES — rank
+    * correlation is the standard choice there because daily volumes
+    * are heavy-tailed and Pearson would be driven by spike days).
+    * Exactness: the series live on a shared dense day spine (missing
+    * days are real zeros — derived from the materialized daily table,
+    * not a second corpus scan); tie-averaged ranks are kept as exact
+    * DOUBLED integers rank2 = 2·minrank + ties − 1 (the average rank
+    * of a tied block times two — no halves anywhere); ρ is then
+    * Pearson over exact long rank moments with the pf3 fixed IEEE
+    * tree (scale invariance absorbs the doubling). Shape: one scan →
+    * materialized O(types×days) series → spine fill → two O(series)
+    * windows → one pair self-join bounded by types² × days. */
+  def spearmanPairs(s: SparkSession, d: String): DataFrame =
+    spearmanPairsOf(Tables.events(s, d))
+
+  /** [[spearmanPairs]] over an explicit events frame. */
+  def spearmanPairsOf(events: DataFrame,
+      mode: graft.ops.Materialize.Mode = graft.ops.Materialize.Local)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.ops.Materialize(events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("x")), mode, "spearman_daily")
+    val spine = daily.select("day").distinct()
+      .crossJoin(daily.select("event_type").distinct())
+    val filled = spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val wRank = Window.partitionBy("event_type").orderBy("x")
+    val wTies = Window.partitionBy("event_type", "x")
+    val ranked = filled
+      .withColumn("r", rank().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wTies))
+      .withColumn("rank2", lit(2L) * col("r") + col("m") - 1L)
+      .select("event_type", "day", "rank2")
+    val a = ranked.toDF("type_a", "day", "ra")
+    val b = ranked.toDF("type_b", "day", "rb")
+    val moments = a.join(b, Seq("day"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ra")).as("sx"), sum(col("rb")).as("sy"),
+        sum(col("ra") * col("rb")).as("sxy"),
+        sum(col("ra") * col("ra")).as("sxx"),
+        sum(col("rb") * col("rb")).as("syy"))
+    val nD = col("n_days").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val denx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val deny = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    moments.select(col("type_a"), col("type_b"), col("n_days"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+        when(denx > 0.0d && deny > 0.0d,
+          num / (sqrt(denx) * sqrt(deny))).as("rho"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val spearmanPairsOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS day,
+      |         count(*) AS x
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT t.event_type, d.day
+      |  FROM (SELECT DISTINCT day FROM daily) d
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t),
+      |filled AS (
+      |  SELECT s.event_type, s.day,
+      |         CAST(coalesce(dd.x, 0) AS BIGINT) AS x
+      |  FROM spine s LEFT JOIN daily dd
+      |    ON s.event_type = dd.event_type AND s.day = dd.day),
+      |ranked AS (
+      |  SELECT event_type, day,
+      |    2 * CAST(rank() OVER (PARTITION BY event_type ORDER BY x)
+      |        AS BIGINT)
+      |      + CAST(count(*) OVER (PARTITION BY event_type, x) AS BIGINT)
+      |      - 1 AS rank2
+      |  FROM filled),
+      |m AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS n_days,
+      |    CAST(sum(a.rank2) AS BIGINT) AS sx,
+      |    CAST(sum(b.rank2) AS BIGINT) AS sy,
+      |    CAST(sum(a.rank2 * b.rank2) AS BIGINT) AS sxy,
+      |    CAST(sum(a.rank2 * a.rank2) AS BIGINT) AS sxx,
+      |    CAST(sum(b.rank2 * b.rank2) AS BIGINT) AS syy
+      |  FROM ranked a JOIN ranked b ON a.day = b.day
+      |  WHERE a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_days, sx, sy, sxy, sxx, syy,
+      |  CASE WHEN CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0e0
+      |        AND CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+      |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0e0
+      |       THEN (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |            / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |               * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END
+      |    AS rho
+      |FROM m ORDER BY type_a, type_b""".stripMargin
+
   /** w21 — NEW vs RETURNING daily mix: per day the active users split
     * by whether this is their first-ever day — the growth-accounting
     * curve (is the feed growing by acquisition or by retention?) and,

@@ -205,6 +205,78 @@ object AsOf {
       |FROM ev e ASOF LEFT JOIN ord o ON e.k = o.k AND e.t >= o.t
       |ORDER BY e.event_id""".stripMargin
 
+  /** Staleness SLA for [[asofToleranceQuery]], in seconds (30 days) —
+    * the feature-store freshness contract. */
+  val AsofToleranceSec = 30L * 86400L
+
+  /** j13 — as-of join WITH a staleness tolerance: the feature-store
+    * semantics on top of j6 — a probe may only consume a build value
+    * whose age is within the SLA; an older match is reported but
+    * VOIDED (payload nulled, fresh = 0), distinguishing "no feature
+    * ever existed" (staleness NULL) from "the feature exists but is
+    * too stale to serve" (the case plain as-of silently hides, and
+    * the one that poisons training when an upstream feed stalls).
+    * Implementation: the [[asofLeft]] union-window carry unchanged,
+    * with the build payload widened to a (value, build-time) struct
+    * so staleness is a row-local integer subtraction after the carry
+    * — no second join, no extra shuffle over j6's single exchange.
+    * The exact-second arithmetic and the SLA compare are integers;
+    * oracle replays via native ASOF JOIN + the same CASE. */
+  def asofToleranceQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      (col("user_id") % 150).as("k"),
+      date_trunc("second", col("ts")).as("t"),
+      col("event_id"))
+    val ord = Tables.orders(s, d)
+      .select((col("o_custkey") % 150).as("k"), col("o_orderdate").as("t"),
+        col("o_orderkey"))
+      .groupBy("k", "t").agg(max("o_orderkey").as("o_orderkey"))
+    asofToleranceOf(ev, ord).orderBy("event_id")
+  }
+
+  /** [[asofToleranceQuery]]'s core over explicit (k, t, event_id)
+    * probe and (k, t, o_orderkey) build frames. */
+  def asofToleranceOf(ev: DataFrame, ord: DataFrame,
+      toleranceSec: Long = AsofToleranceSec): DataFrame = {
+    val build = ord
+      .withColumn("pay", struct(col("o_orderkey").as("v0"), col("t").as("bt")))
+      .drop("o_orderkey")
+    asofLeft(ev, build, "pay")
+      .withColumn("staleness_sec",
+        unix_timestamp(col("t")) - unix_timestamp(col("asof_pay.bt")))
+      .withColumn("fresh",
+        when(col("staleness_sec").isNotNull,
+          when(col("staleness_sec") <= toleranceSec, 1L).otherwise(0L)))
+      .select(col("event_id"), col("k"), col("t").cast("string").as("t_s"),
+        when(col("fresh") === 1L, col("asof_pay.v0")).as("o_orderkey"),
+        col("staleness_sec"), col("fresh"))
+  }
+
+  val asofToleranceOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id % 150 AS k, date_trunc('second', ts) AS t, event_id
+       |  FROM events),
+       |ord AS (
+       |  SELECT o_custkey % 150 AS k, o_orderdate AS t,
+       |         max(o_orderkey) AS o_orderkey
+       |  FROM orders GROUP BY 1, 2),
+       |j AS (
+       |  SELECT e.event_id, e.k, e.t, o.o_orderkey, o.t AS bt
+       |  FROM ev e ASOF LEFT JOIN ord o ON e.k = o.k AND e.t >= o.t)
+       |SELECT event_id, k, CAST(t AS VARCHAR) AS t_s,
+       |  CASE WHEN bt IS NOT NULL
+       |        AND CAST(epoch(t) AS BIGINT) - CAST(epoch(bt) AS BIGINT)
+       |            <= $AsofToleranceSec
+       |       THEN o_orderkey END AS o_orderkey,
+       |  CASE WHEN bt IS NOT NULL
+       |       THEN CAST(epoch(t) AS BIGINT) - CAST(epoch(bt) AS BIGINT)
+       |       END AS staleness_sec,
+       |  CASE WHEN bt IS NOT NULL THEN
+       |    CASE WHEN CAST(epoch(t) AS BIGINT) - CAST(epoch(bt) AS BIGINT)
+       |              <= $AsofToleranceSec
+       |         THEN 1 ELSE 0 END END AS fresh
+       |FROM j ORDER BY event_id""".stripMargin
+
   /** j11 — nearest-in-time join (as-of's two-sided sibling: each probe
     * picks the build row with the MINIMUM absolute time distance, either
     * direction). The naive form is a per-probe scan of the key's build

@@ -3325,4 +3325,63 @@ class OpsSpec extends AnyFunSuite {
     assert(d3.getAs[Long]("new_users") == 0L &&
       d3.getAs[Long]("returning_users") == 1L)
   }
+
+  test("a33: rho recomputes from the row's own exact moments; co-monotone pairs read 1, constants NULL") {
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, day: Int, n: Int) =
+      (0 until n).map(k => (id + k, Timestamp.valueOf(
+        f"2024-01-${day + 1}%02d 00:00:00"), 1L, t, 1.0, "{}"))
+    // up and up2 co-monotone; down anti-monotone; flat constant
+    val rows = (0 until 4).flatMap { d =>
+      ev(d * 1000L, "up", d, d + 1) ++ ev(10000L + d * 1000L, "up2", d, 2 * d + 1) ++
+        ev(20000L + d * 1000L, "down", d, 8 - d) ++
+        ev(30000L + d * 1000L, "flat", d, 3)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.spearmanPairsOf(rows).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r)
+      .toMap
+    def jvmRho(r: org.apache.spark.sql.Row): Double = {
+      val n = r.getAs[Long]("n_days").toDouble
+      val (sx, sy) = (r.getAs[Long]("sx").toDouble, r.getAs[Long]("sy").toDouble)
+      val num = n * r.getAs[Long]("sxy").toDouble - sx * sy
+      val dx = n * r.getAs[Long]("sxx").toDouble - sx * sx
+      val dy = n * r.getAs[Long]("syy").toDouble - sy * sy
+      num / (math.sqrt(dx) * math.sqrt(dy))
+    }
+    val upPair = got(("up", "up2"))
+    assert(upPair.getAs[Double]("rho") == jvmRho(upPair))
+    assert(math.abs(upPair.getAs[Double]("rho") - 1.0) < 1e-12)
+    val anti = got(("down", "up"))
+    assert(math.abs(anti.getAs[Double]("rho") + 1.0) < 1e-12)
+    // constant series: zero rank variance → NULL for every flat pair
+    assert(got(("flat", "up")).isNullAt(
+      got(("flat", "up")).fieldIndex("rho")))
+  }
+
+  test("j13: fresh edge serves, one second past the SLA voids but reports, no-match stays NULL") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val tol = 100L
+    val ev = Seq(
+      (1L, t(50L), 101L),    // within SLA (staleness 50)
+      (1L, t(100L), 102L),   // exactly at the SLA edge → fresh
+      (1L, t(101L), 103L),   // one past → voided but reported
+      (2L, t(10L), 104L))    // key with no build → all NULL
+      .toDF("k", "t", "event_id")
+    val ord = Seq((1L, t(0L), 77L)).toDF("k", "t", "o_orderkey")
+    val got = graft.ops.AsOf.asofToleranceOf(ev, ord, toleranceSec = tol)
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(got(101L).getAs[Long]("o_orderkey") == 77L &&
+      got(101L).getAs[Long]("fresh") == 1L)
+    assert(got(102L).getAs[Long]("staleness_sec") == 100L &&
+      got(102L).getAs[Long]("fresh") == 1L)
+    val stale = got(103L)
+    assert(stale.isNullAt(stale.fieldIndex("o_orderkey")) &&
+      stale.getAs[Long]("staleness_sec") == 101L &&
+      stale.getAs[Long]("fresh") == 0L)
+    val none = got(104L)
+    assert(none.isNullAt(none.fieldIndex("o_orderkey")) &&
+      none.isNullAt(none.fieldIndex("staleness_sec")) &&
+      none.isNullAt(none.fieldIndex("fresh")))
+  }
 }
