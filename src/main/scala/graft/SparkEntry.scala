@@ -275,6 +275,8 @@ object SparkEntry {
     "w21_new_returning" -> ((s, d) => Analytics.newVsReturning(s, d)),
     "a33_spearman" -> ((s, d) => Analytics.spearmanPairs(s, d)),
     "j13_asof_tolerance" -> (graft.ops.AsOf.asofToleranceQuery _),
+    "smp5_kfold" -> (graft.ops.Sampling.kfoldAssignment _),
+    "pf4_top_values" -> (graft.ops.Profile.topValues _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -864,5 +866,7 @@ object SparkEntry {
     "w21_new_returning" -> Analytics.newVsReturningOracle,
     "a33_spearman" -> Analytics.spearmanPairsOracle,
     "j13_asof_tolerance" -> graft.ops.AsOf.asofToleranceOracle,
+    "smp5_kfold" -> graft.ops.Sampling.kfoldAssignmentOracle,
+    "pf4_top_values" -> graft.ops.Profile.topValuesOracle,
   )
 }

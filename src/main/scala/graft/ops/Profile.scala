@@ -1118,6 +1118,57 @@ object Profile {
        |    // (span_hi - span_lo + 1) AS missing_bp
        |FROM sp ORDER BY bucket""".stripMargin
 
+  /** Values kept per column by [[topValues]]. */
+  val TopValuesK = 5L
+
+  /** pf4 — TOP-K frequent values per profiled column (dq8's columns):
+    * the concrete heavy values behind dq8's abstract top_share — what
+    * a reviewer actually looks at when entropy collapses ("which
+    * value is eating the column"). Rank is total-ordered
+    * (count DESC, value ASC) so ties are deterministic; shares use
+    * the same cachedCount-literal N as dq8 (one action, per-lifetime
+    * cache). Scale shape: the rank window runs over the VALUE-grouped
+    * aggregate (bounded by each column's domain, not rows), and the
+    * rank ≤ k predicate collapses to a distributed
+    * TakeOrderedAndProject(limit=k) below the window — per-partition
+    * top-k then a k-row merge, so no task ever sorts more than k rows
+    * (PlanSpec-gated). */
+  def topValues(s: SparkSession, d: String): DataFrame =
+    topValuesOf(Tables.events(s, d))
+
+  /** [[topValues]] over an explicit events frame. */
+  def topValuesOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = Materialize.cachedCount(events)
+    entropyCols.map { case (label, sparkExpr, _) =>
+      val w = Window.partitionBy(lit(1))
+        .orderBy(col("nv").desc, col("v").asc)
+      events
+        .select(coalesce(expr(sparkExpr), lit("∅")).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("nv"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopValuesK)
+        .select(lit(label).as("column"), col("rank"),
+          col("v").as("value"), col("nv").as("n"),
+          expr(s"(10000 * nv) div $n").as("share_bp"))
+    }.reduce(_ unionByName _).orderBy("column", "rank")
+  }
+
+  val topValuesOracle: String = {
+    val selects = entropyCols.map { case (label, _, duckExpr) =>
+      s"""SELECT '$label' AS "column", rank, value, n,
+         |  (10000 * n) // (SELECT count(*) FROM events) AS share_bp
+         |FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY nv DESC, v ASC)
+         |           AS BIGINT) AS rank,
+         |         v AS value, nv AS n
+         |  FROM (SELECT coalesce($duckExpr, '∅') AS v, count(*) AS nv
+         |        FROM events GROUP BY 1))
+         |WHERE rank <= $TopValuesK""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\", rank")
+  }
+
   val correlationMatrixOracle: String = {
     val names = corrCols.map(_._2)
     val sumSql = names.map(c => s"CAST(sum($c) AS BIGINT) AS s_$c") ++

@@ -371,6 +371,70 @@ object Sampling {
        |    AS batch_tokens
        |FROM a ORDER BY doc_id""".stripMargin
 
+  /** Fold count for [[kfoldAssignment]]. */
+  val KFolds = 5L
+
+  /** smp5 — deterministic K-FOLD cross-validation assignment with a
+    * stratification AUDIT: every document lands in fold
+    * md5(doc_id) mod K (stable across runs/engines/partitioning — the
+    * tx5 discipline), and the output reports, per (fold, lang), how
+    * far the fold's language mix deviates from the corpus mix in
+    * basis points — the check that tells you whether plain random
+    * folds suffice or a stratified split is needed BEFORE a model
+    * trains on them. Exact integers throughout; the (fold, lang)
+    * table is materialized once and feeds the fold totals, the corpus
+    * totals, and the output (the fork rule). */
+  def kfoldAssignment(s: SparkSession, d: String): DataFrame =
+    kfoldAssignmentOf(Tables.documents(s, d))
+
+  /** [[kfoldAssignment]] over an explicit documents frame. */
+  def kfoldAssignmentOf(docs: DataFrame): DataFrame = {
+    val cell = Materialize(docs
+      .filter(col("lang").isNotNull)
+      .groupBy(pmod(md5Hash60(col("doc_id").cast("string"), 17),
+        lit(KFolds)).as("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars")),
+      Materialize.Local, "kfold_cells")
+    val foldTot = cell.groupBy("fold")
+      .agg(sum(col("n_docs")).as("fold_docs"))
+    val langTot = cell.groupBy("lang")
+      .agg(sum(col("n_docs")).as("lang_docs"))
+    val corpus = cell.agg(sum(col("n_docs")).as("corpus_docs"))
+    cell.join(foldTot, "fold").join(langTot, "lang")
+      .crossJoin(broadcast(corpus))
+      .withColumn("fold_lang_bp", expr("(10000 * n_docs) div fold_docs"))
+      .withColumn("corpus_lang_bp",
+        expr("(10000 * lang_docs) div corpus_docs"))
+      .withColumn("delta_bp", col("fold_lang_bp") - col("corpus_lang_bp"))
+      .select("fold", "lang", "n_docs", "n_chars", "fold_docs",
+        "fold_lang_bp", "corpus_lang_bp", "delta_bp")
+      .orderBy("fold", "lang")
+  }
+
+  val kfoldAssignmentOracle: String =
+    s"""WITH cell AS (
+       |  SELECT ('0x' || substr(md5('17:' || CAST(doc_id AS VARCHAR)),
+       |           1, 15))::BIGINT % $KFolds AS fold,
+       |         lang, count(*) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |  FROM documents WHERE lang IS NOT NULL
+       |  GROUP BY 1, 2),
+       |ft AS (SELECT fold, CAST(sum(n_docs) AS BIGINT) AS fold_docs
+       |       FROM cell GROUP BY 1),
+       |lt AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs
+       |       FROM cell GROUP BY 1),
+       |ct AS (SELECT CAST(sum(n_docs) AS BIGINT) AS corpus_docs FROM cell)
+       |SELECT c.fold, c.lang, c.n_docs, c.n_chars, ft.fold_docs,
+       |  (10000 * c.n_docs) // ft.fold_docs AS fold_lang_bp,
+       |  (10000 * lt.lang_docs) // ct.corpus_docs AS corpus_lang_bp,
+       |  (10000 * c.n_docs) // ft.fold_docs
+       |    - (10000 * lt.lang_docs) // ct.corpus_docs AS delta_bp
+       |FROM cell c
+       |JOIN ft ON c.fold = ft.fold
+       |JOIN lt ON c.lang = lt.lang
+       |CROSS JOIN ct
+       |ORDER BY c.fold, c.lang""".stripMargin
+
   val groupedSplitOracle: String =
     s"""WITH per AS (
        |  SELECT source, lang, count(*) AS n_docs,

@@ -3384,4 +3384,49 @@ class OpsSpec extends AnyFunSuite {
       none.isNullAt(none.fieldIndex("staleness_sec")) &&
       none.isNullAt(none.fieldIndex("fresh")))
   }
+
+  test("smp5: folds replay the md5 reference, docs conserve, the delta identity holds") {
+    val docs = graft.Tables.documents(spark, sf)
+    val got = graft.ops.Sampling.kfoldAssignmentOf(docs).collect()
+    val total = docs.filter(col("lang").isNotNull).count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == total)
+    // fold assignment replays the reference md5 formulation
+    import graft.functions.Functions.md5Hash60Reference
+    val ref = docs.filter(col("lang").isNotNull)
+      .groupBy(pmod(md5Hash60Reference(col("doc_id").cast("string"), 17),
+        lit(5L)).as("fold"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("fold"), r.getAs[String]("lang")) ->
+        r.getAs[Long]("n")).toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        ref((r.getAs[Long]("fold"), r.getAs[String]("lang"))))
+      assert(r.getAs[Long]("delta_bp") ==
+        r.getAs[Long]("fold_lang_bp") - r.getAs[Long]("corpus_lang_bp"))
+    }
+  }
+
+  test("pf4: the dominant value ranks first, ties break lexicographically, nulls surface as their bucket") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // event_type: view ×4, click ×2, error ×2 (tie with click), null ×1
+    val types = Seq("view", "view", "view", "view", "click", "click",
+      "error", "error", null)
+    val rows = types.zipWithIndex.map { case (t, i) =>
+      (i.toLong, ts, 1L, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Profile.topValuesOf(rows)
+      .filter(col("column") === "event_type").collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(got.head.getAs[String]("value") == "view" &&
+      got.head.getAs[Long]("n") == 4L)
+    // click/error tie at 2 → lexicographic: click before error
+    assert(got(1).getAs[String]("value") == "click" &&
+      got(2).getAs[String]("value") == "error")
+    assert(got(3).getAs[String]("value") == "∅" &&
+      got(3).getAs[Long]("n") == 1L)
+    // shares against the total row count (9)
+    assert(got.head.getAs[Long]("share_bp") == 10000L * 4 / 9)
+  }
 }

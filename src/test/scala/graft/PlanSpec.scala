@@ -827,6 +827,18 @@ class PlanSpec extends AnyFunSuite {
       s"median/sign forks must read the materialized series:\n${p.take(2500)}")
   }
 
+  test("pf4 top values: the rank <= k predicate collapses to a distributed top-k below the window") {
+    val p = plan("pf4_top_values")
+    // with the unpartitioned rank, Catalyst plans TakeOrderedAndProject
+    // (per-partition top-k + merge) below the window — strictly better
+    // than WindowGroupLimit; either form bounds task rows to k
+    assert(p.contains("TakeOrderedAndProject") ||
+      p.contains("WindowGroupLimit"),
+      s"rank predicate must cap carried rows at k:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"), "value aggregation missing")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("g8 modularity: endpoint label joins stay keyed or broadcast; only 1-row plans nested-loop") {
     val p = plan("g8_label_modularity")
     assert(!p.contains("CartesianProduct"), p.take(2000))
