@@ -354,6 +354,35 @@ object ScaleProbe {
           .collect()(0).getLong(0)
       }
       graft.ops.Materialize.releaseAll(spark)
+      // dd4 under a GLOBAL hot shingle: the same unsalted footer on
+      // every doc of every copy gives its shingles df = full corpus —
+      // the Σdf² detonation the PPJoin prefix filter exists to absorb.
+      // Sub-quadratic (~linear) time here is the filter's measured
+      // claim; the unfiltered index would grow ∝ (n·docs)² on this
+      // corpus. Salted body text keeps the TRUE pair structure linear,
+      // so output size cannot explain a superlinear bend.
+      val docsG = replicated(spark, sfDir, n)
+        .withColumn("text", concat(col("text"),
+          lit(" all rights reserved contact us terms of service apply")))
+        .localCheckpoint(true)
+      val (tJacB, jacBPairs) = time {
+        graft.ops.Dedup.ngramJaccardPairsOf(docsG).count()
+      }
+      graft.ops.Materialize.releaseAll(spark)
+      // the DISTRIBUTED pointer-jumping connected-components path,
+      // forced past the driver union-find switch (localThreshold=0):
+      // per-copy-disjoint LSH pair graphs keep components and diameter
+      // per-copy-bounded, so rounds stay O(log d) = constant across
+      // factors and the curve should be ~linear in edges — the measured
+      // form of the warehouse-scale claim dd7/dd8 ride on.
+      val docsH = replicated(spark, sfDir, n).localCheckpoint(true)
+      val (tDcc, dccLabeled) = time {
+        val pairsDf = graft.ops.Dedup
+          .minhashLshPairs(docsH, "doc_id", "text", 0.1)
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        graft.ops.Dedup.labelPropagation(pairsDf, localThreshold = 0L).count()
+      }
+      graft.ops.Materialize.releaseAll(spark)
       println(f"""{"factor":$n,"docs":$nDocs,"lsh_sec":$tLsh%.2f,"pairs":$pairs,""" +
         f""""cluster_sec":$tCluster%.2f,"labeled":$clusters,""" +
         f""""pack_sec":$tPack%.2f,"packed":$packed,""" +
@@ -382,7 +411,9 @@ object ScaleProbe {
         f""""pq_sec":$tPq%.2f,"pq_rows":$pqRows,""" +
         f""""cust":$nCust,"rl_sec":$tRl%.2f,"rl_links":$rlLinks,""" +
         f""""bfs_sec":$tBfs%.2f,"bfs_reached":$bfsReached,""" +
-        f""""curriculum_sec":$tCur%.2f,"cur_key_max":$curKeyMax}""")
+        f""""curriculum_sec":$tCur%.2f,"cur_key_max":$curKeyMax,""" +
+        f""""jacboiler_sec":$tJacB%.2f,"jacboiler_pairs":$jacBPairs,""" +
+        f""""distcc_sec":$tDcc%.2f,"distcc_labeled":$dccLabeled}""")
     }
     spark.stop()
   }

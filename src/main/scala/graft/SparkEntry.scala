@@ -75,6 +75,7 @@ object SparkEntry {
     "j7_range_join" -> (graft.ops.RangeJoin.rangeJoinQuery _),
     "j10_overlap_join" -> (graft.ops.RangeJoin.overlapJoinQuery _),
     "q1_pricing_summary" -> (Pricing.pricingSummary _),
+    "q1b_pricing_summary_wide" -> (Pricing.pricingSummaryWide _),
     "q3_shipping_priority" -> (Pricing.shippingPriority _),
     "q5_revenue_by_nation" -> (Pricing.revenueByNation _),
     "q18_large_volume" -> (Pricing.largeVolumeOrders _),
@@ -262,12 +263,14 @@ object SparkEntry {
     "a31_runs_test" -> ((s, d) => Analytics.runsTest(s, d)),
     "dq9_id_gap_audit" -> (graft.ops.Profile.idGapAudit _),
     "tx38_code_detect" -> (TextStats.codeDetect _),
+    "tx39_gopher_repetition" -> ((s, d) => TextStats.gopherRepetition(s, d)),
     "w18_stickiness" -> (Analytics.stickiness _),
     "dq10_dup_rows" -> (graft.ops.Profile.dupRowAudit _),
     "sim10_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d)),
     "ord3_packed_batches" -> (graft.ops.Sampling.packedBatches _),
     "w19_churn_cohorts" -> (Analytics.churnCohorts _),
     "dd21_df_spectrum" -> (Dedup.dfSpectrum _),
+    "dd22_prefix_filter_audit" -> ((s, d) => Dedup.prefixFilterAudit(s, d)),
     "dq11_id_time_alignment" -> ((s, d) =>
       graft.ops.Profile.idTimeAlignment(s, d)),
     "w20_active_days" -> (Analytics.activeDays _),
@@ -646,6 +649,26 @@ object SparkEntry {
         |FROM li GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "q1b_pricing_summary_wide" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS dd,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS t
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00')
+        |SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(q) AS DECIMAL(38,0)) AS sum_qty_cents,
+        |       CAST(sum(p) AS DECIMAL(38,0)) AS sum_base_cents,
+        |       CAST(sum(p * (100 - dd)) AS DECIMAL(38,0)) AS sum_disc_e4,
+        |       CAST(sum(p * (100 - dd) * (100 + t)) AS DECIMAL(38,0)) AS sum_charge_e6,
+        |       count(*) AS count_order,
+        |       CAST(sum(q) AS DOUBLE) / count(*) / 100.0 AS avg_qty,
+        |       CAST(sum(p) AS DOUBLE) / count(*) / 100.0 AS avg_price
+        |FROM li GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "j5_merge_update" ->
       """WITH target AS (
         |  SELECT o_orderkey, 'existing' AS src FROM orders
@@ -854,12 +877,14 @@ object SparkEntry {
     "a31_runs_test" -> Analytics.runsTestOracle,
     "dq9_id_gap_audit" -> graft.ops.Profile.idGapAuditOracle,
     "tx38_code_detect" -> TextStats.codeDetectOracle,
+    "tx39_gopher_repetition" -> TextStats.gopherRepetitionOracle,
     "w18_stickiness" -> Analytics.stickinessOracle,
     "dq10_dup_rows" -> graft.ops.Profile.dupRowAuditOracle,
     "sim10_centroid_drift" -> Similarity.centroidDriftOracle,
     "ord3_packed_batches" -> graft.ops.Sampling.packedBatchesOracle,
     "w19_churn_cohorts" -> Analytics.churnCohortsOracle,
     "dd21_df_spectrum" -> Dedup.dfSpectrumOracle,
+    "dd22_prefix_filter_audit" -> Dedup.prefixFilterAuditOracle,
     "dq11_id_time_alignment" -> graft.ops.Profile.idTimeAlignmentOracle,
     "w20_active_days" -> Analytics.activeDaysOracle,
     "g10_knn_label_mix" -> graft.ops.Graph.knnLabelMixOracle(),

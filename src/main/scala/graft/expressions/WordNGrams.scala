@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `string_split_regex(trim(text), '\s+')`, including the empty result
   * for texts shorter than n words.
   */
-case class WordNGrams(child: Expression, n: Int)
+case class WordNGrams(child: Expression, n: Int,
+    distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, s"n must be >= 1, got $n")
 
@@ -50,7 +51,11 @@ case class WordNGrams(child: Expression, n: Int)
     if (words.length < n || (words.length == 1 && words(0).isEmpty)) {
       new GenericArrayData(Array.empty[Any])
     } else {
-      val seen = mutable.LinkedHashSet.empty[String]
+      // LinkedHashSet dedups in first-occurrence order; the ALL variant
+      // (distinct=false, repetition counting) keeps every occurrence
+      val out =
+        if (distinct) mutable.LinkedHashSet.empty[String]
+        else mutable.ArrayBuffer.empty[String]
       val sb = new java.lang.StringBuilder(64)
       var i = 0
       while (i <= words.length - n) {
@@ -61,11 +66,11 @@ case class WordNGrams(child: Expression, n: Int)
           sb.append(words(i + k))
           k += 1
         }
-        seen += sb.toString
+        out += sb.toString
         i += 1
       }
       new GenericArrayData(
-        seen.iterator.map(s => UTF8String.fromString(s)).toArray[Any])
+        out.iterator.map(s => UTF8String.fromString(s)).toArray[Any])
     }
   }
 
@@ -76,6 +81,12 @@ case class WordNGrams(child: Expression, n: Int)
 object WordNGrams {
   def ngrams(text: Column, n: Int): Column =
     Bridge.column(WordNGrams(Bridge.expression(text), n))
+
+  /** Every n-gram occurrence (no dedup) — the repetition-counting form
+    * (Gopher top-n-gram mass); oracle fragment drops the
+    * `list_distinct`. */
+  def ngramsAll(text: Column, n: Int): Column =
+    Bridge.column(WordNGrams(Bridge.expression(text), n, distinct = false))
 }
 
 /** POSITIONED word n-grams: every n-gram of the text in token order,

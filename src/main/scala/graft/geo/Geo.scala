@@ -135,6 +135,48 @@ object Geo {
     }.map(_.otherwise(lit(null)))
       .getOrElse(lit(null).cast("struct<country:string,region:string>"))
 
+  /** Total-vertex budget for the literal CASE-chain compilation: under
+    * it (the contract's ~258 simplified polygons) every ring embeds in
+    * the plan as a `typedlit` and the whole dim is codegen'd branches;
+    * past it (real Natural Earth 10m geometry carries ~548k vertices)
+    * the literal expression tree would bloat every plan copy and break
+    * codegen method-size limits, so [[spatialJoin]] switches to ONE
+    * broadcast variable + the same first-match probe — identical
+    * semantics and the same shuffle-free executor-streaming shape, with
+    * the dim resident once per executor instead of embedded in the
+    * plan. GeoSpec pins path equality on a dim straddling the
+    * threshold; PlanSpec pins the over-threshold plan staying small. */
+  val SpatialLiteralMaxVertices = 20000
+
+  /** Named hit struct for the broadcast probe (field names must match
+    * the CASE chain's struct so both paths are drop-in). */
+  case class SpatialHit(country: String, region: String)
+
+  /** Broadcast-variable first-match probe for over-threshold dims: the
+    * country-sorted entry array ships once per executor via a Spark
+    * broadcast; per row, a bbox gate guards the exact ray-cast and the
+    * first match wins — the CASE chain's branch order exactly. Null
+    * coordinates yield null, matching the chain's null propagation. */
+  def spatialFirstMatchBroadcast(s: SparkSession, lonC: Column,
+      latC: Column, entries: Seq[SpatialEntry]): Column = {
+    val bc = s.sparkContext.broadcast(entries.sortBy(_.country).toArray)
+    val probe = udf { (lon: Double, lat: Double) =>
+      val arr = bc.value
+      var i = 0
+      var hit: SpatialHit = null
+      while (i < arr.length && hit == null) {
+        val e = arr(i)
+        val lonF = if (e.crosses && lon < 0) lon + 360.0 else lon
+        if (lonF >= e.minLon && lonF <= e.maxLon &&
+            lat >= e.minLat && lat <= e.maxLat &&
+            pointInRings(lonF, lat, e.rings)) hit = SpatialHit(e.country, e.region)
+        i += 1
+      }
+      hit
+    }
+    when(lonC.isNotNull && latC.isNotNull, probe(lonC, latC))
+  }
+
   /** Spatial left "join": attach (country, region) where the point falls
     * inside a country polygon; nulls where none claims it. The dim is
     * broadcast-sized by contract (~258 Natural Earth polygons), so
@@ -142,7 +184,10 @@ object Geo {
     * collected once at plan time and compiled into the
     * [[spatialFirstMatch]] scalar — shuffle-free, border-deduped by
     * branch order (alphabetically-first country, matching geopandas'
-    * tolerated multi-match resolved deterministically). */
+    * tolerated multi-match resolved deterministically). Dims past
+    * [[SpatialLiteralMaxVertices]] total vertices switch to the
+    * [[spatialFirstMatchBroadcast]] probe — same semantics, plan-size
+    * safe for full-resolution geometry. */
   def spatialJoin(points: DataFrame, world: DataFrame,
       lonCol: String, latCol: String): DataFrame = {
     val entries = world
@@ -159,7 +204,13 @@ object Geo {
           r.getDouble(3), r.getDouble(4), r.getDouble(5),
           rings, r.getBoolean(7))
       }.toSeq
-    val cr = spatialFirstMatch(col(lonCol), col(latCol), entries)
+    val totalVertices = entries.iterator.map(_.rings.map(_.size).sum).sum
+    val cr =
+      if (totalVertices <= SpatialLiteralMaxVertices)
+        spatialFirstMatch(col(lonCol), col(latCol), entries)
+      else
+        spatialFirstMatchBroadcast(points.sparkSession,
+          col(lonCol), col(latCol), entries)
     points
       .withColumn("__cr", cr)
       .withColumn("country", col("__cr.country"))

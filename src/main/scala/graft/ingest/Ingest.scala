@@ -173,4 +173,59 @@ object Ingest {
         f.getField("properties").getField("tz").as("tz"),
         f.getField("properties").getField("type").as("type"))
   }
+
+  /** S1+S2+S3 end-to-end extraction shim (reference
+    * pipeline/extract_historical.py:34-41,75): plan adaptive windows
+    * with [[planWindows]], pull each window's raw GeoJSON feature
+    * strings through the PLUGGABLE `fetch` function, and flatten every
+    * feature through the real [[flattenFeatures]] pipeline. In
+    * production `fetch` is a thin HTTP GET against the public USGS
+    * FDSN query endpoint (one request per planned window, exactly the
+    * reference's requests.get loop — rate-limited driver-side IO, the
+    * same place the reference does it); in tests it is fixture-backed,
+    * which keeps the planner→fetch→flatten contract fully exercised
+    * with zero egress. The per-window fetch stays on the driver because
+    * the window COUNT is the planner's output (tens to hundreds), while
+    * the per-feature parse is distributed: features are spread
+    * round-robin across the cluster before the from_json projection.
+    * Returns the flattened 10-column frame plus the originating
+    * window_start/window_end (ISO dates) for lineage/idempotent
+    * re-extraction. */
+  def extractHistorical(
+      s: org.apache.spark.sql.SparkSession,
+      start: LocalDate,
+      end: LocalDate,
+      countFn: (LocalDate, LocalDate) => Long,
+      fetch: (LocalDate, LocalDate) => Seq[String],
+      limit: Long = 20000): DataFrame = {
+    import s.implicits._
+    val windows = planWindows(start, end, countFn, limit)
+    val raw = windows.flatMap { case (a, b) =>
+      fetch(a, b).map(feature => (a.toString, b.toString, feature))
+    }
+    val rawDf = raw.toDF("window_start", "window_end", "json")
+      .repartition(s.sparkContext.defaultParallelism)
+    flattenFeaturesWith(rawDf, "json",
+      Seq(col("window_start"), col("window_end")))
+  }
+
+  /** [[flattenFeatures]] variant that carries extra (cheap, already
+    * materialized) columns through the parse projection. */
+  private def flattenFeaturesWith(raw: DataFrame, jsonCol: String,
+      extra: Seq[Column]): DataFrame = {
+    val f = col("__feature")
+    raw.select((extra :+
+        from_json(col(jsonCol), featureSchema).as("__feature")): _*)
+      .select(extra ++ Seq(
+        f.getField("properties").getField("place").as("place"),
+        f.getField("properties").getField("time").as("time"),
+        f.getField("properties").getField("mag").as("magnitude"),
+        element_at(f.getField("geometry").getField("coordinates"), 2).as("latitude"),
+        element_at(f.getField("geometry").getField("coordinates"), 1).as("longitude"),
+        element_at(f.getField("geometry").getField("coordinates"), 3).as("depth"),
+        f.getField("properties").getField("alert").as("alert"),
+        f.getField("properties").getField("tsunami").as("tsunami"),
+        f.getField("properties").getField("tz").as("tz"),
+        f.getField("properties").getField("type").as("type")): _*)
+  }
 }

@@ -72,23 +72,56 @@ object Pricing {
       .orderBy(desc("revenue_e4"), col("nation"))
   }
 
-  def pricingSummary(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .filter(col("l_shipdate") <= to_timestamp(lit("2001-06-01 00:00:00")))
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    pricingSummaryOf(
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("2001-06-01 00:00:00"))))
+
+  /** The WIDE-ACCUMULATOR variant — the overflow-envelope switch from
+    * the header comment made a real, tested configuration: identical
+    * query shape, but every money sum accumulates in decimal(38,0)
+    * instead of bigint, so per-group sums stay exact past the ~8e7-
+    * rows-per-group bigint envelope all the way to ~1e26 rows (38
+    * digits over the ≤1e11 per-row e-6 charge). Still map-side
+    * partial-aggregated, still order-independent; the cost is the
+    * 128-bit accumulator instead of 64. Verified against the same
+    * DuckDB oracle (HUGEINT sums cast to decimal) at test SFs, and
+    * PropertySpec drives BOTH paths over rows engineered past the
+    * int64 boundary — the narrow path wraps, the wide path matches the
+    * BigInt ground truth. */
+  def pricingSummaryWide(s: SparkSession, d: String): DataFrame =
+    pricingSummaryOf(
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("2001-06-01 00:00:00"))),
+      wide = true)
+
+  /** DataFrame-first body shared by the narrow (bigint) and wide
+    * (decimal(38,0)) accumulator paths; PropertySpec feeds it synthetic
+    * envelope-boundary rows directly. */
+  def pricingSummaryOf(lineitem: DataFrame,
+      wide: Boolean = false): DataFrame = {
+    def acc(c: org.apache.spark.sql.Column) =
+      if (wide) c.cast("decimal(38,0)") else c
+    val li = lineitem
       .withColumn("p", cents(col("l_extendedprice")))
       .withColumn("dd", cents(col("l_discount")))
       .withColumn("t", cents(col("l_tax")))
       .withColumn("q", cents(col("l_quantity")))
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("q")).as("sum_qty_cents"),
-        sum(col("p")).as("sum_base_cents"),
-        sum(col("p") * (lit(100) - col("dd"))).as("sum_disc_e4"),
-        sum(col("p") * (lit(100) - col("dd")) * (lit(100) + col("t")))
+        sum(acc(col("q"))).as("sum_qty_cents"),
+        sum(acc(col("p"))).as("sum_base_cents"),
+        sum(acc(col("p") * (lit(100) - col("dd")))).as("sum_disc_e4"),
+        sum(acc(col("p") * (lit(100) - col("dd")) * (lit(100) + col("t"))))
           .as("sum_charge_e6"),
         count(lit(1)).as("count_order"))
-      .withColumn("avg_qty", col("sum_qty_cents") / col("count_order") / 100.0)
-      .withColumn("avg_price", col("sum_base_cents") / col("count_order") / 100.0)
+      // averages divide in DOUBLE in both modes: decimal÷long division
+      // would round at decimal scale first and drift a ULP from the
+      // narrow path's long→double division (oracle-pinned)
+      .withColumn("avg_qty",
+        col("sum_qty_cents").cast("double") / col("count_order") / 100.0)
+      .withColumn("avg_price",
+        col("sum_base_cents").cast("double") / col("count_order") / 100.0)
       .orderBy("l_returnflag", "l_linestatus")
   }
 

@@ -254,51 +254,132 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard within a blocking key (lang) — EXACT, not the
-    * LSH approximation, via inverted-index candidate generation (the
-    * index half of the PPJoin family, Xiao et al., WWW 2008): any pair
-    * with J ≥ t > 0 shares at least one shingle, so the equi self-join
-    * on (lang, shingle hash) yields every qualifying pair, the grouped
-    * candidate count IS the intersection size (shingles are distinct
-    * per doc), and per-doc sizes complete the union. Candidate volume
-    * is Σ_shingle df² — for corpora where most pairs share nothing
-    * (any realistic one) that is orders below the n²/2-per-block
-    * all-pairs this replaced (measured 326k candidate rows vs 3.2M
-    * pairs at sf0.1), and every join is keyed on the ~10⁵-distinct
-    * shingle hash, so no salting is needed for parallelism. Degenerate
-    * bound: an all-docs-identical corpus costs ≈ shinglesPerDoc · n²
-    * (worse than all-pairs by the shingle multiplicity) — run dd1
-    * exact dedup first, as every pipeline here does. A boilerplate
-    * shingle with huge df concentrates pairs on one key; AQE skew-join
-    * splitting (gated in SkewSpec) is the mitigation before any lossy
-    * df cap. */
+    * LSH approximation, with PPJoin-style PREFIX-FILTERED candidate
+    * generation (Chaudhuri et al. SSJoin, ICDE 2006; Xiao et al.
+    * PPJoin, WWW 2008): under a global rare-shingle-first order, any
+    * pair with J ≥ t must collide within both docs' length-
+    * (n − ⌈t·n⌉ + 1) prefixes, so only prefix shingles enter the
+    * inverted index. Candidate volume drops from Σ_shingle df² to
+    * Σ_shingle dfPrefix² — and because the ORDER is ascending document
+    * frequency, the hottest (boilerplate) shingles sort LAST in every
+    * doc and fall outside the prefixes entirely: a shared footer with
+    * df = corpus size contributes ZERO candidate pairs instead of df²/2
+    * (the detonation mode of the unfiltered index on a boilerplate-
+    * heavy corpus). Candidates are verified EXACTLY by one sorted-set
+    * intersection per pair ([[verifiedIntersections]]) — no explode,
+    * no quadratic residue — then the threshold filter keeps the true
+    * pairs; the prefix lemma guarantees the candidate set is a
+    * superset of the qualifying pairs, so the result is identical to
+    * the unfiltered index (pinned in OpsSpec against
+    * [[shingleIntersections]] on both a real corpus and an adversarial
+    * boilerplate corpus). Every join is keyed (shingle hash, doc id);
+    * no salting needed. */
   def ngramJaccardPairs(s: SparkSession, d: String,
       mode: Materialize.Mode = Materialize.Local): DataFrame =
     ngramJaccardPairsOf(Tables.documents(s, d), mode)
 
   def ngramJaccardPairsOf(docs: DataFrame,
-      mode: Materialize.Mode = Materialize.Local): DataFrame =
-    shingleIntersections(docs, mode)
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val flat = shingleFlat(docs, mode)
+    val pfx = prefixShingles(flat, JaccardThresholdNum, JaccardThresholdDen)
+    val cand = pfx.select(col("lang"), col("h"), col("doc_id").as("doc_a"))
+      .join(pfx.select(col("lang"), col("h"), col("doc_id").as("doc_b")),
+        Seq("lang", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifiedIntersections(cand, flat)
       .withColumn("u_size", col("n_a") + col("n_b") - col("i_size"))
       .withColumn("jaccard", col("i_size") / col("u_size"))
       .filter(col("jaccard") >= JaccardThreshold)
       .select("doc_a", "doc_b", "i_size", "u_size", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
 
-  /** Shared candidate-intersection table for the exact set-similarity
-    * family (dd4 Jaccard, dd14 containment): per-pair intersection
-    * size from the inverted-index equi-join plus both docs' distinct
-    * shingle counts — (doc_a, doc_b, i_size, n_a, n_b), one row per
-    * candidate pair sharing ≥ 1 shingle. */
-  private def shingleIntersections(docs: DataFrame,
-      mode: Materialize.Mode): DataFrame = {
-    // materialize the hashed-shingle stream once (md5 per shingle is
-    // the dominant scan cost; three consumers read it)
-    val flat = Materialize(
+  /** The materialized hashed-shingle stream (doc_id, lang, h) the exact
+    * set-similarity family reads — md5 per distinct 3-gram shingle is
+    * the dominant scan cost, computed once per query. */
+  private def shingleFlat(docs: DataFrame,
+      mode: Materialize.Mode): DataFrame =
+    Materialize(
       spread(docs)
         .select(col("doc_id"), col("lang"),
           explode(shingles(col("text"), 3)).as("sh"))
         .select(col("doc_id"), col("lang"), md5Hash60(col("sh"), 0).as("h")),
       mode, "jaccard_shingles")
+
+  /** PPJoin prefix selection: rank each doc's shingles by GLOBAL
+    * (within-lang) document frequency ascending — ties broken by the
+    * hash value so the order is total and engine-independent — and
+    * keep rank ≤ n − ⌈tNum·n / tDen⌉ + 1. The lemma (with α(x,y) =
+    * ⌈t·max(nₓ,n_y)⌉ ≤ overlap required by J ≥ t): two sets with
+    * overlap ≥ α must collide within their first (size − α + 1)
+    * elements of ANY common total order, and each doc's kept prefix is
+    * at least that long because ⌈t·n⌉ ≤ α. Ordering by df ascending
+    * additionally pushes the highest-df shingles out of every prefix —
+    * the skew shield. Cost: one (lang,h)-keyed df aggregate + one
+    * doc_id-keyed window; both scale-out shuffles. */
+  private def prefixShingles(flat: DataFrame, tNum: Int,
+      tDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = flat.groupBy("lang", "h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    flat.join(dfreq, Seq("lang", "h"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("r") <=
+        col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select("doc_id", "lang", "h")
+  }
+
+  /** Diagnostic for the prefix filter's skew shield: the maximum
+    * document frequency of any shingle that SURVIVES the dd4 prefix
+    * selection — the quantity [[prefixShingles]] bounds. OpsSpec pins
+    * it far below the full index's max df on a boilerplate-heavy
+    * corpus (where the full index's hottest key has df = corpus
+    * size). */
+  private[graft] def prefixIndexMaxDf(docs: DataFrame): Long = {
+    val flat = shingleFlat(docs, Materialize.Local)
+    val pfx = prefixShingles(flat, JaccardThresholdNum, JaccardThresholdDen)
+    pfx.groupBy("lang", "h").count().agg(max("count")).head().getLong(0)
+  }
+
+  /** Exact per-pair verification for a candidate pair set: join each
+    * side to its full sorted shingle set (one doc_id-keyed aggregate)
+    * and take the set-intersection size per pair — one array merge per
+    * candidate, never an explode. Returns
+    * (doc_a, doc_b, i_size, n_a, n_b). */
+  private def verifiedIntersections(cand: DataFrame,
+      flat: DataFrame): DataFrame = {
+    val sets = flat.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("i_size",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .select("doc_a", "doc_b", "i_size", "n_a", "n_b")
+  }
+
+  /** UNTHRESHOLDED pair-intersection table — every pair sharing ≥ 1
+    * shingle with its intersection size — for the consumers whose
+    * SEMANTICS are the full candidate spectrum (dd19's threshold-sweep
+    * histogram, dd17's recall audit): per-pair intersection size from
+    * the inverted-index equi-join plus both docs' distinct shingle
+    * counts — (doc_a, doc_b, i_size, n_a, n_b). Candidate volume is
+    * Σ_shingle df² (measured 326k rows vs 3.2M all-pairs at sf0.1);
+    * a boilerplate shingle with huge df concentrates pairs on one key
+    * — unavoidable HERE because the zero-threshold output genuinely
+    * contains those pairs (AQE skew-join splitting, gated in SkewSpec,
+    * spreads the key); the THRESHOLDED operators dd4/dd14 instead
+    * prune hot shingles soundly via the PPJoin prefix filter
+    * ([[prefixShingles]]). */
+  private[graft] def shingleIntersections(docs: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val flat = shingleFlat(docs, mode)
     val sizes = flat.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val iSize = flat.select(col("lang"), col("h"), col("doc_id").as("doc_a"))
       .join(flat.select(col("lang"), col("h"), col("doc_id").as("doc_b")),
@@ -327,18 +408,34 @@ object Dedup {
     * both one-sided containments ride along so consumers can split
     * symmetric from asymmetric matches.
     *
-    * Same inverted-index candidate generation and scale posture as
-    * dd4 ([[shingleIntersections]]); the threshold filter is integer
-    * cross-multiplied (i·den ≥ num·min(n_a, n_b)), so the cut is
-    * bit-exact cross-engine, and the double divisions appear only in
-    * output columns. */
+    * PPJoin-prefix candidate generation like dd4, but ASYMMETRIC: a
+    * qualifying pair has overlap ≥ ⌈t·min(n_a,n_b)⌉, which pins a
+    * prefix collision only for the SMALLER doc — if none of its first
+    * n − ⌈t·n⌉ + 1 rare-first shingles hit the partner, all shared
+    * shingles would have to fit in its ⌈t·n⌉ − 1 suffix slots,
+    * contradicting overlap ≥ ⌈t·n⌉. So each doc's prefix joins against
+    * the FULL inverted index (Σ dfPrefix·df, linear not quadratic in a
+    * hot shingle's df), pairs are normalized to (min,max), and the
+    * exact verify + integer cross-multiplied cut
+    * (i·den ≥ num·min(n_a, n_b)) keep the result bit-identical to the
+    * unfiltered index (pinned in OpsSpec); the double divisions appear
+    * only in output columns. */
   def containmentPairs(s: SparkSession, d: String,
       mode: Materialize.Mode = Materialize.Local): DataFrame =
     containmentPairsOf(Tables.documents(s, d), mode)
 
   def containmentPairsOf(docs: DataFrame,
-      mode: Materialize.Mode = Materialize.Local): DataFrame =
-    shingleIntersections(docs, mode)
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val flat = shingleFlat(docs, mode)
+    val pfx = prefixShingles(flat, ContainmentNum, ContainmentDen)
+    val cand = pfx.select(col("lang"), col("h"), col("doc_id").as("da"))
+      .join(flat.select(col("lang"), col("h"), col("doc_id").as("db")),
+        Seq("lang", "h"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .distinct()
+    verifiedIntersections(cand, flat)
       .filter(col("i_size") * ContainmentDen >=
         lit(ContainmentNum) * least(col("n_a"), col("n_b")))
       .withColumn("cont_a", col("i_size") / col("n_a"))
@@ -348,6 +445,7 @@ object Dedup {
       .select("doc_a", "doc_b", "i_size", "n_a", "n_b",
         "cont_a", "cont_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
 
   /** DuckDB replay of dd14: the dd4 shingle CTE, the same integer
     * cross-multiplied cut (the ≥ 1 intersection guard mirrors
@@ -1614,6 +1712,74 @@ object Dedup {
       .withColumn("candidate_recall", col("n_candidates") / col("n_true"))
       .orderBy("j_ventile")
   }
+
+  /** dd22 — PREFIX-FILTER AUDIT: the measured form of dd4/dd14's
+    * hot-shingle shield, per language block: document count, inverted-
+    * index size/max-df/candidate-pair volume (Σ df·(df−1)/2 — the work
+    * the unfiltered index would do) versus the same three numbers for
+    * the PPJoin prefix index actually used. The prefix/full candidate
+    * ratio is the filter's savings on THIS corpus, and prefix_max_df
+    * staying far under index_max_df is the boilerplate shield readable
+    * as data (a corpus whose prefix_max_df ≈ index_max_df has no df
+    * skew to shield against). All counts integer-exact; the oracle
+    * replays the identical rare-first ranking off the same md5-hash
+    * total order. */
+  def prefixFilterAudit(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame =
+    prefixFilterAuditOf(Tables.documents(s, d), mode)
+
+  def prefixFilterAuditOf(docs: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val flat = shingleFlat(docs, mode)
+    val pfx = prefixShingles(flat, JaccardThresholdNum, JaccardThresholdDen)
+    def spectrum(t: DataFrame, pre: String): DataFrame =
+      t.groupBy("lang", "h").agg(count(lit(1)).as("df"))
+        .groupBy("lang").agg(
+          sum(col("df")).as(s"${pre}_rows"),
+          max(col("df")).as(s"${pre}_max_df"),
+          sum(expr("df * (df - 1) div 2")).as(s"${pre}_cand_pairs"))
+    val nDocs = flat.groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    nDocs
+      .join(spectrum(flat, "index"), "lang")
+      .join(spectrum(pfx, "prefix"), "lang")
+      .select("lang", "n_docs", "index_rows", "index_max_df",
+        "index_cand_pairs", "prefix_rows", "prefix_max_df",
+        "prefix_cand_pairs")
+      .orderBy("lang")
+  }
+
+  /** DuckDB replay of dd22: same shingle hash, same (df, h) rare-first
+    * total order, same integer ceil prefix cut. */
+  lazy val prefixFilterAuditOracle: String =
+    s"""WITH $shingleCte,
+       |flat AS (SELECT doc_id, lang,
+       |    ('0x' || substr(md5('0:' || u), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, lang, unnest(sh) AS u FROM s)),
+       |dfreq AS (SELECT lang, h, count(*) AS df FROM flat GROUP BY 1, 2),
+       |ranked AS (SELECT f.doc_id, f.lang, f.h, d.df,
+       |    row_number() OVER (PARTITION BY f.doc_id ORDER BY d.df, f.h) AS r,
+       |    count(*) OVER (PARTITION BY f.doc_id) AS n
+       |  FROM flat f JOIN dfreq d ON f.lang = d.lang AND f.h = d.h),
+       |pfx AS (SELECT doc_id, lang, h FROM ranked
+       |  WHERE r <= n - (n * $JaccardThresholdNum + ${JaccardThresholdDen - 1}) // $JaccardThresholdDen + 1),
+       |pdf AS (SELECT lang, h, count(*) AS df FROM pfx GROUP BY 1, 2),
+       |fullspec AS (SELECT lang, CAST(sum(df) AS BIGINT) AS index_rows,
+       |    CAST(max(df) AS BIGINT) AS index_max_df,
+       |    CAST(sum(df * (df - 1) // 2) AS BIGINT) AS index_cand_pairs
+       |  FROM dfreq GROUP BY lang),
+       |pfxspec AS (SELECT lang, CAST(sum(df) AS BIGINT) AS prefix_rows,
+       |    CAST(max(df) AS BIGINT) AS prefix_max_df,
+       |    CAST(sum(df * (df - 1) // 2) AS BIGINT) AS prefix_cand_pairs
+       |  FROM pdf GROUP BY lang),
+       |nd AS (SELECT lang, count(DISTINCT doc_id) AS n_docs
+       |  FROM flat GROUP BY lang)
+       |SELECT n.lang, n.n_docs, f.index_rows, f.index_max_df,
+       |  f.index_cand_pairs, p.prefix_rows, p.prefix_max_df,
+       |  p.prefix_cand_pairs
+       |FROM nd n JOIN fullspec f ON n.lang = f.lang
+       |JOIN pfxspec p ON n.lang = p.lang
+       |ORDER BY n.lang""".stripMargin
 
   /** DuckDB replay: the shared banding CTEs ([[minhashCandCtes]] — the
     * same fragment dd2's oracle verifies) + the unthresholded exact

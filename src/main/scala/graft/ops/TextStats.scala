@@ -2291,4 +2291,134 @@ object TextStats {
        |  FROM c)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** tx39 — Gopher REPETITION gate (Rae et al. 2021 Table A1's
+    * repetition rules — the half tx37 deliberately left out): per doc,
+    * (1) duplicate-LINE occurrence fraction and duplicate-line
+    * CHARACTER fraction (a line is duplicate when it appears ≥ 2 times;
+    * all its occurrences count), and (2) the character mass of the most
+    * frequent word 2-/3-/4-gram (occurrences WITH multiplicity ×
+    * n-gram character length, ties to the lexicographically first
+    * gram). Thresholds are the paper's, integer cross-multiplied so
+    * the gate is exact cross-engine: dup-line occurrences > 30% of
+    * lines, dup-line chars > 20% of line chars, top-2-gram chars > 20%
+    * / top-3-gram > 18% / top-4-gram > 16% of text chars. Counts stay
+    * in the output so a reviewer can audit WHY (the tx37 discipline).
+    *
+    * Scale shape: ONE materialized (doc_id, text, n_chars) projection
+    * feeds four keyed pipelines (lines + three n-gram orders); each is
+    * an explode → (doc, token) count → doc-keyed aggregate/window —
+    * all shuffles keyed on doc_id or (doc_id, gram), no global stage.
+    * The n-gram explode uses the imperative ALL-occurrences expression
+    * ([[graft.expressions.WordNGrams.ngramsAll]]) — same single-pass
+    * codegen-friendly shape as tx4's distinct shingles. */
+  def gopherRepetition(s: SparkSession, d: String,
+      mode: Materialize.Mode = Materialize.Local): DataFrame =
+    gopherRepetitionOf(Tables.documents(s, d), mode)
+
+  def gopherRepetitionOf(docs: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Materialize(
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars")),
+      mode, "gopher_rep_base")
+    val lc = base
+      .select(col("doc_id"), explode(split(col("text"), "\n", -1)).as("line"))
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("cnt"))
+    val lstat = lc.groupBy("doc_id").agg(
+      sum(col("cnt")).as("n_lines"),
+      sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L))
+        .as("dup_line_occ"),
+      sum(when(col("cnt") >= 2, col("cnt") * length(col("line")))
+        .otherwise(0L)).as("dup_line_chars"),
+      sum(col("cnt") * length(col("line"))).as("line_chars"))
+    def topN(n: Int): DataFrame = {
+      val c = base
+        .select(col("doc_id"),
+          explode(graft.expressions.WordNGrams.ngramsAll(col("text"), n))
+            .as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("cnt").desc, col("g"))
+      c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"),
+          (col("cnt") * length(col("g"))).cast("long").as(s"top${n}_chars"))
+    }
+    base.select("doc_id", "n_chars")
+      .join(lstat, Seq("doc_id"), "left")
+      .join(topN(2), Seq("doc_id"), "left")
+      .join(topN(3), Seq("doc_id"), "left")
+      .join(topN(4), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top2_chars", "top3_chars", "top4_chars"))
+      .withColumn("fail_dup_lines",
+        col("dup_line_occ") * 10 > col("n_lines") * 3)
+      .withColumn("fail_dup_line_chars",
+        col("dup_line_chars") * 10 > col("line_chars") * 2)
+      .withColumn("fail_top2", col("top2_chars") * 10 > col("n_chars") * 2)
+      .withColumn("fail_top3", col("top3_chars") * 100 > col("n_chars") * 18)
+      .withColumn("fail_top4", col("top4_chars") * 100 > col("n_chars") * 16)
+      .withColumn("keep",
+        !col("fail_dup_lines") && !col("fail_dup_line_chars") &&
+          !col("fail_top2") && !col("fail_top3") && !col("fail_top4"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of tx39: same line split (empties kept), same
+    * ALL-occurrences n-grams (the tx4 fragment without list_distinct),
+    * same (count desc, gram asc) top pick, same integer
+    * cross-multiplied thresholds. */
+  lazy val gopherRepetitionOracle: String = {
+    def gramCte(n: Int): String = {
+      val join = (1 to n).map(k => s"ws[i+${k - 1}]").mkString(" || ' ' || ")
+      s"""g$n AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= $n
+         |    THEN list_transform(generate_series(1, len(ws) - ${n - 1}),
+         |      i -> $join) ELSE [] END) AS g FROM w),
+         |c$n AS (SELECT doc_id, g, count(*) AS cnt FROM g$n GROUP BY 1, 2),
+         |t$n AS (SELECT doc_id, CAST(cnt * length(g) AS BIGINT) AS top${n}_chars
+         |  FROM (SELECT doc_id, g, cnt, row_number() OVER
+         |      (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn FROM c$n)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH base AS (SELECT doc_id, text,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents WHERE text IS NOT NULL),
+       |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM base),
+       |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+       |  FROM base),
+       |lc AS (SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY 1, 2),
+       |lstat AS (SELECT doc_id,
+       |    CAST(sum(cnt) AS BIGINT) AS n_lines,
+       |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+       |      AS dup_line_occ,
+       |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END)
+       |      AS BIGINT) AS dup_line_chars,
+       |    CAST(sum(cnt * length(line)) AS BIGINT) AS line_chars
+       |  FROM lc GROUP BY 1),
+       |${gramCte(2)},
+       |${gramCte(3)},
+       |${gramCte(4)}
+       |SELECT *, (NOT fail_dup_lines AND NOT fail_dup_line_chars AND
+       |    NOT fail_top2 AND NOT fail_top3 AND NOT fail_top4) AS keep
+       |FROM (
+       |  SELECT b.doc_id, b.n_chars, s.n_lines, s.dup_line_occ,
+       |    s.dup_line_chars, s.line_chars,
+       |    coalesce(t2.top2_chars, 0) AS top2_chars,
+       |    coalesce(t3.top3_chars, 0) AS top3_chars,
+       |    coalesce(t4.top4_chars, 0) AS top4_chars,
+       |    (s.dup_line_occ * 10 > s.n_lines * 3) AS fail_dup_lines,
+       |    (s.dup_line_chars * 10 > s.line_chars * 2) AS fail_dup_line_chars,
+       |    (coalesce(t2.top2_chars, 0) * 10 > b.n_chars * 2) AS fail_top2,
+       |    (coalesce(t3.top3_chars, 0) * 100 > b.n_chars * 18) AS fail_top3,
+       |    (coalesce(t4.top4_chars, 0) * 100 > b.n_chars * 16) AS fail_top4
+       |  FROM base b
+       |  JOIN lstat s ON b.doc_id = s.doc_id
+       |  LEFT JOIN t2 ON b.doc_id = t2.doc_id
+       |  LEFT JOIN t3 ON b.doc_id = t3.doc_id
+       |  LEFT JOIN t4 ON b.doc_id = t4.doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

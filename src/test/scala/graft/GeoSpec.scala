@@ -240,6 +240,69 @@ class GeoSpec extends AnyFunSuite {
     assert(got(3L).isEmpty)
   }
 
+  test("spatial join at full-resolution scale: 500 polygons / 50k vertices switch to the broadcast probe, same results, bounded plan") {
+    // 500 polygons × 102 vertices each = 51k vertices — past the
+    // SpatialLiteralMaxVertices boundary the literal CASE chain is
+    // built for (real Natural Earth 10m geometry territory). Each
+    // polygon is a 100-gon approximating a circle: the ray-cast does
+    // real work on every vertex, not a 5-point square.
+    def ngon(cx: Double, cy: Double, r: Double): Seq[Seq[Double]] = {
+      val pts = (0 until 100).map { k =>
+        val a = 2 * math.Pi * k / 100
+        Seq(cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+      pts :+ pts.head
+    }
+    val entries = (0 until 500).map { i =>
+      val cx = (i % 50) * 7.0 - 172.0
+      val cy = (i / 50) * 8.0 - 36.0
+      ("c%03d".format(i), s"r${i % 7}", Seq(ngon(cx, cy, 3.0)))
+    }
+    val world = Geo.worldDim(spark, entries)
+    assert(entries.map(_._3.map(_.size).sum).sum > Geo.SpatialLiteralMaxVertices,
+      "fixture must exceed the literal-compilation budget")
+    val pts = Seq[(Long, java.lang.Double, java.lang.Double)](
+      (1L, -172.0, -36.0), // center of c000
+      (2L, -172.0 + 2.9, -36.0), // inside c000, near the rim
+      (3L, -172.0 + 3.6, -36.0), // between circles → null
+      (4L, 171.0, 36.0), // center of c499: 49*7-172=171, 9*8-36=36
+      (5L, null, 10.0) // null lon → null
+    ).toDF("id", "lon", "lat")
+    val joined = Geo.spatialJoin(pts, world, "lon", "lat")
+    val got = joined.select("id", "country")
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("c000") && got(2L).contains("c000"))
+    assert(got(3L).isEmpty && got(5L).isEmpty)
+    assert(got(4L).contains("c499"))
+    // the plan must NOT embed the 51k vertices as literals: the
+    // broadcast path's plan stays orders of magnitude below the
+    // literal chain's footprint (the PlanSpec-style gate on the
+    // expression-tree size boundary)
+    val planChars = joined.queryExecution.optimizedPlan.toString.length
+    assert(planChars < 100 * 1000,
+      s"over-threshold dim must not inline ring literals: plan=$planChars chars")
+    // path EQUALITY on the same dim: the literal chain (forced) and the
+    // broadcast probe agree point-for-point, including nulls
+    val sample = Seq((10L, -170.5, -34.2), (11L, -100.0, 20.0),
+      (12L, 171.4, 36.9), (13L, 0.0, 0.5)).toDF("id", "lon", "lat")
+    val es = entries.map { case (c, r, rr) =>
+      val flat = rr.flatten
+      Geo.SpatialEntry(c, r, flat.map(_(0)).min, flat.map(_(1)).min,
+        flat.map(_(0)).max, flat.map(_(1)).max, rr, crosses = false)
+    }
+    val viaLiteral = sample
+      .withColumn("cr", Geo.spatialFirstMatch(col("lon"), col("lat"), es))
+      .select(col("id"), col("cr.country")).as[(Long, Option[String])]
+      .collect().toMap
+    val viaBroadcast = sample
+      .withColumn("cr",
+        Geo.spatialFirstMatchBroadcast(spark, col("lon"), col("lat"), es))
+      .select(col("id"), col("cr.country")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(viaLiteral == viaBroadcast,
+      s"paths diverge: $viaLiteral vs $viaBroadcast")
+  }
+
   test("enrich composite: spatial first, regex fallback fills the rest (add_region.py:50-61)") {
     val world = Geo.worldDim(spark, Seq(("Alpha", "R1", square)))
     val ev = Seq(

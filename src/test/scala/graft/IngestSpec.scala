@@ -31,6 +31,110 @@ class IngestSpec extends AnyFunSuite {
     assert(ws.count(_._1.getYear < 1965) <= 2)
   }
 
+  test("extractHistorical: planner drives the pluggable fetch, features flatten with window lineage (extract_historical.py:34-41,75)") {
+    // fixture-backed fetch: one synthetic feature per 500-row unit of
+    // the window's density — the planner's count contract and the
+    // fetcher see the SAME synthetic API
+    def count(s: LocalDate, e: LocalDate): Long =
+      math.max(0, java.time.temporal.ChronoUnit.DAYS.between(s, e) + 1) * 5000
+    val fetched = scala.collection.mutable.ListBuffer.empty[(LocalDate, LocalDate)]
+    def fetch(s: LocalDate, e: LocalDate): Seq[String] = {
+      fetched += ((s, e))
+      val n = (count(s, e) / 500).toInt
+      (0 until n).map { i =>
+        if (i == 1) "{broken" // one malformed feature per window
+        else
+          s"""{"properties":{"place":"w-${s}-$i","time":${1000L * i},"mag":${i % 9},
+             |"alert":"green","tsunami":0,"tz":"+00:00","type":"earthquake"},
+             |"geometry":{"coordinates":[${i % 360},${i % 180},${i % 700}]}}"""
+            .stripMargin.replace("\n", "")
+      }
+    }
+    val out = Ingest.extractHistorical(spark,
+      LocalDate.of(2000, 1, 1), LocalDate.of(2000, 1, 20), count _, fetch _,
+      eraShortcutsFreePlanLimit)
+    val rows = out.collect()
+    // fetch was called once per PLANNED window, with the planner's exact
+    // windows (each ≤ limit by the planner contract)
+    val planned = Ingest.planWindows(LocalDate.of(2000, 1, 1),
+      LocalDate.of(2000, 1, 20), count _, eraShortcutsFreePlanLimit)
+    assert(fetched.toList == planned.toList,
+      s"fetch windows ${fetched.toList} != planned $planned")
+    planned.foreach { case (s, e) => assert(count(s, e) <= eraShortcutsFreePlanLimit) }
+    // every fetched feature flattened; malformed ones null out
+    val expected = planned.map(w => (count(w._1, w._2) / 500).toInt).sum
+    assert(rows.length == expected, s"rows=${rows.length} expected=$expected")
+    val malformed = rows.count(_.isNullAt(out.schema.fieldIndex("place")))
+    assert(malformed == planned.size, "one malformed feature per window")
+    // coordinate reorder holds through the shim (lat = coordinates[1])
+    val r0 = rows.filter(r => !r.isNullAt(out.schema.fieldIndex("place")))
+      .minBy(_.getAs[String]("place"))
+    assert(r0.getAs[Double]("latitude") == 0.0 &&
+      r0.getAs[Double]("longitude") == 0.0)
+    // window lineage rides along and matches the planner's windows
+    val lineage = rows.map(r => r.getAs[String]("window_start")).distinct.sorted
+    assert(lineage.toSeq == planned.map(_._1.toString).sorted)
+  }
+  private val eraShortcutsFreePlanLimit = 20000L
+
+  test("dbf reader: synthetic fixture round-trips types, blanks, deleted records") {
+    // hand-assembled dBASE III file: 5 fields covering every type-map
+    // branch, 3 records with one deleted and one full of blanks
+    val fields = Seq(("NAME", 'C', 10, 0), ("POP", 'N', 8, 0),
+      ("RATE", 'N', 8, 2), ("FLAG", 'L', 1, 0), ("DT", 'D', 8, 0))
+    val rsz = 1 + fields.map(_._3).sum
+    val hsz = 32 + fields.size * 32 + 1
+    val out = java.nio.ByteBuffer.allocate(hsz + 3 * rsz + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(0x03.toByte).put(Array[Byte](126, 1, 1))
+      .putInt(3).putShort(hsz.toShort).putShort(rsz.toShort)
+    out.position(32)
+    fields.foreach { case (n, t, l, d) =>
+      val fd = new Array[Byte](32)
+      n.getBytes.copyToArray(fd)
+      fd(11) = t.toByte; fd(16) = l.toByte; fd(17) = d.toByte
+      out.put(fd)
+    }
+    out.put(0x0D.toByte)
+    def rec(del: Boolean, cells: Seq[String]): Unit = {
+      out.put(if (del) '*'.toByte else ' '.toByte)
+      cells.zip(fields).foreach { case (v, (_, _, l, _)) =>
+        out.put(v.padTo(l, ' ').getBytes("ISO-8859-1"))
+      }
+    }
+    rec(del = false, Seq("alpha", "     123", "    3.50", "T", "20240131"))
+    rec(del = true, Seq("ghost", "       9", "    1.00", "F", "20200101"))
+    rec(del = false, Seq("", "        ", "        ", "?", ""))
+    out.put(0x1A.toByte)
+    val dir = java.nio.file.Files.createTempDirectory("dbf")
+    val p = dir.resolve("t.dbf")
+    java.nio.file.Files.write(p, out.array())
+    val got = graft.ingest.Dbf.read(spark, p.toString)
+    assert(got.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("NAME", "string"), ("POP", "long"), ("RATE", "double"),
+        ("FLAG", "boolean"), ("DT", "string")))
+    val rows = got.collect()
+    assert(rows.length == 2, "deleted record must be skipped")
+    assert(rows(0).getString(0) == "alpha" && rows(0).getLong(1) == 123L &&
+      rows(0).getDouble(2) == 3.5 && rows(0).getBoolean(3) &&
+      rows(0).getString(4) == "2024-01-31")
+    assert(rows(1).toSeq.forall(_ == null), "blank cells must null out")
+  }
+
+  test("dbf reader: the reference's actual Natural Earth attribute table (add_region.py:23)") {
+    val ne = "/root/reference/pipeline/world-boundaries/ne_10m_admin_0_countries.dbf"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(ne)))
+    val world = graft.ingest.Dbf.worldAttributes(spark, ne)
+    val rows = world.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length == 258, s"NE 10m admin-0 carries 258 records, got ${rows.length}")
+    val byName = rows.toMap
+    assert(byName.get("Fiji").contains("Oceania"))
+    assert(byName.get("Chile").contains("Americas"))
+    assert(rows.map(_._2).distinct.sorted.sameElements(
+      Array("Africa", "Americas", "Antarctica", "Asia", "Europe", "Oceania")),
+      s"UN regions: ${rows.map(_._2).distinct.sorted.toSeq}")
+  }
+
   test("planWindows: degenerate one-day density beyond limit still terminates") {
     def count(s: LocalDate, e: LocalDate): Long =
       (java.time.temporal.ChronoUnit.DAYS.between(s, e) + 1) * 50000

@@ -806,6 +806,91 @@ class OpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture should contain qualifying pairs")
   }
 
+  test("tx39 gopher repetition: dup-line and top-ngram rules fire on hand-derivable fixtures") {
+    val docs = Seq(
+      // 4 lines, "aaa bbb" three times: dup-line occ 3/4 (> 30%), dup
+      // chars 21/28 (> 20%), top bigram "aaa bbb" ×3 = 21 of 31 chars
+      (1L, "aaa bbb\nccc ddd\naaa bbb\naaa bbb"),
+      // no repetition anywhere; long enough that a single-occurrence
+      // n-gram stays under every top-mass threshold (30 × 3-char words:
+      // top 4-gram = 15 of 119 chars ≈ 13% < 16%)
+      (2L, (1 to 30).map(i => f"w$i%02d").mkString(" ")),
+      // single word: no bigrams at all, top masses 0
+      (3L, " x ")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    val got = TextStats.gopherRepetitionOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getAs[Long]("n_lines") == 4 && d1.getAs[Long]("dup_line_occ") == 3)
+    assert(d1.getAs[Long]("dup_line_chars") == 21 && d1.getAs[Long]("line_chars") == 28)
+    assert(d1.getAs[Long]("top2_chars") == 21, s"top2=${d1.getAs[Long]("top2_chars")}")
+    assert(d1.getAs[Boolean]("fail_dup_lines") && d1.getAs[Boolean]("fail_dup_line_chars")
+      && d1.getAs[Boolean]("fail_top2") && !d1.getAs[Boolean]("keep"))
+    val d2 = got(2L)
+    assert(d2.getAs[Boolean]("keep"), "unrepeated text must pass every rule")
+    assert(!d2.getAs[Boolean]("fail_top3") && d2.getAs[Long]("dup_line_occ") == 0)
+    val d3 = got(3L)
+    assert(d3.getAs[Long]("top2_chars") == 0 && d3.getAs[Boolean]("keep"))
+  }
+
+  test("dd4/dd14 prefix filter: boilerplate-heavy corpus, result equals the unfiltered index") {
+    // adversarial hot-shingle corpus: the same footer sentence appended
+    // to EVERY doc gives those shingles df = corpus size — the Σdf²
+    // detonation mode of the unfiltered inverted index. The PPJoin
+    // prefix (rare-shingles-first) must exclude them from candidate
+    // generation while producing the EXACT same thresholded output as
+    // the unfiltered index + filter.
+    // a 3-token footer = ONE fully-boilerplate shingle with df = its
+    // whole language block (plus two low-df bridge shingles) — the
+    // copyright-line shape. Every doc's rare-first suffix has ≥ 1 slot
+    // at t=1/10 (min corpus doc: 13 tokens → 11 shingles → 1 slot), so
+    // the hot shingle must vanish from EVERY prefix.
+    val boiler = " all rights reserved"
+    val docs = Tables.documents(spark, sf)
+      .withColumn("text", concat(col("text"), lit(boiler)))
+    // dd4: prefix path vs unfiltered-index path, full rows
+    val viaPrefix = Dedup.ngramJaccardPairsOf(docs)
+      .select("doc_a", "doc_b", "i_size", "u_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaFullIndex = Dedup.shingleIntersections(docs)
+      .withColumn("u_size", col("n_a") + col("n_b") - col("i_size"))
+      .filter(col("i_size") / col("u_size") >= Dedup.JaccardThreshold)
+      .select("doc_a", "doc_b", "i_size", "u_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaPrefix == viaFullIndex,
+      s"missing=${viaFullIndex -- viaPrefix} extra=${viaPrefix -- viaFullIndex}")
+    assert(viaPrefix.nonEmpty, "boilerplate corpus should still contain pairs")
+    // dd14 containment: the asymmetric (smaller-side prefix vs full
+    // index) variant must also match the unfiltered index + cut
+    val contPrefix = Dedup.containmentPairsOf(docs)
+      .select("doc_a", "doc_b", "i_size", "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val contFull = Dedup.shingleIntersections(docs)
+      .filter(col("i_size") * Dedup.ContainmentDen >=
+        lit(Dedup.ContainmentNum) * least(col("n_a"), col("n_b")))
+      .select("doc_a", "doc_b", "i_size", "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(contPrefix == contFull,
+      s"missing=${contFull -- contPrefix} extra=${contPrefix -- contFull}")
+    // the skew shield itself: the hottest (df = corpus) shingles must
+    // be absent from every doc's prefix, so the prefix index's max df
+    // stays far below the corpus size
+    val flatAll = docs.select(col("doc_id"), col("lang"),
+        explode(TextStats.shingles(col("text"), 3)).as("sh"))
+    // the index is lang-blocked, so the hottest possible df is the
+    // largest language group's doc count — the footer must reach it
+    val maxLangDocs = docs.groupBy("lang").count().agg(max("count"))
+      .as[Long].head()
+    val maxDfFull = flatAll.groupBy("lang", "sh").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxDfFull == maxLangDocs,
+      s"fixture must actually contain a hot shingle: maxDf=$maxDfFull maxLangDocs=$maxLangDocs")
+    val maxDfPrefix = Dedup.prefixIndexMaxDf(docs)
+    assert(maxDfPrefix < maxDfFull / 4,
+      s"hot shingles must leave the prefix index: prefix maxDf=$maxDfPrefix vs full $maxDfFull")
+  }
+
   test("mm4 perceptual-hash fixture: hand-derivable anchors hold and images discriminate") {
     val got = Multimodal.perceptualHashQuery(spark, "unused")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

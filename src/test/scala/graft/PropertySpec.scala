@@ -19,6 +19,50 @@ class PropertySpec extends AnyFunSuite {
   import spark.implicits._
   val rnd = new Random(42)
 
+  test("pricing wide accumulators: exact past the int64 envelope where bigint sums wrap") {
+    // rows engineered AT the documented overflow envelope
+    // (model/Pricing.scala header): per-row e-6 charge p·100·100 = 9e18
+    // sits just under Long.MaxValue (9.22e18), so TWO rows in one group
+    // push the bigint sum past the boundary. The narrow path wraps; the
+    // wide (decimal(38,0)) path must equal the BigInt ground truth.
+    val p = 9.0e12 // dollars → 9e14 cents → 9e18 per-row charge_e6
+    val rows = Seq(
+      ("N", "O", 1.0, p, 0.0, 0.0),
+      ("N", "O", 1.0, p, 0.0, 0.0),
+      ("R", "F", 2.0, 100.0, 0.10, 0.05))
+    val li = rows.toDF("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax")
+    val perRow = BigInt(9) * BigInt(10).pow(14) * 100 * 100
+    val expectWide = perRow * 2
+    assert(perRow < BigInt(Long.MaxValue) && expectWide > BigInt(Long.MaxValue),
+      "fixture must straddle the int64 boundary")
+    val wide = graft.model.Pricing.pricingSummaryOf(li, wide = true)
+      .filter(col("l_returnflag") === "N")
+      .select(col("sum_charge_e6").cast("string")).as[String].head()
+    assert(BigInt(wide) == expectWide, s"wide sum: $wide")
+    // the narrow path past the envelope either throws (ANSI overflow
+    // check, the Spark 4 default) or wraps (legacy mode) — both are
+    // the failure the wide accumulator exists to prevent
+    scala.util.Try(
+      graft.model.Pricing.pricingSummaryOf(li, wide = false)
+        .filter(col("l_returnflag") === "N")
+        .select(col("sum_charge_e6")).as[Long].head()) match {
+      case scala.util.Success(narrow) =>
+        assert(BigInt(narrow) != expectWide,
+          "narrow path should demonstrate the wraparound the wide path guards")
+      case scala.util.Failure(_) => // ANSI overflow: the guarded failure
+    }
+    // within the envelope the two paths agree exactly (same oracle)
+    val n2 = graft.model.Pricing.pricingSummaryOf(li, wide = false)
+      .filter(col("l_returnflag") === "R")
+      .select(col("sum_charge_e6")).as[Long].head()
+    val w2 = graft.model.Pricing.pricingSummaryOf(li, wide = true)
+      .filter(col("l_returnflag") === "R")
+      .select(col("sum_charge_e6").cast("long")).as[Long].head()
+    assert(n2 == w2 && n2 == 10000L * 90 * 105,
+      s"in-envelope paths must agree: $n2 vs $w2")
+  }
+
   test("severity is total and monotone over arbitrary magnitudes") {
     val order = Seq("Minor", "Light", "Moderate", "Strong", "Major", "Great")
     val mags = List.fill(200)(rnd.nextDouble() * 40 - 20)
