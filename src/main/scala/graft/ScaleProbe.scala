@@ -354,16 +354,16 @@ object ScaleProbe {
           .collect()(0).getLong(0)
       }
       graft.ops.Materialize.releaseAll(spark)
-      // dd4 under a GLOBAL hot shingle: the same unsalted footer on
-      // every doc of every copy gives its shingles df = full corpus —
-      // the Σdf² detonation the PPJoin prefix filter exists to absorb.
-      // Sub-quadratic (~linear) time here is the filter's measured
-      // claim; the unfiltered index would grow ∝ (n·docs)² on this
-      // corpus. Salted body text keeps the TRUE pair structure linear,
-      // so output size cannot explain a superlinear bend.
+      // dd4 under a GLOBAL hot shingle: the same unsalted 3-token
+      // footer on every doc of every copy gives ONE shingle df = full
+      // corpus — the Σdf² detonation the PPJoin prefix filter exists
+      // to absorb (the unfiltered index would grow ∝ (n·docs)² on this
+      // corpus). The footer is deliberately SHORT: its solo Jaccard
+      // contribution 1/(n_a+n_b-1) < 1/10 for every pair, so the true
+      // pair structure stays the salted copies' linear one and output
+      // size cannot explain a superlinear bend.
       val docsG = replicated(spark, sfDir, n)
-        .withColumn("text", concat(col("text"),
-          lit(" all rights reserved contact us terms of service apply")))
+        .withColumn("text", concat(col("text"), lit(" all rights reserved")))
         .localCheckpoint(true)
       val (tJacB, jacBPairs) = time {
         graft.ops.Dedup.ngramJaccardPairsOf(docsG).count()

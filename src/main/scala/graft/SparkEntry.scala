@@ -277,6 +277,8 @@ object SparkEntry {
     "g10_knn_label_mix" -> (graft.ops.Graph.knnLabelMix _),
     "w21_new_returning" -> ((s, d) => Analytics.newVsReturning(s, d)),
     "a33_spearman" -> ((s, d) => Analytics.spearmanPairs(s, d)),
+    "a35_seasonality_index" -> (Analytics.seasonalityIndex _),
+    "sim11_range_search" -> ((s, d) => graft.ops.Similarity.rangeSearch(s, d)),
     "j13_asof_tolerance" -> (graft.ops.AsOf.asofToleranceQuery _),
     "smp5_kfold" -> (graft.ops.Sampling.kfoldAssignment _),
     "pf4_top_values" -> (graft.ops.Profile.topValues _),
@@ -890,6 +892,8 @@ object SparkEntry {
     "g10_knn_label_mix" -> graft.ops.Graph.knnLabelMixOracle(),
     "w21_new_returning" -> Analytics.newVsReturningOracle,
     "a33_spearman" -> Analytics.spearmanPairsOracle,
+    "a35_seasonality_index" -> Analytics.seasonalityIndexOracle,
+    "sim11_range_search" -> graft.ops.Similarity.rangeSearchOracle,
     "j13_asof_tolerance" -> graft.ops.AsOf.asofToleranceOracle,
     "smp5_kfold" -> graft.ops.Sampling.kfoldAssignmentOracle,
     "pf4_top_values" -> graft.ops.Profile.topValuesOracle,

@@ -2700,4 +2700,48 @@ object Analytics {
       |       THEN (n_days * sum_x2 - sum_x * sum_x)
       |            / ((n_days - 1) * sum_x) END AS fano
       |FROM agg ORDER BY event_type""".stripMargin
+
+  /** a35 — month-of-year SEASONALITY index over order revenue: each
+    * calendar month's revenue share against the uniform 1/12, as exact
+    * permille integers (index 1000 = exactly seasonal-neutral;
+    * 12·rev_m·1000 div grand, floor semantics identical cross-engine).
+    * The time-series family's PERIODIC axis beside a3's trend, a33's
+    * cross-series rank correlation and w14's dominant period: the
+    * artifact a pipeline owner reads before attributing a monthly drop
+    * to drift rather than seasonality. One scan → 12-group map-side
+    * aggregate; the grand total derives from the MATERIALIZED 12-row
+    * frame (no second scan, the dd19/a29 fork rule) and rides a 1-row
+    * broadcast. */
+  def seasonalityIndex(s: SparkSession, d: String): DataFrame =
+    seasonalityIndexOf(Tables.orders(s, d))
+
+  def seasonalityIndexOf(orders: DataFrame): DataFrame = {
+    val monthly = graft.ops.Materialize(
+      orders
+        .groupBy(month(col("o_orderdate")).cast("long").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("revenue_cents")),
+      graft.ops.Materialize.Local, "a35_monthly")
+    val grand = monthly.agg(
+      sum(col("revenue_cents")).as("grand_cents"))
+    monthly.crossJoin(broadcast(grand))
+      .select(col("month"), col("n_orders"), col("revenue_cents"),
+        expr("revenue_cents * 1000 div grand_cents").as("share_permille"),
+        expr("revenue_cents * 12000 div grand_cents")
+          .as("seasonality_permille"))
+      .orderBy("month")
+  }
+
+  val seasonalityIndexOracle: String =
+    """WITH m AS (
+      |  SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+      |         count(*) AS n_orders,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS revenue_cents
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS grand_cents FROM m)
+      |SELECT m.month, m.n_orders, m.revenue_cents,
+      |  m.revenue_cents * 1000 // g.grand_cents AS share_permille,
+      |  m.revenue_cents * 12000 // g.grand_cents AS seasonality_permille
+      |FROM m, g ORDER BY m.month""".stripMargin
 }

@@ -169,6 +169,120 @@ object Similarity {
       .limit(K)
   }
 
+  /** Query-set selector for [[rangeSearch]]: vec_id ≡ 0 (mod 97) — a
+    * deterministic ~1% slice, the retrieval direction's stand-in for an
+    * external query table. */
+  val RangeQueryMod = 97L
+
+  /** Cosine floor for [[rangeSearch]], shared with dd5's near-dup cut. */
+  val RangeTau = 0.4
+
+  /** sim11 — RANGE (ε-ball) retrieval audit for a query SET: per
+    * query, how many corpus vectors its banded-LSH probe surfaced, how
+    * many of those clear cosine ≥ [[RangeTau]], and the best candidate
+    * (cos-desc, vec_id-asc deterministic tiebreak) — the
+    * all-qualifying-matches complement of sim1/sim2's top-k, shipped
+    * as a per-query summary so the artifact also READS as the recall/
+    * cost audit a retrieval owner tunes the band geometry with.
+    * Blocking is the dd5 banded sign-LSH family (EmbBands tables,
+    * per-band plane count self-sized from the corpus count): queries
+    * and corpus land in the same buckets, the join is equi-keyed on
+    * (table, bucket) — query-side work is Σ bucket_q·bucket_c, never
+    * |Q|·|C| — and only candidates pay the exact cosine. Recall < 1 by
+    * construction; the oracle mirrors the identical blocking, pinning
+    * the full pipeline including the geometry derivation. Queries
+    * whose probe finds nothing stay in the output with zero counts
+    * (left join against the query slice). At warehouse scale the
+    * corpus side is a PRE-BUILT banded index (lay-family bucket
+    * layout) and queries stream against it — the shape this operator
+    * rehearses. */
+  def rangeSearch(s: SparkSession, d: String,
+      mode: graft.ops.Materialize.Mode = graft.ops.Materialize.Local): DataFrame =
+    rangeSearchOf(Tables.embeddings(s, d), mode)
+
+  def rangeSearchOf(emb: DataFrame,
+      mode: graft.ops.Materialize.Mode = graft.ops.Materialize.Local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ppb = Dedup.embBandPlanesFor(Materialize.cachedCount(emb))
+    val e = Materialize(embDoubleOf(emb).select("vec_id", "v", "norm"),
+      mode, "range_emb")
+    val bandStructs = array((0 until Dedup.EmbBands).map { t =>
+      struct(lit(t).as("t"), bandBucketCol(col("v"), t, ppb).as("bkt"))
+    }: _*)
+    val banded = e.select(col("vec_id"), explode(bandStructs).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val cand = banded.filter(col("vec_id") % RangeQueryMod === 0)
+      .select(col("t"), col("bkt"), col("vec_id").as("query_id"))
+      .join(banded.filter(col("vec_id") % RangeQueryMod =!= 0)
+        .select(col("t"), col("bkt"), col("vec_id")), Seq("t", "bkt"))
+      .select("query_id", "vec_id").distinct()
+    // scored candidates feed BOTH the per-query counts and the best-row
+    // pick — materialized once (the a29/dq7 fork rule)
+    val scored = Materialize(
+      cand
+        .join(e.toDF("query_id", "qv", "qnorm"), "query_id")
+        .join(e.toDF("vec_id", "cv", "cnorm"), "vec_id")
+        .withColumn("cos",
+          dot(col("qv"), col("cv")) / (sqrt(col("qnorm")) * sqrt(col("cnorm"))))
+        .select("query_id", "vec_id", "cos"),
+      mode, "range_scored")
+    val stats = scored.groupBy("query_id").agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("cos") >= RangeTau, 1L).otherwise(0L)).as("n_matches"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("best_vec_id"),
+        col("cos").as("best_cos"))
+    e.filter(col("vec_id") % RangeQueryMod === 0)
+      .select(col("vec_id").as("query_id"))
+      .join(stats, Seq("query_id"), "left")
+      .join(best, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_matches"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB replay of sim11: identical banding (same plane-count
+    * derivation from count(*)), identical query split, left-to-right
+    * list_dot_product folds, identical best-row tiebreak. */
+  lazy val rangeSearchOracle: String = {
+    val bandSelects = (0 until Dedup.EmbBands).map { t =>
+      s"SELECT vec_id, $t AS t, ${bandBucketSql(t, "p.planes")} AS bkt FROM n, p"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS ${planesForSql("embeddings", Dedup.EmbBandTargetDocs,
+              Dedup.EmbBandPlanes, MaxEmbBandPlanes)},
+       |n AS (SELECT vec_id, v, list_dot_product(v, v) AS norm FROM e),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+       |  FROM banded q JOIN banded c ON q.t = c.t AND q.bkt = c.bkt
+       |  WHERE q.vec_id % $RangeQueryMod = 0 AND c.vec_id % $RangeQueryMod <> 0),
+       |scored AS (SELECT cd.query_id, cd.vec_id,
+       |    list_dot_product(a.v, b.v) / (sqrt(a.norm) * sqrt(b.norm)) AS cos
+       |  FROM cand cd
+       |  JOIN n a ON a.vec_id = cd.query_id
+       |  JOIN n b ON b.vec_id = cd.vec_id),
+       |stats AS (SELECT query_id, count(*) AS n_candidates,
+       |    CAST(sum(CASE WHEN cos >= $RangeTau THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_matches
+       |  FROM scored GROUP BY query_id),
+       |best AS (SELECT query_id, vec_id AS best_vec_id, cos AS best_cos
+       |  FROM (SELECT query_id, vec_id, cos, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT q.vec_id AS query_id,
+       |  coalesce(s.n_candidates, 0) AS n_candidates,
+       |  coalesce(s.n_matches, 0) AS n_matches,
+       |  b.best_vec_id, b.best_cos
+       |FROM e q
+       |LEFT JOIN stats s ON q.vec_id = s.query_id
+       |LEFT JOIN best b ON q.vec_id = b.query_id
+       |WHERE q.vec_id % $RangeQueryMod = 0
+       |ORDER BY query_id""".stripMargin
+  }
+
   val KnnK = 3
 
   /** Driver-query probe radius for [[knnGraph]] — the recall/cost dial,
