@@ -185,6 +185,7 @@ object SparkEntry {
     "g4_knn_reciprocity" -> (Graph.knnReciprocity _),
     "tx29_bpe_pairs" -> (TextStats.bpePairs _),
     "t5_hopping_windows" -> (Analytics.hoppingWindows _),
+    "t6_backfill_plan" -> (graft.model.Staging.backfillPlan _),
     "sim7_cluster_margins" -> (Similarity.clusterMargins _),
     "mm10_scene_cuts" -> (Multimodal.sceneCutQuery _),
     "kmv1_set_ops" -> (graft.ops.Sketch.kmvSetOps _),
@@ -801,6 +802,7 @@ object SparkEntry {
     "g4_knn_reciprocity" -> Graph.knnReciprocityOracle(),
     "tx29_bpe_pairs" -> TextStats.bpePairsOracle,
     "t5_hopping_windows" -> Analytics.hoppingWindowsOracle,
+    "t6_backfill_plan" -> graft.model.Staging.backfillPlanOracle,
     "sim7_cluster_margins" -> Similarity.clusterMarginsOracle,
     "mm10_scene_cuts" -> Multimodal.sceneCutOracle,
     "kmv1_set_ops" -> graft.ops.Sketch.kmvSetOpsOracle,

@@ -14,6 +14,35 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("dd4 prefix path: no cartesian, one corpus scan, keyed joins only") {
+    val p = plan("dd4_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), "prefix join degraded to cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "prefix join degraded to nested loop")
+    // the hashed-shingle stream materializes once; everything else reads
+    // the checkpoint (prefix ranking, candidate join, verify sets)
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
+  test("tx39 repetition gate: one corpus scan behind the materialized base, keyed stages only") {
+    val p = plan("tx39_gopher_repetition")
+    assert(!p.contains("CartesianProduct"))
+    assert("FileScan parquet".r.findAllIn(p).size <= 1,
+      "line/2/3/4-gram pipelines must read the materialized base, not re-scan")
+  }
+
+  test("sim11 range search: equi-keyed bucket probe, no |Q|x|C| nested loop") {
+    val p = plan("sim11_range_search")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "query-corpus match must stay equi-keyed on (table, bucket)")
+  }
+
+  test("t6 backfill plan: one orders scan, span expansion off the materialized month table") {
+    val p = plan("t6_backfill_plan")
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
   test("clean-stage filters push into the parquet scan (P4-P7)") {
     val p = plan("p2_p8_clean_events")
     assert(p.contains("PushedFilters: ["), p.take(2000))
