@@ -276,12 +276,14 @@ object SparkEntry {
       graft.ops.Profile.idTimeAlignment(s, d)),
     "w20_active_days" -> (Analytics.activeDays _),
     "g10_knn_label_mix" -> (graft.ops.Graph.knnLabelMix _),
+    "g11_label_spread" -> ((s, d) => graft.ops.Graph.labelSpread(s, d)),
     "w21_new_returning" -> ((s, d) => Analytics.newVsReturning(s, d)),
     "a33_spearman" -> ((s, d) => Analytics.spearmanPairs(s, d)),
     "a35_seasonality_index" -> (Analytics.seasonalityIndex _),
     "sim11_range_search" -> ((s, d) => graft.ops.Similarity.rangeSearch(s, d)),
     "j13_asof_tolerance" -> (graft.ops.AsOf.asofToleranceQuery _),
     "smp5_kfold" -> (graft.ops.Sampling.kfoldAssignment _),
+    "smp6_temperature_mix" -> (graft.ops.Sampling.temperatureMix _),
     "pf4_top_values" -> (graft.ops.Profile.topValues _),
   )
 
@@ -892,12 +894,14 @@ object SparkEntry {
     "dq11_id_time_alignment" -> graft.ops.Profile.idTimeAlignmentOracle,
     "w20_active_days" -> Analytics.activeDaysOracle,
     "g10_knn_label_mix" -> graft.ops.Graph.knnLabelMixOracle(),
+    "g11_label_spread" -> graft.ops.Graph.labelSpreadOracle,
     "w21_new_returning" -> Analytics.newVsReturningOracle,
     "a33_spearman" -> Analytics.spearmanPairsOracle,
     "a35_seasonality_index" -> Analytics.seasonalityIndexOracle,
     "sim11_range_search" -> graft.ops.Similarity.rangeSearchOracle,
     "j13_asof_tolerance" -> graft.ops.AsOf.asofToleranceOracle,
     "smp5_kfold" -> graft.ops.Sampling.kfoldAssignmentOracle,
+    "smp6_temperature_mix" -> graft.ops.Sampling.temperatureMixOracle,
     "pf4_top_values" -> graft.ops.Profile.topValuesOracle,
   )
 }

@@ -784,4 +784,104 @@ object Graph {
        |  CASE WHEN label_a = label_b THEN 1 ELSE 0 END AS within,
        |  (10000 * n_edges) // t_edges AS share_bp
        |FROM mix CROSS JOIN t ORDER BY label_a, label_b""".stripMargin
+
+  /** Seed slice for [[labelSpread]]: vec_id ≡ 0 (mod 13) keeps its
+    * label (~8% of the corpus); everyone else starts unlabeled. */
+  val SpreadSeedMod = 13L
+
+  /** Fixed majority-vote rounds for [[labelSpread]] — unrolled in the
+    * oracle, so the count is a compile-time constant. */
+  val SpreadRounds = 2
+
+  /** g11 — semi-supervised LABEL SPREAD over the kNN graph: seeds keep
+    * their label, every unlabeled node adopts the MAJORITY label of
+    * its already-labeled neighbors (ties → smaller label), for
+    * [[SpreadRounds]] synchronous rounds — nodes labeled in round 1
+    * vote in round 2. The inference the g8/g10 diagnostics sit beside:
+    * THOSE measure how separable the labels are; this one actually
+    * propagates them, the cheap label-densification step of a
+    * weakly-supervised curation pipeline. Output keeps the true label
+    * so the artifact doubles as an accuracy readout on the non-seed
+    * slice.
+    *
+    * Shape: edges materialize once (the sim4 build), symmetrized; each
+    * round is one dst-keyed join (neighbor labels) + one (node, label)
+    * aggregate + one node-keyed window pick + a left join back — all
+    * keyed on vec_id-sized keys, rounds materialized like
+    * [[graft.ops.Dedup.labelPropagation]] so lineage stays bounded. */
+  def labelSpread(s: SparkSession, d: String): DataFrame =
+    labelSpreadOf(Tables.embeddings(s, d))
+
+  def labelSpreadOf(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = Materialize(
+      Similarity.knnGraphOf(emb).select("src", "dst"),
+      Materialize.Local, "spread_edges")
+    val sym = Materialize(
+      edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst")).distinct(),
+      Materialize.Local, "spread_sym")
+    var lab = Materialize(
+      emb.select(col("vec_id"), col("label"))
+        .withColumn("cur",
+          when(col("vec_id") % SpreadSeedMod === 0, col("label")))
+        .withColumn("decided_round",
+          when(col("vec_id") % SpreadSeedMod === 0, lit(0L))),
+      Materialize.Local, "spread_l0")
+    (1 to SpreadRounds).foreach { r =>
+      val votes = sym
+        .join(lab.select(col("vec_id").as("dst"), col("cur").as("nl")), "dst")
+        .where(col("nl").isNotNull)
+        .groupBy(col("src").as("vec_id"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("c").desc, col("nl"))
+      val pick = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nl"))
+      lab = Materialize(
+        lab.join(pick, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("label"),
+            coalesce(col("cur"), col("nl")).as("cur"),
+            coalesce(col("decided_round"),
+              when(col("nl").isNotNull, lit(r.toLong))).as("decided_round")),
+        Materialize.Local, s"spread_l$r")
+    }
+    lab
+      .select(col("vec_id"), col("label"),
+        (col("vec_id") % SpreadSeedMod === 0).as("is_seed"),
+        col("cur").as("inferred_label"), col("decided_round"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB replay of g11: the sim4 edge CTE symmetrized, the same two
+    * unrolled majority-vote rounds with the same (count desc, label
+    * asc) tiebreak. */
+  lazy val labelSpreadOracle: String = {
+    def round(r: Int): String =
+      s"""v$r AS (SELECT s.src AS vec_id, l.cur AS nl, count(*) AS c
+         |  FROM sym s JOIN l${r - 1} l ON s.dst = l.vec_id
+         |  WHERE l.cur IS NOT NULL GROUP BY 1, 2),
+         |p$r AS (SELECT vec_id, nl FROM (SELECT vec_id, nl,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nl) AS rn
+         |  FROM v$r) WHERE rn = 1),
+         |l$r AS (SELECT l.vec_id, l.label, coalesce(l.cur, p.nl) AS cur,
+         |    coalesce(l.dr, CASE WHEN p.nl IS NOT NULL THEN $r END) AS dr
+         |  FROM l${r - 1} l LEFT JOIN p$r p ON l.vec_id = p.vec_id)""".stripMargin
+    s"""WITH eg AS (SELECT src, dst FROM (
+       |${Similarity.knnGraphOracle()}
+       |) kg),
+       |sym AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM eg UNION ALL SELECT dst, src FROM eg)
+       |  WHERE src <> dst),
+       |l0 AS (SELECT vec_id, label,
+       |    CASE WHEN vec_id % $SpreadSeedMod = 0 THEN label END AS cur,
+       |    CASE WHEN vec_id % $SpreadSeedMod = 0 THEN 0 END AS dr
+       |  FROM embeddings),
+       |${(1 to SpreadRounds).map(round).mkString(",\n")}
+       |SELECT vec_id, label, (vec_id % $SpreadSeedMod = 0) AS is_seed,
+       |  cur AS inferred_label, CAST(dr AS BIGINT) AS decided_round
+       |FROM l$SpreadRounds ORDER BY vec_id""".stripMargin
+  }
 }

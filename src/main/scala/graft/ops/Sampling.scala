@@ -451,4 +451,82 @@ object Sampling {
        |       (10000 * n_docs) // total_docs AS docs_share_bp
        |FROM per CROSS JOIN tot
        |ORDER BY split, source, lang""".stripMargin
+
+  /** smp6 — TEMPERATURE-scaled multilingual mixing (the α=1/2 sampling
+    * the multilingual-LLM literature uses to damp head languages:
+    * p_lang ∝ n_lang^α instead of ∝ n_lang), with EXACT integer quota
+    * allocation by largest remainder: weight w = ⌊√n⌋ per lang, target
+    * T = ⌊corpus/2⌋ docs, base quota ⌊T·w/W⌋ and the R = T − Σbase
+    * leftover seats going to the largest remainders (T·w mod W, ties
+    * to the earlier lang) — Σ quotas ≡ T by construction, no float
+    * shares, bit-identical cross-engine. Selection within a lang is
+    * the deterministic md5 order (seed 11) — the epochShuffle
+    * convention — so the sample is reproducible row-for-row. Output:
+    * every sampled doc with its lang, hash rank, and the lang's quota.
+    *
+    * Scale shape: lang-keyed count aggregate (≤ langs rows) → driver-
+    * free quota table via window over the TINY lang frame → one
+    * lang-keyed row_number + quota semi-join. The per-lang window
+    * partitions on lang over the full corpus — bounded by the corpus's
+    * lang cardinality; for a two-lang 100 TB corpus you'd salt the
+    * rank the ord2 PrefixSum way, documented dial. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureMixOf(Tables.documents(s, d))
+
+  def temperatureMixOf(docs: DataFrame): DataFrame = {
+    val counts = graft.ops.Materialize(
+      docs.groupBy("lang").agg(count(lit(1)).as("n")),
+      graft.ops.Materialize.Local, "smp6_counts")
+    // quota table: all integer arithmetic over the ≤ langs-row frame
+    val weighted = counts
+      .withColumn("w", floor(sqrt(col("n"))).cast("long"))
+    val tot = weighted.agg(
+      sum(col("n")).as("corpus"), sum(col("w")).as("bigw"))
+    val quota = weighted.crossJoin(broadcast(tot))
+      .withColumn("t_target", expr("corpus div 2"))
+      .withColumn("base", expr("t_target * w div bigw"))
+      .withColumn("rem", expr("(t_target * w) % bigw"))
+      .withColumn("rrank",
+        row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+      .withColumn("leftover",
+        expr("t_target - sum(base) OVER ()"))
+      .withColumn("quota",
+        col("base") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
+      .select("lang", "n", "w", "quota")
+    val ranked = docs
+      .withColumn("h", md5Hash60(col("doc_id").cast("string"), 11))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+    ranked.join(broadcast(quota), "lang")
+      .filter(col("rnk") <= col("quota"))
+      .select("doc_id", "lang", "rnk", "quota")
+      .orderBy("lang", "rnk")
+  }
+
+  /** DuckDB replay of smp6: identical ⌊√n⌋ weights, largest-remainder
+    * seats, md5 order. The two whole-frame windows run over the
+    * ≤ langs-row quota CTE only. */
+  val temperatureMixOracle: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS corpus,
+      |             CAST(sum(w) AS BIGINT) AS bigw FROM w),
+      |q0 AS (SELECT lang, n, w,
+      |    corpus // 2 AS t_target,
+      |    (corpus // 2) * w // bigw AS base,
+      |    ((corpus // 2) * w) % bigw AS rem
+      |  FROM w, t),
+      |q AS (SELECT lang, n, w,
+      |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+      |      <= t_target - sum(base) OVER () THEN 1 ELSE 0 END AS quota
+      |  FROM q0),
+      |r AS (SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY ('0x' || substr(md5('11:' || doc_id), 1, 15))::BIGINT,
+      |        doc_id) AS rnk
+      |  FROM documents)
+      |SELECT r.doc_id, r.lang, r.rnk, q.quota
+      |FROM r JOIN q ON r.lang = q.lang
+      |WHERE r.rnk <= q.quota
+      |ORDER BY r.lang, r.rnk""".stripMargin
 }
