@@ -133,7 +133,14 @@ object Dedup {
       case Materialize.Local => bandsRaw
       case _ => Materialize(bandsRaw, mode, "minhash_bands")
     }
-    val a = bands.as("a"); val b = bands.as("b")
+    // shuffle_hash on every corpus-derived side: the localCheckpoint
+    // behind `flat` PRESERVES the pre-checkpoint plan's (post-aggregate,
+    // grossly undershooting) size estimates, so unhinted, Catalyst
+    // broadcasts band/hash/size tables — harmless at sf0.1, hundreds of
+    // MB per executor at the sf1 tier (dd2 measured 25 s there before
+    // the hints, 2.9 s after). The keyed form also lets exchange reuse
+    // compute the band shuffle once for both self-join sides.
+    val a = bands.as("a"); val b = bands.hint("shuffle_hash").as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -144,7 +151,9 @@ object Dedup {
     // counts the intersection without materializing per-doc arrays
     // (array-lambda hashing is interpreted and dominates otherwise)
     val hashed = flat.select(col(idCol), col("h1").as("h"))
+      .hint("shuffle_hash")
     val sizes = hashed.groupBy(idCol).agg(count(lit(1)).as("n"))
+      .hint("shuffle_hash")
     val iSize = cand
       .join(hashed.toDF("doc_a", "h"), "doc_a")
       .join(hashed.toDF("doc_b", "h"), Seq("doc_b", "h"))
@@ -281,9 +290,18 @@ object Dedup {
   def ngramJaccardPairsOf(docs: DataFrame,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
     val flat = shingleFlat(docs, mode)
-    val pfx = prefixShingles(flat, JaccardThresholdNum, JaccardThresholdDen)
+    // materialized: the prefix pipeline (df join + two doc-keyed
+    // windows) feeds BOTH sides of the candidate self-join — unchecked,
+    // Catalyst replays it per side AND broadcasts one whole side (fine
+    // at sf0.1, memory churn at sf1 — caught by the sf1 tier's 60×
+    // dd4 reading). The shuffle_hash hint keeps the self-join keyed:
+    // no corpus-derived table ever broadcasts in this pipeline.
+    val pfx = Materialize(
+      prefixShingles(flat, JaccardThresholdNum, JaccardThresholdDen),
+      mode, "jaccard_prefix")
     val cand = pfx.select(col("lang"), col("h"), col("doc_id").as("doc_a"))
-      .join(pfx.select(col("lang"), col("h"), col("doc_id").as("doc_b")),
+      .join(pfx.select(col("lang"), col("h"), col("doc_id").as("doc_b"))
+        .hint("shuffle_hash"),
         Seq("lang", "h"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -321,7 +339,12 @@ object Dedup {
   private def prefixShingles(flat: DataFrame, tNum: Int,
       tDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // shuffle_hash: dfreq is corpus-sized (one row per distinct
+    // shingle) — a broadcast would ship millions of rows per executor
+    // at warehouse scale; the join key (lang, h) is already the
+    // aggregate's shuffle key, so the hash join reuses its exchange
     val dfreq = flat.groupBy("lang", "h").agg(count(lit(1)).as("df"))
+      .hint("shuffle_hash")
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
     flat.join(dfreq, Seq("lang", "h"))
       .withColumn("r", row_number().over(w))
@@ -351,9 +374,15 @@ object Dedup {
     * (doc_a, doc_b, i_size, n_a, n_b). */
   private def verifiedIntersections(cand: DataFrame,
       flat: DataFrame): DataFrame = {
+    // shuffle_hash: the sets frame carries every doc's full sorted
+    // shingle array — hundreds of bytes per row; its size ESTIMATE
+    // undershoots and Catalyst would broadcast it (~150 MB real at the
+    // sf1 tier, the run-to-run variance source). Keyed on doc ids,
+    // the join needs no broadcast at any scale.
     val sets = flat.groupBy("doc_id")
       .agg(array_sort(collect_list(col("h"))).as("hs"),
         count(lit(1)).as("n"))
+      .hint("shuffle_hash")
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
         col("n").as("n_a")), "doc_a")
@@ -380,9 +409,14 @@ object Dedup {
   private[graft] def shingleIntersections(docs: DataFrame,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
     val flat = shingleFlat(docs, mode)
+    // shuffle_hash throughout: every joined table here is corpus-sized
+    // (per-doc sizes, the flat shingle stream) — broadcasting any of
+    // them is a size-estimate accident that detonates at the sf1 tier
     val sizes = flat.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .hint("shuffle_hash")
     val iSize = flat.select(col("lang"), col("h"), col("doc_id").as("doc_a"))
-      .join(flat.select(col("lang"), col("h"), col("doc_id").as("doc_b")),
+      .join(flat.select(col("lang"), col("h"), col("doc_id").as("doc_b"))
+        .hint("shuffle_hash"),
         Seq("lang", "h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i_size"))
@@ -427,9 +461,12 @@ object Dedup {
   def containmentPairsOf(docs: DataFrame,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
     val flat = shingleFlat(docs, mode)
-    val pfx = prefixShingles(flat, ContainmentNum, ContainmentDen)
+    val pfx = Materialize(
+      prefixShingles(flat, ContainmentNum, ContainmentDen),
+      mode, "containment_prefix")
     val cand = pfx.select(col("lang"), col("h"), col("doc_id").as("da"))
-      .join(flat.select(col("lang"), col("h"), col("doc_id").as("db")),
+      .join(flat.select(col("lang"), col("h"), col("doc_id").as("db"))
+        .hint("shuffle_hash"),
         Seq("lang", "h"))
       .filter(col("da") =!= col("db"))
       .select(least(col("da"), col("db")).as("doc_a"),

@@ -91,6 +91,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(key == expected)
   }
 
+  test("backfill plan: span expansion surfaces source-absent months as missing-with-zero (t6)") {
+    // 2019-11 loaded, 2019-12 absent from the SOURCE entirely, 2020-01
+    // and 2020-02 unloaded — the planner must emit all four span
+    // months, with the hole month present at n_rows=0
+    val orders = Seq(
+      (1L, "2019-11-03"), (2L, "2019-11-20"),
+      (3L, "2020-01-15"),
+      (4L, "2020-02-05"), (5L, "2020-02-06"), (6L, "2020-02-07"))
+      .toDF("o_orderkey", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d")))
+    val got = Staging.backfillPlanOf(orders, "2020-01")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("2019-11", 2L, "present"),
+      ("2019-12", 0L, "present"), // in-source-span hole, before cutoff
+      ("2020-01", 1L, "missing"),
+      ("2020-02", 3L, "missing")), got.toSeq.toString)
+  }
+
   test("incremental staging drops late rows; full-refresh union catches them (T2 vs U1)") {
     val existing = Seq(("a", "2020-06-01 00:00:00")).toDF("place", "dt")
       .withColumn("event_datetime", to_timestamp(col("dt"))).drop("dt")
