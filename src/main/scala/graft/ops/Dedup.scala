@@ -1532,12 +1532,17 @@ object Dedup {
     }: _*)
     val banded = e.select(col("vec_id"), explode(bandStructs).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
-    val cand = banded.as("x").join(banded.as("y"),
+    // shuffle_hash: the banded table and the vector-norm table are
+    // corpus-sized (the latter carries the 64-double arrays) — the
+    // checkpoint's preserved under-estimates otherwise broadcast them
+    // (the dd2/dd4 sf1-tier lesson, same fix)
+    val cand = banded.as("x").join(banded.hint("shuffle_hash").as("y"),
         col("x.t") === col("y.t") && col("x.bkt") === col("y.bkt") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
     val n = e.select(col("vec_id"), col("v"), col("norm"))
+      .hint("shuffle_hash")
     cand
       .join(n.toDF("vec_a", "av", "anorm"), "vec_a")
       .join(n.toDF("vec_b", "bv", "bnorm"), "vec_b")

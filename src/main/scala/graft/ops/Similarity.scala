@@ -214,14 +214,18 @@ object Similarity {
     val cand = banded.filter(col("vec_id") % RangeQueryMod === 0)
       .select(col("t"), col("bkt"), col("vec_id").as("query_id"))
       .join(banded.filter(col("vec_id") % RangeQueryMod =!= 0)
-        .select(col("t"), col("bkt"), col("vec_id")), Seq("t", "bkt"))
+        .select(col("t"), col("bkt"), col("vec_id")).hint("shuffle_hash"),
+        Seq("t", "bkt"))
       .select("query_id", "vec_id").distinct()
     // scored candidates feed BOTH the per-query counts and the best-row
-    // pick — materialized once (the a29/dq7 fork rule)
+    // pick — materialized once (the a29/dq7 fork rule); vector-table
+    // joins stay keyed (shuffle_hash — the dd2/dd4 sf1-tier lesson)
     val scored = Materialize(
       cand
-        .join(e.toDF("query_id", "qv", "qnorm"), "query_id")
-        .join(e.toDF("vec_id", "cv", "cnorm"), "vec_id")
+        .join(e.hint("shuffle_hash").toDF("query_id", "qv", "qnorm"),
+          "query_id")
+        .join(e.hint("shuffle_hash").toDF("vec_id", "cv", "cnorm"),
+          "vec_id")
         .withColumn("cos",
           dot(col("qv"), col("cv")) / (sqrt(col("qnorm")) * sqrt(col("cnorm"))))
         .select("query_id", "vec_id", "cos"),
