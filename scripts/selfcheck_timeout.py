@@ -20,7 +20,10 @@ def check_one(sf, out, name, sql, q):
     con = duckdb.connect()
     for p in glob.glob(f"{sf}/*.parquet"):
         t = p.split("/")[-1].replace(".parquet", "")
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        # GenScale tiers are Spark-written DIRECTORIES; driver testdata
+        # is single files — glob the dir form
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     try:
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
