@@ -285,6 +285,15 @@ object SparkEntry {
     "smp5_kfold" -> (graft.ops.Sampling.kfoldAssignment _),
     "smp6_temperature_mix" -> (graft.ops.Sampling.temperatureMix _),
     "pf4_top_values" -> (graft.ops.Profile.topValues _),
+    "a36_mann_kendall" -> ((s, d) => Analytics.mannKendall(s, d)),
+    "clf3_cohens_kappa" -> ((s, d) => graft.ops.Eval.cohensKappa(s, d)),
+    "tx40_garbled_text" -> ((s, d) => TextStats.garbledText(s, d)),
+    "priv2_generalization_ladder" -> ((s, d) =>
+      graft.ops.Privacy.generalizationLadder(s, d)),
+    "mm16_audio_fingerprint" -> ((s, d) =>
+      Multimodal.audioFingerprintQuery(s, d)),
+    "a37_ewma_burst" -> ((s, d) => Analytics.ewmaBurst(s, d)),
+    "rc3_threeway_merge" -> ((s, d) => Reconcile.threeWayMergeQuery(s, d)),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -903,5 +912,13 @@ object SparkEntry {
     "smp5_kfold" -> graft.ops.Sampling.kfoldAssignmentOracle,
     "smp6_temperature_mix" -> graft.ops.Sampling.temperatureMixOracle,
     "pf4_top_values" -> graft.ops.Profile.topValuesOracle,
+    "a36_mann_kendall" -> Analytics.mannKendallOracle,
+    "clf3_cohens_kappa" -> graft.ops.Eval.cohensKappaOracle,
+    "tx40_garbled_text" -> TextStats.garbledTextOracle,
+    "priv2_generalization_ladder" ->
+      graft.ops.Privacy.generalizationLadderOracle,
+    "mm16_audio_fingerprint" -> Multimodal.audioFingerprintOracle,
+    "a37_ewma_burst" -> Analytics.ewmaBurstOracle,
+    "rc3_threeway_merge" -> Reconcile.threeWayMergeOracle,
   )
 }

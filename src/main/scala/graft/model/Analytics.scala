@@ -1854,6 +1854,209 @@ object Analytics {
       |FROM nd LEFT JOIN mid USING (event_type)
       |ORDER BY nd.event_type""".stripMargin
 
+  /** a36 — Mann–Kendall trend TEST over the same per-type daily
+    * series a27 estimates a slope for: S = Σ_{i<j} sign(x_j − x_i) as
+    * an exact long (the pairwise join runs on the (type, day)
+    * AGGREGATE — bounded by the time domain, like a27, never the row
+    * count), the tie-corrected variance numerator
+    * n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) kept as an exact long
+    * (variance itself is num/18, left to the reader of the row), and
+    * the continuity-corrected z = (S∓1)/√(num/18) built from one
+    * long-by-literal division, one correctly-rounded sqrt, and one
+    * final division — a fixed IEEE tree both engines evaluate
+    * bit-identically (the a25/a33 sqrt precedent). The significance
+    * flag compares that shared z against ±1.96 (two-sided α=0.05), so
+    * it is exact cross-engine too: +1 rising, −1 falling, 0 neither.
+    * Degenerate series (n < 2, or every day tied at one level) have
+    * zero variance → z NULL, trend 0. */
+  def mannKendall(s: SparkSession, d: String): DataFrame =
+    mannKendallOf(Tables.events(s, d))
+
+  /** [[mannKendall]] over an explicit events frame. The (type, day)
+    * aggregate feeds THREE consumers (pair sign sum, tie spectrum, day
+    * count) — it materializes once so the corpus scan is not replayed
+    * per fork (the a29/dq7 rule). */
+  def mannKendallOf(events: DataFrame): DataFrame = {
+    val daily = graft.ops.Materialize(
+      events
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("x")),
+      graft.ops.Materialize.Local, "a36_daily")
+    val b = daily.select(col("event_type").as("et2"), col("day").as("d2"),
+      col("x").as("x2"))
+    val sStat = daily
+      .join(b, col("event_type") === col("et2") && col("day") < col("d2"))
+      .groupBy("event_type")
+      .agg(sum(when(col("x2") > col("x"), 1L)
+          .when(col("x2") < col("x"), -1L).otherwise(0L)).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val ties = daily
+      .groupBy("event_type", "x").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .as("tie_term"))
+    val nDays = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val joined = nDays
+      .join(ties, Seq("event_type"))
+      .join(sStat, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        (col("n_days") * (col("n_days") - 1L) *
+          (lit(2L) * col("n_days") + 5L) - col("tie_term")).as("var_num"))
+    val sd = sqrt(col("var_num").cast("double") / lit(18.0d))
+    joined
+      .withColumn("z",
+        when(col("var_num") <= 0L, lit(null).cast("double"))
+          .when(col("s_stat") > 0L, (col("s_stat") - 1L).cast("double") / sd)
+          .when(col("s_stat") < 0L, (col("s_stat") + 1L).cast("double") / sd)
+          .otherwise(lit(0.0d)))
+      .withColumn("trend",
+        when(col("z").isNull, 0L)
+          .when(col("z") > 1.96d, 1L)
+          .when(col("z") < -1.96d, -1L).otherwise(0L))
+      .orderBy("event_type")
+  }
+
+  val mannKendallOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |           AS BIGINT) AS day,
+      |         count(*) AS x
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT a.event_type,
+      |         CAST(sum(CASE WHEN b.x > a.x THEN 1
+      |                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+      |           AS s_stat,
+      |         count(*) AS n_pairs
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY 1),
+      |ties AS (
+      |  SELECT event_type,
+      |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT event_type, x, count(*) AS t
+      |        FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+      |j AS (
+      |  SELECT nd.event_type, nd.n_days,
+      |         COALESCE(s.n_pairs, 0) AS n_pairs,
+      |         COALESCE(s.s_stat, 0) AS s_stat,
+      |         nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+      |           - ties.tie_term AS var_num
+      |  FROM nd JOIN ties USING (event_type)
+      |  LEFT JOIN s USING (event_type)),
+      |z AS (
+      |  SELECT *,
+      |         CASE WHEN var_num <= 0 THEN NULL
+      |              WHEN s_stat > 0 THEN
+      |                CAST(s_stat - 1 AS DOUBLE)
+      |                  / sqrt(CAST(var_num AS DOUBLE) / 18.0e0)
+      |              WHEN s_stat < 0 THEN
+      |                CAST(s_stat + 1 AS DOUBLE)
+      |                  / sqrt(CAST(var_num AS DOUBLE) / 18.0e0)
+      |              ELSE 0.0e0 END AS z
+      |  FROM j)
+      |SELECT event_type, n_days, n_pairs, s_stat, var_num, z,
+      |       CAST(CASE WHEN z IS NULL THEN 0
+      |                 WHEN z > 1.96e0 THEN 1
+      |                 WHEN z < -1.96e0 THEN -1 ELSE 0 END AS BIGINT) AS trend
+      |FROM z ORDER BY event_type""".stripMargin
+
+  /** EWMA horizon in days for [[ewmaBurst]] — weights below 2⁻¹⁶ of
+    * the newest are truncated (they are sub-integer noise at any
+    * realistic daily volume). */
+  val EwmaHorizonDays = 16L
+
+  /** a37 — EWMA burst detection over the per-type daily series, the
+    * exponentially-weighted companion to dq6's uniform trailing
+    * window: yesterday counts twice as much as the day before
+    * (half-life = 1 day), so a burst after a quiet ramp-down fires
+    * faster than the 7-day-mean test. The trick that keeps it EXACT:
+    * with decay ½ and a [[EwmaHorizonDays]]-day truncation, the lag-ℓ
+    * weight is the integer 2^(H−ℓ), so the weighted sum and the
+    * weight mass are plain longs (num = Σ x·2^(H−ℓ), den = Σ 2^(H−ℓ)
+    * over the lags that EXIST — gaps self-normalize), the smoothed
+    * level is ONE division num/den, and the burst test
+    * x·den > 3·num cross-multiplies to pure integers — no float
+    * accumulation anywhere, the a20/dq6 discipline applied to
+    * exponential weights. Shape: one corpus aggregation to (type,
+    * day), then a bounded lag self-join (≤ H rows per day) on the
+    * aggregate — O(days·H) pairs regardless of corpus size. Days
+    * with no trailing observation in the horizon emit NULL. */
+  def ewmaBurst(s: SparkSession, d: String): DataFrame =
+    ewmaBurstOf(Tables.events(s, d))
+
+  /** [[ewmaBurst]] over an explicit events frame. */
+  def ewmaBurstOf(events: DataFrame): DataFrame = {
+    val daily = graft.ops.Materialize(
+      events
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("x")),
+      graft.ops.Materialize.Local, "a37_daily")
+    val b = daily.select(col("event_type").as("et2"), col("day").as("d2"),
+      col("x").as("x2"))
+    val trail = daily
+      .join(b, col("event_type") === col("et2") &&
+        col("d2") >= col("day") - EwmaHorizonDays &&
+        col("d2") < col("day"))
+      .withColumn("w", expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST($EwmaHorizonDays - (day - d2) AS INT))"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("x2") * col("w")).as("ewma_num"),
+        sum(col("w")).as("ewma_den"))
+    daily.join(trail, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("x"),
+        col("ewma_num"), col("ewma_den"),
+        (col("ewma_num").cast("double") / col("ewma_den").cast("double"))
+          .as("ewma"),
+        when(col("ewma_den").isNull, lit(null).cast("long"))
+          .otherwise(when(
+            col("x") * col("ewma_den") > lit(3L) * col("ewma_num"), 1L)
+            .otherwise(0L)).as("burst"))
+      .orderBy("event_type", "day")
+  }
+
+  val ewmaBurstOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |           AS BIGINT) AS day,
+       |         count(*) AS x
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |  GROUP BY 1, 2),
+       |trail AS (
+       |  SELECT a.event_type, a.day,
+       |         CAST(sum(b.x * (CAST(1 AS BIGINT)
+       |           << CAST($EwmaHorizonDays - (a.day - b.day) AS INT)))
+       |           AS BIGINT) AS ewma_num,
+       |         CAST(sum(CAST(1 AS BIGINT)
+       |           << CAST($EwmaHorizonDays - (a.day - b.day) AS INT))
+       |           AS BIGINT) AS ewma_den
+       |  FROM daily a JOIN daily b
+       |    ON a.event_type = b.event_type
+       |   AND b.day >= a.day - $EwmaHorizonDays AND b.day < a.day
+       |  GROUP BY 1, 2)
+       |SELECT d.event_type, d.day, d.x, t.ewma_num, t.ewma_den,
+       |       CAST(t.ewma_num AS DOUBLE) / CAST(t.ewma_den AS DOUBLE)
+       |         AS ewma,
+       |       CASE WHEN t.ewma_den IS NULL THEN NULL
+       |            WHEN d.x * t.ewma_den > 3 * t.ewma_num THEN 1
+       |            ELSE 0 END AS burst
+       |FROM daily d LEFT JOIN trail t
+       |  ON d.event_type = t.event_type AND d.day = t.day
+       |ORDER BY d.event_type, d.day""".stripMargin
+
   /** w15 — user activity concentration histogram: per user, the
     * Herfindahl index of their event-type mix in exact basis points
     * (10000·Σc²)/(Σc)² via pure long arithmetic (both engines

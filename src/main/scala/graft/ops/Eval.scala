@@ -145,6 +145,114 @@ object Eval {
        |            ELSE tp * 2 / (tp * 2 + fp + fn) END AS f1
        |FROM m ORDER BY cls""".stripMargin
 
+  /** Ordinal index of the severity classes for the weighted kappa's
+    * linear disagreement weights |i − j|. */
+  private def clsIdx(c: Column): Column =
+    when(c === "crit", 3L).when(c === "high", 2L)
+      .when(c === "med", 1L).otherwise(0L)
+
+  private val clsIdxSql: String => String = c =>
+    s"CASE WHEN $c = 'crit' THEN 3 WHEN $c = 'high' THEN 2 " +
+      s"WHEN $c = 'med' THEN 1 ELSE 0 END"
+
+  /** clf3 — Cohen's kappa and linear-weighted kappa per evaluation
+    * slice (event_type): chance-corrected agreement between the true
+    * and predicted severity class. Everything reduces over the
+    * ≤16-cell confusion table per slice, so after the one corpus
+    * aggregation the whole computation is O(slices·classes²).
+    * Denominators are CLEARED so each statistic is one division of
+    * two exact longs:
+    *   kappa   = (n·diag − Σ_c row_c·col_c) / (n² − Σ_c row_c·col_c)
+    *   kappa_w = (wdis_e − n·wdis_o) / wdis_e
+    * with wdis_o = Σ_ij |i−j|·n_ij and wdis_e = Σ_ij |i−j|·row_i·col_j
+    * (linear weights over the ordinal class index). Exact-long
+    * envelope: n² ≤ 2⁶³ needs n ≤ 3.0e9 rows per slice — the Pricing
+    * wide-accumulator precedent applies beyond that. Slices where the
+    * denominator is 0 (all mass in one marginal cell) emit NULL kappa
+    * rather than a fabricated 0. */
+  def cohensKappa(s: SparkSession, d: String): DataFrame =
+    cohensKappaOfLabeled(scored(s, d)
+      .select(col("event_type").as("slice"),
+        bucketCents(col("cents")).as("actual"),
+        bucketCents(col("pred_cents")).as("predicted")))
+
+  /** [[cohensKappa]] over an explicit (slice, actual, predicted)
+    * frame. */
+  private[graft] def cohensKappaOfLabeled(labeled: DataFrame): DataFrame = {
+    val cells = labeled
+      .groupBy("slice", "actual", "predicted")
+      .agg(count(lit(1)).as("n"))
+    val base = Materialize(cells, Materialize.Local, "clf3_cells")
+    val totals = base.groupBy("slice")
+      .agg(sum(col("n")).as("n_total"),
+        sum(when(col("actual") === col("predicted"), col("n"))
+          .otherwise(0L)).as("diag"),
+        sum(abs(clsIdx(col("actual")) - clsIdx(col("predicted"))) * col("n"))
+          .as("wdis_o"))
+    val rowMarg = base.groupBy(col("slice").as("rslice"),
+        col("actual").as("rcls"))
+      .agg(sum(col("n")).as("row_n"))
+    val colMarg = base.groupBy(col("slice").as("cslice"),
+        col("predicted").as("ccls"))
+      .agg(sum(col("n")).as("col_n"))
+    val marg = rowMarg.join(colMarg, col("rslice") === col("cslice"))
+      .groupBy(col("rslice").as("slice"))
+      .agg(sum(when(col("rcls") === col("ccls"),
+          col("row_n") * col("col_n")).otherwise(0L)).as("sum_marg"),
+        sum(abs(clsIdx(col("rcls")) - clsIdx(col("ccls"))) *
+          col("row_n") * col("col_n")).as("wdis_e"))
+    totals.join(marg, Seq("slice"))
+      .select(col("slice"), col("n_total"), col("diag"), col("sum_marg"),
+        col("wdis_o"), col("wdis_e"),
+        when(col("n_total") * col("n_total") - col("sum_marg") === 0L,
+          lit(null).cast("double"))
+          .otherwise((col("n_total") * col("diag") - col("sum_marg"))
+            .cast("double") /
+            (col("n_total") * col("n_total") - col("sum_marg"))
+              .cast("double")).as("kappa"),
+        when(col("wdis_e") === 0L, lit(null).cast("double"))
+          .otherwise((col("wdis_e") - col("n_total") * col("wdis_o"))
+            .cast("double") / col("wdis_e").cast("double")).as("kappa_w"))
+      .orderBy("slice")
+  }
+
+  val cohensKappaOracle: String =
+    s"""WITH t AS ($scoredSql),
+       |cells AS (
+       |  SELECT event_type AS slice,
+       |         ${bucketSql("cents")} AS actual,
+       |         ${bucketSql("pred_cents")} AS predicted,
+       |         count(*) AS n
+       |  FROM t GROUP BY 1, 2, 3),
+       |tot AS (
+       |  SELECT slice, CAST(sum(n) AS BIGINT) AS n_total,
+       |         CAST(sum(CASE WHEN actual = predicted THEN n ELSE 0 END)
+       |           AS BIGINT) AS diag,
+       |         CAST(sum(abs(${clsIdxSql("actual")}
+       |             - ${clsIdxSql("predicted")}) * n) AS BIGINT) AS wdis_o
+       |  FROM cells GROUP BY 1),
+       |r AS (SELECT slice, actual AS cls, CAST(sum(n) AS BIGINT) AS row_n
+       |      FROM cells GROUP BY 1, 2),
+       |c AS (SELECT slice, predicted AS cls, CAST(sum(n) AS BIGINT) AS col_n
+       |      FROM cells GROUP BY 1, 2),
+       |marg AS (
+       |  SELECT coalesce(r.slice, c.slice) AS slice,
+       |         CAST(sum(CASE WHEN r.cls = c.cls THEN r.row_n * c.col_n
+       |                       ELSE 0 END) AS BIGINT) AS sum_marg,
+       |         CAST(sum(abs(${clsIdxSql("r.cls")} - ${clsIdxSql("c.cls")})
+       |             * r.row_n * c.col_n) AS BIGINT) AS wdis_e
+       |  FROM r JOIN c ON r.slice = c.slice
+       |  GROUP BY 1)
+       |SELECT slice, n_total, diag, sum_marg, wdis_o, wdis_e,
+       |       CASE WHEN n_total * n_total - sum_marg = 0 THEN NULL
+       |            ELSE CAST(n_total * diag - sum_marg AS DOUBLE)
+       |                 / CAST(n_total * n_total - sum_marg AS DOUBLE) END
+       |         AS kappa,
+       |       CASE WHEN wdis_e = 0 THEN NULL
+       |            ELSE CAST(wdis_e - n_total * wdis_o AS DOUBLE)
+       |                 / CAST(wdis_e AS DOUBLE) END AS kappa_w
+       |FROM tot JOIN marg USING (slice) ORDER BY slice""".stripMargin
+
   /** auc1 — EXACT tie-corrected ROC AUC per evaluation slice, via the
     * grouped-rank (Mann-Whitney U) identity instead of a global sort:
     * aggregate to (slice, score) → (pos, neg) counts, one partitioned

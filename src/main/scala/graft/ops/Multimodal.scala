@@ -1539,4 +1539,221 @@ object Multimodal {
        |       END AS dyn_bits
        |FROM agg ORDER BY track_id""".stripMargin
   }
+
+  /** Landmark fan-out window for [[audioFingerprintQuery]]: an anchor
+    * peak pairs with every later peak at most this many frames ahead
+    * (Shazam's "target zone" depth). */
+  val FingerprintFanFrames = 6L
+
+  /** mm16's OWN catalog tracks — same waveform formula, but tens of
+    * frames per track (mm6's mixed-length tracks top out at 8 frames,
+    * too short for a peak constellation to exist). Track 16 is the
+    * single-partial-frame edge case. */
+  val fingerprintTrackLens: Seq[(Long, Int)] =
+    Seq(11L -> 10240, 12L -> 9000, 13L -> 8192, 14L -> 6000,
+      15L -> 12288, 16L -> 100)
+
+  private[graft] def fixtureFingerprintCatalog(): Seq[(Long, Array[Byte])] =
+    fingerprintTrackLens.map { case (t, n) =>
+      val bb = java.nio.ByteBuffer.allocate(n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => bb.putShort(audioSample(t, i.toLong).toShort))
+      (t, bb.array())
+    }
+
+  /** Query snippets for mm16: (query id, formula track it copies,
+    * frame offset into that track, snippet sample count). 103 is a
+    * whole-track copy of the single-partial-frame track (one frame →
+    * one peak → ZERO landmarks: unmatchable-by-design, the too-short
+    * query). 104 copies formula track 9 which is NOT in the catalog
+    * (the true-negative: its landmarks match nothing). */
+  val fingerprintQueries: Seq[(Long, Long, Long, Int)] =
+    Seq((101L, 15L, 10L, 4096), (102L, 12L, 4L, 2048),
+      (103L, 16L, 0L, 100), (104L, 9L, 0L, 3000))
+
+  private[graft] def fixtureAudioQueries(): Seq[(Long, Array[Byte])] =
+    fingerprintQueries.map { case (qid, src, off, n) =>
+      val bb = java.nio.ByteBuffer.allocate(n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => bb.putShort(
+        audioSample(src, i.toLong + off * AudioFrameSamples).toShort))
+      (qid, bb.array())
+    }
+
+  /** Energy peaks + constellation landmarks over a frame table: the
+    * shared stage of mm16's catalog and query sides. A peak is a
+    * frame whose energy STRICTLY exceeds both neighbours (track edges
+    * count as −∞); a landmark is an (anchor peak, later peak) pair at
+    * most [[FingerprintFanFrames]] apart, keyed by the EXACT
+    * (anchor energy, target energy, Δframe) triple. */
+  private def landmarksOf(frames: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("frame_idx")
+    val peaks = frames
+      .withColumn("pe", lag(col("energy"), 1).over(w))
+      .withColumn("ne", lead(col("energy"), 1).over(w))
+      .filter((col("pe").isNull || col("energy") > col("pe")) &&
+        (col("ne").isNull || col("energy") > col("ne")))
+      .select(col(idCol), col("frame_idx"), col("energy"))
+    val tgt = peaks.select(col(idCol).as("tid2"),
+      col("frame_idx").as("f2"), col("energy").as("e2"))
+    peaks
+      .join(tgt, col(idCol) === col("tid2") &&
+        col("f2") > col("frame_idx") &&
+        col("f2") <= col("frame_idx") + FingerprintFanFrames)
+      .select(col(idCol), col("frame_idx").as("fa"),
+        col("energy").as("ea"), col("e2").as("et"),
+        (col("f2") - col("frame_idx")).as("dt"))
+  }
+
+  /** mm16 — audio fingerprint MATCHING, the constellation/landmark
+    * method (Wang 2003, the Shazam shape) over the deterministic PCM
+    * fixture: catalog tracks and query snippets each reduce to energy
+    * peaks, peaks pair into (anchor, target, Δt) landmarks, and a
+    * query matches a catalog track when many landmark keys agree AT A
+    * CONSISTENT FRAME OFFSET — the offset-vote histogram is what
+    * separates a true containment from coincidental key collisions.
+    * Landmark keys here are the exact frame energies (the fixture
+    * copies are bit-exact; a real deployment quantizes the energy to
+    * buckets — one `div` on the same column, same plan). Scale shape:
+    * the catalog landmark table IS the inverted index, the match is
+    * ONE equi-join on the (ea, et, dt) key followed by two keyed
+    * aggregations (votes, then per-query argmax as a struct max) —
+    * no pairwise track×track comparison anywhere, exactly the dd2
+    * banding posture applied to audio. Outputs one row per query:
+    * its peak/landmark counts, the winning track, the winning offset
+    * (in frames), and the vote count; unmatched queries surface with
+    * NULL track and 0 votes via the left join from the query spec. */
+  def audioFingerprintQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cat = s.createDataset(fixtureFingerprintCatalog().map {
+      case (id, b) => Media(id, b, b.length) })(
+      org.apache.spark.sql.Encoders.product[Media]).repartition(2)
+    val qry = s.createDataset(fixtureAudioQueries().map {
+      case (id, b) => Media(id, b, b.length) })(
+      org.apache.spark.sql.Encoders.product[Media]).repartition(2)
+    val catLm = landmarksOf(
+      audioFramesAll(cat).toDF().select("track_id", "frame_idx", "energy"),
+      "track_id")
+    val qFrames = audioFramesAll(qry).toDF()
+      .select(col("track_id").as("qid"), col("frame_idx"), col("energy"))
+    val qPeakCount = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("qid").orderBy("frame_idx")
+      qFrames
+        .withColumn("pe", lag(col("energy"), 1).over(w))
+        .withColumn("ne", lead(col("energy"), 1).over(w))
+        .filter((col("pe").isNull || col("energy") > col("pe")) &&
+          (col("ne").isNull || col("energy") > col("ne")))
+        .groupBy("qid").agg(count(lit(1)).as("n_peaks"))
+    }
+    val qLm = landmarksOf(qFrames, "qid")
+    val qLmCount = qLm.groupBy("qid").agg(count(lit(1)).as("n_landmarks"))
+    val votes = qLm
+      .join(catLm.select(col("track_id"), col("fa").as("cfa"),
+        col("ea"), col("et"), col("dt")), Seq("ea", "et", "dt"))
+      .groupBy(col("qid"), col("track_id"),
+        (col("cfa") - col("fa")).as("off_frames"))
+      .agg(count(lit(1)).as("votes"))
+    val best = votes.groupBy("qid")
+      .agg(max(struct(col("votes"), (col("track_id") * -1L).as("nt"),
+        (col("off_frames") * -1L).as("no"))).as("b"))
+      .select(col("qid"), col("b.votes").as("votes"),
+        (col("b.nt") * -1L).as("best_track"),
+        (col("b.no") * -1L).as("best_offset"))
+    val spec = fingerprintQueries.map(q => q._1)
+      .toDF("qid")
+    spec
+      .join(qPeakCount, Seq("qid"), "left")
+      .join(qLmCount, Seq("qid"), "left")
+      .join(best, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_peaks"), lit(0L)).as("n_peaks"),
+        coalesce(col("n_landmarks"), lit(0L)).as("n_landmarks"),
+        col("best_track"), col("best_offset"),
+        coalesce(col("votes"), lit(0L)).as("votes"))
+      .orderBy("qid")
+  }
+
+  /** DuckDB replay of mm16: both waveform families from the shared
+    * formula (queries via their (src, off) lineage), the same peak /
+    * landmark / offset-vote pipeline, row_number as the argmax. */
+  val audioFingerprintOracle: String = {
+    val cat = fingerprintTrackLens
+      .map { case (t, n) => s"($t, $n)" }.mkString(", ")
+    val qs = fingerprintQueries
+      .map { case (q, src, off, n) => s"($q, $src, $off, $n)" }
+      .mkString(", ")
+    val fan = FingerprintFanFrames
+    s"""WITH ct(track_id, n) AS (VALUES $cat),
+       |qt(qid, src, off, n) AS (VALUES $qs),
+       |cs AS (
+       |  SELECT track_id, i,
+       |         ((i*(i+3)*31 + track_id*7919 + i*1009) % 65536) - 32768 AS v
+       |  FROM ct, unnest(generate_series(0, n - 1)) AS u(i)),
+       |cf AS (
+       |  SELECT track_id, i // $AudioFrameSamples AS frame_idx,
+       |         CAST(sum(v * v) AS BIGINT) AS energy
+       |  FROM cs GROUP BY 1, 2),
+       |cpk AS (
+       |  SELECT * FROM (
+       |    SELECT track_id, frame_idx, energy,
+       |           lag(energy) OVER w AS pe, lead(energy) OVER w AS ne
+       |    FROM cf WINDOW w AS (PARTITION BY track_id ORDER BY frame_idx))
+       |  WHERE (pe IS NULL OR energy > pe) AND (ne IS NULL OR energy > ne)),
+       |clm AS (
+       |  SELECT a.track_id, a.frame_idx AS fa, a.energy AS ea,
+       |         b.energy AS et, b.frame_idx - a.frame_idx AS dt
+       |  FROM cpk a JOIN cpk b ON a.track_id = b.track_id
+       |   AND b.frame_idx > a.frame_idx
+       |   AND b.frame_idx <= a.frame_idx + $fan),
+       |qsmp AS (
+       |  SELECT qid,
+       |         i // $AudioFrameSamples AS frame_idx,
+       |         ((((i + off * $AudioFrameSamples))
+       |           * ((i + off * $AudioFrameSamples) + 3) * 31
+       |           + src * 7919
+       |           + (i + off * $AudioFrameSamples) * 1009) % 65536) - 32768
+       |           AS v
+       |  FROM qt, unnest(generate_series(0, n - 1)) AS u(i)),
+       |qf AS (
+       |  SELECT qid, frame_idx, CAST(sum(v * v) AS BIGINT) AS energy
+       |  FROM qsmp GROUP BY 1, 2),
+       |qpk AS (
+       |  SELECT * FROM (
+       |    SELECT qid, frame_idx, energy,
+       |           lag(energy) OVER w AS pe, lead(energy) OVER w AS ne
+       |    FROM qf WINDOW w AS (PARTITION BY qid ORDER BY frame_idx))
+       |  WHERE (pe IS NULL OR energy > pe) AND (ne IS NULL OR energy > ne)),
+       |qlm AS (
+       |  SELECT a.qid, a.frame_idx AS fa, a.energy AS ea,
+       |         b.energy AS et, b.frame_idx - a.frame_idx AS dt
+       |  FROM qpk a JOIN qpk b ON a.qid = b.qid
+       |   AND b.frame_idx > a.frame_idx
+       |   AND b.frame_idx <= a.frame_idx + $fan),
+       |v AS (
+       |  SELECT q.qid, c.track_id, c.fa - q.fa AS off_frames,
+       |         count(*) AS votes
+       |  FROM qlm q JOIN clm c
+       |    ON q.ea = c.ea AND q.et = c.et AND q.dt = c.dt
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT qid, track_id, off_frames, votes,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY votes DESC, track_id, off_frames) AS rn
+       |  FROM v),
+       |pk AS (SELECT qid, count(*) AS n_peaks FROM qpk GROUP BY 1),
+       |lmc AS (SELECT qid, count(*) AS n_landmarks FROM qlm GROUP BY 1)
+       |SELECT CAST(q.qid AS BIGINT) AS qid,
+       |       CAST(coalesce(pk.n_peaks, 0) AS BIGINT) AS n_peaks,
+       |       CAST(coalesce(lmc.n_landmarks, 0) AS BIGINT) AS n_landmarks,
+       |       CAST(b.track_id AS BIGINT) AS best_track,
+       |       CAST(b.off_frames AS BIGINT) AS best_offset,
+       |       CAST(coalesce(b.votes, 0) AS BIGINT) AS votes
+       |FROM qt q
+       |LEFT JOIN pk ON q.qid = pk.qid
+       |LEFT JOIN lmc ON q.qid = lmc.qid
+       |LEFT JOIN best b ON q.qid = b.qid AND b.rn = 1
+       |ORDER BY q.qid""".stripMargin
+  }
 }

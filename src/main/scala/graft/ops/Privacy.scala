@@ -53,4 +53,84 @@ object Privacy {
       |       CAST(CASE WHEN count(DISTINCT sens_bucket) >= 3 THEN 1 ELSE 0 END
       |         AS BIGINT) AS l_div_ok
       |FROM c GROUP BY segment, nation ORDER BY segment, nation""".stripMargin
+
+  /** priv2 — k-anonymity GENERALIZATION LADDER: the release planner's
+    * follow-up to priv1's yes/no audit. Four widening quasi-identifier
+    * generalizations of the same (segment, nation, balance-band) QI —
+    * band width 1k → 5k → 25k currency units → band dropped — each
+    * scored for k=10 anonymity: how many QI groups exist, how many
+    * violate, and how many rows would need suppression if released at
+    * that level (Σn over groups with n < k), with the suppression rate
+    * in exact basis points. The planner picks the first level whose
+    * suppression cost is acceptable — Mondrian-style generalization
+    * reduced to a fixed ladder, which is what a release checklist
+    * actually runs. The joined base materializes ONCE (localCheckpoint,
+    * the a29/dq7 fork rule); each rung is one keyed aggregation over
+    * it, output is 4 rows. Bands shift cents nonnegative before the
+    * all-positive truncating division, priv1's exact idiom. */
+  def generalizationLadder(s: SparkSession, d: String): DataFrame = {
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    generalizationLadderOf(
+      Tables.customer(s, d)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"),
+          "left")
+        .select(col("c_mktsegment").as("segment"), col("nation"),
+          (Functions.cents(col("c_acctbal")) + 100000L).as("shifted")))
+  }
+
+  /** [[generalizationLadder]] over an explicit (segment, nation,
+    * shifted-cents) frame. */
+  private[graft] def generalizationLadderOf(qi: DataFrame): DataFrame = {
+    val base = graft.ops.Materialize(qi,
+      graft.ops.Materialize.Local, "priv2_base")
+    val rungs = Seq(0L -> Some(100000L), 1L -> Some(500000L),
+      2L -> Some(2500000L), 3L -> None)
+    rungs.map { case (level, width) =>
+      val banded = width match {
+        case Some(w) => base.withColumn("band",
+          (col("shifted") / w.toDouble).cast("long"))
+        case None => base.withColumn("band", lit(0L))
+      }
+      banded.groupBy("segment", "nation", "band")
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 10L, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("n") < 10L, col("n")).otherwise(0L))
+            .as("suppressed_rows"),
+          sum(col("n")).as("total_rows"))
+        .select(lit(level).as("level"), col("n_groups"), col("n_violating"),
+          col("suppressed_rows"), col("total_rows"))
+    }.reduce(_ unionAll _)
+      .withColumn("suppression_bp",
+        expr("(10000 * suppressed_rows) div total_rows"))
+      .orderBy("level")
+  }
+
+  val generalizationLadderOracle: String = {
+    def rung(level: Int, bandSql: String): String =
+      s"""SELECT CAST($level AS BIGINT) AS level, count(*) AS n_groups,
+         |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+         |    AS suppressed_rows,
+         |  CAST(sum(n) AS BIGINT) AS total_rows
+         |FROM (SELECT segment, nation, $bandSql AS band, count(*) AS n
+         |      FROM c GROUP BY 1, 2, 3)""".stripMargin
+    s"""WITH c AS (
+       |  SELECT c_mktsegment AS segment, n.n_name AS nation,
+       |         CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS shifted
+       |  FROM customer LEFT JOIN nation n ON c_nationkey = n_nationkey),
+       |rungs AS (
+       |${rung(0, "shifted // 100000")}
+       |UNION ALL
+       |${rung(1, "shifted // 500000")}
+       |UNION ALL
+       |${rung(2, "shifted // 2500000")}
+       |UNION ALL
+       |${rung(3, "0")})
+       |SELECT level, n_groups, n_violating, suppressed_rows, total_rows,
+       |       (10000 * suppressed_rows) // total_rows AS suppression_bp
+       |FROM rungs ORDER BY level""".stripMargin
+  }
 }

@@ -2032,6 +2032,101 @@ object TextStats {
       |                 // n_chars END AS other_pm
       |FROM agg ORDER BY source""".stripMargin
 
+  /** tx40 — garbled-text (OCR/mojibake/binary-spill) detection: the
+    * per-document triage that catches broken extraction BEFORE it
+    * poisons dedup shingles and language ID. Three cheap surface
+    * rules, each exact-integer via cross-multiplication (never a
+    * per-doc float):
+    *   low_alpha — letters/chars < 0.5  (as 1000·letters < 500·chars;
+    *               empty docs flag here too),
+    *   long_run  — a consonant run ≥ 8 (the classic OCR-garbage tell;
+    *               run lengths via class-split, so the max is an exact
+    *               int both engines agree on),
+    *   sym_heavy — symbol share ≥ 0.3  (as 1000·sym ≥ 300·chars with
+    *               sym = chars − letters − digits − whitespace).
+    * A doc is garbage when ANY rule fires. One narrow projection per
+    * doc (regex class strips + one split, all codegen'd builtins),
+    * then ONE (source, lang)-keyed hash aggregation — O(rows) scan,
+    * O(sources×langs) output, map-side partials; the tx35 shape with
+    * a per-doc rule layer on top. */
+  def garbledText(s: SparkSession, d: String): DataFrame =
+    garbledTextOf(Tables.documents(s, d))
+
+  /** [[garbledText]] over an explicit documents frame. */
+  def garbledTextOf(docs: DataFrame): DataFrame = {
+    def stripped(cls: String): Column =
+      length(col("text")) - length(regexp_replace(col("text"), cls, ""))
+    val perDoc = docs
+      .filter(col("text").isNotNull && col("source").isNotNull &&
+        col("lang").isNotNull)
+      .select(col("source"), col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        stripped("[a-z]").cast("long").as("letters"),
+        stripped("[0-9]").cast("long").as("digits"),
+        stripped("[ \\t\\n]").cast("long").as("ws"),
+        array_max(transform(
+          split(col("text"), "[^b-df-hj-np-tv-z]+"),
+          x => length(x).cast("long"))).as("max_run"))
+      .withColumn("sym", col("chars") - col("letters") - col("digits") -
+        col("ws"))
+      .withColumn("low_alpha",
+        when(col("chars") === 0L ||
+          lit(1000L) * col("letters") < lit(500L) * col("chars"), 1L)
+          .otherwise(0L))
+      .withColumn("long_run", when(col("max_run") >= 8L, 1L).otherwise(0L))
+      .withColumn("sym_heavy",
+        when(col("chars") > 0L &&
+          lit(1000L) * col("sym") >= lit(300L) * col("chars"), 1L)
+          .otherwise(0L))
+      .withColumn("garbage",
+        greatest(col("low_alpha"), col("long_run"), col("sym_heavy")))
+    perDoc.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("garbage")).as("n_garbage"),
+        sum(col("low_alpha")).as("n_low_alpha"),
+        sum(col("long_run")).as("n_long_run"),
+        sum(col("sym_heavy")).as("n_sym_heavy"),
+        max(col("max_run")).as("max_run"))
+      .withColumn("garbage_pm", expr("(1000 * n_garbage) div n_docs"))
+      .orderBy("source", "lang")
+  }
+
+  val garbledTextOracle: String =
+    """WITH pd AS (
+      |  SELECT source, lang, CAST(length(text) AS BIGINT) AS chars,
+      |    CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+      |      AS BIGINT) AS letters,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      |      AS BIGINT) AS digits,
+      |    CAST(length(text) - length(regexp_replace(text, '[ \t\n]', '', 'g'))
+      |      AS BIGINT) AS ws,
+      |    CAST(list_max(list_transform(
+      |      string_split_regex(text, '[^b-df-hj-np-tv-z]+'),
+      |      x -> length(x))) AS BIGINT) AS max_run
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND source IS NOT NULL AND lang IS NOT NULL),
+      |f AS (
+      |  SELECT source, lang, max_run,
+      |    CASE WHEN chars = 0 OR 1000 * letters < 500 * chars THEN 1 ELSE 0
+      |      END AS low_alpha,
+      |    CASE WHEN max_run >= 8 THEN 1 ELSE 0 END AS long_run,
+      |    CASE WHEN chars > 0
+      |          AND 1000 * (chars - letters - digits - ws) >= 300 * chars
+      |         THEN 1 ELSE 0 END AS sym_heavy
+      |  FROM pd),
+      |g AS (
+      |  SELECT source, lang, low_alpha, long_run, sym_heavy, max_run,
+      |         greatest(low_alpha, long_run, sym_heavy) AS garbage
+      |  FROM f)
+      |SELECT source, lang, count(*) AS n_docs,
+      |       CAST(sum(garbage) AS BIGINT) AS n_garbage,
+      |       CAST(sum(low_alpha) AS BIGINT) AS n_low_alpha,
+      |       CAST(sum(long_run) AS BIGINT) AS n_long_run,
+      |       CAST(sum(sym_heavy) AS BIGINT) AS n_sym_heavy,
+      |       CAST(max(max_run) AS BIGINT) AS max_run,
+      |       (1000 * CAST(sum(garbage) AS BIGINT)) // count(*) AS garbage_pm
+      |FROM g GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   /** tx36 — readability profile: per-document Flesch Reading Ease from
     * surface counts (words, sentence terminators, vowel runs as the
     * syllable proxy — the standard cheap approximation), computed so

@@ -87,4 +87,32 @@ class EvalSpec extends AnyFunSuite {
       "AUC must never plan a global single-task window:\n" + p)
     assert(p.contains("hashpartitioning(slice"), p)
   }
+
+  test("clf3: perfect agreement reads kappa 1, a planted 2×2 table matches the hand computation, degenerate slice is NULL") {
+    val rows = Seq(
+      // perfect agreement across two classes
+      ("p", "crit", "crit"), ("p", "low", "low"), ("p", "low", "low"),
+      // known table: actual crit {3 crit, 1 low}, actual low {2 low}
+      ("m", "crit", "crit"), ("m", "crit", "crit"), ("m", "crit", "crit"),
+      ("m", "crit", "low"), ("m", "low", "low"), ("m", "low", "low"),
+      // single-cell slice: marginals degenerate → NULL kappas
+      ("c", "high", "high"), ("c", "high", "high"))
+      .toDF("slice", "actual", "predicted")
+    val got = Eval.cohensKappaOfLabeled(rows).collect()
+      .map(r => r.getAs[String]("slice") -> r).toMap
+    assert(got("p").getAs[Double]("kappa") == 1.0 &&
+      got("p").getAs[Double]("kappa_w") == 1.0)
+    val m = got("m")
+    // n=6, diag=5, row marg (4,2), col marg (3,3) → Σrow·col = 18
+    assert(m.getAs[Long]("n_total") == 6L && m.getAs[Long]("diag") == 5L &&
+      m.getAs[Long]("sum_marg") == 18L)
+    // kappa = (6·5 − 18)/(36 − 18) = 12/18
+    assert(m.getAs[Double]("kappa") == 12.0 / 18.0)
+    // weights |3−0|: wdis_o = 3·1; wdis_e = 3·4·3 + 3·2·3 = 54
+    assert(m.getAs[Long]("wdis_o") == 3L && m.getAs[Long]("wdis_e") == 54L)
+    assert(m.getAs[Double]("kappa_w") == (54.0 - 6.0 * 3.0) / 54.0)
+    val c = got("c")
+    assert(c.isNullAt(c.fieldIndex("kappa")) &&
+      c.isNullAt(c.fieldIndex("kappa_w")))
+  }
 }

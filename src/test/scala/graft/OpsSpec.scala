@@ -3514,4 +3514,171 @@ class OpsSpec extends AnyFunSuite {
     // shares against the total row count (9)
     assert(got.head.getAs[Long]("share_bp") == 10000L * 4 / 9)
   }
+
+  test("a36: monotone series flag ±1, all-tied series has zero variance, z recomputes from the row") {
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, day: Int, n: Int) =
+      (0 until n).map(k => (id + k, Timestamp.valueOf(
+        f"2024-01-${day + 1}%02d 00:00:00"), 1L, t, 1.0, "{}"))
+    // up: counts 1..10 (S = 45, no ties); down: 10..1 (S = −45);
+    // flat: constant 3 (every day tied → variance numerator 0)
+    val rows = (0 until 10).flatMap { d =>
+      ev(d * 1000L, "up", d, d + 1) ++
+        ev(100000L + d * 1000L, "down", d, 10 - d) ++
+        ev(200000L + d * 1000L, "flat", d, 3)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.mannKendallOf(rows).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val up = got("up")
+    assert(up.getAs[Long]("s_stat") == 45L &&
+      up.getAs[Long]("n_pairs") == 45L)
+    // no ties: var_num = n(n−1)(2n+5) = 10·9·25
+    assert(up.getAs[Long]("var_num") == 2250L)
+    val zUp = (45.0 - 1.0) / math.sqrt(2250.0 / 18.0)
+    assert(up.getAs[Double]("z") == zUp)
+    assert(up.getAs[Long]("trend") == 1L)
+    val down = got("down")
+    assert(down.getAs[Long]("s_stat") == -45L &&
+      down.getAs[Double]("z") == (-45.0 + 1.0) / math.sqrt(2250.0 / 18.0) &&
+      down.getAs[Long]("trend") == -1L)
+    val flat = got("flat")
+    assert(flat.getAs[Long]("s_stat") == 0L &&
+      flat.getAs[Long]("var_num") == 0L &&
+      flat.isNullAt(flat.fieldIndex("z")) &&
+      flat.getAs[Long]("trend") == 0L)
+  }
+
+  test("tx40: each garbage rule fires on its planted doc, clean text passes, empty text flags") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "clean", 44L),
+      (2L, "bcdfghjklmnpqrstvz appeared mid scan", "en", "runs", 36L),
+      (3L, "12345 67890 12345 67890 12345 67890 ab", "en", "nums", 38L),
+      (4L, "@#$% @#$% @#$% @#$% words", "en", "syms", 25L),
+      (5L, "", "en", "empty", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.TextStats.garbledTextOf(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("clean").getAs[Long]("n_garbage") == 0L)
+    val runs = got("runs")
+    assert(runs.getAs[Long]("n_long_run") == 1L &&
+      runs.getAs[Long]("max_run") == 18L &&
+      runs.getAs[Long]("n_garbage") == 1L)
+    assert(got("nums").getAs[Long]("n_low_alpha") == 1L &&
+      got("nums").getAs[Long]("n_sym_heavy") == 0L)
+    val syms = got("syms")
+    assert(syms.getAs[Long]("n_sym_heavy") == 1L &&
+      syms.getAs[Long]("garbage_pm") == 1000L)
+    // empty: low_alpha by the chars=0 branch, NOT sym_heavy
+    val empty = got("empty")
+    assert(empty.getAs[Long]("n_low_alpha") == 1L &&
+      empty.getAs[Long]("n_sym_heavy") == 0L &&
+      empty.getAs[Long]("n_garbage") == 1L)
+  }
+
+  test("mm16: snippets match their source track at the planted offset, decoy and too-short queries stay unmatched") {
+    val got = Multimodal.audioFingerprintQuery(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") -> r).toMap
+    val q1 = got(101L)
+    assert(q1.getAs[Long]("best_track") == 15L &&
+      q1.getAs[Long]("best_offset") == 10L)
+    // every interior landmark of the snippet exists in the source at
+    // the planted offset — votes equal the query's landmark count
+    assert(q1.getAs[Long]("votes") == q1.getAs[Long]("n_landmarks") &&
+      q1.getAs[Long]("votes") >= 5L)
+    val q2 = got(102L)
+    assert(q2.getAs[Long]("best_track") == 12L &&
+      q2.getAs[Long]("best_offset") == 4L &&
+      q2.getAs[Long]("votes") >= 3L)
+    // 103: one partial frame → one peak → zero landmarks, no match row
+    val q3 = got(103L)
+    assert(q3.getAs[Long]("n_peaks") == 1L &&
+      q3.getAs[Long]("n_landmarks") == 0L &&
+      q3.getAs[Long]("votes") == 0L &&
+      q3.isNullAt(q3.fieldIndex("best_track")))
+    // 104: landmarks exist but the source track is not in the catalog
+    val q4 = got(104L)
+    assert(q4.getAs[Long]("n_landmarks") >= 1L &&
+      q4.getAs[Long]("votes") == 0L &&
+      q4.isNullAt(q4.fieldIndex("best_track")))
+  }
+
+  test("a37: spike over a flat tail bursts, gaps self-normalize, the 3x boundary is strict, weights are exact powers") {
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, day: Int, n: Int) =
+      (0 until n).map(k => (id + k, Timestamp.valueOf(
+        f"2024-01-${day + 1}%02d 00:00:00"), 1L, t, 1.0, "{}"))
+    val rows = (
+      (0 until 5).flatMap(d => ev(d * 1000L, "spike", d, 2)) ++
+        ev(5000L, "spike", 5, 20) ++
+        ev(10000L, "gap", 0, 4) ++ ev(11000L, "gap", 10, 4) ++
+        ev(20000L, "w", 0, 1) ++ ev(21000L, "w", 1, 3) ++
+        ev(22000L, "w", 2, 100)
+      ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val epoch0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    val got = graft.model.Analytics.ewmaBurstOf(rows).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("day") - epoch0) -> r).toMap
+    def at(t: String, d: Long) = got((t, d))
+    val spike = at("spike", 5)
+    assert(spike.getAs[Long]("x") == 20L && spike.getAs[Long]("burst") == 1L)
+    // flat history → ewma exactly 2.0
+    assert(spike.getAs[Double]("ewma") == 2.0)
+    val first = at("spike", 0)
+    assert(first.isNullAt(first.fieldIndex("burst")))
+    // 10-day gap: single trailing obs at weight 2^6 — ewma still
+    // exactly the old level, no burst at equal volume
+    val gap = at("gap", 10)
+    assert(gap.getAs[Long]("ewma_den") == 64L &&
+      gap.getAs[Double]("ewma") == 4.0 && gap.getAs[Long]("burst") == 0L)
+    // day1 of w: x=3 vs ewma 1 → exactly 3x is NOT a burst (strict >)
+    val w1 = at("w", 1)
+    assert(w1.getAs[Long]("ewma_num") == 32768L &&
+      w1.getAs[Long]("ewma_den") == 32768L &&
+      w1.getAs[Long]("burst") == 0L)
+    // day2: weights 2^14 (lag 2) and 2^15 (lag 1), exact longs
+    val w2 = at("w", 2)
+    assert(w2.getAs[Long]("ewma_num") == 1L * 16384L + 3L * 32768L &&
+      w2.getAs[Long]("ewma_den") == 16384L + 32768L &&
+      w2.getAs[Long]("burst") == 1L)
+  }
+
+  test("rc3: every merge class lands on its planted key") {
+    val base = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 10L, 5L -> 10L,
+      6L -> 10L, 7L -> 10L, 8L -> 10L, 9L -> 10L).toDF("key", "v")
+    val ours = Seq(1L -> 10L, 2L -> 11L, 3L -> 10L, 4L -> 11L, 5L -> 11L,
+      7L -> 10L, // 6, 8, 9 deleted
+      100L -> 1L, 102L -> 5L, 103L -> 5L).toDF("key", "v")
+    val theirs = Seq(1L -> 10L, 2L -> 10L, 3L -> 11L, 4L -> 11L, 5L -> 12L,
+      6L -> 10L, 9L -> 11L, // 7, 8 deleted
+      101L -> 2L, 102L -> 5L, 103L -> 6L).toDF("key", "v")
+    val got = graft.ops.Reconcile.threeWayMerge(base, ours, theirs)
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[String]("class"))
+      .toMap
+    val expect = Map(
+      1L -> "unchanged", 2L -> "ours_change", 3L -> "theirs_change",
+      4L -> "both_change_agree", 5L -> "change_conflict",
+      6L -> "ours_delete", 7L -> "theirs_delete", 8L -> "both_delete",
+      9L -> "delete_change_conflict", 100L -> "ours_insert",
+      101L -> "theirs_insert", 102L -> "both_insert_agree",
+      103L -> "insert_conflict")
+    assert(got == expect)
+  }
+
+  test("priv2: suppression is monotone down the ladder, the dropped-band rung groups by (segment, nation)") {
+    val got = graft.ops.Privacy.generalizationLadder(spark, sf).collect()
+      .sortBy(_.getAs[Long]("level"))
+    assert(got.length == 4)
+    // nested bands (1k | 5k | 25k | dropped) only merge groups, so
+    // suppressed rows and violating groups can never increase
+    got.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi.getAs[Long]("suppressed_rows") >=
+        lo.getAs[Long]("suppressed_rows"))
+      assert(hi.getAs[Long]("n_groups") >= lo.getAs[Long]("n_groups"))
+    }
+    // total is the same base at every rung
+    assert(got.map(_.getAs[Long]("total_rows")).distinct.length == 1)
+    // rung 3 = (segment, nation) support — bounded by 5 segments × 25
+    // nations (+ null nation)
+    assert(got(3).getAs[Long]("n_groups") <= 130L)
+  }
 }

@@ -877,4 +877,58 @@ class PlanSpec extends AnyFunSuite {
     assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
       .findAllIn(p).nonEmpty, "label joins missing")
   }
+
+  test("a36 Mann-Kendall: one events scan behind the materialized daily series, no cartesian") {
+    val p = plan("a36_mann_kendall")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // sign pairs, tie spectrum, and day counts all read the checkpoint
+    assert("FileScan parquet".r.findAllIn(p).size <= 1,
+      "daily series must materialize once, not per consumer")
+  }
+
+  test("clf3 kappa: one events scan behind the materialized cell table") {
+    val p = plan("clf3_cohens_kappa")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size <= 1,
+      "confusion cells must materialize once for totals and marginals")
+  }
+
+  test("tx40 garbled text: one documents scan, class counts projected before the aggregate") {
+    val p = plan("tx40_garbled_text")
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(2000))
+    // the per-doc rule layer is pure projection — exactly one shuffle
+    // (the (source, lang) aggregate)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "per-doc rules must not introduce extra shuffles")
+  }
+
+  test("priv2 ladder: rungs read the materialized base, not four scans of customer") {
+    val p = plan("priv2_generalization_ladder")
+    // customer + nation scan once combined; the 4 rungs re-read the
+    // localCheckpoint
+    assert("FileScan parquet".r.findAllIn(p).size <= 2, p.take(2000))
+  }
+
+  test("a37 EWMA: one events scan behind the materialized daily series, bounded lag join stays keyed") {
+    val p = plan("a37_ewma_burst")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size <= 1,
+      "daily series must materialize once for the lag join and the left join")
+  }
+
+  test("rc3 three-way merge: one orders scan, both revision sides read the checkpoint, keyed full-outer joins") {
+    val p = plan("rc3_threeway_merge")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // base + ours(kept ∪ inserts) + theirs(kept ∪ inserts) = 5 reads
+    // of ONE materialized scan, not 5 scans of orders
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
+  test("mm16 fingerprint: landmark match is an equi-join on the key triple, never a track-pair loop") {
+    val p = plan("mm16_audio_fingerprint")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "query-catalog match must stay keyed on (ea, et, dt)")
+  }
 }
