@@ -294,6 +294,12 @@ object SparkEntry {
       Multimodal.audioFingerprintQuery(s, d)),
     "a37_ewma_burst" -> ((s, d) => Analytics.ewmaBurst(s, d)),
     "rc3_threeway_merge" -> ((s, d) => Reconcile.threeWayMergeQuery(s, d)),
+    "g12_landmark_centrality" -> ((s, d) =>
+      Graph.landmarkCentrality(s, d)),
+    "dq12_temporal_consistency" -> ((s, d) =>
+      graft.ops.Profile.temporalConsistency(s, d)),
+    "w22_cadence_regularity" -> ((s, d) => Analytics.cadenceRegularity(s, d)),
+    "mm17_patch_stats" -> ((s, d) => Multimodal.patchStatsQuery(s, d)),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -920,5 +926,10 @@ object SparkEntry {
     "mm16_audio_fingerprint" -> Multimodal.audioFingerprintOracle,
     "a37_ewma_burst" -> Analytics.ewmaBurstOracle,
     "rc3_threeway_merge" -> Reconcile.threeWayMergeOracle,
+    "g12_landmark_centrality" -> Graph.landmarkCentralityOracle(),
+    "dq12_temporal_consistency" ->
+      graft.ops.Profile.temporalConsistencyOracle,
+    "w22_cadence_regularity" -> Analytics.cadenceRegularityOracle,
+    "mm17_patch_stats" -> Multimodal.patchStatsOracle,
   )
 }

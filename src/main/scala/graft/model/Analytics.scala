@@ -2057,6 +2057,86 @@ object Analytics {
        |  ON d.event_type = t.event_type AND d.day = t.day
        |ORDER BY d.event_type, d.day""".stripMargin
 
+  /** w22 — per-user cadence REGULARITY audit, the bot screen: a user
+    * whose inter-arrival gaps have a coefficient of variation near
+    * zero fires on a timer, not a human rhythm (the curation
+    * complement of w13's per-TYPE gap distribution — same user-keyed
+    * lag, opposite grouping). Exactness: CV² reduces to the
+    * all-integer ratio (n·Σg² − (Σg)²)/(Σg)² (population variance
+    * over squared mean), so the per-user centi-CV² is ONE truncating
+    * long division, the bot flag (CV² < 0.1) cross-multiplies to
+    * 10·(n·Σg² − (Σg)²) < (Σg)², and the histogram bucket is another
+    * integer division — no float anywhere. Envelope: 10·n·Σg² < 2⁶³
+    * holds while a user's event count × (span·max-gap) stays under
+    * ~9e17 — beyond that, pre-bucket gaps to minutes. Users with
+    * fewer than 4 gaps land in the explicit insufficient-data bucket
+    * (−1), not in a fabricated zero. Shape: the w13 lag window, one
+    * user-keyed aggregation, then an O(buckets) rollup. */
+  def cadenceRegularity(s: SparkSession, d: String): DataFrame =
+    cadenceRegularityOf(Tables.events(s, d))
+
+  /** [[cadenceRegularity]] over an explicit events frame. */
+  def cadenceRegularityOf(events: DataFrame): DataFrame = {
+    val sec = unix_timestamp(toSecond(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val gaps = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), sec.as("s"))
+      .withColumn("gap", col("s") - lag(col("s"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val perUser = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sgg"))
+      .withColumn("cv2_c",
+        when(col("n") < 4L || col("sg") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(100 * (n * sgg - sg * sg)) div (sg * sg)")))
+      .withColumn("is_bot",
+        when(col("cv2_c").isNull, 0L)
+          .otherwise(when(
+            lit(10L) * (col("n") * col("sgg") - col("sg") * col("sg")) <
+              col("sg") * col("sg"), 1L).otherwise(0L)))
+    perUser
+      .groupBy(when(col("cv2_c").isNull, -1L)
+        .otherwise(least(expr("cv2_c div 25"), lit(20L))).as("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("is_bot")).as("n_bots"),
+        min(col("cv2_c")).as("min_cv2_c"), max(col("cv2_c")).as("max_cv2_c"),
+        sum(col("n")).as("sum_gaps"))
+      .orderBy("bucket")
+  }
+
+  val cadenceRegularityOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |g AS (
+      |  SELECT user_id,
+      |         s - lag(s) OVER (PARTITION BY user_id
+      |           ORDER BY s, event_id) AS gap
+      |  FROM e),
+      |pu AS (
+      |  SELECT user_id, count(*) AS n,
+      |         CAST(sum(gap) AS BIGINT) AS sg,
+      |         CAST(sum(gap * gap) AS BIGINT) AS sgg
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+      |c AS (
+      |  SELECT user_id, n, sg, sgg,
+      |         CASE WHEN n < 4 OR sg = 0 THEN NULL
+      |              ELSE (100 * (n * sgg - sg * sg)) // (sg * sg) END
+      |           AS cv2_c,
+      |         CASE WHEN n < 4 OR sg = 0 THEN 0
+      |              WHEN 10 * (n * sgg - sg * sg) < sg * sg THEN 1
+      |              ELSE 0 END AS is_bot
+      |  FROM pu)
+      |SELECT CASE WHEN cv2_c IS NULL THEN -1
+      |            ELSE least(cv2_c // 25, 20) END AS bucket,
+      |       count(*) AS n_users,
+      |       CAST(sum(is_bot) AS BIGINT) AS n_bots,
+      |       CAST(min(cv2_c) AS BIGINT) AS min_cv2_c,
+      |       CAST(max(cv2_c) AS BIGINT) AS max_cv2_c,
+      |       CAST(sum(n) AS BIGINT) AS sum_gaps
+      |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** w15 — user activity concentration histogram: per user, the
     * Herfindahl index of their event-type mix in exact basis points
     * (10000·Σc²)/(Σc)² via pure long arithmetic (both engines

@@ -884,4 +884,117 @@ object Graph {
        |  cur AS inferred_label, CAST(dr AS BIGINT) AS decided_round
        |FROM l$SpreadRounds ORDER BY vec_id""".stripMargin
   }
+
+  /** Fixed landmark count for [[landmarkCentrality]] — a CONSTANT, so
+    * the multi-source BFS state stays O(L·nodes) at any graph size
+    * (seeding by a modulus alone would grow the landmark set, and the
+    * state, linearly with the corpus). */
+  val CentralityLandmarks = 4
+
+  /** g12 — landmark HARMONIC centrality over the kNN graph: per node,
+    * Σ 1/d(node, ℓ) over a fixed panel of [[CentralityLandmarks]]
+    * landmarks (the smallest seed-eligible ids), the standard
+    * landmark approximation of closeness/harmonic centrality —
+    * core-periphery triage for embedding corpora (periphery = the
+    * candidate outliers sim7's margins flag from a different angle).
+    * Unlike g7 (which keeps only the NEAREST seed), the BFS state
+    * here is keyed by (node, landmark) so every landmark's distance
+    * survives; rounds materialize and early-exit exactly like
+    * g7/labelPropagation. Determinism: 1/d quantizes to the exact
+    * long 10⁶ div d (all-positive integer division, identical both
+    * engines), so the centrality is an exact-integer micro-unit sum —
+    * no float addition ordering anywhere. Unreached landmarks
+    * contribute 0; the landmark itself (d = 0) contributes a defined
+    * 2·10⁶ cap (closer than any neighbor, finite). */
+  def landmarkCentrality(s: SparkSession, d: String): DataFrame =
+    landmarkCentralityOf(Tables.embeddings(s, d))
+
+  def landmarkCentralityOf(emb: DataFrame): DataFrame = {
+    val edges = Materialize(
+      Similarity.knnGraphOf(emb).select("src", "dst"),
+      Materialize.Local, "g12_edges")
+    landmarkCentralityOfEdges(edges, emb.select(col("vec_id")))
+  }
+
+  /** The multi-landmark BFS over an explicit edge list: state rows are
+    * (id, seed, dist), minimized per pair each round. */
+  def landmarkCentralityOfEdges(edges: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val sym = Materialize(
+      und.unionAll(und.select(col("v").as("u"), col("u").as("v"))),
+      Materialize.Local, "g12_sym")
+    val seeds = nodes.filter(col("vec_id") % BfsSeedMod === 0L)
+      .orderBy("vec_id").limit(CentralityLandmarks)
+    var state = Materialize(
+      seeds.select(col("vec_id").as("id"), col("vec_id").as("seed"),
+        lit(0L).as("dist")),
+      Materialize.Local, "g12_state0")
+    var hop = 1
+    var done = false
+    while (hop <= BfsMaxHops && !done) {
+      val frontier = state.filter(col("dist") === (hop - 1).toLong)
+      val cand = frontier
+        .join(sym.select(col("u").as("id"), col("v")), "id")
+        .select(col("v").as("id"), col("seed"), lit(hop.toLong).as("dist"))
+      val next = Materialize(
+        state.unionByName(cand)
+          .groupBy("id", "seed")
+          .agg(min(col("dist")).as("dist")),
+        Materialize.Local, s"g12_state_$hop")
+      done = next.count() == state.count()
+      state = next
+      hop += 1
+    }
+    val perNode = state
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_reached"),
+        min(col("dist")).as("min_dist"),
+        sum(when(col("dist") === 0L, lit(2000000L))
+          .otherwise(expr("1000000 div dist"))).as("harmonic_micro"))
+    nodes
+      .join(perNode.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        col("min_dist"),
+        coalesce(col("harmonic_micro"), lit(0L)).as("harmonic_micro"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB replay of g12: the g7 recursive-CTE walk enumeration kept
+    * PER SEED (min walk length per (node, seed) is that landmark's
+    * BFS distance), the same micro-unit quantization and d=0 cap. */
+  def landmarkCentralityOracle(): String =
+    s"""WITH RECURSIVE g AS (
+       |${Similarity.knnGraphOracle()}
+       |),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM g WHERE src <> dst),
+       |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+       |seeds AS (
+       |  SELECT vec_id FROM embeddings WHERE vec_id % $BfsSeedMod = 0
+       |  ORDER BY vec_id LIMIT $CentralityLandmarks),
+       |bfs(id, seed, dist) AS (
+       |  SELECT vec_id, vec_id, CAST(0 AS BIGINT) FROM seeds
+       |  UNION
+       |  SELECT e.v, b.seed, b.dist + 1
+       |  FROM bfs b JOIN sym e ON e.u = b.id
+       |  WHERE b.dist < $BfsMaxHops),
+       |m AS (SELECT id, seed, min(dist) AS dist FROM bfs GROUP BY 1, 2),
+       |pn AS (
+       |  SELECT id, count(*) AS n_reached, min(dist) AS min_dist,
+       |         CAST(sum(CASE WHEN dist = 0 THEN 2000000
+       |                       ELSE 1000000 // dist END) AS BIGINT)
+       |           AS harmonic_micro
+       |  FROM m GROUP BY 1)
+       |SELECT emb.vec_id,
+       |       CAST(coalesce(pn.n_reached, 0) AS BIGINT) AS n_reached,
+       |       pn.min_dist,
+       |       CAST(coalesce(pn.harmonic_micro, 0) AS BIGINT)
+       |         AS harmonic_micro
+       |FROM embeddings emb LEFT JOIN pn ON emb.vec_id = pn.id
+       |ORDER BY emb.vec_id""".stripMargin
 }

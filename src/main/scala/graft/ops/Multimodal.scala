@@ -562,19 +562,21 @@ object Multimodal {
     (0, 16, 16), (1, 32, 16), (2, 16, 32), (3, 24, 24),
     (4, 20, 12), (5, 9, 8), (6, 40, 28), (7, 33, 17))
 
+  // the gray-image value formula per img_id (img 6 is the only
+  // distinct-channel image and is cased separately) — shared by the
+  // mm8 and mm17 oracles
+  private val grayV =
+    """CASE img_id
+      |      WHEN 0 THEN 128
+      |      WHEN 1 THEN (x * 255) // 31
+      |      WHEN 2 THEN (y * 255) // 31
+      |      WHEN 3 THEN ((x // 3 + y // 3) % 2) * 255
+      |      WHEN 4 THEN CASE WHEN x < 10 THEN 0 ELSE 255 END
+      |      WHEN 5 THEN (x * 37 + y * 91) % 256
+      |      WHEN 7 THEN ((x + y) * 255) // 48
+      |    END""".stripMargin
+
   val channelStatsOracle: String = {
-    // the gray-image value formula per img_id (img 6 is the only
-    // distinct-channel image and is cased separately)
-    val grayV =
-      """CASE img_id
-        |      WHEN 0 THEN 128
-        |      WHEN 1 THEN (x * 255) // 31
-        |      WHEN 2 THEN (y * 255) // 31
-        |      WHEN 3 THEN ((x // 3 + y // 3) % 2) * 255
-        |      WHEN 4 THEN CASE WHEN x < 10 THEN 0 ELSE 255 END
-        |      WHEN 5 THEN (x * 37 + y * 91) % 256
-        |      WHEN 7 THEN ((x + y) * 255) // 48
-        |    END""".stripMargin
     val dims = fixtureDims.map { case (i, w, h) => s"($i, $w, $h)" }
       .mkString(", ")
     s"""WITH dims(img_id, w, h) AS (VALUES $dims),
@@ -607,6 +609,97 @@ object Multimodal {
        |  CAST(sum(CASE WHEN luma // 1000 // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
        |  CAST(sum(CASE WHEN luma // 1000 // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
        |FROM l GROUP BY img_id, w, h ORDER BY img_id""".stripMargin
+  }
+
+  /** Patch tile edge in pixels for [[patchStatsQuery]] — the ViT-style
+    * fixed pixel grid (partial edge tiles keep their true pixel
+    * counts). */
+  val PatchSize = 8
+
+  case class PatchStats(img_id: Long, patch_x: Int, patch_y: Int,
+      n_px: Long, sum_luma: Long, mean_mluma: Long)
+
+  /** Per-patch luma statistics inside the same narrow decode stage as
+    * mm8 — one pass over the pixels accumulating into the patch grid,
+    * no shuffle. */
+  def patchStatsAll(media: Dataset[Media]): Dataset[PatchStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      readImage(m).toSeq.flatMap { bi =>
+        val w = bi.getWidth; val h = bi.getHeight
+        val pw = (w + PatchSize - 1) / PatchSize
+        val ph = (h + PatchSize - 1) / PatchSize
+        val npx = Array.ofDim[Long](pw * ph)
+        val sl = Array.ofDim[Long](pw * ph)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = bi.getRGB(x, y)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+            val b = p & 0xff
+            val i = (y / PatchSize) * pw + (x / PatchSize)
+            npx(i) += 1
+            sl(i) += 299L * r + 587L * g + 114L * b
+            x += 1
+          }
+          y += 1
+        }
+        for (py <- 0 until ph; px <- 0 until pw) yield {
+          val i = py * pw + px
+          PatchStats(m.doc_id, px, py, npx(i), sl(i), sl(i) / npx(i))
+        }
+      }
+    })
+  }
+
+  /** mm17 — ViT-style PATCH grid statistics over the mm4/mm8 image
+    * fixtures: per [[PatchSize]]² tile, exact pixel count, milli-luma
+    * sum, and tile mean (one all-positive integer division — luma is
+    * already at the ×1000 integer scale). This is the patch-embedding
+    * PREPROCESSING audit: tile means are what a vision tower
+    * normalizes per patch, and a tile whose mean pins to 0/255000
+    * flags dead borders and letterboxing before any GPU touches the
+    * batch. Oracle replays the pixel formulas on a SQL grid grouped
+    * by the same x//8, y//8 tiling — encode → decode → tiling
+    * certified end to end, the mm8 discipline one level finer. */
+  def patchStatsQuery(s: SparkSession, d: String): DataFrame = {
+    val media = s.createDataset(fixtureImages().map {
+      case (id, b) => Media(id, b, b.length) })(
+      org.apache.spark.sql.Encoders.product[Media]).repartition(2)
+    patchStatsAll(media).toDF()
+      .orderBy("img_id", "patch_y", "patch_x")
+  }
+
+  val patchStatsOracle: String = {
+    val dims = fixtureDims.map { case (i, w, h) => s"($i, $w, $h)" }
+      .mkString(", ")
+    s"""WITH dims(img_id, w, h) AS (VALUES $dims),
+       |px AS (
+       |  SELECT d.img_id, d.w, d.h, xs.x, ys.y
+       |  FROM dims d,
+       |    LATERAL unnest(generate_series(0, d.w - 1)) AS xs(x),
+       |    LATERAL unnest(generate_series(0, d.h - 1)) AS ys(y)),
+       |c AS (
+       |  SELECT img_id, x, y,
+       |    CASE WHEN img_id = 6 THEN ((x * 73 + y * 151) * 179) % 256
+       |         ELSE $grayV END AS r,
+       |    CASE WHEN img_id = 6 THEN ((x * 31 + y * 17) * 113) % 256
+       |         ELSE $grayV END AS g,
+       |    CASE WHEN img_id = 6 THEN ((x + y * 7) * 59) % 256
+       |         ELSE $grayV END AS b
+       |  FROM px),
+       |l AS (SELECT img_id, x // $PatchSize AS patch_x,
+       |             y // $PatchSize AS patch_y,
+       |             299 * r + 587 * g + 114 * b AS luma FROM c)
+       |SELECT CAST(img_id AS BIGINT) AS img_id,
+       |  CAST(patch_x AS INTEGER) AS patch_x,
+       |  CAST(patch_y AS INTEGER) AS patch_y,
+       |  count(*) AS n_px,
+       |  CAST(sum(luma) AS BIGINT) AS sum_luma,
+       |  CAST(sum(luma) AS BIGINT) // count(*) AS mean_mluma
+       |FROM l GROUP BY img_id, patch_x, patch_y
+       |ORDER BY img_id, patch_y, patch_x""".stripMargin
   }
 
   /** Samples per analysis frame for [[audioFrameQuery]] — the classic

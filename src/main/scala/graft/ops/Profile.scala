@@ -1203,4 +1203,60 @@ object Profile {
        |  FROM base)
        |${selects.mkString("", "\nUNION ALL\n", "\nORDER BY pair")}""".stripMargin
   }
+
+  /** dq12 — CROSS-TABLE temporal consistency audit: does every child
+    * event happen after its parent's timestamp? Here: line items
+    * shipped before their order was placed (the referential analogue
+    * of dq1's single-row range rules; dq3 checks the keys EXIST, this
+    * checks their clocks AGREE — the two failure modes of a merge
+    * that mixed snapshot generations). One keyed join orders⋈lineitem
+    * + one priority-keyed aggregation; the lateness histogram buckets
+    * ship−order lag by 30-day months capped at 5 so the output stays
+    * O(priorities), and every statistic is an exact integer (datediff
+    * of DATE casts, truncating div). */
+  def temporalConsistency(s: SparkSession, d: String): DataFrame =
+    temporalConsistencyOf(Tables.orders(s, d), Tables.lineitem(s, d))
+
+  /** [[temporalConsistency]] over explicit orders/lineitem frames. */
+  def temporalConsistencyOf(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val o = orders
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        col("o_orderdate"))
+    val l = lineitem
+      .select(col("l_orderkey"), col("l_shipdate"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("priority"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("lag_days"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("lag_days") < 0L, 1L).otherwise(0L)).as("n_violations"),
+        min(col("lag_days")).as("min_lag"),
+        max(col("lag_days")).as("max_lag"),
+        sum(when(col("lag_days") >= 0L,
+          least(expr("lag_days div 30"), lit(5L))).otherwise(0L))
+          .as("sum_capped_months"))
+      .withColumn("violation_bp",
+        expr("(10000 * n_violations) div n_items"))
+      .orderBy("priority")
+  }
+
+  val temporalConsistencyOracle: String =
+    """WITH j AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+      |           CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT priority, count(*) AS n_items,
+      |       CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_violations,
+      |       CAST(min(lag_days) AS BIGINT) AS min_lag,
+      |       CAST(max(lag_days) AS BIGINT) AS max_lag,
+      |       CAST(sum(CASE WHEN lag_days >= 0
+      |                     THEN least(lag_days // 30, 5) ELSE 0 END)
+      |         AS BIGINT) AS sum_capped_months,
+      |       (10000 * CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END)
+      |         AS BIGINT)) // count(*) AS violation_bp
+      |FROM j GROUP BY priority ORDER BY priority""".stripMargin
 }

@@ -3664,6 +3664,98 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("g12: path-graph distances quantize exactly, two landmarks sum, isolated node reads zero") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 97L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L, 97L, 8L).toDF("vec_id")
+    val got = graft.ops.Graph.landmarkCentralityOfEdges(edges, nodes)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // seeds: ids ≡ 0 (mod 97) → {0, 97}; path distances d and 97−d
+    val expect = Map(
+      0L -> 2166666L, 1L -> 1200000L, 2L -> 750000L, 3L -> 666666L,
+      4L -> 750000L, 5L -> 1200000L, 97L -> 2166666L)
+    expect.foreach { case (id, h) =>
+      assert(got(id).getAs[Long]("harmonic_micro") == h, s"node $id")
+      assert(got(id).getAs[Long]("n_reached") == 2L)
+    }
+    val iso = got(8L)
+    assert(iso.getAs[Long]("n_reached") == 0L &&
+      iso.getAs[Long]("harmonic_micro") == 0L &&
+      iso.isNullAt(iso.fieldIndex("min_dist")))
+  }
+
+  test("w22: a timer user flags as bot, irregular traffic does not, two events are insufficient data") {
+    import java.sql.Timestamp
+    def at(id: Long, u: Long, s: Long) =
+      (id, new Timestamp(1700000000000L + s * 1000L), u, "view", 1.0, "{}")
+    val rows = (
+      (0 until 10).map(i => at(i.toLong, 1L, i * 60L)) ++       // timer
+        Seq(0L, 10L, 610L, 640L, 2640L, 2645L)
+          .zipWithIndex.map { case (s, i) => at(100L + i, 2L, s) } ++ // human
+        Seq(at(200L, 3L, 0L), at(201L, 3L, 500L))               // sparse
+      ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.model.Analytics.cadenceRegularityOf(rows).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    // timer: 9 gaps of exactly 60s → CV² = 0 → bucket 0, bot
+    assert(got(0L).getAs[Long]("n_bots") == 1L &&
+      got(0L).getAs[Long]("n_users") == 1L &&
+      got(0L).getAs[Long]("min_cv2_c") == 0L)
+    // sparse user: one gap → the explicit insufficient-data bucket
+    assert(got(-1L).getAs[Long]("n_users") == 1L &&
+      got(-1L).getAs[Long]("n_bots") == 0L)
+    // the human lands in SOME positive bucket, unflagged
+    val human = got.collect { case (b, r) if b > 0L => r }
+    assert(human.size == 1 && human.head.getAs[Long]("n_bots") == 0L)
+  }
+
+  test("dq12: planted lags hit the violation count, the month cap, and the exact rate") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-03-10 00:00:00")
+    def day(n: Long) = new Timestamp(base.getTime + n * 86400000L)
+    val orders = Seq((1L, 9L, "O", 10.0, base, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val items = Seq(-5L, 0L, 31L, 200L).zipWithIndex.map { case (lag, i) =>
+      (1L, 1L, 1L, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day(lag))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val got = graft.ops.Profile.temporalConsistencyOf(orders, items)
+      .collect().head
+    assert(got.getAs[Long]("n_items") == 4L &&
+      got.getAs[Long]("n_violations") == 1L &&
+      got.getAs[Long]("min_lag") == -5L && got.getAs[Long]("max_lag") == 200L)
+    // months: 0 + 0 + 1 + cap(6→5) = 6; rate 1/4 = 2500 bp
+    assert(got.getAs[Long]("sum_capped_months") == 6L &&
+      got.getAs[Long]("violation_bp") == 2500L)
+  }
+
+  test("mm17: patch accounting — pixel counts tile the image, constant image pins every tile mean, edge tiles split exactly") {
+    val got = Multimodal.patchStatsQuery(spark, sf).collect()
+    val byImg = got.groupBy(_.getAs[Long]("img_id"))
+    // Σ patch n_px = w·h for every fixture image
+    val dims = Map(0L -> (16, 16), 1L -> (32, 16), 2L -> (16, 32),
+      3L -> (24, 24), 4L -> (20, 12), 5L -> (9, 8), 6L -> (40, 28),
+      7L -> (33, 17))
+    dims.foreach { case (id, (w, h)) =>
+      assert(byImg(id).map(_.getAs[Long]("n_px")).sum == w.toLong * h,
+        s"img $id")
+    }
+    // constant-gray image: every tile mean exactly 128·1000
+    assert(byImg(0L).forall(_.getAs[Long]("mean_mluma") == 128000L))
+    // img 4 (20×12, step at x=10): tile (1,0) mixes 2 black + 6 white
+    // columns → mean 255000·6/8
+    val t10 = byImg(4L).find(r => r.getAs[Int]("patch_x") == 1 &&
+      r.getAs[Int]("patch_y") == 0).get
+    assert(t10.getAs[Long]("n_px") == 64L &&
+      t10.getAs[Long]("mean_mluma") == 255000L * 6 / 8)
+    // rightmost tile of img 4 is the 4-wide partial, all white
+    val t20 = byImg(4L).find(r => r.getAs[Int]("patch_x") == 2 &&
+      r.getAs[Int]("patch_y") == 0).get
+    assert(t20.getAs[Long]("n_px") == 32L &&
+      t20.getAs[Long]("mean_mluma") == 255000L)
+  }
+
   test("priv2: suppression is monotone down the ladder, the dropped-band rung groups by (segment, nation)") {
     val got = graft.ops.Privacy.generalizationLadder(spark, sf).collect()
       .sortBy(_.getAs[Long]("level"))

@@ -925,6 +925,30 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(2000))
   }
 
+  test("g12 centrality: rounds ride the materialized state, final join keyed, no cartesian") {
+    val p = plan("g12_landmark_centrality")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // edges materialize once, the per-round states are checkpoints —
+    // only the node universe re-reads embeddings
+    assert("FileScan parquet".r.findAllIn(p).size <= 2, p.take(2000))
+  }
+
+  test("dq12 temporal audit: two scans, one keyed join, one aggregation") {
+    val p = plan("dq12_temporal_consistency")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size <= 2, p.take(2000))
+    // only the join columns + dates read from either table
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!schemas.contains("o_totalprice") && !schemas.contains("l_quantity"),
+      s"unused columns read: $schemas")
+  }
+
+  test("w22 cadence: user-partitioned lag window, one events scan, no global sort before the rollup") {
+    val p = plan("w22_cadence_regularity")
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(p.contains("hashpartitioning(user_id"), p.take(2000))
+  }
+
   test("mm16 fingerprint: landmark match is an equi-join on the key triple, never a track-pair loop") {
     val p = plan("mm16_audio_fingerprint")
     assert(!p.contains("CartesianProduct"), p.take(2000))
