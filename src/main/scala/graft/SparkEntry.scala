@@ -300,6 +300,7 @@ object SparkEntry {
       graft.ops.Profile.temporalConsistency(s, d)),
     "w22_cadence_regularity" -> ((s, d) => Analytics.cadenceRegularity(s, d)),
     "mm17_patch_stats" -> ((s, d) => Multimodal.patchStatsQuery(s, d)),
+    "tx41_bigram_surprisal" -> ((s, d) => TextStats.bigramSurprisal(s, d)),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -931,5 +932,6 @@ object SparkEntry {
       graft.ops.Profile.temporalConsistencyOracle,
     "w22_cadence_regularity" -> Analytics.cadenceRegularityOracle,
     "mm17_patch_stats" -> Multimodal.patchStatsOracle,
+    "tx41_bigram_surprisal" -> TextStats.bigramSurprisalOracle,
   )
 }

@@ -2127,6 +2127,88 @@ object TextStats {
       |       (1000 * CAST(sum(garbage) AS BIGINT)) // count(*) AS garbage_pm
       |FROM g GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  /** tx41 — CONDITIONAL bigram-LM surprisal, the KenLM-shape upgrade
+    * of tx23: where tx23 charges each trigram its unconditional
+    * rarity, this trains word-bigram counts on the corpus and charges
+    * each token its CONDITIONAL surprise given the previous token —
+    * bits(w|prev) = bitlen(c(prev·)) − bitlen(c(prev,w)) in tx23's
+    * whole-bit quantization (exact integer log₂ both engines; a
+    * transcendental ln() could never hash-match). A document of
+    * individually-common words in unusual ORDER now scores high —
+    * the word-salad/MT-garble signal the unigram model is blind to.
+    * No smoothing term is needed: the model scores its own training
+    * corpus, so every bigram has count ≥ 1. Shape: tokens come from
+    * one narrow array zip (slice+zip+explode — no per-doc window),
+    * the bigram stream materializes ONCE and feeds the count build
+    * and the scoring join (both keyed on the bigram/prefix), and the
+    * prefix counts derive from the bigram counts by a second tiny
+    * aggregation — everything linear in corpus tokens. */
+  def bigramSurprisal(s: SparkSession, d: String): DataFrame =
+    bigramSurprisalOf(Tables.documents(s, d))
+
+  /** [[bigramSurprisal]] over an explicit documents frame. */
+  def bigramSurprisalOf(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val n = size(toks)
+    val pairs = Materialize(
+      docs
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 2 && col("t").getItem(0) =!= "")
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("prev"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("w"))).as("p"))
+        .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w")),
+      Materialize.Local, "tx41_pairs")
+    val c2 = Materialize(
+      pairs.groupBy("prev", "w").agg(count(lit(1)).as("c2")),
+      Materialize.Local, "tx41_c2")
+    val c1 = c2.groupBy("prev").agg(sum(col("c2")).as("c1"))
+    val scored = pairs
+      .join(c2, Seq("prev", "w"))
+      .join(c1, Seq("prev"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("c1"))) - length(bin(col("c2"))))
+          .cast("long").as("bits"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bits"), lit(0L)).as("cond_bits"))
+      .withColumn("bits_per_tok_centi",
+        when(col("n_bigrams") > 0L,
+          expr("(100 * cond_bits) div n_bigrams")).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  val bigramSurprisalOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |pairs AS (
+      |  SELECT doc_id, l[i] AS prev, l[i + 1] AS w
+      |  FROM d, LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+      |  WHERE len(l) >= 2 AND l[1] <> ''),
+      |c2 AS (SELECT prev, w, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+      |c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1
+      |       FROM c2 GROUP BY 1),
+      |sc AS (
+      |  SELECT pairs.doc_id, count(*) AS n_bigrams,
+      |         CAST(sum(length(bin(c1.c1)) - length(bin(c2.c2)))
+      |           AS BIGINT) AS bits
+      |  FROM pairs JOIN c2 USING (prev, w) JOIN c1 USING (prev)
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |       CAST(coalesce(sc.bits, 0) AS BIGINT) AS cond_bits,
+      |       CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+      |            THEN (100 * sc.bits) // sc.n_bigrams
+      |            ELSE 0 END AS bits_per_tok_centi
+      |FROM (SELECT doc_id FROM documents) d
+      |LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** tx36 — readability profile: per-document Flesch Reading Ease from
     * surface counts (words, sentence terminators, vowel runs as the
     * syllable proxy — the standard cheap approximation), computed so

@@ -573,6 +573,57 @@ object Streams {
       }
   }
 
+  case class EwmaState(window: Seq[(Long, Long)])
+  case class EwmaOut(event_type: String, day: java.sql.Date, x: Long,
+      ewma_num: Option[Long], ewma_den: Option[Long], burst: Option[Long])
+
+  /** a37's streaming twin: EWMA burst detection over a live daily
+    * series. State per type is the trailing ≤16 (epoch-day, count)
+    * pairs — bounded by the rule's horizon, exactly the dq6-twin
+    * posture — and each arriving day recomputes the same exact
+    * integer num/den the batch operator builds from its lag join
+    * (weights 2^(16−lag), gaps self-normalizing), so stream output is
+    * row-for-row the batch a37 regardless of where batch boundaries
+    * fall (StreamingSpec pins the parity with the spike crossing the
+    * cut). Days must arrive in order per type, the standing
+    * assumption of the cusum/volume twins. */
+  def ewmaBurstStream(
+      daily: Dataset[(String, java.sql.Date, Long)]): Dataset[EwmaOut] = {
+    import daily.sparkSession.implicits._
+    val H = graft.model.Analytics.EwmaHorizonDays
+    daily
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[EwmaState]) =>
+          var w = state.getOption.map(_.window.toVector)
+            .getOrElse(Vector.empty[(Long, Long)])
+          val out = rows.toSeq.sortBy(_._2.getTime).map { case (_, day, x) =>
+            val dayNum = day.toLocalDate.toEpochDay
+            val trail = w.filter { case (dn, _) =>
+              dn >= dayNum - H && dn < dayNum }
+            val (num, den) =
+              if (trail.isEmpty) (None, None)
+              else {
+                val n = trail.map { case (dn, xv) =>
+                  xv * (1L << (H - (dayNum - dn))) }.sum
+                val d0 = trail.map { case (dn, _) =>
+                  1L << (H - (dayNum - dn)) }.sum
+                (Some(n), Some(d0))
+              }
+            val burst = (num, den) match {
+              case (Some(n), Some(dd)) =>
+                Some(if (x * dd > 3L * n) 1L else 0L)
+              case _ => None
+            }
+            w = (w :+ (dayNum, x)).filter(_._1 >= dayNum - H + 1)
+            EwmaOut(key, day, x, num, den, burst)
+          }
+          state.update(EwmaState(w))
+          out.iterator
+      }
+  }
+
   def constraintAuditStream(events: DataFrame): DataFrame = {
     val typeDomain = Seq("click", "error", "purchase", "signup", "view")
     def v(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))

@@ -3756,6 +3756,32 @@ class OpsSpec extends AnyFunSuite {
       t20.getAs[Long]("mean_mluma") == 255000L)
   }
 
+  test("tx41: conditional bits charge rare continuations, not rare words; short docs read zero") {
+    val docs = Seq(
+      (1L, "the cat sat", "en", "s", 11L),
+      (2L, "the cat ran", "en", "s", 11L),
+      (3L, "cat the", "en", "s", 7L),
+      (4L, "solo", "en", "s", 4L),
+      (5L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.TextStats.bigramSurprisalOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // c2: (the,cat)=2 (cat,sat)=1 (cat,ran)=1 (cat,the)=1; c1: the=2 cat=3
+    // doc1: [bitlen(2)-bitlen(2)] + [bitlen(3)-bitlen(1)] = 0 + 1
+    assert(got(1L).getAs[Long]("cond_bits") == 1L &&
+      got(1L).getAs[Long]("n_bigrams") == 2L &&
+      got(1L).getAs[Long]("bits_per_tok_centi") == 50L)
+    assert(got(2L).getAs[Long]("cond_bits") == 1L)
+    // reversed order: (cat,the) is a rare continuation of a common word
+    assert(got(3L).getAs[Long]("cond_bits") == 1L &&
+      got(3L).getAs[Long]("bits_per_tok_centi") == 100L)
+    Seq(4L, 5L).foreach { id =>
+      assert(got(id).getAs[Long]("n_bigrams") == 0L &&
+        got(id).getAs[Long]("cond_bits") == 0L &&
+        got(id).getAs[Long]("bits_per_tok_centi") == 0L)
+    }
+  }
+
   test("priv2: suppression is monotone down the ladder, the dropped-band rung groups by (segment, nation)") {
     val got = graft.ops.Privacy.generalizationLadder(spark, sf).collect()
       .sortBy(_.getAs[Long]("level"))

@@ -949,6 +949,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(user_id"), p.take(2000))
   }
 
+  test("tx41 bigram LM: pair stream materializes once; scoring joins stay keyed") {
+    val p = plan("tx41_bigram_surprisal")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // pairs checkpoint feeds counts AND scoring; only the doc-universe
+    // left join re-reads documents
+    assert("FileScan parquet".r.findAllIn(p).size <= 2, p.take(2000))
+  }
+
   test("mm16 fingerprint: landmark match is an equi-join on the key triple, never a track-pair loop") {
     val p = plan("mm16_audio_fingerprint")
     assert(!p.contains("CartesianProduct"), p.take(2000))

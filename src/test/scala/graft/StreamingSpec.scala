@@ -688,4 +688,44 @@ class StreamingSpec extends AnyFunSuite {
     val spike = got.last
     assert(spike.getLong(0) == 200L && spike.getLong(5) == 1L)
   }
+
+  test("EWMA burst stream equals batch a37 over the batch union — spike and gap cross the cut") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // steady 4s, a 2-day GAP, more 4s, then a 20 spike — split so the
+    // gap-respanning weights and the spike both cross batches
+    val days = Seq(
+      ("all", d("2024-02-01"), 4L), ("all", d("2024-02-02"), 4L),
+      ("all", d("2024-02-03"), 4L), ("all", d("2024-02-06"), 4L),
+      ("all", d("2024-02-07"), 4L), ("all", d("2024-02-08"), 20L))
+    val input = MemoryStream[(String, java.sql.Date, Long)]
+    val q = Streams.ewmaBurstStream(input.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ewma_stream").start()
+    input.addData(days.take(4): _*)
+    q.processAllAvailable()
+    input.addData(days.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ewma_stream").orderBy("day")
+      .select("x", "ewma_num", "ewma_den", "burst").collect()
+    import java.sql.Timestamp
+    val events = days.zipWithIndex.flatMap { case ((_, day, n), i) =>
+      (0L until n).map(k => (i * 1000L + k,
+        new Timestamp(day.getTime), 1L, "all", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = graft.model.Analytics.ewmaBurstOf(events).orderBy("day")
+      .select("x", "ewma_num", "ewma_den", "burst").collect()
+    assert(got.length == batch.length && got.length == 6)
+    got.zip(batch).foreach { case (g, b) =>
+      assert(g.getLong(0) == b.getLong(0))
+      (1 until 4).foreach { i =>
+        assert(g.isNullAt(i) == b.isNullAt(i), s"col $i null mismatch")
+        if (!g.isNullAt(i)) assert(g.getLong(i) == b.getLong(i), s"col $i")
+      }
+    }
+    // first day NULL, spike flagged
+    assert(got.head.isNullAt(3) && got.last.getLong(3) == 1L)
+  }
 }
