@@ -301,6 +301,10 @@ object SparkEntry {
     "w22_cadence_regularity" -> ((s, d) => Analytics.cadenceRegularity(s, d)),
     "mm17_patch_stats" -> ((s, d) => Multimodal.patchStatsQuery(s, d)),
     "tx41_bigram_surprisal" -> ((s, d) => TextStats.bigramSurprisal(s, d)),
+    "g13_pagerank_residuals" -> ((s, d) =>
+      graft.ops.Similarity.pagerankResiduals(s, d)),
+    "smp7_temporal_split" -> ((s, d) =>
+      graft.ops.Sampling.temporalSplit(s, d)),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -933,5 +937,8 @@ object SparkEntry {
     "w22_cadence_regularity" -> Analytics.cadenceRegularityOracle,
     "mm17_patch_stats" -> Multimodal.patchStatsOracle,
     "tx41_bigram_surprisal" -> TextStats.bigramSurprisalOracle,
+    "g13_pagerank_residuals" ->
+      graft.ops.Similarity.pagerankResidualsOracle(),
+    "smp7_temporal_split" -> graft.ops.Sampling.temporalSplitOracle,
   )
 }

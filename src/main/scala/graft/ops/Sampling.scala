@@ -529,4 +529,118 @@ object Sampling {
       |FROM r JOIN q ON r.lang = q.lang
       |WHERE r.rnk <= q.quota
       |ORDER BY r.lang, r.rnk""".stripMargin
+
+  /** Train share (per-mille of the day span) and embargo width for
+    * [[temporalSplit]]. */
+  val TrainPermille = 700L
+  val EmbargoDays = 5L
+
+  /** smp7 — TEMPORAL holdout split with an embargo gap, the
+    * time-series/ML-ops split the hash splits (smp4/tx5) must never
+    * be used for: train is the first 70% of the observed day span,
+    * then [[EmbargoDays]] days are EXCLUDED (the gap that keeps
+    * rolling features computed at train time from touching test-time
+    * observations), and test is the remainder. Cuts derive from the
+    * exact (min, max) day bounds by integer arithmetic — span·700
+    * div 1000 — so the assignment is reproducible from the data alone,
+    * no quantile estimation. The audit half: per split, how many of
+    * its users ALSO appear in train — user overlap is expected in a
+    * panel dataset but must be MEASURED (a user-level model would
+    * need smp4's grouped split instead; this row tells you the
+    * leakage cost of not doing that). Shape: one bounds aggregate
+    * rides a 1-row broadcast; assignment is a projection; the user
+    * table and the three audit aggregates run over materialized
+    * O(users) / O(rows) checkpoints — nothing quadratic, nothing on
+    * the driver. */
+  def temporalSplit(s: SparkSession, d: String): DataFrame =
+    temporalSplitOf(Tables.events(s, d))
+
+  /** [[temporalSplit]] over an explicit events frame. */
+  def temporalSplitOf(events: DataFrame): DataFrame = {
+    val base = Materialize(
+      events
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day")),
+      Materialize.Local, "smp7_base")
+    val bounds = base.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val assigned = Materialize(
+      base.crossJoin(broadcast(bounds))
+        .withColumn("cut",
+          col("d0") + expr(s"((d1 - d0) * $TrainPermille) div 1000"))
+        .withColumn("split",
+          when(col("day") < col("cut"), "train")
+            .when(col("day") < col("cut") + EmbargoDays, "embargo")
+            .otherwise("test")),
+      Materialize.Local, "smp7_assigned")
+    val perUser = Materialize(
+      assigned.groupBy("user_id")
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("nt"),
+          sum(when(col("split") === "embargo", 1L).otherwise(0L)).as("ne"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("ns")),
+      Materialize.Local, "smp7_users")
+    val stats = assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val userStats = Seq(
+      ("train", col("nt")), ("embargo", col("ne")), ("test", col("ns")))
+      .map { case (name, c) =>
+        perUser.filter(c > 0L)
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("nt") > 0L, 1L).otherwise(0L))
+              .as("n_users_also_in_train"))
+          .select(lit(name).as("split"), col("n_users"),
+            col("n_users_also_in_train"))
+      }.reduce(_ unionAll _)
+    stats.join(userStats, Seq("split"))
+      .orderBy("split")
+  }
+
+  val temporalSplitOracle: String =
+    s"""WITH base AS (
+       |  SELECT user_id,
+       |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |           AS BIGINT) AS day
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM base),
+       |wc AS (
+       |  SELECT user_id, day,
+       |         CASE WHEN day < d0 + ((d1 - d0) * $TrainPermille) // 1000
+       |                THEN 'train'
+       |              WHEN day < d0 + ((d1 - d0) * $TrainPermille) // 1000
+       |                     + $EmbargoDays THEN 'embargo'
+       |              ELSE 'test' END AS split
+       |  FROM base, b),
+       |pu AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nt,
+       |    CAST(sum(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ne,
+       |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ns
+       |  FROM wc GROUP BY 1),
+       |st AS (
+       |  SELECT split, count(*) AS n_events,
+       |         CAST(min(day) AS BIGINT) AS first_day,
+       |         CAST(max(day) AS BIGINT) AS last_day
+       |  FROM wc GROUP BY 1),
+       |us AS (
+       |  SELECT 'train' AS split, count(*) AS n_users,
+       |    CAST(sum(CASE WHEN nt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_users_also_in_train
+       |  FROM pu WHERE nt > 0
+       |  UNION ALL
+       |  SELECT 'embargo', count(*),
+       |    CAST(sum(CASE WHEN nt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM pu WHERE ne > 0
+       |  UNION ALL
+       |  SELECT 'test', count(*),
+       |    CAST(sum(CASE WHEN nt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM pu WHERE ns > 0)
+       |SELECT st.split, st.n_events, st.first_day, st.last_day,
+       |       us.n_users, us.n_users_also_in_train
+       |FROM st JOIN us USING (split)
+       |ORDER BY split""".stripMargin
 }

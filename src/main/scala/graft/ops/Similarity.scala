@@ -741,7 +741,9 @@ object Similarity {
     * rounds unrolled (sums pass through HUGEINT and cast back — the
     * values are bounded by 85 × total mass ≈ 2e11, well inside
     * BIGINT). */
-  def knnPagerankOracle(iters: Int = PrIters): String = {
+  /** The shared WITH-body of the g1/g13 oracles: edge CTE, degrees,
+    * node universe, and the unrolled floor-integer rounds r0..rN. */
+  private def prRoundsCte(iters: Int): String = {
     val rounds = (1 to iters).map { t =>
       s"""r$t AS (
          |  SELECT n.vec_id,
@@ -753,14 +755,89 @@ object Similarity {
          |    JOIN r${t - 1} ON eg.src = r${t - 1}.vec_id
          |    GROUP BY eg.dst) s$t ON n.vec_id = s$t.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH eg AS (SELECT src, dst FROM (
+    s"""eg AS (SELECT src, dst FROM (
        |${knnGraphOracle()}
        |) kg),
        |deg AS (SELECT src, count(*) AS d FROM eg GROUP BY src),
        |nodes AS (SELECT vec_id FROM embeddings),
        |r0 AS (SELECT vec_id, CAST($PrScale AS BIGINT) AS r FROM nodes),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  def knnPagerankOracle(iters: Int = PrIters): String =
+    s"""WITH ${prRoundsCte(iters)}
        |SELECT vec_id, r AS pagerank FROM r$iters ORDER BY vec_id""".stripMargin
+
+  /** Movement threshold for [[pagerankResiduals]]' n_moved column:
+    * 1000 millionths = 1e-3 of the unit rank. */
+  val PrMoveEps = 1000L
+
+  /** g13 — PageRank CONVERGENCE audit: per power-iteration round, the
+    * exact L1 residual Σ|r_t − r_{t−1}|, the max per-node movement,
+    * and how many nodes moved more than [[PrMoveEps]] millionths.
+    * This is the operational readout g1 hides: it tells you the
+    * iteration count the corpus actually needs (the judge of
+    * "PrIters = 5" as a config), and a residual that plateaus high
+    * flags oscillating structure (bipartite-ish duplicate rings)
+    * before anyone trusts the ranks. All integer fixed-point like g1
+    * itself, so every residual is exact cross-engine. Shape: the same
+    * materialized rounds g1 already pays, plus one keyed self-join +
+    * O(1)-row aggregate per round — output is `iters` rows. */
+  def pagerankResiduals(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val edges = Materialize(knnGraphOf(emb).select("src", "dst"),
+      Materialize.Local, "g13_edges")
+    pagerankResidualsOf(edges, emb.select("vec_id"), PrIters)
+  }
+
+  /** [[pagerankResiduals]] over an explicit edge list. */
+  def pagerankResidualsOf(edges: DataFrame, nodes: DataFrame,
+      iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val ed = edges.join(deg, "src")
+    var ranks = Materialize(nodes.withColumn("r", lit(PrScale)),
+      Materialize.Local, "g13_round_0")
+    val stats = (1 to iters).map { i =>
+      val contrib = ed
+        .join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      val next = Materialize(
+        nodes
+          .join(contrib.withColumnRenamed("dst", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(PrScale * 15 / 100) +
+              expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
+              .as("r")),
+        Materialize.Local, s"g13_round_$i")
+      val st = next
+        .join(ranks.select(col("vec_id"), col("r").as("rp")), "vec_id")
+        .agg(sum(abs(col("r") - col("rp"))).as("l1_residual"),
+          max(abs(col("r") - col("rp"))).as("max_delta"),
+          sum(when(abs(col("r") - col("rp")) > PrMoveEps, 1L)
+            .otherwise(0L)).as("n_moved"))
+        .select(lit(i.toLong).as("round"), col("l1_residual"),
+          col("max_delta"), col("n_moved"))
+      ranks = next
+      st
+    }
+    stats.reduce(_ unionAll _).orderBy("round")
+  }
+
+  def pagerankResidualsOracle(iters: Int = PrIters): String = {
+    val rows = (1 to iters).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS round,
+         |  CAST(sum(abs(a.r - b.r)) AS BIGINT) AS l1_residual,
+         |  CAST(max(abs(a.r - b.r)) AS BIGINT) AS max_delta,
+         |  CAST(sum(CASE WHEN abs(a.r - b.r) > $PrMoveEps THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_moved
+         |FROM r$t a JOIN r${t - 1} b USING (vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${prRoundsCte(iters)}
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY round""".stripMargin
   }
 
   /** Quantization scale for [[labelCentroids]]: components become

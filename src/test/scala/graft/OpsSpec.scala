@@ -3782,6 +3782,48 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("g13: a settled cycle contributes zero residual, a chain settles in exactly two rounds") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    val got = graft.ops.Similarity.pagerankResidualsOf(edges, nodes, 4)
+      .collect().map(r => r.getAs[Long]("round") ->
+        (r.getAs[Long]("l1_residual"), r.getAs[Long]("max_delta"),
+          r.getAs[Long]("n_moved"))).toMap
+    // the 1↔2 cycle is a fixed point of the damped update from r0; only
+    // node 3 (no in-edges) moves in round 1, only node 4 in round 2
+    assert(got(1L) == ((850000L, 850000L, 1L)))
+    assert(got(2L) == ((722500L, 722500L, 1L)))
+    assert(got(3L) == ((0L, 0L, 0L)) && got(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("smp7: 70/embargo/test day cuts land exactly, user overlap counted per split") {
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, d: Int) = (id, Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(d).atStartOfDay()),
+      u, "view", 1.0, "{}")
+    val rows = Seq(ev(1, 1L, 0), ev(2, 1L, 50), ev(3, 1L, 80),
+      ev(4, 2L, 72), ev(5, 3L, 90), ev(6, 3L, 100))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    val got = graft.ops.Sampling.temporalSplitOf(rows).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    // span 100 → cut at day 70; embargo 70–74; test 75+
+    val train = got("train")
+    assert(train.getAs[Long]("n_events") == 2L &&
+      train.getAs[Long]("first_day") == d0 &&
+      train.getAs[Long]("last_day") == d0 + 50 &&
+      train.getAs[Long]("n_users") == 1L &&
+      train.getAs[Long]("n_users_also_in_train") == 1L)
+    val emb = got("embargo")
+    assert(emb.getAs[Long]("n_events") == 1L &&
+      emb.getAs[Long]("n_users") == 1L &&
+      emb.getAs[Long]("n_users_also_in_train") == 0L)
+    val test0 = got("test")
+    assert(test0.getAs[Long]("n_events") == 3L &&
+      test0.getAs[Long]("n_users") == 2L &&
+      test0.getAs[Long]("n_users_also_in_train") == 1L)
+  }
+
   test("priv2: suppression is monotone down the ladder, the dropped-band rung groups by (segment, nation)") {
     val got = graft.ops.Privacy.generalizationLadder(spark, sf).collect()
       .sortBy(_.getAs[Long]("level"))

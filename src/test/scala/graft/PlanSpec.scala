@@ -957,6 +957,20 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size <= 2, p.take(2000))
   }
 
+  test("g13 residuals: rounds ride checkpoints, per-round stats are keyed self-joins") {
+    val p = plan("g13_pagerank_residuals")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size <= 2, p.take(2000))
+  }
+
+  test("smp7 temporal split: one events scan behind the materialized base, 1-row bounds broadcast") {
+    val p = plan("smp7_temporal_split")
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(2000))
+    // the bounds cross join must be a broadcast of ONE row, never a
+    // shuffled cartesian
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("mm16 fingerprint: landmark match is an equi-join on the key triple, never a track-pair loop") {
     val p = plan("mm16_audio_fingerprint")
     assert(!p.contains("CartesianProduct"), p.take(2000))
