@@ -305,6 +305,9 @@ object SparkEntry {
       graft.ops.Similarity.pagerankResiduals(s, d)),
     "smp7_temporal_split" -> ((s, d) =>
       graft.ops.Sampling.temporalSplit(s, d)),
+    "pr1_pr_curve" -> ((s, d) => graft.ops.Eval.prCurveSlices(s, d)),
+    "mm18_sharpness" -> ((s, d) => Multimodal.sharpnessQuery(s, d)),
+    "dd23_normalized_dedup" -> ((s, d) => Dedup.normalizedDedup(s, d)),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -940,5 +943,8 @@ object SparkEntry {
     "g13_pagerank_residuals" ->
       graft.ops.Similarity.pagerankResidualsOracle(),
     "smp7_temporal_split" -> graft.ops.Sampling.temporalSplitOracle,
+    "pr1_pr_curve" -> graft.ops.Eval.prCurveSlicesOracle,
+    "mm18_sharpness" -> Multimodal.sharpnessOracle,
+    "dd23_normalized_dedup" -> Dedup.normalizedDedupOracle,
   )
 }

@@ -41,6 +41,52 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy("text_md5")
 
+  /** dd23 — NORMALIZED exact dedup rate, the CCNet/Dolma "fuzzy
+    * exact" pass between dd1 (raw hash) and dd2 (MinHash): hash the
+    * text after punctuation/digit stripping and whitespace collapse,
+    * so trivially-reformatted copies (extra spaces, changed
+    * punctuation, version numbers) collapse that raw hashing misses —
+    * at a fraction of MinHash's cost. Emits the per-source comparison
+    * raw-distinct vs normalized-distinct: the gap IS the trivial-
+    * variant duplicate count, the number that tells a pipeline
+    * whether the cheap pass suffices before paying for LSH. One scan,
+    * two codegen regex projections, one aggregation with two exact
+    * distinct counts. */
+  def normalizedDedup(s: SparkSession, d: String): DataFrame =
+    normalizedDedupOf(Tables.documents(s, d))
+
+  /** [[normalizedDedup]] over an explicit documents frame. */
+  def normalizedDedupOf(docs: DataFrame): DataFrame = {
+    // punctuation/digits become SEPARATORS (not deletions): "v1.2"
+    // and "v1-2" normalize alike without gluing words together
+    val norm = trim(regexp_replace(
+      regexp_replace(col("text"), "[^a-z ]", " "), " +", " "))
+    docs
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), md5(col("text")).as("h_raw"),
+        md5(norm).as("h_norm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h_raw")).as("raw_distinct"),
+        countDistinct(col("h_norm")).as("norm_distinct"))
+      .withColumn("trivial_variants",
+        col("raw_distinct") - col("norm_distinct"))
+      .orderBy("source")
+  }
+
+  val normalizedDedupOracle: String =
+    """WITH n AS (
+      |  SELECT source, md5(text) AS h_raw,
+      |         md5(trim(regexp_replace(regexp_replace(
+      |           text, '[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))) AS h_norm
+      |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(count(DISTINCT h_raw) AS BIGINT) AS raw_distinct,
+      |       CAST(count(DISTINCT h_norm) AS BIGINT) AS norm_distinct,
+      |       CAST(count(DISTINCT h_raw) - count(DISTINCT h_norm) AS BIGINT)
+      |         AS trivial_variants
+      |FROM n GROUP BY source ORDER BY source""".stripMargin
+
   /** Pre-explode spreading, gated: a small-SF parquet scan arrives in
     * a handful of partitions, so the per-shingle md5 work would hog a
     * few cores without a round-robin spread — but at warehouse scale

@@ -310,6 +310,75 @@ object Eval {
        |                 / (CAST(sum(p) AS BIGINT) * CAST(sum(q) AS BIGINT) * 2) END AS auc
        |FROM run GROUP BY slice ORDER BY slice""".stripMargin
 
+  /** pr1 — precision/recall CURVE table per evaluation slice, the
+    * threshold-sweep companion to auc1's scalar: thresholds quantize
+    * to 100-cent (dollar) buckets so the table stays O(slices × 500)
+    * at any corpus size, and at each threshold the curve point is
+    * exact — cumulative positives/rows above the cut as exact longs
+    * (one descending running sum over the per-bucket AGGREGATE, the
+    * auc1 scale posture), precision and recall each ONE division.
+    * A scalar average precision would sum per-row fractions (float
+    * ordering trap); the table form is what anyone plots anyway and
+    * every cell hash-matches. */
+  def prCurveSlices(s: SparkSession, d: String): DataFrame =
+    prCurveOf(scored(s, d)
+      .select((col("user_id") % 4).cast("int").as("slice"),
+        // both engines' integer division truncates toward zero, so the
+        // raw div is already cross-engine exact on negative pred_cents
+        expr("pred_cents div 100").as("bucket"),
+        when(col("event_type").isin("purchase", "signup"), 1L)
+          .otherwise(0L).as("is_pos")))
+
+  /** [[prCurveSlices]] over an explicit (slice, bucket, is_pos)
+    * frame. */
+  def prCurveOf(labeled: DataFrame): DataFrame = {
+    val byBucket = labeled
+      .groupBy("slice", "bucket")
+      .agg(sum(col("is_pos")).as("p"), count(lit(1)).as("n"))
+    val w = Window.partitionBy("slice").orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("slice")
+    byBucket
+      .withColumn("cum_pos", sum(col("p")).over(w))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("total_pos", sum(col("p")).over(wAll))
+      .select(col("slice"), col("bucket").as("threshold"),
+        col("cum_pos"), col("cum_n"), col("total_pos"),
+        (col("cum_pos").cast("double") / col("cum_n").cast("double"))
+          .as("precision"),
+        when(col("total_pos") === 0L, lit(null).cast("double"))
+          .otherwise(col("cum_pos").cast("double") /
+            col("total_pos").cast("double")).as("recall"))
+      .orderBy("slice", "threshold")
+  }
+
+  val prCurveSlicesOracle: String =
+    s"""WITH t AS ($scoredSql),
+       |bb AS (
+       |  SELECT CAST(user_id % 4 AS INT) AS slice,
+       |         pred_cents // 100 AS bucket,
+       |         CAST(sum(CASE WHEN event_type IN ('purchase', 'signup')
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |         count(*) AS n
+       |  FROM t GROUP BY 1, 2),
+       |run AS (
+       |  SELECT slice, bucket, p, n,
+       |    CAST(sum(p) OVER (PARTITION BY slice ORDER BY bucket DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_pos,
+       |    CAST(sum(n) OVER (PARTITION BY slice ORDER BY bucket DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_n,
+       |    CAST(sum(p) OVER (PARTITION BY slice) AS BIGINT) AS total_pos
+       |  FROM bb)
+       |SELECT slice, CAST(bucket AS BIGINT) AS threshold,
+       |       cum_pos, cum_n, total_pos,
+       |       CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE) AS precision,
+       |       CASE WHEN total_pos = 0 THEN NULL
+       |            ELSE CAST(cum_pos AS DOUBLE) / CAST(total_pos AS DOUBLE)
+       |       END AS recall
+       |FROM run ORDER BY slice, threshold""".stripMargin
+
   /** cal1 — calibration (reliability) table: the predicted score binned
     * into 10 fixed 5000-cent bins (clamped at the ends), per bin the
     * exact support, positive count, observed positive rate, and mean

@@ -1633,6 +1633,126 @@ object Multimodal {
        |FROM agg ORDER BY track_id""".stripMargin
   }
 
+  /** Blur threshold for [[sharpnessQuery]] in (milli-luma)² variance
+    * units: variance-of-Laplacian below this flags the image blurry.
+    * 10⁹ ≈ (1/8 of an 8-bit step at the ×1000 scale)² of texture. */
+  val BlurVarThreshold = 1000000000L
+
+  case class Sharpness(img_id: Long, n_interior: Long, sum_lap: Long,
+      sum_lap2: Long, var_num: Long, blurry: Long)
+
+  /** Per-image variance-of-Laplacian inside the decode stage: the
+    * classic blur detector, all exact integers (4-neighbor Laplacian
+    * on milli-luma, moments as longs, variance numerator
+    * n·ΣL² − (ΣL)²). */
+  def sharpnessAll(media: Dataset[Media]): Dataset[Sharpness] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      readImage(m).map { bi =>
+        val w = bi.getWidth; val h = bi.getHeight
+        val luma = Array.ofDim[Long](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = bi.getRGB(x, y)
+            luma(y * w + x) = 299L * ((p >> 16) & 0xff) +
+              587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        var n = 0L; var s = 0L; var s2 = 0L
+        var yy = 1
+        while (yy < h - 1) {
+          var xx = 1
+          while (xx < w - 1) {
+            val l = 4L * luma(yy * w + xx) - luma(yy * w + xx - 1) -
+              luma(yy * w + xx + 1) - luma((yy - 1) * w + xx) -
+              luma((yy + 1) * w + xx)
+            n += 1; s += l; s2 += l * l
+            xx += 1
+          }
+          yy += 1
+        }
+        val varNum = if (n > 0) n * s2 - s * s else 0L
+        val blurry =
+          if (n == 0L || varNum < BlurVarThreshold * n * n) 1L else 0L
+        Sharpness(m.doc_id, n, s, s2, varNum, blurry)
+      }
+    })
+  }
+
+  /** mm18 — blur/sharpness gate over the image fixtures: variance of
+    * the 4-neighbor Laplacian on interior pixels, the standard cheap
+    * focus detector a vision-data pipeline runs before spending GPU
+    * on a frame. Exactness: Laplacian values are milli-luma longs,
+    * the variance NUMERATOR n·ΣL² − (ΣL)² is an exact long (envelope:
+    * |L| ≤ 8·255·10³, so ΣL² ≤ n·4.2e12 — safe past 10⁶ interior
+    * pixels), and the blur test cross-multiplies against
+    * [[BlurVarThreshold]]·n² — no division anywhere. A constant or
+    * smooth-gradient image reads variance 0 (blurry: no texture); the
+    * checkerboard maxes out. Oracle replays the pixel formulas and
+    * the same 4-neighbor stencil via keyed self-joins on the SQL
+    * grid — decode and stencil certified together. */
+  def sharpnessQuery(s: SparkSession, d: String): DataFrame = {
+    val media = s.createDataset(fixtureImages().map {
+      case (id, b) => Media(id, b, b.length) })(
+      org.apache.spark.sql.Encoders.product[Media]).repartition(2)
+    sharpnessAll(media).toDF().orderBy("img_id")
+  }
+
+  val sharpnessOracle: String = {
+    val dims = fixtureDims.map { case (i, w, h) => s"($i, $w, $h)" }
+      .mkString(", ")
+    s"""WITH dims(img_id, w, h) AS (VALUES $dims),
+       |px AS (
+       |  SELECT d.img_id, d.w, d.h, xs.x, ys.y
+       |  FROM dims d,
+       |    LATERAL unnest(generate_series(0, d.w - 1)) AS xs(x),
+       |    LATERAL unnest(generate_series(0, d.h - 1)) AS ys(y)),
+       |c AS (
+       |  SELECT img_id, w, h, x, y,
+       |    CAST(299 * (CASE WHEN img_id = 6
+       |           THEN ((x * 73 + y * 151) * 179) % 256 ELSE $grayV END)
+       |       + 587 * (CASE WHEN img_id = 6
+       |           THEN ((x * 31 + y * 17) * 113) % 256 ELSE $grayV END)
+       |       + 114 * (CASE WHEN img_id = 6
+       |           THEN ((x + y * 7) * 59) % 256 ELSE $grayV END)
+       |      AS BIGINT) AS luma
+       |  FROM px),
+       |lap AS (
+       |  SELECT ctr.img_id,
+       |         4 * ctr.luma - lft.luma - rgt.luma - up.luma - dwn.luma
+       |           AS l
+       |  FROM c ctr
+       |  JOIN c lft ON lft.img_id = ctr.img_id AND lft.y = ctr.y
+       |            AND lft.x = ctr.x - 1
+       |  JOIN c rgt ON rgt.img_id = ctr.img_id AND rgt.y = ctr.y
+       |            AND rgt.x = ctr.x + 1
+       |  JOIN c up  ON up.img_id = ctr.img_id AND up.x = ctr.x
+       |            AND up.y = ctr.y - 1
+       |  JOIN c dwn ON dwn.img_id = ctr.img_id AND dwn.x = ctr.x
+       |            AND dwn.y = ctr.y + 1
+       |  WHERE ctr.x BETWEEN 1 AND ctr.w - 2
+       |    AND ctr.y BETWEEN 1 AND ctr.h - 2),
+       |agg AS (
+       |  SELECT img_id, count(*) AS n, CAST(sum(l) AS BIGINT) AS s,
+       |         CAST(sum(l * l) AS BIGINT) AS s2
+       |  FROM lap GROUP BY 1)
+       |SELECT CAST(d.img_id AS BIGINT) AS img_id,
+       |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_interior,
+       |  CAST(coalesce(a.s, 0) AS BIGINT) AS sum_lap,
+       |  CAST(coalesce(a.s2, 0) AS BIGINT) AS sum_lap2,
+       |  CAST(coalesce(a.n * a.s2 - a.s * a.s, 0) AS BIGINT) AS var_num,
+       |  CAST(CASE WHEN coalesce(a.n, 0) = 0 THEN 1
+       |            WHEN a.n * a.s2 - a.s * a.s
+       |                 < $BlurVarThreshold * a.n * a.n THEN 1
+       |            ELSE 0 END AS BIGINT) AS blurry
+       |FROM dims d LEFT JOIN agg a ON d.img_id = a.img_id
+       |ORDER BY img_id""".stripMargin
+  }
+
   /** Landmark fan-out window for [[audioFingerprintQuery]]: an anchor
     * peak pairs with every later peak at most this many frames ahead
     * (Shazam's "target zone" depth). */

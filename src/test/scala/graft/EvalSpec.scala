@@ -88,6 +88,33 @@ class EvalSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(slice"), p)
   }
 
+  test("pr1: curve points recompute from their own exact counters; zero-positive slice reads NULL recall") {
+    val rows = Seq(
+      // slice 0: bucket 3 has 2 pos + 1 neg, bucket 2 has 2 neg,
+      // bucket 1 has 1 pos
+      (0, 3L, 1L), (0, 3L, 1L), (0, 3L, 0L), (0, 2L, 0L), (0, 2L, 0L),
+      (0, 1L, 1L),
+      // slice 1: no positives at all
+      (1, 5L, 0L), (1, 4L, 0L))
+      .toDF("slice", "bucket", "is_pos")
+    val got = Eval.prCurveOf(rows).collect()
+      .map(r => (r.getAs[Int]("slice"), r.getAs[Long]("threshold")) -> r)
+      .toMap
+    val t3 = got((0, 3L))
+    assert(t3.getAs[Long]("cum_pos") == 2L && t3.getAs[Long]("cum_n") == 3L &&
+      t3.getAs[Double]("precision") == 2.0 / 3.0 &&
+      t3.getAs[Double]("recall") == 2.0 / 3.0)
+    val t2 = got((0, 2L))
+    assert(t2.getAs[Long]("cum_pos") == 2L && t2.getAs[Long]("cum_n") == 5L &&
+      t2.getAs[Double]("precision") == 0.4)
+    val t1 = got((0, 1L))
+    assert(t1.getAs[Long]("cum_pos") == 3L && t1.getAs[Long]("cum_n") == 6L &&
+      t1.getAs[Double]("recall") == 1.0)
+    val z = got((1, 5L))
+    assert(z.getAs[Long]("total_pos") == 0L &&
+      z.isNullAt(z.fieldIndex("recall")))
+  }
+
   test("clf3: perfect agreement reads kappa 1, a planted 2×2 table matches the hand computation, degenerate slice is NULL") {
     val rows = Seq(
       // perfect agreement across two classes

@@ -3824,6 +3824,45 @@ class OpsSpec extends AnyFunSuite {
       test0.getAs[Long]("n_users_also_in_train") == 1L)
   }
 
+  test("mm18: flat image reads zero texture and flags blurry, checkerboard and noise read sharp, identity holds") {
+    val got = Multimodal.sharpnessQuery(spark, sf).collect()
+      .map(r => r.getAs[Long]("img_id") -> r).toMap
+    val flat = got(0L)
+    assert(flat.getAs[Long]("var_num") == 0L &&
+      flat.getAs[Long]("blurry") == 1L)
+    // smooth ramp: second differences are quantization steps only
+    assert(got(1L).getAs[Long]("blurry") == 1L)
+    // checkerboard and per-pixel noise are maximal texture
+    assert(got(3L).getAs[Long]("blurry") == 0L &&
+      got(6L).getAs[Long]("blurry") == 0L)
+    got.values.foreach { r =>
+      val (n, s, s2) = (r.getAs[Long]("n_interior"), r.getAs[Long]("sum_lap"),
+        r.getAs[Long]("sum_lap2"))
+      assert(r.getAs[Long]("var_num") == n * s2 - s * s)
+    }
+  }
+
+  test("dd23: trivial punctuation/spacing variants collapse under the normalized hash, raw hash keeps them apart") {
+    val docs = Seq(
+      (1L, "hello world", "en", "A", 11L),
+      (2L, "hello,  world", "en", "A", 13L),
+      (3L, "hello world!", "en", "A", 12L),
+      (4L, "goodbye", "en", "A", 7L),
+      (5L, "same text", "en", "B", 9L),
+      (6L, "same text", "en", "B", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.Dedup.normalizedDedupOf(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Long]("raw_distinct") == 4L &&
+      a.getAs[Long]("norm_distinct") == 2L &&
+      a.getAs[Long]("trivial_variants") == 2L)
+    val b = got("B")
+    assert(b.getAs[Long]("n_docs") == 2L &&
+      b.getAs[Long]("raw_distinct") == 1L &&
+      b.getAs[Long]("trivial_variants") == 0L)
+  }
+
   test("priv2: suppression is monotone down the ladder, the dropped-band rung groups by (segment, nation)") {
     val got = graft.ops.Privacy.generalizationLadder(spark, sf).collect()
       .sortBy(_.getAs[Long]("level"))

@@ -971,6 +971,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("pr1 curve: windows stay slice-partitioned — no global single-task sort") {
+    val p = plan("pr1_pr_curve")
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    assert(p.contains("hashpartitioning(slice"), p.take(2000))
+  }
+
+  test("dd23 normalized dedup: one documents scan, one aggregation") {
+    val p = plan("dd23_normalized_dedup")
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("mm16 fingerprint: landmark match is an equi-join on the key triple, never a track-pair loop") {
     val p = plan("mm16_audio_fingerprint")
     assert(!p.contains("CartesianProduct"), p.take(2000))
