@@ -308,6 +308,7 @@ object SparkEntry {
     "pr1_pr_curve" -> ((s, d) => graft.ops.Eval.prCurveSlices(s, d)),
     "mm18_sharpness" -> ((s, d) => Multimodal.sharpnessQuery(s, d)),
     "dd23_normalized_dedup" -> ((s, d) => Dedup.normalizedDedup(s, d)),
+    "skew2_salted_join" -> (graft.ops.Skew.saltedJoinQuery _),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -946,5 +947,6 @@ object SparkEntry {
     "pr1_pr_curve" -> graft.ops.Eval.prCurveSlicesOracle,
     "mm18_sharpness" -> Multimodal.sharpnessOracle,
     "dd23_normalized_dedup" -> Dedup.normalizedDedupOracle,
+    "skew2_salted_join" -> graft.ops.Skew.saltedJoinOracle,
   )
 }

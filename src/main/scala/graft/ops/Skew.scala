@@ -53,4 +53,55 @@ object Skew {
     """SELECT event_type, count(*) AS cnt,
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Salted equi-JOIN for skewed fact keys — the join-side counterpart
+    * of [[saltedCountSum]] for the case AQE's skew splitting cannot
+    * reach (a single hot key inside one shuffle partition of a
+    * non-broadcastable dim): the fact side salts each row into one of
+    * `buckets` sub-keys off a deterministic row attribute, the dim
+    * side REPLICATES each row once per bucket (a `buckets`-way explode
+    * of a small literal range — dim cost × buckets, the price of the
+    * technique), and the join runs on (key, salt) — every fact row
+    * meets exactly one replica of its dim row, so the result set is
+    * EXACTLY the plain join's while the heaviest key's probe work
+    * spreads over `buckets` tasks. Inner/left semantics preserved;
+    * the salt columns never escape. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      buckets: Int, saltOn: Column): DataFrame = {
+    val fs = fact.withColumn("__salt", pmod(hash(saltOn), lit(buckets)))
+    val ds = dim
+      .withColumn("__salt",
+        explode(sequence(lit(0), lit(buckets - 1))))
+    fs.join(ds.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** skew2 — the salted join as a driver query: lineitem (fact,
+    * skew-prone at warehouse scale) against the part dim through an
+    * 8-bucket salted join — forced off the broadcast path
+    * (shuffle_hash hint) because a broadcastable dim would make
+    * salting pointless — then a brand-level revenue rollup. Oracle is
+    * the PLAIN join + GROUP BY: the hash match proves the salt
+    * replicate/split vanishes in the join semantics, bucket count and
+    * salt function invisible in the result. */
+  def saltedJoinQuery(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        graft.functions.Functions.cents(col("l_extendedprice")).as("cents"))
+    val part = graft.Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    saltedJoin(
+      li.withColumnRenamed("l_partkey", "p_partkey"), part, "p_partkey",
+      buckets = 8, saltOn = col("cents"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
+      .orderBy("p_brand")
+  }
+
+  val saltedJoinOracle: String =
+    """SELECT p.p_brand, count(*) AS n_items,
+      |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
 }

@@ -983,6 +983,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("skew2 salted join: dim replica join stays shuffled-hash on (key, salt), never broadcast") {
+    val p = plan("skew2_salted_join")
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(p.contains("__salt"), "salt must be part of the join key")
+    assert(!p.contains("BroadcastHashJoin"),
+      "a broadcast would make the salting pointless — hint lost")
+  }
+
   test("mm16 fingerprint: landmark match is an equi-join on the key triple, never a track-pair loop") {
     val p = plan("mm16_audio_fingerprint")
     assert(!p.contains("CartesianProduct"), p.take(2000))

@@ -101,4 +101,20 @@ class SkewSpec extends AnyFunSuite {
       .as[(Long, Option[Long])].collect().toMap
     assert(bucketed == plain)
   }
+
+  test("salted join equals the plain join on a hot-key distribution; salt columns never escape") {
+    import spark.implicits._
+    // one hot key (90% of fact rows) + a tail — the regime salting exists for
+    val fact = ((1 to 900).map(i => (7L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 13, 1000L + i)))
+      .toDF("k", "v")
+    val dim = (0L to 12L).map(k => (k, s"name_$k")).toDF("k", "name")
+    val salted = graft.ops.Skew.saltedJoin(fact, dim, "k", 8, col("v"))
+    assert(salted.columns.toSeq == Seq("k", "v", "name"))
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.count() == plain.count())
+    val a = salted.orderBy("k", "v").collect().map(_.toSeq)
+    val b = plain.orderBy("k", "v").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
 }
