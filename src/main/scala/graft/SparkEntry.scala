@@ -309,6 +309,8 @@ object SparkEntry {
     "mm18_sharpness" -> ((s, d) => Multimodal.sharpnessQuery(s, d)),
     "dd23_normalized_dedup" -> ((s, d) => Dedup.normalizedDedup(s, d)),
     "skew2_salted_join" -> (graft.ops.Skew.saltedJoinQuery _),
+    "rl2_blocking_recall" -> ((s, d) =>
+      graft.ops.Linkage.blockingRecall(s, d)),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -948,5 +950,6 @@ object SparkEntry {
     "mm18_sharpness" -> Multimodal.sharpnessOracle,
     "dd23_normalized_dedup" -> Dedup.normalizedDedupOracle,
     "skew2_salted_join" -> graft.ops.Skew.saltedJoinOracle,
+    "rl2_blocking_recall" -> graft.ops.Linkage.blockingRecallOracle,
   )
 }

@@ -123,20 +123,19 @@ object Linkage {
       .orderBy("clean_id", "dirty_id")
   }
 
-  /** DuckDB replay: identical corruption rules, identical two blocking
-    * passes, DuckDB's levenshtein (the same unit-cost edit distance as
-    * Spark's). */
-  val recordLinkageOracle: String = {
+  /** Shared CTE body of the rl1/rl2 oracles: corruption rules, the two
+    * blocking passes, and the verified link set. */
+  private val linkageCtes: String = {
     val n = NameLen
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT c_custkey + $DirtyOffset AS dirty_id,
        |    CASE c_custkey % 4
-       |      WHEN 0 THEN substr(c_name, 1, (c_custkey % 8 + 10) - 1) || 'x'
-       |        || substr(c_name, (c_custkey % 8 + 10) + 1, $n - (c_custkey % 8 + 10))
-       |      WHEN 1 THEN substr(c_name, 1, (c_custkey % 4 + 15) - 1)
-       |        || substr(c_name, (c_custkey % 4 + 15) + 1, $n - (c_custkey % 4 + 15))
-       |      WHEN 2 THEN substr(c_name, 1, (c_custkey % 4 + 15) - 1) || 'x'
-       |        || substr(c_name, (c_custkey % 4 + 15), ${n + 1} - (c_custkey % 4 + 15))
+       |      WHEN 0 THEN substr(c_name, 1, (c_custkey % 8 + 10) - 1) || 'x' ||
+       |        substr(c_name, (c_custkey % 8 + 10) + 1, $n - (c_custkey % 8 + 10))
+       |      WHEN 1 THEN substr(c_name, 1, (c_custkey % 4 + 15) - 1) ||
+       |        substr(c_name, (c_custkey % 4 + 15) + 1, $n - (c_custkey % 4 + 15))
+       |      WHEN 2 THEN substr(c_name, 1, (c_custkey % 4 + 15) - 1) || 'x' ||
+       |        substr(c_name, (c_custkey % 4 + 15), ${n + 1} - (c_custkey % 4 + 15))
        |      ELSE c_name END AS dirty_name,
        |    c_nationkey AS nk
        |  FROM customer),
@@ -149,12 +148,81 @@ object Linkage {
        |  UNION
        |  SELECT clean_id, clean_name, dirty_id, dirty_name
        |  FROM c JOIN d ON c.nk = d.nk
-       |    AND right(clean_name, 5) = right(dirty_name, 5))
-       |SELECT clean_id, dirty_id,
-       |  CAST(levenshtein(clean_name, dirty_name) AS BIGINT) AS lev,
-       |  dirty_id - $DirtyOffset = clean_id AS same_entity
-       |FROM cand
-       |WHERE levenshtein(clean_name, dirty_name) <= 1
-       |ORDER BY clean_id, dirty_id""".stripMargin
+       |    AND right(clean_name, 5) = right(dirty_name, 5)),
+       |links AS (
+       |  SELECT clean_id, dirty_id,
+       |    CAST(levenshtein(clean_name, dirty_name) AS BIGINT) AS lev,
+       |    dirty_id - $DirtyOffset = clean_id AS same_entity
+       |  FROM cand
+       |  WHERE levenshtein(clean_name, dirty_name) <= 1)""".stripMargin
   }
+
+  /** DuckDB replay: identical corruption rules, identical two blocking
+    * passes, DuckDB's levenshtein (the same unit-cost edit distance as
+    * Spark's). */
+  val recordLinkageOracle: String =
+    s"""WITH $linkageCtes
+       |SELECT clean_id, dirty_id, lev, same_entity
+       |FROM links ORDER BY clean_id, dirty_id""".stripMargin
+
+  /** rl2 — blocking RECALL audit, completing the audit family across
+    * all five approximate paths (banding dd17, ANN sim6, sketch dd15,
+    * clustering dd18, linkage here): because the dirty registry is
+    * derived record-by-record, ground truth is total — every customer
+    * forms exactly one true pair with its corrupted twin — so recall
+    * is measured over ALL truth, not a sample, at O(n) cost. Reported
+    * per corruption RULE (substitution / tail-deletion / tail-insert /
+    * untouched), because that is where blocking schemes break
+    * selectively: a pass that misses insertions would read 100% on
+    * the other three rules and never show in a pooled number. Also
+    * per rule: the false links landing on that rule's dirty records
+    * (same_entity = false is part of the answer, not an error — the
+    * honest cost of 1-edit matching on a dense keyspace). Recall in
+    * exact basis points; everything exact longs. */
+  def blockingRecall(s: SparkSession, d: String): DataFrame =
+    blockingRecallOf(Tables.customer(s, d))
+
+  /** [[blockingRecall]] over an explicit customer frame. */
+  def blockingRecallOf(cust: DataFrame): DataFrame = {
+    val links = Materialize(recordLinkageOf(cust),
+      Materialize.Local, "rl2_links")
+    val truth = cust.select(col("c_custkey").as("clean_id"),
+      (col("c_custkey") % 4).as("rule"))
+    val found = links.filter(col("same_entity"))
+      .select(col("clean_id"), lit(1L).as("found"))
+    val byRule = truth
+      .join(found, Seq("clean_id"), "left")
+      .groupBy("rule")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+    val falseLinks = links.filter(!col("same_entity"))
+      .select(((col("dirty_id") - DirtyOffset) % 4).as("rule"))
+      .groupBy("rule").agg(count(lit(1)).as("n_false_links"))
+    byRule.join(falseLinks, Seq("rule"), "left")
+      .select(col("rule"), col("n_truth"), col("n_found"),
+        expr("(10000 * n_found) div n_truth").as("recall_bp"),
+        coalesce(col("n_false_links"), lit(0L)).as("n_false_links"))
+      .orderBy("rule")
+  }
+
+  val blockingRecallOracle: String =
+    s"""WITH $linkageCtes,
+       |truth AS (SELECT c_custkey AS clean_id, c_custkey % 4 AS rule
+       |          FROM customer),
+       |found AS (SELECT clean_id FROM links WHERE same_entity),
+       |br AS (
+       |  SELECT t.rule, count(*) AS n_truth,
+       |         CAST(sum(CASE WHEN f.clean_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_found
+       |  FROM truth t LEFT JOIN found f ON t.clean_id = f.clean_id
+       |  GROUP BY 1),
+       |fl AS (
+       |  SELECT (dirty_id - $DirtyOffset) % 4 AS rule,
+       |         count(*) AS n_false_links
+       |  FROM links WHERE NOT same_entity GROUP BY 1)
+       |SELECT CAST(br.rule AS BIGINT) AS rule, br.n_truth, br.n_found,
+       |       (10000 * br.n_found) // br.n_truth AS recall_bp,
+       |       CAST(coalesce(fl.n_false_links, 0) AS BIGINT) AS n_false_links
+       |FROM br LEFT JOIN fl ON br.rule = fl.rule
+       |ORDER BY rule""".stripMargin
 }

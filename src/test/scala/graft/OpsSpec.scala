@@ -3863,6 +3863,18 @@ class OpsSpec extends AnyFunSuite {
       b.getAs[Long]("trivial_variants") == 0L)
   }
 
+  test("rl2: recall reads 10000 bp on every corruption rule — the FastSS pigeonhole guarantee, measured") {
+    val got = graft.ops.Linkage.blockingRecall(spark, sf).collect()
+      .map(r => r.getAs[Long]("rule") -> r).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("n_found") == r.getAs[Long]("n_truth"))
+      assert(r.getAs[Long]("recall_bp") == 10000L)
+    }
+    // rule 3 is the untouched quarter — its truth pairs are lev 0
+    assert(got(3L).getAs[Long]("n_truth") > 0L)
+  }
+
   test("priv2: suppression is monotone down the ladder, the dropped-band rung groups by (segment, nation)") {
     val got = graft.ops.Privacy.generalizationLadder(spark, sf).collect()
       .sortBy(_.getAs[Long]("level"))

@@ -991,6 +991,15 @@ class PlanSpec extends AnyFunSuite {
       "a broadcast would make the salting pointless — hint lost")
   }
 
+  test("rl2 recall audit: link set materializes once; truth and false-link passes read the checkpoint") {
+    val p = plan("rl2_blocking_recall")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // customer scanned for rl1's two sides + the truth frame; the
+    // links checkpoint feeds both audit passes without replaying rl1
+    assert("FileScan parquet".r.findAllIn(p).size <= 1,
+      "links must checkpoint — truth/false-link forks must not replay rl1")
+  }
+
   test("mm16 fingerprint: landmark match is an equi-join on the key triple, never a track-pair loop") {
     val p = plan("mm16_audio_fingerprint")
     assert(!p.contains("CartesianProduct"), p.take(2000))
