@@ -311,6 +311,7 @@ object SparkEntry {
     "skew2_salted_join" -> (graft.ops.Skew.saltedJoinQuery _),
     "rl2_blocking_recall" -> ((s, d) =>
       graft.ops.Linkage.blockingRecall(s, d)),
+    "hq2_exact_median" -> ((s, d) => graft.ops.Sketch.exactMedian(s, d)),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -951,5 +952,6 @@ object SparkEntry {
     "dd23_normalized_dedup" -> Dedup.normalizedDedupOracle,
     "skew2_salted_join" -> graft.ops.Skew.saltedJoinOracle,
     "rl2_blocking_recall" -> graft.ops.Linkage.blockingRecallOracle,
+    "hq2_exact_median" -> graft.ops.Sketch.exactMedianOracle,
   )
 }

@@ -738,4 +738,90 @@ object Sketch {
        |LEFT JOIN rho ON rho.sa = p.sa AND rho.sb = p.sb
        |ORDER BY source_a, source_b""".stripMargin
   }
+
+  /** Bucket width (as a right-shift) for [[exactMedian]]'s first
+    * pass — 1024-cent buckets keep the driver's histogram O(price
+    * domain / 1024). */
+  val MedianShift = 10
+
+  /** hq2 — EXACT global median without a global sort, the two-pass
+    * selection that replaces the single-task window nobody can run on
+    * an ungrouped 100-TB column (hq1's windows are per-GROUP and
+    * bounded; this is the global-scalar case). Pass 1: one hash
+    * aggregation to 1024-cent bucket counts — the driver holds only
+    * the O(domain/1024) histogram (the PrefixSum O(partitions)
+    * precedent, contract-checked), locates the rank-⌈N/2⌉ and
+    * rank-⌈(N+1)/2⌉ buckets by cumulative sum. Pass 2: re-scan with a
+    * PUSHED-DOWN range predicate covering just those buckets, and
+    * take the needed order statistics via TakeOrderedAndProject over
+    * that small slice — never a full-column sort. Even-N median is
+    * the exact long sum of the two middle values plus ONE division by
+    * 2.0 (the a27 middle-pair discipline). Oracle: the brute
+    * rank-window selection — the hash match proves two-pass selection
+    * ≡ global sort. */
+  def exactMedian(s: SparkSession, d: String): DataFrame =
+    exactMedianOf(Tables.lineitem(s, d))
+
+  /** [[exactMedian]] over an explicit lineitem frame. */
+  def exactMedianOf(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    val c = lineitem
+      .filter(col("l_extendedprice").isNotNull)
+      .select(cents(col("l_extendedprice")).as("cents"))
+    val hist = c
+      .withColumn("bucket", shiftright(col("cents"), MedianShift))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+      .collect()
+    require(hist.length <= 100000,
+      s"median histogram ${hist.length} buckets — widen MedianShift")
+    val n = hist.map(_.getAs[Long]("cnt")).sum
+    val k1 = (n + 1) / 2
+    val k2 = (n + 2) / 2
+    def bucketOfRank(k: Long): (Long, Long) = {
+      var cum = 0L
+      hist.foreach { r =>
+        val b = r.getAs[Long]("bucket"); val ct = r.getAs[Long]("cnt")
+        if (cum < k && k <= cum + ct) return (b, k - cum)
+        cum += ct
+      }
+      sys.error(s"rank $k out of range n=$n")
+    }
+    val (b1, o1) = bucketOfRank(k1)
+    val (b2, o2) = bucketOfRank(k2)
+    def kth(b: Long, off: Long): Long = {
+      // loud contract, not a silent truncation: a single 1024-cent
+      // bucket holding >10M rows means the price distribution is a
+      // spike — widen MedianShift or recurse before trusting this pass
+      require(off <= 10000000L,
+        s"in-bucket offset $off too large — bucket $b is a density spike")
+      val inBucket = c.filter(shiftright(col("cents"), MedianShift) === b)
+        .orderBy("cents").limit(off.toInt)
+      inBucket.agg(max(col("cents"))).collect()(0).getLong(0)
+    }
+    val v1 = kth(b1, o1)
+    val v2 = if (b2 == b1 && o2 == o1) v1 else kth(b2, o2)
+    import spark.implicits._
+    Seq((n, k1, k2, v1, v2, v1 + v2, (v1 + v2) / 2.0d))
+      .toDF("n", "k1", "k2", "lo_cents", "hi_cents", "median_x2_cents",
+        "median_cents")
+  }
+
+  val exactMedianOracle: String =
+    """WITH c AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c),
+      |n AS (SELECT count(*) AS n FROM c),
+      |pick AS (
+      |  SELECT n.n, (n.n + 1) // 2 AS k1, (n.n + 2) // 2 AS k2,
+      |    (SELECT cents FROM r WHERE rn = (n.n + 1) // 2) AS lo_cents,
+      |    (SELECT cents FROM r WHERE rn = (n.n + 2) // 2) AS hi_cents
+      |  FROM n)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k1 AS BIGINT) AS k1,
+      |       CAST(k2 AS BIGINT) AS k2,
+      |       lo_cents, hi_cents,
+      |       lo_cents + hi_cents AS median_x2_cents,
+      |       CAST(lo_cents + hi_cents AS DOUBLE) / 2 AS median_cents
+      |FROM pick""".stripMargin
 }

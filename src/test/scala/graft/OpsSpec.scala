@@ -3875,6 +3875,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L).getAs[Long]("n_truth") > 0L)
   }
 
+  test("hq2: two-pass selection equals the hand-ranked median for odd and even counts, across bucket boundaries") {
+    def li(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L, 1L, i, 1.0, v, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    // odd: 5 values, middles coincide; values span several 1024-cent
+    // buckets so the bucket walk is exercised
+    val odd = graft.ops.Sketch.exactMedianOf(
+      li(Seq(1.0, 100.0, 250.0, 400.0, 999.0))).collect().head
+    assert(odd.getAs[Long]("n") == 5L &&
+      odd.getAs[Long]("lo_cents") == 25000L &&
+      odd.getAs[Long]("hi_cents") == 25000L &&
+      odd.getAs[Double]("median_cents") == 25000.0)
+    // even: middles straddle a bucket boundary (10.23 and 10.25 sit in
+    // buckets 0 and 1 of the 1024-cent grid)
+    val even = graft.ops.Sketch.exactMedianOf(
+      li(Seq(1.0, 10.23, 10.25, 999.0))).collect().head
+    assert(even.getAs[Long]("lo_cents") == 1023L &&
+      even.getAs[Long]("hi_cents") == 1025L &&
+      even.getAs[Long]("median_x2_cents") == 2048L &&
+      even.getAs[Double]("median_cents") == 1024.0)
+  }
+
   test("priv2: suppression is monotone down the ladder, the dropped-band rung groups by (segment, nation)") {
     val got = graft.ops.Privacy.generalizationLadder(spark, sf).collect()
       .sortBy(_.getAs[Long]("level"))
