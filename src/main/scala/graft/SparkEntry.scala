@@ -312,6 +312,8 @@ object SparkEntry {
     "rl2_blocking_recall" -> ((s, d) =>
       graft.ops.Linkage.blockingRecall(s, d)),
     "hq2_exact_median" -> ((s, d) => graft.ops.Sketch.exactMedian(s, d)),
+    "inc4_distinct_maintenance" -> ((s, d) =>
+      graft.ops.Sketch.distinctMaintenance(s, d)),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -953,5 +955,7 @@ object SparkEntry {
     "skew2_salted_join" -> graft.ops.Skew.saltedJoinOracle,
     "rl2_blocking_recall" -> graft.ops.Linkage.blockingRecallOracle,
     "hq2_exact_median" -> graft.ops.Sketch.exactMedianOracle,
+    "inc4_distinct_maintenance" ->
+      graft.ops.Sketch.distinctMaintenanceOracle,
   )
 }

@@ -739,6 +739,131 @@ object Sketch {
        |ORDER BY source_a, source_b""".stripMargin
   }
 
+  /** inc4 — INCREMENTAL distinct-count maintenance, the inc-family ∘
+    * sketch-family fusion: "distinct users to date, per day",
+    * maintained BOTH ways a warehouse actually does it — exactly via
+    * the first-seen trick (cumulative distinct ≡ running sum of
+    * first-appearance counts: one user-keyed min, one day-keyed
+    * count, one O(days) running sum — never a per-day re-distinct of
+    * the growing prefix), and approximately by KMV min-k MERGE of
+    * per-day sketches (min-k(A∪B) = min-k(min-k(A) ∪ min-k(B)) — the
+    * merge law that makes yesterday's cumulative sketch + today's
+    * daily sketch the new state; here every day's cumulative set is
+    * materialized via a bounded day≤day join over the O(days·k)
+    * daily AGGREGATE, never the raw stream). KMV chosen over HLL
+    * deliberately: below k elements the merged set is COMPLETE and
+    * the estimate is exact (raw HLL without small-range correction
+    * reads ~m/n× off at small n, and the correction's ln() can never
+    * hash-match cross-engine); above k it is (k−1)·2⁶⁰/h_k — one
+    * division. The rounded per-mille error column is the audit that
+    * says whether the sketch path can serve a given dashboard. */
+  def distinctMaintenance(s: SparkSession, d: String): DataFrame =
+    distinctMaintenanceOf(Tables.events(s, d))
+
+  /** [[distinctMaintenance]] over an explicit events frame. */
+  def distinctMaintenanceOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Materialize(
+      events
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"),
+          col("user_id").cast("string").as("uid"))
+        .distinct()
+        .withColumn("h", md5Hash60(col("uid"), KmvSeed))
+        .withColumn("bkt",
+          shiftright(col("h"), HllHashBits - KmvBucketBits)),
+      Materialize.Local, "inc4_base")
+    val days = base.select("day").distinct()
+    val firstSeen = base.groupBy("uid").agg(min(col("day")).as("fday"))
+    val newPerDay = firstSeen.groupBy(col("fday").as("day"))
+      .agg(count(lit(1)).as("nu"))
+    val exact = days
+      .join(newPerDay, Seq("day"), "left")
+      .withColumn("cum_users",
+        sum(coalesce(col("nu"), lit(0L)))
+          .over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("day", "cum_users")
+    // per-day min-k via the kmv bucket-cutoff discipline (a hot day's
+    // rank window sees only its cutoff-surviving prefix, never the
+    // whole day)
+    val cut = base.groupBy("day", "bkt").agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("day").orderBy("bkt")))
+      .filter(col("cum") >= KmvK)
+      .groupBy("day").agg(min("bkt").as("cutoff"))
+    val daily = base.join(broadcast(cut), Seq("day"), "left")
+      .filter(col("cutoff").isNull || col("bkt") <= col("cutoff"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("day").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+      .select("day", "h")
+    val cum = days.select(col("day").as("d0"))
+      .join(daily, col("day") <= col("d0"))
+      .select(col("d0"), col("h")).distinct()
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("d0").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+      .groupBy(col("d0").as("day"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_h"))
+    exact.join(cum, Seq("day"))
+      .withColumn("est_users",
+        when(col("n_sketch") < KmvK, col("n_sketch").cast("double"))
+          .otherwise(lit(KmvNumerator) / col("kth_h").cast("double")))
+      .select(col("day"), col("cum_users"), col("n_sketch"), col("kth_h"),
+        col("est_users"),
+        round(lit(1000.0d) * (col("est_users") - col("cum_users")) /
+          col("cum_users")).cast("long").as("err_pm"))
+      .orderBy("day")
+  }
+
+  val distinctMaintenanceOracle: String =
+    s"""WITH b AS (
+       |  SELECT DISTINCT
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |      AS BIGINT) AS day,
+       |    CAST(user_id AS VARCHAR) AS uid
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       |days AS (SELECT DISTINCT day FROM b),
+       |fs AS (SELECT uid, min(day) AS fday FROM b GROUP BY 1),
+       |np AS (SELECT fday AS day, count(*) AS nu FROM fs GROUP BY 1),
+       |ex AS (
+       |  SELECT d.day,
+       |    CAST(sum(coalesce(np.nu, 0)) OVER (ORDER BY d.day) AS BIGINT)
+       |      AS cum_users
+       |  FROM days d LEFT JOIN np ON d.day = np.day),
+       |h AS (
+       |  SELECT day,
+       |    ('0x' || substr(md5('$KmvSeed' || ':' || uid), 1, 15))::BIGINT AS h
+       |  FROM b),
+       |daily AS (
+       |  SELECT day, h FROM (
+       |    SELECT day, h,
+       |      row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+       |    FROM h) WHERE rn <= $KmvK),
+       |cum AS (
+       |  SELECT d0, count(*) AS n_sketch, max(h) AS kth_h FROM (
+       |    SELECT d0, h, row_number() OVER (PARTITION BY d0 ORDER BY h)
+       |      AS rn
+       |    FROM (SELECT DISTINCT d.day AS d0, dl.h
+       |          FROM days d JOIN daily dl ON dl.day <= d.day))
+       |  WHERE rn <= $KmvK GROUP BY d0),
+       |est AS (
+       |  SELECT ex.day, ex.cum_users,
+       |    CAST(cum.n_sketch AS BIGINT) AS n_sketch,
+       |    CAST(cum.kth_h AS BIGINT) AS kth_h,
+       |    CASE WHEN cum.n_sketch < $KmvK
+       |         THEN CAST(cum.n_sketch AS DOUBLE)
+       |         ELSE $KmvNumerator / CAST(cum.kth_h AS DOUBLE) END
+       |      AS est_users
+       |  FROM ex JOIN cum ON ex.day = cum.d0)
+       |SELECT day, cum_users, n_sketch, kth_h, est_users,
+       |  CAST(round(1000 * (est_users - cum_users) / cum_users) AS BIGINT)
+       |    AS err_pm
+       |FROM est ORDER BY day""".stripMargin
+
   /** Bucket width (as a right-shift) for [[exactMedian]]'s first
     * pass — 1024-cent buckets keep the driver's histogram O(price
     * domain / 1024). */

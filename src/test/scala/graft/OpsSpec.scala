@@ -3900,6 +3900,37 @@ class OpsSpec extends AnyFunSuite {
       even.getAs[Double]("median_cents") == 1024.0)
   }
 
+  test("inc4: exact below k, estimator kicks in above k, merged kth equals the JVM global min-k replay") {
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, day: Int) = (id, Timestamp.valueOf(
+      f"2024-02-${day + 1}%02d 00:00:00"), u, "view", 1.0, "{}")
+    // day0: users 1..100, day1: 51..150, day2: 101..200 → cum 100/150/200
+    val rows = ((1 to 100).map(u => ev(u.toLong, u.toLong, 0)) ++
+      (51 to 150).map(u => ev(1000L + u, u.toLong, 1)) ++
+      (101 to 200).map(u => ev(2000L + u, u.toLong, 2)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Sketch.distinctMaintenanceOf(rows).collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(got.map(_.getAs[Long]("cum_users")).toSeq == Seq(100L, 150L, 200L))
+    // above k the sketch is saturated at exactly k survivors
+    got.foreach(r => assert(r.getAs[Long]("n_sketch") == 64L))
+    // merged cumulative kth == global min-k over ALL users seen so far,
+    // replayed in plain JVM — the KMV merge law, end to end
+    def kthOf(users: Range): Long = users
+      .map(u => graft.ops.Sketch.jvmHash60(u.toString, 33)).sorted.apply(63)
+    assert(got(0).getAs[Long]("kth_h") == kthOf(1 to 100))
+    assert(got(1).getAs[Long]("kth_h") == kthOf(1 to 150))
+    assert(got(2).getAs[Long]("kth_h") == kthOf(1 to 200))
+    // estimator recomputes from the row's own kth; error within the
+    // k=64 KMV band (~13% sigma; 40% is a loose 3-sigma gate)
+    got.foreach { r =>
+      val est = r.getAs[Double]("est_users")
+      assert(est == 63.0 * math.pow(2, 60) / r.getAs[Long]("kth_h"))
+      val exact = r.getAs[Long]("cum_users").toDouble
+      assert(math.abs(est - exact) / exact < 0.4, s"est $est vs $exact")
+    }
+  }
+
   test("priv2: suppression is monotone down the ladder, the dropped-band rung groups by (segment, nation)") {
     val got = graft.ops.Privacy.generalizationLadder(spark, sf).collect()
       .sortBy(_.getAs[Long]("level"))
