@@ -314,6 +314,8 @@ object SparkEntry {
     "hq2_exact_median" -> ((s, d) => graft.ops.Sketch.exactMedian(s, d)),
     "inc4_distinct_maintenance" -> ((s, d) =>
       graft.ops.Sketch.distinctMaintenance(s, d)),
+    "dq13_fanout_profile" -> ((s, d) =>
+      graft.ops.Profile.fanoutProfile(s, d)),
   )
 
   // DuckDB dialect oracle per query. Table names match the parquet stems.
@@ -957,5 +959,6 @@ object SparkEntry {
     "hq2_exact_median" -> graft.ops.Sketch.exactMedianOracle,
     "inc4_distinct_maintenance" ->
       graft.ops.Sketch.distinctMaintenanceOracle,
+    "dq13_fanout_profile" -> graft.ops.Profile.fanoutProfileOracle,
   )
 }

@@ -1259,4 +1259,61 @@ object Profile {
       |       (10000 * CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END)
       |         AS BIGINT)) // count(*) AS violation_bp
       |FROM j GROUP BY priority ORDER BY priority""".stripMargin
+
+  /** dq13 — FK FAN-OUT profile across the star schema's four child
+    * relations: per relation, how many children the average / the
+    * hottest parent key carries. This is the JOIN-PLANNING statistic
+    * behind every skew decision in this library (skew1/skew2 exist
+    * because max_fanout ≫ mean_fanout somewhere): a relation whose
+    * max/mean ratio explodes between drops is the early warning that
+    * tomorrow's join needs salting or AQE skew handling. Per relation:
+    * one child-keyed aggregation to (parent, n) — bounded by the
+    * parent domain — then one O(parents) rollup picking the max and
+    * the ARGMAX parent via the struct-max idiom (ties to the smaller
+    * key, both engines identical). mean_fanout_cpm is exact
+    * centi-per-mille integer division; no floats anywhere. */
+  def fanoutProfile(s: SparkSession, d: String): DataFrame = {
+    def rel(name: String, child: DataFrame, key: String): DataFrame =
+      child
+        .filter(col(key).isNotNull)
+        .groupBy(col(key).cast("long").as("parent")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_parents"), sum(col("n")).as("n_children"),
+          max(struct(col("n"), (col("parent") * -1L).as("np"))).as("mx"))
+        .select(lit(name).as("relation"), col("n_parents"),
+          col("n_children"), col("mx.n").as("max_fanout"),
+          (col("mx.np") * -1L).as("hot_parent"),
+          expr("(100000 * n_children) div n_parents").as("mean_fanout_cpm"))
+    rel("customer->orders", Tables.orders(s, d), "o_custkey")
+      .unionAll(rel("orders->lineitem", Tables.lineitem(s, d), "l_orderkey"))
+      .unionAll(rel("part->lineitem", Tables.lineitem(s, d), "l_partkey"))
+      .unionAll(rel("supplier->lineitem", Tables.lineitem(s, d),
+        "l_suppkey"))
+      .orderBy("relation")
+  }
+
+  val fanoutProfileOracle: String = {
+    val rels = Seq(
+      ("pc1", "customer->orders", "orders", "o_custkey"),
+      ("pc2", "orders->lineitem", "lineitem", "l_orderkey"),
+      ("pc3", "part->lineitem", "lineitem", "l_partkey"),
+      ("pc4", "supplier->lineitem", "lineitem", "l_suppkey"))
+    val ctes = rels.map { case (cte, _, table, key) =>
+      s"""$cte AS (SELECT CAST($key AS BIGINT) AS parent, count(*) AS n
+         |  FROM $table WHERE $key IS NOT NULL GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val selects = rels.map { case (cte, name, _, _) =>
+      s"""SELECT '$name' AS relation, count(*) AS n_parents,
+         |  CAST(sum(n) AS BIGINT) AS n_children,
+         |  CAST(max(n) AS BIGINT) AS max_fanout,
+         |  CAST((SELECT min(parent) FROM $cte
+         |        WHERE n = (SELECT max(n) FROM $cte)) AS BIGINT)
+         |    AS hot_parent,
+         |  (100000 * CAST(sum(n) AS BIGINT)) // count(*) AS mean_fanout_cpm
+         |FROM $cte""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ctes
+       |SELECT * FROM (
+       |$selects
+       |) ORDER BY relation""".stripMargin
+  }
 }

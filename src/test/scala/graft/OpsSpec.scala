@@ -3931,6 +3931,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dq13: the three lineitem relations account for the same child total; max bounds mean; cpm recomputes") {
+    val got = graft.ops.Profile.fanoutProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("relation") -> r).toMap
+    val liTotal = Seq("orders->lineitem", "part->lineitem",
+      "supplier->lineitem").map(got(_).getAs[Long]("n_children"))
+    assert(liTotal.distinct.length == 1,
+      "all three lineitem FKs must cover the same child rows")
+    got.values.foreach { r =>
+      val (np, nc) = (r.getAs[Long]("n_parents"), r.getAs[Long]("n_children"))
+      assert(r.getAs[Long]("max_fanout") * np >= nc,
+        "max fan-out below the mean is impossible")
+      assert(r.getAs[Long]("mean_fanout_cpm") == 100000L * nc / np)
+    }
+  }
+
   test("priv2: suppression is monotone down the ladder, the dropped-band rung groups by (segment, nation)") {
     val got = graft.ops.Privacy.generalizationLadder(spark, sf).collect()
       .sortBy(_.getAs[Long]("level"))
