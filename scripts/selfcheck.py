@@ -49,6 +49,17 @@ for name, sql in sorted(oracle.items()):
                 ak, bk = av.dtype.kind, bv.dtype.kind
                 if ak != bk and ak in "iuf" and bk in "iuf":
                     bad = (c, str(av.dtype), str(bv.dtype), "dtype-kind-mismatch"); break
+                # decimal128 columns land as object(Decimal) on one side but
+                # float64/int64 on the other (e.g. DuckDB DECIMAL(38,0) ->
+                # float64, Spark parquet decimal -> Decimal objects): the
+                # driver's typed hash mismatches even when values agree
+                import decimal
+                def _is_dec(s):
+                    nn = s.dropna()
+                    return len(nn) > 0 and isinstance(nn.iloc[0], decimal.Decimal)
+                if ak != bk and (("O" == ak and _is_dec(av) and bk in "iuf") or
+                                 ("O" == bk and _is_dec(bv) and ak in "iuf")):
+                    bad = (c, str(av.dtype), str(bv.dtype), "decimal-vs-numeric-dtype"); break
                 if av.dtype.kind == "f" or bv.dtype.kind == "f":
                     av_ = av.astype(float); bv_ = bv.astype(float)
                     neq = ~((av_ == bv_) | (av_.isna() & bv_.isna()))

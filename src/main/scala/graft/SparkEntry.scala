@@ -695,10 +695,10 @@ object SparkEntry {
         |  FROM lineitem
         |  WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00')
         |SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(q) AS DECIMAL(38,0)) AS sum_qty_cents,
-        |       CAST(sum(p) AS DECIMAL(38,0)) AS sum_base_cents,
-        |       CAST(sum(p * (100 - dd)) AS DECIMAL(38,0)) AS sum_disc_e4,
-        |       CAST(sum(p * (100 - dd) * (100 + t)) AS DECIMAL(38,0)) AS sum_charge_e6,
+        |       CAST(sum(q) AS VARCHAR) AS sum_qty_cents,
+        |       CAST(sum(p) AS VARCHAR) AS sum_base_cents,
+        |       CAST(sum(p * (100 - dd)) AS VARCHAR) AS sum_disc_e4,
+        |       CAST(sum(p * (100 - dd) * (100 + t)) AS VARCHAR) AS sum_charge_e6,
         |       count(*) AS count_order,
         |       CAST(sum(q) AS DOUBLE) / count(*) / 100.0 AS avg_qty,
         |       CAST(sum(p) AS DOUBLE) / count(*) / 100.0 AS avg_price

@@ -85,10 +85,20 @@ object Pricing {
     * digits over the ≤1e11 per-row e-6 charge). Still map-side
     * partial-aggregated, still order-independent; the cost is the
     * 128-bit accumulator instead of 64. Verified against the same
-    * DuckDB oracle (HUGEINT sums cast to decimal) at test SFs, and
-    * PropertySpec drives BOTH paths over rows engineered past the
-    * int64 boundary — the narrow path wraps, the wide path matches the
-    * BigInt ground truth. */
+    * DuckDB oracle (HUGEINT sums) at test SFs, and PropertySpec
+    * drives BOTH paths over rows engineered past the int64 boundary —
+    * the narrow path wraps, the wide path matches the BigInt ground
+    * truth.
+    *
+    * Presentation: the four wide sums are emitted as canonical decimal
+    * STRINGS. 128-bit integers have no lossless shared representation
+    * across engine→pandas bridges (DuckDB renders DECIMAL(38,0)/HUGEINT
+    * as float64 — lossy past 2^53; Spark's parquet decimal128 arrives
+    * as Python Decimal objects — a different dtype), so a typed
+    * comparison of the raw accumulators can never agree even when the
+    * values do. Digit strings are exact at any magnitude and identical
+    * on both sides; the averages still divide from the full-precision
+    * accumulator before the cast. */
   def pricingSummaryWide(s: SparkSession, d: String): DataFrame =
     pricingSummaryOf(
       Tables.lineitem(s, d)
@@ -122,6 +132,11 @@ object Pricing {
         col("sum_qty_cents").cast("double") / col("count_order") / 100.0)
       .withColumn("avg_price",
         col("sum_base_cents").cast("double") / col("count_order") / 100.0)
+      .withColumns(
+        if (wide)
+          Seq("sum_qty_cents", "sum_base_cents", "sum_disc_e4",
+              "sum_charge_e6").map(c => c -> col(c).cast("string")).toMap
+        else Map.empty[String, org.apache.spark.sql.Column])
       .orderBy("l_returnflag", "l_linestatus")
   }
 
