@@ -1639,12 +1639,22 @@ object Multimodal {
   val BlurVarThreshold = 1000000000L
 
   case class Sharpness(img_id: Long, n_interior: Long, sum_lap: Long,
-      sum_lap2: Long, var_num: Long, blurry: Long)
+      sum_lap2: Long, var_milli2: Long, blurry: Long)
 
   /** Per-image variance-of-Laplacian inside the decode stage: the
     * classic blur detector, all exact integers (4-neighbor Laplacian
     * on milli-luma, moments as longs, variance numerator
-    * n·ΣL² − (ΣL)²). */
+    * n·ΣL² − (ΣL)² taken in BigInt). Envelope, exactly: |L| ≤ 4·255000
+    * (milli-luma ≤ 255·(299+587+114) = 255000), so ΣL² ≤ n·1.0404e12 —
+    * the LONG moment s2 is exact for n ≤ 8·10⁶ interior pixels
+    * (~2830×2830), enforced by a loud require (tile or [[resizeAll]]
+    * bigger frames first). The variance numerator itself can reach
+    * n²·1.04e12 ≈ 6.7e25 inside that envelope — past int64 — so it is
+    * computed in BigInt and reported as `var_milli2` = ⌊numerator/n²⌋,
+    * the per-pixel variance in (milli-luma)², which fits a long at any
+    * allowed n; the blur test compares the BigInt numerator against
+    * BlurVarThreshold·n² (equivalently ⌊num/n²⌋ < T for integer T) —
+    * exact at every size, no division drift. */
   def sharpnessAll(media: Dataset[Media]): Dataset[Sharpness] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
@@ -1662,6 +1672,11 @@ object Multimodal {
           }
           y += 1
         }
+        // s2 ≤ n·1.0404e12 exactly (|L| ≤ 4·255000): the long moments
+        // are exact inside the required envelope, checked loudly below
+        require((w - 2).toLong * (h - 2) <= 8000000L,
+          s"sharpness: ${w}x$h has ${(w - 2).toLong * (h - 2)} interior " +
+            "pixels > 8e6 — long ΣL² would overflow; tile or resize first")
         var n = 0L; var s = 0L; var s2 = 0L
         var yy = 1
         while (yy < h - 1) {
@@ -1675,10 +1690,15 @@ object Multimodal {
           }
           yy += 1
         }
-        val varNum = if (n > 0) n * s2 - s * s else 0L
+        // numerator up to ~6.7e25 inside the envelope — BigInt, always
+        val varNum =
+          if (n > 0) BigInt(n) * BigInt(s2) - BigInt(s) * BigInt(s)
+          else BigInt(0)
+        val n2 = BigInt(n) * BigInt(n)
+        val varMilli2 = if (n > 0) (varNum / n2).toLong else 0L
         val blurry =
-          if (n == 0L || varNum < BlurVarThreshold * n * n) 1L else 0L
-        Sharpness(m.doc_id, n, s, s2, varNum, blurry)
+          if (n == 0L || varNum < BigInt(BlurVarThreshold) * n2) 1L else 0L
+        Sharpness(m.doc_id, n, s, s2, varMilli2, blurry)
       }
     })
   }
@@ -1744,10 +1764,11 @@ object Multimodal {
        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_interior,
        |  CAST(coalesce(a.s, 0) AS BIGINT) AS sum_lap,
        |  CAST(coalesce(a.s2, 0) AS BIGINT) AS sum_lap2,
-       |  CAST(coalesce(a.n * a.s2 - a.s * a.s, 0) AS BIGINT) AS var_num,
+       |  CAST(coalesce((CAST(a.n AS HUGEINT) * a.s2 - CAST(a.s AS HUGEINT) * a.s)
+       |                // (CAST(a.n AS HUGEINT) * a.n), 0) AS BIGINT) AS var_milli2,
        |  CAST(CASE WHEN coalesce(a.n, 0) = 0 THEN 1
-       |            WHEN a.n * a.s2 - a.s * a.s
-       |                 < $BlurVarThreshold * a.n * a.n THEN 1
+       |            WHEN CAST(a.n AS HUGEINT) * a.s2 - CAST(a.s AS HUGEINT) * a.s
+       |                 < CAST($BlurVarThreshold AS HUGEINT) * a.n * a.n THEN 1
        |            ELSE 0 END AS BIGINT) AS blurry
        |FROM dims d LEFT JOIN agg a ON d.img_id = a.img_id
        |ORDER BY img_id""".stripMargin

@@ -88,8 +88,7 @@ object Privacy {
       2L -> Some(2500000L), 3L -> None)
     rungs.map { case (level, width) =>
       val banded = width match {
-        case Some(w) => base.withColumn("band",
-          (col("shifted") / w.toDouble).cast("long"))
+        case Some(w) => base.withColumn("band", expr(s"shifted div $w"))
         case None => base.withColumn("band", lit(0L))
       }
       banded.groupBy("segment", "nation", "band")

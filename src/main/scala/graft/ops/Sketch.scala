@@ -876,10 +876,16 @@ object Sketch {
     * aggregation to 1024-cent bucket counts — the driver holds only
     * the O(domain/1024) histogram (the PrefixSum O(partitions)
     * precedent, contract-checked), locates the rank-⌈N/2⌉ and
-    * rank-⌈(N+1)/2⌉ buckets by cumulative sum. Pass 2: re-scan with a
-    * PUSHED-DOWN range predicate covering just those buckets, and
-    * take the needed order statistics via TakeOrderedAndProject over
-    * that small slice — never a full-column sort. Even-N median is
+    * rank-⌈(N+1)/2⌉ buckets by cumulative sum. Pass 2+: RECURSIVE
+    * HISTOGRAM NARROWING — re-scan with a PUSHED-DOWN range predicate
+    * covering just the located bucket and hash-aggregate it into ≤1024
+    * sub-buckets (shift drops 10 bits per level), walking the rank
+    * down until the bucket width is one cent, where bucket == value.
+    * Each level is one fully distributed aggregation; the driver only
+    * ever holds a ≤1024-row histogram, so an arbitrarily spiked
+    * distribution (every row in one 1024-cent bucket) costs one extra
+    * linear pass instead of a single-task sort — never a
+    * TakeOrderedAndProject, never a row limit. Even-N median is
     * the exact long sum of the two middle values plus ONE division by
     * 2.0 (the a27 middle-pair discipline). Oracle: the brute
     * rank-window selection — the hash match proves two-pass selection
@@ -914,15 +920,35 @@ object Sketch {
     }
     val (b1, o1) = bucketOfRank(k1)
     val (b2, o2) = bucketOfRank(k2)
-    def kth(b: Long, off: Long): Long = {
-      // loud contract, not a silent truncation: a single 1024-cent
-      // bucket holding >10M rows means the price distribution is a
-      // spike — widen MedianShift or recurse before trusting this pass
-      require(off <= 10000000L,
-        s"in-bucket offset $off too large — bucket $b is a density spike")
-      val inBucket = c.filter(shiftright(col("cents"), MedianShift) === b)
-        .orderBy("cents").limit(off.toInt)
-      inBucket.agg(max(col("cents"))).collect()(0).getLong(0)
+    // Recursive histogram narrowing: locate the rank inside bucket b by
+    // re-histogramming the bucket's value range at a 10-bit-finer shift
+    // (≤1024 sub-buckets per level) until the bucket width is one cent,
+    // where bucket == value. Every level is one distributed hash
+    // aggregation behind a parquet-pushable range predicate; the driver
+    // holds ≤1024 rows per level regardless of how many ROWS the bucket
+    // holds, so a fully spiked distribution costs ⌈MedianShift/10⌉ extra
+    // linear passes, never a single-task sort or a row-count ceiling.
+    def kth(b0: Long, off0: Long): Long = {
+      var b = b0; var off = off0; var shift = MedianShift
+      while (shift > 0) {
+        val sub = math.max(0, shift - 10)
+        val lo = b << shift; val hi = (b + 1) << shift
+        val h = c.filter(col("cents") >= lo && col("cents") < hi)
+          .withColumn("sb", shiftright(col("cents"), sub))
+          .groupBy("sb").agg(count(lit(1)).as("cnt"))
+          .orderBy("sb").collect()
+        var cum = 0L; var found = false
+        h.foreach { r =>
+          if (!found) {
+            val sb = r.getAs[Long]("sb"); val ct = r.getAs[Long]("cnt")
+            if (cum < off && off <= cum + ct) { b = sb; off -= cum; found = true }
+            else cum += ct
+          }
+        }
+        require(found, s"rank $off0 not found inside bucket $b0 (n=$n)")
+        shift = sub
+      }
+      b
     }
     val v1 = kth(b1, o1)
     val v2 = if (b2 == b1 && o2 == o1) v1 else kth(b2, o2)

@@ -64,16 +64,24 @@ object Skew {
     * technique), and the join runs on (key, salt) — every fact row
     * meets exactly one replica of its dim row, so the result set is
     * EXACTLY the plain join's while the heaviest key's probe work
-    * spreads over `buckets` tasks. Inner/left semantics preserved;
-    * the salt columns never escape. */
+    * spreads over `buckets` tasks. `joinType` accepts "inner" (default)
+    * or "left" — the only types dim replication preserves (every fact
+    * row still meets exactly one replica, and an unmatched fact row
+    * matches no replica of any salt); right/outer/semi/anti would see
+    * the replicas and are rejected loudly. The salt column name is
+    * uniquified against both inputs, never clobbered, never escapes. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-      buckets: Int, saltOn: Column): DataFrame = {
-    val fs = fact.withColumn("__salt", pmod(hash(saltOn), lit(buckets)))
+      buckets: Int, saltOn: Column, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin preserves only inner/left semantics, got $joinType")
+    val taken = (fact.columns ++ dim.columns).toSet
+    val salt = Iterator.from(0).map(i => s"__salt$i")
+      .find(!taken.contains(_)).get
+    val fs = fact.withColumn(salt, pmod(hash(saltOn), lit(buckets)))
     val ds = dim
-      .withColumn("__salt",
-        explode(sequence(lit(0), lit(buckets - 1))))
-    fs.join(ds.hint("shuffle_hash"), Seq(key, "__salt"))
-      .drop("__salt")
+      .withColumn(salt, explode(sequence(lit(0), lit(buckets - 1))))
+    fs.join(ds.hint("shuffle_hash"), Seq(key, salt), joinType)
+      .drop(salt)
   }
 
   /** skew2 — the salted join as a driver query: lineitem (fact,

@@ -3828,7 +3828,7 @@ class OpsSpec extends AnyFunSuite {
     val got = Multimodal.sharpnessQuery(spark, sf).collect()
       .map(r => r.getAs[Long]("img_id") -> r).toMap
     val flat = got(0L)
-    assert(flat.getAs[Long]("var_num") == 0L &&
+    assert(flat.getAs[Long]("var_milli2") == 0L &&
       flat.getAs[Long]("blurry") == 1L)
     // smooth ramp: second differences are quantization steps only
     assert(got(1L).getAs[Long]("blurry") == 1L)
@@ -3838,7 +3838,13 @@ class OpsSpec extends AnyFunSuite {
     got.values.foreach { r =>
       val (n, s, s2) = (r.getAs[Long]("n_interior"), r.getAs[Long]("sum_lap"),
         r.getAs[Long]("sum_lap2"))
-      assert(r.getAs[Long]("var_num") == n * s2 - s * s)
+      // identity replayed in BigInt — the moments stay exact longs, the
+      // numerator does not have to fit int64
+      val num = BigInt(n) * BigInt(s2) - BigInt(s) * BigInt(s)
+      assert(BigInt(r.getAs[Long]("var_milli2")) ==
+        (if (n > 0) num / (BigInt(n) * BigInt(n)) else BigInt(0)))
+      assert(r.getAs[Long]("blurry") ==
+        (if (n == 0 || num < BigInt(1000000000L) * n * n) 1L else 0L))
     }
   }
 
@@ -3849,7 +3855,14 @@ class OpsSpec extends AnyFunSuite {
       (3L, "hello world!", "en", "A", 12L),
       (4L, "goodbye", "en", "A", 7L),
       (5L, "same text", "en", "B", 9L),
-      (6L, "same text", "en", "B", 9L))
+      (6L, "same text", "en", "B", 9L),
+      // case variants normalize TOGETHER, and distinct words that
+      // differ only in a leading capital stay APART ("Hello world" ≢
+      // "Jello world" — lowercasing before the class strip keeps the
+      // letters instead of deleting them)
+      (7L, "Hello World", "en", "C", 11L),
+      (8L, "hello world", "en", "C", 11L),
+      (9L, "Jello world", "en", "C", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val got = graft.ops.Dedup.normalizedDedupOf(docs).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
@@ -3861,6 +3874,10 @@ class OpsSpec extends AnyFunSuite {
     assert(b.getAs[Long]("n_docs") == 2L &&
       b.getAs[Long]("raw_distinct") == 1L &&
       b.getAs[Long]("trivial_variants") == 0L)
+    val cc = got("C")
+    assert(cc.getAs[Long]("raw_distinct") == 3L &&
+      cc.getAs[Long]("norm_distinct") == 2L &&
+      cc.getAs[Long]("trivial_variants") == 1L)
   }
 
   test("rl2: recall reads 10000 bp on every corruption rule — the FastSS pigeonhole guarantee, measured") {
@@ -3898,6 +3915,20 @@ class OpsSpec extends AnyFunSuite {
       even.getAs[Long]("hi_cents") == 1025L &&
       even.getAs[Long]("median_x2_cents") == 2048L &&
       even.getAs[Double]("median_cents") == 1024.0)
+    // density spike: 50,001 rows all inside ONE 1024-cent bucket (cents
+    // 1..1024 cycled) — the old TakeOrdered path capped the in-bucket
+    // offset; the recursive narrowing resolves the rank with a second
+    // distributed histogram regardless of bucket population. Median of
+    // cents (i % 1024) + 1 over i in 0..50000 with rank 25001 → the
+    // 25001st smallest of {49 copies of 1..856-ish}: compute ground
+    // truth in-JVM and compare.
+    val spikeCents = (0 until 50001).map(i => (i % 1024) + 1)
+    val truth = spikeCents.sorted.apply(25000) // rank 25001, 0-indexed
+    val spike = graft.ops.Sketch.exactMedianOf(
+      li(spikeCents.map(_ / 100.0))).collect().head
+    assert(spike.getAs[Long]("n") == 50001L &&
+      spike.getAs[Long]("lo_cents") == truth.toLong &&
+      spike.getAs[Long]("hi_cents") == truth.toLong)
   }
 
   test("inc4: exact below k, estimator kicks in above k, merged kth equals the JVM global min-k replay") {
