@@ -14,6 +14,16 @@ object Harness {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // non-broadcast joins: build a per-partition hash map when one
+      // side's HONEST size (the Materialize seam measures checkpointed
+      // intermediates) fits the canBuildLocalHashMap budget
+      // (threshold × shuffle partitions), instead of sorting both
+      // sides. The dedup/LSH pair pipelines join corpus-sized tables
+      // on high-cardinality keys where the sort is pure overhead; at
+      // warehouse scale the size gate flips the same joins back to
+      // sort-merge automatically because size/partitions outgrows the
+      // budget — the decision stays size-driven, not hint-driven.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -57,10 +57,12 @@ object Dedup {
 
   /** [[normalizedDedup]] over an explicit documents frame. */
   def normalizedDedupOf(docs: DataFrame): DataFrame = {
-    // punctuation/digits become SEPARATORS (not deletions): "v1.2"
-    // and "v1-2" normalize alike without gluing words together
+    // lowercase FIRST, then punctuation/digits become SEPARATORS (not
+    // deletions): "v1.2" and "v1-2" normalize alike without gluing
+    // words together, and case differences normalize instead of
+    // deleting the uppercase letters ("Hello" ≡ "hello", not "ello")
     val norm = trim(regexp_replace(
-      regexp_replace(col("text"), "[^a-z ]", " "), " +", " "))
+      regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
     docs
       .filter(col("text").isNotNull && col("source").isNotNull)
       .select(col("source"), md5(col("text")).as("h_raw"),
@@ -78,7 +80,7 @@ object Dedup {
     """WITH n AS (
       |  SELECT source, md5(text) AS h_raw,
       |         md5(trim(regexp_replace(regexp_replace(
-      |           text, '[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))) AS h_norm
+      |           lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))) AS h_norm
       |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
       |SELECT source, count(*) AS n_docs,
       |       CAST(count(DISTINCT h_raw) AS BIGINT) AS raw_distinct,
@@ -179,14 +181,19 @@ object Dedup {
       case Materialize.Local => bandsRaw
       case _ => Materialize(bandsRaw, mode, "minhash_bands")
     }
-    // shuffle_hash on every corpus-derived side: the localCheckpoint
-    // behind `flat` PRESERVES the pre-checkpoint plan's (post-aggregate,
-    // grossly undershooting) size estimates, so unhinted, Catalyst
-    // broadcasts band/hash/size tables — harmless at sf0.1, hundreds of
-    // MB per executor at the sf1 tier (dd2 measured 25 s there before
-    // the hints, 2.9 s after). The keyed form also lets exchange reuse
-    // compute the band shuffle once for both self-join sides.
-    val a = bands.as("a"); val b = bands.hint("shuffle_hash").as("b")
+    // No STATIC join-strategy hints: the Materialize seam injects
+    // MEASURED block sizes into the checkpointed frames' stats
+    // (round-9 — Bridge.withMeasuredStats), so Catalyst sees
+    // corpus-sized tables as corpus-sized and never broadcasts them at
+    // the sf1 tier (pre-fix, the preserved pre-checkpoint
+    // under-estimates made it broadcast band/hash/size tables: dd2
+    // measured 25 s there, 2.9 s keyed), while genuinely small frames
+    // stay broadcastable at the small tiers. The self-join carries the
+    // stats-GATED hash hint (hashJoinIfFits): equal-size sides defeat
+    // the planner's muchSmaller tie-break, so it hints hash only while
+    // the measured size fits the local-hash-map budget.
+    val a = bands.as("a")
+    val b = Materialize.hashJoinIfFits(bands).as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -197,9 +204,7 @@ object Dedup {
     // counts the intersection without materializing per-doc arrays
     // (array-lambda hashing is interpreted and dominates otherwise)
     val hashed = flat.select(col(idCol), col("h1").as("h"))
-      .hint("shuffle_hash")
     val sizes = hashed.groupBy(idCol).agg(count(lit(1)).as("n"))
-      .hint("shuffle_hash")
     val iSize = cand
       .join(hashed.toDF("doc_a", "h"), "doc_a")
       .join(hashed.toDF("doc_b", "h"), Seq("doc_b", "h"))
@@ -335,19 +340,35 @@ object Dedup {
 
   def ngramJaccardPairsOf(docs: DataFrame,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val (flat, pfx) = ngramJaccardStages(docs, mode)
+    ngramJaccardRest(flat, pfx)
+  }
+
+  /** dd4's two materialization stages: the hashed shingle stream and
+    * the PPJoin prefix table. Split out so stage-level timing can
+    * attribute wall-clock between build and probe. */
+  private[graft] def ngramJaccardStages(docs: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): (DataFrame, DataFrame) = {
     val flat = shingleFlat(docs, mode)
     // materialized: the prefix pipeline (df join + two doc-keyed
     // windows) feeds BOTH sides of the candidate self-join — unchecked,
-    // Catalyst replays it per side AND broadcasts one whole side (fine
-    // at sf0.1, memory churn at sf1 — caught by the sf1 tier's 60×
-    // dd4 reading). The shuffle_hash hint keeps the self-join keyed:
-    // no corpus-derived table ever broadcasts in this pipeline.
+    // Catalyst replays it per side AND (under the old carried-over
+    // size under-estimates) broadcast one whole side — fine at sf0.1,
+    // memory churn at sf1, caught by that tier's 60× dd4 reading. The
+    // Materialize seam now reports the table's MEASURED size, so the
+    // self-join plans keyed at corpus scale by itself and no hint
+    // taxes the small tiers.
     val pfx = Materialize(
       prefixShingles(flat, JaccardThresholdNum, JaccardThresholdDen),
       mode, "jaccard_prefix")
+    (flat, pfx)
+  }
+
+  private[graft] def ngramJaccardRest(flat: DataFrame,
+      pfx: DataFrame): DataFrame = {
     val cand = pfx.select(col("lang"), col("h"), col("doc_id").as("doc_a"))
-      .join(pfx.select(col("lang"), col("h"), col("doc_id").as("doc_b"))
-        .hint("shuffle_hash"),
+      .join(Materialize.hashJoinIfFits(
+          pfx.select(col("lang"), col("h"), col("doc_id").as("doc_b"))),
         Seq("lang", "h"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -362,6 +383,12 @@ object Dedup {
   /** The materialized hashed-shingle stream (doc_id, lang, h) the exact
     * set-similarity family reads — md5 per distinct 3-gram shingle is
     * the dominant scan cost, computed once per query. */
+  private[graft] def shingleFlatProbe(docs: DataFrame): DataFrame =
+    shingleFlat(docs, Materialize.Local)
+
+  private[graft] def prefixShinglesProbe(flat: DataFrame): DataFrame =
+    prefixShingles(flat, JaccardThresholdNum, JaccardThresholdDen)
+
   private def shingleFlat(docs: DataFrame,
       mode: Materialize.Mode): DataFrame =
     Materialize(
@@ -385,12 +412,17 @@ object Dedup {
   private def prefixShingles(flat: DataFrame, tNum: Int,
       tDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // shuffle_hash: dfreq is corpus-sized (one row per distinct
-    // shingle) — a broadcast would ship millions of rows per executor
-    // at warehouse scale; the join key (lang, h) is already the
-    // aggregate's shuffle key, so the hash join reuses its exchange
-    val dfreq = flat.groupBy("lang", "h").agg(count(lit(1)).as("df"))
-      .hint("shuffle_hash")
+    // dfreq is corpus-sized (one row per distinct shingle); its size
+    // estimate derives from flat's MEASURED materialized stats. Left
+    // alone, Catalyst would BROADCAST it when the estimate fits the
+    // threshold — but that pays the aggregate shuffle PLUS a driver
+    // collect and relation build, while a hash join on (lang, h) — the
+    // aggregate's own shuffle key — REUSES the aggregate's exchange and
+    // probes colocated, strictly cheaper at every size. The hint is
+    // stats-gated (Materialize.hashJoinIfFits): past the per-partition
+    // build budget it falls away and the join plans sort-merge.
+    val dfreq = Materialize.hashJoinIfFits(
+      flat.groupBy("lang", "h").agg(count(lit(1)).as("df")))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
     flat.join(dfreq, Seq("lang", "h"))
       .withColumn("r", row_number().over(w))
@@ -420,15 +452,21 @@ object Dedup {
     * (doc_a, doc_b, i_size, n_a, n_b). */
   private def verifiedIntersections(cand: DataFrame,
       flat: DataFrame): DataFrame = {
-    // shuffle_hash: the sets frame carries every doc's full sorted
-    // shingle array — hundreds of bytes per row; its size ESTIMATE
-    // undershoots and Catalyst would broadcast it (~150 MB real at the
-    // sf1 tier, the run-to-run variance source). Keyed on doc ids,
-    // the join needs no broadcast at any scale.
-    val sets = flat.groupBy("doc_id")
-      .agg(array_sort(collect_list(col("h"))).as("hs"),
-        count(lit(1)).as("n"))
-      .hint("shuffle_hash")
+    // the sets frame carries every doc's full sorted shingle array —
+    // hundreds of bytes per row (~150 MB real at the sf1 tier). Its
+    // size estimate scales from flat's MEASURED materialized stats
+    // (bounded-ratio drift only), and the stats-gated hash hint keeps
+    // its two pair-side joins keyed: never the broadcast the old
+    // carried-over under-estimate forced (the sf1 run-to-run variance
+    // source), and past the per-partition build budget the hint falls
+    // away to sort-merge. NOT materialized: an eager checkpoint here
+    // serializes the query into an extra barrier job and measured ~2 s
+    // of lost stage overlap at sf0.1 — the aggregate is cheaper to
+    // re-derive per side than to fence (the dd4 bisect, round 9).
+    val sets = Materialize.hashJoinIfFits(
+      flat.groupBy("doc_id")
+        .agg(array_sort(collect_list(col("h"))).as("hs"),
+          count(lit(1)).as("n")))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
         col("n").as("n_a")), "doc_a")
@@ -455,14 +493,14 @@ object Dedup {
   private[graft] def shingleIntersections(docs: DataFrame,
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
     val flat = shingleFlat(docs, mode)
-    // shuffle_hash throughout: every joined table here is corpus-sized
-    // (per-doc sizes, the flat shingle stream) — broadcasting any of
-    // them is a size-estimate accident that detonates at the sf1 tier
+    // every joined table here is corpus-sized (per-doc sizes, the flat
+    // shingle stream); their estimates derive from flat's MEASURED
+    // materialized stats, so the broadcast-a-corpus accident the sf1
+    // tier used to detonate on can't arise and no hint is needed
     val sizes = flat.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .hint("shuffle_hash")
     val iSize = flat.select(col("lang"), col("h"), col("doc_id").as("doc_a"))
-      .join(flat.select(col("lang"), col("h"), col("doc_id").as("doc_b"))
-        .hint("shuffle_hash"),
+      .join(Materialize.hashJoinIfFits(
+          flat.select(col("lang"), col("h"), col("doc_id").as("doc_b"))),
         Seq("lang", "h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i_size"))
@@ -511,8 +549,8 @@ object Dedup {
       prefixShingles(flat, ContainmentNum, ContainmentDen),
       mode, "containment_prefix")
     val cand = pfx.select(col("lang"), col("h"), col("doc_id").as("da"))
-      .join(flat.select(col("lang"), col("h"), col("doc_id").as("db"))
-        .hint("shuffle_hash"),
+      .join(Materialize.hashJoinIfFits(
+          flat.select(col("lang"), col("h"), col("doc_id").as("db"))),
         Seq("lang", "h"))
       .filter(col("da") =!= col("db"))
       .select(least(col("da"), col("db")).as("doc_a"),
@@ -534,19 +572,26 @@ object Dedup {
     * cross-multiplied cut (the ≥ 1 intersection guard mirrors
     * candidate generation — empty-shingle docs never join). Lazy:
     * interpolates [[shingleCte]], defined later in this object. */
+  /** Inverted-index replay (the dd4 form — see
+    * [[ngramJaccardOracle]]); the i CTE carries only ≥1-intersection
+    * pairs, matching the old explicit `i_size >= 1` guard. */
   lazy val containmentOracle: String =
-    s"""WITH $shingleCte
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.sh, b.sh)) AS i_size,
-       |  len(a.sh) AS n_a, len(b.sh) AS n_b,
-       |  len(list_intersect(a.sh, b.sh)) / len(a.sh) AS cont_a,
-       |  len(list_intersect(a.sh, b.sh)) / len(b.sh) AS cont_b,
-       |  len(list_intersect(a.sh, b.sh)) /
-       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-       |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.sh, b.sh)) >= 1
-       |  AND len(list_intersect(a.sh, b.sh)) * $ContainmentDen >=
-       |      $ContainmentNum * least(len(a.sh), len(b.sh))
+    s"""WITH $shingleCte,
+       |f AS MATERIALIZED (SELECT doc_id, lang, unnest(sh) AS tok FROM s),
+       |n AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s),
+       |i AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i_size
+       |  FROM f a JOIN f b ON a.lang = b.lang AND a.tok = b.tok
+       |                    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.i_size,
+       |  na.n AS n_a, nb.n AS n_b,
+       |  i.i_size / na.n AS cont_a, i.i_size / nb.n AS cont_b,
+       |  i.i_size / (na.n + nb.n - i.i_size) AS jaccard
+       |FROM i JOIN n na ON na.doc_id = i.doc_a
+       |       JOIN n nb ON nb.doc_id = i.doc_b
+       |WHERE i.i_size * $ContainmentDen >=
+       |      $ContainmentNum * least(na.n, nb.n)
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Similarity-histogram resolution: Jaccard quantized to
@@ -599,12 +644,18 @@ object Dedup {
 
   lazy val similarityHistogramOracle: String =
     s"""WITH $shingleCte,
+       |f AS MATERIALIZED (SELECT doc_id, lang, unnest(sh) AS tok FROM s),
+       |n AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s),
+       |i AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i_size
+       |  FROM f a JOIN f b ON a.lang = b.lang AND a.tok = b.tok
+       |                    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
        |pr AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    len(list_intersect(a.sh, b.sh)) AS i_size,
-       |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u_size
-       |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |  WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+       |  SELECT i.doc_a, i.doc_b, i.i_size,
+       |    na.n + nb.n - i.i_size AS u_size
+       |  FROM i JOIN n na ON na.doc_id = i.doc_a
+       |         JOIN n nb ON nb.doc_id = i.doc_b),
        |bk AS (
        |  SELECT i_size * $SimHistBuckets // u_size AS bucket,
        |         da.source AS src_a, db.source AS src_b
@@ -1578,17 +1629,18 @@ object Dedup {
     }: _*)
     val banded = e.select(col("vec_id"), explode(bandStructs).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
-    // shuffle_hash: the banded table and the vector-norm table are
-    // corpus-sized (the latter carries the 64-double arrays) — the
-    // checkpoint's preserved under-estimates otherwise broadcast them
-    // (the dd2/dd4 sf1-tier lesson, same fix)
-    val cand = banded.as("x").join(banded.hint("shuffle_hash").as("y"),
+    // the banded table and the vector-norm table are corpus-sized (the
+    // latter carries the 64-double arrays); both derive from the
+    // Materialize seam's MEASURED stats, so Catalyst plans them keyed
+    // at corpus scale unhinted (the dd2/dd4 sf1-tier lesson, now fixed
+    // at the seam instead of per call site)
+    val cand = banded.as("x")
+      .join(Materialize.hashJoinIfFits(banded).as("y"),
         col("x.t") === col("y.t") && col("x.bkt") === col("y.bkt") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
     val n = e.select(col("vec_id"), col("v"), col("norm"))
-      .hint("shuffle_hash")
     cand
       .join(n.toDF("vec_a", "av", "anorm"), "vec_a")
       .join(n.toDF("vec_b", "bv", "bnorm"), "vec_b")
@@ -1708,16 +1760,28 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** DuckDB replay via the INVERTED INDEX (unnest + (lang, tok)
+    * self-join + group-count = exact intersection sizes over distinct
+    * shingles), not the all-pairs list_intersect form: identical rows
+    * (pinned at sf0.01/sf0.1 — 132.7 s quadratic vs 0.4 s indexed at
+    * sf0.1), and it keeps the sf1 oracle inside the driver's budget.
+    * CTEs are MATERIALIZED so DuckDB never re-inlines the shingle
+    * stream per reference. */
   val ngramJaccardOracle: String =
-    s"""WITH $shingleCte
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.sh, b.sh)) AS i_size,
-       |  len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u_size,
-       |  len(list_intersect(a.sh, b.sh)) /
-       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-       |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.sh, b.sh)) /
-       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardThreshold
+    s"""WITH $shingleCte,
+       |f AS MATERIALIZED (SELECT doc_id, lang, unnest(sh) AS tok FROM s),
+       |n AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s),
+       |i AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i_size
+       |  FROM f a JOIN f b ON a.lang = b.lang AND a.tok = b.tok
+       |                    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.i_size,
+       |  na.n + nb.n - i.i_size AS u_size,
+       |  i.i_size / (na.n + nb.n - i.i_size) AS jaccard
+       |FROM i JOIN n na ON na.doc_id = i.doc_a
+       |       JOIN n nb ON nb.doc_id = i.doc_b
+       |WHERE i.i_size / (na.n + nb.n - i.i_size) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   val nearDupFilterOracle: String =
@@ -1874,12 +1938,18 @@ object Dedup {
     * pair set, joined on the pair key. */
   lazy val lshRecallAuditOracle: String =
     s"""WITH $minhashCandCtes,
+       |f AS MATERIALIZED (SELECT doc_id, lang, unnest(sh) AS tok FROM s),
+       |n AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s),
+       |i AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i_size
+       |  FROM f a JOIN f b ON a.lang = b.lang AND a.tok = b.tok
+       |                    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
        |truth AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    len(list_intersect(a.sh, b.sh)) AS i_size,
-       |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u_size
-       |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |  WHERE len(list_intersect(a.sh, b.sh)) > 0)
+       |  SELECT i.doc_a, i.doc_b, i.i_size,
+       |    na.n + nb.n - i.i_size AS u_size
+       |  FROM i JOIN n na ON na.doc_id = i.doc_a
+       |         JOIN n nb ON nb.doc_id = i.doc_b)
        |SELECT t.i_size * 20 // t.u_size AS j_ventile,
        |       count(*) AS n_true,
        |       CAST(count(c.doc_a) AS BIGINT) AS n_candidates,

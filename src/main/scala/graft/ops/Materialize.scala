@@ -37,7 +37,20 @@ object Materialize {
 
   def apply(df: DataFrame, mode: Mode, name: String): DataFrame = mode match {
     case Local =>
-      df.localCheckpoint(true)
+      // honest stats at the seam: localCheckpoint preserves the
+      // PRE-checkpoint optimizer estimates, which under-count
+      // corpus-derived intermediates badly enough that Catalyst
+      // broadcast-joins whole-corpus tables (the round-8 sf1 blowups).
+      // The eager checkpoint just materialized the blocks, so swap in
+      // their measured BlockManager size instead — small frames stay
+      // broadcastable, corpus-sized frames plan as shuffle joins, and
+      // no call site needs a static join-strategy hint. Blocks stay
+      // DESERIALIZED (default level — the LSH pipelines re-read each
+      // checkpoint several times and a serialized level taxes every
+      // read); the measurement pass sums exact UnsafeRow binary sizes
+      // instead, so the stats still mean on-wire bytes.
+      org.apache.spark.sql.graft.Bridge
+        .withMeasuredStats(df.localCheckpoint(true))
     case Storage(dir) =>
       val path = s"$dir/$name"
       df.write.mode("overwrite").parquet(path)
@@ -50,6 +63,41 @@ object Materialize {
       // statistics.
       counts.filterInPlace { case ((s, _), _) => s ne df.sparkSession }
       df.sparkSession.read.parquet(path)
+  }
+
+  /** Stats-GATED shuffled-hash hint, for the two join shapes where
+    * Catalyst's own selection picks a worse plan than the evidence
+    * supports:
+    *
+    *   - equi SELF-joins: non-hinted shuffled-hash selection requires
+    *     one side 3× smaller (`muchSmaller`) to pick a build side — a
+    *     self-join's sides are the same size, so it always falls back
+    *     to sort-merge, paying two corpus sorts a per-partition hash
+    *     build avoids;
+    *   - joins back onto an AGGREGATE keyed by the join key: when the
+    *     aggregate's estimate fits the broadcast threshold Catalyst
+    *     broadcasts it — paying the aggregate's shuffle PLUS a driver
+    *     collect and relation build — while a hash join on the
+    *     aggregate's own shuffle key REUSES its exchange and probes
+    *     colocated, strictly cheaper.
+    *
+    * The hint is applied ONLY when the frame's honest size (measured
+    * at the Materialize seam, or derived from it) fits Spark's own
+    * local-hash-map budget (autoBroadcastJoinThreshold × shuffle
+    * partitions — the `canBuildLocalHashMap` convention, ~10 MB build
+    * per task): small enough → hash join, the decision the planner
+    * would make with perfect information; at warehouse scale the
+    * budget is outgrown and the join plans sort-merge with NO hint —
+    * never a forced hash build that can't spill. */
+  def hashJoinIfFits(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val parts = conf.get("spark.sql.shuffle.partitions", "200").toLong
+    val size = org.apache.spark.sql.graft.Bridge.rootSizeInBytes(df)
+    if (threshold > 0 && size < BigInt(threshold) * parts)
+      df.hint("shuffle_hash")
+    else df
   }
 
   /** Corpus-count cache for the self-sizing operators (LSH band/plane

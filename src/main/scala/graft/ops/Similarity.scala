@@ -214,18 +214,18 @@ object Similarity {
     val cand = banded.filter(col("vec_id") % RangeQueryMod === 0)
       .select(col("t"), col("bkt"), col("vec_id").as("query_id"))
       .join(banded.filter(col("vec_id") % RangeQueryMod =!= 0)
-        .select(col("t"), col("bkt"), col("vec_id")).hint("shuffle_hash"),
+        .select(col("t"), col("bkt"), col("vec_id")),
         Seq("t", "bkt"))
       .select("query_id", "vec_id").distinct()
     // scored candidates feed BOTH the per-query counts and the best-row
-    // pick — materialized once (the a29/dq7 fork rule); vector-table
-    // joins stay keyed (shuffle_hash — the dd2/dd4 sf1-tier lesson)
+    // pick — materialized once (the a29/dq7 fork rule); the vector
+    // table's MEASURED materialized stats keep its joins keyed at
+    // corpus scale without hints (the dd2/dd4 sf1-tier lesson, fixed
+    // at the Materialize seam)
     val scored = Materialize(
       cand
-        .join(e.hint("shuffle_hash").toDF("query_id", "qv", "qnorm"),
-          "query_id")
-        .join(e.hint("shuffle_hash").toDF("vec_id", "cv", "cnorm"),
-          "vec_id")
+        .join(e.toDF("query_id", "qv", "qnorm"), "query_id")
+        .join(e.toDF("vec_id", "cv", "cnorm"), "vec_id")
         .withColumn("cos",
           dot(col("qv"), col("cv")) / (sqrt(col("qnorm")) * sqrt(col("cnorm"))))
         .select("query_id", "vec_id", "cos"),

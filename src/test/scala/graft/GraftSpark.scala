@@ -12,6 +12,9 @@ object GraftSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // mirror Harness: size-driven hash-vs-sort-merge choice (see
+      // Harness.scala) so plan gates test the shipping configuration
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -112,6 +112,47 @@ class MaterializeSpec extends AnyFunSuite {
     assert(acc.value.longValue >= beforeRecount + 50, "post-release call must re-count")
   }
 
+  test("Local mode injects MEASURED stats: array-heavy frames stop under-reporting, small frames stay broadcastable") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.Bridge
+    Materialize.releaseAll(spark)
+    // the round-8 sf1 failure shape: a collect_list aggregate whose
+    // optimizer estimate uses fixed default column widths (tiny) while
+    // the real rows carry 200-element string arrays (tens of MB)
+    val arrayHeavy = spark.range(400000).toDF("id")
+      .withColumn("g", col("id") % 2000)
+      .groupBy("g")
+      .agg(collect_list(md5(col("id").cast("string"))).as("hs"))
+    // counterfactual: what the optimizer believed BEFORE measurement —
+    // the raw checkpoint preserves the pre-checkpoint estimate
+    val carried = Bridge.rootSizeInBytes(arrayHeavy)
+    val mat = Materialize(arrayHeavy, Materialize.Local, "stats_probe")
+    val measured = Bridge.rootSizeInBytes(mat)
+    val thresholdB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    info(s"carried=$carried measured=$measured threshold=$thresholdB")
+    assert(measured > carried,
+      s"measured stats ($measured) must exceed the carried-over " +
+        s"under-estimate ($carried) for an array-heavy aggregate")
+    assert(measured > 10L * 1024 * 1024,
+      s"the probe frame should really be >10MB in memory, got $measured")
+    // broadcast consequence: joined against a fact side (itself past
+    // the broadcast threshold, 3M×8B), the measured size keeps the
+    // plan keyed (pre-fix, the under-estimate let Catalyst broadcast
+    // the whole corpus-derived table)
+    val fact = spark.range(3000000).toDF("g")
+    val keyedPlan = fact.join(mat, "g").queryExecution.executedPlan.toString
+    assert(!keyedPlan.contains("BroadcastHashJoin"), keyedPlan.take(1500))
+    // and a genuinely small materialized frame still measures small and
+    // still broadcasts — no blanket anti-broadcast tax
+    val small = Materialize(
+      spark.range(200).toDF("g").withColumn("x", col("g") * 2),
+      Materialize.Local, "stats_small")
+    assert(Bridge.rootSizeInBytes(small) < 10L * 1024 * 1024)
+    val bcastPlan = fact.join(small, "g").queryExecution.executedPlan.toString
+    assert(bcastPlan.contains("BroadcastHashJoin"), bcastPlan.take(1500))
+    Materialize.releaseAll(spark)
+  }
+
   test("cachedCount: Storage writes invalidate the session's counts; checkpointed plans are never cached") {
     Materialize.releaseAll(spark)
     assert(Materialize.cachedCount(spark.range(40).toDF("id")) == 40L)
