@@ -379,31 +379,35 @@ object Graph {
   /** DuckDB replay: the peel unrolled to [[KCoreRounds]] levels — each
     * level one degree CTE over the previous alive set (a vertex absent
     * from the degree table has alive-degree 0 and drops, matching the
-    * engine's coalesce-to-0). */
+    * engine's coalesce-to-0). Every CTE is MATERIALIZED: DuckDB
+    * otherwise re-inlines the (expensive) kNN-graph CTE into every
+    * level's two references — measured 357 s vs 0.17 s at sf0.01 for
+    * identical rows; this is what kept the sf1 oracle from finishing
+    * inside the round-8 budget. */
   def kCoreOracle(): String = {
     val k = KCoreK
     val levels = (1 to KCoreRounds).map { r =>
       val prev = if (r == 1) "a0" else s"a${r - 1}"
-      s"""d$r AS (
+      s"""d$r AS MATERIALIZED (
          |  SELECT s.u AS vertex, count(*) AS deg
          |  FROM sym s JOIN $prev x ON s.u = x.vertex
          |              JOIN $prev y ON s.v = y.vertex
          |  GROUP BY s.u),
-         |a$r AS (SELECT a.vertex FROM $prev a JOIN d$r USING (vertex)
+         |a$r AS MATERIALIZED (SELECT a.vertex FROM $prev a JOIN d$r USING (vertex)
          |        WHERE deg >= $k)""".stripMargin
     }.mkString(",\n")
     val removedCase = (1 to KCoreRounds)
       .map(r => s"WHEN a$r.vertex IS NULL THEN $r").mkString(" ")
     val joins = (1 to KCoreRounds)
       .map(r => s"LEFT JOIN a$r ON n0.vertex = a$r.vertex").mkString("\n")
-    s"""WITH g AS (
+    s"""WITH g AS MATERIALIZED (
        |${Similarity.knnGraphOracle()}
        |),
-       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
        |        FROM g WHERE src <> dst),
-       |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
-       |n0 AS (SELECT DISTINCT u AS vertex FROM sym),
-       |a0 AS (SELECT vertex FROM n0),
+       |sym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+       |n0 AS MATERIALIZED (SELECT DISTINCT u AS vertex FROM sym),
+       |a0 AS MATERIALIZED (SELECT vertex FROM n0),
        |$levels
        |SELECT n0.vertex,
        |       CAST(CASE $removedCase END AS BIGINT) AS removed_round,

@@ -98,7 +98,7 @@ object Sampling {
   }
 
   val negativeSamplingOracle: String =
-    s"""WITH pos AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    s"""WITH pos AS MATERIALIZED (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
        |pm AS (SELECT max(p_partkey) + 1 AS p FROM part),
        |g AS (SELECT unnest(generate_series(1, $NumDraws)) AS i),
        |drawn AS (

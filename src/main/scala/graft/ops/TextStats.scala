@@ -559,30 +559,33 @@ object TextStats {
   }
 
   /** DuckDB replay of tx20: the same gram hashes via the md5-60 hex
-    * parse idiom, the same window explode and lexicographic struct
-    * min (both engines order structs field-by-field). */
+    * parse idiom and the same lexicographic struct min (both engines
+    * order structs field-by-field) — but the per-window min is a
+    * SLIDING window function over pos (ROWS CURRENT..w−1 FOLLOWING,
+    * one sorted pass per doc) instead of the w-way position explode +
+    * 100M-row hash aggregate of the original replay: identical rows
+    * (pinned at sf0.1), 317 s → 4.4 s at the sf1 tier, and no more
+    * forked-child memory exhaustion. */
   val winnowOracle: String = {
     val k = WinnowK
     val w1 = WinnowW - 1
     s"""WITH t AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
        |  FROM documents),
-       |g AS (
+       |g AS MATERIALIZED (
        |  SELECT doc_id, len(ws) - ${k - 1} AS m, pos,
        |         ('0x' || substr(md5('$WinnowSeed' || ':' ||
        |            array_to_string(ws[pos:pos+${k - 1}], ' ')), 1, 15))::BIGINT AS h
        |  FROM t, unnest(generate_series(1, len(ws)-${k - 1})) AS u(pos)
        |  WHERE len(ws) >= $k AND NOT (len(ws) = 1 AND ws[1] = '')),
-       |wi AS (
-       |  SELECT doc_id, pos, h,
-       |         unnest(generate_series(greatest(1, pos-$w1),
-       |                                least(pos, m-$w1))) AS i
-       |  FROM g WHERE m >= $WinnowW),
        |wm AS (
-       |  SELECT doc_id, i, min(struct_pack(h := h, np := -pos)) AS sel
-       |  FROM wi GROUP BY doc_id, i)
+       |  SELECT doc_id, pos AS i, m,
+       |         min(struct_pack(h := h, np := -pos))
+       |           OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND $w1 FOLLOWING) AS sel
+       |  FROM g WHERE m >= $WinnowW)
        |SELECT DISTINCT doc_id, -sel.np AS pos, sel.h AS h
-       |FROM wm ORDER BY doc_id, pos""".stripMargin
+       |FROM wm WHERE i <= m - $w1 ORDER BY doc_id, pos""".stripMargin
   }
 
   /** Target size for [[temperatureMix]] as a percent of the corpus. */
