@@ -1,0 +1,132 @@
+package graft.ingest
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Native ESRI Shapefile (.shp) polygon-record reader — the geometry
+  * half of the shapefile whose attribute half [[Dbf]] reads
+  * (reference pipeline/add_region.py:23 loads ne_10m_admin_0_countries
+  * via geopandas; the actual .shp is absent from the reference repo —
+  * `.MISSING_LARGE_BLOBS` — so this parses the PUBLIC spec, not that
+  * file). Format per the ESRI Shapefile Technical Description (1998):
+  * 100-byte header (big-endian file code 9994 + file length in 16-bit
+  * words; little-endian shape type + bbox), then records of a
+  * big-endian (record number, content length) pair followed by
+  * little-endian content. Shape types handled: 0 (Null — empty
+  * geometry, kept as an empty ring list so record order still pairs
+  * with .dbf rows), 5 (Polygon), 15/25 (PolygonZ/M — XY parsed, Z/M
+  * sections ignored). Parts split the point array into rings; ring
+  * orientation (CW outer / CCW hole) is irrelevant downstream because
+  * [[graft.geo.Geo.pointInRings]] is an even-odd ray-cast.
+  *
+  * Scale posture: like the .dbf, a .shp is a DIMENSION file by
+  * construction (polygon dims; fact-side geometry arrives as
+  * columnar point data, never as shapefiles), so it parses on the
+  * driver — where a broadcast dim originates — and becomes an
+  * ordinary DataFrame; a one-time parquet conversion (S8) makes every
+  * later read columnar.
+  */
+object Shp {
+
+  /** Rings of one record: ring → point → (lon, lat). */
+  type Rings = Seq[Seq[Seq[Double]]]
+
+  /** Parse the .shp at `path` into (record number, rings) pairs in
+    * file order — record N pairs with .dbf row N−1. */
+  def readRecords(path: String): Seq[(Int, Rings)] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    require(be.getInt(0) == 9994, s"$path: not a shapefile (bad magic)")
+    val fileLenBytes = be.getInt(24).toLong * 2
+    require(fileLenBytes <= bytes.length,
+      s"$path: header claims $fileLenBytes bytes, file has ${bytes.length}")
+    val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = Seq.newBuilder[(Int, Rings)]
+    var off = 100
+    while (off + 8 <= fileLenBytes) {
+      val recNo = be.getInt(off)
+      val contentBytes = be.getInt(off + 4) * 2
+      val c = off + 8
+      val shapeType = le.getInt(c)
+      val rings: Rings = shapeType match {
+        case 0 => Seq.empty
+        case 5 | 15 | 25 =>
+          val numParts = le.getInt(c + 36)
+          val numPoints = le.getInt(c + 40)
+          val partsOff = c + 44
+          val pointsOff = partsOff + 4 * numParts
+          val parts = (0 until numParts).map(i => le.getInt(partsOff + 4 * i))
+          val bounds = parts :+ numPoints
+          (0 until numParts).map { p =>
+            (bounds(p) until bounds(p + 1)).map { i =>
+              Seq(le.getDouble(pointsOff + 16 * i),
+                le.getDouble(pointsOff + 16 * i + 8))
+            }
+          }
+        case t => sys.error(
+          s"$path record $recNo: shape type $t unsupported (polygons only)")
+      }
+      out += ((recNo, rings))
+      off = c + contentBytes
+    }
+    out.result()
+  }
+
+  private val ringsType =
+    ArrayType(ArrayType(ArrayType(DoubleType, false), false), false)
+
+  /** The .shp as a DataFrame: (rec_no long, rings
+    * array<array<array<double>>>), file record order preserved. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val rows = readRecords(path).map { case (n, rings) =>
+      Row(n.toLong, rings.map(_.map(p => p)).asInstanceOf[Seq[Any]])
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("rec_no", LongType, false),
+        StructField("rings", ringsType, false))))
+  }
+
+  /** The full shapefile pair as one DataFrame: .dbf attributes plus a
+    * `rings` geometry column, zipped by record order (the format's
+    * contract: .shp record N ↔ .dbf row N). `base` is the path without
+    * extension. */
+  def readWithAttributes(spark: SparkSession, base: String): DataFrame = {
+    val geo = readRecords(s"$base.shp")
+    val attrs = Dbf.read(spark, s"$base.dbf")
+    require(attrs.count() == geo.length,
+      s"$base: .dbf rows ${attrs.count()} != .shp records ${geo.length}")
+    val attrRows = attrs.collect()
+    val schema = StructType(attrs.schema.fields :+
+      StructField("rings", ringsType, false))
+    val rows = attrRows.zip(geo).map { case (r, (_, rings)) =>
+      Row.fromSeq(r.toSeq :+ rings)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
+  /** Deep-convert a Row's nested array column into immutable [[Rings]]
+    * (Spark hands back mutable ArraySeq at every nesting level). */
+  def ringsAt(row: Row, field: String): Rings =
+    row.getAs[scala.collection.Seq[Any]](field).toSeq.map(
+      _.asInstanceOf[scala.collection.Seq[Any]].toSeq.map(
+        _.asInstanceOf[scala.collection.Seq[Double]].toSeq))
+
+  /** Country-dim entries for [[graft.geo.Geo.worldDim]] straight from a
+    * shapefile: pick the name/region attribute columns, drop records
+    * with empty geometry (Null shapes). This closes S7 end-to-end: real
+    * .shp + .dbf → the same (country, region, rings) triples the
+    * synthetic fixtures provide. */
+  def worldEntries(spark: SparkSession, base: String,
+      nameCol: String, regionCol: String)
+      : Seq[(String, String, Seq[Seq[Seq[Double]]])] = {
+    val df = readWithAttributes(spark, base)
+    df.select(nameCol, regionCol, "rings").collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), ringsAt(r, "rings")))
+      .filter(_._3.nonEmpty)
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.Geo
+import graft.ingest.Shp
+
+/** S7 end-to-end: a REAL binary shapefile pair (.shp polygon records +
+  * .dbf attributes, written byte-for-byte to the public ESRI/dBASE
+  * specs by this suite) parses into the same worldDim entries the
+  * synthetic fixtures provide, and spatialJoin over it enriches
+  * identically. */
+class ShpSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  // ---- tiny binary writers (spec-conformant fixtures, not parsers) ----
+
+  private def writeShp(path: Path,
+      recs: Seq[Seq[Seq[(Double, Double)]]]): Unit = {
+    def recContentLen(rings: Seq[Seq[(Double, Double)]]): Int = {
+      val numPoints = rings.map(_.length).sum
+      4 + 32 + 4 + 4 + 4 * rings.length + 16 * numPoints
+    }
+    val fileLen = 100 + recs.map(r => 8 + recContentLen(r)).sum
+    val bb = ByteBuffer.allocate(fileLen)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(0, 9994)
+    bb.putInt(24, fileLen / 2)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(28, 1000) // version
+    bb.putInt(32, 5)    // polygon
+    val allPts = recs.flatten.flatten
+    bb.putDouble(36, allPts.map(_._1).min); bb.putDouble(44, allPts.map(_._2).min)
+    bb.putDouble(52, allPts.map(_._1).max); bb.putDouble(60, allPts.map(_._2).max)
+    var off = 100
+    recs.zipWithIndex.foreach { case (rings, i) =>
+      val content = recContentLen(rings)
+      bb.order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(off, i + 1); bb.putInt(off + 4, content / 2)
+      bb.order(ByteOrder.LITTLE_ENDIAN)
+      val c = off + 8
+      bb.putInt(c, 5)
+      val pts = rings.flatten
+      bb.putDouble(c + 4, pts.map(_._1).min); bb.putDouble(c + 12, pts.map(_._2).min)
+      bb.putDouble(c + 20, pts.map(_._1).max); bb.putDouble(c + 28, pts.map(_._2).max)
+      bb.putInt(c + 36, rings.length)
+      bb.putInt(c + 40, pts.length)
+      val partsOff = c + 44
+      rings.indices.foldLeft(0) { (start, r) =>
+        bb.putInt(partsOff + 4 * r, start); start + rings(r).length
+      }
+      val pOff = partsOff + 4 * rings.length
+      pts.zipWithIndex.foreach { case ((x, y), j) =>
+        bb.putDouble(pOff + 16 * j, x); bb.putDouble(pOff + 16 * j + 8, y)
+      }
+      off = c + content
+    }
+    Files.write(path, bb.array())
+  }
+
+  private def writeDbf(path: Path, fields: Seq[(String, Int)],
+      rows: Seq[Seq[String]]): Unit = {
+    val headerSize = 32 + 32 * fields.length + 1
+    val recordSize = 1 + fields.map(_._2).sum
+    val bb = ByteBuffer.allocate(headerSize + recordSize * rows.length + 1)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0, 0x03.toByte)
+    bb.putInt(4, rows.length)
+    bb.putShort(8, headerSize.toShort)
+    bb.putShort(10, recordSize.toShort)
+    fields.zipWithIndex.foreach { case ((name, len), i) =>
+      val off = 32 + 32 * i
+      name.getBytes("US-ASCII").take(10).zipWithIndex
+        .foreach { case (b, j) => bb.put(off + j, b) }
+      bb.put(off + 11, 'C'.toByte)
+      bb.put(off + 16, len.toByte)
+    }
+    bb.put(32 + 32 * fields.length, 0x0D.toByte)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      var off = headerSize + recordSize * i
+      bb.put(off, 0x20.toByte); off += 1
+      r.zip(fields).foreach { case (v, (_, len)) =>
+        val padded = v.padTo(len, ' ').take(len)
+        padded.getBytes("US-ASCII").zipWithIndex
+          .foreach { case (b, j) => bb.put(off + j, b) }
+        off += len
+      }
+    }
+    bb.put(bb.capacity() - 1, 0x1A.toByte)
+    Files.write(path, bb.array())
+  }
+
+  // square with a hole (2 rings, one part list) + a 2-part multipolygon
+  private val holeyRings: Seq[Seq[(Double, Double)]] = Seq(
+    Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)),
+    Seq((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)))
+  private val multiRings: Seq[Seq[(Double, Double)]] = Seq(
+    Seq((20.0, 0.0), (25.0, 0.0), (25.0, 5.0), (20.0, 5.0), (20.0, 0.0)),
+    Seq((30.0, 0.0), (35.0, 0.0), (35.0, 5.0), (30.0, 5.0), (30.0, 0.0)))
+
+  private def toEntryRings(r: Seq[Seq[(Double, Double)]]): Seq[Seq[Seq[Double]]] =
+    r.map(_.map(p => Seq(p._1, p._2)))
+
+  private lazy val base: String = {
+    val dir = Files.createTempDirectory("graft_shp")
+    writeShp(dir.resolve("world.shp"), Seq(holeyRings, multiRings))
+    writeDbf(dir.resolve("world.dbf"),
+      Seq(("NAME", 16), ("REGION", 16)),
+      Seq(Seq("Holey", "R1"), Seq("Multi", "R2")))
+    dir.resolve("world").toString
+  }
+
+  test("shp reader: records, parts and ring points round-trip the binary format") {
+    val recs = Shp.readRecords(s"$base.shp")
+    assert(recs.map(_._1) == Seq(1, 2))
+    assert(recs(0)._2 == toEntryRings(holeyRings))
+    assert(recs(1)._2 == toEntryRings(multiRings))
+  }
+
+  test("shp + dbf zip by record order into attributed geometry") {
+    val df = Shp.readWithAttributes(spark, base)
+    val rows = df.orderBy("NAME").collect()
+    assert(rows.map(_.getAs[String]("NAME")).toSeq == Seq("Holey", "Multi"))
+    assert(Shp.ringsAt(rows(0), "rings").length == 2)
+    assert(Shp.ringsAt(rows(1), "rings").head.head == Seq(20.0, 0.0))
+  }
+
+  test("spatialJoin over the parsed shapefile equals the synthesized dim on identical geometry") {
+    val fromShp = Geo.worldDim(spark,
+      Shp.worldEntries(spark, base, "NAME", "REGION"))
+    val synthesized = Geo.worldDim(spark, Seq(
+      ("Holey", "R1", toEntryRings(holeyRings)),
+      ("Multi", "R2", toEntryRings(multiRings))))
+    val pts = Seq(
+      (1L, 2.0, 2.0),   // inside Holey
+      (2L, 5.0, 5.0),   // inside the hole -> no match
+      (3L, 32.0, 2.0),  // inside Multi's second part
+      (4L, 22.0, 2.0),  // inside Multi's first part
+      (5L, 50.0, 50.0), // outside everything
+      (6L, 10.0, 5.0)   // on Holey's border (ray-cast decides, equal paths)
+    ).toDF("id", "lon", "lat")
+    val a = Geo.spatialJoin(pts, fromShp, "lon", "lat")
+      .select("id", "country", "region").orderBy("id").collect().toSeq
+    val b = Geo.spatialJoin(pts, synthesized, "lon", "lat")
+      .select("id", "country", "region").orderBy("id").collect().toSeq
+    assert(a == b)
+    val byId = a.map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(byId(1L).contains("Holey"))
+    assert(byId(2L).isEmpty)
+    assert(byId(3L).contains("Multi"))
+    assert(byId(4L).contains("Multi"))
+    assert(byId(5L).isEmpty)
+  }
+}
