@@ -301,6 +301,9 @@ object SparkEntry {
     "w22_cadence_regularity" -> ((s, d) => Analytics.cadenceRegularity(s, d)),
     "mm17_patch_stats" -> ((s, d) => Multimodal.patchStatsQuery(s, d)),
     "tx41_bigram_surprisal" -> ((s, d) => TextStats.bigramSurprisal(s, d)),
+    "tx42_heaps_growth" -> ((s, d) => TextStats.heapsGrowth(s, d)),
+    "sim12_truncation_audit" -> ((s, d) =>
+      graft.ops.Similarity.truncationAudit(s, d)),
     "g13_pagerank_residuals" -> ((s, d) =>
       graft.ops.Similarity.pagerankResiduals(s, d)),
     "smp7_temporal_split" -> ((s, d) =>
@@ -948,6 +951,8 @@ object SparkEntry {
     "w22_cadence_regularity" -> Analytics.cadenceRegularityOracle,
     "mm17_patch_stats" -> Multimodal.patchStatsOracle,
     "tx41_bigram_surprisal" -> TextStats.bigramSurprisalOracle,
+    "tx42_heaps_growth" -> TextStats.heapsGrowthOracle,
+    "sim12_truncation_audit" -> graft.ops.Similarity.truncationAuditOracle(),
     "g13_pagerank_residuals" ->
       graft.ops.Similarity.pagerankResidualsOracle(),
     "smp7_temporal_split" -> graft.ops.Sampling.temporalSplitOracle,

@@ -1407,4 +1407,98 @@ object Similarity {
        |FROM a LEFT JOIN pos ON pos.src = a.src
        |       LEFT JOIN neg ON neg.src = a.src
        |ORDER BY a.src""".stripMargin
+
+  /** Truncated dimensionality for [[truncationAudit]]: audit the first
+    * half of the embedding (the matryoshka "prefix" a pipeline would
+    * ship to halve its ANN index). */
+  val TruncDims = Dim / 2
+
+  /** sim12 — MATRYOSHKA truncation audit: how faithful is cosine over
+    * the first [[TruncDims]] dimensions to full-width cosine, measured
+    * ON the kNN graph (the edges an index actually serves)? Per rank:
+    * edge count, τ-threshold agreement (full / half / both ≥
+    * [[RangeTau]] — exact integer counts), and ORDER INVERSIONS (the
+    * half-width score rising where the full-width rank falls — the
+    * statistic that predicts re-ranking cost after truncation). The
+    * audit a team runs before switching the index to truncated
+    * vectors: high both/full agreement + few inversions ⟹ truncate and
+    * re-rank cheaply; otherwise keep full width.
+    *
+    * Scale: the kNN graph materializes once (honest stats), the halved
+    * vector table joins keyed under the stats-gated hint, the rank-lag
+    * window is per-src (k rows each), and the output is ≤ k rows. Zero
+    * half-norms (possible for adversarial prefixes) score a −2.0
+    * sentinel instead of NaN — deterministic in both engines. */
+  def truncationAudit(s: SparkSession, d: String): DataFrame =
+    truncationAuditOf(Tables.embeddings(s, d))
+
+  def truncationAuditOf(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = Materialize(knnGraphOf(emb),
+      Materialize.Local, "sim12_edges")
+    val h = Materialize.hashJoinIfFits(
+      embDoubleOf(emb)
+        .withColumn("vh", slice(col("v"), 1, TruncDims))
+        .select(col("vec_id"), col("vh"),
+          dot(col("vh"), col("vh")).as("hnorm")))
+    val scored = edges
+      .join(h.toDF("src", "sv", "snorm"), "src")
+      .join(h.toDF("dst", "dv", "dnorm"), "dst")
+      .withColumn("cos_half",
+        when(col("snorm") > 0 && col("dnorm") > 0,
+          dot(col("sv"), col("dv")) /
+            (sqrt(col("snorm")) * sqrt(col("dnorm"))))
+          .otherwise(lit(-2.0)))
+    val w = Window.partitionBy("src").orderBy("rank")
+    scored
+      .withColumn("prev_half", lag(col("cos_half"), 1).over(w))
+      .groupBy("rank")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(when(col("cos") >= RangeTau, 1L).otherwise(0L))
+          .as("full_above_tau"),
+        sum(when(col("cos_half") >= RangeTau, 1L).otherwise(0L))
+          .as("half_above_tau"),
+        sum(when(col("cos") >= RangeTau && col("cos_half") >= RangeTau, 1L)
+          .otherwise(0L)).as("both_above_tau"),
+        sum(when(col("prev_half").isNotNull &&
+            col("cos_half") > col("prev_half"), 1L)
+          .otherwise(0L)).as("order_inversions"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB replay of sim12: the shared kNN-graph CTE (MATERIALIZED —
+    * the g6 lesson), list slicing for the prefix, the same sentinel
+    * and lag window. */
+  def truncationAuditOracle(): String =
+    s"""WITH g AS MATERIALIZED (
+       |${knnGraphOracle()}
+       |),
+       |h AS MATERIALIZED (
+       |  SELECT vec_id, (embedding::DOUBLE[])[1:$TruncDims] AS vh,
+       |    list_dot_product((embedding::DOUBLE[])[1:$TruncDims],
+       |                     (embedding::DOUBLE[])[1:$TruncDims]) AS hnorm
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT g.src, g.rank, g.cos,
+       |    CASE WHEN a.hnorm > 0 AND b.hnorm > 0
+       |         THEN list_dot_product(a.vh, b.vh)
+       |              / (sqrt(a.hnorm) * sqrt(b.hnorm))
+       |         ELSE -2.0 END AS cos_half
+       |  FROM g JOIN h a ON a.vec_id = g.src
+       |         JOIN h b ON b.vec_id = g.dst),
+       |wp AS (
+       |  SELECT rank, cos, cos_half,
+       |    lag(cos_half) OVER (PARTITION BY src ORDER BY rank) AS prev_half
+       |  FROM sc)
+       |SELECT rank, count(*) AS n_edges,
+       |  CAST(sum(CASE WHEN cos >= $RangeTau THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS full_above_tau,
+       |  CAST(sum(CASE WHEN cos_half >= $RangeTau THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS half_above_tau,
+       |  CAST(sum(CASE WHEN cos >= $RangeTau AND cos_half >= $RangeTau
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS both_above_tau,
+       |  CAST(sum(CASE WHEN prev_half IS NOT NULL AND cos_half > prev_half
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS order_inversions
+       |FROM wp GROUP BY rank ORDER BY rank""".stripMargin
 }

@@ -2601,4 +2601,83 @@ object TextStats {
        |  LEFT JOIN t4 ON b.doc_id = t4.doc_id)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** tx42 — HEAPS-LAW vocabulary-growth curve: cumulative distinct
+    * token types vs cumulative token count over DOUBLING corpus
+    * prefixes. The saturation diagnostic a corpus curator reads before
+    * and after dedup: a healthy natural corpus grows vocabulary as
+    * ~T^β (β≈0.5 — each doubling of tokens adds a near-constant factor
+    * of new types); a boilerplate-heavy or over-deduplicated corpus
+    * bends the curve early/late. Complements tx24 (Zipf coverage of
+    * the FINAL vocabulary) and tx26 (per-source diversity) with the
+    * growth dimension neither captures.
+    *
+    * Prefixes are doc-id bitlen buckets (docs with bitlen(doc_id) = j
+    * ⟺ doc_id ∈ [2^(j−1), 2^j)), so each bucket doubles the corpus —
+    * EXACTLY the log-spaced sample points a Heaps fit wants — and the
+    * assignment is a codegen'd `length(bin(doc_id))` in both engines:
+    * no global rank window, no sort, scale-free. A type's first-seen
+    * bucket is bitlen(min(doc_id)) (bitlen is monotone), one keyed
+    * aggregate over the token stream. The per-bucket table is ≤ 64
+    * rows, so the cumulative window is a bounded single-partition
+    * window by construction (the PrefixSum exemption: O(bits), not
+    * O(rows)). All outputs exact integers — the β fit is the
+    * consumer's one division, not baked in. */
+  def heapsGrowth(s: SparkSession, d: String): DataFrame =
+    heapsGrowthOf(Tables.documents(s, d))
+
+  def heapsGrowthOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .filter(col("text").isNotNull && col("doc_id") >= 0)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val perBucket = toks
+      .groupBy(length(bin(col("doc_id"))).cast("long").as("j"))
+      .agg(count(lit(1)).as("tokens"), countDistinct(col("doc_id")).as("docs"))
+    val newTypes = toks
+      .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(length(bin(col("first_doc"))).cast("long").as("j"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("j")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .join(newTypes, Seq("j"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_docs", sum(col("docs")).over(w))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .select("j", "docs", "tokens", "new_types",
+        "cum_docs", "cum_tokens", "cum_types")
+      .orderBy("j")
+  }
+
+  /** DuckDB replay of tx42: same tokenization, same bitlen buckets
+    * (`length(bin(x))` is the shared exact integer log2 idiom), same
+    * bounded cumulative window. */
+  val heapsGrowthOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE text IS NOT NULL AND doc_id >= 0),
+      |tk AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+      |pb AS (
+      |  SELECT CAST(length(bin(doc_id)) AS BIGINT) AS j,
+      |         count(*) AS tokens, count(DISTINCT doc_id) AS docs
+      |  FROM tk GROUP BY 1),
+      |fs AS (SELECT tok, min(doc_id) AS first_doc FROM tk GROUP BY tok),
+      |nt AS (
+      |  SELECT CAST(length(bin(first_doc)) AS BIGINT) AS j,
+      |         count(*) AS new_types
+      |  FROM fs GROUP BY 1)
+      |SELECT pb.j, CAST(pb.docs AS BIGINT) AS docs,
+      |  CAST(pb.tokens AS BIGINT) AS tokens,
+      |  CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+      |  CAST(sum(pb.docs) OVER w AS BIGINT) AS cum_docs,
+      |  CAST(sum(pb.tokens) OVER w AS BIGINT) AS cum_tokens,
+      |  CAST(sum(coalesce(nt.new_types, 0)) OVER w AS BIGINT) AS cum_types
+      |FROM pb LEFT JOIN nt ON pb.j = nt.j
+      |WINDOW w AS (ORDER BY pb.j ROWS BETWEEN UNBOUNDED PRECEDING
+      |             AND CURRENT ROW)
+      |ORDER BY pb.j""".stripMargin
 }

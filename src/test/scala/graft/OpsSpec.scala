@@ -3848,6 +3848,66 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim12: zero second half makes half-cos exact (no inversions, equal agreement); zero first half hits the sentinel") {
+    val dim = graft.ops.Similarity.Dim
+    val half = graft.ops.Similarity.TruncDims
+    def vec(firstHalf: Seq[Float], secondHalf: Seq[Float]): Seq[Float] =
+      (firstHalf ++ Seq.fill(half - firstHalf.length)(0.0f) ++
+        secondHalf ++ Seq.fill(half - secondHalf.length)(0.0f)).take(dim)
+    // six vectors whose SECOND half is all zero: cosine over the first
+    // 32 dims is bit-identical to full cosine, so per rank
+    // full_above == half_above == both_above and inversions = 0
+    val vs = (0 until 6).map { i =>
+      val f = Seq.tabulate(half)(j =>
+        (math.sin(i * 7 + j).toFloat.abs + 0.1f))
+      (i.toLong, i.toLong % 2, vec(f, Seq.empty))
+    }
+    val emb = vs.toDF("vec_id", "label", "embedding")
+    val got = graft.ops.Similarity.truncationAuditOf(emb).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("full_above_tau") == r.getAs[Long]("half_above_tau"))
+      assert(r.getAs[Long]("both_above_tau") == r.getAs[Long]("full_above_tau"))
+      assert(r.getAs[Long]("order_inversions") == 0L)
+    }
+    graft.ops.Materialize.releaseAll(spark)
+    // a vector with a ZERO first half takes the -2.0 sentinel on its
+    // edges: it can never count as half-above-tau
+    val adv = vs.take(3) :+
+      ((9L, 1L, vec(Seq.empty, Seq.tabulate(half)(j => 1.0f + j))))
+    val got2 = graft.ops.Similarity.truncationAuditOf(
+      adv.toDF("vec_id", "label", "embedding")).collect()
+    got2.foreach { r =>
+      assert(r.getAs[Long]("half_above_tau") <= r.getAs[Long]("n_edges"))
+      assert(r.getAs[Long]("both_above_tau") <=
+        r.getAs[Long]("half_above_tau"))
+    }
+    graft.ops.Materialize.releaseAll(spark)
+  }
+
+  test("tx42: heaps growth buckets by doc-id bitlen, first-seen types land once, cums add up") {
+    val docs = Seq(
+      (1L, "a b a", "en", "A", 5L),    // j=1: 3 tokens, new {a,b}
+      (2L, "a c", "en", "A", 3L),      // j=2
+      (3L, "b d d", "en", "A", 5L),    // j=2: bucket totals 5 toks, new {c,d}
+      (4L, "a", "en", "A", 1L),        // j=3: 1 token, nothing new
+      (8L, "e", "en", "A", 1L))        // j=4: 1 token, new {e}
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.TextStats.heapsGrowthOf(docs).collect()
+      .map(r => r.getAs[Long]("j") -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    def row(j: Long) = {
+      val r = got(j)
+      (r.getAs[Long]("docs"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("new_types"), r.getAs[Long]("cum_docs"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("cum_types"))
+    }
+    assert(row(1L) == ((1L, 3L, 2L, 1L, 3L, 2L)))
+    assert(row(2L) == ((2L, 5L, 2L, 3L, 8L, 4L)))
+    assert(row(3L) == ((1L, 1L, 0L, 4L, 9L, 4L)))
+    assert(row(4L) == ((1L, 1L, 1L, 5L, 10L, 5L)))
+  }
+
   test("dd23: trivial punctuation/spacing variants collapse under the normalized hash, raw hash keeps them apart") {
     val docs = Seq(
       (1L, "hello world", "en", "A", 11L),
