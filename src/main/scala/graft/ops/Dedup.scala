@@ -472,8 +472,15 @@ object Dedup {
         col("n").as("n_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
         col("n").as("n_b")), "doc_b")
+      // the arrays are sorted + per-doc distinct by construction, so the
+      // codegen'd two-pointer merge (SortedIntersectSize) replaces
+      // array_intersect's per-call hash-set build + result-array
+      // materialization — this expression sits INSIDE the join's residual
+      // condition once the threshold filter pushes down, so it runs once
+      // per candidate pair: the hottest scalar in the dd4/dd14 plans
       .withColumn("i_size",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+        graft.expressions.SortedIntersectSize
+          .intersectSize(col("hs_a"), col("hs_b")).cast("long"))
       .select("doc_a", "doc_b", "i_size", "n_a", "n_b")
   }
 

@@ -114,6 +114,42 @@ class ShpSpec extends AnyFunSuite {
     dir.resolve("world").toString
   }
 
+  test("shp reader: PolygonZ records parse XY and skip the Z/M sections via the content length") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val ring = Seq((1.0, 1.0), (4.0, 1.0), (4.0, 4.0), (1.0, 4.0), (1.0, 1.0))
+    val np = ring.length
+    // type-15 content: type + box + parts/points + parts + XY points +
+    // Z range + Z values + (optional) M range + M values
+    val content = 4 + 32 + 8 + 4 + 16 * np + (16 + 8 * np) + (16 + 8 * np)
+    val fileLen = 100 + 8 + content
+    val bb = ByteBuffer.allocate(fileLen)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(0, 9994); bb.putInt(24, fileLen / 2)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(28, 1000); bb.putInt(32, 15)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(100, 1); bb.putInt(104, content / 2)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    val c = 108
+    bb.putInt(c, 15)
+    bb.putDouble(c + 4, 1.0); bb.putDouble(c + 12, 1.0)
+    bb.putDouble(c + 20, 4.0); bb.putDouble(c + 28, 4.0)
+    bb.putInt(c + 36, 1); bb.putInt(c + 40, np)
+    bb.putInt(c + 44, 0)
+    val pOff = c + 48
+    ring.zipWithIndex.foreach { case ((x, y), j) =>
+      bb.putDouble(pOff + 16 * j, x); bb.putDouble(pOff + 16 * j + 8, y)
+    }
+    // Z/M sections deliberately non-zero garbage the parser must skip
+    val zOff = pOff + 16 * np
+    (0 until (2 + np + 2 + np)).foreach(j =>
+      bb.putDouble(zOff + 8 * j, 99.0 + j))
+    val dir = Files.createTempDirectory("graft_shpz")
+    Files.write(dir.resolve("z.shp"), bb.array())
+    val recs = Shp.readRecords(dir.resolve("z.shp").toString)
+    assert(recs == Seq((1, Seq(ring.map(p => Seq(p._1, p._2))))))
+  }
+
   test("shp reader: records, parts and ring points round-trip the binary format") {
     val recs = Shp.readRecords(s"$base.shp")
     assert(recs.map(_._1) == Seq(1, 2))
