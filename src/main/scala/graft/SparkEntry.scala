@@ -302,6 +302,7 @@ object SparkEntry {
     "mm17_patch_stats" -> ((s, d) => Multimodal.patchStatsQuery(s, d)),
     "tx41_bigram_surprisal" -> ((s, d) => TextStats.bigramSurprisal(s, d)),
     "tx42_heaps_growth" -> ((s, d) => TextStats.heapsGrowth(s, d)),
+    "tx43_reflm_filter" -> ((s, d) => TextStats.refLmFilter(s, d)),
     "sim12_truncation_audit" -> ((s, d) =>
       graft.ops.Similarity.truncationAudit(s, d)),
     "g13_pagerank_residuals" -> ((s, d) =>
@@ -952,6 +953,7 @@ object SparkEntry {
     "mm17_patch_stats" -> Multimodal.patchStatsOracle,
     "tx41_bigram_surprisal" -> TextStats.bigramSurprisalOracle,
     "tx42_heaps_growth" -> TextStats.heapsGrowthOracle,
+    "tx43_reflm_filter" -> TextStats.refLmFilterOracle,
     "sim12_truncation_audit" -> graft.ops.Similarity.truncationAuditOracle(),
     "g13_pagerank_residuals" ->
       graft.ops.Similarity.pagerankResidualsOracle(),

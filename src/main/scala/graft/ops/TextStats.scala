@@ -2680,4 +2680,95 @@ object TextStats {
       |WINDOW w AS (ORDER BY pb.j ROWS BETWEEN UNBOUNDED PRECEDING
       |             AND CURRENT ROW)
       |ORDER BY pb.j""".stripMargin
+
+  /** Band cuts for [[refLmFilter]], in whole bits-per-token under the
+    * reference model: < Head ⟹ "head" (fluent under the reference
+    * distribution), < Tail ⟹ "middle", else "tail" (far from the
+    * reference — noise, other-domain, or garbled). */
+  val RefLmHeadBits = 7L
+  val RefLmTailBits = 9L
+
+  /** tx43 — REFERENCE-LM perplexity filter, the CCNet shape: train a
+    * unigram model on a designated high-quality REFERENCE slice (here
+    * the lexicographically first source — derived, not hardcoded, so
+    * every tier picks the same slice), score EVERY document's tokens
+    * under that model, and band the corpus head/middle/tail by
+    * bits-per-token. This is the cross-corpus complement of tx23/tx41
+    * (which score under the corpus's OWN model and so cannot flag
+    * domain drift): a document fluent in the reference's distribution
+    * lands in the head band regardless of which corpus slice it came
+    * from.
+    *
+    * Exactness: surprisal is whole-bit integer math (bitlen(N_ref) −
+    * bitlen(count), the tx23 idiom); out-of-vocabulary tokens score
+    * bitlen(N_ref)+1 (a count of ½); bands cut on the exact integer
+    * bits-per-token division. Scale: the reference model is a keyed
+    * aggregate joined LEFT to the token stream — Catalyst broadcasts
+    * it while it fits (CCNet ships its wiki LM to every node; same
+    * design) and keys past the threshold; the 1-row total rides a
+    * broadcast; no window anywhere. */
+  def refLmFilter(s: SparkSession, d: String): DataFrame =
+    refLmFilterOf(Tables.documents(s, d))
+
+  def refLmFilterOf(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("text").isNotNull && col("source").isNotNull)
+    val toks = base
+      .select(col("doc_id"), col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val refSrc = base.agg(min(col("source")).as("ref_source"))
+    val refToks = toks
+      .join(broadcast(refSrc), col("source") === col("ref_source"))
+      .select("tok")
+    val model = refToks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totBits = refToks
+      .agg(length(bin(count(lit(1)))).cast("long").as("nbits"))
+    toks
+      .join(model, Seq("tok"), "left")
+      .crossJoin(broadcast(totBits))
+      .withColumn("bits",
+        when(col("cnt").isNotNull,
+          col("nbits") - length(bin(col("cnt"))).cast("long"))
+          .otherwise(col("nbits") + 1L))
+      .withColumn("oov", when(col("cnt").isNull, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("oov_tokens"),
+        sum(col("bits")).as("total_bits"))
+      .withColumn("bits_per_token", expr("total_bits div n_tokens"))
+      .withColumn("band",
+        when(col("bits_per_token") < RefLmHeadBits, "head")
+          .when(col("bits_per_token") < RefLmTailBits, "middle")
+          .otherwise("tail"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of tx43: same derived reference slice, same
+    * whole-bit unigram surprisal, same integer band cuts. */
+  val refLmFilterOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE text IS NOT NULL AND source IS NOT NULL),
+       |t AS (
+       |  SELECT doc_id, source,
+       |         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM base),
+       |tk AS MATERIALIZED (SELECT * FROM t WHERE tok <> ''),
+       |ref AS (SELECT min(source) AS rs FROM base),
+       |rt AS MATERIALIZED (SELECT tok FROM tk, ref WHERE source = rs),
+       |m AS MATERIALIZED (SELECT tok, count(*) AS cnt FROM rt GROUP BY tok),
+       |nb AS (SELECT CAST(length(bin(count(*))) AS BIGINT) AS nbits FROM rt),
+       |sc AS (
+       |  SELECT tk.doc_id,
+       |    CASE WHEN m.cnt IS NULL THEN nb.nbits + 1
+       |         ELSE nb.nbits - length(bin(m.cnt)) END AS bits,
+       |    CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM tk LEFT JOIN m ON tk.tok = m.tok, nb)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(oov) AS BIGINT) AS oov_tokens,
+       |  CAST(sum(bits) AS BIGINT) AS total_bits,
+       |  CAST(sum(bits) // count(*) AS BIGINT) AS bits_per_token,
+       |  CASE WHEN sum(bits) // count(*) < $RefLmHeadBits THEN 'head'
+       |       WHEN sum(bits) // count(*) < $RefLmTailBits THEN 'middle'
+       |       ELSE 'tail' END AS band
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

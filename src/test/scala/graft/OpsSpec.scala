@@ -3848,6 +3848,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx43: reference-LM bands by whole-bit surprisal — fluent head, reference-rare middle, OOV tail") {
+    // reference slice = lexicographically first source ("a"): one doc,
+    // 532 tokens -> nbits = bitlen(532) = 10; per-token bits:
+    // x (cnt 512) -> 0, y (16) -> 5, m (4) -> 7, OOV -> 11
+    val refText = (Seq.fill(512)("x") ++ Seq.fill(16)("y") ++
+      Seq.fill(4)("m")).mkString(" ")
+    val docs = Seq(
+      (1L, refText, "en", "a", refText.length.toLong),
+      (2L, "x x y", "en", "b", 5L),   // (0+0+5) div 3 = 1 -> head
+      (3L, "m m m", "en", "b", 5L),   // 7 -> middle
+      (4L, "q q q", "en", "b", 5L))   // 11 -> tail, all OOV
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.TextStats.refLmFilterOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[String]("band") == "head" &&
+      got(1L).getAs[Long]("oov_tokens") == 0L &&
+      got(1L).getAs[Long]("total_bits") == (16L * 5 + 4L * 7))
+    assert(got(2L).getAs[String]("band") == "head" &&
+      got(2L).getAs[Long]("bits_per_token") == 1L)
+    assert(got(3L).getAs[String]("band") == "middle" &&
+      got(3L).getAs[Long]("bits_per_token") == 7L)
+    assert(got(4L).getAs[String]("band") == "tail" &&
+      got(4L).getAs[Long]("oov_tokens") == 3L &&
+      got(4L).getAs[Long]("bits_per_token") == 11L)
+  }
+
   test("sim12: zero second half makes half-cos exact (no inversions, equal agreement); zero first half hits the sentinel") {
     val dim = graft.ops.Similarity.Dim
     val half = graft.ops.Similarity.TruncDims

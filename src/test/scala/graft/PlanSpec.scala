@@ -99,6 +99,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dd4 verification evaluates the codegen'd sorted-merge intersect, not array_intersect") {
+    val p = plan("dd4_ngram_jaccard")
+    assert(p.contains("sortedintersectsize") || p.contains("SortedIntersectSize"),
+      s"two-pointer merge missing from the verify stage:\n${p.take(1500)}")
+    assert(!p.contains("array_intersect"),
+      "hash-set array_intersect crept back into the hot pair condition")
+  }
+
   test("dd4 candidate join keys on the shingle hash — never an all-pairs nested loop") {
     val p = plan("dd4_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
