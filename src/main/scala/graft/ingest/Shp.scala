@@ -35,7 +35,17 @@ object Shp {
   type Rings = Seq[Seq[Seq[Double]]]
 
   /** Parse the .shp at `path` into (record number, rings) pairs in
-    * file order — record N pairs with .dbf row N−1. */
+    * file order — record N pairs with .dbf row N−1. Malformed-tolerance
+    * follows S3's semantics (reference fetch_data.py skips rows it
+    * can't parse): a record whose shape type is not Null/Polygon(Z/M)
+    * is KEPT with empty rings and logged, so the positional pairing
+    * with .dbf rows survives a mixed-type file; a record whose declared
+    * content length is negative, sub-minimal, or runs past the header's
+    * file length fails LOUDLY — that is file corruption, not a
+    * tolerable row, and silently mis-seeking would desync every
+    * subsequent record. Content length arithmetic is Long throughout
+    * (a hostile 32-bit word count otherwise overflows Int and walks
+    * `off` backwards into an infinite loop). */
   def readRecords(path: String): Seq[(Int, Rings)] = {
     val bytes = Files.readAllBytes(Paths.get(path))
     val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
@@ -45,20 +55,31 @@ object Shp {
       s"$path: header claims $fileLenBytes bytes, file has ${bytes.length}")
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val out = Seq.newBuilder[(Int, Rings)]
-    var off = 100
+    var off = 100L
     while (off + 8 <= fileLenBytes) {
-      val recNo = be.getInt(off)
-      val contentBytes = be.getInt(off + 4) * 2
-      val c = off + 8
+      val recNo = be.getInt(off.toInt)
+      val contentBytes = be.getInt(off.toInt + 4).toLong * 2
+      require(contentBytes >= 4 && off + 8 + contentBytes <= fileLenBytes,
+        s"$path record $recNo: content length $contentBytes bytes at " +
+          s"offset $off runs outside the file (len $fileLenBytes)")
+      val c = (off + 8).toInt
       val shapeType = le.getInt(c)
       val rings: Rings = shapeType match {
         case 0 => Seq.empty
         case 5 | 15 | 25 =>
           val numParts = le.getInt(c + 36)
           val numPoints = le.getInt(c + 40)
+          require(numParts >= 0 && numPoints >= 0 &&
+            44L + 4L * numParts + 16L * numPoints <= contentBytes,
+            s"$path record $recNo: $numParts parts / $numPoints points " +
+              s"exceed declared content ($contentBytes bytes)")
           val partsOff = c + 44
           val pointsOff = partsOff + 4 * numParts
           val parts = (0 until numParts).map(i => le.getInt(partsOff + 4 * i))
+          require(parts.isEmpty ||
+            (parts.head == 0 && parts.forall(p => p >= 0 && p <= numPoints) &&
+              parts.zip(parts.tail).forall { case (a, b) => a <= b }),
+            s"$path record $recNo: part index array not monotone in range")
           val bounds = parts :+ numPoints
           (0 until numParts).map { p =>
             (bounds(p) until bounds(p + 1)).map { i =>
@@ -66,11 +87,15 @@ object Shp {
                 le.getDouble(pointsOff + 16 * i + 8))
             }
           }
-        case t => sys.error(
-          s"$path record $recNo: shape type $t unsupported (polygons only)")
+        case t =>
+          System.err.println(
+            s"graft.ingest.Shp: $path record $recNo: shape type $t " +
+              "unsupported (polygons only) — keeping record with empty " +
+              "geometry to preserve .dbf pairing")
+          Seq.empty
       }
       out += ((recNo, rings))
-      off = c + contentBytes
+      off = off + 8 + contentBytes
     }
     out.result()
   }
@@ -97,9 +122,9 @@ object Shp {
   def readWithAttributes(spark: SparkSession, base: String): DataFrame = {
     val geo = readRecords(s"$base.shp")
     val attrs = Dbf.read(spark, s"$base.dbf")
-    require(attrs.count() == geo.length,
-      s"$base: .dbf rows ${attrs.count()} != .shp records ${geo.length}")
-    val attrRows = attrs.collect()
+    val attrRows = attrs.collect() // one job; row count checked below
+    require(attrRows.length == geo.length,
+      s"$base: .dbf rows ${attrRows.length} != .shp records ${geo.length}")
     val schema = StructType(attrs.schema.fields :+
       StructField("rings", ringsType, false))
     val rows = attrRows.zip(geo).map { case (r, (_, rings)) =>

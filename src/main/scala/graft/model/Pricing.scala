@@ -105,11 +105,27 @@ object Pricing {
         .filter(col("l_shipdate") <= to_timestamp(lit("2001-06-01 00:00:00"))),
       wide = true)
 
+  /** The wide path with the accumulators kept as TYPED decimal(38,0)
+    * columns — the consumer form: a downstream Spark job gets exact
+    * 128-bit decimals it can keep aggregating, not presentation
+    * strings. The digit-string form ([[pricingSummaryWide]]) remains
+    * the ORACLE form because 128-bit integers have no lossless shared
+    * representation across the engine→pandas compare bridge (scaladoc
+    * above); PropertySpec pins the two variants equal value-for-value
+    * (string form == typed form rendered canonically). */
+  def pricingSummaryWideTyped(s: SparkSession, d: String): DataFrame =
+    pricingSummaryOf(
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("2001-06-01 00:00:00"))),
+      wide = true, typed = true)
+
   /** DataFrame-first body shared by the narrow (bigint) and wide
     * (decimal(38,0)) accumulator paths; PropertySpec feeds it synthetic
-    * envelope-boundary rows directly. */
+    * envelope-boundary rows directly. `typed` (wide mode only) skips
+    * the digit-string presentation cast and returns the decimal(38,0)
+    * accumulators as-is. */
   def pricingSummaryOf(lineitem: DataFrame,
-      wide: Boolean = false): DataFrame = {
+      wide: Boolean = false, typed: Boolean = false): DataFrame = {
     def acc(c: org.apache.spark.sql.Column) =
       if (wide) c.cast("decimal(38,0)") else c
     val li = lineitem
@@ -133,7 +149,7 @@ object Pricing {
       .withColumn("avg_price",
         col("sum_base_cents").cast("double") / col("count_order") / 100.0)
       .withColumns(
-        if (wide)
+        if (wide && !typed)
           Seq("sum_qty_cents", "sum_base_cents", "sum_disc_e4",
               "sum_charge_e6").map(c => c -> col(c).cast("string")).toMap
         else Map.empty[String, org.apache.spark.sql.Column])

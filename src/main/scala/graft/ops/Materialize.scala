@@ -91,8 +91,13 @@ object Materialize {
     * never a forced hash build that can't spill. */
   def hashJoinIfFits(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
-    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    // Mirror Spark's ConfigHelpers.byteFromString: "-1" (the documented
+    // broadcast-disable value) carries its sign outside the byte-string
+    // parse, which rejects negative literals.
+    val raw = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    val (sign, mag) = if (raw.startsWith("-")) (-1L, raw.substring(1)) else (1L, raw)
+    val threshold =
+      sign * org.apache.spark.network.util.JavaUtils.byteStringAsBytes(mag)
     val parts = conf.get("spark.sql.shuffle.partitions", "200").toLong
     val size = org.apache.spark.sql.graft.Bridge.rootSizeInBytes(df)
     if (threshold > 0 && size < BigInt(threshold) * parts)

@@ -2630,8 +2630,7 @@ object TextStats {
     import org.apache.spark.sql.expressions.Window
     val toks = docs
       .filter(col("text").isNotNull && col("doc_id") >= 0)
-      .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
     val perBucket = toks
       .groupBy(length(bin(col("doc_id"))).cast("long").as("j"))
@@ -2703,26 +2702,38 @@ object TextStats {
     * bitlen(count), the tx23 idiom); out-of-vocabulary tokens score
     * bitlen(N_ref)+1 (a count of ½); bands cut on the exact integer
     * bits-per-token division. Scale: the reference model is a keyed
-    * aggregate joined LEFT to the token stream — Catalyst broadcasts
-    * it while it fits (CCNet ships its wiki LM to every node; same
-    * design) and keys past the threshold; the 1-row total rides a
-    * broadcast; no window anywhere. */
+    * aggregate MATERIALIZED once through the [[Materialize]] seam —
+    * its measured (not estimated) size lets Catalyst broadcast it
+    * while it fits (CCNet ships its wiki LM to every node; same
+    * design) and fall to a keyed sort-merge past the threshold, where
+    * AQE's skew-join splitter absorbs the Zipf-head `tok` keys at
+    * runtime. [[Materialize.hashJoinIfFits]] is deliberately NOT
+    * applied: its premise (probe side already exchanged on the join
+    * key) fails here — the probe is the raw exploded token stream, so
+    * forcing shuffle_hash would shuffle the whole corpus to save a
+    * vocab-sized broadcast. N_ref derives from the materialized model
+    * (Σcnt ≡ the reference token count), so the corpus is scanned
+    * once for the model and once for the scoring stream — never a
+    * third time for the total; the 1-row total rides a broadcast; no
+    * window anywhere. */
   def refLmFilter(s: SparkSession, d: String): DataFrame =
     refLmFilterOf(Tables.documents(s, d))
 
-  def refLmFilterOf(docs: DataFrame): DataFrame = {
+  def refLmFilterOf(docs: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
     val base = docs.filter(col("text").isNotNull && col("source").isNotNull)
     val toks = base
       .select(col("doc_id"), col("source"),
-        explode(split(trim(col("text")), "\\s+")).as("tok"))
+        explode(words(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
     val refSrc = base.agg(min(col("source")).as("ref_source"))
-    val refToks = toks
-      .join(broadcast(refSrc), col("source") === col("ref_source"))
-      .select("tok")
-    val model = refToks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val totBits = refToks
-      .agg(length(bin(count(lit(1)))).cast("long").as("nbits"))
+    val model = Materialize(
+      toks.join(broadcast(refSrc), col("source") === col("ref_source"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")),
+      mode, "tx43_model")
+    val totBits = model
+      .agg(length(bin(coalesce(sum(col("cnt")), lit(0L)))).cast("long")
+        .as("nbits"))
     toks
       .join(model, Seq("tok"), "left")
       .crossJoin(broadcast(totBits))

@@ -153,6 +153,21 @@ class MaterializeSpec extends AnyFunSuite {
     Materialize.releaseAll(spark)
   }
 
+  test("hashJoinIfFits: autoBroadcastJoinThreshold=-1 (broadcast disabled) disables the hint, no parse crash") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = Materialize(
+        spark.range(100).toDF("g"), Materialize.Local, "neg_thresh")
+      // negative threshold → threshold > 0 guard disables the hint
+      val hinted = Materialize.hashJoinIfFits(df)
+      assert(hinted.queryExecution.logical.toString ==
+        df.queryExecution.logical.toString)
+      Materialize.releaseAll(spark)
+    } finally spark.conf.set(key, saved)
+  }
+
   test("cachedCount: Storage writes invalidate the session's counts; checkpointed plans are never cached") {
     Materialize.releaseAll(spark)
     assert(Materialize.cachedCount(spark.range(40).toDF("id")) == 40L)

@@ -965,6 +965,26 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size <= 2, p.take(2000))
   }
 
+  test("tx43 reference-LM: model materializes once, scoring join broadcast-or-keyed, no corpus re-scan for the total") {
+    val p = plan("tx43_reflm_filter")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the only nested-loop is the 1-row Σcnt total riding an identity
+    // broadcast (the smp7/g8 exemption) — never a corpus-sided one
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
+    // one documents scan for the scoring token stream; the model and
+    // its Σcnt total both read the checkpoint (no re-derived model
+    // subtree, no third corpus pass for N_ref)
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(2000))
+    // size dictates the join: at test scale the measured vocab-sized
+    // model rides a broadcast; past the threshold the same plan keys
+    // (PlanSpec pins the small-regime choice, MaterializeSpec pins the
+    // measured-stats flip)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab-sized model should broadcast at test scale: " + p.take(2000))
+  }
+
   test("g13 residuals: rounds ride checkpoints, per-round stats are keyed self-joins") {
     val p = plan("g13_pagerank_residuals")
     assert(!p.contains("CartesianProduct"), p.take(2000))

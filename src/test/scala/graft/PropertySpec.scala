@@ -63,6 +63,36 @@ class PropertySpec extends AnyFunSuite {
       s"in-envelope paths must agree: $n2 vs $w2")
   }
 
+  test("q1b typed-decimal consumer variant equals the digit-string oracle form value-for-value") {
+    // same boundary-straddling fixture as above: the typed projection
+    // must carry DECIMAL(38,0) (consumers keep aggregating exactly)
+    // and render to exactly the oracle-form digit strings
+    val p = 9.0e12
+    val li = Seq(
+      ("N", "O", 1.0, p, 0.0, 0.0),
+      ("N", "O", 1.0, p, 0.0, 0.0),
+      ("R", "F", 2.0, 100.0, 0.10, 0.05))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+    val typed = graft.model.Pricing.pricingSummaryOf(li, wide = true, typed = true)
+    val strForm = graft.model.Pricing.pricingSummaryOf(li, wide = true)
+    val sums = Seq("sum_qty_cents", "sum_base_cents", "sum_disc_e4", "sum_charge_e6")
+    sums.foreach { c =>
+      assert(typed.schema(c).dataType ==
+        org.apache.spark.sql.types.DecimalType(38, 0),
+        s"$c must stay a typed decimal(38,0), got ${typed.schema(c).dataType}")
+      assert(strForm.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType)
+    }
+    val key = Seq("l_returnflag", "l_linestatus")
+    val a = typed.select((key ++ sums).map(c => col(c).cast("string")): _*)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = strForm.select((key ++ sums).map(col): _*)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq,
+      s"typed and string wide variants diverge:\n${a.toSeq}\nvs\n${b.toSeq}")
+  }
+
   test("severity is total and monotone over arbitrary magnitudes") {
     val order = Seq("Minor", "Light", "Moderate", "Strong", "Major", "Great")
     val mags = List.fill(200)(rnd.nextDouble() * 40 - 20)

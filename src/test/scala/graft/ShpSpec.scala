@@ -165,6 +165,100 @@ class ShpSpec extends AnyFunSuite {
     assert(Shp.ringsAt(rows(1), "rings").head.head == Seq(20.0, 0.0))
   }
 
+  // ---- adversarial robustness (verdict r9 item 5 / ADVICE low) ----
+
+  /** A header-only buffer claiming `fileLenWords` 16-bit words. */
+  private def headerBytes(totalBytes: Int, fileLenWords: Int): ByteBuffer = {
+    val bb = ByteBuffer.allocate(totalBytes)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(0, 9994); bb.putInt(24, fileLenWords)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(28, 1000); bb.putInt(32, 5)
+    bb
+  }
+
+  private def writeTo(name: String, bb: ByteBuffer): String = {
+    val dir = Files.createTempDirectory("graft_shp_adv")
+    val p = dir.resolve(name)
+    Files.write(p, bb.array())
+    p.toString
+  }
+
+  test("shp reader: negative record content length fails loudly, no infinite loop") {
+    val bb = headerBytes(120, 60)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(100, 1)
+    bb.putInt(104, Int.MinValue / 2) // *2 in Int would overflow to 0/negative
+    val e = intercept[IllegalArgumentException] {
+      Shp.readRecords(writeTo("neg.shp", bb))
+    }
+    assert(e.getMessage.contains("content length"))
+  }
+
+  test("shp reader: content length past the header's file length fails loudly") {
+    val bb = headerBytes(120, 60)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(100, 1)
+    bb.putInt(104, 1 << 28) // ~512 MB claimed in a 120-byte file
+    val e = intercept[IllegalArgumentException] {
+      Shp.readRecords(writeTo("huge.shp", bb))
+    }
+    assert(e.getMessage.contains("runs outside the file"))
+  }
+
+  test("shp reader: header length exceeding the physical file fails loudly") {
+    val bb = headerBytes(100, 5000)
+    val e = intercept[IllegalArgumentException] {
+      Shp.readRecords(writeTo("trunc.shp", bb))
+    }
+    assert(e.getMessage.contains("header claims"))
+  }
+
+  test("shp reader: point/part counts exceeding declared content fail loudly") {
+    // declare a minimal polygon record but claim a billion points
+    val content = 4 + 32 + 8 + 4 // type+box+counts+one part index, no points
+    val bb = headerBytes(100 + 8 + content, (100 + 8 + content) / 2)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(100, 1); bb.putInt(104, content / 2)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(108, 5)
+    bb.putInt(108 + 36, 1)
+    bb.putInt(108 + 40, 1000000000)
+    bb.putInt(108 + 44, 0)
+    val e = intercept[IllegalArgumentException] {
+      Shp.readRecords(writeTo("count.shp", bb))
+    }
+    assert(e.getMessage.contains("exceed declared content"))
+  }
+
+  test("shp reader: unsupported shape type is kept as empty geometry (dbf pairing preserved)") {
+    // record 1: point (type 1, 20 bytes content); record 2: real polygon
+    val ring = Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0))
+    val polyContent = 4 + 32 + 8 + 4 + 16 * ring.length
+    val fileLen = 100 + (8 + 20) + (8 + polyContent)
+    val bb = headerBytes(fileLen, fileLen / 2)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(100, 1); bb.putInt(104, 10)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(108, 1) // Point
+    bb.putDouble(112, 7.0); bb.putDouble(120, 7.0)
+    val off2 = 100 + 28
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(off2, 2); bb.putInt(off2 + 4, polyContent / 2)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    val c = off2 + 8
+    bb.putInt(c, 5)
+    bb.putInt(c + 36, 1); bb.putInt(c + 40, ring.length)
+    bb.putInt(c + 44, 0)
+    ring.zipWithIndex.foreach { case ((x, y), j) =>
+      bb.putDouble(c + 48 + 16 * j, x); bb.putDouble(c + 48 + 16 * j + 8, y)
+    }
+    val recs = Shp.readRecords(writeTo("mixed.shp", bb))
+    assert(recs.map(_._1) == Seq(1, 2))
+    assert(recs(0)._2.isEmpty) // point record tolerated, geometry empty
+    assert(recs(1)._2 == Seq(ring.map(p => Seq(p._1, p._2))))
+  }
+
   test("spatialJoin over the parsed shapefile equals the synthesized dim on identical geometry") {
     val fromShp = Geo.worldDim(spark,
       Shp.worldEntries(spark, base, "NAME", "REGION"))

@@ -422,6 +422,61 @@ class StreamingSpec extends AnyFunSuite {
         s"onlyBatch=${(batch -- streamed).take(5)}")
   }
 
+  test("checkpoint-restart recovery: foreachBatch MERGE resumes from the checkpoint and equals the one-shot batch path (T3)") {
+    import spark.implicits._
+    // T3's fault-tolerance contract (reference dag.py:176-192 gets it
+    // from Airflow re-running the whole MERGE task; Structured
+    // Streaming's equivalent is the checkpoint): a foreachBatch MERGE
+    // stream stopped mid-input and RESTARTED from the same
+    // checkpointLocation must (a) never re-deliver batches committed
+    // before the stop, (b) pick up files that arrived while it was
+    // down, and (c) land exactly the one-shot batch merge — with the
+    // anti-join sink making any replay of the final in-flight batch
+    // (at-least-once foreachBatch semantics) a no-op.
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ckpt_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val schema = Seq((0L, "")).toDF("k", "src").schema
+    val target0 = Seq((1L, "seed")).toDF("k", "src")
+    var target = target0
+    val batchIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink = Streams.mergeEachBatch(() => target, b => target = b, Seq("k"))
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batchIds.synchronized { batchIds += id }
+        sink(b, id)
+      }
+      .start()
+    // wave 1: two single-file micro-batches (key 1 replays the seed)
+    Seq((1L, "dup")).toDF("k", "src").coalesce(1).write.mode("append").parquet(inDir)
+    Seq((2L, "new")).toDF("k", "src").coalesce(1).write.mode("append").parquet(inDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val idsBefore = batchIds.toList
+    assert(idsBefore.size >= 2, s"expected 2 wave-1 batches, got $idsBefore")
+    // wave 2 arrives while the stream is DOWN: a replay of key 1 plus
+    // a genuinely new key
+    Seq((1L, "dup"), (3L, "late")).toDF("k", "src")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val idsAfter = batchIds.toList.drop(idsBefore.size)
+    assert(idsAfter.nonEmpty, "restart delivered no batches")
+    // committed offsets hold across restart: nothing earlier than the
+    // final wave-1 batch is ever re-delivered
+    assert(idsAfter.forall(_ >= idsBefore.max),
+      s"restart re-delivered committed batches: before=$idsBefore after=$idsAfter")
+    val merged = target.as[(Long, String)].collect().toMap
+    assert(merged == Map(1L -> "seed", 2L -> "new", 3L -> "late"))
+    // the recovered stream landed exactly the one-shot batch merge over
+    // the union of every input file
+    val oneShot = graft.merge.Upsert
+      .antiJoinUpsert(target0, spark.read.parquet(inDir), Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(merged == oneShot)
+  }
+
   test("file-source replay: maxFilesPerTrigger micro-batches deliver every row exactly once (T1)") {
     import spark.implicits._
     // the monthly-batch capability (T1) as a real file stream: the
