@@ -316,6 +316,10 @@ object SparkEntry {
     "rl2_blocking_recall" -> ((s, d) =>
       graft.ops.Linkage.blockingRecall(s, d)),
     "hq2_exact_median" -> ((s, d) => graft.ops.Sketch.exactMedian(s, d)),
+    "hq3_exact_quantiles" -> ((s, d) =>
+      graft.ops.Sketch.exactQuantiles(s, d)),
+    "priv3_t_closeness" -> ((s, d) => graft.ops.Privacy.tCloseness(s, d)),
+    "tx44_backoff_lm" -> ((s, d) => TextStats.backoffLmFilter(s, d)),
     "inc4_distinct_maintenance" -> ((s, d) =>
       graft.ops.Sketch.distinctMaintenance(s, d)),
     "dq13_fanout_profile" -> ((s, d) =>
@@ -964,6 +968,9 @@ object SparkEntry {
     "skew2_salted_join" -> graft.ops.Skew.saltedJoinOracle,
     "rl2_blocking_recall" -> graft.ops.Linkage.blockingRecallOracle,
     "hq2_exact_median" -> graft.ops.Sketch.exactMedianOracle,
+    "hq3_exact_quantiles" -> graft.ops.Sketch.exactQuantilesOracle,
+    "priv3_t_closeness" -> graft.ops.Privacy.tClosenessOracle,
+    "tx44_backoff_lm" -> TextStats.backoffLmFilterOracle,
     "inc4_distinct_maintenance" ->
       graft.ops.Sketch.distinctMaintenanceOracle,
     "dq13_fanout_profile" -> graft.ops.Profile.fanoutProfileOracle,

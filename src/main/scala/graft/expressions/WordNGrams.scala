@@ -41,13 +41,16 @@ case class WordNGrams(child: Expression, n: Int,
     // match Spark's trim()/split() and the oracle exactly: trim strips
     // ASCII SPACES ONLY (Java String.trim would also strip \t/\n and
     // change the token list for control-char-edged text), and split
-    // keeps leading/trailing empty tokens like split(..., -1)
+    // keeps leading/trailing empty tokens like split(..., -1). The
+    // split class is the explicit RE2-\s set [ \t\n\f\r] — Java's \s
+    // also matches U+000B vertical tab and would diverge from the
+    // DuckDB oracle on VT-bearing text (the words() parity rule).
     var lo = 0
     var hi = text.length
     while (lo < hi && text.charAt(lo) == ' ') lo += 1
     while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
     val trimmed = text.substring(lo, hi)
-    val words = trimmed.split("\\s+", -1)
+    val words = trimmed.split("[ \\t\\n\\f\\r]+", -1)
     if (words.length < n || (words.length == 1 && words(0).isEmpty)) {
       new GenericArrayData(Array.empty[Any])
     } else {
@@ -115,7 +118,8 @@ case class AllWordNGrams(child: Expression, n: Int)
     while (lo < hi && text.charAt(lo) == ' ') lo += 1
     while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
     val trimmed = text.substring(lo, hi)
-    val words = trimmed.split("\\s+", -1)
+    // explicit RE2-\s class, not Java \s (VT parity — see WordNGrams)
+    val words = trimmed.split("[ \\t\\n\\f\\r]+", -1)
     if (words.length < n || (words.length == 1 && words(0).isEmpty)) {
       new GenericArrayData(Array.empty[Any])
     } else {

@@ -132,4 +132,96 @@ object Privacy {
        |       (10000 * suppressed_rows) // total_rows AS suppression_bp
        |FROM rungs ORDER BY level""".stripMargin
   }
+
+  /** priv3 — t-CLOSENESS audit, the distributional upgrade of priv1's
+    * l-diversity flag: a group can span ≥l distinct sensitive values
+    * and still leak (e.g. 99% of one value where the population is
+    * uniform). Per QI group g, the total-variation distance between
+    * the group's sensitive-band distribution and the GLOBAL one:
+    * TVD(g) = ½·Σ_v |c_gv/n_g − C_v/N|, computed EXACTLY by clearing
+    * both divisions — tvd_num = Σ_v |c_gv·N − C_v·n_g| over the full
+    * value domain (missing (g,v) cells contribute |0 − C_v·n_g|), with
+    * the per-mille presentation one integer division by 2·n_g·N.
+    * Released iff TVD ≤ t = 0.2 (tvd_pm ≤ 200).
+    *
+    * Shape: ONE corpus aggregation to (QI, band) cells; the group
+    * totals, band totals and grand total are RE-aggregations of that
+    * cell table (never a second scan — the tx32 pool-counts rule); the
+    * dense (group × band) grid is a cross join of two AUDIT-BOUNDED
+    * dims (#QI groups × #bands — census cells, not corpus rows), so it
+    * broadcasts at any corpus scale. Overflow envelope: |c_gv·N| ≤
+    * n_g·N ≤ N² — exact in bigint through N ≈ 3e9; past that, cast the
+    * products decimal(38,0) (the q1b discipline). Nation joins INNER
+    * (complete FK catalog) so the grid's equi-join never meets a NULL
+    * key, where SQL and Spark null semantics would diverge. */
+  def tCloseness(s: SparkSession, d: String): DataFrame = {
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    val sens = ((Functions.cents(col("c_acctbal")) + 100000L) / 100000L)
+      .cast("long")
+    tClosenessOf(
+      Tables.customer(s, d)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_mktsegment").as("segment"), col("nation"),
+          sens.as("band")))
+  }
+
+  /** [[tCloseness]] over an explicit (segment, nation, band) frame.
+    * The cell table MATERIALIZES once (the priv2/tx32 fork rule):
+    * groups, bands, grand total and the grid probe all read the
+    * checkpoint — one corpus aggregation, not four scans. */
+  private[graft] def tClosenessOf(qi: DataFrame): DataFrame = {
+    val cells = graft.ops.Materialize(
+      qi.groupBy("segment", "nation", "band")
+        .agg(count(lit(1)).as("c_gv")),
+      graft.ops.Materialize.Local, "priv3_cells")
+    val groups = cells.groupBy("segment", "nation")
+      .agg(sum(col("c_gv")).as("n_g"))
+    val bands = cells.groupBy("band").agg(sum(col("c_gv")).as("c_v"))
+    val total = cells.agg(sum(col("c_gv")).as("n_tot"))
+    groups
+      .crossJoin(broadcast(bands))
+      .join(cells, Seq("segment", "nation", "band"), "left")
+      .na.fill(0L, Seq("c_gv"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("segment"), col("nation"), col("n_g"), col("n_tot"))
+      .agg(sum(abs(col("c_gv") * col("n_tot") - col("c_v") * col("n_g")))
+        .as("tvd_num"))
+      .select(col("segment"), col("nation"), col("n_g").as("n"),
+        col("tvd_num"),
+        expr("(1000 * tvd_num) div (2 * n_g * n_tot)").as("tvd_pm"))
+      .withColumn("t_close_ok",
+        when(col("tvd_pm") <= 200L, 1L).otherwise(0L))
+      .orderBy("segment", "nation")
+  }
+
+  val tClosenessOracle: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS segment, n.n_name AS nation,
+      |         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+      |           AS band
+      |  FROM customer JOIN nation n ON c_nationkey = n_nationkey),
+      |gv AS (SELECT segment, nation, band, count(*) AS c_gv
+      |       FROM c GROUP BY 1, 2, 3),
+      |g AS (SELECT segment, nation, CAST(sum(c_gv) AS BIGINT) AS n_g
+      |      FROM gv GROUP BY 1, 2),
+      |v AS (SELECT band, CAST(sum(c_gv) AS BIGINT) AS c_v
+      |      FROM gv GROUP BY 1),
+      |nt AS (SELECT CAST(sum(c_gv) AS BIGINT) AS n_tot FROM gv),
+      |grid AS (
+      |  SELECT g.segment, g.nation, g.n_g, v.band, v.c_v,
+      |         CAST(coalesce(gv.c_gv, 0) AS BIGINT) AS c_gv
+      |  FROM g CROSS JOIN v
+      |  LEFT JOIN gv ON gv.segment = g.segment AND gv.nation = g.nation
+      |              AND gv.band = v.band)
+      |SELECT segment, nation, n_g AS n,
+      |  CAST(sum(abs(c_gv * n_tot - c_v * n_g)) AS BIGINT) AS tvd_num,
+      |  (1000 * CAST(sum(abs(c_gv * n_tot - c_v * n_g)) AS BIGINT))
+      |    // (2 * n_g * n_tot) AS tvd_pm,
+      |  CAST(CASE WHEN (1000 * CAST(sum(abs(c_gv * n_tot - c_v * n_g))
+      |         AS BIGINT)) // (2 * n_g * n_tot) <= 200
+      |       THEN 1 ELSE 0 END AS BIGINT) AS t_close_ok
+      |FROM grid, nt
+      |GROUP BY segment, nation, n_g, n_tot
+      |ORDER BY segment, nation""".stripMargin
 }

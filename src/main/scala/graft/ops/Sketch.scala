@@ -958,6 +958,107 @@ object Sketch {
         "median_cents")
   }
 
+  /** Quantile percents for [[exactQuantiles]] — a deployment-shaped
+    * panel (tail behavior both sides plus the quartiles). */
+  val QuantilePcts: Seq[Int] = Seq(10, 25, 50, 75, 90, 99)
+
+  /** hq3 — EXACT multi-quantile selection, [[exactMedian]]'s recursive
+    * histogram narrowing generalized to a PANEL of ranks resolved
+    * TOGETHER: all quantiles share pass 1's bucket histogram, and each
+    * narrowing level is ONE distributed hash aggregation whose range
+    * predicate is the OR of every still-active bucket (grouped by
+    * parent bucket so each rank walks its own sub-histogram) — k
+    * quantiles cost the same number of passes as one, not k×. The
+    * driver holds ≤1024 rows per active bucket per level (≤6k rows
+    * total here), never a sort, never a row-count ceiling; rank
+    * definition is ⌈p·N/100⌉ (1-based, the SQL row_number convention),
+    * replayed verbatim by the oracle's rank-window selection — the
+    * hash match proves panel narrowing ≡ global sort at every p. */
+  def exactQuantiles(s: SparkSession, d: String): DataFrame =
+    exactQuantilesOf(Tables.lineitem(s, d))
+
+  /** [[exactQuantiles]] over an explicit lineitem frame. */
+  def exactQuantilesOf(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    val c = lineitem
+      .filter(col("l_extendedprice").isNotNull)
+      .select(cents(col("l_extendedprice")).as("cents"))
+    val hist = c
+      .withColumn("bucket", shiftright(col("cents"), MedianShift))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+      .collect()
+    require(hist.length <= 100000,
+      s"quantile histogram ${hist.length} buckets — widen MedianShift")
+    val n = hist.map(_.getAs[Long]("cnt")).sum
+    def bucketOfRank(k: Long): (Long, Long) = {
+      var cum = 0L
+      hist.foreach { r =>
+        val b = r.getAs[Long]("bucket"); val ct = r.getAs[Long]("cnt")
+        if (cum < k && k <= cum + ct) return (b, k - cum)
+        cum += ct
+      }
+      sys.error(s"rank $k out of range n=$n")
+    }
+    // (pct, rank, current bucket, offset within bucket)
+    var targets: Seq[(Int, Long, Long, Long)] = QuantilePcts.map { p =>
+      val k = (p.toLong * n + 99L) / 100L // ⌈p·N/100⌉, ≥ 1 for n ≥ 1
+      val (b, off) = bucketOfRank(k)
+      (p, k, b, off)
+    }
+    var shift = MedianShift
+    while (shift > 0) {
+      val sub = math.max(0, shift - 10)
+      // one distributed pass for EVERY active bucket: OR of the range
+      // predicates, sub-histogram keyed by (parent, sub) so each rank
+      // reads only its parent's slice
+      val buckets = targets.map(_._3).distinct
+      val cond = buckets.map { b =>
+        val lo = b << shift; val hi = (b + 1) << shift
+        col("cents") >= lo && col("cents") < hi
+      }.reduce(_ || _)
+      val rows = c.filter(cond)
+        .withColumn("pb", shiftright(col("cents"), shift))
+        .withColumn("sb", shiftright(col("cents"), sub))
+        .groupBy("pb", "sb").agg(count(lit(1)).as("cnt"))
+        .orderBy("pb", "sb")
+        .collect()
+      val byParent = rows.groupBy(_.getAs[Long]("pb"))
+      targets = targets.map { case (p, k, b, off0) =>
+        var cum = 0L; var found: Option[(Long, Long)] = None
+        byParent.getOrElse(b, Array.empty).foreach { r =>
+          if (found.isEmpty) {
+            val sb = r.getAs[Long]("sb"); val ct = r.getAs[Long]("cnt")
+            if (cum < off0 && off0 <= cum + ct) found = Some((sb, off0 - cum))
+            else cum += ct
+          }
+        }
+        val (nb, noff) = found.getOrElse(
+          sys.error(s"rank offset $off0 not found inside bucket $b (n=$n)"))
+        (p, k, nb, noff)
+      }
+      shift = sub
+    }
+    import spark.implicits._
+    targets.map { case (p, k, v, _) => (p.toLong, n, k, v) }
+      .toDF("pct", "n", "k", "value_cents")
+      .orderBy("pct")
+  }
+
+  val exactQuantilesOracle: String =
+    """WITH c AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c),
+      |n AS (SELECT count(*) AS n FROM c),
+      |p AS (SELECT unnest([10, 25, 50, 75, 90, 99]) AS pct),
+      |pick AS (
+      |  SELECT p.pct, n.n, (p.pct * n.n + 99) // 100 AS k FROM p, n)
+      |SELECT CAST(pick.pct AS BIGINT) AS pct, CAST(pick.n AS BIGINT) AS n,
+      |       CAST(pick.k AS BIGINT) AS k,
+      |       (SELECT cents FROM r WHERE rn = pick.k) AS value_cents
+      |FROM pick ORDER BY pct""".stripMargin
+
   val exactMedianOracle: String =
     """WITH c AS (
       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents

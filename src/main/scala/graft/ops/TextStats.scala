@@ -1633,7 +1633,7 @@ object TextStats {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"),
-        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        posexplode(words(col("text"))).as(Seq("pos", "tok")))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val withNext = toks.withColumn("nxt", lead("tok", 1).over(byDoc))
     val top = withNext.filter(col("nxt").isNotNull)
@@ -2151,7 +2151,7 @@ object TextStats {
 
   /** [[bigramSurprisal]] over an explicit documents frame. */
   def bigramSurprisalOf(docs: DataFrame): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
+    val toks = words(col("text"))
     val n = size(toks)
     val pairs = Materialize(
       docs
@@ -2319,7 +2319,7 @@ object TextStats {
         size(filter(w, t => !t.rlike("[a-zA-Z]"))).cast("long")
           .as("n_nonalpha_words"),
         size(lines).cast("long").as("n_lines"),
-        size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+        size(filter(lines, l => l.rlike("^[ \\t\\n\\f\\r]*[-*•]"))).cast("long")
           .as("n_bullet_lines"),
         size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("long")
           .as("n_ellipsis_lines"),
@@ -2780,6 +2780,142 @@ object TextStats {
        |  CAST(sum(bits) // count(*) AS BIGINT) AS bits_per_token,
        |  CASE WHEN sum(bits) // count(*) < $RefLmHeadBits THEN 'head'
        |       WHEN sum(bits) // count(*) < $RefLmTailBits THEN 'middle'
+       |       ELSE 'tail' END AS band
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Backoff penalty in whole bits (a 2-bit ≈ ×0.25 discount, the
+    * stupid-backoff α≈0.3 quantized to the integer grain) and the
+    * centi-bits-per-bigram band cuts for [[backoffLmFilter]] —
+    * conditional bigram bits run higher than tx43's unigram bits, so
+    * the cuts sit higher. */
+  val BackoffPenaltyBits = 2L
+  val BackoffHeadCenti = 900L
+  val BackoffTailCenti = 1300L
+
+  /** tx44 — BACKOFF bigram LM filter, the stupid-backoff shape (Brants
+    * et al. 2007, "Large Language Models in Machine Translation"):
+    * score every document's token TRANSITIONS under a bigram model
+    * trained on the reference slice (tx43's derived high-quality
+    * source), backing off to the reference unigram plus a fixed
+    * whole-bit penalty when the bigram is unseen, and to an OOV charge
+    * when even the unigram is unseen. This composes tx41 and tx43 into
+    * the model that catches BOTH failure modes: cross-domain vocabulary
+    * (tx43's signal) and in-vocabulary word salad (tx41's signal) —
+    * under one reference distribution, which neither does alone.
+    *
+    * Exactness: all whole-bit integer math — bigram hit =
+    * bitlen(c1(prev)) − bitlen(c2(prev,w)); unigram backoff =
+    * penalty + bitlen(N_ref) − bitlen(c_u(w)); OOV = penalty +
+    * bitlen(N_ref) + 1 — and the centi-bits presentation is one
+    * integer division. The unigram counts and N_ref derive FROM the
+    * materialized bigram model (c_u(w) = Σ_prev c2, N_ref = Σ c2), so
+    * the corpus is scanned once for the model and once for scoring,
+    * never a third time. Scale: the tx41 pair-stream idiom (array zip,
+    * no window), every model join keyed on its own aggregate's key or
+    * broadcast while the measured model fits (the tx43 posture), the
+    * 1-row total broadcast. */
+  def backoffLmFilter(s: SparkSession, d: String): DataFrame =
+    backoffLmFilterOf(Tables.documents(s, d))
+
+  def backoffLmFilterOf(docs: DataFrame,
+      mode: Materialize.Mode = Materialize.Local): DataFrame = {
+    val base = docs.filter(col("text").isNotNull && col("source").isNotNull)
+    val toks = words(col("text"))
+    val pairs = Materialize(
+      base
+        .select(col("doc_id"), col("source"), toks.as("t"))
+        .filter(size(col("t")) >= 2 && col("t").getItem(0) =!= "")
+        .select(col("doc_id"), col("source"), explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("prev"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("w"))).as("p"))
+        .select(col("doc_id"), col("source"),
+          col("p.prev").as("prev"), col("p.w").as("w")),
+      mode, "tx44_pairs")
+    val refSrc = base.agg(min(col("source")).as("ref_source"))
+    val big = Materialize(
+      pairs.join(broadcast(refSrc), col("source") === col("ref_source"))
+        .groupBy("prev", "w").agg(count(lit(1)).as("c2")),
+      mode, "tx44_big")
+    val c1 = big.groupBy("prev").agg(sum(col("c2")).as("c1"))
+    val cu = big.groupBy("w").agg(sum(col("c2")).as("c_u"))
+    val tot = big.agg(
+      length(bin(coalesce(sum(col("c2")), lit(0L)))).cast("long").as("nbits"))
+    pairs
+      .join(big, Seq("prev", "w"), "left")
+      .join(c1, Seq("prev"), "left")
+      .join(cu, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("bits",
+        when(col("c2").isNotNull,
+          (length(bin(col("c1"))) - length(bin(col("c2")))).cast("long"))
+          .when(col("c_u").isNotNull,
+            lit(BackoffPenaltyBits) + col("nbits") -
+              length(bin(col("c_u"))).cast("long"))
+          .otherwise(lit(BackoffPenaltyBits) + col("nbits") + 1L))
+      .withColumn("backoff",
+        when(col("c2").isNull && col("c_u").isNotNull, 1L).otherwise(0L))
+      .withColumn("oov", when(col("c_u").isNull, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("backoff")).as("n_backoff"),
+        sum(col("oov")).as("n_oov"),
+        sum(col("bits")).as("total_bits"))
+      .withColumn("centi_bits",
+        expr("(100 * total_bits) div n_bigrams"))
+      .withColumn("band",
+        when(col("centi_bits") < BackoffHeadCenti, "head")
+          .when(col("centi_bits") < BackoffTailCenti, "middle")
+          .otherwise("tail"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of tx44: same derived reference slice, same
+    * whole-bit backoff charges, same integer centi-bits cuts. */
+  val backoffLmFilterOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE text IS NOT NULL AND source IS NOT NULL),
+       |d AS (
+       |  SELECT doc_id, source,
+       |         string_split_regex(trim(text), '\\s+') AS l
+       |  FROM base),
+       |pairs AS MATERIALIZED (
+       |  SELECT doc_id, source, l[i] AS prev, l[i + 1] AS w
+       |  FROM d, LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+       |  WHERE len(l) >= 2 AND l[1] <> ''),
+       |ref AS (SELECT min(source) AS rs FROM base),
+       |big AS MATERIALIZED (
+       |  SELECT prev, w, count(*) AS c2
+       |  FROM pairs, ref WHERE source = rs GROUP BY prev, w),
+       |c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1
+       |       FROM big GROUP BY prev),
+       |cu AS (SELECT w, CAST(sum(c2) AS BIGINT) AS c_u
+       |       FROM big GROUP BY w),
+       |nt AS (SELECT CAST(length(bin(coalesce(sum(c2), 0))) AS BIGINT)
+       |         AS nbits FROM big),
+       |sc AS (
+       |  SELECT pairs.doc_id,
+       |    CASE WHEN big.c2 IS NOT NULL
+       |           THEN length(bin(c1.c1)) - length(bin(big.c2))
+       |         WHEN cu.c_u IS NOT NULL
+       |           THEN $BackoffPenaltyBits + nt.nbits - length(bin(cu.c_u))
+       |         ELSE $BackoffPenaltyBits + nt.nbits + 1 END AS bits,
+       |    CASE WHEN big.c2 IS NULL AND cu.c_u IS NOT NULL THEN 1 ELSE 0
+       |      END AS backoff,
+       |    CASE WHEN cu.c_u IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM pairs
+       |  LEFT JOIN big ON pairs.prev = big.prev AND pairs.w = big.w
+       |  LEFT JOIN c1 ON pairs.prev = c1.prev
+       |  LEFT JOIN cu ON pairs.w = cu.w, nt)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
+       |  CAST(sum(oov) AS BIGINT) AS n_oov,
+       |  CAST(sum(bits) AS BIGINT) AS total_bits,
+       |  (100 * CAST(sum(bits) AS BIGINT)) // count(*) AS centi_bits,
+       |  CASE WHEN (100 * CAST(sum(bits) AS BIGINT)) // count(*)
+       |         < $BackoffHeadCenti THEN 'head'
+       |       WHEN (100 * CAST(sum(bits) AS BIGINT)) // count(*)
+       |         < $BackoffTailCenti THEN 'middle'
        |       ELSE 'tail' END AS band
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

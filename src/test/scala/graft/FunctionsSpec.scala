@@ -9,6 +9,30 @@ class FunctionsSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
   import spark.implicits._
 
+  test("tokenizer parity: vertical tab is NOT a separator anywhere (RE2 \\s class, the words() rule)") {
+    // DuckDB's RE2 \s is [ \t\n\f\r]; Java's \s adds U+000B. Every
+    // oracle-paired tokenizer must use the explicit class or a
+    // VT-bearing document hashes differently across engines.
+    val df = Seq((1L, "ab c\td")).toDF("doc_id", "text")
+    val toks = df
+      .select(explode(graft.ops.TextStats.words(col("text"))).as("t"))
+      .as[String].collect().toSeq
+    assert(toks == Seq("a\u000Bb", "c", "d"), toks.toString)
+    // the codegen'd n-gram expressions agree with words()
+    val ng = df
+      .select(graft.expressions.WordNGrams.ngrams(col("text"), 2).as("g"))
+      .as[Seq[String]].head()
+    assert(ng == Seq("a\u000Bb c", "c d"), ng.toString)
+    val all = df
+      .select(graft.expressions.AllWordNGrams.ngrams(col("text"), 2).as("g"))
+      .as[Seq[String]].head()
+    assert(all == Seq("a\u000Bb c", "c d"), all.toString)
+    // and the bigram-LM pair stream keeps VT inside tokens
+    val pairs = graft.ops.TextStats.bigramSurprisalOf(df)
+      .select("n_bigrams").as[Long].head()
+    assert(pairs == 2L, s"expected 2 bigrams over 3 tokens, got $pairs")
+  }
+
   test("cents integerizes 2-decimal doubles exactly") {
     val got = Seq(1013.7, 0.01, 104997.88, 0.0, 499978.59).toDF("v")
       .select(cents($"v").as("c")).as[Long].collect()

@@ -4017,6 +4017,97 @@ class OpsSpec extends AnyFunSuite {
       spike.getAs[Long]("hi_cents") == truth.toLong)
   }
 
+  test("hq3: panel narrowing equals the hand-ranked ⌈p·N/100⌉ selection for every percent, one pass set for all") {
+    def li(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L, 1L, i, 1.0, v, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    // uniform 1..100 dollars: rank k = p exactly, value = p dollars
+    val uni = graft.ops.Sketch.exactQuantilesOf(
+      li((1 to 100).map(_.toDouble))).collect()
+      .map(r => r.getAs[Long]("pct") -> r).toMap
+    graft.ops.Sketch.QuantilePcts.foreach { p =>
+      val r = uni(p.toLong)
+      assert(r.getAs[Long]("n") == 100L && r.getAs[Long]("k") == p.toLong)
+      assert(r.getAs[Long]("value_cents") == p * 100L,
+        s"p$p: ${r.getAs[Long]("value_cents")}")
+    }
+    // skewed multiset across bucket boundaries: truth by JVM sort at
+    // the same ⌈p·N/100⌉ rank
+    val vals = (Seq.fill(37)(10.23) ++ Seq.fill(11)(10.25) ++
+      (1 to 52).map(i => i * 97.31)).map(v => math.round(v * 100) / 100.0)
+    val cents = vals.map(v => math.round(v * 100)).sorted
+    val skew = graft.ops.Sketch.exactQuantilesOf(li(vals)).collect()
+      .map(r => r.getAs[Long]("pct") -> r).toMap
+    graft.ops.Sketch.QuantilePcts.foreach { p =>
+      val n = vals.length
+      val k = (p.toLong * n + 99L) / 100L
+      val r = skew(p.toLong)
+      assert(r.getAs[Long]("k") == k)
+      assert(r.getAs[Long]("value_cents") == cents(k.toInt - 1),
+        s"p$p rank $k: got ${r.getAs[Long]("value_cents")}, " +
+          s"want ${cents(k.toInt - 1)}")
+    }
+  }
+
+  test("priv3: a group mirroring the global mix scores TVD 0; a concentrated group scores the hand-computed distance") {
+    // global mix: bands 1 and 2. Group (A, X) holds 10+10 (exactly the
+    // 50/50 global mix after including itself), group (A, Y) holds
+    // 20 of band 1 only — its TVD vs global must be hand-computable.
+    val qi = (Seq.fill(10)(("A", "X", 1L)) ++ Seq.fill(10)(("A", "X", 2L)) ++
+      Seq.fill(10)(("A", "Y", 1L)) ++ Seq.fill(10)(("A", "Y", 2L)) ++
+      Seq.fill(20)(("A", "Z", 1L)))
+      .toDF("segment", "nation", "band")
+    val got = graft.ops.Privacy.tClosenessOf(qi).collect()
+      .map(r => r.getAs[String]("nation") -> r).toMap
+    // N = 60, C_1 = 40, C_2 = 20
+    // X: n_g=20, c_g1=10, c_g2=10 → |10·60−40·20| + |10·60−20·20|
+    //    = 200 + 200 = 400; pm = 1000·400 / (2·20·60) = 166 → ok
+    assert(got("X").getAs[Long]("tvd_num") == 400L)
+    assert(got("X").getAs[Long]("tvd_pm") == 166L)
+    assert(got("X").getAs[Long]("t_close_ok") == 1L)
+    // Z: n_g=20, c_g1=20, c_g2=0 → |20·60−40·20| + |0−20·20|
+    //    = 400 + 400 = 800; pm = 1000·800/(2·20·60) = 333 → violating
+    assert(got("Z").getAs[Long]("tvd_num") == 800L)
+    assert(got("Z").getAs[Long]("tvd_pm") == 333L)
+    assert(got("Z").getAs[Long]("t_close_ok") == 0L)
+    // Y mirrors the within-group mix 10/10 like X — same numbers
+    assert(got("Y").getAs[Long]("tvd_num") == 400L)
+    // sanity: TVD per-mille never exceeds 1000
+    got.values.foreach(r => assert(r.getAs[Long]("tvd_pm") <= 1000L))
+  }
+
+  test("tx44: seen bigrams charge conditional bits, unseen back off to the unigram + penalty, OOV pays the full charge") {
+    // ref slice (source "a"): x y x y x y x z → c2(x,y)=3, c2(y,x)=3,
+    // c2(x,z)=1, N_ref=7 bigrams → nbits=3; c1(x)=4, c1(y)=3;
+    // unigram (w side): c_u(y)=3, c_u(x)=3, c_u(z)=1
+    val docs = Seq(
+      (1L, "x y x y x y x z", "en", "a", 15L),
+      (2L, "x y x y", "en", "b", 7L), // seen: bits 1,0,1 → 2 over 3
+      (3L, "z z", "en", "b", 3L),     // backoff: 2+3−bitlen(1)=4
+      (4L, "q q", "en", "b", 3L))     // OOV: 2+3+1=6
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.TextStats.backoffLmFilterOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(2L).getAs[Long]("total_bits") == 2L &&
+      got(2L).getAs[Long]("n_backoff") == 0L &&
+      got(2L).getAs[Long]("n_oov") == 0L &&
+      got(2L).getAs[Long]("centi_bits") == 66L &&
+      got(2L).getAs[String]("band") == "head")
+    assert(got(3L).getAs[Long]("total_bits") == 4L &&
+      got(3L).getAs[Long]("n_backoff") == 1L &&
+      got(3L).getAs[Long]("n_oov") == 0L)
+    assert(got(4L).getAs[Long]("total_bits") == 6L &&
+      got(4L).getAs[Long]("n_backoff") == 0L &&
+      got(4L).getAs[Long]("n_oov") == 1L)
+    // the ref doc scores itself: every bigram seen, zero OOV
+    assert(got(1L).getAs[Long]("n_oov") == 0L &&
+      got(1L).getAs[Long]("n_backoff") == 0L)
+    graft.ops.Materialize.releaseAll(spark)
+  }
+
   test("inc4: exact below k, estimator kicks in above k, merged kth equals the JVM global min-k replay") {
     import java.sql.Timestamp
     def ev(id: Long, u: Long, day: Int) = (id, Timestamp.valueOf(

@@ -985,6 +985,26 @@ class PlanSpec extends AnyFunSuite {
       "vocab-sized model should broadcast at test scale: " + p.take(2000))
   }
 
+  test("tx44 backoff LM: pair stream and bigram model materialize once; every model join keyed or broadcast") {
+    val p = plan("tx44_backoff_lm")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // unigram counts and N_ref derive from the bigram checkpoint —
+    // the scoring plan reads NO parquet at all (pairs are checkpointed
+    // too); only the 1-row total rides a nested-loop broadcast
+    assert("FileScan parquet".r.findAllIn(p).size == 0, p.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
+  test("priv3 t-closeness: one customer scan; the dense grid crosses audit-bounded dims only") {
+    val p = plan("priv3_t_closeness")
+    // one corpus aggregation; groups/bands/total re-aggregate it
+    assert("FileScan parquet".r.findAllIn(p).size <= 2, // customer + nation dim
+      p.take(2000))
+    // the (groups × bands) cross is the bounded census grid riding a
+    // broadcast — assert it did NOT plan as a shuffle cartesian
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("g13 residuals: rounds ride checkpoints, per-round stats are keyed self-joins") {
     val p = plan("g13_pagerank_residuals")
     assert(!p.contains("CartesianProduct"), p.take(2000))
