@@ -88,11 +88,27 @@ object Bench {
     * smaller ([[envelopeFor]]) — without that, a default-4-CPU run
     * would spuriously flag an idle machine. The scaling is the
     * first-order core-count model only; the artifact records the
-    * envelope it actually used. */
+    * envelope it actually used.
+    *
+    * The constant is an sf0.1-tier floor model; at bigger tiers the
+    * calib query's own warm floor rises (sf1: ~0.20 s for the 6M-row
+    * scan-agg) and an absolute 0.30 leaves so little headroom that the
+    * bench's own GC flaps a checkpoint over it (measured: one 0.303 s
+    * reading flagged 20 queries on an idle machine). The effective
+    * envelope is therefore ALSO floored at 2× the measured warm floor
+    * of this run's warmup samples — the design intent ("sustained
+    * external load inflates the floor itself") made relative to the
+    * tier instead of absolute. At sf0.1 (floor ≈ 0.12) the static
+    * 0.30 still dominates, preserving cross-round continuity. */
   val CalibEnvelopeSec = 0.30
 
   def envelopeFor(cpus: Int): Double =
     CalibEnvelopeSec * math.max(1.0, 32.0 / math.max(1, cpus))
+
+  /** Effective envelope for a run whose measured warm calibration
+    * floor is `warmFloorSec` (min of the untimed warmup samples). */
+  def envelopeFor(cpus: Int, warmFloorSec: Double): Double =
+    math.max(envelopeFor(cpus), 2.0 * warmFloorSec)
 
   /** Pure suspect attribution (spec-tested): query qi sits between the
     * last checkpoint at index <= qi and the first at index > qi; its
@@ -124,16 +140,21 @@ object Bench {
     val doNoop = action != "count"
     val doCount = action != "noop"
     val spark = Harness.session(cpus)
-    val envelope = envelopeFor(cpus.toInt)
     val loadStart = loadAvg()
     // warmup: exercise scan, shuffle, and codegen paths enough times to
     // settle JIT + page cache INDEPENDENT of SPARK_GRAFT_RUNS — a 2-run
     // sf1 sweep otherwise reads its first checkpoint ~2× the warm
     // calibration floor and mass-flags the head of the alphabet as
-    // suspect (measured: checkpoint-0 0.31–0.35 s vs 0.15–0.25 warm)
+    // suspect (measured: checkpoint-0 0.31–0.35 s vs 0.15–0.25 warm).
+    // The warmup samples also measure this tier's warm floor for the
+    // relative envelope (see CalibEnvelopeSec).
     def calibQuery(): Unit =
       Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
-    (1 to 5).foreach(_ => calibQuery())
+    def timeOneWarm(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val warmFloor = (1 to 5).map(_ => timeOneWarm(calibQuery())).min
+    val envelope = envelopeFor(cpus.toInt, warmFloor)
     Tables.events(spark, sfDir).limit(10).collect()
 
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)

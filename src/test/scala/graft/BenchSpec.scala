@@ -15,6 +15,16 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.envelopeFor(0) == Bench.CalibEnvelopeSec * 32) // guard
   }
 
+  test("envelopeFor(cpus, warmFloor): 2x the measured floor when it exceeds the static envelope, static otherwise") {
+    // sf0.1-like floor: static 0.30 dominates — semantics unchanged
+    assert(Bench.envelopeFor(32, 0.12) == Bench.CalibEnvelopeSec)
+    // sf1-like floor: the relative floor takes over (0.303 no longer
+    // flaps a 0.20-floor run)
+    assert(Bench.envelopeFor(32, 0.20) == 0.40)
+    // both scalings compose: the larger wins
+    assert(Bench.envelopeFor(4, 0.20) == Bench.CalibEnvelopeSec * 8)
+  }
+
   test("suspectNames: only queries bounded by an over-envelope checkpoint are flagged") {
     val names = (0 until 30).map(i => f"q$i%02d")
     // checkpoints before q0, before q10, before q20, after q29;
