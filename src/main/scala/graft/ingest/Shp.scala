@@ -67,6 +67,13 @@ object Shp {
       val rings: Rings = shapeType match {
         case 0 => Seq.empty
         case 5 | 15 | 25 =>
+          // the part/point counts live at content bytes 36..44 — the
+          // declared content must cover them BEFORE they are read, or
+          // a truncated record would index past the buffer (raw
+          // IndexOutOfBounds) or silently read the next record's bytes
+          require(contentBytes >= 44,
+            s"$path record $recNo: polygon record content $contentBytes " +
+              "bytes < 44-byte minimum (type+box+counts)")
           val numParts = le.getInt(c + 36)
           val numPoints = le.getInt(c + 40)
           require(numParts >= 0 && numPoints >= 0 &&

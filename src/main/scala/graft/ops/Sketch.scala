@@ -893,9 +893,12 @@ object Sketch {
   def exactMedian(s: SparkSession, d: String): DataFrame =
     exactMedianOf(Tables.lineitem(s, d))
 
-  /** [[exactMedian]] over an explicit lineitem frame. */
-  def exactMedianOf(lineitem: DataFrame): DataFrame = {
-    val spark = lineitem.sparkSession
+  /** Shared pass 1 of the exact-selection family (hq2 median, hq3
+    * quantile panel): non-null cents projection, MedianShift bucket
+    * histogram (the driver holds only the O(domain/1024) histogram),
+    * and the total count. */
+  private def centsHistogram(lineitem: DataFrame)
+      : (DataFrame, Array[org.apache.spark.sql.Row], Long) = {
     val c = lineitem
       .filter(col("l_extendedprice").isNotNull)
       .select(cents(col("l_extendedprice")).as("cents"))
@@ -905,10 +908,23 @@ object Sketch {
       .orderBy("bucket")
       .collect()
     require(hist.length <= 100000,
-      s"median histogram ${hist.length} buckets — widen MedianShift")
-    val n = hist.map(_.getAs[Long]("cnt")).sum
-    val k1 = (n + 1) / 2
-    val k2 = (n + 2) / 2
+      s"selection histogram ${hist.length} buckets — widen MedianShift")
+    (c, hist, hist.map(_.getAs[Long]("cnt")).sum)
+  }
+
+  /** Shared RECURSIVE HISTOGRAM NARROWING over a PANEL of 1-based
+    * ranks: locate each rank's bucket by cumulative walk, then at each
+    * level re-histogram ALL still-active buckets in ONE distributed
+    * hash aggregation (range predicate = OR of the bucket ranges,
+    * sub-buckets keyed by parent bucket) at a 10-bit-finer shift until
+    * the bucket width is one cent, where bucket == value. k ranks cost
+    * the passes of one; the driver holds ≤1024 rows per active bucket
+    * per level regardless of how many ROWS a bucket holds, so a fully
+    * spiked distribution costs ⌈MedianShift/10⌉ extra linear passes —
+    * never a single-task sort, never a row-count ceiling. */
+  private def narrowRanks(c: DataFrame,
+      hist: Array[org.apache.spark.sql.Row], n: Long,
+      ranks: Seq[Long]): Map[Long, Long] = {
     def bucketOfRank(k: Long): (Long, Long) = {
       var cum = 0L
       hist.foreach { r =>
@@ -918,41 +934,59 @@ object Sketch {
       }
       sys.error(s"rank $k out of range n=$n")
     }
-    val (b1, o1) = bucketOfRank(k1)
-    val (b2, o2) = bucketOfRank(k2)
-    // Recursive histogram narrowing: locate the rank inside bucket b by
-    // re-histogramming the bucket's value range at a 10-bit-finer shift
-    // (≤1024 sub-buckets per level) until the bucket width is one cent,
-    // where bucket == value. Every level is one distributed hash
-    // aggregation behind a parquet-pushable range predicate; the driver
-    // holds ≤1024 rows per level regardless of how many ROWS the bucket
-    // holds, so a fully spiked distribution costs ⌈MedianShift/10⌉ extra
-    // linear passes, never a single-task sort or a row-count ceiling.
-    def kth(b0: Long, off0: Long): Long = {
-      var b = b0; var off = off0; var shift = MedianShift
-      while (shift > 0) {
-        val sub = math.max(0, shift - 10)
+    // (rank, current bucket, offset within bucket)
+    var targets: Seq[(Long, Long, Long)] = ranks.distinct.map { k =>
+      val (b, off) = bucketOfRank(k); (k, b, off)
+    }
+    var shift = MedianShift
+    while (shift > 0) {
+      val sub = math.max(0, shift - 10)
+      val buckets = targets.map(_._2).distinct
+      val cond = buckets.map { b =>
         val lo = b << shift; val hi = (b + 1) << shift
-        val h = c.filter(col("cents") >= lo && col("cents") < hi)
-          .withColumn("sb", shiftright(col("cents"), sub))
-          .groupBy("sb").agg(count(lit(1)).as("cnt"))
-          .orderBy("sb").collect()
-        var cum = 0L; var found = false
-        h.foreach { r =>
-          if (!found) {
+        col("cents") >= lo && col("cents") < hi
+      }.reduce(_ || _)
+      val rows = c.filter(cond)
+        .withColumn("pb", shiftright(col("cents"), shift))
+        .withColumn("sb", shiftright(col("cents"), sub))
+        .groupBy("pb", "sb").agg(count(lit(1)).as("cnt"))
+        .orderBy("pb", "sb")
+        .collect()
+      val byParent = rows.groupBy(_.getAs[Long]("pb"))
+      targets = targets.map { case (k, b, off0) =>
+        var cum = 0L; var found: Option[(Long, Long)] = None
+        byParent.getOrElse(b, Array.empty).foreach { r =>
+          if (found.isEmpty) {
             val sb = r.getAs[Long]("sb"); val ct = r.getAs[Long]("cnt")
-            if (cum < off && off <= cum + ct) { b = sb; off -= cum; found = true }
+            if (cum < off0 && off0 <= cum + ct) found = Some((sb, off0 - cum))
             else cum += ct
           }
         }
-        require(found, s"rank $off0 not found inside bucket $b0 (n=$n)")
-        shift = sub
+        val (nb, noff) = found.getOrElse(
+          sys.error(s"rank offset $off0 not found inside bucket $b (n=$n)"))
+        (k, nb, noff)
       }
-      b
+      shift = sub
     }
-    val v1 = kth(b1, o1)
-    val v2 = if (b2 == b1 && o2 == o1) v1 else kth(b2, o2)
+    targets.map { case (k, v, _) => k -> v }.toMap
+  }
+
+  /** [[exactMedian]] over an explicit lineitem frame. Empty (or
+    * all-null) input emits ONE row with NULL values — exactly the
+    * oracle's scalar-subquery degenerate, not a crash. */
+  def exactMedianOf(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
     import spark.implicits._
+    val (c, hist, n) = centsHistogram(lineitem)
+    val k1 = (n + 1) / 2
+    val k2 = (n + 2) / 2
+    if (n == 0)
+      return Seq((n, k1, k2, Option.empty[Long], Option.empty[Long],
+        Option.empty[Long], Option.empty[Double]))
+        .toDF("n", "k1", "k2", "lo_cents", "hi_cents", "median_x2_cents",
+          "median_cents")
+    val vs = narrowRanks(c, hist, n, Seq(k1, k2))
+    val (v1, v2) = (vs(k1), vs(k2))
     Seq((n, k1, k2, v1, v2, v1 + v2, (v1 + v2) / 2.0d))
       .toDF("n", "k1", "k2", "lo_cents", "hi_cents", "median_x2_cents",
         "median_cents")
@@ -980,67 +1014,19 @@ object Sketch {
   /** [[exactQuantiles]] over an explicit lineitem frame. */
   def exactQuantilesOf(lineitem: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
-    val c = lineitem
-      .filter(col("l_extendedprice").isNotNull)
-      .select(cents(col("l_extendedprice")).as("cents"))
-    val hist = c
-      .withColumn("bucket", shiftright(col("cents"), MedianShift))
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
-      .orderBy("bucket")
-      .collect()
-    require(hist.length <= 100000,
-      s"quantile histogram ${hist.length} buckets — widen MedianShift")
-    val n = hist.map(_.getAs[Long]("cnt")).sum
-    def bucketOfRank(k: Long): (Long, Long) = {
-      var cum = 0L
-      hist.foreach { r =>
-        val b = r.getAs[Long]("bucket"); val ct = r.getAs[Long]("cnt")
-        if (cum < k && k <= cum + ct) return (b, k - cum)
-        cum += ct
-      }
-      sys.error(s"rank $k out of range n=$n")
-    }
-    // (pct, rank, current bucket, offset within bucket)
-    var targets: Seq[(Int, Long, Long, Long)] = QuantilePcts.map { p =>
-      val k = (p.toLong * n + 99L) / 100L // ⌈p·N/100⌉, ≥ 1 for n ≥ 1
-      val (b, off) = bucketOfRank(k)
-      (p, k, b, off)
-    }
-    var shift = MedianShift
-    while (shift > 0) {
-      val sub = math.max(0, shift - 10)
-      // one distributed pass for EVERY active bucket: OR of the range
-      // predicates, sub-histogram keyed by (parent, sub) so each rank
-      // reads only its parent's slice
-      val buckets = targets.map(_._3).distinct
-      val cond = buckets.map { b =>
-        val lo = b << shift; val hi = (b + 1) << shift
-        col("cents") >= lo && col("cents") < hi
-      }.reduce(_ || _)
-      val rows = c.filter(cond)
-        .withColumn("pb", shiftright(col("cents"), shift))
-        .withColumn("sb", shiftright(col("cents"), sub))
-        .groupBy("pb", "sb").agg(count(lit(1)).as("cnt"))
-        .orderBy("pb", "sb")
-        .collect()
-      val byParent = rows.groupBy(_.getAs[Long]("pb"))
-      targets = targets.map { case (p, k, b, off0) =>
-        var cum = 0L; var found: Option[(Long, Long)] = None
-        byParent.getOrElse(b, Array.empty).foreach { r =>
-          if (found.isEmpty) {
-            val sb = r.getAs[Long]("sb"); val ct = r.getAs[Long]("cnt")
-            if (cum < off0 && off0 <= cum + ct) found = Some((sb, off0 - cum))
-            else cum += ct
-          }
-        }
-        val (nb, noff) = found.getOrElse(
-          sys.error(s"rank offset $off0 not found inside bucket $b (n=$n)"))
-        (p, k, nb, noff)
-      }
-      shift = sub
-    }
     import spark.implicits._
-    targets.map { case (p, k, v, _) => (p.toLong, n, k, v) }
+    val (c, hist, n) = centsHistogram(lineitem)
+    // rank = ⌈p·N/100⌉ (1-based, the SQL row_number convention), ≥ 1
+    // for n ≥ 1; on EMPTY input every rank is 0 and value_cents is
+    // NULL — the oracle's scalar-subquery degenerate, not a crash
+    val ranks = QuantilePcts.map(p => (p, (p.toLong * n + 99L) / 100L))
+    if (n == 0)
+      return ranks
+        .map { case (p, k) => (p.toLong, n, k, Option.empty[Long]) }
+        .toDF("pct", "n", "k", "value_cents")
+        .orderBy("pct")
+    val vs = narrowRanks(c, hist, n, ranks.map(_._2))
+    ranks.map { case (p, k) => (p.toLong, n, k, vs(k)) }
       .toDF("pct", "n", "k", "value_cents")
       .orderBy("pct")
   }

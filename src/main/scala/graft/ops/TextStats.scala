@@ -2811,9 +2811,12 @@ object TextStats {
     * materialized bigram model (c_u(w) = Σ_prev c2, N_ref = Σ c2), so
     * the corpus is scanned once for the model and once for scoring,
     * never a third time. Scale: the tx41 pair-stream idiom (array zip,
-    * no window), every model join keyed on its own aggregate's key or
-    * broadcast while the measured model fits (the tx43 posture), the
-    * 1-row total broadcast. */
+    * no window); ONLY the vocab-sized bigram model materializes — the
+    * corpus-scale pair stream is deliberately not checkpointed
+    * (persisting O(corpus tokens) rows to save one re-explode would
+    * store the corpus twice). Every model join is keyed on its own
+    * aggregate's key or broadcast while the measured model fits (the
+    * tx43 posture), the 1-row total broadcast. */
   def backoffLmFilter(s: SparkSession, d: String): DataFrame =
     backoffLmFilterOf(Tables.documents(s, d))
 
@@ -2821,16 +2824,19 @@ object TextStats {
       mode: Materialize.Mode = Materialize.Local): DataFrame = {
     val base = docs.filter(col("text").isNotNull && col("source").isNotNull)
     val toks = words(col("text"))
-    val pairs = Materialize(
-      base
-        .select(col("doc_id"), col("source"), toks.as("t"))
-        .filter(size(col("t")) >= 2 && col("t").getItem(0) =!= "")
-        .select(col("doc_id"), col("source"), explode(arrays_zip(
-          slice(col("t"), lit(1), size(col("t")) - 1).as("prev"),
-          slice(col("t"), lit(2), size(col("t")) - 1).as("w"))).as("p"))
-        .select(col("doc_id"), col("source"),
-          col("p.prev").as("prev"), col("p.w").as("w")),
-      mode, "tx44_pairs")
+    // the corpus-scale pair stream is deliberately NOT materialized
+    // (the tx43 refusal applied to storage: checkpointing O(corpus
+    // tokens) rows to save one re-explode stores the corpus twice);
+    // only the vocab-sized bigram model below goes through the seam —
+    // the scoring pass re-derives pairs from the scan
+    val pairs = base
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .filter(size(col("t")) >= 2 && col("t").getItem(0) =!= "")
+      .select(col("doc_id"), col("source"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("prev"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w"))).as("p"))
+      .select(col("doc_id"), col("source"),
+        col("p.prev").as("prev"), col("p.w").as("w"))
     val refSrc = base.agg(min(col("source")).as("ref_source"))
     val big = Materialize(
       pairs.join(broadcast(refSrc), col("source") === col("ref_source"))

@@ -4052,6 +4052,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hq2/hq3 degenerate: empty input emits NULL-valued rows like the oracle's scalar subquery, not a crash") {
+    val empty = Seq.empty[(Long, Long, Long, Int, Double, Double, Double,
+      Double, String, String, java.sql.Timestamp)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val med = graft.ops.Sketch.exactMedianOf(empty).collect()
+    assert(med.length == 1)
+    assert(med.head.getAs[Long]("n") == 0L &&
+      med.head.isNullAt(med.head.fieldIndex("lo_cents")) &&
+      med.head.isNullAt(med.head.fieldIndex("median_cents")))
+    val qs = graft.ops.Sketch.exactQuantilesOf(empty).collect()
+    assert(qs.length == graft.ops.Sketch.QuantilePcts.length)
+    qs.foreach { r =>
+      assert(r.getAs[Long]("n") == 0L &&
+        r.isNullAt(r.fieldIndex("value_cents")))
+    }
+  }
+
   test("priv3: a group mirroring the global mix scores TVD 0; a concentrated group scores the hand-computed distance") {
     // global mix: bands 1 and 2. Group (A, X) holds 10+10 (exactly the
     // 50/50 global mix after including itself), group (A, Y) holds

@@ -985,13 +985,15 @@ class PlanSpec extends AnyFunSuite {
       "vocab-sized model should broadcast at test scale: " + p.take(2000))
   }
 
-  test("tx44 backoff LM: pair stream and bigram model materialize once; every model join keyed or broadcast") {
+  test("tx44 backoff LM: one corpus scan for scoring, model and its derivatives read the checkpoint") {
     val p = plan("tx44_backoff_lm")
     assert(!p.contains("CartesianProduct"), p.take(2000))
-    // unigram counts and N_ref derive from the bigram checkpoint —
-    // the scoring plan reads NO parquet at all (pairs are checkpointed
-    // too); only the 1-row total rides a nested-loop broadcast
-    assert("FileScan parquet".r.findAllIn(p).size == 0, p.take(2000))
+    // the scoring pass re-derives the pair stream from ONE corpus scan
+    // (the pair stream is deliberately NOT checkpointed — storing
+    // O(corpus tokens) rows to save a re-explode is the wrong trade);
+    // unigram counts and N_ref derive from the vocab-sized bigram
+    // checkpoint; only the 1-row total rides a nested-loop broadcast
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(2000))
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
   }
 

@@ -91,6 +91,18 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(a.toSeq == b.toSeq,
       s"typed and string wide variants diverge:\n${a.toSeq}\nvs\n${b.toSeq}")
+    // the consumer-facing wrapper itself (table-dir entry point) carries
+    // the typed schema and renders to the q1b oracle form on real data
+    val wrapper = graft.model.Pricing.pricingSummaryWideTyped(spark, GraftSpark.sf)
+    sums.foreach(c => assert(wrapper.schema(c).dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0)))
+    val rendered = wrapper
+      .select((key ++ sums).map(c => col(c).cast("string")): _*)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val oracleForm = graft.model.Pricing.pricingSummaryWide(spark, GraftSpark.sf)
+      .select((key ++ sums).map(col): _*)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rendered.toSeq == oracleForm.toSeq)
   }
 
   test("severity is total and monotone over arbitrary magnitudes") {

@@ -214,6 +214,23 @@ class ShpSpec extends AnyFunSuite {
     assert(e.getMessage.contains("header claims"))
   }
 
+  test("shp reader: polygon record with sub-minimal content length fails loudly before reading counts") {
+    // shapeType=5 but only 8 bytes of content — the 44-byte minimum
+    // (type+box+counts) is checked BEFORE numParts/numPoints are read,
+    // so a truncated tail record raises the loud require, never a raw
+    // IndexOutOfBounds or a silent read into the next record
+    val content = 8
+    val bb = headerBytes(100 + 8 + content, (100 + 8 + content) / 2)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(100, 1); bb.putInt(104, content / 2)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(108, 5)
+    val e = intercept[IllegalArgumentException] {
+      Shp.readRecords(writeTo("tiny.shp", bb))
+    }
+    assert(e.getMessage.contains("44-byte minimum"))
+  }
+
   test("shp reader: point/part counts exceeding declared content fail loudly") {
     // declare a minimal polygon record but claim a billion points
     val content = 4 + 32 + 8 + 4 // type+box+counts+one part index, no points
