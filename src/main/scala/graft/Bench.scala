@@ -107,12 +107,22 @@ object Bench {
 
   /** Effective envelope for a run whose measured warm calibration
     * floor is `warmFloorSec` (min of the untimed warmup samples).
-    * Callers must gate this on an IDLE start (loadavg < 1): a
-    * co-tenant load spanning the warmup inflates the floor and would
-    * otherwise self-mask the sustained-load case — main() falls back
-    * to the static envelope when the machine starts loaded. */
+    * Callers must gate this on an IDLE warmup (loadavg < 1 sampled
+    * BOTH before and after the warmup — the 1-minute average lags, so
+    * a co-tenant load starting seconds before the bench can pass a
+    * single pre-warmup reading while inflating every warmup sample):
+    * a loaded warmup inflates the floor and would otherwise self-mask
+    * exactly the sustained-load case the suspect gate exists to catch
+    * — main() falls back to the static envelope when either reading
+    * is loaded. Defense in depth for the lag the re-sample can't
+    * close (a load starting mid-warmup barely moves a 1-minute
+    * average): the relative floor is CAPPED at 4× the static
+    * envelope, so even a floor measured under undetected load can
+    * never widen the envelope past a bound that still catches the
+    * 3–6× inflation of the observed interference episodes. */
   def envelopeFor(cpus: Int, warmFloorSec: Double): Double =
-    math.max(envelopeFor(cpus), 2.0 * warmFloorSec)
+    math.min(math.max(envelopeFor(cpus), 2.0 * warmFloorSec),
+      4.0 * envelopeFor(cpus))
 
   /** Pure suspect attribution (spec-tested): query qi sits between the
     * last checkpoint at index <= qi and the first at index > qi; its
@@ -163,8 +173,13 @@ object Bench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
     val warmFloor = (1 to 5).map(_ => timeOne(calibQuery())).min
+    // re-sample AFTER the warmup: the 1-minute loadavg lags, so a load
+    // that started just before the bench reads idle pre-warmup but has
+    // climbed by the time the warmup (which it polluted) finishes
+    val loadWarm = loadAvg()
+    def idle(l: Double) = l >= 0 && l < 1.0
     val envelope =
-      if (loadStart >= 0 && loadStart < 1.0) envelopeFor(cpus.toInt, warmFloor)
+      if (idle(loadStart) && idle(loadWarm)) envelopeFor(cpus.toInt, warmFloor)
       else envelopeFor(cpus.toInt)
     Tables.events(spark, sfDir).limit(10).collect()
 

@@ -28,6 +28,16 @@ object LogSink {
   private def esc(s: String): String =
     graft.functions.Functions.jsonEscape(s)
 
+  /** Structured event line (tag/status/detail) to the same append-only
+    * sink [[writeWithLog]] uses — for ingest-side tolerated-row events
+    * that must survive a cluster run (a stderr println does not: it
+    * scrolls past in a driver log nobody tails, and vanishes entirely
+    * on an executor). */
+  def event(logPath: String, tag: String, status: String,
+      detail: String): Unit =
+    append(logPath, s"""{"tag":"${esc(tag)}","status":"${esc(status)}",""" +
+      s""""detail":"${esc(detail)}"}""")
+
   /** Parquet write with a per-action metrics log line. Returns the
     * observed row count. */
   def writeWithLog(df: DataFrame, tag: String, outPath: String,

@@ -45,8 +45,32 @@ object Shp {
     * tolerable row, and silently mis-seeking would desync every
     * subsequent record. Content length arithmetic is Long throughout
     * (a hostile 32-bit word count otherwise overflows Int and walks
-    * `off` backwards into an infinite loop). */
-  def readRecords(path: String): Seq[(Int, Rings)] = {
+    * `off` backwards into an infinite loop).
+    *
+    * Tolerance accounting: each unsupported-type record appends a
+    * structured line to `logPath`'s [[LogSink]] when given (the
+    * durable channel — stderr vanishes on a cluster; without a path
+    * the event still lands in the driver log via slf4j), and a file
+    * whose EVERY non-Null record is unsupported fails loudly — a
+    * wholly-wrong-typed file (point/polyline data fed to a polygon
+    * reader) must not load as all-empty geometry. */
+  def readRecords(path: String): Seq[(Int, Rings)] =
+    readRecords(path, None)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ingest.Shp")
+
+  def readRecords(path: String, logPath: Option[String]): Seq[(Int, Rings)] = {
+    var tolerated = 0
+    def skip(recNo: Int, t: Int): Unit = {
+      tolerated += 1
+      val msg = s"$path record $recNo: shape type $t unsupported " +
+        "(polygons only) — keeping record with empty geometry to " +
+        "preserve .dbf pairing"
+      logPath match {
+        case Some(lp) => LogSink.event(lp, "shp_skip", "tolerated", msg)
+        case None => log.warn(msg)
+      }
+    }
     val bytes = Files.readAllBytes(Paths.get(path))
     val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     require(be.getInt(0) == 9994, s"$path: not a shapefile (bad magic)")
@@ -95,16 +119,18 @@ object Shp {
             }
           }
         case t =>
-          System.err.println(
-            s"graft.ingest.Shp: $path record $recNo: shape type $t " +
-              "unsupported (polygons only) — keeping record with empty " +
-              "geometry to preserve .dbf pairing")
+          skip(recNo, t)
           Seq.empty
       }
       out += ((recNo, rings))
       off = off + 8 + contentBytes
     }
-    out.result()
+    val recs = out.result()
+    if (recs.nonEmpty && tolerated == recs.size)
+      sys.error(s"$path: all ${recs.size} records are unsupported shape " +
+        "types — not a polygon shapefile (tolerance covers MIXED files, " +
+        "not wholly-wrong-typed ones)")
+    recs
   }
 
   private val ringsType =
@@ -112,8 +138,9 @@ object Shp {
 
   /** The .shp as a DataFrame: (rec_no long, rings
     * array<array<array<double>>>), file record order preserved. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val rows = readRecords(path).map { case (n, rings) =>
+  def read(spark: SparkSession, path: String,
+      logPath: Option[String] = None): DataFrame = {
+    val rows = readRecords(path, logPath).map { case (n, rings) =>
       Row(n.toLong, rings.map(_.map(p => p)).asInstanceOf[Seq[Any]])
     }
     spark.createDataFrame(
@@ -126,8 +153,9 @@ object Shp {
     * `rings` geometry column, zipped by record order (the format's
     * contract: .shp record N ↔ .dbf row N). `base` is the path without
     * extension. */
-  def readWithAttributes(spark: SparkSession, base: String): DataFrame = {
-    val geo = readRecords(s"$base.shp")
+  def readWithAttributes(spark: SparkSession, base: String,
+      logPath: Option[String] = None): DataFrame = {
+    val geo = readRecords(s"$base.shp", logPath)
     val attrs = Dbf.read(spark, s"$base.dbf")
     val attrRows = attrs.collect() // one job; row count checked below
     require(attrRows.length == geo.length,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -17,17 +17,31 @@ import graft.functions.Functions
   */
 object Privacy {
 
+  /** Exact integer FLOOR division (DuckDB `//` semantics) for a
+    * positive constant divisor: `a − pmod(a,b)` is exactly divisible
+    * by `b`, so the truncating integral `div` equals the floor — long
+    * arithmetic throughout, full input domain. Spark's `/` is double
+    * division and `div` truncates toward zero; both agree with the
+    * oracle's `//` only for nonnegative numerators, which held for
+    * TPC-H balances (≥ −999.99 before the +1000.00 shift) but was a
+    * silent cross-engine divergence for any balance ≤ −1000.00. */
+  private[graft] def floorDiv(a: Column, b: Long): Column = {
+    require(b > 0, s"floorDiv divisor must be positive, got $b")
+    call_function("div", a - pmod(a, lit(b)), lit(b))
+  }
+
   /** priv1 — k-anonymity / l-diversity audit: QI = (market segment,
     * nation), sensitive attribute = the account-balance band (integer
     * cents shifted nonnegative, then 1000-currency-unit integer bands
-    * so both engines bucket identically). Emits the per-group support,
-    * distinct sensitive bands, and 0/1 flags against k=5 / l=3 —
-    * integer flags, not booleans, to keep the compare engine-neutral. */
+    * so both engines bucket identically; the band is a FLOOR division
+    * so the parity holds even off the shifted-nonnegative domain).
+    * Emits the per-group support, distinct sensitive bands, and 0/1
+    * flags against k=5 / l=3 — integer flags, not booleans, to keep
+    * the compare engine-neutral. */
   def kAnonymityAudit(s: SparkSession, d: String): DataFrame = {
     val nat = Tables.nation(s, d)
       .select(col("n_nationkey"), col("n_name").as("nation"))
-    val sens = ((Functions.cents(col("c_acctbal")) + 100000L) / 100000L)
-      .cast("long")
+    val sens = floorDiv(Functions.cents(col("c_acctbal")) + 100000L, 100000L)
     Tables.customer(s, d)
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"), "left")
       .select(col("c_mktsegment").as("segment"), col("nation"),
@@ -66,8 +80,8 @@ object Privacy {
     * reduced to a fixed ladder, which is what a release checklist
     * actually runs. The joined base materializes ONCE (localCheckpoint,
     * the a29/dq7 fork rule); each rung is one keyed aggregation over
-    * it, output is 4 rows. Bands shift cents nonnegative before the
-    * all-positive truncating division, priv1's exact idiom. */
+    * it, output is 4 rows. Bands use [[floorDiv]] (exact `//` parity
+    * on the full domain), priv1's idiom. */
   def generalizationLadder(s: SparkSession, d: String): DataFrame = {
     val nat = Tables.nation(s, d)
       .select(col("n_nationkey"), col("n_name").as("nation"))
@@ -88,7 +102,7 @@ object Privacy {
       2L -> Some(2500000L), 3L -> None)
     rungs.map { case (level, width) =>
       val banded = width match {
-        case Some(w) => base.withColumn("band", expr(s"shifted div $w"))
+        case Some(w) => base.withColumn("band", floorDiv(col("shifted"), w))
         case None => base.withColumn("band", lit(0L))
       }
       banded.groupBy("segment", "nation", "band")
@@ -149,16 +163,23 @@ object Privacy {
     * cell table (never a second scan — the tx32 pool-counts rule); the
     * dense (group × band) grid is a cross join of two AUDIT-BOUNDED
     * dims (#QI groups × #bands — census cells, not corpus rows), so it
-    * broadcasts at any corpus scale. Overflow envelope: |c_gv·N| ≤
-    * n_g·N ≤ N² — exact in bigint through N ≈ 3e9; past that, cast the
-    * products decimal(38,0) (the q1b discipline). Nation joins INNER
-    * (complete FK catalog) so the grid's equi-join never meets a NULL
-    * key, where SQL and Spark null semantics would diverge. */
+    * broadcasts at any corpus scale. Overflow envelope: each product
+    * |c_gv·N| ≤ n_g·N ≤ N² and the per-group sum ≤ 2·n_g·N ≤ 2N², so
+    * LONG math is exact only through N ≈ 2.1e9 — the products and sum
+    * therefore compute in decimal(38,0) (the q1b discipline), exact
+    * through N ≈ 7e18, i.e. any long-countable corpus. The per-mille
+    * division runs on the decimals (IntegralDivide → bigint; the
+    * quotient ≤ 1000 always fits, and its 1000× numerator keeps
+    * 38-digit exactness through N ≈ 2e17); the bigint `tvd_num` presentation
+    * column raises LOUDLY if the exact decimal ever exceeds bigint
+    * (N > ≈2.1e9 with a maximally-concentrated group) rather than
+    * wrapping or nulling. Nation joins INNER (complete FK catalog) so
+    * the grid's equi-join never meets a NULL key, where SQL and Spark
+    * null semantics would diverge. */
   def tCloseness(s: SparkSession, d: String): DataFrame = {
     val nat = Tables.nation(s, d)
       .select(col("n_nationkey"), col("n_name").as("nation"))
-    val sens = ((Functions.cents(col("c_acctbal")) + 100000L) / 100000L)
-      .cast("long")
+    val sens = floorDiv(Functions.cents(col("c_acctbal")) + 100000L, 100000L)
     tClosenessOf(
       Tables.customer(s, d)
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
@@ -170,11 +191,20 @@ object Privacy {
     * The cell table MATERIALIZES once (the priv2/tx32 fork rule):
     * groups, bands, grand total and the grid probe all read the
     * checkpoint — one corpus aggregation, not four scans. */
-  private[graft] def tClosenessOf(qi: DataFrame): DataFrame = {
-    val cells = graft.ops.Materialize(
+  private[graft] def tClosenessOf(qi: DataFrame): DataFrame =
+    tClosenessFromCells(graft.ops.Materialize(
       qi.groupBy("segment", "nation", "band")
         .agg(count(lit(1)).as("c_gv")),
-      graft.ops.Materialize.Local, "priv3_cells")
+      graft.ops.Materialize.Local, "priv3_cells"))
+
+  /** [[tCloseness]] from an already-aggregated (segment, nation, band,
+    * c_gv) cell table — the arithmetic core, factored so the overflow
+    * boundary (cell counts past long-product exactness) is testable
+    * without materializing billions of rows. All products and the
+    * per-group sum run in decimal(38,0); see [[tCloseness]]'s envelope
+    * note. */
+  private[graft] def tClosenessFromCells(cells: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val groups = cells.groupBy("segment", "nation")
       .agg(sum(col("c_gv")).as("n_g"))
     val bands = cells.groupBy("band").agg(sum(col("c_gv")).as("c_v"))
@@ -185,11 +215,18 @@ object Privacy {
       .na.fill(0L, Seq("c_gv"))
       .crossJoin(broadcast(total))
       .groupBy(col("segment"), col("nation"), col("n_g"), col("n_tot"))
-      .agg(sum(abs(col("c_gv") * col("n_tot") - col("c_v") * col("n_g")))
-        .as("tvd_num"))
+      .agg(sum(abs(col("c_gv").cast(dec) * col("n_tot") -
+        col("c_v").cast(dec) * col("n_g"))).as("tvd_dec"))
       .select(col("segment"), col("nation"), col("n_g").as("n"),
-        col("tvd_num"),
-        expr("(1000 * tvd_num) div (2 * n_g * n_tot)").as("tvd_pm"))
+        // bigint presentation: loud failure past bigint, never a
+        // silent wrap (long math) or null (unchecked decimal cast)
+        when(col("tvd_dec") <= lit(Long.MaxValue).cast(dec),
+          col("tvd_dec").cast("long"))
+          .otherwise(raise_error(lit(
+            "priv3: tvd_num exceeds bigint; read tvd_pm (exact)")))
+          .as("tvd_num"),
+        call_function("div", col("tvd_dec") * lit(1000),
+          col("n_g").cast(dec) * col("n_tot") * lit(2)).as("tvd_pm"))
       .withColumn("t_close_ok",
         when(col("tvd_pm") <= 200L, 1L).otherwise(0L))
       .orderBy("segment", "nation")

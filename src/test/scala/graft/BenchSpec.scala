@@ -21,6 +21,11 @@ class BenchSpec extends AnyFunSuite {
     // sf1-like floor: the relative floor takes over (0.303 no longer
     // flaps a 0.20-floor run)
     assert(Bench.envelopeFor(32, 0.20) == 0.40)
+    // the relative floor is CAPPED at 4x static: a warm floor measured
+    // under load the 1-minute loadavg hadn't caught yet must not widen
+    // the envelope past the bound that catches 3-6x interference
+    assert(Bench.envelopeFor(32, 1.0) == 4.0 * Bench.CalibEnvelopeSec)
+    assert(Bench.envelopeFor(32, 100.0) == 4.0 * Bench.CalibEnvelopeSec)
     // both scalings compose: the larger wins
     assert(Bench.envelopeFor(4, 0.20) == Bench.CalibEnvelopeSec * 8)
   }

@@ -4098,6 +4098,60 @@ class OpsSpec extends AnyFunSuite {
     got.values.foreach(r => assert(r.getAs[Long]("tvd_pm") <= 1000L))
   }
 
+  test("priv3 boundary: cell counts past long-product exactness stay exact (decimal products), and a tvd_num past bigint raises instead of wrapping") {
+    // counts ~4e9: N = 16e9+1, so each product c_gv*N ~ 6.4e19 OVERFLOWS
+    // long (max 9.2e18) — long arithmetic would wrap silently; the
+    // decimal(38,0) path must reproduce the BigInt-exact answer. Groups
+    // nearly mirror the global mix so tvd_num itself stays small.
+    val c = 4_000_000_000L
+    val cells = Seq(
+      ("A", "X", 1L, c), ("A", "X", 2L, c),
+      ("A", "Y", 1L, c), ("A", "Y", 2L, c + 1L))
+      .toDF("segment", "nation", "band", "c_gv")
+    val got = graft.ops.Privacy.tClosenessFromCells(cells).collect()
+      .map(r => r.getAs[String]("nation") -> r).toMap
+    // BigInt replay of the definition
+    val N = BigInt(4) * c + 1
+    val (c1, c2) = (BigInt(2) * c, BigInt(2) * c + 1)
+    def tvd(g1: BigInt, g2: BigInt): (BigInt, BigInt) = {
+      val ng = g1 + g2
+      val num = (g1 * N - c1 * ng).abs + (g2 * N - c2 * ng).abs
+      (num, (1000 * num) / (2 * ng * N))
+    }
+    val (xNum, xPm) = tvd(BigInt(c), BigInt(c))
+    // the test really is past long-product exactness: each |c_gv*N| term
+    // overflows bigint even though their differences (the answer) are small
+    assert(BigInt(c) * N > BigInt(Long.MaxValue))
+    assert(BigInt(got("X").getAs[Long]("tvd_num")) == xNum)
+    assert(BigInt(got("X").getAs[Long]("tvd_pm")) == xPm)
+    val (yNum, yPm) = tvd(BigInt(c), BigInt(c) + 1)
+    assert(BigInt(got("Y").getAs[Long]("tvd_num")) == yNum)
+    assert(BigInt(got("Y").getAs[Long]("tvd_pm")) == yPm)
+    // maximally-concentrated groups at this scale push tvd_num itself
+    // past bigint: the presentation column must raise loudly
+    val over = Seq(("A", "X", 1L, c), ("A", "Y", 2L, c))
+      .toDF("segment", "nation", "band", "c_gv")
+    val e = intercept[Exception] {
+      graft.ops.Privacy.tClosenessFromCells(over).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("tvd_num exceeds bigint")))
+  }
+
+  test("priv floorDiv: exact DuckDB // parity on negative numerators where truncating division diverges") {
+    val df = Seq(-250000L, -100001L, -100000L, -1L, 0L, 1L, 99999L,
+      100000L, 250000L).toDF("v")
+      .select(col("v"), graft.ops.Privacy.floorDiv(col("v"), 100000L).as("q"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (v, q) =>
+      assert(q == Math.floorDiv(v, 100000L), s"floorDiv($v)") }
+    // the divergence case the ADVICE named: -250000/-100001 floor to
+    // -3/-2, where truncate-toward-zero gives -2/-1
+    assert(got(-250000L) == -3L && got(-100001L) == -2L)
+  }
+
   test("tx44: seen bigrams charge conditional bits, unseen back off to the unigram + penalty, OOV pays the full charge") {
     // ref slice (source "a"): x y x y x y x z → c2(x,y)=3, c2(y,x)=3,
     // c2(x,z)=1, N_ref=7 bigrams → nbits=3; c1(x)=4, c1(y)=3;

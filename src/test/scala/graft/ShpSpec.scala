@@ -270,10 +270,53 @@ class ShpSpec extends AnyFunSuite {
     ring.zipWithIndex.foreach { case ((x, y), j) =>
       bb.putDouble(c + 48 + 16 * j, x); bb.putDouble(c + 48 + 16 * j + 8, y)
     }
-    val recs = Shp.readRecords(writeTo("mixed.shp", bb))
+    val path = writeTo("mixed.shp", bb)
+    val logPath = Files.createTempFile("shp_skips", ".log").toString
+    val recs = Shp.readRecords(path, Some(logPath))
     assert(recs.map(_._1) == Seq(1, 2))
     assert(recs(0)._2.isEmpty) // point record tolerated, geometry empty
     assert(recs(1)._2 == Seq(ring.map(p => Seq(p._1, p._2))))
+    // the tolerated skip landed in the DURABLE log sink (S17's channel),
+    // not just stderr — one structured line naming record and type
+    val lines = Files.readAllLines(java.nio.file.Paths.get(logPath))
+    assert(lines.size == 1)
+    assert(lines.get(0).contains("\"tag\":\"shp_skip\"") &&
+      lines.get(0).contains("\"status\":\"tolerated\"") &&
+      lines.get(0).contains("record 1") &&
+      lines.get(0).contains("shape type 1"))
+  }
+
+  test("shp reader: a file whose EVERY record is unsupported fails loudly instead of loading all-empty geometry") {
+    // two point records (type 1, 20-byte content each): tolerance is
+    // for MIXED files; a wholly-wrong-typed file must not pass silently
+    val fileLen = 100 + 2 * (8 + 20)
+    val bb = headerBytes(fileLen, fileLen / 2)
+    (0 until 2).foreach { i =>
+      val off = 100 + i * 28
+      bb.order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(off, i + 1); bb.putInt(off + 4, 10)
+      bb.order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(off + 8, 1) // Point
+      bb.putDouble(off + 12, 7.0); bb.putDouble(off + 20, 7.0)
+    }
+    val logPath = Files.createTempFile("shp_allskip", ".log").toString
+    val e = intercept[RuntimeException] {
+      Shp.readRecords(writeTo("allpoints.shp", bb), Some(logPath))
+    }
+    assert(e.getMessage.contains("all 2 records are unsupported"))
+    // an all-Null-shape file is NOT the same case: Null is a legal
+    // polygon-file member (empty geometry by spec), so it still loads
+    val nullLen = 100 + 2 * (8 + 4)
+    val nb = headerBytes(nullLen, nullLen / 2)
+    (0 until 2).foreach { i =>
+      val off = 100 + i * 12
+      nb.order(ByteOrder.BIG_ENDIAN)
+      nb.putInt(off, i + 1); nb.putInt(off + 4, 2)
+      nb.order(ByteOrder.LITTLE_ENDIAN)
+      nb.putInt(off + 8, 0) // Null shape
+    }
+    val nulls = Shp.readRecords(writeTo("allnull.shp", nb))
+    assert(nulls.map(_._1) == Seq(1, 2) && nulls.forall(_._2.isEmpty))
   }
 
   test("spatialJoin over the parsed shapefile equals the synthesized dim on identical geometry") {
