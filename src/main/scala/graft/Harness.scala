@@ -7,13 +7,27 @@ import org.apache.spark.sql.SparkSession
   * (e.g. a missing `nanosAsLong`) would fail only at runtime on the
   * events table, so the recipe lives once. */
 object Harness {
+
   def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // cores-count STATIC baseline; corpus-scale pipelines ratchet
+      // this up from MEASURED bytes at the Materialize seam
+      // (Materialize.ratchetShufflePartitions) — the data-size-derived
+      // partition rule the 100x probe demanded. A GLOBAL headroom
+      // (AQE initialPartitionNum = 8x cores) was measured and
+      // rejected: numShufflePartitions would loosen the auto
+      // shuffled-hash budget 8x at EVERY tier (distcc 2.6x slower at
+      // 40x) while the seam ratchet widens the layout, and with it
+      // that budget, only when measured data says so.
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // pin the AQE coalesce target explicitly (it is also the seam
+      // ratchet's bytes-per-partition target — the two must agree or
+      // ratcheted layouts would coalesce right back down)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
       // non-broadcast joins: build a per-partition hash map when one
       // side's HONEST size (the Materialize seam measures checkpointed
       // intermediates) fits the canBuildLocalHashMap budget

@@ -36,6 +36,7 @@ object ScaleProbeFocus {
       // generation cost. (A longer footer makes short-doc pairs
       // genuinely qualify and the quadratic OUTPUT drowns the signal —
       // measured 409k→39.6M pairs at 1×→10× with a 10-token footer.)
+      def parts() = spark.conf.get("spark.sql.shuffle.partitions")
       val docsG = ScaleProbe.replicated(spark, sfDir, n)
         .withColumn("text", concat(col("text"), lit(" all rights reserved")))
         .localCheckpoint(true)
@@ -43,6 +44,7 @@ object ScaleProbeFocus {
       val (tJacB, jacBPairs) = time {
         graft.ops.Dedup.ngramJaccardPairsOf(docsG).count()
       }
+      val jacParts = parts() // the seam ratchet's layout, pre-release
       graft.ops.Materialize.releaseAll(spark)
       val docsH = ScaleProbe.replicated(spark, sfDir, n).localCheckpoint(true)
       val (tDcc, dccLabeled) = time {
@@ -51,10 +53,13 @@ object ScaleProbeFocus {
           .select(col("doc_a").as("u"), col("doc_b").as("v"))
         graft.ops.Dedup.labelPropagation(pairsDf, localThreshold = 0L).count()
       }
+      val dccParts = parts()
       graft.ops.Materialize.releaseAll(spark)
       println(f"""{"factor":$n,"docs":$nDocs,""" +
         f""""jacboiler_sec":$tJacB%.2f,"jacboiler_pairs":$jacBPairs,""" +
-        f""""distcc_sec":$tDcc%.2f,"distcc_labeled":$dccLabeled}""")
+        f""""jacboiler_parts":$jacParts,""" +
+        f""""distcc_sec":$tDcc%.2f,"distcc_labeled":$dccLabeled,""" +
+        f""""distcc_parts":$dccParts}""")
     }
     spark.stop()
   }

@@ -49,8 +49,8 @@ object Materialize {
       // checkpoint several times and a serialized level taxes every
       // read); the measurement pass sums exact UnsafeRow binary sizes
       // instead, so the stats still mean on-wire bytes.
-      org.apache.spark.sql.graft.Bridge
-        .withMeasuredStats(df.localCheckpoint(true))
+      ratchetShufflePartitions(org.apache.spark.sql.graft.Bridge
+        .withMeasuredStats(df.localCheckpoint(true)))
     case Storage(dir) =>
       val path = s"$dir/$name"
       df.write.mode("overwrite").parquet(path)
@@ -62,7 +62,67 @@ object Materialize {
       // entries too) but correct; misses re-count from parquet footer
       // statistics.
       counts.filterInPlace { case ((s, _), _) => s ne df.sparkSession }
-      df.sparkSession.read.parquet(path)
+      ratchetShufflePartitions(df.sparkSession.read.parquet(path))
+  }
+
+  /** Cap on the seam ratchet, as a multiple of the session's static
+    * `spark.sql.shuffle.partitions`: bounds single-box bookkeeping
+    * (task count, shuffle block count) while covering a decade of
+    * per-box data growth; past it a cluster adds executors, which
+    * raises the static count and the cap with it. */
+  val PartitionHeadroom = 8
+
+  /** Pure sizing rule (spec-pinned): partitions for a pipeline whose
+    * dominant materialized table measures `bytes`, targeting the AQE
+    * advisory bytes-per-partition — never below the static count,
+    * never above [[PartitionHeadroom]]× it. */
+  private[graft] def partitionsFor(bytes: BigInt, advisoryBytes: Long,
+      staticParts: Int): Int = {
+    val ideal = ((bytes + advisoryBytes - 1) / advisoryBytes)
+      .min(BigInt(PartitionHeadroom) * staticParts).toInt
+    math.max(staticParts, ideal)
+  }
+
+  /** Session's pre-ratchet `shuffle.partitions`, recorded the first
+    * time the ratchet runs so [[releaseAll]] can restore it. */
+  private val staticParts =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
+  /** The data-size-derived shuffle-partition rule (the 100× probe's
+    * one nonlinearity was per-partition shuffle volume outgrowing the
+    * FIXED cores-count layout — distcc 89 s at 32 partitions, 20 s at
+    * 64, structure exactly linear): every materialization already
+    * measures its exact bytes for the stats seam, and a pipeline's
+    * downstream shuffles (self-joins, keyed re-aggregations of the
+    * checkpoint) move that same order of bytes — so when the measured
+    * size divided by the AQE advisory target exceeds the session's
+    * static partition count, RAISE `spark.sql.shuffle.partitions` so
+    * per-partition volume stays at the advisory. Monotone up within a
+    * query lifecycle (two checkpoints race benignly — the larger
+    * wins), restored by [[releaseAll]]; a small-tier pipeline never
+    * ratchets, so its plans — and the shuffled-hash budget
+    * `threshold × partitions` that [[hashJoinIfFits]] and Spark's own
+    * canBuildLocalHashMap read — are byte-identical to the fixed
+    * layout. Measured bytes are UNCOMPRESSED UnsafeRow sizes while
+    * AQE coalesces on compressed map outputs, so the ratchet
+    * over-provisions by the compression factor and AQE trims the
+    * excess — the safe direction. A global AQE initialPartitionNum
+    * headroom was measured and REJECTED in favor of this: it widens
+    * the hash-build budget and the per-shuffle bookkeeping at every
+    * tier whether or not the data warrants it (distcc 2.6× slower at
+    * 40×). */
+  private def ratchetShufflePartitions(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val static = staticParts
+      .getOrElseUpdate(spark, spark.conf.get("spark.sql.shuffle.partitions"))
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+    val target = partitionsFor(
+      org.apache.spark.sql.graft.Bridge.rootSizeInBytes(df),
+      advisory, static.toInt)
+    if (target > spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      spark.conf.set("spark.sql.shuffle.partitions", target.toString)
+    df
   }
 
   /** Stats-GATED shuffled-hash hint, for the two join shapes where
@@ -98,6 +158,15 @@ object Materialize {
     val (sign, mag) = if (raw.startsWith("-")) (-1L, raw.substring(1)) else (1L, raw)
     val threshold =
       sign * org.apache.spark.network.util.JavaUtils.byteStringAsBytes(mag)
+    // the CURRENT session count — the static cores baseline, or the
+    // seam ratchet's data-derived value (ratchetShufflePartitions),
+    // which is also what Spark's own numShufflePartitions reads here
+    // (no AQE initialPartitionNum is set): the budget grows only when
+    // measured data has already widened the layout, so per-task builds
+    // stay threshold-bounded. (A fixed 8x-wider budget was measured
+    // and rejected: it let the dd4 `sets` join hash-build array-heavy
+    // 64 MB post-coalesce partitions at the 100x tier — 6x slower
+    // than its sort-merge plan.)
     val parts = conf.get("spark.sql.shuffle.partitions", "200").toLong
     val size = org.apache.spark.sql.graft.Bridge.rootSizeInBytes(df)
     if (threshold > 0 && size < BigInt(threshold) * parts)
@@ -161,5 +230,10 @@ object Materialize {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     counts.filterInPlace { case ((s, _), _) => s ne spark }
+    // lifecycle end: un-ratchet the shuffle layout (see
+    // ratchetShufflePartitions) so the next query re-derives from ITS
+    // data instead of inheriting the biggest table seen so far
+    staticParts.remove(spark)
+      .foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
   }
 }

@@ -2811,12 +2811,17 @@ object TextStats {
     * materialized bigram model (c_u(w) = Σ_prev c2, N_ref = Σ c2), so
     * the corpus is scanned once for the model and once for scoring,
     * never a third time. Scale: the tx41 pair-stream idiom (array zip,
-    * no window); ONLY the vocab-sized bigram model materializes — the
+    * no window); ONLY the vocab-sized model tables materialize — the
     * corpus-scale pair stream is deliberately not checkpointed
     * (persisting O(corpus tokens) rows to save one re-explode would
-    * store the corpus twice). Every model join is keyed on its own
-    * aggregate's key or broadcast while the measured model fits (the
-    * tx43 posture), the 1-row total broadcast. */
+    * store the corpus twice). The bigram table and its prev-marginal
+    * PRE-JOIN into one (prev, w, c2, c1) model before scoring — they
+    * share the (prev, w) key, and a vocab-sized join at model-build
+    * time saves one corpus-stream join at score time: the pair stream
+    * meets TWO model tables (the pre-joined model on (prev, w), the
+    * unigram marginal on w), not three — two broadcasts while the
+    * measured model fits (the tx43 posture), two keyed shuffles of the
+    * stream instead of three past it. The 1-row total broadcasts. */
   def backoffLmFilter(s: SparkSession, d: String): DataFrame =
     backoffLmFilterOf(Tables.documents(s, d))
 
@@ -2842,13 +2847,16 @@ object TextStats {
       pairs.join(broadcast(refSrc), col("source") === col("ref_source"))
         .groupBy("prev", "w").agg(count(lit(1)).as("c2")),
       mode, "tx44_big")
+    // pre-join the prev-marginal onto the bigram table (vocab-sized
+    // join, shared key) and re-materialize so the scoring join sees
+    // MEASURED stats for the combined model — see the scaladoc
     val c1 = big.groupBy("prev").agg(sum(col("c2")).as("c1"))
+    val model = Materialize(big.join(c1, Seq("prev")), mode, "tx44_model")
     val cu = big.groupBy("w").agg(sum(col("c2")).as("c_u"))
     val tot = big.agg(
       length(bin(coalesce(sum(col("c2")), lit(0L)))).cast("long").as("nbits"))
     pairs
-      .join(big, Seq("prev", "w"), "left")
-      .join(c1, Seq("prev"), "left")
+      .join(model, Seq("prev", "w"), "left")
       .join(cu, Seq("w"), "left")
       .crossJoin(broadcast(tot))
       .withColumn("bits",

@@ -477,6 +477,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged == oneShot)
   }
 
+  test("checkpoint-restart under a CHANGED source: duplicate file delivery and a torn final commit both stay exactly-once (T3)") {
+    import spark.implicits._
+    // the two restart hazards the basic recovery test doesn't reach:
+    //   (a) an upstream that re-delivers an ALREADY-PROCESSED file under
+    //       a new name while the stream is down (at-least-once upstream
+    //       semantics — the file source keys seen-files by PATH, so the
+    //       copy is a brand-new file to it and WILL be delivered);
+    //   (b) a crash BETWEEN the foreachBatch side-effect and the offset
+    //       commit (simulated by deleting the final commit marker):
+    //       Structured Streaming re-runs that batch on restart —
+    //       foreachBatch is at-least-once by contract — and the MERGE
+    //       sink's anti-join must make the replay a no-op.
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ckpt2_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    val schema = Seq((0L, "")).toDF("k", "src").schema
+    val target0 = Seq((1L, "seed")).toDF("k", "src")
+    var target = target0
+    val batchIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink = Streams.mergeEachBatch(() => target, b => target = b, Seq("k"))
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batchIds.synchronized { batchIds += id }
+        sink(b, id)
+      }
+      .start()
+    Seq((2L, "new")).toDF("k", "src").coalesce(1).write.mode("append").parquet(inDir)
+    Seq((3L, "also")).toDF("k", "src").coalesce(1).write.mode("append").parquet(inDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val idsBefore = batchIds.toList
+    assert(target.as[(Long, String)].collect().toMap ==
+      Map(1L -> "seed", 2L -> "new", 3L -> "also"))
+    // (a) while DOWN: byte-for-byte copy of an already-processed parquet
+    // file under a new name, plus one genuinely new file
+    val firstFile = new java.io.File(inDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).minBy(_.getName)
+    java.nio.file.Files.copy(firstFile.toPath,
+      new java.io.File(inDir, "redelivered_" + firstFile.getName).toPath)
+    Seq((4L, "late")).toDF("k", "src").coalesce(1).write.mode("append").parquet(inDir)
+    // (b) while DOWN: tear the final offset commit — the classic
+    // crash-after-side-effect window
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    val torn = commits.maxBy(_.getName.toInt)
+    assert(torn.delete(), s"could not tear commit ${torn.getName}")
+    // the local checksum fs keeps a .N.crc sidecar; a REAL torn write
+    // leaves neither, and a stale crc makes the re-commit rename fail
+    new java.io.File(torn.getParentFile, s".${torn.getName}.crc").delete()
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val idsAfter = batchIds.toList.drop(idsBefore.size)
+    // the torn batch re-delivers (same id), nothing EARLIER does
+    assert(idsAfter.head == idsBefore.max,
+      s"torn commit ${idsBefore.max} did not replay first: $idsAfter")
+    assert(idsAfter.forall(_ >= idsBefore.max),
+      s"restart re-delivered fully-committed batches: $idsAfter")
+    // exactly-once OUTPUT despite at-least-once delivery: the replayed
+    // batch and the re-delivered file both merge to no-ops
+    val merged = target.as[(Long, String)].collect().toMap
+    assert(merged ==
+      Map(1L -> "seed", 2L -> "new", 3L -> "also", 4L -> "late"))
+    val oneShot = graft.merge.Upsert
+      .antiJoinUpsert(target0, spark.read.parquet(inDir), Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(merged == oneShot)
+  }
+
   test("file-source replay: maxFilesPerTrigger micro-batches deliver every row exactly once (T1)") {
     import spark.implicits._
     // the monthly-batch capability (T1) as a real file stream: the
