@@ -26,8 +26,15 @@ object Harness {
       .config("spark.sql.adaptive.enabled", "true")
       // pin the AQE coalesce target explicitly (it is also the seam
       // ratchet's bytes-per-partition target — the two must agree or
-      // ratcheted layouts would coalesce right back down)
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+      // ratcheted layouts would coalesce right back down). 32 MB, not
+      // Spark's 64 MB default: the round-10 bisect of the 100x distcc
+      // bend put the win zone at per-task volumes <= ~32 MB of
+      // UnsafeRow bytes for the sort/hash-heavy dedup pipelines
+      // (89 s at ~47 MB/task, 20 s at ~23 MB/task) — and the 100x
+      // tier's dominant checkpoints measure ~1.5 GB, which a 64 MB
+      // target would leave at the cores-count layout (measured:
+      // ratchet never engaged, parts=32 in the probe row)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32MB")
       // non-broadcast joins: build a per-partition hash map when one
       // side's HONEST size (the Materialize seam measures checkpointed
       // intermediates) fits the canBuildLocalHashMap budget

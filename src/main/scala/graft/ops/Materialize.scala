@@ -88,18 +88,33 @@ object Materialize {
   private val staticParts =
     scala.collection.concurrent.TrieMap.empty[SparkSession, String]
 
+  /** Measured bytes accumulated across the lifecycle's
+    * materializations — the ratchet's size signal. The SUM, not the
+    * max: a pipeline's downstream shuffles move its WORKING SET
+    * (shingle stream + signatures + band tables + per-round
+    * label-propagation state), which the single biggest checkpoint
+    * under-states severalfold — measured at the 100× tier, where the
+    * dedup pipelines' individual tables sit just under 1 GB each and
+    * a max-trigger left the layout at the cores count while the
+    * working set was the 2–3 GB the round-10 bisect sized its
+    * manual fix for. Reset by [[releaseAll]]. */
+  private val lifecycleBytes =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, BigInt]
+
   /** The data-size-derived shuffle-partition rule (the 100× probe's
     * one nonlinearity was per-partition shuffle volume outgrowing the
     * FIXED cores-count layout — distcc 89 s at 32 partitions, 20 s at
     * 64, structure exactly linear): every materialization already
     * measures its exact bytes for the stats seam, and a pipeline's
     * downstream shuffles (self-joins, keyed re-aggregations of the
-    * checkpoint) move that same order of bytes — so when the measured
-    * size divided by the AQE advisory target exceeds the session's
-    * static partition count, RAISE `spark.sql.shuffle.partitions` so
-    * per-partition volume stays at the advisory. Monotone up within a
-    * query lifecycle (two checkpoints race benignly — the larger
-    * wins), restored by [[releaseAll]]; a small-tier pipeline never
+    * checkpoints) move its WORKING SET — the lifecycle's accumulated
+    * measured bytes ([[lifecycleBytes]]) — so when that sum divided by
+    * the AQE advisory target exceeds the session's static partition
+    * count, RAISE `spark.sql.shuffle.partitions` so per-partition
+    * volume stays at the advisory. Monotone up within a query
+    * lifecycle (the accumulator only grows; concurrent checkpoints
+    * race benignly through an atomic update), restored by
+    * [[releaseAll]]; a small-tier pipeline never
     * ratchets, so its plans — and the shuffled-hash budget
     * `threshold × partitions` that [[hashJoinIfFits]] and Spark's own
     * canBuildLocalHashMap read — are byte-identical to the fixed
@@ -117,9 +132,11 @@ object Materialize {
       .getOrElseUpdate(spark, spark.conf.get("spark.sql.shuffle.partitions"))
     val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
-    val target = partitionsFor(
-      org.apache.spark.sql.graft.Bridge.rootSizeInBytes(df),
-      advisory, static.toInt)
+    val seen = lifecycleBytes.updateWith(spark) { prev =>
+      Some(prev.getOrElse(BigInt(0)) +
+        org.apache.spark.sql.graft.Bridge.rootSizeInBytes(df))
+    }.get
+    val target = partitionsFor(seen, advisory, static.toInt)
     if (target > spark.conf.get("spark.sql.shuffle.partitions").toInt)
       spark.conf.set("spark.sql.shuffle.partitions", target.toString)
     df
@@ -230,9 +247,11 @@ object Materialize {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     counts.filterInPlace { case ((s, _), _) => s ne spark }
-    // lifecycle end: un-ratchet the shuffle layout (see
-    // ratchetShufflePartitions) so the next query re-derives from ITS
-    // data instead of inheriting the biggest table seen so far
+    // lifecycle end: un-ratchet the shuffle layout and zero the
+    // working-set accumulator (see ratchetShufflePartitions) so the
+    // next query re-derives from ITS data instead of inheriting this
+    // one's
+    lifecycleBytes.remove(spark)
     staticParts.remove(spark)
       .foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
   }

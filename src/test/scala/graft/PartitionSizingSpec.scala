@@ -50,10 +50,17 @@ class PartitionSizingSpec extends AnyFunSuite {
       assert(ratcheted > static.toInt,
         s"measured ~3MB over a 128KB advisory must widen $static")
       assert(ratcheted <= 8 * static.toInt) // never past the cap
-      // monotone: a SMALLER later table must not narrow the layout
+      // monotone ACCUMULATION: a later table grows the working-set sum
+      // (downstream shuffles move the whole set, not the max table) —
+      // the layout never narrows mid-lifecycle, and a second
+      // same-sized table widens it further (pre-cap)
       Materialize((0 until 10).map(i => (i.toLong, "q")).toDF("k", "s"),
         Materialize.Local, "ratchet_probe_small")
-      assert(spark.conf.get(key).toInt == ratcheted)
+      assert(spark.conf.get(key).toInt >= ratcheted)
+      Materialize(big, Materialize.Local, "ratchet_probe_again")
+      val accumulated = spark.conf.get(key).toInt
+      assert(accumulated > ratcheted || accumulated == 8 * static.toInt,
+        s"second ~3MB table must widen the working-set layout past $ratcheted")
       // lifecycle end restores the static count
       Materialize.releaseAll(spark)
       assert(spark.conf.get(key) == static)
