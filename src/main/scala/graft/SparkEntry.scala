@@ -101,6 +101,8 @@ object SparkEntry {
     "j9_cdc_latest" -> (Upsert.cdcLatestMerge _),
     "rc1_keyed_diff" -> (Reconcile.keyedDiffQuery _),
     "hll1_lang_distinct" -> (graft.ops.Sketch.hllLangDistinct _),
+    "ch1_chunk_windows" -> (graft.ops.Chunking.chunkWindows _),
+    "ch2_chunk_boilerplate" -> (graft.ops.Chunking.chunkBoilerplate _),
     "cms1_heavy_hitters" -> ((s, d) => graft.ops.Sketch.cmsHeavyHitters(s, d)),
     "hq1_histogram_quantiles" -> (graft.ops.Sketch.histQuantiles _),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
@@ -535,6 +537,8 @@ object SparkEntry {
     "j9_cdc_latest" -> Upsert.cdcLatestMergeOracle,
     "rc1_keyed_diff" -> Reconcile.keyedDiffOracle,
     "hll1_lang_distinct" -> graft.ops.Sketch.hllLangDistinctOracle,
+    "ch1_chunk_windows" -> graft.ops.Chunking.chunkWindowsOracle,
+    "ch2_chunk_boilerplate" -> graft.ops.Chunking.chunkBoilerplateOracle,
     "cms1_heavy_hitters" -> graft.ops.Sketch.cmsHeavyHittersOracle,
     "bf1_bloom_decontam" -> graft.ops.Sketch.bloomDecontaminateOracle,
     "hq1_histogram_quantiles" -> graft.ops.Sketch.histQuantilesOracle,

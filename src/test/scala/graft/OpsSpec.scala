@@ -4152,6 +4152,56 @@ class OpsSpec extends AnyFunSuite {
     assert(got(-250000L) == -3L && got(-100001L) == -2L)
   }
 
+  test("ch1: windows cover every token with the configured overlap; the last chunk may be short; whitespace-only docs yield none") {
+    // 130 tokens at W=64/S=48: K = ceil((130-64)/48) = 2 -> chunks at
+    // starts 1/49/97 with lengths 64/64/34
+    val toks130 = (1 to 130).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, toks130, "en", "a", 1L),
+      (2L, "one two three", "en", "a", 1L), // n < W -> exactly 1 chunk
+      (3L, "   \t  ", "en", "a", 1L),       // whitespace-only -> none
+      (4L, null.asInstanceOf[String], "en", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.Chunking.chunkWindowsOf(docs).collect()
+    val byDoc = got.groupBy(_.getAs[Long]("doc_id"))
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    val d1 = byDoc(1L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(d1.map(r => (r.getAs[Long]("start_tok"),
+      r.getAs[Long]("n_chunk_tokens"))).toSeq ==
+      Seq((1L, 64L), (49L, 64L), (97L, 34L)))
+    // boundary-spanning coverage: chunk 1 starts inside chunk 0
+    assert(d1(1).getAs[String]("chunk_text").startsWith("t49 t50"))
+    assert(d1(2).getAs[String]("chunk_text").endsWith("t130"))
+    val d2 = byDoc(2L)
+    assert(d2.length == 1 &&
+      d2.head.getAs[String]("chunk_text") == "one two three" &&
+      d2.head.getAs[Long]("n_chunk_tokens") == 3L)
+  }
+
+  test("ch2: verbatim-shared chunks count once per doc, whole-doc uniqueness does not mask block sharing") {
+    // docs 1 and 2 share one exact 32-token block but differ elsewhere
+    // (full-text md5 unique, so dd1-style dedup passes them); doc 3 is
+    // all-original
+    val block = (1 to 32).map(i => s"b$i").mkString(" ")
+    val ones = (1 to 32).map(i => s"x$i").mkString(" ")
+    val twos = (1 to 32).map(i => s"y$i").mkString(" ")
+    val threes = (1 to 32).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block $ones", "en", "a", 1L),   // chunks: block, ones
+      (2L, s"$block $twos", "en", "a", 1L),   // chunks: block, twos
+      (3L, s"$threes", "en", "a", 1L))        // chunk: threes
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.Chunking.chunkBoilerplateOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_chunks") == 2L &&
+      got(1L).getAs[Long]("n_shared_chunks") == 1L &&
+      got(1L).getAs[Long]("shared_bp") == 5000L)
+    assert(got(2L).getAs[Long]("n_shared_chunks") == 1L)
+    assert(got(3L).getAs[Long]("n_shared_chunks") == 0L &&
+      got(3L).getAs[Long]("shared_bp") == 0L)
+    graft.ops.Materialize.releaseAll(spark)
+  }
+
   test("tx44: seen bigrams charge conditional bits, unseen back off to the unigram + penalty, OOV pays the full charge") {
     // ref slice (source "a"): x y x y x y x z → c2(x,y)=3, c2(y,x)=3,
     // c2(x,z)=1, N_ref=7 bigrams → nbits=3; c1(x)=4, c1(y)=3;

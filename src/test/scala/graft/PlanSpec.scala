@@ -14,6 +14,20 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("ch1 chunking: no shuffle besides the output sort — the explode stays map-side in codegen") {
+    val p = plan("ch1_chunk_windows")
+    // exactly one Exchange: the final ORDER BY's range partitioning;
+    // chunk derivation must add no keyed shuffle of the token stream
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+    assert(p.contains("Generate explode"), p.take(2000))
+  }
+
+  test("ch2 boilerplate audit: one documents scan; df aggregate and probe both read the chunk checkpoint") {
+    val p = plan("ch2_chunk_boilerplate")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
   test("dd4 prefix path: no cartesian, one corpus scan, keyed joins only") {
     val p = plan("dd4_ngram_jaccard")
     assert(!p.contains("CartesianProduct"), "prefix join degraded to cartesian")
