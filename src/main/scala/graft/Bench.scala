@@ -107,19 +107,20 @@ object Bench {
 
   /** Effective envelope for a run whose measured warm calibration
     * floor is `warmFloorSec` (min of the untimed warmup samples).
-    * Callers must gate this on an IDLE warmup (loadavg < 1 sampled
-    * BOTH before and after the warmup — the 1-minute average lags, so
-    * a co-tenant load starting seconds before the bench can pass a
-    * single pre-warmup reading while inflating every warmup sample):
-    * a loaded warmup inflates the floor and would otherwise self-mask
-    * exactly the sustained-load case the suspect gate exists to catch
-    * — main() falls back to the static envelope when either reading
-    * is loaded. Defense in depth for the lag the re-sample can't
-    * close (a load starting mid-warmup barely moves a 1-minute
-    * average): the relative floor is CAPPED at 4× the static
-    * envelope, so even a floor measured under undetected load can
-    * never widen the envelope past a bound that still catches the
-    * 3–6× inflation of the observed interference episodes. */
+    * Callers must gate this on an IDLE start (pre-warmup loadavg < 1;
+    * a post-warmup re-sample is useless — it reads the bench's OWN
+    * warmup burst): a loaded warmup inflates the floor and would
+    * otherwise self-mask exactly the sustained-load case the suspect
+    * gate exists to catch. Because the 1-minute average lags a load
+    * that starts seconds before the bench, the relative floor is ALSO
+    * CAPPED at 4× the static envelope — a floor measured under
+    * undetected load can never widen the envelope past a bound that
+    * still catches the 3–6× inflation of the observed interference
+    * episodes. Tier bound: the cap assumes the tier's genuine idle
+    * floor is under ~2× static (true at sf0.1/sf1, the full-Bench
+    * tiers); a tier whose idle floor exceeds the cap (sf10-class)
+    * would mass-flag — that tier is measured via BenchFocus, which
+    * has no suspect gate, by design. */
   def envelopeFor(cpus: Int, warmFloorSec: Double): Double =
     math.min(math.max(envelopeFor(cpus), 2.0 * warmFloorSec),
       4.0 * envelopeFor(cpus))
@@ -173,13 +174,17 @@ object Bench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
     val warmFloor = (1 to 5).map(_ => timeOne(calibQuery())).min
-    // re-sample AFTER the warmup: the 1-minute loadavg lags, so a load
-    // that started just before the bench reads idle pre-warmup but has
-    // climbed by the time the warmup (which it polluted) finishes
-    val loadWarm = loadAvg()
-    def idle(l: Double) = l >= 0 && l < 1.0
+    // gate on the PRE-warmup loadavg only: a post-warmup re-sample
+    // cannot distinguish a co-tenant from the bench's own just-finished
+    // 32-thread warmup burst (the same reason checkpoint loadavg is
+    // recorded for attribution, never gated on) — on an idle machine it
+    // would intermittently disable the relative envelope and resurrect
+    // the sf1 warm-floor flapping it exists to fix. The residual
+    // hazard (a load starting seconds before the bench that the lagging
+    // 1-minute average hasn't surfaced) is bounded by the 4× cap inside
+    // envelopeFor instead.
     val envelope =
-      if (idle(loadStart) && idle(loadWarm)) envelopeFor(cpus.toInt, warmFloor)
+      if (loadStart >= 0 && loadStart < 1.0) envelopeFor(cpus.toInt, warmFloor)
       else envelopeFor(cpus.toInt)
     Tables.events(spark, sfDir).limit(10).collect()
 

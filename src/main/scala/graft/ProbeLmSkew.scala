@@ -60,7 +60,11 @@ object ProbeLmSkew {
         base.withColumn("doc_id", col("doc_id") + lit(i.toLong * stride))
       }.reduce(_ unionByName _).localCheckpoint(true)
     }
-    println(s"[lmskew] docs=${docs().count()} (factor $factor, unsalted)")
+    // count-and-release: the announcement must not leave a second x40
+    // corpus resident through the first measured configuration
+    val nDocs = docs().count()
+    graft.ops.Materialize.releaseAll(spark)
+    println(s"[lmskew] docs=$nDocs (factor $factor, unsalted)")
 
     def run(tag: String, op: String, broadcastOff: Boolean,
         skewOn: Boolean): Unit = {
@@ -82,10 +86,14 @@ object ProbeLmSkew {
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
       val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // corpus rebuilt BEFORE the listener registers: otherwise the
+      // replication/checkpoint stages (heavy, unskewed) can win the
+      // worst-stage tally and the skew statistic describes the wrong
+      // stage entirely
+      val d = docs()
       val stats = new TaskStats
       spark.sparkContext.addSparkListener(stats)
       try {
-        val d = docs()
         val t0 = System.nanoTime()
         val out = op match {
           case "tx43" => graft.ops.TextStats.refLmFilterOf(d)

@@ -59,17 +59,25 @@ object Shp {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ingest.Shp")
 
+  /** Per-file cap on individually-logged skips: a wholly-wrong-typed
+    * file with millions of records must not pay one open-append-close
+    * log write per record on its way to the loud failure — the tail
+    * is summarized in one closing line instead. */
+  private val MaxLoggedSkips = 100
+
   def readRecords(path: String, logPath: Option[String]): Seq[(Int, Rings)] = {
     var tolerated = 0
+    var nulls = 0
+    def emit(msg: String): Unit = logPath match {
+      case Some(lp) => LogSink.event(lp, "shp_skip", "tolerated", msg)
+      case None => log.warn(msg)
+    }
     def skip(recNo: Int, t: Int): Unit = {
       tolerated += 1
-      val msg = s"$path record $recNo: shape type $t unsupported " +
-        "(polygons only) — keeping record with empty geometry to " +
-        "preserve .dbf pairing"
-      logPath match {
-        case Some(lp) => LogSink.event(lp, "shp_skip", "tolerated", msg)
-        case None => log.warn(msg)
-      }
+      if (tolerated <= MaxLoggedSkips)
+        emit(s"$path record $recNo: shape type $t unsupported " +
+          "(polygons only) — keeping record with empty geometry to " +
+          "preserve .dbf pairing")
     }
     val bytes = Files.readAllBytes(Paths.get(path))
     val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
@@ -89,7 +97,7 @@ object Shp {
       val c = (off + 8).toInt
       val shapeType = le.getInt(c)
       val rings: Rings = shapeType match {
-        case 0 => Seq.empty
+        case 0 => nulls += 1; Seq.empty
         case 5 | 15 | 25 =>
           // the part/point counts live at content bytes 36..44 — the
           // declared content must cover them BEFORE they are read, or
@@ -126,10 +134,18 @@ object Shp {
       off = off + 8 + contentBytes
     }
     val recs = out.result()
-    if (recs.nonEmpty && tolerated == recs.size)
-      sys.error(s"$path: all ${recs.size} records are unsupported shape " +
-        "types — not a polygon shapefile (tolerance covers MIXED files, " +
-        "not wholly-wrong-typed ones)")
+    if (tolerated > MaxLoggedSkips)
+      emit(s"$path: ${tolerated - MaxLoggedSkips} further unsupported-type " +
+        s"records tolerated (first $MaxLoggedSkips logged individually)")
+    // denominator excludes Null shapes: Null is a legal member of ANY
+    // shapefile type, so a wrong-typed file that happens to carry a few
+    // Null records must still fail — the tolerance is for files whose
+    // POLYGON content is merely mixed with something else
+    val nonNull = recs.size - nulls
+    if (nonNull > 0 && tolerated == nonNull)
+      sys.error(s"$path: all $nonNull non-Null records are unsupported " +
+        "shape types — not a polygon shapefile (tolerance covers MIXED " +
+        "files, not wholly-wrong-typed ones)")
     recs
   }
 

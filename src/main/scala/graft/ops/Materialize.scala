@@ -62,8 +62,19 @@ object Materialize {
       // entries too) but correct; misses re-count from parquet footer
       // statistics.
       counts.filterInPlace { case ((s, _), _) => s ne df.sparkSession }
-      ratchetShufflePartitions(df.sparkSession.read.parquet(path))
+      // the read-back frame's stats are COMPRESSED parquet bytes, while
+      // the ratchet rule is calibrated for the uncompressed UnsafeRow
+      // bytes Local mode measures — scale by a typical columnar
+      // expansion so Storage-mode pipelines err over-provisioned (the
+      // safe direction, AQE trims excess), never under
+      ratchetShufflePartitions(df.sparkSession.read.parquet(path),
+        byteScale = ParquetExpansion)
   }
+
+  /** Typical parquet→UnsafeRow expansion for the ratchet's
+    * Storage-mode signal (columnar encoding + compression commonly
+    * shrinks row data 3–6×; 4 errs high, which AQE coalesce absorbs). */
+  val ParquetExpansion = 4
 
   /** Cap on the seam ratchet, as a multiple of the session's static
     * `spark.sql.shuffle.partitions`: bounds single-box bookkeeping
@@ -126,7 +137,8 @@ object Materialize {
     * the hash-build budget and the per-shuffle bookkeeping at every
     * tier whether or not the data warrants it (distcc 2.6× slower at
     * 40×). */
-  private def ratchetShufflePartitions(df: DataFrame): DataFrame = {
+  private def ratchetShufflePartitions(df: DataFrame,
+      byteScale: Int = 1): DataFrame = {
     val spark = df.sparkSession
     val static = staticParts
       .getOrElseUpdate(spark, spark.conf.get("spark.sql.shuffle.partitions"))
@@ -134,7 +146,7 @@ object Materialize {
       spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
     val seen = lifecycleBytes.updateWith(spark) { prev =>
       Some(prev.getOrElse(BigInt(0)) +
-        org.apache.spark.sql.graft.Bridge.rootSizeInBytes(df))
+        org.apache.spark.sql.graft.Bridge.rootSizeInBytes(df) * byteScale)
     }.get
     val target = partitionsFor(seen, advisory, static.toInt)
     if (target > spark.conf.get("spark.sql.shuffle.partitions").toInt)

@@ -20,11 +20,14 @@ object Privacy {
   /** Exact integer FLOOR division (DuckDB `//` semantics) for a
     * positive constant divisor: `a − pmod(a,b)` is exactly divisible
     * by `b`, so the truncating integral `div` equals the floor — long
-    * arithmetic throughout, full input domain. Spark's `/` is double
-    * division and `div` truncates toward zero; both agree with the
-    * oracle's `//` only for nonnegative numerators, which held for
-    * TPC-H balances (≥ −999.99 before the +1000.00 shift) but was a
-    * silent cross-engine divergence for any balance ≤ −1000.00. */
+    * arithmetic throughout, exact for every numerator above
+    * Long.MinValue + b (below that, the `a − pmod` step underflows;
+    * no band arithmetic here operates within b of the long floor).
+    * Spark's `/` is double division and `div` truncates toward zero;
+    * both agree with the oracle's `//` only for nonnegative
+    * numerators, which held for TPC-H balances (≥ −999.99 before the
+    * +1000.00 shift) but was a silent cross-engine divergence for any
+    * balance ≤ −1000.00. */
   private[graft] def floorDiv(a: Column, b: Long): Column = {
     require(b > 0, s"floorDiv divisor must be positive, got $b")
     call_function("div", a - pmod(a, lit(b)), lit(b))

@@ -12,9 +12,11 @@ object GraftSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // mirror Harness: size-driven hash-vs-sort-merge choice (see
-      // Harness.scala) so plan gates test the shipping configuration
+      // mirror Harness: size-driven hash-vs-sort-merge choice and the
+      // 32MB advisory (the seam ratchet's bytes-per-partition target —
+      // see Harness.scala) so plan gates test the shipping configuration
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32MB")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

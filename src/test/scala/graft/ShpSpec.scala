@@ -303,7 +303,28 @@ class ShpSpec extends AnyFunSuite {
     val e = intercept[RuntimeException] {
       Shp.readRecords(writeTo("allpoints.shp", bb), Some(logPath))
     }
-    assert(e.getMessage.contains("all 2 records are unsupported"))
+    assert(e.getMessage.contains("all 2 non-Null records are unsupported"))
+    // Null records must NOT launder a wrong-typed file past the guard:
+    // 1 Null + 2 Points still fails (Null is legal in ANY shapefile
+    // type, so it says nothing about the file being polygon data)
+    val mixLen = 100 + (8 + 4) + 2 * (8 + 20)
+    val mb = headerBytes(mixLen, mixLen / 2)
+    mb.order(ByteOrder.BIG_ENDIAN)
+    mb.putInt(100, 1); mb.putInt(104, 2)
+    mb.order(ByteOrder.LITTLE_ENDIAN)
+    mb.putInt(108, 0) // Null shape
+    (0 until 2).foreach { i =>
+      val off = 112 + i * 28
+      mb.order(ByteOrder.BIG_ENDIAN)
+      mb.putInt(off, i + 2); mb.putInt(off + 4, 10)
+      mb.order(ByteOrder.LITTLE_ENDIAN)
+      mb.putInt(off + 8, 1) // Point
+      mb.putDouble(off + 12, 7.0); mb.putDouble(off + 20, 7.0)
+    }
+    val e2 = intercept[RuntimeException] {
+      Shp.readRecords(writeTo("nullpoints.shp", mb))
+    }
+    assert(e2.getMessage.contains("all 2 non-Null records are unsupported"))
     // an all-Null-shape file is NOT the same case: Null is a legal
     // polygon-file member (empty geometry by spec), so it still loads
     val nullLen = 100 + 2 * (8 + 4)
