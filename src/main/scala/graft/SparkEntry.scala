@@ -103,6 +103,7 @@ object SparkEntry {
     "hll1_lang_distinct" -> (graft.ops.Sketch.hllLangDistinct _),
     "ch1_chunk_windows" -> (graft.ops.Chunking.chunkWindows _),
     "ch2_chunk_boilerplate" -> (graft.ops.Chunking.chunkBoilerplate _),
+    "dd24_url_canonical" -> (graft.ops.Curation.urlCanonicalDedup _),
     "cms1_heavy_hitters" -> ((s, d) => graft.ops.Sketch.cmsHeavyHitters(s, d)),
     "hq1_histogram_quantiles" -> (graft.ops.Sketch.histQuantiles _),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
@@ -539,6 +540,7 @@ object SparkEntry {
     "hll1_lang_distinct" -> graft.ops.Sketch.hllLangDistinctOracle,
     "ch1_chunk_windows" -> graft.ops.Chunking.chunkWindowsOracle,
     "ch2_chunk_boilerplate" -> graft.ops.Chunking.chunkBoilerplateOracle,
+    "dd24_url_canonical" -> graft.ops.Curation.urlCanonicalDedupOracle,
     "cms1_heavy_hitters" -> graft.ops.Sketch.cmsHeavyHittersOracle,
     "bf1_bloom_decontam" -> graft.ops.Sketch.bloomDecontaminateOracle,
     "hq1_histogram_quantiles" -> graft.ops.Sketch.histQuantilesOracle,

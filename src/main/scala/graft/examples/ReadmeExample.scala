@@ -28,10 +28,15 @@ object ReadmeExample {
     // one analytics model for breadth: the severity rollup (a6)
     val sev = graft.model.Analytics.severityByNation(spark, sfDir)
     sev.show(5)
+    // consume every result BEFORE releaseAll: it unpersists the
+    // localCheckpoint blocks Materialize-seamed frames read from, and
+    // truncated lineage cannot recompute — counting after the release
+    // fails for any frame with a Materialize seam in its plan
+    val nSev = sev.count()
 
     Materialize.releaseAll(spark)
     println(s"[readme-example] OK: ${n} near-dup pairs, " +
-      s"${sev.count()} severity rows from $sfDir")
+      s"${nSev} severity rows from $sfDir")
     spark.stop()
   }
 }

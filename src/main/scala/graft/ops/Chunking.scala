@@ -38,6 +38,20 @@ object Chunking {
     .withColumn("n", size(col("l")).cast("long"))
     .filter(col("n") >= 1L && col("l").getItem(0) =!= "")
 
+  /** Spark's `slice` takes Int indices; a token stream past ~2^31
+    * would wrap the Long→Int cast NEGATIVE, and a negative slice start
+    * indexes from the array END — silently wrong chunk_text instead of
+    * a loud failure. Valid rows pass straight through the first branch
+    * (slice start ≤ n ≤ array max length, far under Int range for any
+    * real document); a hostile row raises. The guard lives inside the
+    * consumed expression so the optimizer can never prune it. */
+  private def intSliceStart(start: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(start <= lit(Int.MaxValue.toLong), start.cast("int"))
+      .otherwise(raise_error(concat(
+        lit("chunking: slice start overflows Int: "),
+        start.cast("string"))).cast("int"))
+
   /** Chunk skeleton for window W / stride S over `tokenized` output:
     * (doc_id, n, l, chunk_id) with chunk_id 0..K,
     * K = max(0, ⌈(n−W)/S⌉) — integer ceiling division, exact in both
@@ -60,7 +74,7 @@ object Chunking {
         least(lit(w.toLong), col("n") - col("chunk_id") * st)
           .as("n_chunk_tokens"),
         array_join(slice(col("l"),
-          (col("chunk_id") * st + 1L).cast("int"), lit(w)), " ").as("chunk_text"))
+          intSliceStart(col("chunk_id") * st + 1L), lit(w)), " ").as("chunk_text"))
       .orderBy("doc_id", "chunk_id")
   }
 
@@ -104,7 +118,7 @@ object Chunking {
     val chunks = Materialize(
       chunked(tokenized(docs), w, w)
         .select(col("doc_id"), md5(array_join(slice(col("l"),
-          (col("chunk_id") * w + 1L).cast("int"), lit(w)), " ")).as("h")),
+          intSliceStart(col("chunk_id") * w + 1L), lit(w)), " ")).as("h")),
       mode, "ch2_chunks")
     val docFreq = chunks.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("docs_with"))

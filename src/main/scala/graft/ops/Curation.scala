@@ -183,4 +183,135 @@ object Curation {
        |  WHERE split_b = 'test' AND split_a = 'train')
        |SELECT test_doc, count(*) AS n_train_neardups, max(jaccard) AS max_jaccard
        |FROM l GROUP BY test_doc ORDER BY test_doc""".stripMargin
+
+  /** URL canonicalization — the crawl-grain normalization table every
+    * web-corpus pipeline runs BEFORE content-grain dedup (dd1/dd11
+    * work on what this keeps; re-crawls of one page under cosmetic URL
+    * variants would otherwise enter the corpus as distinct documents).
+    * Rules, in order:
+    *
+    *   1. drop the fragment (`#…` — client-side only);
+    *   2. drop the scheme (protocol-relative key: http/https re-crawls
+    *      of one page are one document — the common crawl-dedup
+    *      choice; keep the scheme out-of-band if serving needs it);
+    *   3. lowercase the authority; strip default ports `:80`/`:443`
+    *      and a leading `www.`;
+    *   4. strip trailing slashes from the path (`/a/` ≡ `/a`; the root
+    *      path normalizes to the bare host);
+    *   5. drop `utm_*` tracking parameters, sort the remaining query
+    *      parameters bytewise (order is transport noise), re-join.
+    *
+    * Pure per-row string work — regexps and one tiny array sort per
+    * URL (the higher-order filter is interpreted, but it touches a
+    * handful of short strings per row; everything around it stays in
+    * codegen). */
+  def canonicalUrl(url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val rest = regexp_replace(regexp_replace(url, "#.*", ""),
+      "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(rest, "^([^/?#]*)", 1)), ":(80|443)$", ""),
+      "^www\\.", "")
+    val pq = regexp_replace(rest, "^[^/?#]*", "")
+    val path = regexp_replace(regexp_extract(pq, "^([^?]*)", 1), "/+$", "")
+    val qNorm = array_join(array_sort(filter(
+      split(regexp_extract(pq, "\\?(.*)$", 1), "&"),
+      x => x =!= "" && !x.startsWith("utm_"))), "&")
+    concat(host, path,
+      when(qNorm =!= "", concat(lit("?"), qNorm)).otherwise(lit("")))
+  }
+
+  /** dd24 — canonical-URL dedup over a (doc_id, url) frame: group by
+    * the [[canonicalUrl]] key, keep the first-seen (min doc_id)
+    * survivor, count the collapsed docs and distinct raw spellings.
+    * One hash-keyed groupBy with partial aggregation — dd1's exact
+    * shape at crawl grain, linear at any corpus size. */
+  def urlCanonicalDedupOf(urls: DataFrame): DataFrame = urls
+    .select(col("doc_id"), col("url"),
+      canonicalUrl(col("url")).as("canonical_url"))
+    .groupBy("canonical_url")
+    .agg(min(col("doc_id")).as("survivor_doc_id"),
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("url")).as("n_raw_forms"))
+    .orderBy("canonical_url")
+
+  /** Driver-harness wrapper: `documents` carries no URL column, so one
+    * is SYNTHESIZED deterministically from doc_id — four messy
+    * variants per canonical page (group = doc_id div 4), each
+    * exercising different normalization rules (scheme case, WWW/upper
+    * host, default port, trailing slash, query order, utm_* params,
+    * fragment) — then deduped by [[urlCanonicalDedupOf]]. The oracle
+    * derives the identical spellings, so the normalization table is
+    * hash-pinned end to end. */
+  def urlCanonicalDedup(s: SparkSession, d: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    val v = pmod(col("doc_id"), lit(4L))
+    val hostCore =
+      concat(lit("example"), pmod(g, lit(1000L)).cast("string"), lit(".com"))
+    val url = concat(
+      when(v === 1L, "HTTPS://").when(v === 3L, "Http://")
+        .otherwise("http://"),
+      when(v === 0L, hostCore)
+        .when(v === 1L, concat(lit("WWW."), upper(hostCore)))
+        .when(v === 2L, concat(hostCore, lit(":80")))
+        .otherwise(concat(lit("www."), hostCore)),
+      concat(lit("/doc/"), g.cast("string")),
+      when(v === 1L, "/").otherwise(""),
+      when(v === 0L, "?b=2&a=1")
+        .when(v === 1L, "?a=1&utm_source=x&b=2")
+        .when(v === 2L, "?b=2&a=1&utm_campaign=y")
+        .otherwise("?a=1&b=2"),
+      when(v === 3L, "#sec2").otherwise(""))
+    urlCanonicalDedupOf(
+      Tables.documents(s, d).select(col("doc_id"), url.as("url")))
+  }
+
+  /** DuckDB replay of dd24: same synthetic spellings, same
+    * normalization pipeline (regexp steps, starts_with utm filter,
+    * bytewise list_sort). */
+  val urlCanonicalDedupOracle: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 4 WHEN 1 THEN 'HTTPS://' WHEN 3 THEN 'Http://'
+      |          ELSE 'http://' END) ||
+      |    (CASE doc_id % 4
+      |       WHEN 0 THEN 'example' || CAST((doc_id // 4) % 1000 AS VARCHAR) || '.com'
+      |       WHEN 1 THEN 'WWW.' || upper('example' || CAST((doc_id // 4) % 1000 AS VARCHAR) || '.com')
+      |       WHEN 2 THEN 'example' || CAST((doc_id // 4) % 1000 AS VARCHAR) || '.com:80'
+      |       ELSE 'www.example' || CAST((doc_id // 4) % 1000 AS VARCHAR) || '.com' END) ||
+      |    '/doc/' || CAST(doc_id // 4 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END) ||
+      |    (CASE doc_id % 4 WHEN 0 THEN '?b=2&a=1'
+      |       WHEN 1 THEN '?a=1&utm_source=x&b=2'
+      |       WHEN 2 THEN '?b=2&a=1&utm_campaign=y'
+      |       ELSE '?a=1&b=2' END) ||
+      |    (CASE WHEN doc_id % 4 = 3 THEN '#sec2' ELSE '' END) AS url
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(regexp_replace(url, '#.*', ''),
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |  FROM u),
+      |s2 AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':(80|443)$', ''),
+      |      '^www\.', '') AS host,
+      |    regexp_replace(rest, '^[^/?#]*', '') AS pq
+      |  FROM s1),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    host ||
+      |    regexp_replace(regexp_extract(pq, '^([^?]*)', 1), '/+$', '') ||
+      |    (CASE WHEN array_to_string(list_sort(list_filter(
+      |            string_split(regexp_extract(pq, '\?(.*)$', 1), '&'),
+      |            x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') <> ''
+      |       THEN '?' || array_to_string(list_sort(list_filter(
+      |            string_split(regexp_extract(pq, '\?(.*)$', 1), '&'),
+      |            x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&')
+      |       ELSE '' END) AS canonical_url
+      |  FROM s2)
+      |SELECT canonical_url, min(doc_id) AS survivor_doc_id,
+      |  count(*) AS n_docs, count(DISTINCT url) AS n_raw_forms
+      |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
 }

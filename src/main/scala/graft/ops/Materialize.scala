@@ -23,6 +23,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Both modes yield a frame whose downstream plan reads a scan, not the
   * original lineage — self-joins against it do NOT recompute the
   * upstream (the property every caller here needs).
+  *
+  * ==Lifecycle contract: ONE query lifecycle per SparkSession at a time==
+  *
+  * The seam keeps per-session state (the working-set byte accumulator,
+  * the ratcheted `spark.sql.shuffle.partitions`, the corpus-count
+  * cache), all scoped by [[releaseAll]] — which both restores the
+  * session's static partition count and drops its cached blocks. Two
+  * consequences a consumer must respect:
+  *
+  *   - '''Call [[releaseAll]] at the end of every query lifecycle.'''
+  *     A lifecycle that never releases keeps its widened shuffle
+  *     layout (and its checkpoint blocks) for every unrelated job that
+  *     later runs in the same session.
+  *   - '''Do not interleave two lifecycles in one session.''' The
+  *     accumulator and the ratcheted conf are session-global: lifecycle
+  *     B's materializations fold into A's working-set sum, and either
+  *     side's [[releaseAll]] restores the static partition count
+  *     mid-flight of the other — silently shrinking its layout AND the
+  *     `threshold × partitions` budget [[hashJoinIfFits]] computed
+  *     against the wider count (per-task hash builds can then exceed
+  *     the intended bound: a perf/OOM hazard, not wrong results).
+  *     Concurrent pipelines get concurrent sessions:
+  *     `spark.newSession()` shares the SparkContext (and the block
+  *     manager) but has its OWN SQLConf, so each clone ratchets and
+  *     releases independently — every map here is keyed by the
+  *     session object, so clones never share seam state.
   */
 object Materialize {
 
@@ -35,7 +61,28 @@ object Materialize {
     * lands in `dir/<name>`. Caller owns cleanup of the directory. */
   final case class Storage(dir: String) extends Mode
 
-  def apply(df: DataFrame, mode: Mode, name: String): DataFrame = mode match {
+  /** As [[apply]], with a caller-declared working-set factor for the
+    * partition ratchet: when the pipeline downstream of this seam
+    * provably moves a MULTIPLE of the materialized table through its
+    * shuffles (a compile-time-constant explode — smp3's 6-way draw
+    * fan-out — or a self-join that doubles the stream), the table's
+    * measured bytes under-state the working set by exactly that
+    * factor. The factor scales only the ratchet's lifecycle
+    * accumulator — the frame's measured stats (what join planning and
+    * [[hashJoinIfFits]] read) stay the honest table size. Declare only
+    * structural fan-out the plan guarantees; leave 1 when unsure (the
+    * ratchet just engages a tier later). */
+  def apply(df: DataFrame, mode: Mode, name: String,
+      workingSetFactor: Int): DataFrame = {
+    require(workingSetFactor >= 1, s"workingSetFactor: $workingSetFactor")
+    applyScaled(df, mode, name, workingSetFactor)
+  }
+
+  def apply(df: DataFrame, mode: Mode, name: String): DataFrame =
+    applyScaled(df, mode, name, 1)
+
+  private def applyScaled(df: DataFrame, mode: Mode, name: String,
+      workingSetFactor: Int): DataFrame = mode match {
     case Local =>
       // honest stats at the seam: localCheckpoint preserves the
       // PRE-checkpoint optimizer estimates, which under-count
@@ -50,7 +97,8 @@ object Materialize {
       // read); the measurement pass sums exact UnsafeRow binary sizes
       // instead, so the stats still mean on-wire bytes.
       ratchetShufflePartitions(org.apache.spark.sql.graft.Bridge
-        .withMeasuredStats(df.localCheckpoint(true)))
+        .withMeasuredStats(df.localCheckpoint(true)),
+        byteScale = workingSetFactor)
     case Storage(dir) =>
       val path = s"$dir/$name"
       df.write.mode("overwrite").parquet(path)
@@ -68,7 +116,7 @@ object Materialize {
       // expansion so Storage-mode pipelines err over-provisioned (the
       // safe direction, AQE trims excess), never under
       ratchetShufflePartitions(df.sparkSession.read.parquet(path),
-        byteScale = ParquetExpansion)
+        byteScale = ParquetExpansion * workingSetFactor)
   }
 
   /** Typical parquet→UnsafeRow expansion for the ratchet's
@@ -80,7 +128,19 @@ object Materialize {
     * `spark.sql.shuffle.partitions`: bounds single-box bookkeeping
     * (task count, shuffle block count) while covering a decade of
     * per-box data growth; past it a cluster adds executors, which
-    * raises the static count and the cap with it. */
+    * raises the static count and the cap with it.
+    *
+    * The anchor is the CONFIGURED partition count, not a live executor
+    * census — deliberately. Under dynamic allocation the executor set
+    * breathes with the workload, so a cap derived from a point-in-time
+    * executor count is unstable in exactly the situations the cap
+    * exists to bound, and local mode has no executors to count at all.
+    * A dynamic-allocation deployment should set
+    * `spark.sql.shuffle.partitions` to its steady-state core budget
+    * (the same sizing Spark's own docs prescribe); the ratchet then
+    * widens from that anchor only when measured data warrants, and
+    * `spark.dynamicAllocation.maxExecutors` — not this cap — bounds
+    * the hardware the widened layout can recruit. */
   val PartitionHeadroom = 8
 
   /** Pure sizing rule (spec-pinned): partitions for a pipeline whose

@@ -51,8 +51,19 @@ object Sampling {
     * the residual cost is the 1.77M-row output sort + write the
     * oracle-determinism contract pays. */
   def negativeSamplingOf(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    val pos = lineitem
-      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    // the positive set goes through the seam with the pipeline's
+    // STRUCTURAL fan-out declared: every downstream shuffle (the
+    // anti-join probe, the keep-first-k window, the deterministic
+    // output sort) moves the ≤NumDraws-way exploded candidate stream,
+    // which the positive table's own bytes under-state by exactly
+    // that factor — at the 100× tier those shuffles were sorting
+    // ~10M-row partitions on the static 32-count layout (smp3 was the
+    // tier's #1 at 194 s) while the ratchet never engaged. Measured
+    // stats stay the honest table size, so the anti-join still plans
+    // broadcast at small tiers and keyed at scale.
+    val pos = Materialize(lineitem
+      .select(col("l_suppkey"), col("l_partkey")).distinct(),
+      Materialize.Local, "smp3_positives", NumDraws + 1)
     // part keys are contiguous 0..max (TESTDATA generator); the modulus
     // is max+1 so every draw lands on a real part
     val pMax = part.agg((max(col("p_partkey")) + 1L).as("p"))

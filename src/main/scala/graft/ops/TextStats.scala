@@ -1305,7 +1305,21 @@ object TextStats {
       docs.select(col("doc_id"), col("text")).withColumn("i", explode(idxs))
         .select(col("doc_id"), col("text").substr(col("i"), lit(3)).as("tri")),
       Materialize.Local, "tx23_tris")
-    val cnt = tris.groupBy("tri").agg(count(lit(1)).as("cnt"))
+    // the tx44 model trick applied here: the trigram model is
+    // charset³-BOUNDED (one row per distinct trigram) while the
+    // occurrence stream is corpus-sized, but deriving the model
+    // lazily from the measured `tris` leaves Catalyst a corpus-scale
+    // estimate for the aggregate — the scoring join then SHUFFLES the
+    // whole occurrence stream on `tri`. Materializing the model gives
+    // the join its MEASURED (small) size: the scoring join broadcasts
+    // while the model fits, so the occurrence stream's only remaining
+    // shuffle is the doc-keyed partial+final aggregate — the sf10
+    // bisect's dominant cost removed (tx23 was the tier's #2 at
+    // 182 s). Past broadcast scale (full-Unicode charset³) the
+    // measured stats plan a keyed join with an honest build side —
+    // never a corpus broadcast.
+    val cnt = Materialize(tris.groupBy("tri").agg(count(lit(1)).as("cnt")),
+      Materialize.Local, "tx23_model")
     val total = cnt.agg(length(bin(sum(col("cnt")))).as("lbits"))
     val scored = tris.join(cnt, "tri")
       .crossJoin(broadcast(total))

@@ -4294,4 +4294,48 @@ class OpsSpec extends AnyFunSuite {
     // nations (+ null nation)
     assert(got(3).getAs[Long]("n_groups") <= 130L)
   }
+
+  test("dd24 canonicalUrl: the normalization table, rule by rule") {
+    val cases = Seq(
+      // scheme dropped, authority lowercased, www. prefix stripped
+      ("HTTPS://WWW.Example5.COM/doc/5", "example5.com/doc/5"),
+      // default ports stripped; a non-default port is IDENTITY
+      ("http://example.com:80/a", "example.com/a"),
+      ("https://example.com:443/a", "example.com/a"),
+      ("http://example.com:8080/a", "example.com:8080/a"),
+      // trailing slashes collapse; the root path is the bare host
+      ("http://example.com/a/b///", "example.com/a/b"),
+      ("http://example.com/", "example.com"),
+      // query params sort bytewise; utm_* tracking params drop;
+      // an all-dropped query loses its '?'
+      ("http://example.com/p?b=2&a=1", "example.com/p?a=1&b=2"),
+      ("http://example.com/p?utm_source=x&a=1", "example.com/p?a=1"),
+      ("http://example.com/p?utm_source=x", "example.com/p"),
+      // fragment drops
+      ("http://example.com/p?a=1#sec", "example.com/p?a=1"),
+      // www strips only as the complete leading label
+      ("http://wwwx.example.com/p", "wwwx.example.com/p"),
+      // scheme-less input flows through the same pipeline
+      ("example.com/p?a=1", "example.com/p?a=1"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.ops.Curation.canonicalUrl(col("url")))
+      .as[String].collect()
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"canonicalUrl($in)") }
+  }
+
+  test("dd24 urlCanonicalDedupOf: first-seen survivor per canonical key") {
+    val urls = Seq(
+      (10L, "http://a.com/x?b=2&a=1"),
+      (7L, "HTTPS://WWW.A.COM/x/?a=1&b=2&utm_c=z#f"),
+      (9L, "http://a.com:80/x?a=1&b=2"),
+      (3L, "http://b.com/y")).toDF("doc_id", "url")
+    val got = graft.ops.Curation.urlCanonicalDedupOf(urls).collect()
+    assert(got.length == 2)
+    val a = got.find(_.getString(0) == "a.com/x?a=1&b=2").get
+    assert(a.getLong(1) == 7L, "survivor is min doc_id, not min url")
+    assert(a.getLong(2) == 3L && a.getLong(3) == 3L)
+    val b = got.find(_.getString(0) == "b.com/y").get
+    assert(b.getLong(1) == 3L && b.getLong(2) == 1L && b.getLong(3) == 1L)
+  }
 }

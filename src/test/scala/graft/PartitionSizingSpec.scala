@@ -33,6 +33,15 @@ class PartitionSizingSpec extends AnyFunSuite {
     assert(Materialize.partitionsFor(BigInt(2048) * Mi + 1, 64 * Mi, 32) == 33)
   }
 
+  test("the cap anchors on the CONFIGURED partition count, not an executor census") {
+    // dynamic-allocation contract (PartitionHeadroom scaladoc): the 8×
+    // cap scales with whatever `spark.sql.shuffle.partitions` the
+    // deployment configured as its steady-state core budget — a live
+    // executor count would make the cap breathe with the workload
+    assert(Materialize.partitionsFor(BigInt(1) << 50, 64 * Mi, 8) == 64)
+    assert(Materialize.partitionsFor(BigInt(1) << 50, 64 * Mi, 200) == 1600)
+  }
+
   test("the seam ratchets the session layout from measured bytes and releaseAll restores it") {
     val key = "spark.sql.shuffle.partitions"
     val adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"

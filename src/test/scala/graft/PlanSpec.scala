@@ -483,6 +483,12 @@ class PlanSpec extends AnyFunSuite {
       "model build and scoring join must both read the materialized trigrams")
     assert(!p.contains("substring("),
       "trigram extraction recomputed above the materialization")
+    // the model is charset³-bounded and MATERIALIZED (measured stats):
+    // while it fits the threshold the scoring join must broadcast it —
+    // the occurrence stream's only shuffle is then the doc-keyed
+    // aggregate, not a corpus-wide exchange on `tri`
+    assert(p.contains("BroadcastHashJoin"),
+      s"scoring join must broadcast the measured trigram model:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
