@@ -1284,6 +1284,16 @@ object TextStats {
     * trigram; the model table is charset³-bounded but treated as
     * big-side-safe — no broadcast assumption). The 1-row total rides a
     * broadcast. Everything is linear in corpus characters. */
+  /** Store-vs-rescan dial for tx23's occurrence stream, on the input
+    * scan's OPTIMIZER size estimate (parquet footer bytes): at or
+    * under this, the stream localCheckpoints (saves the second
+    * explode pass — wins while the ~30 bytes/char of deserialized
+    * rows stay cheap to hold); over it, both consumers re-derive the
+    * explode from the scan (two linear codegen passes beat the
+    * checkpoint's write + GC churn — measured 2.7–3.6× at the 100×
+    * tier). The dial changes PLANS only, never output. */
+  val SurprisalStoreMaxScanBytes: Long = 32L << 20
+
   def surprisalQuery(s: SparkSession, d: String): DataFrame =
     surprisalOf(Tables.documents(s, d))
 
@@ -1294,30 +1304,36 @@ object TextStats {
     val idxs = when(length(col("text")) >= 3,
       sequence(lit(1), length(col("text")) - 2))
       .otherwise(array().cast("array<int>"))
-    // occurrence-level materialization, deliberately NOT pre-aggregated
-    // to (doc, tri, multiplicity): the A/B at sf0.1 measured the
-    // pre-agg variant SLOWER (2.99 vs 2.41 s median) — its extra full
-    // exchange outweighs halving the scoring join's input at this
-    // corpus's 2.07× intra-doc repetition. Pre-aggregation pays only
-    // when documents repeat trigrams heavily (long repetitive docs);
-    // revisit with a corpus-ratio probe before re-enabling.
-    val tris = Materialize(
-      docs.select(col("doc_id"), col("text")).withColumn("i", explode(idxs))
-        .select(col("doc_id"), col("text").substr(col("i"), lit(3)).as("tri")),
-      Materialize.Local, "tx23_tris")
-    // the tx44 model trick applied here: the trigram model is
-    // charset³-BOUNDED (one row per distinct trigram) while the
-    // occurrence stream is corpus-sized, but deriving the model
-    // lazily from the measured `tris` leaves Catalyst a corpus-scale
-    // estimate for the aggregate — the scoring join then SHUFFLES the
-    // whole occurrence stream on `tri`. Materializing the model gives
-    // the join its MEASURED (small) size: the scoring join broadcasts
-    // while the model fits, so the occurrence stream's only remaining
-    // shuffle is the doc-keyed partial+final aggregate — the sf10
-    // bisect's dominant cost removed (tx23 was the tier's #2 at
-    // 182 s). Past broadcast scale (full-Unicode charset³) the
-    // measured stats plan a keyed join with an honest build side —
-    // never a corpus broadcast.
+    // occurrence-level stream, deliberately NOT pre-aggregated to
+    // (doc, tri, multiplicity) — the sf0.1 A/B measured the pre-agg
+    // variant slower (its extra full exchange outweighs halving the
+    // scoring input at this corpus's 2.07× intra-doc repetition).
+    // Whether the stream CHECKPOINTS is a measured two-regime dial
+    // (both regimes are output-identical — the oracle pins it):
+    // storing ~30 bytes/char saves the second explode pass and wins
+    // at small tiers (sf0.1: 2.6 s stored vs 5.4 rescanned), but the
+    // checkpoint's write + deserialized-row GC churn dominates at
+    // corpus scale (sf10: 182–244 s stored vs 67 rescanned — the
+    // tx44 refusal, measured). The crossover sits between the 10×
+    // and 100× tiers on this corpus; [[SurprisalStoreMaxScanBytes]]
+    // marks it at scan-estimate grain.
+    val trisBase = docs.select(col("doc_id"), col("text"))
+      .withColumn("i", explode(idxs))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(3)).as("tri"))
+    val tris =
+      if (org.apache.spark.sql.graft.Bridge.rootSizeInBytes(docs)
+          <= SurprisalStoreMaxScanBytes)
+        Materialize(trisBase, Materialize.Local, "tx23_tris")
+      else trisBase
+    // the tx44 model trick: only the charset³-BOUNDED model goes
+    // through the seam. Its MEASURED (small) stats let the scoring
+    // join broadcast while the model fits — the occurrence stream
+    // never shuffles on `tri`; its only exchange is the doc-keyed
+    // partial+final aggregate, whose map-side combine collapses to
+    // ≤ docs-per-partition rows. The model-build groupBy's own
+    // exchange is vocab-bounded the same way. Past broadcast scale
+    // (full-Unicode charset³) the measured stats plan a keyed join
+    // with an honest build side — never a corpus broadcast.
     val cnt = Materialize(tris.groupBy("tri").agg(count(lit(1)).as("cnt")),
       Materialize.Local, "tx23_model")
     val total = cnt.agg(length(bin(sum(col("cnt")))).as("lbits"))

@@ -477,18 +477,21 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
-  test("tx23 trigram stream materializes once and feeds model + scoring") {
+  test("tx23 scoring broadcasts the materialized model; the occurrence stream is never stored") {
     val p = plan("tx23_surprisal")
-    assert("ExistingRDD".r.findAllIn(p).size >= 2,
-      "model build and scoring join must both read the materialized trigrams")
-    assert(!p.contains("substring("),
-      "trigram extraction recomputed above the materialization")
-    // the model is charset³-bounded and MATERIALIZED (measured stats):
-    // while it fits the threshold the scoring join must broadcast it —
-    // the occurrence stream's only shuffle is then the doc-keyed
-    // aggregate, not a corpus-wide exchange on `tri`
+    // only the charset³-bounded MODEL materializes (the tx44 refusal:
+    // checkpointing the corpus-scale occurrence stream held ~30
+    // bytes/char in executor memory and its write+GC dominated the
+    // sf10 tier); scoring re-derives the explode from the scan
+    assert("ExistingRDD".r.findAllIn(p).size >= 1,
+      "scoring must read the materialized model")
+    // with measured (small) model stats the scoring join must
+    // BROADCAST — the occurrence stream's only exchange is the
+    // doc-keyed aggregate, never a corpus-wide shuffle on `tri`
     assert(p.contains("BroadcastHashJoin"),
       s"scoring join must broadcast the measured trigram model:\n${p.take(2000)}")
+    assert(!p.contains("Exchange hashpartitioning(tri"),
+      "occurrence stream must not shuffle on trigram")
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
