@@ -104,6 +104,7 @@ object SparkEntry {
     "ch1_chunk_windows" -> (graft.ops.Chunking.chunkWindows _),
     "ch2_chunk_boilerplate" -> (graft.ops.Chunking.chunkBoilerplate _),
     "dd24_url_canonical" -> (graft.ops.Curation.urlCanonicalDedup _),
+    "lic1_license_gate" -> (graft.ops.Curation.licenseGate _),
     "cms1_heavy_hitters" -> ((s, d) => graft.ops.Sketch.cmsHeavyHitters(s, d)),
     "hq1_histogram_quantiles" -> (graft.ops.Sketch.histQuantiles _),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
@@ -541,6 +542,7 @@ object SparkEntry {
     "ch1_chunk_windows" -> graft.ops.Chunking.chunkWindowsOracle,
     "ch2_chunk_boilerplate" -> graft.ops.Chunking.chunkBoilerplateOracle,
     "dd24_url_canonical" -> graft.ops.Curation.urlCanonicalDedupOracle,
+    "lic1_license_gate" -> graft.ops.Curation.licenseGateOracle,
     "cms1_heavy_hitters" -> graft.ops.Sketch.cmsHeavyHittersOracle,
     "bf1_bloom_decontam" -> graft.ops.Sketch.bloomDecontaminateOracle,
     "hq1_histogram_quantiles" -> graft.ops.Sketch.histQuantilesOracle,

@@ -243,7 +243,14 @@ object Curation {
     * fragment) — then deduped by [[urlCanonicalDedupOf]]. The oracle
     * derives the identical spellings, so the normalization table is
     * hash-pinned end to end. */
-  def urlCanonicalDedup(s: SparkSession, d: String): DataFrame = {
+  def urlCanonicalDedup(s: SparkSession, d: String): DataFrame =
+    urlCanonicalDedupOf(syntheticUrls(Tables.documents(s, d)))
+
+  /** The driver queries' synthetic (doc_id, url) frame: four messy
+    * spellings per canonical page (group = doc_id div 4), each
+    * exercising different normalization rules. Shared by dd24 and
+    * lic1 so both gates see the same crawl. */
+  private[graft] def syntheticUrls(docs: DataFrame): DataFrame = {
     val g = expr("doc_id div 4")
     val v = pmod(col("doc_id"), lit(4L))
     val hostCore =
@@ -262,15 +269,12 @@ object Curation {
         .when(v === 2L, "?b=2&a=1&utm_campaign=y")
         .otherwise("?a=1&b=2"),
       when(v === 3L, "#sec2").otherwise(""))
-    urlCanonicalDedupOf(
-      Tables.documents(s, d).select(col("doc_id"), url.as("url")))
+    docs.select(col("doc_id"), url.as("url"))
   }
 
-  /** DuckDB replay of dd24: same synthetic spellings, same
-    * normalization pipeline (regexp steps, starts_with utm filter,
-    * bytewise list_sort). */
-  val urlCanonicalDedupOracle: String =
-    """WITH u AS (
+  /** The oracle's replay of [[syntheticUrls]], as a CTE body named `u`. */
+  private val syntheticUrlCte: String =
+    """u AS (
       |  SELECT doc_id,
       |    (CASE doc_id % 4 WHEN 1 THEN 'HTTPS://' WHEN 3 THEN 'Http://'
       |          ELSE 'http://' END) ||
@@ -286,8 +290,14 @@ object Curation {
       |       WHEN 2 THEN '?b=2&a=1&utm_campaign=y'
       |       ELSE '?a=1&b=2' END) ||
       |    (CASE WHEN doc_id % 4 = 3 THEN '#sec2' ELSE '' END) AS url
-      |  FROM documents),
-      |s1 AS (
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB replay of dd24: same synthetic spellings, same
+    * normalization pipeline (regexp steps, starts_with utm filter,
+    * bytewise list_sort). */
+  lazy val urlCanonicalDedupOracle: String =
+    "WITH " + syntheticUrlCte + ",\n" +
+    """s1 AS (
       |  SELECT doc_id, url,
       |    regexp_replace(regexp_replace(url, '#.*', ''),
       |      '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
@@ -314,4 +324,120 @@ object Curation {
       |SELECT canonical_url, min(doc_id) AS survivor_doc_id,
       |  count(*) AS n_docs, count(DISTINCT url) AS n_raw_forms
       |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
+  /** lic1 — license / robots-style metadata gating, the crawl-grain
+    * GOVERNANCE stage that runs beside [[urlCanonicalDedupOf]] before
+    * any content processing: per document, (a) the host's license
+    * policy from a policy dimension (`allow` / `attribution` /
+    * `deny`; unknown hosts default `allow` — flip the coalesce for a
+    * deny-unknown posture), and (b) robots-style path-prefix
+    * disallow rules (any matching rule blocks; rules are per-host,
+    * several allowed). Precedence: a license `deny` outranks a
+    * robots hit in the reason column; `keep` requires neither.
+    *
+    * Scale shape: the corpus side is one narrow per-row parse (the
+    * dd24 regex steps, host+raw path only — robots match the RAW
+    * path, not the canonical one); both rule tables are
+    * governance-sized dims that ride BROADCAST joins (the robots
+    * join is equi on host with the prefix test as its residual,
+    * so a host's rule fan-out never shuffles the corpus); the
+    * any-match collapse is one doc-keyed aggregate. */
+  def licenseGateOf(urls: DataFrame, policy: DataFrame,
+      robots: DataFrame): DataFrame = {
+    val rest = regexp_replace(regexp_replace(col("url"), "#.*", ""),
+      "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val parsed = urls.select(col("doc_id"),
+      regexp_replace(regexp_replace(
+        lower(regexp_extract(rest, "^([^/?#]*)", 1)), ":(80|443)$", ""),
+        "^www\\.", "").as("host"),
+      regexp_extract(regexp_replace(rest, "^[^/?#]*", ""),
+        "^([^?]*)", 1).as("path"))
+    parsed
+      .join(broadcast(robots), Seq("host"), "left")
+      .groupBy("doc_id", "host", "path")
+      .agg(max(when(col("disallow_prefix").isNotNull &&
+          col("path").startsWith(col("disallow_prefix")), 1L)
+        .otherwise(0L)).as("robots_blocked"))
+      .join(broadcast(policy), Seq("host"), "left")
+      .withColumn("policy", coalesce(col("policy"), lit("allow")))
+      .withColumn("keep",
+        col("policy") =!= "deny" && col("robots_blocked") === 0L)
+      .withColumn("reason",
+        when(col("policy") === "deny", "license_deny")
+          .when(col("robots_blocked") === 1L, "robots_disallow")
+          .when(col("policy") === "attribution", "keep_attribution")
+          .otherwise("keep"))
+      .select("doc_id", "host", "path", "policy", "robots_blocked",
+        "keep", "reason")
+      .orderBy("doc_id")
+  }
+
+  /** Driver-harness wrapper: the [[syntheticUrls]] crawl against
+    * deterministic rule dims — policy by host number (h%10: 0 deny,
+    * 1–2 attribution, else allow) and one robots rule per h%7==0
+    * host disallowing the `/doc/<h%10>` prefix (a real prefix test:
+    * `/doc/1` blocks /doc/1, /doc/10…19, /doc/1xx — first-digit
+    * matching, not equality). */
+  def licenseGate(s: SparkSession, d: String): DataFrame = {
+    val host =
+      concat(lit("example"), col("id").cast("string"), lit(".com"))
+    val policy = s.range(0, 1000).select(host.as("host"),
+      when(pmod(col("id"), lit(10L)) === 0L, "deny")
+        .when(pmod(col("id"), lit(10L)) <= 2L, "attribution")
+        .otherwise("allow").as("policy"))
+    val robots = s.range(0, 1000)
+      .filter(pmod(col("id"), lit(7L)) === 0L)
+      .select(host.as("host"),
+        concat(lit("/doc/"), pmod(col("id"), lit(10L)).cast("string"))
+          .as("disallow_prefix"))
+    licenseGateOf(syntheticUrls(Tables.documents(s, d)), policy, robots)
+  }
+
+  /** DuckDB replay of lic1: same crawl, same rule dims, same
+    * precedence. */
+  lazy val licenseGateOracle: String =
+    "WITH " + syntheticUrlCte + ",\n" +
+    """s1 AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(url, '#.*', ''),
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |  FROM u),
+      |parsed AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':(80|443)$', ''),
+      |      '^www\.', '') AS host,
+      |    regexp_extract(regexp_replace(rest, '^[^/?#]*', ''),
+      |      '^([^?]*)', 1) AS path
+      |  FROM s1),
+      |pol AS (
+      |  SELECT 'example' || CAST(i AS VARCHAR) || '.com' AS host,
+      |    CASE WHEN i % 10 = 0 THEN 'deny'
+      |         WHEN i % 10 <= 2 THEN 'attribution'
+      |         ELSE 'allow' END AS policy
+      |  FROM generate_series(0, 999) AS t(i)),
+      |rob AS (
+      |  SELECT 'example' || CAST(i AS VARCHAR) || '.com' AS host,
+      |    '/doc/' || CAST(i % 10 AS VARCHAR) AS disallow_prefix
+      |  FROM generate_series(0, 999) AS t(i) WHERE i % 7 = 0),
+      |blocked AS (
+      |  SELECT p.doc_id, p.host, p.path,
+      |    max(CASE WHEN r.disallow_prefix IS NOT NULL
+      |             AND starts_with(p.path, r.disallow_prefix)
+      |        THEN 1 ELSE 0 END) AS robots_blocked
+      |  FROM parsed p LEFT JOIN rob r ON p.host = r.host
+      |  GROUP BY 1, 2, 3)
+      |SELECT b.doc_id, b.host, b.path,
+      |  coalesce(pol.policy, 'allow') AS policy,
+      |  CAST(b.robots_blocked AS BIGINT) AS robots_blocked,
+      |  (coalesce(pol.policy, 'allow') <> 'deny'
+      |    AND b.robots_blocked = 0) AS keep,
+      |  CASE WHEN coalesce(pol.policy, 'allow') = 'deny'
+      |         THEN 'license_deny'
+      |       WHEN b.robots_blocked = 1 THEN 'robots_disallow'
+      |       WHEN coalesce(pol.policy, 'allow') = 'attribution'
+      |         THEN 'keep_attribution'
+      |       ELSE 'keep' END AS reason
+      |FROM blocked b LEFT JOIN pol ON b.host = pol.host
+      |ORDER BY b.doc_id""".stripMargin
 }

@@ -4324,6 +4324,40 @@ class OpsSpec extends AnyFunSuite {
       assert(g == want, s"canonicalUrl($in)") }
   }
 
+  test("lic1 licenseGateOf: precedence, prefix semantics, any-match rules, unknown-host default") {
+    val urls = Seq(
+      (1L, "http://a.com/doc/12"),   // robots '/doc/1' prefix-hits /doc/12
+      (2L, "http://a.com/doc/2"),    // no prefix match → keep
+      (3L, "http://deny.com/doc/1"), // deny outranks the robots hit
+      (4L, "HTTPS://WWW.A.COM:443/doc/15"), // normalization feeds the gate
+      (5L, "http://attr.com/x"),     // attribution keeps, flagged
+      (6L, "http://unknown.com/x"),  // no policy row → default allow
+      (7L, "http://multi.com/b/z")   // second rule of two matches
+    ).toDF("doc_id", "url")
+    val policy = Seq(("a.com", "allow"), ("deny.com", "deny"),
+      ("attr.com", "attribution"), ("multi.com", "allow"))
+      .toDF("host", "policy")
+    val robots = Seq(("a.com", "/doc/1"), ("deny.com", "/doc/1"),
+      ("multi.com", "/a/"), ("multi.com", "/b/"))
+      .toDF("host", "disallow_prefix")
+    val got = graft.ops.Curation.licenseGateOf(urls, policy, robots)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(3), r.getLong(4), r.getBoolean(5), r.getString(6))))
+      .toMap
+    assert(got(1L) == (("allow", 1L, false, "robots_disallow")))
+    assert(got(2L) == (("allow", 0L, true, "keep")))
+    assert(got(3L) == (("deny", 1L, false, "license_deny")),
+      "license deny must outrank the robots hit")
+    assert(got(4L) == (("allow", 1L, false, "robots_disallow")),
+      "WWW./port/case spellings must normalize into the same rules")
+    assert(got(5L) == (("attribution", 0L, true, "keep_attribution")))
+    assert(got(6L) == (("allow", 0L, true, "keep")),
+      "unknown host defaults allow")
+    assert(got(7L) == (("allow", 1L, false, "robots_disallow")),
+      "any matching rule of several blocks")
+    assert(got.size == 7, "gate is per-document: rule fan-out must not duplicate rows")
+  }
+
   test("dd24 urlCanonicalDedupOf: first-seen survivor per canonical key") {
     val urls = Seq(
       (10L, "http://a.com/x?b=2&a=1"),

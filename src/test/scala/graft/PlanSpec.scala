@@ -739,6 +739,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("lic1 rule dims ride broadcast joins; the corpus never shuffles for the rules") {
+    val p = plan("lic1_license_gate")
+    // policy and robots are governance-sized dims: both joins must be
+    // broadcast (the robots prefix test is the join's residual, never
+    // a cartesian), and the only corpus exchange is the doc-keyed
+    // any-match aggregate + output sort
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both rule dims must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("smp3 rejection is a keyed LEFT ANTI; keep-first-k pushes down as WindowGroupLimit") {
     val p = plan("smp3_negative_sampling")
     assert(p.contains("LeftAnti"), p.take(2000))
