@@ -105,6 +105,8 @@ object SparkEntry {
     "ch2_chunk_boilerplate" -> (graft.ops.Chunking.chunkBoilerplate _),
     "dd24_url_canonical" -> (graft.ops.Curation.urlCanonicalDedup _),
     "lic1_license_gate" -> (graft.ops.Curation.licenseGate _),
+    "smp8_token_budget" -> (graft.ops.Curation.tokenBudget _),
+    "tx45_truncation_audit" -> (TextStats.truncationAudit _),
     "cms1_heavy_hitters" -> ((s, d) => graft.ops.Sketch.cmsHeavyHitters(s, d)),
     "hq1_histogram_quantiles" -> (graft.ops.Sketch.histQuantiles _),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
@@ -543,6 +545,8 @@ object SparkEntry {
     "ch2_chunk_boilerplate" -> graft.ops.Chunking.chunkBoilerplateOracle,
     "dd24_url_canonical" -> graft.ops.Curation.urlCanonicalDedupOracle,
     "lic1_license_gate" -> graft.ops.Curation.licenseGateOracle,
+    "smp8_token_budget" -> graft.ops.Curation.tokenBudgetOracle,
+    "tx45_truncation_audit" -> TextStats.truncationAuditOracle,
     "cms1_heavy_hitters" -> graft.ops.Sketch.cmsHeavyHittersOracle,
     "bf1_bloom_decontam" -> graft.ops.Sketch.bloomDecontaminateOracle,
     "hq1_histogram_quantiles" -> graft.ops.Sketch.histQuantilesOracle,

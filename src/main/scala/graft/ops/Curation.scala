@@ -440,4 +440,86 @@ object Curation {
       |       ELSE 'keep' END AS reason
       |FROM blocked b LEFT JOIN pol ON b.host = pol.host
       |ORDER BY b.doc_id""".stripMargin
+
+  /** smp8 budget: keep this share of each source's total tokens. */
+  val BudgetPct = 50
+
+  /** smp8 — TOKEN-BUDGET curation: turn "the best [[BudgetPct]]% of
+    * tokens per source" into rows. Documents rank within their source
+    * by a quality priority (stopword hits per character, scaled ×1e6
+    * and floor-divided so BOTH engines derive the identical integer
+    * order), and are taken greedily in that order until the source's
+    * token budget fills; the first document that would overflow stops
+    * the fill (prefix-cutoff semantics — the form a cumulative sum
+    * expresses, and the standard way a mixture spec's per-source
+    * token quota is realized against a ranked pool).
+    *
+    * Scale shape (why this is NOT `Window.partitionBy("source")`):
+    * sources are FEW and huge — a per-source running-sum window
+    * funnels each source through ONE task. Instead the cumulative sum
+    * is ONE two-phase [[PrefixSum.exclusive]] pass over a
+    * source-major order key (range partition + per-partition parallel
+    * windows + O(partitions) driver offsets), and the within-source
+    * cumulative = global offset − the source's first offset, an
+    * O(sources) broadcast join — the ord2/tx21 machinery pointed at
+    * token accounting. The priority embeds in the order key as an
+    * inverted zero-padded integer so the string order agrees byte for
+    * byte with ORDER BY (source, prio DESC, doc_id); source names
+    * cannot contain the ':' separator, which keeps each source's key
+    * range contiguous even across prefix-related names. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenBudgetOf(Tables.documents(s, d),
+      s.sparkContext.defaultParallelism)
+
+  /** [[tokenBudget]] over an explicit documents frame. */
+  def tokenBudgetOf(docs: DataFrame, partitions: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(TextStats.words(col("text"))).cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("\\b(a|the|of)\\b"), lit(0))).cast("long").as("n_stop"))
+      // stop hits ≤ chars, so prio ≤ 1e6 and the 9-digit pad holds
+      .withColumn("prio",
+        expr("n_stop * 1000000 div greatest(n_chars, 1)"))
+      .withColumn("ord", concat(
+        col("source"), lit(":"),
+        lpad((lit(999999999L) - col("prio")).cast("string"), 9, "0"),
+        lpad(col("doc_id").cast("string"), 19, "0")))
+      .drop("n_chars", "n_stop")
+    val pos = PrefixSum.exclusive(base, "ord", "n_tokens", partitions)
+    val src = pos.groupBy("source").agg(
+      min(col("offset")).as("__base"),
+      expr(s"sum(n_tokens) * $BudgetPct div 100").as("budget"))
+    pos.join(broadcast(src), Seq("source"))
+      .withColumn("cum_tokens",
+        col("offset") - col("__base") + col("n_tokens"))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select("source", "doc_id", "prio", "n_tokens", "cum_tokens",
+        "budget")
+      .orderBy("source", "cum_tokens")
+  }
+
+  /** DuckDB replay of smp8: the window formulation of the same
+    * cumulative-fill (the oracle may single-task; the engine may
+    * not). */
+  lazy val tokenBudgetOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    (CAST(len(regexp_extract_all(text, '\\b(a|the|of)\\b'))
+       |      AS BIGINT) * 1000000) // greatest(n_chars, 1) AS prio
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, prio, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY prio DESC, doc_id) AS cum_tokens,
+       |    (SUM(n_tokens) OVER (PARTITION BY source) * $BudgetPct)
+       |      // 100 AS budget
+       |  FROM t)
+       |SELECT source, doc_id, prio, n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |  CAST(budget AS BIGINT) AS budget
+       |FROM c WHERE cum_tokens <= budget
+       |ORDER BY source, cum_tokens""".stripMargin
 }

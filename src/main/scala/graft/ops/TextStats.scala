@@ -2962,4 +2962,79 @@ object TextStats {
        |         < $BackoffTailCenti THEN 'middle'
        |       ELSE 'tail' END AS band
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** tx45's candidate context windows (tokens). */
+  val ContextWindows: Seq[Long] = Seq(128L, 512L, 2048L, 8192L)
+
+  /** tx45 — context-window TRUNCATION audit: for each candidate
+    * training context length, how much of the corpus survives naive
+    * truncation — documents over the window, tokens kept vs lost, the
+    * loss ratio, and the number of sequences a split-don't-truncate
+    * packing would need (per-doc ceil(tokens/window); the tx12
+    * packing's input accounting). The table this emits is the one a
+    * context-length decision is actually made from.
+    *
+    * Scale shape: ONE pass over the corpus — per-window measures are
+    * conditional aggregate COLUMNS of a single partial+final hash
+    * aggregate (4 windows × 3 sums + 2 shared), and the 1-row result
+    * is unpivoted to window grain POST-aggregation (4-element explode
+    * of a 1-row frame). The explode-then-group alternative would feed
+    * the aggregate a 4× row stream for no reason. */
+  def truncationAudit(s: SparkSession, d: String): DataFrame =
+    truncationAuditOf(Tables.documents(s, d))
+
+  /** [[truncationAudit]] over an explicit documents frame. */
+  def truncationAuditOf(docs: DataFrame): DataFrame = {
+    val t = docs.select(
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    val perWindow = ContextWindows.flatMap { w =>
+      Seq(
+        sum(when(col("n_tokens") > w, 1L).otherwise(0L))
+          .as(s"tr_$w"),
+        sum(least(col("n_tokens"), lit(w))).as(s"kept_$w"),
+        sum(expr(s"(n_tokens + ${w - 1}) div $w")).as(s"seqs_$w"))
+    }
+    val aggCols = Seq(count(lit(1)).as("docs"),
+      sum(col("n_tokens")).as("tokens_total")) ++ perWindow
+    val one = t.agg(aggCols.head, aggCols.tail: _*)
+    val rows = ContextWindows.map { w =>
+      struct(lit(w).as("context_window"), col("docs"),
+        col(s"tr_$w").as("docs_truncated"), col("tokens_total"),
+        col(s"kept_$w").as("tokens_kept"),
+        (col("tokens_total") - col(s"kept_$w")).as("tokens_lost"),
+        ((col("tokens_total") - col(s"kept_$w")) / col("tokens_total"))
+          .as("loss_ratio"),
+        col(s"seqs_$w").as("seqs_needed"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy("context_window")
+  }
+
+  /** DuckDB replay of tx45 (the oracle may fan out; the engine may
+    * not). */
+  lazy val truncationAuditOracle: String = {
+    val windows = ContextWindows.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT CAST(len(string_split_regex(trim(text), '\\s+'))
+       |    AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |w AS (SELECT CAST(unnest([$windows]) AS BIGINT)
+       |        AS context_window)
+       |SELECT w.context_window,
+       |  count(*) AS docs,
+       |  CAST(sum(CASE WHEN t.n_tokens > w.context_window
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+       |  CAST(sum(t.n_tokens) AS BIGINT) AS tokens_total,
+       |  CAST(sum(least(t.n_tokens, w.context_window)) AS BIGINT)
+       |    AS tokens_kept,
+       |  CAST(sum(t.n_tokens) - sum(least(t.n_tokens, w.context_window))
+       |    AS BIGINT) AS tokens_lost,
+       |  CAST(sum(t.n_tokens) - sum(least(t.n_tokens, w.context_window))
+       |    AS BIGINT) / CAST(sum(t.n_tokens) AS BIGINT) AS loss_ratio,
+       |  CAST(sum((t.n_tokens + w.context_window - 1) // w.context_window)
+       |    AS BIGINT) AS seqs_needed
+       |FROM t, w GROUP BY w.context_window
+       |ORDER BY w.context_window""".stripMargin
+  }
 }

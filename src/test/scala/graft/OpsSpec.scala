@@ -4372,4 +4372,52 @@ class OpsSpec extends AnyFunSuite {
     val b = got.find(_.getString(0) == "b.com/y").get
     assert(b.getLong(1) == 3L && b.getLong(2) == 1L && b.getLong(3) == 1L)
   }
+
+  test("smp8 tokenBudgetOf: greedy fill to the source budget, priority order, exact-boundary keep") {
+    // prio = n_stop * 1e6 div n_chars (n_chars passed explicitly)
+    val docs = Seq(
+      // s1: total 10 tokens, budget 5 — only the top-priority doc fits
+      (1L, "s1", 3L, "the a of"), // 3 tokens, prio 1_000_000
+      (2L, "s1", 4L, "the a x"),  // 3 tokens, prio 500_000 → cum 6 > 5
+      (3L, "s1", 10L, "x y z w"), // 4 tokens, prio 0
+      // s2: a prio TIE resolves by doc_id; budget 3 of 6
+      (10L, "s2", 2L, "a b"),     // prio 500_000, cum 2 ≤ 3
+      (11L, "s2", 2L, "a b"),     // same prio, later id → cum 4 > 3
+      (12L, "s2", 2L, "c d"),     // prio 0
+      // s3: cum == budget keeps (boundary is inclusive)
+      (20L, "s3", 4L, "a a a a"), // prio 1_000_000, cum 4 = budget 4
+      (21L, "s3", 4L, "x x x x")  // prio 0, cum 8 > 4
+    ).toDF("doc_id", "source", "n_chars", "text")
+    val got = graft.ops.Curation.tokenBudgetOf(docs, 4).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("s1", 1L), ("s2", 10L), ("s3", 20L)))
+    val s1 = got(0)
+    assert(s1.getLong(2) == 1000000L && s1.getLong(3) == 3L &&
+      s1.getLong(4) == 3L && s1.getLong(5) == 5L)
+    val s3 = got(2)
+    assert(s3.getLong(4) == 4L && s3.getLong(5) == 4L,
+      "a doc landing exactly on the budget is kept")
+  }
+
+  test("tx45 truncationAuditOf: per-window kept/lost/truncated/seqs accounting") {
+    def t(n: Int) = Seq.fill(n)("x").mkString(" ")
+    val docs = Seq((1L, t(100)), (2L, t(600)), (3L, t(3000)))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextStats.truncationAuditOf(docs).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(128L, 512L, 2048L, 8192L))
+    val by = got.map(r => r.getLong(0) -> r).toMap
+    got.foreach { r =>
+      assert(r.getLong(1) == 3L && r.getLong(3) == 3700L)
+      assert(r.getLong(5) == r.getLong(3) - r.getLong(4))
+      assert(r.getDouble(6) == r.getLong(5).toDouble / 3700.0)
+    }
+    assert(by(128L).getLong(2) == 2L && by(128L).getLong(4) == 356L &&
+      by(128L).getLong(7) == 30L)
+    assert(by(512L).getLong(2) == 2L && by(512L).getLong(4) == 1124L &&
+      by(512L).getLong(7) == 9L)
+    assert(by(2048L).getLong(2) == 1L && by(2048L).getLong(4) == 2748L &&
+      by(2048L).getLong(7) == 4L)
+    assert(by(8192L).getLong(2) == 0L && by(8192L).getLong(4) == 3700L &&
+      by(8192L).getLong(7) == 3L)
+  }
 }

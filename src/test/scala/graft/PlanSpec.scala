@@ -1091,4 +1091,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "query-catalog match must stay keyed on (ea, et, dt)")
   }
+
+  test("smp8 token budget: cumulative fill rides the two-phase prefix sum — no per-source window funnel") {
+    val p = plan("smp8_token_budget")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-source running sum must not single-task:\n${p.take(2000)}")
+    assert(p.contains("rangepartitioning"),
+      "PrefixSum range partitioning missing")
+    assert(p.contains("BroadcastHashJoin"),
+      "source-base/budget join should broadcast the O(sources) side")
+    // the only Window keys on the prefix sum's partition id, never on
+    // the few-valued source column (that funnel is the op's anti-shape)
+    assert(!p.contains("windowspecdefinition(source"),
+      s"running sum must not window-partition by source:\n${p.take(2000)}")
+  }
+
+  test("tx45 truncation audit: one corpus scan, no pre-aggregation fan-out of the token stream") {
+    val p = plan("tx45_truncation_audit")
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(2000))
+    // per-window measures are aggregate COLUMNS; the only Generate is
+    // the 4-element unpivot of the 1-row aggregate result, sitting
+    // ABOVE the aggregate (plans print top-down)
+    val gen = "Generate explode".r.findAllIn(p).size
+    assert(gen <= 1, s"window fan-out must stay post-aggregation:\n${p.take(2000)}")
+    val gi = p.indexOf("Generate explode")
+    val ai = p.indexOf("HashAggregate")
+    assert(gi >= 0 && ai >= 0 && gi < ai,
+      s"the unpivot must consume the aggregate result, not feed it:\n${p.take(2000)}")
+  }
 }
