@@ -107,6 +107,7 @@ object SparkEntry {
     "lic1_license_gate" -> (graft.ops.Curation.licenseGate _),
     "smp8_token_budget" -> (graft.ops.Curation.tokenBudget _),
     "tx45_truncation_audit" -> (TextStats.truncationAudit _),
+    "tx46_span_scrub" -> (TextStats.spanScrub _),
     "cms1_heavy_hitters" -> ((s, d) => graft.ops.Sketch.cmsHeavyHitters(s, d)),
     "hq1_histogram_quantiles" -> (graft.ops.Sketch.histQuantiles _),
     // training-data pipeline operators (SURVEY.md §7.6 / builder brief)
@@ -547,6 +548,7 @@ object SparkEntry {
     "lic1_license_gate" -> graft.ops.Curation.licenseGateOracle,
     "smp8_token_budget" -> graft.ops.Curation.tokenBudgetOracle,
     "tx45_truncation_audit" -> TextStats.truncationAuditOracle,
+    "tx46_span_scrub" -> TextStats.spanScrubOracle,
     "cms1_heavy_hitters" -> graft.ops.Sketch.cmsHeavyHittersOracle,
     "bf1_bloom_decontam" -> graft.ops.Sketch.bloomDecontaminateOracle,
     "hq1_histogram_quantiles" -> graft.ops.Sketch.histQuantilesOracle,

@@ -2963,6 +2963,139 @@ object TextStats {
        |       ELSE 'tail' END AS band
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** tx46 anchor width (tokens): a span is contaminated where its
+    * anchor 3-gram appears anywhere in the test split. */
+  val ScrubAnchorTokens = 3
+
+  /** tx46 — SPAN-surgical decontamination accounting: tx9 answers
+    * "is this train document contaminated" (drop-the-document
+    * verdict); this op answers "what would SURGICAL removal cost" —
+    * the Lee-et-al span-removal shape pointed at benchmark
+    * contamination. Every train-document position whose anchor
+    * [[ScrubAnchorTokens]]-gram appears anywhere in the test split
+    * becomes a token interval [pos, pos+k−1]; overlapping intervals
+    * merge into maximal spans (strictly-adjacent spans stay separate —
+    * the union token count is identical either way); the output is
+    * per-train-document accounting (zero rows included, because a
+    * scrub plan needs the keeps too): span count, tokens a scrub
+    * removes, and the per-mille share, integer-exact.
+    *
+    * Shape: tx9's split + gram-hash join (keyed on the 60-bit anchor
+    * hash — hash-is-identity, the dd4/dd10 convention; never a
+    * broadcast of a corpus-derived set), dd10's positioned-anchor
+    * explode, dd13's interval merge (per-doc windows — millions of
+    * tiny partitions, no global sort before the output ORDER BY). At
+    * most one match row per (doc, pos), so the merge window's
+    * (start, end) order is total and deterministic. */
+  def spanScrub(s: SparkSession, d: String): DataFrame =
+    spanScrubOf(Tables.documents(s, d), s.sparkContext.defaultParallelism)
+
+  /** [[spanScrub]] over an explicit documents frame. */
+  def spanScrubOf(docs: DataFrame, partitions: Int): DataFrame = {
+    import graft.functions.Functions.md5Hash60
+    import org.apache.spark.sql.expressions.Window
+    val k = ScrubAnchorTokens
+    val bucket = pmod(md5Hash60(col("doc_id").cast("string"), 7), lit(100L))
+    val base = docs.withColumn("split",
+      when(bucket < 90, "train").otherwise("test"))
+    val posGrams = base
+      .repartition(partitions)
+      .select(col("doc_id"), col("split"),
+        posexplode(graft.expressions.AllWordNGrams.ngrams(
+          col("text"), k)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), col("split"),
+        (col("p0") + 1).cast("long").as("pos"),
+        md5Hash60(col("gram"), 0).as("h"))
+    // the test-gram set is itself corpus-derived (distinct = an
+    // aggregate keyed by h, the join key): stats-gated hash hint, the
+    // same no-broadcast discipline as the doc-grain join below
+    val testGrams = Materialize.hashJoinIfFits(
+      posGrams.filter(col("split") === "test").select("h").distinct())
+    val matched = posGrams.filter(col("split") === "train")
+      .join(testGrams, "h")
+      .select(col("doc_id"), col("pos").as("start"),
+        (col("pos") + (k - 1)).as("end"))
+    val wPrev = Window.partitionBy("doc_id").orderBy("start", "end")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("start", "end")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = matched
+      .withColumn("pme", max(col("end")).over(wPrev))
+      .withColumn("isl", sum(
+        when(col("pme").isNull || col("start") > col("pme"), 1L)
+          .otherwise(0L)).over(wRun))
+      .groupBy("doc_id", "isl")
+      .agg((max(col("end")) - min(col("start")) + 1L).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("tok")).as("tokens_contaminated"))
+    base.filter(col("split") === "train")
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      // join back onto an aggregate keyed by the join key: the span
+      // stats are CORPUS-derived (one row per contaminated doc) —
+      // stats-gated hash hint reuses the aggregate's own exchange and
+      // keeps Catalyst from broadcasting a table that only looks
+      // small at toy scale (the r8 sf1 lesson)
+      .join(Materialize.hashJoinIfFits(spans), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_contaminated"), lit(0L))
+          .as("tokens_contaminated"))
+      .withColumn("contamination_pm",
+        expr("tokens_contaminated * 1000 div greatest(n_tokens, 1)"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of tx46 on raw gram strings (the 60-bit hash
+    * stands in for the gram on the Spark side). */
+  lazy val spanScrubOracle: String = {
+    val k = ScrubAnchorTokens
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |sp AS (SELECT doc_id,
+       |  CASE WHEN ('0x' || substr(md5('7' || ':' ||
+       |    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+       |    THEN 'train' ELSE 'test' END AS split
+       |  FROM documents),
+       |g AS (
+       |  SELECT w.doc_id, sp.split, pos,
+       |    array_to_string(ws[pos:pos+${k - 1}], ' ') AS gram
+       |  FROM w JOIN sp USING (doc_id),
+       |    unnest(generate_series(1, len(ws)-${k - 1})) AS t(pos)
+       |  WHERE len(ws) >= $k AND NOT (len(ws) = 1 AND ws[1] = '')),
+       |ts AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+       |m AS (
+       |  SELECT g.doc_id, pos AS s, pos + ${k - 1} AS e
+       |  FROM g JOIN ts USING (gram) WHERE g.split = 'train'),
+       |r AS (
+       |  SELECT doc_id, s, e,
+       |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+       |  FROM m),
+       |i AS (
+       |  SELECT doc_id, s, e,
+       |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s, e
+       |        ROWS UNBOUNDED PRECEDING) AS isl
+       |  FROM r),
+       |spn AS (
+       |  SELECT doc_id, isl, max(e) - min(s) + 1 AS tok
+       |  FROM i GROUP BY doc_id, isl),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_spans, sum(tok) AS toks
+       |  FROM spn GROUP BY doc_id)
+       |SELECT sp.doc_id,
+       |  CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(per.toks, 0) AS BIGINT) AS tokens_contaminated,
+       |  (CAST(coalesce(per.toks, 0) AS BIGINT) * 1000)
+       |    // greatest(len(w.ws), 1) AS contamination_pm
+       |FROM sp JOIN w USING (doc_id) LEFT JOIN per USING (doc_id)
+       |WHERE sp.split = 'train' ORDER BY sp.doc_id""".stripMargin
+  }
+
   /** tx45's candidate context windows (tokens). */
   val ContextWindows: Seq[Long] = Seq(128L, 512L, 2048L, 8192L)
 

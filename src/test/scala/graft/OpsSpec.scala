@@ -4399,6 +4399,32 @@ class OpsSpec extends AnyFunSuite {
       "a doc landing exactly on the budget is kept")
   }
 
+  test("tx46 spanScrubOf: overlap merge, disjoint spans, zero rows kept, per-mille share") {
+    // discover ids on each side of the tx9 split (bucket ≥ 90 = test)
+    val buckets = spark.range(0, 200)
+      .select(col("id"), pmod(graft.functions.Functions.md5Hash60(
+        col("id").cast("string"), 7), lit(100L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val testId = buckets.find(_._2 >= 90).get._1
+    val train = buckets.filter(_._2 < 90).map(_._1).take(3)
+    val docs = Seq(
+      (testId, "alpha beta gamma delta"),
+      // two overlapping matches [2,4]+[3,5] merge to one 4-token span
+      (train(0), "x alpha beta gamma delta y z"),
+      // two disjoint matches stay two spans, 6 tokens of 7
+      (train(1), "alpha beta gamma q alpha beta gamma"),
+      (train(2), "u v w")).toDF("doc_id", "text")
+    val got = graft.ops.TextStats.spanScrubOf(docs, 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 3, "train grain only; zero-contamination rows kept")
+    assert(got(train(0)) == ((7L, 1L, 4L, 571L)),
+      "overlapping intervals must merge into one maximal span")
+    assert(got(train(1)) == ((7L, 2L, 6L, 857L)),
+      "disjoint matches stay separate spans; union tokens exact")
+    assert(got(train(2)) == ((3L, 0L, 0L, 0L)))
+  }
+
   test("tx45 truncationAuditOf: per-window kept/lost/truncated/seqs accounting") {
     def t(n: Int) = Seq.fill(n)("x").mkString(" ")
     val docs = Seq((1L, t(100)), (2L, t(600)), (3L, t(3000)))

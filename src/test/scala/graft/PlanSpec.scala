@@ -1092,6 +1092,19 @@ class PlanSpec extends AnyFunSuite {
       "query-catalog match must stay keyed on (ea, et, dt)")
   }
 
+  test("tx46 span scrub: gram match stays keyed — no cartesian, no broadcast of corpus-derived gram sets") {
+    val p = plan("tx46_span_scrub")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the test-gram set is corpus-derived: it must meet the train
+    // anchors in a keyed join, never a driver-collected broadcast
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-derived gram set must not broadcast:\n${p.take(2000)}")
+    // the interval merge keys its windows on doc_id
+    assert(!p.contains("Exchange SinglePartition"),
+      s"interval merge must stay per-doc:\n${p.take(2000)}")
+  }
+
   test("smp8 token budget: cumulative fill rides the two-phase prefix sum — no per-source window funnel") {
     val p = plan("smp8_token_budget")
     assert(!p.contains("Exchange SinglePartition"),
