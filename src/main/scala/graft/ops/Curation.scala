@@ -58,15 +58,19 @@ object Curation {
       .select(col("doc_id"), col("split"),
         explode(TextStats.shingles(col("text"), 3)).as("sh"))
       .select(col("doc_id"), col("split"), md5Hash60(col("sh"), 0).as("h"))
-    val testShingles = flat.filter(col("split") === "test")
-      .select("h").distinct()
+    // every join-back side here is CORPUS-derived (the 10%-split
+    // shingle set, the per-doc contamination aggregate, the per-hash
+    // canon table): stats-gated hash hints — never a broadcast that
+    // only looks small at toy scale (the tx9/tx46 discipline)
+    val testShingles = Materialize.hashJoinIfFits(
+      flat.filter(col("split") === "test").select("h").distinct())
     val shared = flat.filter(col("split") === "train")
       .join(testShingles, "h")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     base
       .withColumn("__m", md5(col("text")))
-      .join(canon, Seq("__m"), "left")
-      .join(shared, Seq("doc_id"), "left")
+      .join(Materialize.hashJoinIfFits(canon), Seq("__m"), "left")
+      .join(Materialize.hashJoinIfFits(shared), Seq("doc_id"), "left")
       .withColumn("is_canonical",
         col("split") === "train" && col("q_keep") &&
           coalesce(col("doc_id") === col("canon_id"), lit(false)))

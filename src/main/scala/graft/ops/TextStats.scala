@@ -244,13 +244,19 @@ object TextStats {
       .select(col("doc_id"), col("split"),
         explode(shingles(col("text"), 3)).as("sh"))
       .select(col("doc_id"), col("split"), md5Hash60(col("sh"), 0).as("h"))
-    val testShingles = flat.filter(col("split") === "test")
-      .select("h").distinct()
+    // unlike tx15's benchmark-sized eval set (a deliberate broadcast),
+    // tx9's test side is a 10% SPLIT of the corpus — its distinct
+    // shingle set grows with the data and must meet the train stream
+    // in a keyed join; same for the doc-grain aggregate joined back
+    // below (stats-gated hash hints, the tx46/dd-family discipline)
+    val testShingles = graft.ops.Materialize.hashJoinIfFits(
+      flat.filter(col("split") === "test").select("h").distinct())
     val shared = flat.filter(col("split") === "train")
       .join(testShingles, "h")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_shingles"))
     docs.filter(col("split") === "train").select("doc_id")
-      .join(shared, Seq("doc_id"), "left")
+      .join(graft.ops.Materialize.hashJoinIfFits(shared),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
         (coalesce(col("n_shared_shingles"), lit(0L)) > 0).as("contaminated"))

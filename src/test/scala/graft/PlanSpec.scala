@@ -1092,6 +1092,20 @@ class PlanSpec extends AnyFunSuite {
       "query-catalog match must stay keyed on (ea, et, dt)")
   }
 
+  test("tx9 decontamination: the 10%-split shingle set meets the train stream keyed, never broadcast") {
+    val p = plan("tx9_decontamination")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-split shingle set / doc aggregate must not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("pipe1 curation audit: canon/contamination join-backs stay keyed — no corpus-derived broadcast") {
+    val p = plan("pipe1_curation_audit")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"canon/shared/test-shingle sides must not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("tx46 span scrub: gram match stays keyed — no cartesian, no broadcast of corpus-derived gram sets") {
     val p = plan("tx46_span_scrub")
     assert(!p.contains("CartesianProduct"), p.take(2000))
