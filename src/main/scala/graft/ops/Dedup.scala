@@ -809,8 +809,14 @@ object Dedup {
           col("text"), SpanAnchorTokens)).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         md5Hash60(col("gram"), SpanSeed).as("h"))
+    // equal-size positioned-anchor SELF-join on the gram hash: the
+    // stream is corpus×positions with a fan-out-blind estimate, and
+    // the audit caught Catalyst broadcasting one whole side at ≤sf1 —
+    // stats-gated hash hint keeps it keyed (hashJoinIfFits self-join
+    // rationale), sort-merge past the per-task build budget
     val cands = anchors.toDF("doc_a", "pa", "h")
-      .join(anchors.toDF("doc_b", "pb", "h"), Seq("h"))
+      .join(Materialize.hashJoinIfFits(anchors.toDF("doc_b", "pb", "h")),
+        Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("diag", col("pa") - col("pb"))
     val islands = cands.withColumn("isl",

@@ -45,13 +45,17 @@ object RangeJoin {
       .withColumn("bucket", explode(sequence(
         floor(col("s_ep") / B).cast("long"),
         floor((col("e_ep") - 1) / B).cast("long"))))
-    val m = ev.join(iv, Seq("k", "bucket"))
+    // the exploded interval stream and the event-grain aggregate are
+    // both same-table-derived (fan-out-blind estimates): stats-gated
+    // hints keep them keyed instead of letting a toy-tier broadcast
+    // decision survive to tiers where the incident set is huge
+    val m = ev.join(Materialize.hashJoinIfFits(iv), Seq("k", "bucket"))
       .filter(col("t_ep") >= col("s_ep") && col("t_ep") < col("e_ep"))
       .groupBy("event_id")
       .agg(count(lit(1)).as("n_covering"),
         max(col("incident_id")).as("max_incident_id"))
     ev.select("event_id")
-      .join(m, Seq("event_id"), "left")
+      .join(Materialize.hashJoinIfFits(m), Seq("event_id"), "left")
       .select(col("event_id"),
         coalesce(col("n_covering"), lit(0L)).as("n_covering"),
         col("max_incident_id"))
@@ -77,7 +81,10 @@ object RangeJoin {
       col("s_ep").as(s"s_$t"), col("e_ep").as(s"e_$t"),
       col("sb").as(s"sb_$t"), col("lb").as(s"lb_$t"))
       .withColumn("bucket", explode(sequence(col(s"sb_$t"), col(s"lb_$t"))))
-    side("a").join(side("b"), Seq("k", "bucket"))
+    // equal-size exploded SELF-join: stats-gated hash hint (the
+    // hashJoinIfFits self-join rationale — never a broadcast of one
+    // side of a stream that grows with the corpus)
+    side("a").join(Materialize.hashJoinIfFits(side("b")), Seq("k", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("s_a") < col("e_b") && col("s_b") < col("e_a"))
       .filter(col("bucket") === greatest(col("sb_a"), col("sb_b")))

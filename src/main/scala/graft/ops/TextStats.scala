@@ -167,7 +167,11 @@ object TextStats {
       (col("n_2grams") - col("n_distinct_2grams")) / col("n_2grams"))
       .otherwise(lit(0.0))
     val topFrac = col("top_word_count") / col("n_tokens")
-    base.join(top, "doc_id")
+    // top is a DOC-GRAIN aggregate of the exploded token stream: its
+    // estimate is fan-out-blind (BroadcastAudit class), so gate the
+    // join strategy on evidence instead of letting a toy-tier
+    // broadcast decision survive to tiers where doc grain is huge
+    base.join(Materialize.hashJoinIfFits(top), "doc_id")
       .select(col("doc_id"), col("n_tokens"),
         dupWord.as("dup_word_frac"),
         dup2g.as("dup_2gram_frac"),
@@ -872,14 +876,19 @@ object TextStats {
     val flat = docs
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
       .select(col("doc_id"), md5Hash60(col("sh"), 0).as("h"))
-    val first = flat.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    // both join-backs land on FAN-OUT-BLIND aggregates of the shingle
+    // stream (first: shingle grain; per: doc grain) — corpus-scale
+    // tables whose estimates ignore the explode factor. Stats-gated
+    // hints keep them keyed (BroadcastAudit class; the tx9 fix)
+    val first = Materialize.hashJoinIfFits(
+      flat.groupBy("h").agg(min(col("doc_id")).as("first_doc")))
     val per = flat.join(first, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
           .as("n_novel"))
     docs.select("doc_id")
-      .join(per, Seq("doc_id"), "left")
+      .join(Materialize.hashJoinIfFits(per), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
@@ -1055,7 +1064,10 @@ object TextStats {
           " ").as("kept_text"))
     docs.select(col("doc_id"),
         size(words(col("text"))).cast("long").as("n_orig"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      // rebuilt is a DOC-GRAIN aggregate carrying reassembled text —
+      // corpus-scale; keep its join-back keyed (stats-gated, never a
+      // fan-out-blind broadcast — BroadcastAudit class)
+      .join(Materialize.hashJoinIfFits(rebuilt), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_orig"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
@@ -1113,7 +1125,9 @@ object TextStats {
         " ").as("kept_text"))
     w.select(col("doc_id"),
         ceil(size(col("ws")) / lit(SegTokens.toDouble)).cast("long").as("n_segs"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      // doc-grain aggregate carrying reassembled text: keyed join-back
+      // (stats-gated), never a fan-out-blind broadcast
+      .join(Materialize.hashJoinIfFits(rebuilt), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_segs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))

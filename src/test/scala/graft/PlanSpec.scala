@@ -1106,6 +1106,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("fleet fan-out-blind broadcast gate: the six audited corpus-grain join-backs stay off the broadcast path") {
+    // BroadcastAudit's classifier (the tx9 class): a broadcast side
+    // that scans a fact table through an explode with no measured
+    // checkpoint between is fan-out-blind — its estimate ignores the
+    // explode factor, so a toy-tier broadcast decision survives to
+    // tiers where the side is the corpus. These six were flagged by
+    // the fleet audit at sf0.01+sf1 and fixed with stats-gated hints;
+    // this pins them. (The remaining audit flags are adjudicated
+    // bounded aggregates — sketches, centroids, log-bucket tables —
+    // and stay out of this gate by name.)
+    for (q <- Seq("dd10_duplicate_spans", "tx8_repetition", "tx18_segment_dedup",
+        "tx25_ngram_novelty", "j7_range_join", "j10_overlap_join")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val flags = BroadcastAudit.fanoutBlindSides(p)
+      assert(flags.isEmpty,
+        s"$q broadcasts a fan-out-blind corpus side:\n${flags.map(_._2).mkString("\n")}")
+      graft.ops.Materialize.releaseAll(spark)
+    }
+  }
+
   test("tx46 span scrub: gram match stays keyed — no cartesian, no broadcast of corpus-derived gram sets") {
     val p = plan("tx46_span_scrub")
     assert(!p.contains("CartesianProduct"), p.take(2000))
