@@ -16,8 +16,18 @@ import java.nio.file.{Files, Paths}
   * the same object the bench times. */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println("usage: ExplainDump <sfDir> <outDir> <suffix> " +
+        "<query> [query...]")
+      sys.exit(2)
+    }
     val (sfDir, outDir, suffix) = (args(0), args(1), args(2))
     val names = args.drop(3).toSeq
+    // validate up front: an unknown name aborting mid-list would leave
+    // a partial dump that reads as complete
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")}")
     val spark = Harness.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>

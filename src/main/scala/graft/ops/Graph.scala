@@ -459,10 +459,12 @@ object Graph {
     *
     * Scale shape: textbook frontier BFS as iterated keyed joins — per
     * hop ONE join of the frontier against the symmetrized edge list
-    * (shuffles on node id) + ONE min-struct aggregation merging
-    * candidates into the settled state; ≤ [[BfsMaxHops]] rounds, each
-    * durably materialized (the labelPropagation discipline), with an
-    * early exit the moment a round settles nothing new. Seed
+    * (shuffles on node id), one anti-join against the settled set, and
+    * a min-seed aggregation over the NEW shell only; ≤ [[BfsMaxHops]]
+    * rounds, each shell durably materialized (the labelPropagation
+    * discipline — frontier-sized checkpoints, never the accumulated
+    * state), with an early exit the moment a round settles nothing
+    * new. Seed
     * correctness of the propagated tiebreak: a frontier neighbor
     * settled at h−1 carries the min seed over ITS shortest paths, and
     * any seed at distance exactly h from the new node routes through
@@ -489,35 +491,46 @@ object Graph {
     val sym = Materialize(
       und.unionAll(und.select(col("v").as("u"), col("u").as("v"))),
       Materialize.Local, "bfs_sym")
-    var state = Materialize(
+    val state0 = Materialize(
       nodes.filter(col("vec_id") % seedMod === 0L)
         .select(col("vec_id").as("id"), lit(0L).as("dist"),
           col("vec_id").as("seed")),
       Materialize.Local, "bfs_state0")
+    // SHELL iteration: a settled node's (dist, seed) never changes (its
+    // dist is strictly below any later hop), so each round only the
+    // NEWLY reached shell needs computing — candidates from the
+    // previous shell, anti-joined against everything settled, min-seed
+    // per new node (all candidates carry dist = hop, so the old
+    // min-struct tiebreak reduces to min(seed)). Rounds materialize the
+    // shell (frontier-sized), not the whole accumulated state — the
+    // full-state groupBy re-shuffled and re-checkpointed the entire
+    // corpus state every hop; the shells sum to each reached node once.
+    var settled = state0
+    var frontier = state0
     var hop = 1
     var done = false
     while (hop <= maxHops && !done) {
-      val frontier = state.filter(col("dist") === (hop - 1).toLong)
       val cand = frontier
         .join(sym.select(col("u").as("id"), col("v")), "id")
-        .select(col("v").as("id"), lit(hop.toLong).as("dist"), col("seed"))
-      val next = Materialize(
-        state.unionByName(cand)
+        .select(col("v").as("id"), col("seed"))
+      val fresh = Materialize(
+        cand.join(settled.select("id"), Seq("id"), "left_anti")
           .groupBy("id")
-          .agg(min(struct(col("dist"), col("seed"))).as("m"))
-          .select(col("id"), col("m.dist").as("dist"),
-            col("m.seed").as("seed")),
-        Materialize.Local, s"bfs_state_$hop")
-      // settled set growth is the only change a round can make (a
-      // settled node's (dist, seed) is already minimal); no growth ⇒
-      // every later frontier is empty — stop. Counts are actions on
-      // just-materialized tables.
-      done = next.count() == state.count()
-      state = next
+          .agg(min(col("seed")).as("seed"))
+          .select(col("id"), lit(hop.toLong).as("dist"), col("seed")),
+        Materialize.Local, s"bfs_shell_$hop")
+      // an empty shell ⇒ every later frontier is empty — stop. The
+      // count is an action on the just-materialized shell (one small
+      // count per round instead of two full-state counts).
+      done = fresh.count() == 0L
+      if (!done) {
+        settled = settled.unionByName(fresh)
+        frontier = fresh
+      }
       hop += 1
     }
     nodes
-      .join(state.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .join(settled.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("dist"), col("seed"),
         when(col("dist").isNotNull, 1L).otherwise(0L).as("reached"))
       .orderBy("vec_id")
@@ -834,8 +847,18 @@ object Graph {
           when(col("vec_id") % SpreadSeedMod === 0, lit(0L))),
       Materialize.Local, "spread_l0")
     (1 to SpreadRounds).foreach { r =>
+      // votes ride the previous round's decision SHELL, not the full
+      // label table: a node still undecided entering round r can have
+      // no neighbor decided before r−1 (any labeled neighbor at r−1
+      // would have decided it then), so for every node the pick can
+      // still change, the vote set — and the plurality tiebreak — is
+      // identical when restricted to decided_round = r−1; for already-
+      // decided nodes the pick is discarded by the coalesce either
+      // way. The join's labeled side shrinks from corpus-sized to
+      // shell-sized.
       val votes = sym
-        .join(lab.select(col("vec_id").as("dst"), col("cur").as("nl")), "dst")
+        .join(lab.where(col("decided_round") === (r - 1).toLong)
+          .select(col("vec_id").as("dst"), col("cur").as("nl")), "dst")
         .where(col("nl").isNotNull)
         .groupBy(col("src").as("vec_id"), col("nl"))
         .agg(count(lit(1)).as("c"))
@@ -933,27 +956,37 @@ object Graph {
       Materialize.Local, "g12_sym")
     val seeds = nodes.filter(col("vec_id") % BfsSeedMod === 0L)
       .orderBy("vec_id").limit(CentralityLandmarks)
-    var state = Materialize(
+    val state0 = Materialize(
       seeds.select(col("vec_id").as("id"), col("vec_id").as("seed"),
         lit(0L).as("dist")),
       Materialize.Local, "g12_state0")
+    // SHELL iteration (the g7 argument per (id, seed) pair): a pair
+    // settles at the first hop it appears — min(dist) over the old
+    // full-state union IS that first hop — so each round computes only
+    // the new pairs (distinct candidates anti-joined against settled)
+    // and materializes the shell, never the whole accumulated state.
+    var settled = state0
+    var frontier = state0
     var hop = 1
     var done = false
     while (hop <= BfsMaxHops && !done) {
-      val frontier = state.filter(col("dist") === (hop - 1).toLong)
       val cand = frontier
         .join(sym.select(col("u").as("id"), col("v")), "id")
-        .select(col("v").as("id"), col("seed"), lit(hop.toLong).as("dist"))
-      val next = Materialize(
-        state.unionByName(cand)
-          .groupBy("id", "seed")
-          .agg(min(col("dist")).as("dist")),
-        Materialize.Local, s"g12_state_$hop")
-      done = next.count() == state.count()
-      state = next
+        .select(col("v").as("id"), col("seed"))
+      val fresh = Materialize(
+        cand.distinct()
+          .join(settled.select("id", "seed"), Seq("id", "seed"),
+            "left_anti")
+          .select(col("id"), col("seed"), lit(hop.toLong).as("dist")),
+        Materialize.Local, s"g12_shell_$hop")
+      done = fresh.count() == 0L
+      if (!done) {
+        settled = settled.unionByName(fresh)
+        frontier = fresh
+      }
       hop += 1
     }
-    val perNode = state
+    val perNode = settled
       .groupBy("id")
       .agg(count(lit(1)).as("n_reached"),
         min(col("dist")).as("min_dist"),

@@ -718,16 +718,25 @@ object Similarity {
     * spec-testable against hand-computed integer ranks. */
   def pagerankOf(edges: DataFrame, nodes: DataFrame,
       iters: Int): DataFrame = {
+    // the degree-annotated edge list is round-invariant: materialize it
+    // ONCE so every round's contribution join reads a checkpoint
+    // (already src-partitioned from the degree aggregate — the join
+    // reuses that layout) instead of re-running the degree groupBy +
+    // join per round
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val ed = edges.join(deg, "src")
-    var ranks = nodes.withColumn("r", lit(PrScale))
+    val ed = Materialize(edges.join(deg, "src"),
+      Materialize.Local, "pr_edges_deg")
+    // the node universe is read by every round's left join — one scan,
+    // not one per round
+    val nd = Materialize(nodes, Materialize.Local, "pr_nodes")
+    var ranks = nd.withColumn("r", lit(PrScale))
     for (i <- 0 until iters) {
       val contrib = ed
         .join(ranks.withColumnRenamed("vec_id", "src"), "src")
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
       ranks = Materialize(
-        nodes
+        nd
           .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
           .select(col("vec_id"),
             (lit(PrScale * 15 / 100) +
@@ -793,17 +802,24 @@ object Similarity {
   /** [[pagerankResiduals]] over an explicit edge list. */
   def pagerankResidualsOf(edges: DataFrame, nodes: DataFrame,
       iters: Int): DataFrame = {
+    // round-invariant degree-annotated edges materialize once (see
+    // pagerankOf) — g13 runs the same rounds plus a per-round stats
+    // join, so the per-round degree rebuild cost 5× here too
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val ed = edges.join(deg, "src")
+    val ed = Materialize(edges.join(deg, "src"),
+      Materialize.Local, "g13_edges_deg")
+    // node universe: one scan for all rounds (round 0 IS the node set
+    // plus a literal, so its checkpoint serves as both)
     var ranks = Materialize(nodes.withColumn("r", lit(PrScale)),
       Materialize.Local, "g13_round_0")
+    val nd = ranks.select("vec_id")
     val stats = (1 to iters).map { i =>
       val contrib = ed
         .join(ranks.withColumnRenamed("vec_id", "src"), "src")
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
       val next = Materialize(
-        nodes
+        nd
           .join(contrib.withColumnRenamed("dst", "vec_id"),
             Seq("vec_id"), "left")
           .select(col("vec_id"),

@@ -62,4 +62,19 @@ class BenchSpec extends AnyFunSuite {
     // ...and a clean left bound alone flags nothing
     assert(Bench.suspectNames(names, Seq((0, 0.1)), 0.3).isEmpty)
   }
+
+  test("loadFlagged: fires only on a loaded start AND p50 far above the run minimum") {
+    // idle start: never flags, whatever the dispersion (structural 0
+    // on an idle sweep — the r13 contract)
+    assert(!Bench.loadFlagged(loadStart = 0.5, p50 = 5.0, minRun = 1.0))
+    // loaded start + the r12 g3 shape (p50 5.01 vs ~1 s clean runs)
+    assert(Bench.loadFlagged(loadStart = 4.36, p50 = 5.0, minRun = 1.0))
+    // loaded start but tight runs: the median is trustworthy
+    assert(!Bench.loadFlagged(loadStart = 4.36, p50 = 1.1, minRun = 1.0))
+    // ratio met but absolute delta under the slack (sub-second query
+    // scheduling noise): no flag
+    assert(!Bench.loadFlagged(loadStart = 4.36, p50 = 0.4, minRun = 0.1))
+    // boundary: exactly 2x and exactly 0.5 s delta flags
+    assert(Bench.loadFlagged(loadStart = 1.0, p50 = 1.0, minRun = 0.5))
+  }
 }

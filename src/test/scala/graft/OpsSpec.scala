@@ -2415,6 +2415,7 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+
   test("cal2: perfect-miss brier is exactly 1, balanced base rate gives uncertainty 1/4, identity closes") {
     // every positive predicted at 0 ⇒ p_i = 0, y = 1 ⇒ brier = 1.0
     // exactly ((0 − D)²/D²); balanced pos/neg ⇒ unc = 0.25 exactly

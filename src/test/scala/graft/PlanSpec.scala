@@ -14,6 +14,40 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Asserts the bounded-grain property of every global (partition-less)
+    * Window in `name`'s plan: a Window whose input collapses to a single
+    * partition is only scale-safe when that input is POST-AGGREGATE
+    * (buckets/deciles/langs/years — a grain bounded by construction),
+    * so inside each Window's subtree an Aggregate must appear before
+    * any scan. A Window fed raw scan rows would funnel the corpus
+    * through one task — the regression this gate exists to catch. */
+  private def assertGlobalWindowsPostAggregate(name: String): Unit = {
+    val lines = plan(name).linesIterator.toVector
+    def depth(s: String): Int = s.indexWhere(c => !" :+-".contains(c))
+    val scanRe = "(FileScan|Scan parquet)".r.unanchored
+    lines.zipWithIndex.filter(_._1.contains("Window [")).foreach {
+      case (wline, wi) =>
+        val d = depth(wline)
+        val subtree = lines.drop(wi + 1).takeWhile(l =>
+          l.trim.isEmpty || depth(l) > d)
+        // only GLOBAL windows (single-partition input) are in scope —
+        // a keyed window scales with its partition key. A raw table
+        // scan flowing into a global window without an aggregate above
+        // it is the corpus-grain funnel; a checkpoint input
+        // (Scan ExistingRDD) is a deliberate post-aggregate seam — the
+        // grain was fixed where the checkpoint was built
+        val firstExchange = subtree.indexWhere(_.contains("Exchange"))
+        val isGlobal = firstExchange >= 0 &&
+          subtree(firstExchange).contains("SinglePartition")
+        val firstScan = subtree.indexWhere(l => scanRe.matches(l))
+        val scope = if (firstScan < 0) subtree else subtree.take(firstScan)
+        assert(!isGlobal || firstScan < 0 ||
+          scope.exists(_.contains("Aggregate")),
+          s"$name: global window consumes a non-aggregated table scan:\n" +
+            (wline +: subtree.take(8)).mkString("\n"))
+    }
+  }
+
   test("ch1 chunking: no shuffle besides the output sort — the explode stays map-side in codegen") {
     val p = plan("ch1_chunk_windows")
     // exactly one Exchange: the final ORDER BY's range partitioning;
@@ -966,6 +1000,31 @@ class PlanSpec extends AnyFunSuite {
     // base + ours(kept ∪ inserts) + theirs(kept ∪ inserts) = 5 reads
     // of ONE materialized scan, not 5 scans of orders
     assert("FileScan parquet".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
+  test("global windows ride post-aggregate grains (the 14 Window.orderBy sites stay bounded)") {
+    // every partition-less window in the surface sits on a
+    // bounded-by-construction post-aggregate (buckets, deciles, langs,
+    // years, days) — pin it so a refactor can't quietly feed one a
+    // corpus-grain stream (the single-task funnel)
+    Seq("a3b_yearly_delta", "dd19_similarity_histogram",
+      "dq11_id_time_alignment", "inc4_distinct_maintenance",
+      "lift1_gains_table", "rank1_ranking_metrics",
+      "smp6_temperature_mix", "tx19_temperature_mix",
+      "tx24_vocab_coverage", "tx33_vocab_growth", "tx42_heaps_growth",
+      "w4_moving_avg")
+      .foreach(assertGlobalWindowsPostAggregate)
+  }
+
+  test("dq3 fk audit: per-relation anti-joins stay keyed or broadcast, scans stay column-pruned") {
+    // the measured-best shape (the r13 census A/B — see
+    // OPTIMIZATION_r13.md): pruned per-relation scans, never a
+    // cartesian; only key columns read
+    val p = plan("dq3_fk_audit")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!schemas.contains("l_quantity") && !schemas.contains("o_totalprice"),
+      s"non-key columns read: $schemas")
   }
 
   test("g12 centrality: rounds ride the materialized state, final join keyed, no cartesian") {
